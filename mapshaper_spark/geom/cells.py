@@ -30,10 +30,10 @@ def _spread_col(c: Column) -> Column:
     Stays entirely in JVM whole-stage codegen: shiftleft/bitwise ops only.
     """
     c = c.cast("long")
-    c = (c | F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
-    c = (c | F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-    c = (c | F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
-    c = (c | F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
     return c
 
 
@@ -51,7 +51,7 @@ def morton_col(x: Column, y: Column, bbox: Sequence[float], res: int) -> Column:
     xmin, ymin, xmax, ymax = bbox
     ix = scaled_int_col(x, xmin, xmax, res)
     iy = scaled_int_col(y, ymin, ymax, res)
-    return (_spread_col(ix) | F.shiftleft(_spread_col(iy), 1)).alias("cell")
+    return _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1)).alias("cell")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Attribute algebra — mapshaper's row-wise commands as thin DataFrame ops.
+
+Each function keeps the reference's option semantics; the heavy lifting is
+native Catalyst (filter/select/window/agg — no Python in any of these).
+
+- -filter:         /root/reference/src/commands/mapshaper-filter.js:3-46
+- -filter-fields / -rename-fields:
+                   /root/reference/src/commands/mapshaper-filter-rename-fields.js
+- -each:           /root/reference/src/commands/mapshaper-each.js:6-24
+- -uniq:           /root/reference/src/commands/mapshaper-uniq.js:6-35
+- -sort:           /root/reference/src/commands/mapshaper-sort.js:6-23
+- -calc:           /root/reference/src/commands/mapshaper-calc.js:15-34
+                   (mode: /root/reference/src/utils/mapshaper-calc-utils.js:3-43)
+- -merge-layers:   /root/reference/src/commands/mapshaper-merge-layers.js:4-106
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ROW_IDX = "__feature_idx"
+
+
+def with_feature_index(df: DataFrame, name: str = ROW_IDX) -> DataFrame:
+    """Stable feature index standing in for the reference's array order.
+
+    The reference's semantics ("first match", "first occurrence") depend on
+    feature order; DataFrames are unordered, so order-sensitive ops require
+    an explicit index column (callers pass a key or we derive one once at
+    import time, analogous to topology build assigning ids on ingest).
+    """
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def filter_features(df: DataFrame, expr: str | Column) -> DataFrame:
+    """-filter: keep rows where the expression is true. The reference demands
+    strictly-boolean expressions (filter.js:49-54); Spark's filter enforces a
+    boolean column type, which is the static analog."""
+    return df.filter(expr)
+
+
+def filter_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    return df.select(*fields)
+
+
+def rename_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """mapping: {new_name: old_name} pairs (the reference's ``new=old``)."""
+    for new, old in mapping.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def each(df: DataFrame, assignments: Mapping[str, str | Column],
+         where: str | Column | None = None) -> DataFrame:
+    """-each: derive/mutate columns; with ``where=``, non-matching rows keep
+    their old value (or null for new columns), per each.js:12-19."""
+    for name, expr in assignments.items():
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        if where is not None:
+            cond = F.expr(where) if isinstance(where, str) else where
+            old = F.col(name) if name in df.columns else F.lit(None)
+            col = F.when(cond, col).otherwise(old)
+        df = df.withColumn(name, col)
+    return df
+
+
+def uniq(df: DataFrame, expr: str | Column, max_count: int = 1,
+         order_col: str = ROW_IDX) -> DataFrame:
+    """-uniq: keep the first ``max_count`` rows per expression value, in
+    feature order (uniq.js:16-24)."""
+    key = F.expr(expr) if isinstance(expr, str) else expr
+    w = Window.partitionBy(key).orderBy(F.col(order_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_count).drop("__rn"))
+
+
+def sort(df: DataFrame, expr: str | Column, ascending: bool = True) -> DataFrame:
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    return df.orderBy(col.asc() if ascending else col.desc())
+
+
+def calc_exprs() -> dict[str, callable]:
+    """The -calc aggregate vocabulary -> Spark builtins (calc.js:40-177).
+    ``median`` uses exact percentile (the reference computes exact); ``mode``
+    uses Spark's mode (first-encountered tie-breaking matches getModeData's
+    insertion-order modes[0] for deterministic inputs)."""
+    return {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": F.sum,
+        "average": F.avg,
+        "median": lambda c: F.expr(f"percentile({c}, 0.5)") if isinstance(c, str) else F.percentile(c, F.lit(0.5)),
+        "min": F.min,
+        "max": F.max,
+        "mode": F.mode,
+        "collect": F.collect_list,
+        "first": F.first,
+        "last": F.last,
+    }
+
+
+def calc(df: DataFrame, aggs: Mapping[str, tuple[str, str | Column]],
+         where: str | Column | None = None) -> DataFrame:
+    """-calc: whole-layer aggregation. aggs = {out_name: (fn_name, column)}."""
+    if where is not None:
+        df = df.filter(where)
+    vocab = calc_exprs()
+    cols = []
+    for out, (fn, c) in aggs.items():
+        col = F.col(c) if isinstance(c, str) else c
+        cols.append(vocab[fn](col).alias(out))
+    return df.agg(*cols)
+
+
+def merge_layers(dfs: Sequence[DataFrame], force: bool = False) -> DataFrame:
+    """-merge-layers: UNION ALL. ``force`` pads missing columns with nulls
+    (merge-layers.js force option); without it, schemas must match."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=force)
+    return out
+
+
+def round_coords(col: Column, precision: float) -> Column:
+    """-o precision= rounding (mapshaper-rounding.js): round to a multiple
+    of ``precision`` — round(x / p) * p."""
+    return F.round(col / F.lit(precision)) * F.lit(precision)
+
+
+def affine(df: DataFrame, x: str, y: str, shift: tuple[float, float] = (0.0, 0.0),
+           scale: float = 1.0, rotate_deg: float = 0.0,
+           anchor: tuple[float, float] = (0.0, 0.0)) -> DataFrame:
+    """-affine (mapshaper-affine.js:5-45): rotate/scale about anchor then
+    translate: x' = a*(x-cx) + b*(y-cy) + cx + dx (matrix2d compose)."""
+    import math
+    rad = rotate_deg * math.pi / 180.0
+    a = math.cos(rad) * scale
+    b = -math.sin(rad) * scale
+    cx, cy = anchor
+    dx, dy = shift
+    xc = F.col(x) - F.lit(cx)
+    yc = F.col(y) - F.lit(cy)
+    nx = F.lit(a) * xc + F.lit(b) * yc + F.lit(cx) + F.lit(dx)
+    ny = F.lit(-b) * xc + F.lit(a) * yc + F.lit(cy) + F.lit(dy)
+    return df.withColumn(x, nx).withColumn(y, ny)

@@ -1,0 +1,110 @@
+"""Gridding / tiling operators.
+
+- point_grid / polygon_grid: regular grids over a bbox
+  (/root/reference/src/commands/mapshaper-point-grid.js:3-34,
+   /root/reference/src/points/mapshaper-grids.js:7-30)
+- split_on_grid: assign each feature to a grid cell by the centroid of its
+  bounds — ``c = floor((centerX - xmin) / w * cols)`` clamped, id "r{r}c{c}"
+  (/root/reference/src/commands/mapshaper-split-on-grid.js:39-62)
+- split_by_field: one partition per distinct value
+  (/root/reference/src/commands/mapshaper-split.js:3-42)
+
+All pure column expressions — Catalyst/codegen end to end; `split` writes
+map to ``df.write.partitionBy`` at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def point_grid(spark: SparkSession, cols: int, rows: int,
+               bbox: Sequence[float]) -> DataFrame:
+    """Grid of points at cell corners: point(c, r) = (x0 + c*w, y0 + r*h)
+    with w = width/cols, h = height/rows (getSimpleGridFunction,
+    mapshaper-grids.js:18-22 via point-grid interval semantics)."""
+    xmin, ymin, xmax, ymax = bbox
+    w = (xmax - xmin) / cols
+    h = (ymax - ymin) / rows
+    df = spark.range(0, rows * cols)
+    return df.select(
+        (F.col("id") % cols).cast("int").alias("col"),
+        (F.col("id") / cols).cast("int").alias("row"),
+    ).select(
+        "col", "row",
+        (F.lit(xmin) + F.col("col") * F.lit(w)).alias("x"),
+        (F.lit(ymin) + F.col("row") * F.lit(h)).alias("y"),
+    )
+
+
+def polygon_grid(spark: SparkSession, cols: int, rows: int,
+                 bbox: Sequence[float]) -> DataFrame:
+    """Grid of rectangular cells with per-cell closed rings (rings_x/rings_y
+    + bbox struct), ready for pip_join / clipping. cell_id = "r{r}c{c}"."""
+    xmin, ymin, xmax, ymax = bbox
+    w = (xmax - xmin) / cols
+    h = (ymax - ymin) / rows
+    df = spark.range(0, rows * cols).select(
+        (F.col("id") % cols).cast("int").alias("col"),
+        (F.col("id") / cols).cast("int").alias("row"),
+    )
+    x0 = F.lit(xmin) + F.col("col") * F.lit(w)
+    x1 = F.lit(xmin) + (F.col("col") + 1) * F.lit(w)
+    y0 = F.lit(ymin) + F.col("row") * F.lit(h)
+    y1 = F.lit(ymin) + (F.col("row") + 1) * F.lit(h)
+    return df.select(
+        F.format_string("r%dc%d", F.col("row"), F.col("col")).alias("cell_id"),
+        "row", "col",
+        F.struct(x0.alias("xmin"), y0.alias("ymin"), x1.alias("xmax"), y1.alias("ymax")).alias("bbox"),
+        F.array(F.array(x0, x0, x1, x1, x0)).alias("rings_x"),
+        F.array(F.array(y0, y1, y1, y0, y0)).alias("rings_y"),
+    )
+
+
+def grid_cell_id(cx: F.Column, cy: F.Column, cols: int, rows: int,
+                 bbox: Sequence[float]) -> F.Column:
+    """The exact split-on-grid classifier (mapshaper-split-on-grid.js:54-60):
+    floor((center - min) / extent * n), clamped to [0, n-1]."""
+    xmin, ymin, xmax, ymax = bbox
+    w = xmax - xmin
+    h = ymax - ymin
+    c = F.floor((cx - F.lit(xmin)) / F.lit(w) * F.lit(cols))
+    r = F.floor((cy - F.lit(ymin)) / F.lit(h) * F.lit(rows))
+    c = F.greatest(F.lit(0), F.least(F.lit(cols - 1), c))
+    r = F.greatest(F.lit(0), F.least(F.lit(rows - 1), r))
+    return F.format_string("r%dc%d", r, c)
+
+
+def split_on_grid(df: DataFrame, cols: int, rows: int,
+                  bbox: Sequence[float] | None = None,
+                  x: str = None, y: str = None,
+                  id_field: str = "__split__") -> DataFrame:
+    """Assign grid-cell ids. For point layers center = the point; for path
+    layers center = bbox centroid (centerX = xmin + (xmax-xmin)/2). When
+    ``bbox`` is None the layer bounds are computed (matching the reference,
+    which classifies against getLayerBounds)."""
+    if x is not None:
+        cx, cy = F.col(x), F.col(y)
+    else:
+        b = F.col("bbox")
+        cx = b["xmin"] + (b["xmax"] - b["xmin"]) * F.lit(0.5)
+        cy = b["ymin"] + (b["ymax"] - b["ymin"]) * F.lit(0.5)
+    if bbox is None:
+        if x is not None:
+            row = df.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
+            bbox = (row[0], row[2], row[1], row[3])
+        else:
+            row = df.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                         F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+            bbox = tuple(row)
+    return df.withColumn(id_field, grid_cell_id(cx, cy, cols, rows, bbox))
+
+
+def split_by_field(df: DataFrame, field: str) -> dict[str, DataFrame]:
+    """-split field=: dict of per-value DataFrames (driver enumerates the
+    distinct values; at scale prefer ``df.write.partitionBy(field)``)."""
+    values = [r[0] for r in df.select(field).distinct().collect()]
+    return {str(v): df.filter(F.col(field) == F.lit(v)) for v in values}
