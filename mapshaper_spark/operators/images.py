@@ -1,0 +1,204 @@
+"""Multimodal (image) column plumbing.
+
+Per BASELINE.json input_hint the primary table carries opaque image bytes
+with typed metadata (w, h, fmt). This module makes the Spark-side plumbing
+real — schemas, Arrow batch shapes, partitioning — with two fully working
+*stdlib-only* codecs (PNG with filter-0 scanlines via zlib, and binary PPM),
+so decode -> pixel ops -> re-encode round-trips losslessly in tests without
+PIL. Lossy formats (JPEG) are stubbed behind NotImplementedError with the
+PSNR>=40dB acceptance check implemented and unit-tested on the lossless
+path.
+
+All per-image work happens in mapInPandas over Arrow batches (one numpy
+decode per row, vectorized pixel math) — never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# stdlib codecs
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload +
+            struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) -> PNG bytes (filter 0, zlib level 6)."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), dtype=np.uint8),
+                          pixels.reshape(h, w * 3)], axis=1).tobytes()
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) +
+            _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise NotImplementedError("only RGB8 PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    if np.any(raw[:, 0] != 0):
+        raise NotImplementedError("only filter-0 scanlines supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    parts = data.split(b"\n", 3)
+    if parts[0] != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h = map(int, parts[1].split())
+    return np.frombuffer(parts[3], dtype=np.uint8)[: h * w * 3].reshape(h, w, 3).copy()
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "ppm":
+        return decode_ppm(data)
+    if fmt in ("jpeg", "jpg", "webp"):
+        # lossy codecs are not available in this container (no PIL);
+        # the acceptance criterion for them is PSNR >= 40 dB (input_hint)
+        raise NotImplementedError(f"lossy codec '{fmt}' requires an image library")
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def synth_pixels(img_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pattern per (id, w, h) — FIXTURES.md §1 analog."""
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    return ((img_id * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Average-hash: 8x8 block-mean luma > global mean -> 64 bits."""
+    lum = pixels.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    v = np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64), dtype=np.uint64)
+    return int(v.astype(np.int64))  # two's-complement wrap into long
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operators (mapInPandas plumbing)
+# ---------------------------------------------------------------------------
+
+def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
+    """Fill the ``bytes`` column with deterministic encoded pixels (PNG for
+    fmt=png, PPM for fmt=ppm) — used by the fixture generator."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for i, w, h, fmt in zip(pdf["id"], pdf["w"], pdf["h"], pdf["fmt"]):
+                px = synth_pixels(int(i), int(w), int(h))
+                blobs.append(encode_png(px) if fmt == "png" else encode_ppm(px))
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            yield pdf
+
+    schema = T.StructType(df.schema.fields + ([T.StructField("bytes", T.BinaryType())]
+                                              if "bytes" not in df.columns else []))
+    base = df if "bytes" in df.columns else df.withColumn("bytes", F.lit(None).cast("binary"))
+    return base.mapInPandas(gen, schema=base.schema)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("dec_w", T.IntegerType()),
+    T.StructField("dec_h", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode bytes -> per-image stats (shape check, channel means, ahash).
+    The canonical 'feature extraction' stage: binary column in, typed stats
+    out, one Arrow batch at a time."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("image_id", "dec_w", "dec_h",
+                                    "mean_r", "mean_g", "mean_b", "ahash")}
+            for img_id, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                rows["image_id"].append(img_id)
+                rows["dec_h"].append(px.shape[0])
+                rows["dec_w"].append(px.shape[1])
+                m = px.astype(np.float64).mean(axis=(0, 1))
+                rows["mean_r"].append(round(float(m[0]), 6))
+                rows["mean_g"].append(round(float(m[1]), 6))
+                rows["mean_b"].append(round(float(m[2]), 6))
+                rows["ahash"].append(phash64(px))
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
+
+
+def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as PPM (lossless round-trip)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(blob), fmt)
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                blobs.append(encode_ppm(px[yi][:, xi]))
+            out = pdf.copy()
+            out["bytes"] = blobs
+            out["fmt"] = "ppm"
+            out["w"] = out_w
+            out["h"] = out_h
+            yield out
+
+    return df.mapInPandas(gen, schema=df.schema)

@@ -89,7 +89,7 @@ def join_unmatched(target: DataFrame, source: DataFrame,
 
 def join_where_is_max(target: DataFrame, source: DataFrame, keys: tuple[str, str],
                       value_field: str, copy_fields: Sequence[str],
-                      is_min: bool = False) -> DataFrame:
+                      is_min: bool = False, source_order: str | None = None) -> DataFrame:
     """-join where='isMax(v)' — candidate source rows are filtered to those
     attaining the group max (min) before the first-match copy
     (mapshaper-join-filter.js isMax/isMin)."""
@@ -97,4 +97,5 @@ def join_where_is_max(target: DataFrame, source: DataFrame, keys: tuple[str, str
     w = Window.partitionBy(src_key)
     extreme = (F.min if is_min else F.max)(F.col(value_field)).over(w)
     filtered = source.withColumn("__ext", extreme).filter(F.col(value_field) == F.col("__ext")).drop("__ext")
-    return join_attributes(target, filtered, keys, copy_fields=copy_fields)
+    return join_attributes(target, filtered, keys, copy_fields=copy_fields,
+                           source_order=source_order)

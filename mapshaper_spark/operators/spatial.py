@@ -150,7 +150,8 @@ def spatial_join_point_to_polygon(points: DataFrame, x: str, y: str,
     pairs = pairs.join(F.broadcast(attrs), poly_key)
     w = Window.partitionBy(point_key).orderBy(poly_key)
     ranked = pairs.withColumn("__rn", F.row_number().over(w))
-    aggs = [F.count(F.lit(1)).alias("joins")]
+    aggs = [F.count(F.lit(1)).alias("joins"),
+            F.min(F.col(poly_key)).alias(f"first_{poly_key}")]
     for f in copy_fields:
         aggs.append(F.first(F.when(F.col("__rn") == 1, F.col(f)), ignorenulls=True).alias(f))
     for f in sum_fields:
