@@ -1,0 +1,82 @@
+"""Image payload plumbing tests: codecs, PSNR invariant, Spark decode path.
+
+The per-row invariant from BASELINE.json input_hint: decoded-pixel allclose
+(PSNR >= 40 dB for lossy formats) + caption equality. Lossless codecs here
+must round-trip bit-exact (PSNR = inf); the lossy path is stubbed (no image
+libs in this container) but the PSNR acceptance check itself is exercised.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark import layers as L
+from mapshaper_spark.operators import images as IM
+
+
+class TestCodecs:
+    def test_png_roundtrip_bit_exact(self):
+        px = IM.synth_pixels(17, 32, 16)
+        assert (IM.decode_png(IM.encode_png(px)) == px).all()
+
+    def test_ppm_roundtrip_bit_exact(self):
+        px = IM.synth_pixels(3, 16, 64)
+        assert (IM.decode_ppm(IM.encode_ppm(px)) == px).all()
+
+    def test_lossless_psnr_is_inf(self):
+        px = IM.synth_pixels(5, 16, 16)
+        assert IM.psnr(px, IM.decode_png(IM.encode_png(px))) == float("inf")
+
+    def test_psnr_threshold_check(self):
+        px = IM.synth_pixels(5, 64, 64).astype(np.int16)
+        noisy = np.clip(px + 2, 0, 255).astype(np.uint8)  # ~ +2 uniform error
+        val = IM.psnr(px.astype(np.uint8), noisy)
+        assert 40.0 <= val < float("inf")  # 20*log10(255/2) ~ 42 dB
+        bad = np.clip(px + 40, 0, 255).astype(np.uint8)
+        assert IM.psnr(px.astype(np.uint8), bad) < 40.0
+
+    def test_lossy_codec_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            IM.decode_image(b"\xff\xd8\xff", "jpeg")
+
+    def test_phash_deterministic(self):
+        px = IM.synth_pixels(9, 32, 32)
+        assert IM.phash64(px) == IM.phash64(px.copy())
+        assert IM.phash64(px) != IM.phash64(IM.synth_pixels(10, 32, 32))
+
+
+class TestSparkImageOps:
+    def test_decode_stats_matches_driver_side(self, spark):
+        df = L.synth_images(spark, 40, with_bytes=True)
+        got = {r.image_id: r for r in IM.decode_stats(df).collect()}
+        assert len(got) == 40
+        meta = {r.image_id: r for r in df.select("image_id", "id", "w", "h").collect()}
+        for image_id, r in got.items():
+            m = meta[image_id]
+            px = IM.synth_pixels(int(m.id), int(m.w), int(m.h))
+            assert (r.dec_w, r.dec_h) == (m.w, m.h)
+            assert r.mean_r == round(float(px[..., 0].mean()), 6)
+            assert r.ahash == IM.phash64(px)
+
+    def test_caption_equality_roundtrip(self, spark):
+        # caption must survive the decode -> stats -> join pipeline unchanged
+        df = L.synth_images(spark, 20, with_bytes=True)
+        stats = IM.decode_stats(df)
+        joined = df.join(stats, "image_id")
+        rows = joined.select("image_id", "caption").collect()
+        expect = {r.image_id: r.caption for r in df.select("image_id", "caption").collect()}
+        assert {r.image_id: r.caption for r in rows} == expect
+
+    def test_resize_nearest_shapes(self, spark):
+        df = L.synth_images(spark, 10, with_bytes=True)
+        out = IM.resize_nearest(df, 8, 8)
+        for r in IM.decode_stats(out).collect():
+            assert (r.dec_w, r.dec_h) == (8, 8)
+
+    def test_footprint_determinism(self, spark):
+        df = L.footprint_cols(L.synth_images(spark, 100))
+        rows = df.select("phash", "lon", "lat").collect()
+        for r in rows:
+            assert r.lon == -120.0 + (r.phash % (1 << 20)) / float(1 << 20) * 60.0
+            assert r.lat == 25.0 + ((r.phash >> 20) % (1 << 20)) / float(1 << 20) * 24.0
+            assert -120 <= r.lon <= -60 and 25 <= r.lat <= 49

@@ -1,0 +1,203 @@
+"""End-to-end operator tests on Spark (local[8]).
+
+Fixture style mirrors the reference's mocha end-to-end tests: tiny inline
+geometries with golden outputs, notably the congruent-polygon spatial-join
+regression (/root/reference/test/spatial-join-test.js:9-72).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapshaper_spark import layers as L
+from mapshaper_spark.operators import attributes as A
+from mapshaper_spark.operators import dissolve as D
+from mapshaper_spark.operators import grid as G
+from mapshaper_spark.operators import spatial as S
+from mapshaper_spark.operators import simplify as SI
+
+UNIT = (0.0, 0.0, 1.0, 1.0)
+
+
+def unit_square_polys(spark, keys):
+    """Congruent unit-square polygons (one per key), rings + bbox."""
+    rows = [Row(rid=k,
+                rings_x=[[0.0, 0.0, 1.0, 1.0, 0.0]],
+                rings_y=[[0.0, 1.0, 1.0, 0.0, 0.0]],
+                bbox=Row(xmin=0.0, ymin=0.0, xmax=1.0, ymax=1.0),
+                foo=k + 2) for k in keys]
+    schema = T.StructType([
+        T.StructField("rid", T.IntegerType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("bbox", L.BBOX_TYPE),
+        T.StructField("foo", T.IntegerType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+class TestSpatialJoin:
+    def test_congruent_polygons_all_match(self, spark):
+        # spatial-join-test.js:9-35 — a point inside two congruent polygons
+        # joins to BOTH
+        polys = unit_square_polys(spark, [0, 1])
+        pts = spark.createDataFrame([(100, 0.5, 0.5)], "pid int, x double, y double")
+        pairs = S.pip_join(pts, "x", "y", polys, "rid", bbox=UNIT, res=4)
+        assert sorted(r.rid for r in pairs.collect()) == [0, 1]
+
+    def test_congruent_sum_calc(self, spark):
+        # spatial-join-test.js:38-72 — calc="foo = sum(foo)" over both
+        # congruent matches => 2 + 3 = 5
+        polys = unit_square_polys(spark, [0, 1])
+        pts = spark.createDataFrame([(100, 0.5, 0.5)], "pid int, x double, y double")
+        out = S.spatial_join_point_to_polygon(
+            pts, "x", "y", polys, "rid", "pid", sum_fields=["foo"],
+            bbox=UNIT, res=4).collect()[0]
+        assert out.joins == 2
+        assert out.sum_foo == 5
+        assert out.first_rid == 0
+
+    def test_boundary_point_is_inside(self, spark):
+        # testPointInPolygon: isOn || isIn
+        polys = unit_square_polys(spark, [0])
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.5), (2, 0.5, 1.0), (3, 1.0, 1.0), (4, 1.5, 0.5)],
+            "pid int, x double, y double")
+        pairs = S.pip_join(pts, "x", "y", polys, "rid", bbox=UNIT, res=4)
+        assert sorted(r.pid for r in pairs.collect()) == [1, 2, 3]
+
+    def test_point_outside_misses(self, spark):
+        polys = unit_square_polys(spark, [0])
+        pts = spark.createDataFrame([(1, 2.0, 2.0)], "pid int, x double, y double")
+        assert S.pip_join(pts, "x", "y", polys, "rid", bbox=(0, 0, 4, 4),
+                          res=4).count() == 0
+
+    def test_hole_excludes_point(self, spark):
+        rows = [Row(rid=0,
+                    rings_x=[[0.0, 0.0, 4.0, 4.0, 0.0], [1.0, 3.0, 3.0, 1.0, 1.0]],
+                    rings_y=[[0.0, 4.0, 4.0, 0.0, 0.0], [1.0, 1.0, 3.0, 3.0, 1.0]],
+                    bbox=Row(xmin=0.0, ymin=0.0, xmax=4.0, ymax=4.0))]
+        schema = T.StructType([
+            T.StructField("rid", T.IntegerType()),
+            T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("bbox", L.BBOX_TYPE),
+        ])
+        polys = spark.createDataFrame(rows, schema)
+        pts = spark.createDataFrame(
+            [(1, 2.0, 2.0), (2, 0.5, 0.5), (3, 1.0, 2.0)],
+            "pid int, x double, y double")
+        got = {r.pid for r in
+               S.pip_join(pts, "x", "y", polys, "rid", bbox=(0, 0, 4, 4), res=4).collect()}
+        # 1 is in the hole (out), 2 in the rim (in), 3 on the hole boundary
+        # (boundary => inside per testPointInPolygon)
+        assert got == {2, 3}
+
+
+class TestNearestJoin:
+    def test_tie_goes_to_lowest_id(self, spark):
+        left = spark.createDataFrame([(1, 0.0, 0.0)], "lid int, x double, y double")
+        right = spark.createDataFrame(
+            [(7, 0.5, 0.0), (3, -0.5, 0.0), (9, 2.0, 0.0)],
+            "rid int, rx double, ry double")
+        out = S.nearest_point_join(left, "x", "y", "lid",
+                                   right, "rx", "ry", "rid",
+                                   buffer=1.0, bbox=(-4, -4, 4, 4)).collect()[0]
+        assert out.rid == 3  # d2 equal (0.25): lowest id wins
+        assert out.dist_sq == 0.25
+
+    def test_outside_buffer_is_null(self, spark):
+        left = spark.createDataFrame([(1, 0.0, 0.0)], "lid int, x double, y double")
+        right = spark.createDataFrame([(7, 3.0, 0.0)], "rid int, rx double, ry double")
+        out = S.nearest_point_join(left, "x", "y", "lid",
+                                   right, "rx", "ry", "rid",
+                                   buffer=1.0, bbox=(-4, -4, 4, 4)).collect()[0]
+        assert out.rid is None
+
+
+class TestDissolve:
+    def test_two_cells_dissolve_to_rectangle(self, spark):
+        feats, arcs = L.region_mosaic(spark, 2, 1, (0.0, 0.0, 2.0, 1.0))
+        out = D.dissolve_polygons(feats.withColumn("g", F.lit("all")), arcs, "g")
+        rows = out.collect()
+        assert len(rows) == 1
+        ring_x = rows[0].rings_x[0]
+        ring_y = rows[0].rings_y[0]
+        # closed ring around the 2x1 rectangle; shared interior arc cancelled
+        assert (ring_x[0], ring_y[0]) == (ring_x[-1], ring_y[-1])
+        from mapshaper_spark.geom import kernels as K
+        area = K.planar_path_area(np.array(ring_x), np.array(ring_y))
+        assert abs(area) == 2.0
+        assert 1.0 not in set()  # ring covers full perimeter:
+        assert len(ring_x) == 7  # 6 boundary arcs (2+2 horizontal + 2 vertical), +closing
+
+    def test_dissolve_preserves_groups(self, spark):
+        feats, arcs = L.region_mosaic(spark, 6, 4, L.DEFAULT_BBOX)
+        out = D.dissolve_polygons(feats, arcs, "state")
+        assert out.count() == 4
+
+    def test_innerlines_count(self, spark):
+        feats, _ = L.region_mosaic(spark, 6, 4, L.DEFAULT_BBOX)
+        # interior edges of a 6x4 grid: 6*3 horizontal + 5*4 vertical = 38
+        assert D.innerlines(feats, "rid").count() == 38
+
+    def test_neighbors_symmetric_distinct(self, spark):
+        feats, _ = L.region_mosaic(spark, 3, 3, (0, 0, 3, 3))
+        pairs = D.polygon_neighbors(feats, "rid").collect()
+        assert len(pairs) == 12  # 3x3 rook adjacency
+        assert all(p.key_a < p.key_b for p in pairs)
+
+
+class TestSimplifyPipeline:
+    def test_pct_1_keeps_everything(self, spark):
+        feats, arcs = L.region_mosaic(spark, 2, 2, (0, 0, 2, 2))
+        with_z, zlimit = SI.simplify(arcs, method="visvalingam", pct=1.0)
+        assert zlimit == 0.0
+        kept = SI.apply_zlimit(with_z, zlimit)
+        assert kept.filter(F.col("n") != 2).count() == 0
+
+    def test_zigzag_reduction_monotone(self, spark):
+        # more aggressive pct keeps fewer vertices
+        df = spark.range(0, 20).withColumnRenamed("id", "arc_id")
+        j = F.sequence(F.lit(0), F.lit(64))
+        df = (df.withColumn("xs", F.transform(j, lambda v: v.cast("double")))
+              .withColumn("ys", F.transform(j, lambda v: ((F.col("arc_id") * 7 + v * 13) % 11).cast("double")))
+              .withColumn("zs", F.lit(None).cast("array<double>"))
+              .withColumn("n", F.size("xs"))
+              .withColumn("bbox", F.struct(F.lit(0.0).alias("xmin"), F.lit(0.0).alias("ymin"),
+                                           F.lit(64.0).alias("xmax"), F.lit(10.0).alias("ymax"))))
+        tot = []
+        for pct in (0.9, 0.5, 0.2):
+            with_z, zlimit = SI.simplify(df, method="dp", pct=pct)
+            kept = SI.apply_zlimit(with_z, zlimit)
+            tot.append(kept.agg(F.sum("n")).collect()[0][0])
+        assert tot[0] >= tot[1] >= tot[2]
+        # endpoints always survive
+        with_z, zlimit = SI.simplify(df, method="dp", pct=0.01)
+        kept = SI.apply_zlimit(with_z, zlimit)
+        assert kept.agg(F.min("n")).collect()[0][0] >= 2
+
+
+class TestAttributes:
+    def test_uniq_keeps_first_by_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40), (5, "a", 50)],
+            "idx int, k string, v int").withColumn(A.ROW_IDX, F.col("idx"))
+        out = A.uniq(df, F.col("k"), 1).select("idx").collect()
+        assert sorted(r.idx for r in out) == [1, 3]
+
+    def test_grid_assignment_clamps(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0.5, 0.5), (2, 3.999, 3.999), (3, 4.0, 4.0)],
+            "pid int, x double, y double")
+        out = G.split_on_grid(pts, 4, 4, bbox=(0, 0, 4, 4), x="x", y="y",
+                              id_field="tile")
+        got = {r.pid: r.tile for r in out.collect()}
+        # boundary-at-max clamps into the last cell (split-on-grid.js floor+clamp)
+        assert got[1] == "r0c0"
+        assert got[2] == "r3c3"
+        assert got[3] == "r3c3"
