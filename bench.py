@@ -1,0 +1,92 @@
+"""Headline benchmark. Prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default 32)
+       MS_BENCH_IMAGES    (default 2_000_000) size of the synthetic images
+                          table for the flagship spatial-join + tiling query
+
+The flagship query is BASELINE.json's metric: spatial-join + tile-assignment
+throughput (images/sec) — synthetic image footprints -> Morton-cell PIP join
+against the region mosaic (broadcast) -> 16x16 tile assignment -> per-
+(region, tile) counts. Every other entry is a representative operator family
+from SURVEY.md §2 run end-to-end (forced through the noop sink so the full
+plan executes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_IMAGES = int(os.environ.get("MS_BENCH_IMAGES", 2_000_000))
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    import __spark_entry__ as E
+    from mapshaper_spark.session import get_spark
+
+    spark = get_spark("mapshaper-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    bench_queries = [
+        "pip_first_match",       # point->polygon spatial join, first-match copy
+        "region_point_stats",    # polygon<-points aggregate join
+        "knn_nearest",           # buffered nearest-point join
+        "split_on_grid",         # tile assignment
+        "dissolve_customers_by_nation",
+        "join_first_match",
+        "each_derive",
+        "calc_aggs",
+        "sort_top100",
+        "simplify_vis",
+        "text_metrics",
+        "minhash_dups",
+        "ann_topk",
+        "events_rollup",
+        "image_decode_stats",
+    ]
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    for name in bench_queries:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship: spatial-join + tile-assignment over N_IMAGES synthetic images
+    t0 = time.time()
+    materialize(E.q_flagship_image_tiles(spark, SF_DIR, n_images=N_IMAGES))
+    flagship_s = time.time() - t0
+    timings["flagship_image_tiles"] = round(flagship_s, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": round(N_IMAGES / flagship_s, 1),
+        "unit": "images/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_images": N_IMAGES,
+        "flagship_sec": round(flagship_s, 3),
+        "total_sec": round(sum(timings.values()), 3),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
