@@ -92,8 +92,9 @@ _FOOTPRINT_SQL = """
 
 
 def _mosaic_polys(spark):
-    feats, arcs = L.region_mosaic(spark, 6, 4, BBOX)
-    return feats, arcs, L.assemble_rings(feats, arcs, key="rid")
+    # ring coords identical to assemble_rings(region_mosaic(...)) — covered by
+    # tests/test_spark_ops.py::test_local_mosaic_matches_distributed_assembly
+    return None, None, L.region_mosaic_rings_local(spark, 6, 4, BBOX)
 
 
 def _ann_query_vec(dim: int = 64) -> list[float]:

@@ -180,6 +180,48 @@ def assemble_rings(features: DataFrame, arcs: DataFrame, key: str = "rid") -> Da
     return features.join(per_feature, key)
 
 
+def region_mosaic_rings_local(spark: SparkSession, cols: int = 6, rows: int = 4,
+                              bbox: Sequence[float] = DEFAULT_BBOX,
+                              state_block: tuple[int, int] = (3, 2)) -> DataFrame:
+    """Driver-side assembled version of region_mosaic + assemble_rings for the
+    (tiny) polygon dimension: identical ring coordinates, zero Spark stages.
+
+    The polygon side of the flagship join is a broadcast dimension; building
+    it distributed costs several shuffle barriers per query for a table of a
+    few dozen rows. At 100 TB the points side is the scan — the dimension
+    belongs on the driver (then sc.broadcast), exactly like any other
+    broadcast dim table.
+    """
+    xmin, ymin, xmax, ymax = bbox
+    w = (xmax - xmin) / cols
+    h = (ymax - ymin) / rows
+    sb_c, sb_r = state_block
+    rows_out = []
+    for r in range(rows):
+        for c in range(cols):
+            rid = r * cols + c
+            x0, x1 = xmin + c * w, xmin + (c + 1) * w
+            y0, y1 = ymin + r * h, ymin + (r + 1) * h
+            ring_x = [x0, x0, x1, x1, x0]
+            ring_y = [y0, y1, y1, y0, y0]
+            state = f"S{(r // sb_r) * ((cols + sb_c - 1) // sb_c) + (c // sb_c)}"
+            pop = float((rid * 37) % 1000 + 100)
+            rows_out.append((f"R{r}C{c}", rid, state, pop, f"county {rid}",
+                             {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1},
+                             [ring_x], [ring_y]))
+    schema = T.StructType([
+        T.StructField("region_id", T.StringType(), False),
+        T.StructField("rid", T.IntegerType(), False),
+        T.StructField("state", T.StringType(), False),
+        T.StructField("pop", T.DoubleType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("bbox", BBOX_TYPE, False),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+    ])
+    return spark.createDataFrame(rows_out, schema)
+
+
 def synth_images(spark: SparkSession, n: int, with_bytes: bool = False,
                  partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic images table (FIXTURES.md §1 / input_hint).

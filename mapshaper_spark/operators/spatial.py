@@ -35,31 +35,103 @@ from mapshaper_spark.geom import cells as CE
 from mapshaper_spark.geom import kernels as K
 
 
+def classify_cover_cells(rings, bb, bbox: Sequence[float], res: int):
+    """Classify the cells covering one polygon's bbox into interior cells
+    (wholly inside — points there need no ray cast) and boundary cells (some
+    polygon segment may touch them — exact verify required). Cells wholly
+    outside are dropped, so they never generate candidate pairs.
+
+    Exactness argument: a cell whose *closed* rect intersects no segment
+    bbox intersects no segment, hence lies uniformly inside or outside; its
+    center's even-odd classification then holds for every point in the cell.
+
+    Returns (interior_cells, boundary_cells) as int lists.
+    """
+    wxmin, wymin, wxmax, wymax = bbox
+    n = 1 << res
+    cw = (wxmax - wxmin) / n
+    ch = (wymax - wymin) / n
+    ix0 = int(CE.scaled_int_np(np.array([bb["xmin"]]), wxmin, wxmax, res)[0])
+    ix1 = int(CE.scaled_int_np(np.array([bb["xmax"]]), wxmin, wxmax, res)[0])
+    iy0 = int(CE.scaled_int_np(np.array([bb["ymin"]]), wymin, wymax, res)[0])
+    iy1 = int(CE.scaled_int_np(np.array([bb["ymax"]]), wymin, wymax, res)[0])
+    ncx = ix1 - ix0 + 1
+    ncy = iy1 - iy0 + 1
+    is_boundary = np.zeros((ncy, ncx), dtype=bool)
+    for rx, ry in rings:
+        ax, ay = rx[:-1], ry[:-1]
+        bx, by = rx[1:], ry[1:]
+        sxmin = np.minimum(ax, bx)
+        sxmax = np.maximum(ax, bx)
+        symin = np.minimum(ay, by)
+        symax = np.maximum(ay, by)
+        # cell index ranges each segment bbox touches (closed-rect overlap)
+        cx0 = np.clip(np.floor((sxmin - wxmin) / cw).astype(np.int64), ix0, ix1) - ix0
+        cx1 = np.clip(np.floor((sxmax - wxmin) / cw).astype(np.int64), ix0, ix1) - ix0
+        cy0 = np.clip(np.floor((symin - wymin) / ch).astype(np.int64), iy0, iy1) - iy0
+        cy1 = np.clip(np.floor((symax - wymin) / ch).astype(np.int64), iy0, iy1) - iy0
+        # a segment endpoint exactly on a cell's left/bottom edge also touches
+        # the previous (closed) cell
+        cx0 = np.where((sxmin - wxmin) / cw == np.floor((sxmin - wxmin) / cw),
+                       np.maximum(cx0 - 1, 0), cx0)
+        cy0 = np.where((symin - wymin) / ch == np.floor((symin - wymin) / ch),
+                       np.maximum(cy0 - 1, 0), cy0)
+        for a, b, c, d in zip(cy0, cy1, cx0, cx1):
+            is_boundary[a:b + 1, c:d + 1] = True
+    iys, ixs = np.nonzero(~is_boundary)
+    interior: list[int] = []
+    if len(ixs):
+        cx = wxmin + (ixs + ix0 + 0.5) * cw
+        cy = wymin + (iys + iy0 + 0.5) * ch
+        inside = K.points_in_polygon(cx, cy, rings)
+        interior = CE.encode_ixy_np((ixs[inside] + ix0).astype(np.uint64),
+                                    (iys[inside] + iy0).astype(np.uint64)).tolist()
+    bys, bxs = np.nonzero(is_boundary)
+    boundary = CE.encode_ixy_np((bxs + ix0).astype(np.uint64),
+                                (bys + iy0).astype(np.uint64)).tolist()
+    return interior, boundary
+
+
 def polygon_cell_cover(polys_rings: DataFrame, key: str, bbox: Sequence[float],
                        res: int) -> DataFrame:
     """Explode assembled polygons (rings_x/rings_y + bbox struct) into
-    (cell, key) cover rows at ``res`` (bbox cover; exact ring test happens in
-    the verify stage)."""
+    (key, cell, full) cover rows at ``res``: full=true cells are wholly
+    inside the polygon (no verify needed); full=false cells may touch the
+    boundary (exact ray-cast verify required). Wholly-outside cells are
+    dropped. This is the distributed analog of the reference's adaptive
+    per-polygon PolygonIndex (mapshaper-path-index.js:140-150), tuned so the
+    Python verify stage only sees the O(perimeter) sliver of candidates."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_keys: list = []
             out_cells: list[int] = []
-            for k, bb in zip(pdf[key], pdf["bbox"]):
-                cc = CE.cover_bbox(bb["xmin"], bb["ymin"], bb["xmax"], bb["ymax"],
-                                   bbox, res, max_cells=1 << 20)
-                out_cells.extend(cc)
-                out_keys.extend([k] * len(cc))
-            yield pd.DataFrame({key: out_keys, "cell": out_cells})
+            out_full: list[bool] = []
+            for k, bb, rxs, rys in zip(pdf[key], pdf["bbox"],
+                                       pdf["rings_x"], pdf["rings_y"]):
+                rings = [(np.asarray(rx, dtype=np.float64),
+                          np.asarray(ry, dtype=np.float64))
+                         for rx, ry in zip(rxs, rys)]
+                interior, boundary = classify_cover_cells(rings, bb, bbox, res)
+                out_cells.extend(interior)
+                out_full.extend([True] * len(interior))
+                out_cells.extend(boundary)
+                out_full.extend([False] * len(boundary))
+                out_keys.extend([k] * (len(interior) + len(boundary)))
+            yield pd.DataFrame({key: out_keys, "cell": out_cells, "full": out_full})
 
-    schema = T.StructType([polys_rings.schema[key], T.StructField("cell", T.LongType())])
-    return polys_rings.select(key, "bbox").mapInPandas(gen, schema=schema)
+    schema = T.StructType([polys_rings.schema[key],
+                           T.StructField("cell", T.LongType()),
+                           T.StructField("full", T.BooleanType())])
+    return (polys_rings.select(key, "bbox", "rings_x", "rings_y")
+            .mapInPandas(gen, schema=schema))
 
 
 def pip_candidates(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
                    poly_key: str, bbox: Sequence[float], res: int,
                    broadcast_polys: bool = True) -> DataFrame:
-    """Candidate (point, polygon) pairs via Morton-cell equi-join."""
+    """Candidate (point, polygon) pairs via Morton-cell equi-join; carries a
+    ``full`` flag (candidate cell wholly inside the polygon -> no verify)."""
     pts = points.withColumn("cell", CE.morton_col(F.col(x), F.col(y), bbox, res))
     cover = polygon_cell_cover(polys_rings, poly_key, bbox, res)
     if broadcast_polys:
@@ -86,7 +158,11 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
 
     cand = pip_candidates(points, x, y, polys_rings, poly_key, bbox, res,
                           broadcast_polys=broadcast_polys)
-    out_schema = T.StructType([f for f in cand.schema.fields])
+    # interior-cell candidates are definitively inside: pure JVM, no Python.
+    # Only the O(perimeter) boundary-cell sliver pays for an exact ray cast.
+    sure = cand.filter(F.col("full")).drop("full")
+    maybe = cand.filter(~F.col("full")).drop("full")
+    out_schema = T.StructType([f for f in sure.schema.fields])
 
     if broadcast_polys:
         rings_by_key = {
@@ -111,10 +187,10 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
                     keep[idx] = K.points_in_polygon(px[idx], py[idx], rings)
                 yield pdf[keep]
 
-        return cand.mapInPandas(verify, schema=out_schema)
+        return sure.unionByName(maybe.mapInPandas(verify, schema=out_schema))
 
-    # large-polygon-set path: rings travel with the candidate rows
-    cand_r = cand.join(polys_rings.select(poly_key, "rings_x", "rings_y"), poly_key)
+    # large-polygon-set path: rings travel with the boundary candidate rows
+    cand_r = maybe.join(polys_rings.select(poly_key, "rings_x", "rings_y"), poly_key)
 
     def verify_wide(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -130,8 +206,8 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
             yield pdf[keep]
 
     wide_schema = T.StructType([f for f in cand_r.schema.fields])
-    return (cand_r.mapInPandas(verify_wide, schema=wide_schema)
-            .drop("rings_x", "rings_y"))
+    return sure.unionByName(cand_r.mapInPandas(verify_wide, schema=wide_schema)
+                            .drop("rings_x", "rings_y"))
 
 
 def spatial_join_point_to_polygon(points: DataFrame, x: str, y: str,

@@ -182,6 +182,39 @@ class TestSimplifyPipeline:
         assert kept.agg(F.min("n")).collect()[0][0] >= 2
 
 
+def test_local_mosaic_matches_distributed_assembly(spark):
+    feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+    dist = {r.rid: r for r in L.assemble_rings(feats, arcs, key="rid")
+            .select("rid", "rings_x", "rings_y").collect()}
+    local = {r.rid: r for r in
+             L.region_mosaic_rings_local(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+             .select("rid", "rings_x", "rings_y").collect()}
+    assert dist.keys() == local.keys()
+    for rid in dist:
+        assert dist[rid].rings_x == local[rid].rings_x, rid
+        assert dist[rid].rings_y == local[rid].rings_y, rid
+
+
+def test_interior_boundary_cell_classification(spark):
+    from mapshaper_spark.operators.spatial import classify_cover_cells
+    from mapshaper_spark.geom import cells as CE
+    import numpy as np
+    bbox = (0.0, 0.0, 16.0, 16.0)
+    rings = [(np.array([2.0, 2, 10, 10, 2]), np.array([2.0, 10, 10, 2, 2]))]
+    bb = {"xmin": 2.0, "ymin": 2.0, "xmax": 10.0, "ymax": 10.0}
+    interior, boundary = classify_cover_cells(rings, bb, bbox, 4)  # 1x1 cells
+    # interior = cells [3..9]x[3..9] minus those touching segments
+    assert len(interior) > 0
+    inter_set, bound_set = set(interior), set(boundary)
+    assert not (inter_set & bound_set)
+    # every interior cell center must be inside; spot check decode
+    ix, iy = CE.decode_np(np.array(sorted(interior)))
+    assert ix.min() >= 3 and ix.max() <= 9 and iy.min() >= 3 and iy.max() <= 9
+    # boundary cells hug the ring: rows/cols 1..10
+    bx, by = CE.decode_np(np.array(sorted(boundary)))
+    assert bx.min() >= 1 and bx.max() <= 10 and by.min() >= 1 and by.max() <= 10
+
+
 class TestAttributes:
     def test_uniq_keeps_first_by_order(self, spark):
         df = spark.createDataFrame(

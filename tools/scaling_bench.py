@@ -1,0 +1,111 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule proxy).
+
+No real cluster exists in this sandbox, so the N -> 4N executor criterion is
+evidenced by running the SAME flagship job (spatial-join + tile-assignment
+over MS_BENCH_IMAGES synthetic images) at local[8] and local[32] in fresh
+JVMs and reporting throughput at both plus scaling efficiency
+   eff = throughput(32 cores) / (4 * throughput(8 cores)).
+
+Usage: python tools/scaling_bench.py [--images N] [--repeat K] [--out BENCH.md]
+Appends/refreshes the "## Scaling" section of BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as E
+from mapshaper_spark.session import get_spark
+spark = get_spark("scaling-bench", master="local[{cores}]", shuffle_partitions={cores})
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# warm up JVM/codegen on a small run so we time steady-state compute
+E.q_flagship_image_tiles(spark, sf_dir, n_images=50_000).write.format("noop").mode("overwrite").save()
+t0 = time.time()
+E.q_flagship_image_tiles(spark, sf_dir, n_images={images}).write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(dt, 3),
+                               "images_per_sec": round({images} / dt, 1)}}))
+"""
+
+
+def run_level(cores: int, images: int, repeat: int) -> dict:
+    best = None
+    for _ in range(repeat):
+        script = CHILD.format(repo=REPO, cores=cores, images=images)
+        out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                             text=True, cwd=REPO, timeout=1800)
+        m = re.search(r"RESULT (\{.*\})", out.stdout)
+        if not m:
+            raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+        r = json.loads(m.group(1))
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=int(os.environ.get("MS_BENCH_IMAGES", 2_000_000)))
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    args = ap.parse_args()
+
+    lo = run_level(8, args.images, args.repeat)
+    hi = run_level(32, args.images, args.repeat)
+    eff = hi["images_per_sec"] / (4.0 * lo["images_per_sec"])
+    result = {
+        "metric": "scaling efficiency local[8] -> local[32]",
+        "images": args.images,
+        "local8": lo,
+        "local32": hi,
+        "efficiency": round(eff, 3),
+        "passes_0.8": eff >= 0.8,
+        "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    print(json.dumps(result))
+
+    section = f"""## Scaling (N vs 4N parallelism)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 going from N to 4N
+executors. Sandbox proxy (per driver instruction): identical flagship job
+(spatial-join + tile-assignment over {args.images:,} synthetic images, input
+{result['sf_dir']}) at two local parallelism levels, fresh JVM each, best of
+{args.repeat}.
+
+| parallelism | wall (s) | throughput (images/sec) |
+|---|---|---|
+| local[8]  | {lo['sec']} | {lo['images_per_sec']:,} |
+| local[32] | {hi['sec']} | {hi['images_per_sec']:,} |
+
+**Scaling efficiency = {hi['images_per_sec']:,} / (4 x {lo['images_per_sec']:,}) =
+{result['efficiency']}** ({'PASS' if result['passes_0.8'] else 'FAIL'} vs the 0.8 bar).
+
+Measured {result['ts']}. Reproduce: `python tools/scaling_bench.py`.
+"""
+    path = args.out
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+        existing = re.sub(r"## Scaling \(N vs 4N parallelism\)[\s\S]*?(?=\n## |\Z)", "", existing).rstrip() + "\n\n"
+    else:
+        existing = "# BENCH — mapshaper_spark measured performance\n\n"
+    with open(path, "w") as f:
+        f.write(existing + section)
+
+
+if __name__ == "__main__":
+    main()
