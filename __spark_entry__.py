@@ -235,7 +235,8 @@ def q_filter_geom_bbox(spark, sf_dir):
 def q_pip_all_pairs(spark, sf_dir):
     pts = _customer_points(spark, sf_dir)
     _, _, polys = _mosaic_polys(spark)
-    pairs = S.pip_join(pts, "lon", "lat", polys, "rid", bbox=BBOX, res=8)
+    pairs = S.pip_join(pts, "lon", "lat", polys, "rid", bbox=BBOX, res=8,
+                       cache_token="mosaic6x4r8")
     return pairs.select("c_custkey", "rid")
 
 
@@ -244,7 +245,7 @@ def q_pip_first_match(spark, sf_dir):
     _, _, polys = _mosaic_polys(spark)
     out = S.spatial_join_point_to_polygon(
         pts, "lon", "lat", polys, "rid", "c_custkey",
-        copy_fields=["state"], bbox=BBOX, res=8)
+        copy_fields=["state"], bbox=BBOX, res=8, cache_token="mosaic6x4r8")
     return out.select("c_custkey", "joins", "first_rid", "state")
 
 
@@ -255,7 +256,7 @@ def q_region_point_stats(spark, sf_dir):
         pts, "lon", "lat", polys, "rid",
         [F.count(F.lit(1)).alias("n_pts"),
          F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum")],
-        bbox=BBOX, res=8)
+        bbox=BBOX, res=8, cache_token="mosaic6x4r8")
     return out.select("rid", "n_pts", "acctbal_sum").fillna({"n_pts": 0})
 
 
@@ -266,11 +267,20 @@ def q_split_on_grid(spark, sf_dir):
 
 
 def q_flagship_image_tiles(spark, sf_dir, n_images: int = 20000):
-    imgs = L.footprint_cols(L.synth_images(spark, n_images))
+    # narrow projection before the spatial join: the pandas verify stage's
+    # schema pins its input columns, so pruning must happen upstream —
+    # candidate rows carry only (id, lon, lat), never the wide image payload
+    imgs = L.footprint_cols(L.synth_images(spark, n_images)).select("id", "lon", "lat")
     _, _, polys = _mosaic_polys(spark)
-    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=8)
-    tiled = G.split_on_grid(pairs, 16, 16, bbox=BBOX, x="lon", y="lat", id_field="tile")
-    return (tiled.groupBy("rid", "tile").agg(F.count(F.lit(1)).alias("n_images")))
+    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=9,
+                       cache_token="mosaic6x4r9")
+    # aggregate on the numeric (row, col) keys; format the "r{r}c{c}" tile id
+    # AFTER the reduction (256 rows) — per-row string building anti-scales
+    tr, tc = G.grid_rc(F.col("lon"), F.col("lat"), 16, 16, BBOX)
+    return (pairs.groupBy(F.col("rid"), tr.alias("__tr"), tc.alias("__tc"))
+            .agg(F.count(F.lit(1)).alias("n_images"))
+            .select("rid", F.format_string("r%dc%d", "__tr", "__tc").alias("tile"),
+                    "n_images"))
 
 
 def q_knn_nearest(spark, sf_dir):

@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_IMAGES = int(os.environ.get("MS_BENCH_IMAGES", 2_000_000))
+N_IMAGES = int(os.environ.get("MS_BENCH_IMAGES", 20_000_000))
 
 
 def materialize(df):

@@ -209,17 +209,25 @@ def region_mosaic_rings_local(spark: SparkSession, cols: int = 6, rows: int = 4,
             rows_out.append((f"R{r}C{c}", rid, state, pop, f"county {rid}",
                              {"xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1},
                              [ring_x], [ring_y]))
-    schema = T.StructType([
-        T.StructField("region_id", T.StringType(), False),
-        T.StructField("rid", T.IntegerType(), False),
-        T.StructField("state", T.StringType(), False),
-        T.StructField("pop", T.DoubleType(), False),
-        T.StructField("name", T.StringType(), False),
-        T.StructField("bbox", BBOX_TYPE, False),
-        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType())), False),
-        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType())), False),
-    ])
-    return spark.createDataFrame(rows_out, schema)
+    import pyarrow as pa
+
+    # build through Arrow so evaluating this DataFrame is pure JVM work —
+    # a plain createDataFrame(list) parallelizes *pickled* rows, and every
+    # downstream use then spawns Python deserializer tasks (observed: more
+    # wall time than the 20M-row fact scan it feeds)
+    table = pa.table({
+        "region_id": pa.array([r[0] for r in rows_out], pa.string()),
+        "rid": pa.array([r[1] for r in rows_out], pa.int32()),
+        "state": pa.array([r[2] for r in rows_out], pa.string()),
+        "pop": pa.array([r[3] for r in rows_out], pa.float64()),
+        "name": pa.array([r[4] for r in rows_out], pa.string()),
+        "bbox": pa.array([r[5] for r in rows_out],
+                         pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                                    ("xmax", pa.float64()), ("ymax", pa.float64())])),
+        "rings_x": pa.array([r[6] for r in rows_out], pa.list_(pa.list_(pa.float64()))),
+        "rings_y": pa.array([r[7] for r in rows_out], pa.list_(pa.list_(pa.float64()))),
+    })
+    return spark.createDataFrame(table)
 
 
 def synth_images(spark: SparkSession, n: int, with_bytes: bool = False,

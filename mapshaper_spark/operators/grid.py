@@ -64,10 +64,13 @@ def polygon_grid(spark: SparkSession, cols: int, rows: int,
     )
 
 
-def grid_cell_id(cx: F.Column, cy: F.Column, cols: int, rows: int,
-                 bbox: Sequence[float]) -> F.Column:
+def grid_rc(cx: F.Column, cy: F.Column, cols: int, rows: int,
+            bbox: Sequence[float]) -> tuple[F.Column, F.Column]:
     """The exact split-on-grid classifier (mapshaper-split-on-grid.js:54-60):
-    floor((center - min) / extent * n), clamped to [0, n-1]."""
+    floor((center - min) / extent * n), clamped to [0, n-1]. Numeric form —
+    aggregate on these and format "r{r}c{c}" AFTER the reduction (per-row
+    string building measurably anti-scales: allocation pressure at high
+    thread counts)."""
     xmin, ymin, xmax, ymax = bbox
     w = xmax - xmin
     h = ymax - ymin
@@ -75,6 +78,13 @@ def grid_cell_id(cx: F.Column, cy: F.Column, cols: int, rows: int,
     r = F.floor((cy - F.lit(ymin)) / F.lit(h) * F.lit(rows))
     c = F.greatest(F.lit(0), F.least(F.lit(cols - 1), c))
     r = F.greatest(F.lit(0), F.least(F.lit(rows - 1), r))
+    return r, c
+
+
+def grid_cell_id(cx: F.Column, cy: F.Column, cols: int, rows: int,
+                 bbox: Sequence[float]) -> F.Column:
+    """split-on-grid cell id "r{r}c{c}" (mapshaper-split-on-grid.js:39)."""
+    r, c = grid_rc(cx, cy, cols, rows, bbox)
     return F.format_string("r%dc%d", r, c)
 
 

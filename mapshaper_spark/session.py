@@ -31,7 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("MS_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver + all executor threads; size the
+        # heap for the thread count or allocation-heavy stages GC-thrash
+        # (observed: 32 threads in 8g ran 2x SLOWER than 8 threads)
+        .config("spark.driver.memory", os.environ.get("MS_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

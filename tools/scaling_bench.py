@@ -32,33 +32,31 @@ spark.sparkContext.setLogLevel("ERROR")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # warm up JVM/codegen on a small run so we time steady-state compute
 E.q_flagship_image_tiles(spark, sf_dir, n_images=50_000).write.format("noop").mode("overwrite").save()
-t0 = time.time()
-E.q_flagship_image_tiles(spark, sf_dir, n_images={images}).write.format("noop").mode("overwrite").save()
-dt = time.time() - t0
-print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(dt, 3),
-                               "images_per_sec": round({images} / dt, 1)}}))
+df = E.q_flagship_image_tiles(spark, sf_dir, n_images={images})
+best = 1e18
+for _ in range({repeat}):  # best-of: the sandbox host carries background load
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    best = min(best, time.time() - t0)
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(best, 3),
+                               "images_per_sec": round({images} / best, 1)}}))
 """
 
 
 def run_level(cores: int, images: int, repeat: int) -> dict:
-    best = None
-    for _ in range(repeat):
-        script = CHILD.format(repo=REPO, cores=cores, images=images)
-        out = subprocess.run([sys.executable, "-c", script], capture_output=True,
-                             text=True, cwd=REPO, timeout=1800)
-        m = re.search(r"RESULT (\{.*\})", out.stdout)
-        if not m:
-            raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
-        r = json.loads(m.group(1))
-        if best is None or r["sec"] < best["sec"]:
-            best = r
-    return best
+    script = CHILD.format(repo=REPO, cores=cores, images=images, repeat=repeat)
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, cwd=REPO, timeout=1800)
+    m = re.search(r"RESULT (\{.*\})", out.stdout)
+    if not m:
+        raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    return json.loads(m.group(1))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--images", type=int, default=int(os.environ.get("MS_BENCH_IMAGES", 2_000_000)))
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--images", type=int, default=int(os.environ.get("MS_BENCH_IMAGES", 400_000_000)))
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
