@@ -29,7 +29,10 @@ from mapshaper_spark.operators import images as IM
 from mapshaper_spark.operators import joins as J
 from mapshaper_spark.operators import similarity as SIM
 from mapshaper_spark.operators import spatial as S
+from mapshaper_spark.operators import paths as P
+from mapshaper_spark.operators import proj as PR
 from mapshaper_spark.operators import text as TX
+from mapshaper_spark.operators import topology as TP
 from mapshaper_spark.operators import simplify as SI
 
 BBOX = L.DEFAULT_BBOX  # (-120, 25, -60, 49)
@@ -356,6 +359,174 @@ def q_neighbors(spark, sf_dir):
         F.col("key_b").cast("int").alias("key_b"))
 
 
+# --- paths / topology / proj -------------------------------------------------
+
+def q_points_centroid(spark, sf_dir):
+    _, _, polys = _mosaic_polys(spark)
+    out = P.points_from_centroids(polys)
+    return out.select("rid", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy"))
+
+
+def q_points_vertices(spark, sf_dir):
+    _, _, polys = _mosaic_polys(spark)
+    return P.points_vertices(polys, "rid")
+
+
+def _l_paths(spark, n=10):
+    """Deterministic L-shaped polylines: feature i runs (0, 10i) -> (6, 10i)
+    -> (6, 10i + 6)."""
+    df = spark.range(0, n).select(F.col("id").cast("int").alias("fid"))
+    y0 = F.col("fid").cast("double") * F.lit(10.0)
+    return df.select(
+        "fid",
+        F.array(F.array(F.lit(0.0), F.lit(6.0), F.lit(6.0))).alias("rings_x"),
+        F.array(F.array(y0, y0, y0 + F.lit(6.0))).alias("rings_y"),
+        F.struct(F.lit(0.0).alias("xmin"), y0.alias("ymin"),
+                 F.lit(6.0).alias("xmax"), (y0 + F.lit(6.0)).alias("ymax")).alias("bbox"))
+
+
+def q_points_interpolated(spark, sf_dir):
+    out = P.points_interpolated(_l_paths(spark), "fid", 2.5)
+    return out.select("fid", "seq", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+def _holey_poly(spark):
+    """One clip polygon: rect [-110,30,-80,45] with hole [-100,35,-90,40]."""
+    ox = F.array(F.lit(-110.0), F.lit(-110.0), F.lit(-80.0), F.lit(-80.0), F.lit(-110.0))
+    oy = F.array(F.lit(30.0), F.lit(45.0), F.lit(45.0), F.lit(30.0), F.lit(30.0))
+    hx = F.array(F.lit(-100.0), F.lit(-90.0), F.lit(-90.0), F.lit(-100.0), F.lit(-100.0))
+    hy = F.array(F.lit(35.0), F.lit(35.0), F.lit(40.0), F.lit(40.0), F.lit(35.0))
+    return spark.range(1).select(
+        F.lit(1).alias("clip_id"),
+        F.array(ox, hx).alias("rings_x"), F.array(oy, hy).alias("rings_y"),
+        F.struct(F.lit(-110.0).alias("xmin"), F.lit(30.0).alias("ymin"),
+                 F.lit(-80.0).alias("xmax"), F.lit(45.0).alias("ymax")).alias("bbox"))
+
+
+def q_clip_points(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    return P.clip_points(pts, "lon", "lat", _holey_poly(spark), "clip_id",
+                         bbox=BBOX, res=8)
+
+
+def q_erase_points(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    return P.clip_points(pts, "lon", "lat", _holey_poly(spark), "clip_id",
+                         bbox=BBOX, res=8, erase=True)
+
+
+def q_clip_bbox_lines(spark, sf_dir):
+    lines = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("fid"),
+        F.array(F.array(F.lit(0.0), F.lit(20.0))).alias("rings_x"),
+        F.array(F.array(F.col("id").cast("double"), F.col("id").cast("double"))).alias("rings_y"),
+        F.struct(F.lit(0.0).alias("xmin"), F.col("id").cast("double").alias("ymin"),
+                 F.lit(20.0).alias("xmax"), F.col("id").cast("double").alias("ymax")).alias("bbox"))
+    out = P.clip_bbox_paths(lines, (5.0, 2.0, 15.0, 7.0))
+    return out.select(
+        "fid",
+        F.element_at(F.element_at("rings_x", 1), 1).alias("x0"),
+        F.element_at(F.element_at("rings_y", 1), 1).alias("y0"),
+        F.element_at(F.element_at("rings_x", 1), -1).alias("x1"),
+        F.element_at(F.element_at("rings_y", 1), -1).alias("y1"))
+
+
+def q_filter_islands(spark, sf_dir):
+    """50 multipart features; island ring area below 0.1 is removed."""
+    df = spark.range(0, 50).select(F.col("id").cast("int").alias("fid"))
+    x0 = F.col("fid").cast("double") * F.lit(5.0)
+    s = F.lit(0.2) + F.lit(0.1) * (F.col("fid") % 5).cast("double")
+    main_x = F.array(x0, x0, x0 + 2.0, x0 + 2.0, x0)
+    main_y = F.array(F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0), F.lit(0.0))
+    isl_x = F.array(x0, x0, x0 + s, x0 + s, x0)
+    isl_y = F.array(F.lit(10.0), F.lit(10.0) + s, F.lit(10.0) + s, F.lit(10.0), F.lit(10.0))
+    feats = df.select(
+        "fid", F.array(main_x, isl_x).alias("rings_x"),
+        F.array(main_y, isl_y).alias("rings_y"),
+        F.struct(x0.alias("xmin"), F.lit(0.0).alias("ymin"),
+                 (x0 + 2.0).alias("xmax"), (F.lit(10.0) + s).alias("ymax")).alias("bbox"))
+    out = P.filter_islands(feats, min_area=0.1)
+    return out.select("fid", F.size("rings_x").alias("n_rings"))
+
+
+def q_graticule(spark, sf_dir):
+    g = G.graticule(spark)
+    return g.select("kind", "value", F.size("xs").alias("n"),
+                    F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+                    F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"))
+
+
+def q_proj_webmercator(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    out = PR.project_points(pts, "lon", "lat")
+    return out.select("c_custkey", F.round("lon", 4).alias("mx"),
+                      F.round("lat", 4).alias("my"))
+
+
+def q_knn_k3(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    sup = _supplier_points(spark, sf_dir).select("s_suppkey", "slon", "slat")
+    return S.knn_join(pts, "lon", "lat", "c_custkey",
+                      sup, "slon", "slat", "s_suppkey", k=3, max_radius=2.0,
+                      bbox=BBOX)
+
+
+def q_topology_build(spark, sf_dir):
+    polys = L.region_mosaic_rings_local(spark, 6, 4, BBOX)
+    paths = polys.select(F.col("rid").cast("long").alias("path_id"),
+                         F.element_at("rings_x", 1).alias("xs"),
+                         F.element_at("rings_y", 1).alias("ys"))
+    arcs, _refs = TP.build_topology(paths, "path_id")
+    return arcs.select(
+        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+        F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"), "n")
+
+
+def q_segment_intersections(spark, sf_dir):
+    horiz = spark.range(0, 10).select(
+        F.col("id").alias("arc_id"),
+        F.array(F.lit(0.0), F.lit(9.0)).alias("xs"),
+        F.array(F.col("id").cast("double"), F.col("id").cast("double")).alias("ys"))
+    vert = spark.range(0, 10).select(
+        (F.col("id") + 10).alias("arc_id"),
+        F.array(F.col("id").cast("double"), F.col("id").cast("double")).alias("xs"),
+        F.array(F.lit(0.0), F.lit(9.0)).alias("ys"))
+    return TP.find_segment_intersections(horiz.unionByName(vert), n_stripes=8)
+
+
+def q_polyline_dissolve(spark, sf_dir):
+    arcs = spark.range(0, 20).select(
+        F.col("id").alias("arc_id"),
+        F.array((F.col("id") % 4).cast("double"), (F.col("id") % 4 + 1).cast("double")).alias("xs"),
+        F.array(F.floor(F.col("id") / 4).cast("double"), F.floor(F.col("id") / 4).cast("double")).alias("ys"))
+    feats = spark.range(1).select(
+        F.lit("g").alias("grp"),
+        F.array(F.transform(F.sequence(F.lit(0), F.lit(19)),
+                            lambda v: v.cast("int"))).alias("parts"))
+    out = TP.dissolve_polylines(feats, arcs, "grp")
+    return out.select(
+        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+        F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"),
+        F.size("xs").alias("n"))
+
+
+def q_dedup_coords(spark, sf_dir):
+    arcs = spark.range(0, 50).select(
+        F.col("id").alias("arc_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(9)),
+                    lambda v: F.floor(v / 2).cast("double")).alias("xs"),
+        F.transform(F.sequence(F.lit(0), F.lit(9)),
+                    lambda v: F.floor(v / 2).cast("double") + F.col("id")).alias("ys"),
+    ).withColumn("n", F.size("xs"))
+    return TP.dedup_arc_coords(arcs).select("arc_id", "n")
+
+
+def q_subdivide(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    out = G.subdivide(pts, "lon", "lat", max_count=300)
+    return out.groupBy("split_name").agg(F.count(F.lit(1)).alias("n"))
+
+
 # --- text / dedup / similarity -----------------------------------------------
 
 def q_text_metrics(spark, sf_dir):
@@ -502,6 +673,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_states": q_dissolve_states,
         "innerlines": q_innerlines,
         "neighbors": q_neighbors,
+        "points_centroid": q_points_centroid,
+        "points_vertices": q_points_vertices,
+        "points_interpolated": q_points_interpolated,
+        "clip_points": q_clip_points,
+        "erase_points": q_erase_points,
+        "clip_bbox_lines": q_clip_bbox_lines,
+        "filter_islands": q_filter_islands,
+        "graticule": q_graticule,
+        "proj_webmercator": q_proj_webmercator,
+        "knn_k3": q_knn_k3,
+        "topology_build": q_topology_build,
+        "segment_intersections": q_segment_intersections,
+        "polyline_dissolve": q_polyline_dissolve,
+        "dedup_coords": q_dedup_coords,
+        "subdivide": q_subdivide,
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "word_jaccard": q_word_jaccard,
@@ -722,6 +908,123 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(r * 6 + c - 1 AS INT) AS key_a, CAST(r * 6 + c AS INT) AS key_b
         FROM range(0, 4) t(r), range(1, 6) u(c)
     """
+
+    sqls["points_centroid"] = """
+        SELECT CAST(i AS INT) AS rid,
+               round(-120.0 + (i % 6) * 10.0 + 5.0, 6) AS cx,
+               round(25.0 + (i // 6) * 6.0 + 3.0, 6) AS cy
+        FROM range(24) t(i)
+    """
+    # mosaic ring vertex order: (x0,y0),(x0,y1),(x1,y1),(x1,y0) (closing pt dropped)
+    sqls["points_vertices"] = """
+        SELECT CAST(i AS INT) AS rid, CAST(0 AS INT) AS ring_idx,
+               CAST(v AS INT) AS vertex_idx,
+               CASE WHEN v IN (0, 1) THEN -120.0 + (i % 6) * 10.0
+                    ELSE -120.0 + (i % 6 + 1) * 10.0 END AS x,
+               CASE WHEN v IN (0, 3) THEN 25.0 + (i // 6) * 6.0
+                    ELSE 25.0 + (i // 6 + 1) * 6.0 END AS y
+        FROM range(24) t(i), range(4) u(v)
+    """
+    sqls["points_interpolated"] = """
+        WITH f AS (SELECT CAST(i AS INT) AS fid, i * 10.0 AS y0 FROM range(10) t(i)),
+        s AS (SELECT CAST(j AS INT) AS seq FROM range(6) u(j))
+        SELECT fid, seq,
+               round(CASE seq WHEN 0 THEN 0.0 WHEN 1 THEN 2.5 WHEN 2 THEN 5.0
+                              ELSE 6.0 END, 6) AS x,
+               round(CASE seq WHEN 3 THEN y0 + 1.5 WHEN 4 THEN y0 + 4.0
+                              WHEN 5 THEN y0 + 6.0 ELSE y0 END, 6) AS y
+        FROM f, s
+    """
+    # clip region: [-110,30,-80,45] minus OPEN hole (-100,-90)x(35,40)
+    # (hole boundary counts as inside the polygon per testPointInPolygon)
+    _in_clip = """(lon >= -110.0 AND lon <= -80.0 AND lat >= 30.0 AND lat <= 45.0
+               AND NOT (lon > -100.0 AND lon < -90.0 AND lat > 35.0 AND lat < 40.0))"""
+    sqls["clip_points"] = f"""
+        WITH pts AS ({pts})
+        SELECT c_custkey, lon, lat FROM pts WHERE {_in_clip}
+    """
+    sqls["erase_points"] = f"""
+        WITH pts AS ({pts})
+        SELECT c_custkey, lon, lat FROM pts WHERE NOT {_in_clip}
+    """
+    sqls["clip_bbox_lines"] = """
+        SELECT CAST(i AS INT) AS fid, 5.0 AS x0, CAST(i AS DOUBLE) AS y0,
+               15.0 AS x1, CAST(i AS DOUBLE) AS y1
+        FROM range(2, 8) t(i)
+    """
+    sqls["filter_islands"] = """
+        SELECT CAST(i AS INT) AS fid,
+               CASE WHEN i % 5 >= 2 THEN 2 ELSE 1 END AS n_rings
+        FROM range(50) t(i)
+    """
+    sqls["graticule"] = """
+        SELECT 'meridian' AS kind, CAST(-180 + i * 10 AS INT) AS value,
+               CASE WHEN (-180 + i * 10) % 90 = 0 THEN 181 ELSE 161 END AS n,
+               CAST(-180 + i * 10 AS DOUBLE) AS x0,
+               CASE WHEN (-180 + i * 10) % 90 = 0 THEN -90.0 ELSE -80.0 END AS y0,
+               CAST(-180 + i * 10 AS DOUBLE) AS x1,
+               CASE WHEN (-180 + i * 10) % 90 = 0 THEN 90.0 ELSE 80.0 END AS y1
+        FROM range(37) t(i)
+        UNION ALL
+        SELECT 'parallel', CAST(-90 + i * 10 AS INT), 361,
+               -180.0, CAST(-90 + i * 10 AS DOUBLE),
+               180.0, CAST(-90 + i * 10 AS DOUBLE)
+        FROM range(19) t(i)
+    """
+    sqls["proj_webmercator"] = f"""
+        WITH pts AS ({pts})
+        SELECT c_custkey,
+               round(6378137.0 * radians(lon), 4) AS mx,
+               round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 4) AS my
+        FROM pts
+    """
+    sqls["knn_k3"] = f"""
+        WITH pts AS ({pts}), sup AS ({_SUPPLIER_POINTS_SQL}),
+        cand AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (c.lon - s.slon) * (c.lon - s.slon) + (c.lat - s.slat) * (c.lat - s.slat) AS d2
+            FROM pts c CROSS JOIN sup s),
+        ranked AS (
+            SELECT c_custkey, s_suppkey, d2,
+                   row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+            FROM cand WHERE d2 <= 4.0)
+        SELECT c_custkey, s_suppkey, d2 AS dist_sq, CAST(rn AS INT) AS knn_rank
+        FROM ranked WHERE rn <= 3
+    """
+    # shared-arc topology of the 6x4 mosaic: every grid corner shared by >=2
+    # cells is a node; the 4 outer corners are single-traversal (NOT nodes),
+    # so each corner cell fuses its two outer edges into one 3-point L-arc.
+    sqls["topology_build"] = """
+        -- horizontal edges (left->right), minus the 4 corner-adjacent ones
+        SELECT -120.0 + c * 10.0 AS x0, 25.0 + r * 6.0 AS y0,
+               -120.0 + (c + 1) * 10.0 AS x1, 25.0 + r * 6.0 AS y1, 2 AS n
+        FROM range(5) t(r), range(6) u(c)
+        WHERE NOT ((r = 0 AND c = 0) OR (r = 0 AND c = 5)
+                OR (r = 4 AND c = 0) OR (r = 4 AND c = 5))
+        UNION ALL
+        -- vertical edges (bottom->top), minus the 4 corner-adjacent ones
+        SELECT -120.0 + c * 10.0, 25.0 + r * 6.0,
+               -120.0 + c * 10.0, 25.0 + (r + 1) * 6.0, 2
+        FROM range(4) t(r), range(7) u(c)
+        WHERE NOT ((r = 0 AND c = 0) OR (r = 0 AND c = 6)
+                OR (r = 3 AND c = 0) OR (r = 3 AND c = 6))
+        UNION ALL
+        SELECT * FROM (VALUES (-120.0, 31.0, -110.0, 25.0, 3),
+                              (-70.0, 25.0, -60.0, 31.0, 3),
+                              (-120.0, 43.0, -110.0, 49.0, 3),
+                              (-70.0, 49.0, -60.0, 43.0, 3)) v(x0, y0, x1, y1, n)
+    """
+    sqls["segment_intersections"] = """
+        SELECT CAST(j AS DOUBLE) AS x, CAST(i AS DOUBLE) AS y,
+               i AS arc_a, 10 + j AS arc_b
+        FROM range(10) t(i), range(10) u(j)
+    """
+    sqls["polyline_dissolve"] = """
+        SELECT 0.0 AS x0, CAST(i AS DOUBLE) AS y0, 4.0 AS x1,
+               CAST(i AS DOUBLE) AS y1, 5 AS n
+        FROM range(5) t(i)
+    """
+    sqls["dedup_coords"] = "SELECT i AS arc_id, 5 AS n FROM range(50) t(i)"
 
     stop_pat = r"\b(" + "|".join(TX.STOPWORDS) + r")\b"
     pat_en = r"\b(" + "|".join(TX.LANG_MARKERS["en"]) + r")\b"

@@ -113,6 +113,79 @@ def split_on_grid(df: DataFrame, cols: int, rows: int,
     return df.withColumn(id_field, grid_cell_id(cx, cy, cols, rows, bbox))
 
 
+def graticule(spark: SparkSession) -> DataFrame:
+    """-graticule (mapshaper-graticule.js createGraticule): meridians every
+    10 deg from -180..180 (spanning -90..90 when x % 90 == 0, else -80..80)
+    and parallels every 10 deg from -90..90 spanning -180..180, densified at
+    1-degree precision. Pure JVM sequence generation."""
+    m = spark.range(0, 37).select(
+        F.lit("meridian").alias("kind"),
+        (F.lit(-180) + F.col("id") * 10).cast("int").alias("value"))
+    lo = F.when(F.col("value") % 90 == 0, F.lit(-90)).otherwise(F.lit(-80))
+    hi = F.when(F.col("value") % 90 == 0, F.lit(90)).otherwise(F.lit(80))
+    m = m.select("kind", "value",
+                 F.transform(F.sequence(lo, hi),
+                             lambda v: F.col("value").cast("double")).alias("xs"),
+                 F.transform(F.sequence(lo, hi),
+                             lambda v: v.cast("double")).alias("ys"))
+    p = spark.range(0, 19).select(
+        F.lit("parallel").alias("kind"),
+        (F.lit(-90) + F.col("id") * 10).cast("int").alias("value"))
+    p = p.select("kind", "value",
+                 F.transform(F.sequence(F.lit(-180), F.lit(180)),
+                             lambda v: v.cast("double")).alias("xs"),
+                 F.transform(F.sequence(F.lit(-180), F.lit(180)),
+                             lambda v: F.col("value").cast("double")).alias("ys"))
+    return m.unionByName(p)
+
+
+def rectangle(spark: SparkSession, bbox: Sequence[float]) -> DataFrame:
+    """-rectangle (mapshaper-shape.js:3): single closed-ring bbox polygon."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    ring_x = [xmin, xmin, xmax, xmax, xmin]
+    ring_y = [ymin, ymax, ymax, ymin, ymin]
+    return spark.createDataFrame(
+        [(0, [ring_x], [ring_y],
+          {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})],
+        "fid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+
+
+def subdivide(df: DataFrame, x: str, y: str, max_count: int,
+              name_field: str = "split_name") -> DataFrame:
+    """-subdivide (mapshaper-subdivide.js:8-41): recursively halve the layer
+    along the long axis of its bounds at the median feature until the
+    calc-expression is false — here the canonical ``count() > max_count``.
+    Driver-side recursion (depth = log2(n / max_count)); each split is an
+    approxQuantile + two filters, all lazy until the final union."""
+    pieces: list[tuple[str, DataFrame]] = []
+
+    def recurse(part: DataFrame, label: str, n_rows: int):
+        if n_rows <= max_count or n_rows < 2:
+            pieces.append((label, part))
+            return
+        b = part.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
+        wide = (b[1] - b[0]) >= (b[3] - b[2])
+        axis = x if wide else y
+        mid = part.approxQuantile(axis, [0.5], 0.001)[0]
+        left = part.filter(F.col(axis) <= mid)
+        right = part.filter(F.col(axis) > mid)
+        ln = left.count()
+        rn = n_rows - ln
+        if ln == 0 or rn == 0:  # degenerate (all at median) — stop splitting
+            pieces.append((label, part))
+            return
+        recurse(left, label + "1", ln)
+        recurse(right, label + "2", rn)
+
+    recurse(df, "split", df.count())
+    out = None
+    for label, part in pieces:
+        tagged = part.withColumn(name_field, F.lit(label))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def split_by_field(df: DataFrame, field: str) -> dict[str, DataFrame]:
     """-split field=: dict of per-value DataFrames (driver enumerates the
     distinct values; at scale prefer ``df.write.partitionBy(field)``)."""

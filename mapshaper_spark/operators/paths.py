@@ -1,0 +1,399 @@
+"""Path/shape operators: explode, ring filters, point derivation, clipping.
+
+- -explode:        /root/reference/src/commands/mapshaper-explode.js:3-45
+  (multipart -> singlepart; polygon version keeps holes with their enclosing
+  ring via group assignment)
+- -filter-islands: /root/reference/src/commands/mapshaper-filter-islands.js:3-43
+- -filter-slivers: /root/reference/src/commands/mapshaper-filter-slivers.js:8-45
+- -points:         /root/reference/src/commands/mapshaper-points.js:10-94,152-163
+  (centroid | x=,y= columns | vertices | interpolated | endpoints)
+- point clip/erase: /root/reference/src/clipping/mapshaper-point-clipping.js:7-27
+  (keep points inside/outside the clip polygons — a PIP join)
+- bbox clip (fast path): /root/reference/src/clipping/mapshaper-bbox-clipping.js
+
+Representation: assembled feature rows with ``rings_x``/``rings_y`` array
+columns (each ring closed). All per-ring math is vectorized numpy inside
+Arrow-batched ``mapInPandas``; structural ops (explode) are pure JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapshaper_spark.geom import kernels as K
+
+
+def ring_areas_col(df: DataFrame, out: str = "ring_areas") -> DataFrame:
+    """Per-ring signed planar areas as an array column (vectorized UDF)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            areas = []
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"]):
+                areas.append([K.planar_path_area(np.asarray(rx, dtype=np.float64),
+                                                 np.asarray(ry, dtype=np.float64))
+                              for rx, ry in zip(rxs, rys)])
+            pdf = pdf.copy()
+            pdf[out] = areas
+            yield pdf
+
+    schema = T.StructType(df.schema.fields +
+                          [T.StructField(out, T.ArrayType(T.DoubleType()))])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def explode(df: DataFrame, part_index: str = "part_idx") -> DataFrame:
+    """-explode for assembled polygon features: one output feature per
+    positive-area ring, with each hole (negative ring) assigned to the
+    nearest preceding positive ring (the reference groups holes with their
+    enclosing ring via getPartGroups, explode.js:25-45; for datasets in
+    ring/hole order — the order produced by our assembly and by shapefile
+    convention — that is the previous positive ring)."""
+    with_area = ring_areas_col(df)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                groups: list[tuple[list, list]] = []
+                for rx, ry, a in zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]):
+                    if a > 0 or not groups:
+                        groups.append(([rx], [ry]))
+                    else:
+                        groups[-1][0].append(rx)
+                        groups[-1][1].append(ry)
+                for i, (gx, gy) in enumerate(groups):
+                    r2 = {k: v for k, v in rec.items() if k != "ring_areas"}
+                    r2["rings_x"] = gx
+                    r2["rings_y"] = gy
+                    r2[part_index] = i
+                    allx = np.concatenate([np.asarray(r) for r in gx])
+                    ally = np.concatenate([np.asarray(r) for r in gy])
+                    r2["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                  "xmax": float(allx.max()), "ymax": float(ally.max())}
+                    rows.append(r2)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields]) \
+                if rows else None
+
+    schema = T.StructType(df.schema.fields + [T.StructField(part_index, T.IntegerType())])
+
+    def gen_filtered(it):
+        for out in gen(it):
+            if out is not None:
+                yield out
+
+    return with_area.mapInPandas(gen_filtered, schema=schema)
+
+
+def filter_islands(df: DataFrame, min_area: float | None = None,
+                   min_vertices: int | None = None) -> DataFrame:
+    """-filter-islands: remove rings whose |area| < min_area or vertex count
+    < min_vertices; drop features left with no rings (filter-islands.js:3-43
+    — only non-hole rings are tested; holes of removed rings vanish with
+    them). Operates on exploded-or-not features; hole rings (negative area)
+    are kept iff their enclosing positive ring survives (previous positive
+    ring in order)."""
+    with_area = ring_areas_col(df)
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                keep_x, keep_y = [], []
+                keep_current = False
+                for rx, ry, a in zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]):
+                    if a > 0:
+                        keep_current = True
+                        if min_area is not None and abs(a) < min_area:
+                            keep_current = False
+                        if min_vertices is not None and len(rx) - 1 < min_vertices:
+                            keep_current = False
+                        if keep_current:
+                            keep_x.append(rx)
+                            keep_y.append(ry)
+                    elif keep_current:
+                        keep_x.append(rx)
+                        keep_y.append(ry)
+                if keep_x:
+                    r2 = {k: v for k, v in rec.items() if k != "ring_areas"}
+                    r2["rings_x"] = keep_x
+                    r2["rings_y"] = keep_y
+                    rows.append(r2)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return with_area.mapInPandas(gen, schema=df.schema)
+
+
+def filter_slivers(df: DataFrame, min_area: float) -> DataFrame:
+    """-filter-slivers: like filter-islands but tests every ring including
+    holes (filter-slivers.js applies the sliver test per ring)."""
+    with_area = ring_areas_col(df)
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                keep_x = [rx for rx, a in zip(rec["rings_x"], rec["ring_areas"])
+                          if abs(a) >= min_area]
+                keep_y = [ry for ry, a in zip(rec["rings_y"], rec["ring_areas"])
+                          if abs(a) >= min_area]
+                if keep_x:
+                    r2 = {k: v for k, v in rec.items() if k != "ring_areas"}
+                    r2["rings_x"] = keep_x
+                    r2["rings_y"] = keep_y
+                    rows.append(r2)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return with_area.mapInPandas(gen, schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# -points variants
+# ---------------------------------------------------------------------------
+
+def points_from_centroids(df: DataFrame, x: str = "cx", y: str = "cy") -> DataFrame:
+    """-points (default): polygon centroid of the largest ring
+    (mapshaper-points.js:152, getShapeCentroid -> largest ring,
+    polygon-centroid.js:3-5)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cxs, cys = [], []
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"]):
+                best = None
+                best_area = -1.0
+                for rx, ry in zip(rxs, rys):
+                    a = abs(K.planar_path_area(np.asarray(rx), np.asarray(ry)))
+                    if a > best_area:
+                        best_area = a
+                        best = (np.asarray(rx, dtype=np.float64),
+                                np.asarray(ry, dtype=np.float64))
+                cx, cy = K.path_centroid(*best) if best is not None else (None, None)
+                cxs.append(cx)
+                cys.append(cy)
+            pdf = pdf.copy()
+            pdf[x] = cxs
+            pdf[y] = cys
+            yield pdf
+
+    schema = T.StructType(df.schema.fields + [T.StructField(x, T.DoubleType()),
+                                              T.StructField(y, T.DoubleType())])
+    return df.mapInPandas(gen, schema=schema)
+
+
+def points_from_columns(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """-points x= y= (points.js:163+): numeric columns -> point coords."""
+    return df.withColumn("x", F.col(x_col).cast("double")) \
+             .withColumn("y", F.col(y_col).cast("double"))
+
+
+def points_vertices(df: DataFrame, key: str) -> DataFrame:
+    """-points vertices: every distinct vertex of the shape, in order, with
+    the duplicated ring-closing vertex dropped (points.js vertices mode).
+    Pure JVM: explode rings, slice off the closing point, posexplode."""
+    ring = (df.select(key, F.posexplode(F.arrays_zip(
+        F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys")))
+        .alias("ring_idx", "r")))
+    pts = ring.select(
+        key, "ring_idx",
+        F.posexplode(F.arrays_zip(
+            F.slice(F.col("r.xs"), 1, F.greatest(F.size("r.xs") - 1, F.lit(0))).alias("x"),
+            F.slice(F.col("r.ys"), 1, F.greatest(F.size("r.ys") - 1, F.lit(0))).alias("y"),
+        )).alias("vertex_idx", "p"))
+    return pts.select(key, "ring_idx", "vertex_idx",
+                      F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+
+
+def points_endpoints(df: DataFrame, key: str) -> DataFrame:
+    """-points endpoints (polyline layers: first/last vertex per path)."""
+    ring = (df.select(key, F.posexplode(F.arrays_zip(
+        F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys")))
+        .alias("ring_idx", "r")))
+    return ring.select(
+        key, "ring_idx",
+        F.element_at("r.xs", 1).alias("x0"), F.element_at("r.ys", 1).alias("y0"),
+        F.element_at("r.xs", -1).alias("x1"), F.element_at("r.ys", -1).alias("y1"))
+
+
+def points_interpolated(df: DataFrame, key: str, interval: float) -> DataFrame:
+    """-points interpolated: walk each path emitting a point every
+    ``interval`` of accumulated planar distance, including both endpoints
+    (mapshaper-points.js:46-94 interpolatePointsAlongPath: fixed stride,
+    remainder carried across segments)."""
+
+    out_schema = T.StructType([df.schema[key],
+                               T.StructField("seq", T.IntegerType()),
+                               T.StructField("x", T.DoubleType()),
+                               T.StructField("y", T.DoubleType())])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ks, seqs, oxs, oys = [], [], [], []
+            for k, rxs, rys in zip(pdf[key], pdf["rings_x"], pdf["rings_y"]):
+                for rx, ry in zip(rxs, rys):
+                    xs = np.asarray(rx, dtype=np.float64)
+                    ys = np.asarray(ry, dtype=np.float64)
+                    pts = _interpolate_path(xs, ys, interval)
+                    for i, (px, py) in enumerate(pts):
+                        ks.append(k)
+                        seqs.append(i)
+                        oxs.append(px)
+                        oys.append(py)
+            yield pd.DataFrame({key: ks, "seq": seqs, "x": oxs, "y": oys})
+
+    return df.select(key, "rings_x", "rings_y").mapInPandas(gen, schema=out_schema)
+
+
+def _interpolate_path(xs: np.ndarray, ys: np.ndarray, interval: float):
+    """Port of interpolatePointsAlongPath / interpolatePointsAlongSegment
+    (points.js:60-94): emit first vertex, then every ``interval`` of
+    cumulative distance; always append the final vertex."""
+    out = [(float(xs[0]), float(ys[0]))]
+    elapsed = 0.0
+    for i in range(1, len(xs)):
+        ax, ay = xs[i - 1], ys[i - 1]
+        bx, by = xs[i], ys[i]
+        seg = float(np.hypot(bx - ax, by - ay))
+        if seg == 0:
+            continue
+        pos = interval - elapsed
+        while pos <= seg:
+            t = pos / seg
+            out.append((float(ax + (bx - ax) * t), float(ay + (by - ay) * t)))
+            pos += interval
+        elapsed = (elapsed + seg) % interval
+    last = (float(xs[-1]), float(ys[-1]))
+    if out[-1] != last:
+        out.append(last)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# clip / erase (point layers) + bbox clipping
+# ---------------------------------------------------------------------------
+
+def clip_points(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
+                poly_key: str, bbox: Sequence[float] = None, res: int = 8,
+                erase: bool = False, cache_token: str | None = None) -> DataFrame:
+    """-clip / -erase on a point layer (point-clipping.js:7-27): keep points
+    inside any clip polygon (clip) or inside none (erase). Boundary counts
+    as inside, matching testPointInPolygon."""
+    from mapshaper_spark.operators.spatial import pip_join
+    pt_cols = points.columns
+    hits = (pip_join(points, x, y, polys_rings, poly_key, bbox=bbox, res=res,
+                     cache_token=cache_token)
+            .select(*pt_cols).distinct())
+    if not erase:
+        return hits
+    return points.join(hits, pt_cols, "left_anti")
+
+
+def clip_bbox_points(points: DataFrame, x: str, y: str,
+                     bbox: Sequence[float], erase: bool = False) -> DataFrame:
+    """Rectangular fast path (bbox-clipping.js): pure column predicate."""
+    xmin, ymin, xmax, ymax = bbox
+    inside = ((F.col(x) >= xmin) & (F.col(x) <= xmax) &
+              (F.col(y) >= ymin) & (F.col(y) <= ymax))
+    return points.filter(~inside if erase else inside)
+
+
+def clip_bbox_paths(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
+    """Clip polyline features to a bbox: per-ring Sutherland-Hodgman-style
+    segment clipping (each path split where it crosses the rect; emitted as
+    one row per resulting sub-path). Features wholly outside are dropped;
+    wholly-inside paths pass through untouched (bbox pre-filter is a pure
+    column predicate, so Catalyst prunes before the UDF)."""
+    xmin, ymin, xmax, ymax = bbox
+    b = F.col("bbox")
+    candidates = df.filter((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
+                           (b["ymin"] <= ymax) & (b["ymax"] >= ymin))
+
+    out_schema = df.schema
+
+    def clip_path(xs, ys):
+        """Split one path into the sub-paths inside the rect, clipping
+        crossing segments to the boundary."""
+        paths = []
+        cur_x, cur_y = [], []
+
+        def inside(px, py):
+            return xmin <= px <= xmax and ymin <= py <= ymax
+
+        def clip_seg(ax, ay, bx, by):
+            """Liang-Barsky: returns (t0, t1) param range inside rect or None."""
+            dx, dy = bx - ax, by - ay
+            t0, t1 = 0.0, 1.0
+            for p, q in ((-dx, ax - xmin), (dx, xmax - ax),
+                         (-dy, ay - ymin), (dy, ymax - ay)):
+                if p == 0:
+                    if q < 0:
+                        return None
+                    continue
+                r = q / p
+                if p < 0:
+                    if r > t1:
+                        return None
+                    t0 = max(t0, r)
+                else:
+                    if r < t0:
+                        return None
+                    t1 = min(t1, r)
+            return t0, t1
+
+        for i in range(1, len(xs)):
+            ax, ay, bx, by = xs[i - 1], ys[i - 1], xs[i], ys[i]
+            rng = clip_seg(ax, ay, bx, by)
+            if rng is None:
+                if cur_x:
+                    paths.append((cur_x, cur_y))
+                    cur_x, cur_y = [], []
+                continue
+            t0, t1 = rng
+            sx, sy = ax + (bx - ax) * t0, ay + (by - ay) * t0
+            ex, ey = ax + (bx - ax) * t1, ay + (by - ay) * t1
+            if not cur_x or (cur_x[-1], cur_y[-1]) != (sx, sy):
+                if cur_x:
+                    paths.append((cur_x, cur_y))
+                cur_x, cur_y = [sx], [sy]
+            cur_x.append(ex)
+            cur_y.append(ey)
+            if t1 < 1.0:
+                paths.append((cur_x, cur_y))
+                cur_x, cur_y = [], []
+        if cur_x:
+            paths.append((cur_x, cur_y))
+        return paths
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                new_x, new_y = [], []
+                for rx, ry in zip(rec["rings_x"], rec["rings_y"]):
+                    for px, py in clip_path(list(rx), list(ry)):
+                        if len(px) >= 2:
+                            new_x.append(px)
+                            new_y.append(py)
+                if new_x:
+                    rec = dict(rec)
+                    rec["rings_x"] = new_x
+                    rec["rings_y"] = new_y
+                    allx = np.concatenate([np.asarray(r) for r in new_x])
+                    ally = np.concatenate([np.asarray(r) for r in new_y])
+                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return candidates.mapInPandas(gen, schema=out_schema)

@@ -438,6 +438,59 @@ def nearest_point_join(left: DataFrame, lx: str, ly: str, left_key: str,
     return left.join(best, left_key, "left")
 
 
+def knn_join(left: DataFrame, lx: str, ly: str, left_key: str,
+             right: DataFrame, rx: str, ry: str, right_key: str,
+             k: int, max_radius: float,
+             bbox: Sequence[float] = None) -> DataFrame:
+    """k-nearest right points within ``max_radius`` per left point, via
+    progressive ring expansion over the cell grid (north_rule: "kNN via
+    progressive H3 ring expansion").
+
+    Plan: choose the resolution whose cell edge ~ max_radius, explode right
+    into rings r=0..R around each cell (pure JVM sequence/explode of the
+    (2R+1)^2 disk), equi-join, rank by distance per left row. Because
+    max_radius bounds the search, the disk is exact (every candidate within
+    max_radius lies in the Chebyshev disk); ties break on lowest right key,
+    matching PointIndex's strict-< first-scan rule
+    (/root/reference/src/points/mapshaper-point-index.js:4-25).
+    """
+    if bbox is None:
+        from mapshaper_spark.layers import DEFAULT_BBOX
+        bbox = DEFAULT_BBOX
+    res = CE.res_for_radius(max_radius, bbox)
+    n = 1 << res
+    xmin, ymin, xmax, ymax = bbox
+
+    ixl = CE.scaled_int_col(F.col(lx), xmin, xmax, res)
+    iyl = CE.scaled_int_col(F.col(ly), ymin, ymax, res)
+    lft = left.withColumn(
+        "cell", CE._spread_col(ixl).bitwiseOR(F.shiftleft(CE._spread_col(iyl), 1)))
+
+    ixr = CE.scaled_int_col(F.col(rx), xmin, xmax, res)
+    iyr = CE.scaled_int_col(F.col(ry), ymin, ymax, res)
+    rgt = right.withColumn("__ix", ixr).withColumn("__iy", iyr)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    neighbor_keys = F.array(*[
+        F.when(((F.col("__ix") + dx).between(0, n - 1)) &
+               ((F.col("__iy") + dy).between(0, n - 1)),
+               CE._spread_col(F.col("__ix") + dx)
+               .bitwiseOR(F.shiftleft(CE._spread_col(F.col("__iy") + dy), 1)))
+        for dx, dy in offs])
+    rgt = (rgt.withColumn("cell", F.explode(F.filter(neighbor_keys,
+                                                     lambda c: c.isNotNull())))
+           .drop("__ix", "__iy"))
+
+    cand = lft.join(F.broadcast(rgt.select("cell", right_key, rx, ry)), "cell")
+    dx = F.col(lx) - F.col(rx)
+    dy = F.col(ly) - F.col(ry)
+    cand = (cand.withColumn("dist_sq", dx * dx + dy * dy)
+            .filter(F.col("dist_sq") <= F.lit(max_radius * max_radius)))
+    w = Window.partitionBy(left_key).orderBy(F.col("dist_sq"), F.col(right_key))
+    return (cand.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .select(left_key, right_key, "dist_sq", "knn_rank"))
+
+
 def filter_geom_bbox(df: DataFrame, bbox: Sequence[float],
                      x: str = None, y: str = None) -> DataFrame:
     """-filter-geom bbox= (mapshaper-filter-geom.js:3-28): points kept when

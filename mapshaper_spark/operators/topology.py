@@ -1,0 +1,380 @@
+"""Distributed topology building & derived topology ops.
+
+- buildTopology: convert raw paths (each feature ring an independent
+  coordinate list) into a shared-arc representation
+  (/root/reference/src/topology/mapshaper-topology.js:11-21): vertices are
+  matched by exact float64 coords (the reference hashes the raw float bits,
+  mapshaper-hash-function.js:4-21 — an equality join on (x, y) doubles is
+  the same relation), arc endpoints appear where path adjacency breaks
+  (pointIsArcEndpoint, mapshaper-topology.js:135-172), and duplicate
+  (possibly reversed) arcs collapse to one id
+  (ArcIndex.findDuplicateArc, mapshaper-arc-index.js:31-65).
+
+  Spark shape: two shuffles —
+    1. groupBy(x, y) over exploded vertices -> node detection,
+    2. groupBy(canonical arc coords) -> arc dedup + deterministic ids,
+  plus a per-path split (applyInPandas; a path always fits in one row).
+
+- segment intersections: the reference's own map-reduce
+  (/root/reference/src/paths/mapshaper-segment-intersection.js:31-133 —
+  horizontal stripes, segments replicated into every stripe they span,
+  per-stripe sweep, global dedup) mapped 1:1 to repartition-by-stripe +
+  mapInPandas + dropDuplicates.
+
+- polyline dissolve: merge arcs of a group into maximal chains
+  (/root/reference/src/dissolve/mapshaper-polyline-dissolve.js:7-76).
+
+- snapping: the reference uses a serial sorted sweep
+  (/root/reference/src/paths/mapshaper-snapping.js:7-63). Distributed here
+  as round-to-grid snapping (documented deviation: grid snap merges points
+  within the same grid cell rather than within a sliding interval; identical
+  for the synthetic fixtures whose jitter << interval << spacing).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# buildTopology
+# ---------------------------------------------------------------------------
+
+def detect_nodes(paths: DataFrame, path_id: str) -> DataFrame:
+    """Vertices where arcs must end: any path endpoint, or a coordinate whose
+    traversals disagree on the (unordered) neighbor pair
+    (pointIsArcEndpoint semantics, mapshaper-topology.js:135-172).
+    Closed-ring first/last duplicates are treated as one interior traversal
+    (neighbor pair = {second, second-to-last}), so an unshared ring yields
+    no nodes — matching the reference, which keeps it one circular arc."""
+    # build per-vertex neighbor pairs JVM-side with array ops
+    n = F.size("xs")
+    closed = ((F.element_at("xs", 1) == F.element_at("xs", -1)) &
+              (F.element_at("ys", 1) == F.element_at("ys", -1)))
+    idx = F.sequence(F.lit(1), n)  # 1-based vertex positions
+    exploded = (paths
+                .withColumn("__closed", closed)
+                .withColumn("__n", n)
+                .select(path_id, "xs", "ys", "__closed", "__n",
+                        F.explode(idx).alias("i")))
+    x = F.element_at("xs", F.col("i"))
+    y = F.element_at("ys", F.col("i"))
+    first = F.col("i") == 1
+    last = F.col("i") == F.col("__n")
+    # neighbor positions with ring wrap for closed paths (position 1 and n
+    # are the same point: neighbors are 2 and n-1)
+    prev_i = F.when(first & F.col("__closed"), F.col("__n") - 1) \
+              .when(first, F.lit(None)).otherwise(F.col("i") - 1)
+    next_i = F.when(last & F.col("__closed"), F.lit(2)) \
+              .when(last, F.lit(None)).otherwise(F.col("i") + 1)
+    px = F.element_at("xs", prev_i)
+    py = F.element_at("ys", prev_i)
+    nx = F.element_at("xs", next_i)
+    ny = F.element_at("ys", next_i)
+    is_endpoint = (first | last) & ~F.col("__closed")
+    # skip the duplicated closing vertex of closed rings (i == n)
+    occ = (exploded.filter(~(F.col("__closed") & last))
+           .select(x.alias("x"), y.alias("y"), is_endpoint.alias("endpoint"),
+                   F.when(px.isNull() | nx.isNull(), F.lit(None)).otherwise(
+                       F.sort_array(F.array(
+                           F.struct(px.alias("a"), py.alias("b")),
+                           F.struct(nx.alias("a"), ny.alias("b"))))).alias("nbrs")))
+    nodes = (occ.groupBy("x", "y")
+             .agg(F.max(F.col("endpoint").cast("int")).alias("any_endpoint"),
+                  F.count_distinct(F.col("nbrs")).alias("n_pairs"),
+                  F.sum(F.col("nbrs").isNull().cast("int")).alias("n_null"))
+             .filter((F.col("any_endpoint") == 1) | (F.col("n_pairs") > 1) |
+                     ((F.col("n_pairs") >= 1) & (F.col("n_null") > 0)))
+             .select("x", "y"))
+    return nodes
+
+
+def build_topology(paths: DataFrame, path_id: str):
+    """paths(path_id, xs, ys) -> (arcs_df, refs_df).
+
+    arcs_df: (arc_id long, xs, ys, n, bbox) — deterministic ids ordered by
+    first use (lowest (path_id, position)), matching the reference's
+    append-order arc ids on a deterministic input order.
+    refs_df: (path_id, arc_seq, signed) — signed arc refs per path, reversed
+    encoded JS-style as -(id+1).
+    """
+    spark = paths.sparkSession
+    nodes = detect_nodes(paths, path_id)
+
+    # mark node vertices inside each path: explode, left-join nodes, regroup
+    n = F.size("xs")
+    exploded = (paths.select(path_id, F.posexplode(F.arrays_zip(
+        F.col("xs").alias("px"), F.col("ys").alias("py"))).alias("seq", "p"))
+        .select(path_id, "seq", F.col("p.px").alias("x"), F.col("p.py").alias("y")))
+    flagged = exploded.join(F.broadcast(nodes.withColumn("__isnode", F.lit(True))),
+                            ["x", "y"], "left")
+    per_path = (flagged.groupBy(path_id)
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    "seq", "x", "y", F.coalesce("__isnode", F.lit(False)).alias("isnode")
+                ))).alias("vs")))
+
+    seg_schema = T.StructType([
+        paths.schema[path_id],
+        T.StructField("arc_seq", T.IntegerType()),
+        T.StructField("sub_xs", T.ArrayType(T.DoubleType())),
+        T.StructField("sub_ys", T.ArrayType(T.DoubleType())),
+    ])
+
+    def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_pid, out_seq, out_xs, out_ys = [], [], [], []
+            for pid, vs in zip(pdf[path_id], pdf["vs"]):
+                xs = np.array([v["x"] for v in vs])
+                ys = np.array([v["y"] for v in vs])
+                isnode = np.array([v["isnode"] for v in vs], dtype=bool)
+                m = len(xs)
+                closed = m > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]
+                cuts = list(np.nonzero(isnode)[0])
+                if closed:
+                    core_cuts = [c for c in cuts if c != m - 1]
+                    if not core_cuts:
+                        out_pid.append(pid); out_seq.append(0)
+                        out_xs.append(xs.tolist()); out_ys.append(ys.tolist())
+                        continue
+                    # rotate ring to start at the first node, then split
+                    s = core_cuts[0]
+                    rx = np.concatenate([xs[s:-1], xs[:s + 1]])
+                    ry = np.concatenate([ys[s:-1], ys[:s + 1]])
+                    rn = np.concatenate([isnode[s:-1], isnode[:s + 1]])
+                    xs, ys, isnode = rx, ry, rn
+                    m = len(xs)
+                    cuts = [c for c in np.nonzero(isnode)[0]]
+                bounds = sorted(set([0] + [int(c) for c in cuts] + [m - 1]))
+                seq = 0
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    if b > a:
+                        out_pid.append(pid); out_seq.append(seq)
+                        out_xs.append(xs[a:b + 1].tolist())
+                        out_ys.append(ys[a:b + 1].tolist())
+                        seq += 1
+            yield pd.DataFrame({path_id: out_pid, "arc_seq": out_seq,
+                                "sub_xs": out_xs, "sub_ys": out_ys})
+
+    segs = per_path.mapInPandas(split, schema=seg_schema)
+
+    # canonical form: direction-normalized coordinate arrays
+    fwd = (F.element_at("sub_xs", 1) < F.element_at("sub_xs", -1)) | \
+          ((F.element_at("sub_xs", 1) == F.element_at("sub_xs", -1)) &
+           (F.element_at("sub_ys", 1) <= F.element_at("sub_ys", -1)))
+    canon = segs.withColumn("__fwd", fwd).select(
+        path_id, "arc_seq", "__fwd",
+        F.when(F.col("__fwd"), F.col("sub_xs")).otherwise(F.reverse("sub_xs")).alias("cxs"),
+        F.when(F.col("__fwd"), F.col("sub_ys")).otherwise(F.reverse("sub_ys")).alias("cys"),
+    )
+    # deterministic arc ids: first use order
+    w = Window.orderBy(F.col("__first.pid"), F.col("__first.seq"))
+    arcs_tbl = (canon.groupBy("cxs", "cys")
+                .agg(F.min(F.struct(F.col(path_id).alias("pid"),
+                                    F.col("arc_seq").alias("seq"))).alias("__first"))
+                .withColumn("arc_id", F.row_number().over(w).cast("long") - 1))
+    arcs = arcs_tbl.select(
+        "arc_id",
+        F.col("cxs").alias("xs"), F.col("cys").alias("ys"),
+        F.size("cxs").alias("n"),
+        F.struct(F.array_min("cxs").alias("xmin"), F.array_min("cys").alias("ymin"),
+                 F.array_max("cxs").alias("xmax"), F.array_max("cys").alias("ymax")).alias("bbox"))
+    refs = (canon.join(arcs_tbl.select("cxs", "cys", "arc_id"), ["cxs", "cys"])
+            .select(path_id, "arc_seq",
+                    F.when(F.col("__fwd"), F.col("arc_id"))
+                     .otherwise(-(F.col("arc_id") + 1)).alias("signed")))
+    return arcs, refs
+
+
+# ---------------------------------------------------------------------------
+# segment intersection search (stripe-partitioned)
+# ---------------------------------------------------------------------------
+
+def explode_segments(arcs: DataFrame, arc_id: str = "arc_id") -> DataFrame:
+    """arcs(xs, ys) -> one row per segment (arc_id, i, ax, ay, bx, by)."""
+    n = F.size("xs")
+    seg = (arcs.select(arc_id, "xs", "ys", F.explode(F.sequence(F.lit(1), n - 1)).alias("i")))
+    return seg.select(
+        arc_id, "i",
+        F.element_at("xs", F.col("i")).alias("ax"),
+        F.element_at("ys", F.col("i")).alias("ay"),
+        F.element_at("xs", F.col("i") + 1).alias("bx"),
+        F.element_at("ys", F.col("i") + 1).alias("by"))
+
+
+def find_segment_intersections(arcs: DataFrame, n_stripes: int = 32,
+                               same_arc: bool = False) -> DataFrame:
+    """All intersection points between segments of different arcs — the
+    reference's stripe map-reduce (segment-intersection.js:31-133) with
+    stripes as Spark partitions: replicate each segment into every y-stripe
+    it spans, per-stripe numpy pairwise test (x-prefiltered), global dedup.
+
+    Touching at shared endpoints between consecutive segments of the same
+    arc is excluded (set ``same_arc`` to include same-arc pairs)."""
+    segs = explode_segments(arcs)
+    bounds = segs.agg(F.min(F.least("ay", "by")).alias("lo"),
+                      F.max(F.greatest("ay", "by")).alias("hi")).collect()[0]
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    if hi <= lo:
+        hi = lo + 1.0
+    h = (hi - lo) / n_stripes
+    s0 = F.floor((F.least("ay", "by") - F.lit(lo)) / F.lit(h)).cast("int")
+    s1 = F.floor((F.greatest("ay", "by") - F.lit(lo)) / F.lit(h)).cast("int")
+    s0 = F.greatest(F.lit(0), F.least(F.lit(n_stripes - 1), s0))
+    s1 = F.greatest(F.lit(0), F.least(F.lit(n_stripes - 1), s1))
+    striped = segs.withColumn("stripe", F.explode(F.sequence(s0, s1)))
+
+    out_schema = T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+        T.StructField("arc_a", T.LongType()), T.StructField("arc_b", T.LongType()),
+    ])
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["x", "y", "arc_a", "arc_b"])
+        ax = pdf["ax"].to_numpy(float); ay = pdf["ay"].to_numpy(float)
+        bx = pdf["bx"].to_numpy(float); by = pdf["by"].to_numpy(float)
+        aid = pdf["arc_id"].to_numpy(np.int64)
+        seg_i = pdf["i"].to_numpy(np.int64)
+        xmin = np.minimum(ax, bx); xmax = np.maximum(ax, bx)
+        order = np.argsort(xmin, kind="stable")
+        xs_out, ys_out, aa, bb = [], [], [], []
+        m = len(order)
+        for oi in range(m):
+            i = order[oi]
+            for oj in range(oi + 1, m):
+                j = order[oj]
+                if xmin[j] > xmax[i]:
+                    break
+                if aid[i] == aid[j]:
+                    if not same_arc or abs(seg_i[i] - seg_i[j]) <= 1:
+                        continue
+                p = _seg_intersection(ax[i], ay[i], bx[i], by[i],
+                                      ax[j], ay[j], bx[j], by[j])
+                if p is not None:
+                    xs_out.append(p[0]); ys_out.append(p[1])
+                    aa.append(min(aid[i], aid[j])); bb.append(max(aid[i], aid[j]))
+        return pd.DataFrame({"x": xs_out, "y": ys_out, "arc_a": aa, "arc_b": bb})
+
+    hits = (striped.groupBy("stripe")
+            .applyInPandas(lambda pdf: sweep(pdf), schema=out_schema))
+    return hits.dropDuplicates(["x", "y", "arc_a", "arc_b"])
+
+
+def _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):
+    """Proper + endpoint-touch segment intersection (the non-collinear core
+    of /root/reference/src/geom/mapshaper-segment-geom.js:1-80)."""
+    d1x, d1y = p1x - p0x, p1y - p0y
+    d2x, d2y = p3x - p2x, p3y - p2y
+    den = d1x * d2y - d1y * d2x
+    if den == 0:
+        return None  # parallel/collinear: no single crossing point
+    t = ((p2x - p0x) * d2y - (p2y - p0y) * d2x) / den
+    u = ((p2x - p0x) * d1y - (p2y - p0y) * d1x) / den
+    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        return (p0x + t * d1x, p0y + t * d1y)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# polyline dissolve
+# ---------------------------------------------------------------------------
+
+def dissolve_polylines(features: DataFrame, arcs: DataFrame, group: str) -> DataFrame:
+    """-dissolve on a polyline layer: concatenate each group's arcs into
+    maximal connected chains (polyline-dissolve.js:7-76 — greedy walk from
+    unvisited arc ends through degree-matching nodes)."""
+    from mapshaper_spark.layers import absolute_arc_id_col
+
+    exploded = (features.select(group, F.explode("parts").alias("refs"))
+                .select(group, F.explode("refs").alias("signed"))
+                .withColumn("aid", absolute_arc_id_col(F.col("signed")))
+                .select(group, "aid").distinct())
+    ends = arcs.select("arc_id", "xs", "ys")
+    b = exploded.join(F.broadcast(ends), exploded.aid == ends.arc_id).drop("arc_id")
+
+    out_schema = T.StructType([
+        b.schema[group],
+        T.StructField("chain_idx", T.IntegerType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ])
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group].iloc[0]
+        arcs_l = [(np.asarray(r.xs), np.asarray(r.ys)) for r in pdf.itertuples()]
+        n = len(arcs_l)
+        used = [False] * n
+        by_end: dict[tuple, list[int]] = {}
+        for i, (xs, ys) in enumerate(arcs_l):
+            by_end.setdefault((xs[0], ys[0]), []).append(i)
+            by_end.setdefault((xs[-1], ys[-1]), []).append(i)
+        chains = []
+        for i in range(n):
+            if used[i]:
+                continue
+            used[i] = True
+            cx = list(arcs_l[i][0]); cy = list(arcs_l[i][1])
+            # extend forward then backward
+            for direction in (1, 0):
+                while True:
+                    end = (cx[-1], cy[-1]) if direction else (cx[0], cy[0])
+                    cands = [k for k in by_end.get(end, []) if not used[k]]
+                    if not cands:
+                        break
+                    k = min(cands)
+                    used[k] = True
+                    kx, ky = arcs_l[k]
+                    if (kx[0], ky[0]) != end:
+                        kx, ky = kx[::-1], ky[::-1]
+                    if direction:
+                        cx.extend(kx[1:].tolist()); cy.extend(ky[1:].tolist())
+                    else:
+                        cx = kx[::-1][:-1].tolist() + cx
+                        cy = ky[::-1][:-1].tolist() + cy
+            chains.append((cx, cy))
+        return pd.DataFrame({group: [g] * len(chains),
+                             "chain_idx": list(range(len(chains))),
+                             "xs": [c[0] for c in chains],
+                             "ys": [c[1] for c in chains]})
+
+    return b.groupBy(group).applyInPandas(walk, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# snapping / coord dedup
+# ---------------------------------------------------------------------------
+
+def snap_coords_grid(df: DataFrame, interval: float,
+                     x: str = "x", y: str = "y") -> DataFrame:
+    """Round-to-grid snapping: every coordinate moves to the center of its
+    ``interval``-sized grid cell. DOCUMENTED DEVIATION from the reference's
+    serial sorted-sweep (snapping.js:7-63), which snaps later points onto
+    earlier ones within a sliding window; identical results whenever
+    clustered points lie within one grid cell and clusters are > interval
+    apart (true for import jitter, the dominant use)."""
+    gx = (F.floor(F.col(x) / F.lit(interval)) + F.lit(0.5)) * F.lit(interval)
+    gy = (F.floor(F.col(y) / F.lit(interval)) + F.lit(0.5)) * F.lit(interval)
+    return df.withColumn(x, gx).withColumn(y, gy)
+
+
+def dedup_arc_coords(arcs: DataFrame) -> DataFrame:
+    """Remove repeated consecutive vertices per arc
+    (internal.dedupArcCoords, mapshaper-arcs.js:648-669). Pure JVM:
+    keep vertex i if i==0 or (x,y) differs from vertex i-1."""
+    zipped = F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    keep = F.filter(idx, lambda i:
+                    (i == 1) |
+                    (F.element_at("xs", i) != F.element_at("xs", i - 1)) |
+                    (F.element_at("ys", i) != F.element_at("ys", i - 1)))
+    return (arcs.withColumn("__keep", keep)
+            .withColumn("xs", F.transform("__keep", lambda i: F.element_at("xs", i)))
+            .withColumn("ys", F.transform("__keep", lambda i: F.element_at("ys", i)))
+            .withColumn("n", F.size("xs"))
+            .drop("__keep"))
