@@ -1,0 +1,184 @@
+"""Tests for path operators and distributed topology build."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark import layers as L
+from mapshaper_spark.operators import paths as P
+from mapshaper_spark.operators import topology as TP
+
+
+def _holey_feature(spark):
+    """4x4 square with a 2x2 hole, plus a detached 1x1 island."""
+    rows = [(1,
+             [[0.0, 0.0, 4.0, 4.0, 0.0], [1.0, 3.0, 3.0, 1.0, 1.0],
+              [10.0, 10.0, 11.0, 11.0, 10.0]],
+             [[0.0, 4.0, 4.0, 0.0, 0.0], [1.0, 1.0, 3.0, 3.0, 1.0],
+              [0.0, 1.0, 1.0, 0.0, 0.0]],
+             {"xmin": 0.0, "ymin": 0.0, "xmax": 11.0, "ymax": 4.0})]
+    return spark.createDataFrame(
+        rows, "fid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+              "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+
+
+class TestExplode:
+    def test_hole_stays_with_enclosing_ring(self, spark):
+        out = P.explode(_holey_feature(spark)).collect()
+        assert len(out) == 2  # square+hole, island
+        by_idx = {r.part_idx: r for r in out}
+        assert len(by_idx[0].rings_x) == 2   # outer + hole
+        assert len(by_idx[1].rings_x) == 1   # island alone
+        assert by_idx[1].bbox.xmin == 10.0
+        assert by_idx[0].bbox.xmax == 4.0
+
+    def test_attributes_copied(self, spark):
+        out = P.explode(_holey_feature(spark)).select("fid").distinct().collect()
+        assert [r.fid for r in out] == [1]
+
+
+class TestFilters:
+    def test_filter_islands_drops_hole_with_ring(self, spark):
+        out = P.filter_islands(_holey_feature(spark), min_area=2.0).collect()
+        # island (area 1) removed along with nothing else; hole (negative
+        # area) survives with its enclosing ring
+        assert len(out) == 1
+        assert len(out[0].rings_x) == 2
+
+    def test_filter_slivers_tests_every_ring(self, spark):
+        out = P.filter_slivers(_holey_feature(spark), min_area=2.0).collect()
+        # hole area 4 >= 2 kept; island area 1 < 2 dropped
+        assert len(out[0].rings_x) == 2
+
+    def test_min_vertices(self, spark):
+        out = P.filter_islands(_holey_feature(spark), min_vertices=10).collect()
+        assert len(out) == 0  # every ring has 4 vertices
+
+
+class TestClip:
+    def test_clip_bbox_paths_splits_crossing_line(self, spark):
+        # W-shaped path crossing the clip rect twice
+        rows = [(1, [[0.0, 2.0, 4.0, 6.0, 8.0]], [[0.0, 4.0, 0.0, 4.0, 0.0]],
+                 {"xmin": 0.0, "ymin": 0.0, "xmax": 8.0, "ymax": 4.0})]
+        df = spark.createDataFrame(
+            rows, "fid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+                  "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        out = P.clip_bbox_paths(df, (0.0, 1.0, 8.0, 3.0)).collect()
+        assert len(out) == 1
+        # the zigzag enters/exits the y-band [1,3] four times -> 4 sub-paths
+        assert len(out[0].rings_x) == 4
+
+    def test_fully_inside_untouched(self, spark):
+        rows = [(1, [[2.0, 3.0]], [[2.0, 2.0]],
+                 {"xmin": 2.0, "ymin": 2.0, "xmax": 3.0, "ymax": 2.0})]
+        df = spark.createDataFrame(
+            rows, "fid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+                  "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        out = P.clip_bbox_paths(df, (0.0, 0.0, 10.0, 10.0)).collect()
+        assert out[0].rings_x == [[2.0, 3.0]]
+
+
+class TestTopologyRoundTrip:
+    def test_refs_rebuild_original_rings(self, spark):
+        """arcs + signed refs must reconstruct every input ring exactly."""
+        polys = L.region_mosaic_rings_local(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        paths = polys.select(F.col("rid").cast("long").alias("path_id"),
+                             F.element_at("rings_x", 1).alias("xs"),
+                             F.element_at("rings_y", 1).alias("ys"))
+        arcs, refs = TP.build_topology(paths, "path_id")
+        arc_map = {r.arc_id: (list(r.xs), list(r.ys)) for r in arcs.collect()}
+        orig = {r.path_id: (list(r.xs), list(r.ys)) for r in paths.collect()}
+        refs_rows = refs.orderBy("path_id", "arc_seq").collect()
+        by_path: dict = {}
+        for r in refs_rows:
+            by_path.setdefault(r.path_id, []).append(r.signed)
+        for pid, signed_ids in by_path.items():
+            xs_out, ys_out = [], []
+            for sid in signed_ids:
+                aid = sid if sid >= 0 else -(sid + 1)
+                xs, ys = arc_map[aid]
+                if sid < 0:
+                    xs, ys = xs[::-1], ys[::-1]
+                if xs_out:
+                    assert (xs_out[-1], ys_out[-1]) == (xs[0], ys[0])
+                    xs, ys = xs[1:], ys[1:]
+                xs_out += xs
+                ys_out += ys
+            oxs, oys = orig[pid]
+            # reconstruction may start at a different ring vertex: compare as
+            # cyclic sequences (drop closing point, rotate to match)
+            ring = list(zip(xs_out[:-1], ys_out[:-1]))
+            oring = list(zip(oxs[:-1], oys[:-1]))
+            assert len(ring) == len(oring), pid
+            k = oring.index(ring[0])
+            assert ring == oring[k:] + oring[:k], pid
+
+    def test_shared_arc_count_3x2(self, spark):
+        polys = L.region_mosaic_rings_local(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        paths = polys.select(F.col("rid").cast("long").alias("path_id"),
+                             F.element_at("rings_x", 1).alias("xs"),
+                             F.element_at("rings_y", 1).alias("ys"))
+        arcs, refs = TP.build_topology(paths, "path_id")
+        # 3x2 grid: 17 edges, 4 outer corners fuse pairs -> 13 arcs
+        assert arcs.count() == 13
+        # interior edges referenced twice: total refs = sum over cells of
+        # arcs per ring
+        assert refs.count() == refs.select("path_id", "arc_seq").distinct().count()
+
+    def test_single_ring_no_nodes(self, spark):
+        paths = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0])],
+            "path_id long, xs array<double>, ys array<double>")
+        arcs, refs = TP.build_topology(paths, "path_id")
+        a = arcs.collect()
+        assert len(a) == 1
+        assert a[0].n == 5  # whole ring is one circular arc
+        r = refs.collect()
+        assert len(r) == 1
+
+
+class TestSnapDedup:
+    def test_snap_grid_merges_jittered_points(self, spark):
+        # jitter within one 1e-6 grid cell (points straddling a cell edge
+        # are the documented deviation from the reference's sweep)
+        df = spark.createDataFrame(
+            [(1, 1.0000000001, 2.0), (2, 1.0000000005, 2.0), (3, 5.0, 5.0)],
+            "pid int, x double, y double")
+        out = TP.snap_coords_grid(df, 1e-6)
+        xs = {r.pid: r.x for r in out.collect()}
+        assert xs[1] == xs[2]
+        assert xs[3] != xs[1]
+
+    def test_dedup_coords_keeps_order(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 2.0, 2.0, 3.0], [0.0, 0.0, 1.0, 2.0, 2.0, 3.0])],
+            "arc_id long, xs array<double>, ys array<double>") \
+            .withColumn("n", F.size("xs"))
+        out = TP.dedup_arc_coords(arcs).collect()[0]
+        assert list(out.xs) == [0.0, 1.0, 2.0, 3.0]
+        assert out.n == 4
+
+
+class TestProj:
+    def test_webmercator_roundtrip(self, spark):
+        from mapshaper_spark.operators import proj as PR
+        pts = spark.createDataFrame(
+            [(1, -90.0, 37.0), (2, 0.0, 0.0), (3, 179.0, -85.0)],
+            "pid int, x double, y double")
+        fwd = PR.project_points(pts, "x", "y", "webmercator")
+        back = PR.project_points(fwd, "x", "y", "wgs84")
+        for r in back.collect():
+            orig = {1: (-90.0, 37.0), 2: (0.0, 0.0), 3: (179.0, -85.0)}[r.pid]
+            assert r.x == pytest.approx(orig[0], abs=1e-9)
+            assert r.y == pytest.approx(orig[1], abs=1e-9)
+
+    def test_project_arcs_matches_points(self, spark):
+        from mapshaper_spark.operators import proj as PR
+        arcs = spark.createDataFrame(
+            [(0, [-90.0, 0.0], [37.0, 10.0])],
+            "arc_id long, xs array<double>, ys array<double>")
+        out = PR.project_arcs(arcs).collect()[0]
+        pts = spark.createDataFrame([(1, -90.0, 37.0)], "pid int, x double, y double")
+        p = PR.project_points(pts, "x", "y").collect()[0]
+        assert out.xs[0] == pytest.approx(p.x, rel=1e-12)
+        assert out.ys[0] == pytest.approx(p.y, rel=1e-12)
