@@ -1,0 +1,156 @@
+"""GeoJSON source/sink.
+
+Import dispatch mirrors the reference's pathImporters table
+(/root/reference/src/geojson/geojson-import.js:79-96: Point, MultiPoint,
+LineString, MultiLineString, Polygon, MultiPolygon); export mirrors
+exportLayerAsGeoJSON (/root/reference/src/geojson/geojson-export.js) with
+the RFC 7946 default precision of 1e-6 available via ``precision``.
+
+Two paths:
+- fixture-scale: ``import_geojson`` parses driver-side (like the reference,
+  which holds the whole document in memory) and builds an Arrow-backed
+  DataFrame;
+- at-scale sink: ``to_geojson_features`` renders one Feature JSON string per
+  row with pure Catalyst ``to_json`` — suitable for newline-delimited
+  GeoJSON (.ndjson / GeoJSONSeq) written with ``df.write.text``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ring_to_xy(ring):
+    xs = [float(p[0]) for p in ring]
+    ys = [float(p[1]) for p in ring]
+    return xs, ys
+
+
+def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
+    """FeatureCollection / GeometryCollection / single feature -> features
+    DataFrame: (fid, geometry_type, rings_x, rings_y, x, y, properties(json
+    string), bbox). Points fill x/y; path types fill rings_x/rings_y (for
+    LineString, one open path; for polygons, closed rings)."""
+    import pyarrow as pa
+
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    if obj.get("type") == "FeatureCollection":
+        feats = obj["features"]
+    elif obj.get("type") == "GeometryCollection":
+        feats = [{"type": "Feature", "properties": {}, "geometry": g}
+                 for g in obj["geometries"]]
+    elif obj.get("type") == "Feature":
+        feats = [obj]
+    else:  # bare geometry
+        feats = [{"type": "Feature", "properties": {}, "geometry": obj}]
+
+    fids, gtypes, rxs, rys, pxs, pys, props, bboxes = [], [], [], [], [], [], [], []
+    for i, f in enumerate(feats):
+        g = f.get("geometry") or {}
+        t = g.get("type")
+        c = g.get("coordinates")
+        rx: list = []
+        ry: list = []
+        px = py = None
+        if t == "Point":
+            px, py = float(c[0]), float(c[1])
+        elif t == "MultiPoint":
+            rx, ry = [[float(p[0]) for p in c]], [[float(p[1]) for p in c]]
+        elif t == "LineString":
+            xs, ys = _ring_to_xy(c)
+            rx, ry = [xs], [ys]
+        elif t == "MultiLineString":
+            for path in c:
+                xs, ys = _ring_to_xy(path)
+                rx.append(xs)
+                ry.append(ys)
+        elif t == "Polygon":
+            for ring in c:
+                xs, ys = _ring_to_xy(ring)
+                rx.append(xs)
+                ry.append(ys)
+        elif t == "MultiPolygon":
+            for poly in c:
+                for ring in poly:
+                    xs, ys = _ring_to_xy(ring)
+                    rx.append(xs)
+                    ry.append(ys)
+        elif t is None:
+            pass  # null geometry feature
+        else:
+            raise ValueError(f"unsupported GeoJSON type {t}")
+        allx = [v for r in rx for v in r] + ([px] if px is not None else [])
+        ally = [v for r in ry for v in r] + ([py] if py is not None else [])
+        fids.append(i)
+        gtypes.append(t or "null")
+        rxs.append(rx)
+        rys.append(ry)
+        pxs.append(px)
+        pys.append(py)
+        props.append(json.dumps(f.get("properties") or {}, sort_keys=True))
+        bboxes.append({"xmin": min(allx) if allx else None,
+                       "ymin": min(ally) if ally else None,
+                       "xmax": max(allx) if allx else None,
+                       "ymax": max(ally) if ally else None})
+
+    table = pa.table({
+        "fid": pa.array(fids, pa.int64()),
+        "geometry_type": pa.array(gtypes, pa.string()),
+        "rings_x": pa.array(rxs, pa.list_(pa.list_(pa.float64()))),
+        "rings_y": pa.array(rys, pa.list_(pa.list_(pa.float64()))),
+        "x": pa.array(pxs, pa.float64()),
+        "y": pa.array(pys, pa.float64()),
+        "properties": pa.array(props, pa.string()),
+        "bbox": pa.array(bboxes, pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                                            ("xmax", pa.float64()), ("ymax", pa.float64())])),
+    })
+    return spark.createDataFrame(table)
+
+
+def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
+                        x: str | None = None, y: str | None = None,
+                        precision: float | None = None,
+                        property_cols: Sequence[str] = ()) -> DataFrame:
+    """One GeoJSON Feature string per row (pure JVM). For ``Point`` pass
+    x/y column names; otherwise rings_x/rings_y are rendered as Polygon /
+    LineString coordinates. Precision rounds coordinates like -o precision=
+    (rounding.js)."""
+
+    def r(c):
+        if precision is None:
+            return c
+        return F.round(c / F.lit(precision)) * F.lit(precision)
+
+    if geometry_type == "Point":
+        coords = F.array(r(F.col(x)), r(F.col(y)))
+    elif geometry_type == "LineString":
+        coords = F.transform(
+            F.arrays_zip(F.element_at("rings_x", 1).alias("xs"),
+                         F.element_at("rings_y", 1).alias("ys")),
+            lambda s: F.array(r(s["xs"]), r(s["ys"])))
+    else:  # Polygon: rings -> [[[x,y],...], ...]
+        coords = F.zip_with(
+            "rings_x", "rings_y",
+            lambda rx, ry: F.zip_with(rx, ry, lambda a, b: F.array(r(a), r(b))))
+
+    props = F.struct(*[F.col(c).alias(c) for c in property_cols]) \
+        if property_cols else F.struct(F.lit(None).alias("__empty"))
+    feature = F.to_json(F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(F.lit(geometry_type).alias("type"),
+                 coords.alias("coordinates")).alias("geometry"),
+        props.alias("properties")))
+    return df.select(feature.alias("feature_json"))
+
+
+def export_geojson(df: DataFrame, **kwargs) -> str:
+    """Driver-side FeatureCollection assembly (fixture-scale; at scale use
+    to_geojson_features + write.text as GeoJSONSeq)."""
+    rows = to_geojson_features(df, **kwargs).collect()
+    feats = ",".join(r.feature_json for r in rows)
+    return '{"type":"FeatureCollection","features":[' + feats + "]}"

@@ -1,0 +1,161 @@
+"""Sources (GeoJSON/TopoJSON/Shapefile/CSV), expression functions, and
+Structured Streaming tests — including parity reads of the reference's own
+shapefile fixtures."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark import layers as L
+from mapshaper_spark.sources import geojson as GJ
+from mapshaper_spark.sources import shapefile as SHP
+from mapshaper_spark.sources import topojson as TJ
+
+REF = "/root/reference/test/test_data"
+
+
+class TestGeoJSON:
+    def test_import_polygon_collection(self, spark):
+        obj = {"type": "GeometryCollection", "geometries": [
+            {"type": "Polygon", "coordinates": [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]},
+            {"type": "Point", "coordinates": [3.5, 4.5]},
+        ]}
+        df = GJ.import_geojson(spark, obj)
+        rows = {r.fid: r for r in df.collect()}
+        assert rows[0].geometry_type == "Polygon"
+        assert rows[0].rings_x == [[0.0, 0.0, 1.0, 1.0, 0.0]]
+        assert rows[1].x == 3.5 and rows[1].y == 4.5
+
+    def test_roundtrip_polygon(self, spark):
+        _, _, polys = (None, None, L.region_mosaic_rings_local(spark, 2, 2, (0, 0, 2, 2)))
+        text = GJ.export_geojson(polys.select("rid", "rings_x", "rings_y"),
+                                 geometry_type="Polygon", property_cols=["rid"])
+        back = GJ.import_geojson(spark, text)
+        assert back.count() == 4
+        r0 = back.filter(F.col("properties").contains('"rid": 0')
+                         | F.col("properties").contains('"rid":0')).collect()
+        assert len(r0) == 1
+        assert r0[0].rings_x == [[0.0, 0.0, 1.0, 1.0, 0.0]]
+
+    def test_point_features_ndjson_shape(self, spark):
+        pts = spark.createDataFrame([(1, 2.0, 3.0)], "pid int, x double, y double")
+        out = GJ.to_geojson_features(pts, "Point", x="x", y="y",
+                                     property_cols=["pid"]).collect()
+        f = json.loads(out[0].feature_json)
+        assert f["geometry"] == {"type": "Point", "coordinates": [2.0, 3.0]}
+        assert f["properties"]["pid"] == 1
+
+
+class TestTopoJSON:
+    def test_roundtrip_mosaic(self, spark):
+        feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        topo = TJ.export_topojson(arcs, feats, "rid", quantization=10001)
+        assert topo["type"] == "Topology"
+        assert len(topo["arcs"]) == arcs.count()
+        arcs2, feats2 = TJ.import_topojson(spark, topo)
+        assert arcs2.count() == arcs.count()
+        assert feats2.count() == 6
+        # quantized coords reconstruct on-grid coordinates within half a step
+        a0 = {r.arc_id: r for r in arcs.collect()}
+        a2 = {r.arc_id: r for r in arcs2.collect()}
+        for aid, r in a0.items():
+            for v0, v1 in zip(r.xs, a2[aid].xs):
+                assert abs(v0 - v1) < 3.0 / 10000
+
+
+class TestShapefile:
+    def test_three_points_fixture(self, spark):
+        with open(f"{REF}/three_points.shp", "rb") as f:
+            shp = f.read()
+        with open(f"{REF}/three_points.dbf", "rb") as f:
+            dbf = f.read()
+        df = SHP.import_shapefile(spark, shp, dbf)
+        rows = df.orderBy("fid").collect()
+        assert len(rows) == 3
+        assert all(r.shp_type == SHP.SHP_POINT for r in rows)
+        # known fixture content: three waterfalls
+        names = sorted(r.name for r in rows)
+        assert names == ["Iguazu Falls", "Niagara Falls", "Salto Angel"]
+        assert rows[0].x == pytest.approx(-79.0441178, abs=1e-6)
+
+    def test_two_states_fixture(self, spark):
+        with open(f"{REF}/two_states.shp", "rb") as f:
+            shp = f.read()
+        with open(f"{REF}/two_states.dbf", "rb") as f:
+            dbf = f.read()
+        df = SHP.import_shapefile(spark, shp, dbf)
+        rows = df.orderBy("fid").collect()
+        assert len(rows) == 2
+        assert all(r.shp_type == SHP.SHP_POLYGON for r in rows)
+        assert sorted(r.STATE for r in rows) == ["OR", "WA"]
+        assert sorted(r.STATE_NAME for r in rows) == ["Oregon", "Washington"]
+        # polygon ring coordinate sanity: lon/lat of the northwest US
+        for r in rows:
+            xs = [v for ring in r.rings_x for v in ring]
+            ys = [v for ring in r.rings_y for v in ring]
+            assert all(-125 < v < -116 for v in xs)
+            assert all(41 < v < 50 for v in ys)
+
+    def test_ne_admin_lines(self, spark):
+        with open(f"{REF}/ne/ne_110m_admin_0_boundary_lines_land.shp", "rb") as f:
+            shp = f.read()
+        geoms = SHP.read_shp(shp)
+        assert len(geoms) > 100
+        assert all(g["type"] == SHP.SHP_POLYLINE for g in geoms)
+
+
+class TestExpressions:
+    def test_register_and_translate(self, spark):
+        from mapshaper_spark.functions import expressions as EX
+        EX.register_geometry_functions(spark)
+        polys = L.region_mosaic_rings_local(spark, 2, 2, (0.0, 0.0, 4.0, 4.0))
+        polys.createOrReplaceTempView("polys_t")
+        sql_expr = EX.translate_proxy_expression("round($.area, 6)")
+        out = spark.sql(f"SELECT rid, {sql_expr} AS a FROM polys_t").collect()
+        assert all(r.a == 4.0 for r in out)
+        assert EX.translate_proxy_expression("$.width * 2") == "(bbox.xmax - bbox.xmin) * 2"
+
+    def test_centroid_functions(self, spark):
+        from mapshaper_spark.functions import expressions as EX
+        EX.register_geometry_functions(spark)
+        polys = L.region_mosaic_rings_local(spark, 1, 1, (0.0, 0.0, 2.0, 2.0))
+        polys.createOrReplaceTempView("one_poly")
+        r = spark.sql("SELECT ms_centroid_x(rings_x, rings_y) cx, "
+                      "ms_centroid_y(rings_x, rings_y) cy FROM one_poly").collect()[0]
+        assert (r.cx, r.cy) == (1.0, 1.0)
+
+
+class TestStreaming:
+    def test_streaming_rollup_available_now(self, spark, tmp_path):
+        from mapshaper_spark.streaming import pipeline as SP
+        src = str(tmp_path / "ev2")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(5000)
+        ev.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = SP.streaming_events_rollup(spark, src, schema)
+        q = SP.run_available_now(stream, "rollup_t")
+        got = spark.sql("SELECT sum(n) AS total FROM rollup_t").collect()[0].total
+        assert got == 5000
+        batch = (ev.groupBy(F.to_date("ts").alias("day"), "user_id", "event_type")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        a = {(r.day, r.user_id, r.event_type): r.n for r in batch.collect()}
+        b = {(r.day, r.user_id, r.event_type): r.n
+             for r in spark.sql("SELECT * FROM rollup_t").collect()}
+        assert a == b
+        q.stop()
+
+    def test_streaming_pip_tiles(self, spark, tmp_path):
+        from mapshaper_spark.streaming import pipeline as SP
+        src = str(tmp_path / "imgs")
+        imgs = L.synth_images(spark, 5000).select("id", "phash")
+        imgs.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        polys = L.region_mosaic_rings_local(spark, 6, 4, L.DEFAULT_BBOX)
+        stream = SP.streaming_pip_tiles(spark, src, schema, polys, "rid",
+                                        L.DEFAULT_BBOX, cache_token="stream-test")
+        q = SP.run_available_now(stream, "tiles_t")
+        total = spark.sql("SELECT sum(n_images) t FROM tiles_t").collect()[0].t
+        assert total == 5000  # every footprint lands in exactly one region
+        q.stop()
