@@ -27,6 +27,8 @@ def streaming_events_rollup(spark: SparkSession, path: str, schema,
                             watermark: str = "1 day",
                             window: str = "1 day") -> DataFrame:
     ev = (spark.readStream.schema(schema).parquet(path)
+          # TIMESTAMP_NTZ (parquet isoformat) is not a valid event-time type
+          .withColumn("ts", F.col("ts").cast("timestamp"))
           .withWatermark("ts", watermark))
     return (ev.groupBy(F.window("ts", window).alias("w"),
                        F.col("user_id"), F.col("event_type"))
