@@ -134,7 +134,9 @@ class TestStreaming:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(5000)
         ev.write.mode("overwrite").parquet(src)
         schema = spark.read.parquet(src).schema
-        stream = SP.streaming_events_rollup(spark, src, schema)
+        # watermark wider than the data's time span -> no rows counted late,
+        # so the drained stream must equal the batch aggregate exactly
+        stream = SP.streaming_events_rollup(spark, src, schema, watermark="3650 days")
         q = SP.run_available_now(stream, "rollup_t")
         got = spark.sql("SELECT sum(n) AS total FROM rollup_t").collect()[0].total
         assert got == 5000
