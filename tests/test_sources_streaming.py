@@ -131,15 +131,16 @@ class TestStreaming:
     def test_streaming_rollup_available_now(self, spark, tmp_path):
         from mapshaper_spark.streaming import pipeline as SP
         src = str(tmp_path / "ev2")
-        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(5000)
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         ev.write.mode("overwrite").parquet(src)
+        n_src = ev.count()
         schema = spark.read.parquet(src).schema
         # watermark wider than the data's time span -> no rows counted late,
         # so the drained stream must equal the batch aggregate exactly
         stream = SP.streaming_events_rollup(spark, src, schema, watermark="3650 days")
         q = SP.run_available_now(stream, "rollup_t")
         got = spark.sql("SELECT sum(n) AS total FROM rollup_t").collect()[0].total
-        assert got == 5000
+        assert got == n_src
         batch = (ev.groupBy(F.to_date("ts").alias("day"), "user_id", "event_type")
                  .agg(F.count(F.lit(1)).alias("n")))
         a = {(r.day, r.user_id, r.event_type): r.n for r in batch.collect()}
