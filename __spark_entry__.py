@@ -527,6 +527,98 @@ def q_subdivide(spark, sf_dir):
     return out.groupBy("split_name").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_spherical_area(spark, sf_dir):
+    """Spherical region areas via the exact reference kernel (the vertical
+    segments contribute 0, so area = dx_rad * (sin y1 - sin y0) * R^2)."""
+    _, _, polys = _mosaic_polys(spark)
+    from mapshaper_spark.functions import expressions as EX
+    EX.register_geometry_functions(spark)
+    polys.createOrReplaceTempView("__mosaic")
+    return spark.sql(
+        "SELECT rid, round(ms_spherical_area(rings_x, rings_y) / 1e9, 4) AS area_km2e3 "
+        "FROM __mosaic")
+
+
+def q_area_expr(spark, sf_dir):
+    """The -each expression surface: '$.area' translated to SQL."""
+    from mapshaper_spark.functions import expressions as EX
+    EX.register_geometry_functions(spark)
+    _, _, polys = _mosaic_polys(spark)
+    polys.createOrReplaceTempView("__mosaic2")
+    expr = EX.translate_proxy_expression("round($.area, 6)")
+    return spark.sql(f"SELECT rid, {expr} AS area, "
+                     f"{EX.translate_proxy_expression('$.width')} AS w, "
+                     f"{EX.translate_proxy_expression('$.partCount')} AS np "
+                     "FROM __mosaic2")
+
+
+def q_explode_parts(spark, sf_dir):
+    _, _, polys = _mosaic_polys(spark)
+    out = P.explode(polys.select("rid", "rings_x", "rings_y", "bbox"))
+    return out.select("rid", "part_idx", F.size("rings_x").alias("n_rings"),
+                      F.col("bbox.xmin").alias("xmin"))
+
+
+def q_filter_slivers(spark, sf_dir):
+    """Features with a hole; slivers test removes holes below min_area."""
+    df = spark.range(0, 50).select(F.col("id").cast("int").alias("fid"))
+    x0 = F.col("fid").cast("double") * F.lit(5.0)
+    s = F.lit(0.2) + F.lit(0.1) * (F.col("fid") % 5).cast("double")
+    main_x = F.array(x0, x0, x0 + 2.0, x0 + 2.0, x0)
+    main_y = F.array(F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0), F.lit(0.0))
+    hole_x = F.array(x0 + 0.5, x0 + 0.5 + s, x0 + 0.5 + s, x0 + 0.5, x0 + 0.5)
+    hole_y = F.array(F.lit(0.5), F.lit(0.5), F.lit(0.5) + s, F.lit(0.5) + s, F.lit(0.5))
+    feats = df.select(
+        "fid", F.array(main_x, hole_x).alias("rings_x"),
+        F.array(main_y, hole_y).alias("rings_y"),
+        F.struct(x0.alias("xmin"), F.lit(0.0).alias("ymin"),
+                 (x0 + 2.0).alias("xmax"), F.lit(2.0).alias("ymax")).alias("bbox"))
+    out = P.filter_slivers(feats, min_area=0.1)
+    return out.select("fid", F.size("rings_x").alias("n_rings"))
+
+
+def q_join_calc(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    src = o.join(c, o.o_custkey == c.c_custkey).withColumn(
+        "nk", F.col("c_nationkey"))
+    out = J.join_attributes(
+        n, src, ("n_nationkey", "nk"),
+        calc={"n_orders": ("count", "o_orderkey"),
+              "total": ("sum", "o_totalprice"),
+              "avg_price": ("average", "o_totalprice"),
+              "med_price": ("median", "o_totalprice")})
+    return out.select("n_nationkey", "n_name", "joins", "n_orders",
+                      F.round("total", 2).alias("total"),
+                      F.round("avg_price", 4).alias("avg_price"),
+                      F.round("med_price", 4).alias("med_price"))
+
+
+def q_data_fill(spark, sf_dir):
+    from mapshaper_spark.operators import datafill as DF_
+    feats, arcs = L.region_mosaic(spark, 6, 4, BBOX)
+    feats = feats.withColumn(
+        "val", F.when(F.col("rid") % 3 == 0, F.col("pop")).otherwise(F.lit(None)))
+    out = DF_.data_fill(feats, arcs, "rid", "val")
+    return out.select("rid", F.round("val", 2).alias("val"))
+
+
+def q_cluster(spark, sf_dir):
+    from mapshaper_spark.operators import cluster as CL
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    out = CL.cluster_points(pts, "lon", "lat", count=8)
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_simplify_spherical(spark, sf_dir):
+    arcs = _synthetic_arcs(spark, 100)
+    with_z, zlimit = SI.simplify(arcs, method="visvalingam", pct=0.5,
+                                 spherical=True)
+    kept = SI.apply_zlimit(with_z, zlimit)
+    return kept.select("arc_id", F.col("n").alias("n_kept"))
+
+
 # --- text / dedup / similarity -----------------------------------------------
 
 def q_text_metrics(spark, sf_dir):
@@ -688,6 +780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_dissolve": q_polyline_dissolve,
         "dedup_coords": q_dedup_coords,
         "subdivide": q_subdivide,
+        "spherical_area": q_spherical_area,
+        "area_expr": q_area_expr,
+        "explode_parts": q_explode_parts,
+        "filter_slivers": q_filter_slivers,
+        "join_calc": q_join_calc,
+        "data_fill": q_data_fill,
+        "cluster": q_cluster,
+        "simplify_spherical": q_simplify_spherical,
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "word_jaccard": q_word_jaccard,
@@ -1025,6 +1125,57 @@ def oracle_sql() -> dict[str, str]:
         FROM range(5) t(i)
     """
     sqls["dedup_coords"] = "SELECT i AS arc_id, 5 AS n FROM range(50) t(i)"
+
+    sqls["spherical_area"] = """
+        SELECT CAST(i AS INT) AS rid,
+               round(radians(10.0)
+                     * (sin(radians(25.0 + (i // 6 + 1) * 6.0))
+                        - sin(radians(25.0 + (i // 6) * 6.0)))
+                     * 6378137.0 * 6378137.0 / 1e9, 4) AS area_km2e3
+        FROM range(24) t(i)
+    """
+    sqls["area_expr"] = """
+        SELECT CAST(i AS INT) AS rid, 60.0 AS area, 10.0 AS w,
+               CAST(1 AS INT) AS np
+        FROM range(24) t(i)
+    """
+    sqls["explode_parts"] = """
+        SELECT CAST(i AS INT) AS rid, CAST(0 AS INT) AS part_idx, 1 AS n_rings,
+               -120.0 + (i % 6) * 10.0 AS xmin
+        FROM range(24) t(i)
+    """
+    sqls["filter_slivers"] = """
+        SELECT CAST(i AS INT) AS fid,
+               CASE WHEN i % 5 >= 2 THEN 2 ELSE 1 END AS n_rings
+        FROM range(50) t(i)
+    """
+    sqls["join_calc"] = """
+        WITH src AS (
+            SELECT o.o_orderkey, o.o_totalprice, c.c_nationkey AS nk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        agg AS (
+            SELECT nk, count(*) AS joins, count(o_orderkey) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(median(o_totalprice), 4) AS med_price
+            FROM src GROUP BY nk)
+        SELECT n_nationkey, n_name, coalesce(a.joins, 0) AS joins,
+               a.n_orders, a.total, a.avg_price, a.med_price
+        FROM nation n LEFT JOIN agg a ON n.n_nationkey = a.nk
+    """
+    # data_fill on the 6x4 mosaic, seeds at rid % 3 == 0 (columns 0 and 3 of
+    # every row): vertical neighbors of empty cells are also empty, so fills
+    # propagate horizontally: c=1 <- c=0, c=2 <- c=3, c=4 <- c=3,
+    # c=5 <- c=4 (second pass, value originally from c=3)
+    sqls["data_fill"] = """
+        SELECT CAST(i AS INT) AS rid,
+               round(CASE
+                   WHEN i % 6 IN (0, 3) THEN (i * 37) % 1000 + 100
+                   WHEN i % 6 = 1 THEN ((i - 1) * 37) % 1000 + 100
+                   ELSE ((i // 6 * 6 + 3) * 37) % 1000 + 100
+               END, 2) AS val
+        FROM range(24) t(i)
+    """
 
     stop_pat = r"\b(" + "|".join(TX.STOPWORDS) + r")\b"
     pat_en = r"\b(" + "|".join(TX.LANG_MARKERS["en"]) + r")\b"

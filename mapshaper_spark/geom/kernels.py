@@ -245,6 +245,49 @@ def _triangle_area(ax, ay, bx, by, cx, cy) -> float:
     return abs(((ay - cy) * (bx - cx) + (by - cy) * (cx - ax)) / 2.0)
 
 
+R_SPHERE = 6378137.0
+
+
+def lnglat_to_xyz(lng: np.ndarray, lat: np.ndarray, r: float = R_SPHERE):
+    """lngLatToXYZ (mapshaper-geom.js:171-179): degrees -> 3D sphere coords."""
+    d2r = math.pi / 180.0
+    lam = np.asarray(lng, dtype=np.float64) * d2r
+    phi = np.asarray(lat, dtype=np.float64) * d2r
+    cos_lat = np.cos(phi)
+    return (np.cos(lam) * cos_lat * r, np.sin(lam) * cos_lat * r, np.sin(phi) * r)
+
+
+def _det_sq(ax, ay, bx, by, cx, cy) -> float:
+    det = ax * by - ax * cy + bx * cy - bx * ay + cx * ay - cx * by
+    return det * det
+
+
+def _triangle_area_3d(ax, ay, az, bx, by, bz, cx, cy, cz) -> float:
+    """triangleArea3D (mapshaper-geom.js:271-275)."""
+    return 0.5 * math.sqrt(_det_sq(ax, ay, bx, by, cx, cy) +
+                           _det_sq(ax, az, bx, bz, cx, cz) +
+                           _det_sq(ay, az, by, bz, cy, cz))
+
+
+def _cosine_3d(ax, ay, az, bx, by, bz, cx, cy, cz) -> float:
+    """cosine3D (mapshaper-geom.js:260-268)."""
+    den = (math.sqrt((ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2) *
+           math.sqrt((bx - cx) ** 2 + (by - cy) ** 2 + (bz - cz) ** 2))
+    if den > 0:
+        cos = ((ax - bx) * (cx - bx) + (ay - by) * (cy - by) + (az - bz) * (cz - bz)) / den
+        return min(1.0, max(-1.0, cos))
+    return 0.0
+
+
+def _point_seg_dist_sq_3d(bx, by, bz, ax, ay, az, cx, cy, cz):
+    """pointSegDistSq3D (mapshaper-geom.js:308-313): point B, segment A-C.
+    Vectorized over B."""
+    ab2 = (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
+    ac2 = (ax - cx) ** 2 + (ay - cy) ** 2 + (az - cz) ** 2
+    bc2 = (bx - cx) ** 2 + (by - cy) ** 2 + (bz - cz) ** 2
+    return apex_dist_sq(ab2, bc2, ac2)
+
+
 def _cosine(ax, ay, bx, by, cx, cy) -> float:
     den = math.sqrt((ax - bx) ** 2 + (ay - by) ** 2) * math.sqrt((bx - cx) ** 2 + (by - cy) ** 2)
     if den > 0:
@@ -323,7 +366,8 @@ class _IndexedMinHeap:
         return self.n
 
 
-def visvalingam_arc(xs, ys, weighted: bool = False, weighting: float = 0.7) -> np.ndarray:
+def visvalingam_arc(xs, ys, weighted: bool = False, weighting: float = 0.7,
+                    zs=None) -> np.ndarray:
     """Per-vertex Visvalingam removal thresholds for one arc.
 
     Port of Visvalingam.getArcCalculator + scaledSimplify
@@ -332,6 +376,10 @@ def visvalingam_arc(xs, ys, weighted: bool = False, weighting: float = 0.7) -> n
     threshold below the previously removed one), optional inverse-cosine
     weighting ``(-cos*k + 1) * area``, then ``sqrt(v) * 0.65`` linearization
     of interior thresholds. Endpoints get +inf.
+
+    ``zs``: third coordinate for spherical simplification (the reference's
+    is3D path with standardMetric3D / weightedMetric3D) — pass the XYZ from
+    ``lnglat_to_xyz``.
     """
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
@@ -340,7 +388,20 @@ def visvalingam_arc(xs, ys, weighted: bool = False, weighting: float = 0.7) -> n
     if n == 0:
         return np.array([], dtype=np.float64)
 
-    if weighted:
+    if zs is not None:
+        zz = np.asarray(zs, dtype=np.float64)
+        if weighted:
+            def metric(b, c, d):
+                area = _triangle_area_3d(xs[b], ys[b], zz[b], xs[c], ys[c], zz[c],
+                                         xs[d], ys[d], zz[d])
+                cos = _cosine_3d(xs[b], ys[b], zz[b], xs[c], ys[c], zz[c],
+                                 xs[d], ys[d], zz[d])
+                return (-cos * weighting + 1.0) * area
+        else:
+            def metric(b, c, d):
+                return _triangle_area_3d(xs[b], ys[b], zz[b], xs[c], ys[c], zz[c],
+                                         xs[d], ys[d], zz[d])
+    elif weighted:
         def metric(b, c, d):
             area = _triangle_area(xs[b], ys[b], xs[c], ys[c], xs[d], ys[d])
             cos = _cosine(xs[b], ys[b], xs[c], ys[c], xs[d], ys[d])
@@ -383,16 +444,18 @@ def visvalingam_arc(xs, ys, weighted: bool = False, weighting: float = 0.7) -> n
     return out
 
 
-def douglas_peucker_arc(xs, ys) -> np.ndarray:
+def douglas_peucker_arc(xs, ys, zs=None) -> np.ndarray:
     """Per-vertex DP removal thresholds (mapshaper-dp.js:12-77).
 
     Includes the parent-threshold clamp (child max distance capped at the
     parent segment's) and the island-ring special case at depth 1.
     Iterative explicit stack (post-order) so deep arcs don't hit Python's
     recursion limit; identical arithmetic to the reference.
+    ``zs``: third coordinate -> metricSq3D (spherical path).
     """
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
+    zz = None if zs is None else np.asarray(zs, dtype=np.float64)
     n = len(xs)
     dest = np.zeros(n, dtype=np.float64)
     if n == 0:
@@ -403,7 +466,11 @@ def douglas_peucker_arc(xs, ys) -> np.ndarray:
 
     def max_dist(s: int, e: int):
         ax, ay, cx, cy = xs[s], ys[s], xs[e], ys[e]
-        seg = point_seg_dist_sq(xs[s + 1:e], ys[s + 1:e], ax, ay, cx, cy)
+        if zz is None:
+            seg = point_seg_dist_sq(xs[s + 1:e], ys[s + 1:e], ax, ay, cx, cy)
+        else:
+            seg = _point_seg_dist_sq_3d(xs[s + 1:e], ys[s + 1:e], zz[s + 1:e],
+                                        ax, ay, zz[s], cx, cy, zz[e])
         # reference keeps the *last* index attaining the max (>= comparison)
         rev_arg = len(seg) - 1 - int(np.argmax(seg[::-1]))
         return s + 1 + rev_arg, float(seg[rev_arg])

@@ -29,8 +29,12 @@ METHODS = ("visvalingam", "weighted_visvalingam", "dp")
 
 
 def compute_thresholds(arcs: DataFrame, method: str = "weighted_visvalingam",
-                       weighting: float = 0.7) -> DataFrame:
-    """Fill the ``zs`` column with per-vertex removal thresholds."""
+                       weighting: float = 0.7, spherical: bool = False) -> DataFrame:
+    """Fill the ``zs`` column with per-vertex removal thresholds.
+
+    ``spherical``: treat coords as lng/lat and simplify on the 3D unit
+    sphere (simplify.js:77-89 convLngLatToSph + 3D metrics) — thresholds
+    come out in meters-equivalent units."""
     if method not in METHODS:
         raise ValueError(f"unknown method {method}")
 
@@ -40,7 +44,16 @@ def compute_thresholds(arcs: DataFrame, method: str = "weighted_visvalingam",
             for xs, ys in zip(pdf["xs"], pdf["ys"]):
                 xa = np.asarray(xs, dtype=np.float64)
                 ya = np.asarray(ys, dtype=np.float64)
-                if method == "dp":
+                if spherical:
+                    x3, y3, z3 = K.lnglat_to_xyz(xa, ya)
+                    if method == "dp":
+                        zz = K.douglas_peucker_arc(x3, y3, zs=z3)
+                    else:
+                        zz = K.visvalingam_arc(
+                            x3, y3, zs=z3,
+                            weighted=(method == "weighted_visvalingam"),
+                            weighting=weighting)
+                elif method == "dp":
                     zz = K.douglas_peucker_arc(xa, ya)
                 else:
                     zz = K.visvalingam_arc(xa, ya,
@@ -52,6 +65,77 @@ def compute_thresholds(arcs: DataFrame, method: str = "weighted_visvalingam",
             yield pdf
 
     return arcs.mapInPandas(gen, schema=arcs.schema)
+
+
+def keep_shapes(features: DataFrame, arcs_with_zs: DataFrame,
+                key: str) -> DataFrame:
+    """-simplify keep-shapes: for each feature, protect the max-threshold
+    vertex of its LARGEST ring so no shape collapses entirely
+    (/root/reference/src/simplify/mapshaper-keep-shapes.js:4-39: largest
+    ring by absolute area; its highest-z removable vertex gets +inf).
+
+    Returns a new arcs DataFrame with the protected zs. Plan: explode
+    feature->ring->arc refs, join arc data (broadcastable), per-feature
+    pick (arc, vertex) to protect, then update the arcs via a left join +
+    JVM array transform."""
+    from mapshaper_spark.layers import absolute_arc_id_col
+
+    exploded = (features.select(key, F.posexplode("parts").alias("ring_idx", "refs"))
+                .select(key, "ring_idx", F.posexplode("refs").alias("seq", "signed"))
+                .withColumn("aid", absolute_arc_id_col(F.col("signed")).cast("long")))
+    joined = exploded.join(F.broadcast(arcs_with_zs.select(
+        F.col("arc_id").alias("aid"), "xs", "ys", "zs")), "aid")
+
+    prot_schema = T.StructType([T.StructField("aid", T.LongType()),
+                                T.StructField("vidx", T.IntegerType())])
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # largest ring by |sum of signed ring areas of its arcs|
+        best_ring, best_area = None, -1.0
+        for ring_idx, grp in pdf.groupby("ring_idx"):
+            area = 0.0
+            grp = grp.sort_values("seq")
+            xs_cat, ys_cat = [], []
+            for r in grp.itertuples():
+                xa = np.asarray(r.xs)
+                ya = np.asarray(r.ys)
+                if r.signed < 0:
+                    xa, ya = xa[::-1], ya[::-1]
+                xs_cat.append(xa)
+                ys_cat.append(ya)
+            xa = np.concatenate(xs_cat)
+            ya = np.concatenate(ys_cat)
+            area = abs(K.planar_path_area(xa, ya))
+            if area > best_area:
+                best_area = area
+                best_ring = ring_idx
+        grp = pdf[pdf["ring_idx"] == best_ring]
+        b_aid, b_vidx, b_z = None, None, -math.inf
+        for r in grp.itertuples():
+            zz = np.asarray(r.zs, dtype=np.float64)
+            interior = zz[(zz != math.inf)]
+            if len(interior) == 0:
+                continue
+            vidx = int(np.nonzero(zz == interior.max())[0][0])
+            if interior.max() > b_z:
+                b_z = float(interior.max())
+                b_aid, b_vidx = int(r.aid), vidx
+        if b_aid is None:
+            return pd.DataFrame({"aid": [], "vidx": []})
+        return pd.DataFrame({"aid": [b_aid], "vidx": [b_vidx]})
+
+    protect = (joined.groupBy(key).applyInPandas(lambda pdf: pick(pdf),
+                                                 schema=prot_schema)
+               .groupBy("aid").agg(F.collect_set("vidx").alias("protect_idx")))
+
+    out = arcs_with_zs.join(protect, arcs_with_zs.arc_id == protect.aid, "left") \
+        .drop("aid")
+    idx = F.sequence(F.lit(1), F.size("zs"))
+    new_zs = F.when(F.col("protect_idx").isNull(), F.col("zs")).otherwise(
+        F.zip_with(F.col("zs"), idx, lambda z, i:
+                   F.when(F.array_contains(F.col("protect_idx"), i - 1),
+                          F.lit(float("inf"))).otherwise(z)))
+    return out.withColumn("zs", new_zs).drop("protect_idx")
 
 
 def threshold_for_pct(arcs_with_zs: DataFrame, pct: float) -> float:
@@ -103,10 +187,12 @@ def apply_zlimit(arcs_with_zs: DataFrame, zlimit: float) -> DataFrame:
 
 def simplify(arcs: DataFrame, method: str = "weighted_visvalingam",
              pct: float = 1.0, interval: float | None = None,
-             weighting: float = 0.7, exact_rank: bool = True):
+             weighting: float = 0.7, exact_rank: bool = True,
+             spherical: bool = False):
     """Full -simplify: thresholds + retained interval. Returns
     (arcs_with_zs, zlimit); call apply_zlimit to materialize."""
-    with_z = compute_thresholds(arcs, method=method, weighting=weighting)
+    with_z = compute_thresholds(arcs, method=method, weighting=weighting,
+                                spherical=spherical)
     if interval is not None:
         zlimit = float(interval)
     elif exact_rank:
