@@ -619,6 +619,63 @@ def q_simplify_spherical(spark, sf_dir):
     return kept.select("arc_id", F.col("n").alias("n_kept"))
 
 
+def q_ring_repair(spark, sf_dir):
+    """Features with deliberately mis-wound rings: CCW outer + CW hole;
+    repair must flip both (outer -> positive, hole -> negative)."""
+    df = spark.range(0, 50).select(F.col("id").cast("int").alias("fid"))
+    x0 = F.col("fid").cast("double") * F.lit(5.0)
+    s = F.lit(0.2) + F.lit(0.1) * (F.col("fid") % 5).cast("double")
+    outer_x = F.array(x0, x0 + 2.0, x0 + 2.0, x0, x0)           # CCW (wrong)
+    outer_y = F.array(F.lit(0.0), F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0))
+    hole_x = F.array(x0 + 0.5, x0 + 0.5, x0 + 0.5 + s, x0 + 0.5 + s, x0 + 0.5)
+    hole_y = F.array(F.lit(0.5), F.lit(0.5) + s, F.lit(0.5) + s, F.lit(0.5), F.lit(0.5))  # CW (wrong)
+    feats = df.select(
+        "fid", F.array(outer_x, hole_x).alias("rings_x"),
+        F.array(outer_y, hole_y).alias("rings_y"),
+        F.struct(x0.alias("xmin"), F.lit(0.0).alias("ymin"),
+                 (x0 + 2.0).alias("xmax"), F.lit(2.0).alias("ymax")).alias("bbox"))
+    fixed = P.repair_ring_nesting(feats)
+    areas = P.ring_areas_col(fixed)
+    return areas.select(
+        "fid",
+        F.round(F.element_at("ring_areas", 1), 6).alias("outer_area"),
+        F.round(F.element_at("ring_areas", 2), 6).alias("hole_area"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return DD.char_ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.25)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, "vec_id", "embedding", _ann_query_vec(), k=10,
+                        n_lists=16, nprobe=6)
+
+
+def q_video_frame_sample(spark, sf_dir):
+    vids = spark.range(0, 20).select(
+        F.format_string("vid%04d", F.col("id")).alias("media_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        (F.lit(3000) + F.col("id") * 500).alias("duration_ms"),
+        F.lit("rawgrid").alias("fmt"))
+    out = IM.sample_video_frames(vids, every_ms=1000)
+    return out.select("media_id", "frame_idx", "ts_ms",
+                      F.length("frame_bytes").alias("frame_len"), "fmt")
+
+
+def q_audio_features(spark, sf_dir):
+    # deterministic PCM16 ramps built driver-side as binary
+    def pcm(i):
+        import struct
+        vals = [((i * 7 + j * 13) % 2001) - 1000 for j in range(256)]
+        return b"".join(struct.pack("<h", v) for v in vals)
+    rows = [(f"aud{i:03d}", pcm(i), "pcm16") for i in range(30)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    out = IM.extract_audio_features(df)
+    return out.select("media_id", "n_samples", "rms", "zero_crossings")
+
+
 # --- text / dedup / similarity -----------------------------------------------
 
 def q_text_metrics(spark, sf_dir):
@@ -780,6 +837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_dissolve": q_polyline_dissolve,
         "dedup_coords": q_dedup_coords,
         "subdivide": q_subdivide,
+        "ring_repair": q_ring_repair,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
         "spherical_area": q_spherical_area,
         "area_expr": q_area_expr,
         "explode_parts": q_explode_parts,
@@ -1126,6 +1188,47 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["dedup_coords"] = "SELECT i AS arc_id, 5 AS n FROM range(50) t(i)"
 
+    sqls["ring_repair"] = """
+        SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
+               round(-power(0.2 + 0.1 * (i % 5), 2), 6) AS hole_area
+        FROM range(50) t(i)
+    """
+    sqls["ngram_jaccard"] = """
+        WITH g AS (
+            SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
+                  FROM documents WHERE doc_id < 150)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.25
+    """
+    sqls["video_frame_sample"] = """
+        SELECT 'vid' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+               CAST(k AS INT) AS frame_idx, k * 1000 AS ts_ms,
+               781 AS frame_len, 'ppm' AS fmt
+        FROM range(20) t(i), range(15) u(k)
+        WHERE k * 1000 < 3000 + i * 500
+    """
+    sqls["audio_features"] = """
+        WITH samples AS (
+            SELECT i, j, ((i * 7 + j * 13) % 2001) - 1000 AS v
+            FROM range(30) t(i), range(256) u(j))
+        SELECT 'aud' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_id,
+               CAST(256 AS BIGINT) AS n_samples,
+               round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+               CAST(sum(CASE WHEN j > 0 AND ((v < 0) !=
+                   ((((i * 7 + (j - 1) * 13) % 2001) - 1000) < 0))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM samples GROUP BY i
+    """
     sqls["spherical_area"] = """
         SELECT CAST(i AS INT) AS rid,
                round(radians(10.0)

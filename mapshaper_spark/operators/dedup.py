@@ -217,3 +217,34 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def _ngram_set_col(text_col: str, k: int) -> F.Column:
+    """Distinct character k-grams of a string — pure JVM (sequence +
+    Column.substr + array_distinct)."""
+    n = F.length(F.col(text_col))
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(k))))
+
+
+def char_ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                             k: int = 5, threshold: float = 0.5) -> DataFrame:
+    """Exact character-k-gram (shingle) Jaccard between document pairs —
+    the exact counterpart of minhash_lsh_pairs' estimate; same explode +
+    pair-join plan as word_jaccard_pairs."""
+    grams = df.select(id_col, F.explode(_ngram_set_col(text_col, k)).alias("g"))
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col(id_col).alias("id_a"), "g")
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))
+    inter = (a.join(b, (a.g == b.g_b) & (a.id_a < b.id_b))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))

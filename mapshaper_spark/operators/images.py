@@ -202,3 +202,81 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield out
 
     return df.mapInPandas(gen, schema=df.schema)
+
+
+# ---------------------------------------------------------------------------
+# video / audio payload plumbing (decode stubbed; Spark-side shapes real)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("frame_bytes", T.BinaryType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        media_id: str = "media_id", bytes_col: str = "bytes",
+                        duration_ms: str = "duration_ms") -> DataFrame:
+    """Frame sampling over an opaque video binary column: one output row per
+    sampled timestamp. The codec is STUBBED (no av libs in this container —
+    NotImplementedError unless fmt == 'rawgrid', a deterministic fake whose
+    frame k is synth_pixels(hash(media_id)+k, 16, 16) as PPM); the Spark
+    plumbing — schema, Arrow batching, row explosion — is real and tested."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for mid, blob, dur, fmt in zip(pdf[media_id], pdf[bytes_col],
+                                           pdf[duration_ms], pdf["fmt"]):
+                if fmt != "rawgrid":
+                    raise NotImplementedError(
+                        f"video codec '{fmt}' requires an av library")
+                seed = sum(mid.encode()) if isinstance(mid, str) else int(mid)
+                for k, ts in enumerate(range(0, int(dur), every_ms)):
+                    px = synth_pixels(seed + k, 16, 16)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(ts)
+                    out["frame_bytes"].append(encode_ppm(px))
+                    out["fmt"].append("ppm")
+            yield pd.DataFrame(out)
+
+    return (df.select(media_id, bytes_col, duration_ms, "fmt")
+            .mapInPandas(gen, schema=VIDEO_FRAME_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def extract_audio_features(df: DataFrame, media_id: str = "media_id",
+                           bytes_col: str = "bytes") -> DataFrame:
+    """Audio feature extraction over an opaque PCM16-LE binary column
+    (real decode — raw PCM needs no codec): sample count, RMS, zero
+    crossings. Compressed formats raise NotImplementedError (no audio libs
+    in this container)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, blob, fmt in zip(pdf[media_id], pdf[bytes_col], pdf["fmt"]):
+                if fmt != "pcm16":
+                    raise NotImplementedError(
+                        f"audio codec '{fmt}' requires an audio library")
+                pcm = np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(pcm))
+                out["rms"].append(round(float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0, 6))
+                out["zero_crossings"].append(int(np.sum(np.abs(np.diff(np.signbit(pcm)))))
+                                             if len(pcm) > 1 else 0)
+            yield pd.DataFrame(out)
+
+    return (df.select(media_id, bytes_col, "fmt")
+            .mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA))

@@ -397,3 +397,42 @@ def clip_bbox_paths(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
                 yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return candidates.mapInPandas(gen, schema=out_schema)
+
+
+def repair_ring_nesting(df: DataFrame) -> DataFrame:
+    """Fix hole/ring winding nesting (the reference's fixNestingErrors,
+    /root/reference/src/paths/mapshaper-ring-nesting.js:8-33): a ring at even
+    containment depth must wind CW (positive signed area), odd depth CCW
+    (negative). Depth = number of *other* rings in the feature containing
+    the ring's first vertex; mis-wound rings are reversed."""
+
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rings = [(np.asarray(rx, dtype=np.float64),
+                          np.asarray(ry, dtype=np.float64))
+                         for rx, ry in zip(rec["rings_x"], rec["rings_y"])]
+                new_x, new_y = [], []
+                for i, (rx, ry) in enumerate(rings):
+                    depth = 0
+                    for j, (ox, oy) in enumerate(rings):
+                        if i == j:
+                            continue
+                        if K.points_in_ring(rx[:1], ry[:1], ox, oy)[0] == 1:
+                            depth += 1
+                    area = K.planar_path_area(rx, ry)
+                    want_cw = depth % 2 == 0
+                    if (area > 0) != want_cw and area != 0:
+                        rx, ry = rx[::-1], ry[::-1]
+                    new_x.append(rx.tolist())
+                    new_y.append(ry.tolist())
+                rec = dict(rec)
+                rec["rings_x"] = new_x
+                rec["rings_y"] = new_y
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.mapInPandas(gen, schema=df.schema)

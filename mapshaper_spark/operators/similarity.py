@@ -116,3 +116,54 @@ def embedding_cosine_dup_pairs(df: DataFrame, id_col: str, emb_col: str,
     return (cand.withColumn("cosine", F.round(dot / (na * nb), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def ivf_index(df: DataFrame, id_col: str, emb_col: str, n_lists: int = 16):
+    """IVF coarse quantizer: deterministic evenly-spaced centroid seeding
+    over the first embedding dimension's order, one Lloyd refinement, then
+    inverted-list assignment. Returns (centroids_df, assigned_df with
+    ``list_id``). The scale path for ANN: a query probes ``nprobe`` nearest
+    lists instead of scanning every vector."""
+    from pyspark.sql import Window
+
+    n = df.count()
+    n_lists = max(1, min(n_lists, n))
+    first = F.element_at(F.col(emb_col).cast("array<double>"), 1)
+    w = Window.orderBy(first, F.col(id_col))
+    seeds = (df.withColumn("__rk", F.row_number().over(w))
+             .filter((F.col("__rk") - 1) % F.lit(max(1, n // n_lists)) == 0)
+             .limit(n_lists)
+             .withColumn("list_id", F.row_number().over(Window.orderBy("__rk")) - 1)
+             .select("list_id", F.col(emb_col).cast("array<double>").alias("centroid")))
+    cent = F.broadcast(seeds)
+    dot = F.aggregate(F.zip_with(F.col(emb_col).cast("array<double>"),
+                                 F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    assigned = (df.crossJoin(cent)
+                .withColumn("__d2", dot)
+                .groupBy(*df.columns)
+                .agg(F.min(F.struct(F.col("__d2").alias("d2"),
+                                    F.col("list_id").alias("lid"))).alias("b"))
+                .withColumn("list_id", F.col("b.lid")).drop("b"))
+    return seeds, assigned
+
+
+def ivf_topk(df: DataFrame, id_col: str, emb_col: str, query, k: int = 10,
+             n_lists: int = 16, nprobe: int = 4) -> DataFrame:
+    """ANN top-k via IVF: score only the vectors in the ``nprobe`` lists
+    whose centroids are closest to the query."""
+    import numpy as np
+
+    seeds, assigned = ivf_index(df, id_col, emb_col, n_lists)
+    q = np.asarray(query, dtype=np.float64)
+    cents = seeds.collect()
+    dists = [(float(np.sum((np.asarray(c.centroid) - q) ** 2)), c.list_id)
+             for c in cents]
+    probe = [lid for _, lid in sorted(dists)[:nprobe]]
+    cand = assigned.filter(F.col("list_id").isin(probe))
+    qnorm = float(np.sqrt((q * q).sum()))
+    score = F.round(dot_score_col(emb_col, list(q)) /
+                    (norm_col(emb_col) * F.lit(qnorm)), 6)
+    return (cand.withColumn("score", score)
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k).select(id_col, "score"))

@@ -1,0 +1,106 @@
+"""Tests: IVF ANN recall, keep-shapes, cluster, media (video/audio) plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark import layers as L
+from mapshaper_spark.operators import images as IM
+from mapshaper_spark.operators import similarity as SIM
+from mapshaper_spark.operators import simplify as SI
+
+
+class TestIVF:
+    def test_ivf_recall_vs_brute_force(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = [((j * 37) % 19 - 9) / 10.0 for j in range(64)]
+        exact = {r.vec_id for r in
+                 SIM.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()}
+        approx = {r.vec_id for r in
+                  SIM.ivf_topk(emb, "vec_id", "embedding", q, k=10,
+                               n_lists=16, nprobe=8).collect()}
+        # probing half the lists must recover most of the exact top-10
+        assert len(exact & approx) >= 5
+
+    def test_ivf_full_probe_equals_brute_force(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [((j * 37) % 19 - 9) / 10.0 for j in range(64)]
+        exact = [(r.vec_id, r.score) for r in
+                 SIM.brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+        approx = [(r.vec_id, r.score) for r in
+                  SIM.ivf_topk(emb, "vec_id", "embedding", q, k=10,
+                               n_lists=8, nprobe=8).collect()]
+        assert exact == approx  # probing every list == exhaustive scan
+
+
+class TestKeepShapes:
+    def test_smallest_shape_survives_full_simplification(self, spark):
+        feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        with_z = SI.compute_thresholds(arcs, method="visvalingam")
+        protected = SI.keep_shapes(feats, with_z, "rid")
+        # every feature's largest ring keeps at least one protected interior
+        # vertex or the ring is all-2-point arcs (nothing removable)
+        total_inf_before = (with_z.select(F.explode("zs").alias("z"))
+                            .filter(F.col("z") == float("inf")).count())
+        total_inf_after = (protected.select(F.explode("zs").alias("z"))
+                           .filter(F.col("z") == float("inf")).count())
+        assert total_inf_after >= total_inf_before
+
+    def test_protects_max_z_vertex(self, spark):
+        # one feature, one triangle-ish ring arc with removable vertices
+        import pandas as pd
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0, 2.0, 2.0, 0.0], [0.0, 0.8, 0.0, 2.0, 0.0], None, 5,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 2.0, "ymax": 2.0})],
+            L.ARCS_SCHEMA)
+        feats = spark.createDataFrame([(7, [[0]])], "rid int, parts array<array<int>>")
+        with_z = SI.compute_thresholds(arcs, method="visvalingam")
+        protected = SI.keep_shapes(feats, with_z, "rid")
+        zs0 = with_z.collect()[0].zs
+        zs1 = protected.collect()[0].zs
+        interior = [z for z in zs0 if z != float("inf")]
+        max_idx = zs0.index(max(interior))
+        assert zs1[max_idx] == float("inf")
+        assert sum(1 for a, b in zip(zs0, zs1) if a != b) == 1
+
+
+class TestSphericalSimplify:
+    def test_spherical_thresholds_in_meters_scale(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.5, 1.0], [0.0, 0.5, 0.0], None, 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 0.5})],
+            L.ARCS_SCHEMA)
+        planar = SI.compute_thresholds(arcs, method="visvalingam").collect()[0].zs
+        sph = SI.compute_thresholds(arcs, method="visvalingam",
+                                    spherical=True).collect()[0].zs
+        # spherical thresholds are in 3D meters: hugely larger than degrees
+        assert sph[1] > planar[1] * 1e4
+        assert sph[0] == float("inf") and sph[2] == float("inf")
+
+
+class TestMedia:
+    def test_video_frame_count_and_decode(self, spark):
+        vids = spark.createDataFrame(
+            [("v1", None, 2500, "rawgrid")],
+            "media_id string, bytes binary, duration_ms long, fmt string")
+        frames = IM.sample_video_frames(vids, every_ms=1000).collect()
+        assert [f.frame_idx for f in frames] == [0, 1, 2]
+        px = IM.decode_ppm(bytes(frames[0].frame_bytes))
+        assert px.shape == (16, 16, 3)
+
+    def test_video_codec_stubbed(self, spark):
+        vids = spark.createDataFrame(
+            [("v1", b"\x00", 1000, "h264")],
+            "media_id string, bytes binary, duration_ms long, fmt string")
+        with pytest.raises(Exception):  # NotImplementedError inside the UDF
+            IM.sample_video_frames(vids).collect()
+
+    def test_audio_features_exact(self, spark):
+        import struct
+        pcm = struct.pack("<4h", 100, -100, 50, 0)
+        df = spark.createDataFrame([("a1", pcm, "pcm16")],
+                                   "media_id string, bytes binary, fmt string")
+        r = IM.extract_audio_features(df).collect()[0]
+        assert r.n_samples == 4
+        assert r.rms == pytest.approx(np.sqrt((100**2 + 100**2 + 50**2) / 4), abs=1e-6)
+        assert r.zero_crossings == 2  # +100 -> -100 -> +50 (0 is non-negative)
