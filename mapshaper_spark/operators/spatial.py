@@ -325,8 +325,11 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
         keep = F.col("full") | pip_inside_expr(F.col(x), F.col(y), F.col("segs"))
         return cand.filter(keep).drop("cell", "full", "segs")
 
-    cand = pip_candidates(points, x, y, polys_rings, poly_key, bbox, res,
-                          broadcast_polys=False)
+    # shuffle path (large polygon side): salted equi-join on cell so one hot
+    # cell cannot pin a single reducer (north_rule skew handling)
+    pts = points.withColumn("cell", CE.morton_col(F.col(x), F.col(y), bbox, res))
+    cover = polygon_cell_cover(polys_rings, poly_key, bbox, res)
+    cand = salted_cell_join(pts, cover).drop("cell")
     sure = cand.filter(F.col("full")).drop("full")
     maybe = cand.filter(~F.col("full")).drop("full")
     # large-polygon-set path: rings travel with the boundary candidate rows
@@ -436,6 +439,51 @@ def nearest_point_join(left: DataFrame, lx: str, ly: str, left_key: str,
             .agg(F.min(F.struct(F.col("__d2").alias("d2"), F.col(right_key).alias("rk"))).alias("b"))
             .select(left_key, F.col("b.rk").alias(right_key), F.col("b.d2").alias("dist_sq")))
     return left.join(best, left_key, "left")
+
+
+def salted_cell_join(points: DataFrame, cover: DataFrame,
+                     cell: str = "cell", n_salts: int = 8,
+                     hot_threshold: int | None = None) -> DataFrame:
+    """Skew-safe equi-join on ``cell`` for the SHUFFLE path (north_rule:
+    "salted repartitioning for hot-cell skew").
+
+    Hot cells are detected from a count over the points side (sampled at
+    scale); their point rows get a random-but-deterministic salt in
+    [0, n_salts) appended to the join key, and the cover rows for those
+    cells are replicated across every salt — the standard salted-join
+    rewrite. Cold cells join on salt 0 with no replication, so the extra
+    shuffle volume is bounded by |hot cover| * n_salts.
+
+    (The broadcast path needs no salting — a broadcast hash join has no
+    per-key partition to skew. AQE's skew-join handles residual imbalance;
+    this handles the pathological single-key case AQE cannot split further
+    because all rows share one key.)
+    """
+    counts = points.groupBy(cell).count()
+    if hot_threshold is None:
+        stats = counts.agg(F.expr("percentile(count, 0.999)").alias("p"),
+                           F.avg("count").alias("m")).collect()[0]
+        hot_threshold = max(int((stats.p or 0) * 2), int((stats.m or 0) * 16), 1000)
+    hot = counts.filter(F.col("count") >= hot_threshold).select(
+        cell, F.lit(True).alias("__hot"))
+
+    pts = points.join(F.broadcast(hot), cell, "left")
+    pts = pts.withColumn(
+        "__salt",
+        F.when(F.col("__hot").isNotNull(),
+               F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int")).drop("__hot")
+
+    cov = cover.join(F.broadcast(hot), cell, "left")
+    cov = (cov.withColumn(
+        "__salt",
+        F.when(F.col("__hot").isNotNull(),
+               F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .otherwise(F.array(F.lit(0))))
+        .withColumn("__salt", F.explode("__salt"))
+        .withColumn("__salt", F.col("__salt").cast("int")).drop("__hot"))
+
+    return pts.join(cov, [cell, "__salt"]).drop("__salt")
 
 
 def knn_join(left: DataFrame, lx: str, ly: str, left_key: str,

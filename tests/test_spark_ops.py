@@ -215,6 +215,31 @@ def test_interior_boundary_cell_classification(spark):
     assert bx.min() >= 1 and bx.max() <= 10 and by.min() >= 1 and by.max() <= 10
 
 
+def test_salted_join_matches_broadcast_path(spark):
+    """The shuffle path (salted cell join, rings-on-rows verify) must return
+    the identical pair set as the broadcast path, including a skewed input
+    where most points share one cell."""
+    import mapshaper_spark.operators.spatial as S2
+    polys = unit_square_polys(spark, [0, 1])
+    # 500 points piled into one spot (hot cell) + a grid of cold points
+    hot = spark.range(500).select(
+        F.col("id").cast("int").alias("pid"),
+        F.lit(0.31).alias("x"), F.lit(0.47).alias("y"))
+    cold = spark.range(500, 600).select(
+        F.col("id").cast("int").alias("pid"),
+        ((F.col("id") % 13).cast("double") / 6.0).alias("x"),
+        ((F.col("id") % 7).cast("double") / 3.5).alias("y"))
+    pts = hot.unionByName(cold)
+    bcast = S2.pip_join(pts, "x", "y", polys, "rid", bbox=UNIT, res=4,
+                        broadcast_polys=True)
+    shuf = S2.pip_join(pts, "x", "y", polys, "rid", bbox=UNIT, res=4,
+                       broadcast_polys=False)
+    a = sorted((r.pid, r.rid) for r in bcast.collect())
+    b = sorted((r.pid, r.rid) for r in shuf.collect())
+    assert a == b
+    assert len(a) >= 1000  # hot points hit both congruent squares
+
+
 class TestAttributes:
     def test_uniq_keeps_first_by_order(self, spark):
         df = spark.createDataFrame(
