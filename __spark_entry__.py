@@ -352,6 +352,12 @@ def q_innerlines(spark, sf_dir):
         F.col("key_b").cast("int").alias("key_b"))
 
 
+def q_lines(spark, sf_dir):
+    feats, _ = L.region_mosaic(spark, 6, 4, BBOX)
+    return D.lines(feats, "state").select(
+        F.col("aid").cast("int").alias("aid"), "line_type", "key_a", "key_b")
+
+
 def q_neighbors(spark, sf_dir):
     feats, _ = L.region_mosaic(spark, 6, 4, BBOX)
     return D.polygon_neighbors(feats, "rid").select(
@@ -821,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_precision": q_round_precision,
         "dissolve_states": q_dissolve_states,
         "innerlines": q_innerlines,
+        "lines": q_lines,
         "neighbors": q_neighbors,
         "points_centroid": q_points_centroid,
         "points_vertices": q_points_vertices,
@@ -1062,6 +1069,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(30 + r * 7 + c AS INT) AS aid,
                CAST(r * 6 + c - 1 AS INT) AS key_a, CAST(r * 6 + c AS INT) AS key_b
         FROM range(0, 4) t(r), range(1, 6) u(c)
+    """
+    # 6x4 mosaic arc ids: horizontal = r*6+c (r 0..4), vertical = 30+r*7+c
+    # (r 0..3, c 0..6); states = 3x2-cell blocks -> boundaries at r=2 / c=3
+    sqls["lines"] = """
+        -- horizontal arc r*6+c separates cell rows (r-1) and r
+        WITH h AS (
+            SELECT r, c,
+                   'S' || CAST((greatest(r - 1, 0) // 2) * 2 + (c // 3) AS VARCHAR) AS s_below,
+                   'S' || CAST((least(r, 3) // 2) * 2 + (c // 3) AS VARCHAR) AS s_above
+            FROM range(5) t(r), range(6) u(c)),
+        v AS (
+            SELECT r, c,
+                   'S' || CAST((r // 2) * 2 + (greatest(c - 1, 0) // 3) AS VARCHAR) AS s_left,
+                   'S' || CAST((r // 2) * 2 + (least(c, 5) // 3) AS VARCHAR) AS s_right
+            FROM range(4) t(r), range(7) u(c))
+        SELECT CAST(r * 6 + c AS INT) AS aid,
+               CASE WHEN r IN (0, 4) THEN 'outer'
+                    WHEN s_below != s_above THEN 'state' ELSE 'inner' END AS line_type,
+               least(s_below, s_above) AS key_a,
+               CASE WHEN r IN (0, 4) THEN NULL
+                    ELSE greatest(s_below, s_above) END AS key_b
+        FROM h
+        UNION ALL
+        SELECT CAST(30 + r * 7 + c AS INT) AS aid,
+               CASE WHEN c IN (0, 6) THEN 'outer'
+                    WHEN s_left != s_right THEN 'state' ELSE 'inner' END AS line_type,
+               least(s_left, s_right) AS key_a,
+               CASE WHEN c IN (0, 6) THEN NULL
+                    ELSE greatest(s_left, s_right) END AS key_b
+        FROM v
     """
     sqls["neighbors"] = """
         SELECT CAST((r - 1) * 6 + c AS INT) AS key_a, CAST(r * 6 + c AS INT) AS key_b

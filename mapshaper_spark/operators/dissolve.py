@@ -181,3 +181,29 @@ def polygon_neighbors(features: DataFrame, key: str) -> DataFrame:
     """-neighbors pairs (mapshaper-polygon-neighbors.js:3-21): distinct
     (a, b) feature pairs sharing at least one arc, a < b."""
     return innerlines(features, key).select("key_a", "key_b").distinct()
+
+
+def lines(features: DataFrame, group_key: str) -> DataFrame:
+    """-lines (mapshaper-innerlines.js api.lines via getArcClassifier):
+    classify every arc by its flanking features — 'outer' (referenced by one
+    feature), '<field>' boundary (two features with different group values),
+    or 'inner' (two features, same group value). Returns
+    (aid, line_type, key_a, key_b)."""
+    exploded = (
+        features.select(group_key, F.explode("parts").alias("refs"))
+        .select(group_key, F.explode("refs").alias("signed"))
+        .withColumn("aid", absolute_arc_id_col(F.col("signed")))
+    )
+    sides = (exploded.groupBy("aid")
+             .agg(F.collect_list(group_key).alias("ks"),
+                  F.count(F.lit(1)).alias("n_refs")))
+    two = F.col("n_refs") == 2
+    ka = F.array_min("ks")
+    kb = F.array_max("ks")
+    return (sides.filter(F.col("n_refs") <= 2)
+            .select("aid",
+                    F.when(~two, F.lit("outer"))
+                     .when(ka != kb, F.lit(group_key))
+                     .otherwise(F.lit("inner")).alias("line_type"),
+                    ka.alias("key_a"),
+                    F.when(two, kb).alias("key_b")))
