@@ -625,6 +625,30 @@ def q_simplify_spherical(spark, sf_dir):
     return kept.select("arc_id", F.col("n").alias("n_kept"))
 
 
+def q_clip_polygons(spark, sf_dir):
+    """Rect-clip the mosaic polygons; clipped area must equal the exact
+    rectangle intersection."""
+    _, _, polys = _mosaic_polys(spark)
+    clipped = P.clip_polygons_bbox(polys.select("rid", "rings_x", "rings_y", "bbox"),
+                                   (-115.0, 28.0, -85.0, 40.0))
+    areas = P.ring_areas_col(clipped)
+    return areas.select(
+        "rid", F.round(F.aggregate("ring_areas", F.lit(0.0),
+                                   lambda a, v: a + v), 6).alias("area"))
+
+
+def q_slice_grid(spark, sf_dir):
+    """-slice by a 4x4 polygon grid: one row per (region, cell) with the
+    clipped area — vector tile assignment with exact geometry."""
+    _, _, polys = _mosaic_polys(spark)
+    sliced = P.slice_by_grid(polys.select("rid", "rings_x", "rings_y", "bbox"),
+                             4, 4, BBOX)
+    areas = P.ring_areas_col(sliced)
+    return areas.select(
+        "rid", "cell_row", "cell_col",
+        F.round(F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v), 6).alias("area"))
+
+
 def q_ring_repair(spark, sf_dir):
     """Features with deliberately mis-wound rings: CCW outer + CW hole;
     repair must flip both (outer -> positive, hole -> negative)."""
@@ -844,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_dissolve": q_polyline_dissolve,
         "dedup_coords": q_dedup_coords,
         "subdivide": q_subdivide,
+        "clip_polygons": q_clip_polygons,
+        "slice_grid": q_slice_grid,
         "ring_repair": q_ring_repair,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1225,6 +1251,37 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["dedup_coords"] = "SELECT i AS arc_id, 5 AS n FROM range(50) t(i)"
 
+    sqls["clip_polygons"] = """
+        WITH r AS (
+            SELECT CAST(i AS INT) AS rid,
+                   -120.0 + (i % 6) * 10.0 AS x0, 25.0 + (i // 6) * 6.0 AS y0,
+                   -120.0 + (i % 6 + 1) * 10.0 AS x1, 25.0 + (i // 6 + 1) * 6.0 AS y1
+            FROM range(24) t(i))
+        SELECT rid,
+               round((least(x1, -85.0) - greatest(x0, -115.0))
+                     * (least(y1, 40.0) - greatest(y0, 28.0)), 6) AS area
+        FROM r
+        WHERE least(x1, -85.0) > greatest(x0, -115.0)
+          AND least(y1, 40.0) > greatest(y0, 28.0)
+    """
+    sqls["slice_grid"] = """
+        WITH r AS (
+            SELECT CAST(i AS INT) AS rid,
+                   -120.0 + (i % 6) * 10.0 AS x0, 25.0 + (i // 6) * 6.0 AS y0,
+                   -120.0 + (i % 6 + 1) * 10.0 AS x1, 25.0 + (i // 6 + 1) * 6.0 AS y1
+            FROM range(24) t(i)),
+        g AS (
+            SELECT CAST(gr AS INT) AS cell_row, CAST(gc AS INT) AS cell_col,
+                   -120.0 + gc * 15.0 AS gx0, 25.0 + gr * 6.0 AS gy0,
+                   -120.0 + (gc + 1) * 15.0 AS gx1, 25.0 + (gr + 1) * 6.0 AS gy1
+            FROM range(4) t(gr), range(4) u(gc))
+        SELECT rid, cell_row, cell_col,
+               round((least(x1, gx1) - greatest(x0, gx0))
+                     * (least(y1, gy1) - greatest(y0, gy0)), 6) AS area
+        FROM r, g
+        WHERE least(x1, gx1) > greatest(x0, gx0)
+          AND least(y1, gy1) > greatest(y0, gy0)
+    """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
                round(-power(0.2 + 0.1 * (i % 5), 2), 6) AS hole_area

@@ -436,3 +436,147 @@ def repair_ring_nesting(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=out_cols)
 
     return df.mapInPandas(gen, schema=df.schema)
+
+
+def _sutherland_hodgman(rx, ry, bbox):
+    """Clip one ring against an axis-aligned rect (exact for rect clips; the
+    convex-clip core of -clip's bbox fast path,
+    /root/reference/src/clipping/mapshaper-bbox-clipping.js). Returns the
+    clipped closed ring (possibly empty)."""
+    xmin, ymin, xmax, ymax = bbox
+    pts = list(zip(rx, ry))
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur = points[i]
+            prev = points[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    def ix(p, q, x):  # intersection with vertical line
+        t = (x - p[0]) / (q[0] - p[0])
+        return (x, p[1] + (q[1] - p[1]) * t)
+
+    def iy(p, q, y):
+        t = (y - p[1]) / (q[1] - p[1])
+        return (p[0] + (q[0] - p[0]) * t, y)
+
+    pts = clip_edge(pts, lambda p: p[0] >= xmin, lambda p, q: ix(p, q, xmin))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[0] <= xmax, lambda p, q: ix(p, q, xmax))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] >= ymin, lambda p, q: iy(p, q, ymin))
+    if pts:
+        pts = clip_edge(pts, lambda p: p[1] <= ymax, lambda p, q: iy(p, q, ymax))
+    if len(pts) < 3:
+        return [], []
+    pts.append(pts[0])
+    return [p[0] for p in pts], [p[1] for p in pts]
+
+
+def clip_polygons_bbox(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
+    """-clip with a rectangular clip layer, applied to polygon features:
+    every ring (outer and hole alike — Sutherland-Hodgman preserves the
+    winding, so holes stay holes) is clipped to the rect; features clipped
+    to nothing are dropped. Features wholly inside pass through untouched
+    via a pure-JVM bbox predicate, so the Python stage only sees boundary
+    features — the same interior-shortcut shape as the PIP join."""
+    xmin, ymin, xmax, ymax = bbox
+    b = F.col("bbox")
+    touches = ((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
+               (b["ymin"] <= ymax) & (b["ymax"] >= ymin))
+    inside_all = ((b["xmin"] >= xmin) & (b["xmax"] <= xmax) &
+                  (b["ymin"] >= ymin) & (b["ymax"] <= ymax))
+    untouched = df.filter(touches & inside_all)
+    boundary = df.filter(touches & ~inside_all)
+
+    out_cols = [f.name for f in df.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                new_x, new_y = [], []
+                for rx, ry in zip(rec["rings_x"], rec["rings_y"]):
+                    cx, cy = _sutherland_hodgman(rx, ry, bbox)
+                    if cx:
+                        new_x.append(cx)
+                        new_y.append(cy)
+                if new_x:
+                    rec = dict(rec)
+                    rec["rings_x"] = new_x
+                    rec["rings_y"] = new_y
+                    allx = np.concatenate([np.asarray(r) for r in new_x])
+                    ally = np.concatenate([np.asarray(r) for r in new_y])
+                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return untouched.unionByName(boundary.mapInPandas(gen, schema=df.schema))
+
+
+def slice_by_grid(df: DataFrame, cols: int, rows: int,
+                  bbox: Sequence[float]) -> DataFrame:
+    """-slice with a polygon-grid clip layer: every feature is clipped by
+    every intersecting grid cell, producing one row per (feature, cell) —
+    the vector side of raster<->vector tile assignment
+    (/root/reference/src/commands/mapshaper-clip-erase.js:29-31 slice).
+    Adds cell_id/cell_row/cell_col columns."""
+    xmin, ymin, xmax, ymax = bbox
+    w = (xmax - xmin) / cols
+    h = (ymax - ymin) / rows
+    b = F.col("bbox")
+    c0 = F.greatest(F.lit(0), F.least(F.lit(cols - 1),
+                                      F.floor((b["xmin"] - xmin) / F.lit(w)))).cast("int")
+    c1 = F.greatest(F.lit(0), F.least(F.lit(cols - 1),
+                                      F.floor((b["xmax"] - xmin) / F.lit(w) - F.lit(1e-12)))).cast("int")
+    r0 = F.greatest(F.lit(0), F.least(F.lit(rows - 1),
+                                      F.floor((b["ymin"] - ymin) / F.lit(h)))).cast("int")
+    r1 = F.greatest(F.lit(0), F.least(F.lit(rows - 1),
+                                      F.floor((b["ymax"] - ymin) / F.lit(h) - F.lit(1e-12)))).cast("int")
+    cand = (df.withColumn("cell_row", F.explode(F.sequence(r0, r1)))
+            .withColumn("cell_col", F.explode(F.sequence(c0, c1))))
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField("cell_row", T.IntegerType()),
+                               T.StructField("cell_col", T.IntegerType())])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows_out = []
+            for rec in pdf.to_dict("records"):
+                cx0 = xmin + rec["cell_col"] * w
+                cy0 = ymin + rec["cell_row"] * h
+                cell = (cx0, cy0, cx0 + w, cy0 + h)
+                new_x, new_y = [], []
+                for rx, ry in zip(rec["rings_x"], rec["rings_y"]):
+                    sx, sy = _sutherland_hodgman(rx, ry, cell)
+                    if sx:
+                        new_x.append(sx)
+                        new_y.append(sy)
+                if new_x:
+                    rec = dict(rec)
+                    rec["rings_x"] = new_x
+                    rec["rings_y"] = new_y
+                    allx = np.concatenate([np.asarray(r) for r in new_x])
+                    ally = np.concatenate([np.asarray(r) for r in new_y])
+                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+                    rows_out.append(rec)
+            if rows_out:
+                yield pd.DataFrame(rows_out, columns=out_cols)
+
+    return cand.mapInPandas(gen, schema=out_schema)

@@ -182,3 +182,27 @@ class TestProj:
         p = PR.project_points(pts, "x", "y").collect()[0]
         assert out.xs[0] == pytest.approx(p.x, rel=1e-12)
         assert out.ys[0] == pytest.approx(p.y, rel=1e-12)
+
+
+class TestPolygonClip:
+    def test_rect_clip_with_hole(self, spark):
+        df = _holey_feature(spark)
+        from mapshaper_spark.operators.paths import clip_polygons_bbox, ring_areas_col
+        # clip rect cuts through both the outer square and the hole
+        out = ring_areas_col(clip_polygons_bbox(df, (0.0, 0.0, 2.0, 4.0))).collect()
+        assert len(out) == 1  # island at x>=10 clipped away
+        areas = out[0].ring_areas
+        # outer 4x4 clipped to 2x4 = 8; hole 2x2 clipped to half = -2
+        assert sorted(round(a, 9) for a in areas) == [-2.0, 8.0]
+
+    def test_wholly_inside_feature_untouched_jvm_path(self, spark):
+        df = _holey_feature(spark)
+        from mapshaper_spark.operators.paths import clip_polygons_bbox
+        out = clip_polygons_bbox(df, (-100.0, -100.0, 100.0, 100.0)).collect()
+        assert len(out) == 1
+        assert out[0].rings_x == _holey_feature(spark).collect()[0].rings_x
+
+    def test_disjoint_clip_drops_feature(self, spark):
+        df = _holey_feature(spark)
+        from mapshaper_spark.operators.paths import clip_polygons_bbox
+        assert clip_polygons_bbox(df, (50.0, 50.0, 60.0, 60.0)).count() == 0
