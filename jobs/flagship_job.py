@@ -13,6 +13,11 @@ pipeline is unchanged (stage fns receive DataFrames).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# plain-python fallback; under spark-submit --py-files the zip provides this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
