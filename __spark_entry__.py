@@ -497,7 +497,8 @@ def q_segment_intersections(spark, sf_dir):
         (F.col("id") + 10).alias("arc_id"),
         F.array(F.col("id").cast("double"), F.col("id").cast("double")).alias("xs"),
         F.array(F.lit(0.0), F.lit(9.0)).alias("ys"))
-    return TP.find_segment_intersections(horiz.unionByName(vert), n_stripes=8)
+    return TP.find_segment_intersections(horiz.unionByName(vert), n_stripes=8) \
+        .select("x", "y", "arc_a", "arc_b")
 
 
 def q_polyline_dissolve(spark, sf_dir):

@@ -232,18 +232,20 @@ def find_segment_intersections(arcs: DataFrame, n_stripes: int = 32,
     out_schema = T.StructType([
         T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
         T.StructField("arc_a", T.LongType()), T.StructField("arc_b", T.LongType()),
+        T.StructField("seg_a", T.LongType()), T.StructField("seg_b", T.LongType()),
     ])
+    cols = ["x", "y", "arc_a", "arc_b", "seg_a", "seg_b"]
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["x", "y", "arc_a", "arc_b"])
+            return pd.DataFrame(columns=cols)
         ax = pdf["ax"].to_numpy(float); ay = pdf["ay"].to_numpy(float)
         bx = pdf["bx"].to_numpy(float); by = pdf["by"].to_numpy(float)
         aid = pdf["arc_id"].to_numpy(np.int64)
         seg_i = pdf["i"].to_numpy(np.int64)
         xmin = np.minimum(ax, bx); xmax = np.maximum(ax, bx)
         order = np.argsort(xmin, kind="stable")
-        xs_out, ys_out, aa, bb = [], [], [], []
+        xs_out, ys_out, aa, bb, sa, sb = [], [], [], [], [], []
         m = len(order)
         for oi in range(m):
             i = order[oi]
@@ -257,13 +259,17 @@ def find_segment_intersections(arcs: DataFrame, n_stripes: int = 32,
                 p = _seg_intersection(ax[i], ay[i], bx[i], by[i],
                                       ax[j], ay[j], bx[j], by[j])
                 if p is not None:
+                    first = (aid[i], seg_i[i]) <= (aid[j], seg_i[j])
+                    ii, jj = (i, j) if first else (j, i)
                     xs_out.append(p[0]); ys_out.append(p[1])
-                    aa.append(min(aid[i], aid[j])); bb.append(max(aid[i], aid[j]))
-        return pd.DataFrame({"x": xs_out, "y": ys_out, "arc_a": aa, "arc_b": bb})
+                    aa.append(aid[ii]); bb.append(aid[jj])
+                    sa.append(seg_i[ii]); sb.append(seg_i[jj])
+        return pd.DataFrame({"x": xs_out, "y": ys_out, "arc_a": aa,
+                             "arc_b": bb, "seg_a": sa, "seg_b": sb})
 
     hits = (striped.groupBy("stripe")
             .applyInPandas(lambda pdf: sweep(pdf), schema=out_schema))
-    return hits.dropDuplicates(["x", "y", "arc_a", "arc_b"])
+    return hits.dropDuplicates(cols)
 
 
 def _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):

@@ -104,3 +104,43 @@ class TestMedia:
         assert r.n_samples == 4
         assert r.rms == pytest.approx(np.sqrt((100**2 + 100**2 + 50**2) / 4), abs=1e-6)
         assert r.zero_crossings == 2  # +100 -> -100 -> +50 (0 is non-negative)
+
+
+class TestPostSimplifyRepair:
+    def test_unwinds_simplification_intersection(self, spark):
+        from mapshaper_spark import layers as L2
+        # arc 0: prominent corner peak; arc 1: path dodging over the peak.
+        # At zlimit=2 the dodge vertex is removed -> straight line cuts the
+        # peak (2 intersections); repair must re-add the dodge vertex.
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 5.0, 10.0], [0.0, 5.5, 0.0], None, 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 10.0, "ymax": 5.5}),
+             (1, [0.0, 5.0, 10.0], [5.0, 5.8, 5.0], None, 3,
+              {"xmin": 0.0, "ymin": 5.0, "xmax": 10.0, "ymax": 5.8})],
+            L2.ARCS_SCHEMA)
+        with_z = SI.compute_thresholds(arcs, method="visvalingam")
+        zlimit = 2.0
+        from mapshaper_spark.operators.topology import find_segment_intersections
+        before = find_segment_intersections(
+            SI.apply_zlimit(with_z, zlimit).select("arc_id", "xs", "ys"),
+            same_arc=True)
+        assert before.count() == 2  # straight arc 1 cuts the peak twice
+
+        repaired = SI.post_simplify_repair(with_z, zlimit)
+        after_arcs = SI.apply_zlimit(repaired, zlimit)
+        after = find_segment_intersections(
+            after_arcs.select("arc_id", "xs", "ys"), same_arc=True)
+        assert after.count() == 0
+        ns = {r.arc_id: r.n for r in after_arcs.collect()}
+        assert ns[1] == 3  # dodge vertex re-added
+        assert ns[0] == 3  # peak never removed
+
+    def test_clean_input_unchanged(self, spark):
+        from mapshaper_spark import layers as L2
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 5.0, 10.0], [0.0, 0.2, 0.0], None, 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 10.0, "ymax": 0.2})],
+            L2.ARCS_SCHEMA)
+        with_z = SI.compute_thresholds(arcs, method="dp")
+        repaired = SI.post_simplify_repair(with_z, 10.0)
+        assert repaired.collect()[0].zs == with_z.collect()[0].zs
