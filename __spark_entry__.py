@@ -650,6 +650,26 @@ def q_slice_grid(spark, sf_dir):
         F.round(F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v), 6).alias("area"))
 
 
+def q_clip_diamond(spark, sf_dir):
+    """General (non-rect) polygon clip: mosaic regions clipped by a diamond
+    centered on a 4-region corner. Oracle areas hand-derived: each quadrant
+    of the 200-unit diamond splits 42/8 across the two rows it spans."""
+    from mapshaper_spark.operators import overlay as OV
+    _, _, polys = _mosaic_polys(spark)
+    diamond = spark.createDataFrame(
+        [(1, [[-100.0, -90.0, -80.0, -90.0, -100.0]],
+          [[37.0, 47.0, 37.0, 27.0, 37.0]],
+          {"xmin": -100.0, "ymin": 27.0, "xmax": -80.0, "ymax": 47.0})],
+        "cid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    clipped = OV.clip_polygons(polys.select("rid", "rings_x", "rings_y", "bbox"),
+                               diamond)
+    areas = P.ring_areas_col(clipped)
+    return areas.select(
+        "rid", F.round(F.aggregate("ring_areas", F.lit(0.0),
+                                   lambda a, v: a + v), 6).alias("area"))
+
+
 def q_ring_repair(spark, sf_dir):
     """Features with deliberately mis-wound rings: CCW outer + CW hole;
     repair must flip both (outer -> positive, hole -> negative)."""
@@ -870,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_coords": q_dedup_coords,
         "subdivide": q_subdivide,
         "clip_polygons": q_clip_polygons,
+        "clip_diamond": q_clip_diamond,
         "slice_grid": q_slice_grid,
         "ring_repair": q_ring_repair,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1282,6 +1303,11 @@ def oracle_sql() -> dict[str, str]:
         FROM r, g
         WHERE least(x1, gx1) > greatest(x0, gx0)
           AND least(y1, gy1) > greatest(y0, gy0)
+    """
+    sqls["clip_diamond"] = """
+        SELECT * FROM (VALUES
+            (2, 8.0), (3, 8.0), (8, 42.0), (9, 42.0),
+            (14, 42.0), (15, 42.0), (20, 8.0), (21, 8.0)) v(rid, area)
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,

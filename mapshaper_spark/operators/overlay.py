@@ -1,0 +1,289 @@
+"""Polygon overlay: general polygon-by-polygon clip (intersection) and
+erase (difference).
+
+Architecture mirrors the reference's clip pipeline
+(/root/reference/src/commands/mapshaper-clip-erase.js:13,39-93 ->
+addIntersectionCuts -> pathfinding,
+/root/reference/src/clipping/mapshaper-polygon-clipping.js:10-99):
+
+  1. cut: find all target x clip segment intersections and insert them as
+     vertices into both ring sets (the reference's addIntersectionCuts);
+  2. classify: each sub-arc (maximal piece between consecutive cut points)
+     is inside/outside the other polygon by testing its midpoint with the
+     exact even-odd ray cast (boundary counts as inside — on-shared-edge
+     sub-arcs are deduplicated);
+  3. stitch: walk chosen sub-arcs by endpoint matching into closed output
+     rings (same walk as dissolve pass 2).
+
+Distribution: candidate (target, clip) pairs via bbox/cell pruning with the
+clip side broadcast; each pair's overlay runs as one vectorized-numpy task
+inside an Arrow-batched pandas UDF — bounded by the pair's vertex count,
+exactly like the reference's per-shape pathfinder.
+
+Known limitation (documented): vertex-grazing tangencies that touch without
+crossing can produce degenerate zero-area rings, which are dropped; the
+reference resolves these through its snap + route-flag machinery and can
+differ on such inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapshaper_spark.geom import kernels as K
+
+
+def _cut_rings(rings_a, rings_b):
+    """Insert every A x B intersection point into both ring sets. Returns
+    (new_rings_a, new_rings_b); each ring is (xs, ys) numpy closed."""
+    cuts_a = [dict() for _ in rings_a]  # seg_idx -> list of t
+    cuts_b = [dict() for _ in rings_b]
+    for ia, (ax, ay) in enumerate(rings_a):
+        for ib, (bx, by) in enumerate(rings_b):
+            _collect_cuts(ax, ay, bx, by, cuts_a[ia], cuts_b[ib])
+    return ([_apply_cuts(rx, ry, c) for (rx, ry), c in zip(rings_a, cuts_a)],
+            [_apply_cuts(rx, ry, c) for (rx, ry), c in zip(rings_b, cuts_b)])
+
+
+def _collect_cuts(ax, ay, bx, by, cuts_a, cuts_b):
+    """All intersections between segment lists of ring A and ring B. The
+    intersection POINT is computed once and inserted bit-identically into
+    both rings (cut-point identity is what lets sub-arcs be matched by
+    exact coordinates, like the reference's snapped cut vertices)."""
+    a0x, a0y = ax[:-1], ay[:-1]
+    a1x, a1y = ax[1:], ay[1:]
+    b0x, b0y = bx[:-1], by[:-1]
+    b1x, b1y = bx[1:], by[1:]
+    for i in range(len(a0x)):
+        d1x = a1x[i] - a0x[i]
+        d1y = a1y[i] - a0y[i]
+        d2x = b1x - b0x
+        d2y = b1y - b0y
+        den = d1x * d2y - d1y * d2x
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((b0x - a0x[i]) * d2y - (b0y - a0y[i]) * d2x) / den
+            u = ((b0x - a0x[i]) * d1y - (b0y - a0y[i]) * d1x) / den
+        ok = (den != 0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        for j in np.nonzero(ok)[0]:
+            tv = float(t[j])
+            uv = float(u[j])
+            px = float(a0x[i] + d1x * tv)
+            py = float(a0y[i] + d1y * tv)
+            if 0.0 < tv < 1.0:
+                cuts_a.setdefault(i, []).append((tv, px, py))
+            if 0.0 < uv < 1.0:
+                cuts_b.setdefault(int(j), []).append((uv, px, py))
+
+
+def _apply_cuts(rx, ry, cuts):
+    if not cuts:
+        return np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64)
+    xs_out, ys_out = [], []
+    n = len(rx)
+    for i in range(n - 1):
+        xs_out.append(rx[i])
+        ys_out.append(ry[i])
+        for t, px, py in sorted(set(cuts.get(i, []))):
+            if (px, py) != (xs_out[-1], ys_out[-1]):
+                xs_out.append(px)
+                ys_out.append(py)
+    if (rx[-1], ry[-1]) != (xs_out[-1], ys_out[-1]) or len(xs_out) == 1:
+        xs_out.append(rx[-1])
+        ys_out.append(ry[-1])
+    return np.asarray(xs_out, dtype=np.float64), np.asarray(ys_out, dtype=np.float64)
+
+
+def _sub_arcs(rings, cut_points):
+    """Split each (cut-inserted) ring at any vertex in ``cut_points`` into
+    maximal sub-arcs. An uncut ring is returned whole (closed)."""
+    out = []
+    for rx, ry in rings:
+        idx = [i for i in range(len(rx) - 1)
+               if (rx[i], ry[i]) in cut_points]
+        if not idx:
+            out.append((rx, ry))
+            continue
+        s = idx[0]
+        rrx = np.concatenate([rx[s:-1], rx[:s + 1]])
+        rry = np.concatenate([ry[s:-1], ry[:s + 1]])
+        bounds = [i for i in range(len(rrx))
+                  if (rrx[i], rry[i]) in cut_points]
+        if bounds[-1] != len(rrx) - 1:
+            bounds.append(len(rrx) - 1)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b > a:
+                out.append((rrx[a:b + 1], rry[a:b + 1]))
+    return out
+
+
+def _arc_inside(arc, rings):
+    """Classify a sub-arc by its midpoint vs a ring set (boundary=inside)."""
+    xs, ys = arc
+    k = (len(xs) - 1) // 2
+    mx = (xs[k] + xs[k + 1]) / 2.0
+    my = (ys[k] + ys[k + 1]) / 2.0
+    return bool(K.points_in_polygon(np.array([mx]), np.array([my]), rings)[0])
+
+
+def _arc_key(arc):
+    xs, ys = arc
+    fwd = tuple(xs.tolist()) + tuple(ys.tolist())
+    rev = tuple(xs[::-1].tolist()) + tuple(ys[::-1].tolist())
+    return min(fwd, rev)
+
+
+def _stitch(arcs):
+    """Walk sub-arcs into closed rings by endpoint matching; drop zero-area
+    degenerates."""
+    used = [False] * len(arcs)
+    by_start = {}
+    for i, (xs, ys) in enumerate(arcs):
+        by_start.setdefault((xs[0], ys[0]), []).append(i)
+        by_start.setdefault((xs[-1], ys[-1]), []).append(i)
+    rings = []
+    for i in range(len(arcs)):
+        if used[i]:
+            continue
+        used[i] = True
+        cx = list(arcs[i][0])
+        cy = list(arcs[i][1])
+        while (cx[0], cy[0]) != (cx[-1], cy[-1]):
+            end = (cx[-1], cy[-1])
+            cands = [k for k in by_start.get(end, []) if not used[k]]
+            if not cands:
+                break
+            k = cands[0]
+            used[k] = True
+            kx, ky = arcs[k]
+            if (kx[0], ky[0]) != end:
+                kx, ky = kx[::-1], ky[::-1]
+            cx.extend(kx[1:].tolist())
+            cy.extend(ky[1:].tolist())
+        if (cx[0], cy[0]) == (cx[-1], cy[-1]) and len(cx) >= 4:
+            if K.planar_path_area(np.asarray(cx), np.asarray(cy)) != 0.0:
+                rings.append((cx, cy))
+    return rings
+
+
+def overlay_rings(rings_t, rings_c, op: str = "clip"):
+    """Core kernel: overlay two ring sets.
+
+    op='clip':  keep T pieces inside C + C pieces inside T (intersection);
+    op='erase': keep T pieces outside C + C pieces inside T, reversed
+                (difference; clip pieces become hole boundaries)."""
+    cut_t, cut_c = _cut_rings(rings_t, rings_c)
+    cut_points = set()
+    for rx, ry in cut_t:
+        cut_points.update(zip(rx.tolist(), ry.tolist()))
+    cut_points2 = set()
+    for rx, ry in cut_c:
+        cut_points2.update(zip(rx.tolist(), ry.tolist()))
+    shared = cut_points & cut_points2
+
+    arcs_t = _sub_arcs(cut_t, shared)
+    arcs_c = _sub_arcs(cut_c, shared)
+
+    keep = []
+    seen = set()
+    for arc in arcs_t:
+        inside = _arc_inside(arc, rings_c)
+        if (op == "clip") == inside:
+            k = _arc_key(arc)
+            if k not in seen:
+                seen.add(k)
+                keep.append(arc)
+    for arc in arcs_c:
+        if _arc_inside(arc, rings_t):
+            k = _arc_key(arc)
+            if k not in seen:
+                seen.add(k)
+                if op == "erase":
+                    keep.append((arc[0][::-1], arc[1][::-1]))
+                else:
+                    keep.append(arc)
+    return _normalize_winding(_stitch(keep))
+
+
+def _normalize_winding(rings):
+    """Orient output rings by containment depth (even depth = CW/positive,
+    odd = hole/negative) — the stitch walks arcs in arbitrary direction, so
+    winding is re-derived exactly like repair_ring_nesting."""
+    out = []
+    np_rings = [(np.asarray(rx), np.asarray(ry)) for rx, ry in rings]
+    for i, (rx, ry) in enumerate(np_rings):
+        depth = 0
+        for j, (ox, oy) in enumerate(np_rings):
+            if i == j:
+                continue
+            if K.points_in_ring(rx[:1], ry[:1], ox, oy)[0] == 1:
+                depth += 1
+        area = K.planar_path_area(rx, ry)
+        want_cw = depth % 2 == 0
+        if (area > 0) != want_cw and area != 0:
+            rx, ry = rx[::-1], ry[::-1]
+        out.append((rx.tolist(), ry.tolist()))
+    return out
+
+
+def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
+                  erase: bool = False) -> DataFrame:
+    """-clip / -erase on polygon feature layers (rings_x/rings_y + bbox).
+    The clip layer is collected and broadcast (small side, like the
+    reference's single clip dataset); candidate pairs are pruned by bbox
+    before the per-feature overlay kernel runs."""
+    spark = target.sparkSession
+    clip_rows = clip.select("rings_x", "rings_y", "bbox").collect()
+    clip_rings = [(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
+                  for r in clip_rows for rx, ry in zip(r.rings_x, r.rings_y)]
+    cb = clip_rows[0].bbox if clip_rows else None
+    cxmin = min(r.bbox["xmin"] for r in clip_rows)
+    cymin = min(r.bbox["ymin"] for r in clip_rows)
+    cxmax = max(r.bbox["xmax"] for r in clip_rows)
+    cymax = max(r.bbox["ymax"] for r in clip_rows)
+    bc = spark.sparkContext.broadcast(clip_rings)
+
+    b = F.col("bbox")
+    touches = ((b["xmin"] <= cxmax) & (b["xmax"] >= cxmin) &
+               (b["ymin"] <= cymax) & (b["ymax"] >= cymin))
+    if erase:
+        # features not touching the clip bbox pass through unchanged
+        pass_through = target.filter(~touches)
+        cand = target.filter(touches)
+    else:
+        pass_through = None
+        cand = target.filter(touches)
+
+    out_cols = [f.name for f in target.schema.fields]
+    op = "erase" if erase else "clip"
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings_c = bc.value
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rings_t = [(np.asarray(rx, dtype=np.float64),
+                            np.asarray(ry, dtype=np.float64))
+                           for rx, ry in zip(rec["rings_x"], rec["rings_y"])]
+                rings = overlay_rings(rings_t, rings_c, op=op)
+                if rings:
+                    rec = dict(rec)
+                    rec["rings_x"] = [r[0] for r in rings]
+                    rec["rings_y"] = [r[1] for r in rings]
+                    allx = np.concatenate([np.asarray(r) for r in rec["rings_x"]])
+                    ally = np.concatenate([np.asarray(r) for r in rec["rings_y"]])
+                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    out = cand.mapInPandas(gen, schema=target.schema)
+    if pass_through is not None:
+        out = out.unionByName(pass_through)
+    return out

@@ -1,0 +1,116 @@
+"""Polygon overlay (general clip/erase) kernel + operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark.geom import kernels as K
+from mapshaper_spark.operators.overlay import overlay_rings, clip_polygons
+
+
+def ring(points):
+    xs = [float(p[0]) for p in points] + [float(points[0][0])]
+    ys = [float(p[1]) for p in points] + [float(points[0][1])]
+    return (np.array(xs), np.array(ys))
+
+
+def rect(x0, y0, x1, y1):
+    return ring([(x0, y0), (x0, y1), (x1, y1), (x1, y0)])
+
+
+def total_area(rings):
+    return sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+               for rx, ry in rings)
+
+
+class TestOverlayKernel:
+    def test_rect_rect_intersection(self):
+        out = overlay_rings([rect(0, 0, 4, 4)], [rect(2, 2, 6, 6)], "clip")
+        assert len(out) == 1
+        assert total_area(out) == pytest.approx(4.0)  # 2x2 overlap
+
+    def test_rect_rect_erase(self):
+        out = overlay_rings([rect(0, 0, 4, 4)], [rect(2, 2, 6, 6)], "erase")
+        assert total_area(out) == pytest.approx(12.0)  # 16 - 4
+
+    def test_clip_contained_returns_clip(self):
+        out = overlay_rings([rect(0, 0, 10, 10)], [rect(2, 2, 4, 4)], "clip")
+        assert total_area(out) == pytest.approx(4.0)
+
+    def test_erase_contained_makes_hole(self):
+        out = overlay_rings([rect(0, 0, 10, 10)], [rect(2, 2, 4, 4)], "erase")
+        assert len(out) == 2
+        assert total_area(out) == pytest.approx(96.0)  # 100 - 4 (hole negative)
+        areas = sorted(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                       for rx, ry in out)
+        assert areas[0] == pytest.approx(-4.0)
+        assert areas[1] == pytest.approx(100.0)
+
+    def test_disjoint_clip_empty(self):
+        assert overlay_rings([rect(0, 0, 1, 1)], [rect(5, 5, 6, 6)], "clip") == []
+
+    def test_disjoint_erase_unchanged(self):
+        out = overlay_rings([rect(0, 0, 1, 1)], [rect(5, 5, 6, 6)], "erase")
+        assert total_area(out) == pytest.approx(1.0)
+
+    def test_congruent_rings(self):
+        out = overlay_rings([rect(0, 0, 2, 2)], [rect(0, 0, 2, 2)], "clip")
+        assert total_area(out) == pytest.approx(4.0)
+
+    def test_concave_L_clip(self):
+        # L-shape: 4x4 square minus its top-right 2x2 quadrant
+        L = ring([(0, 0), (0, 4), (2, 4), (2, 2), (4, 2), (4, 0)])
+        out = overlay_rings([L], [rect(1, 1, 3, 3)], "clip")
+        # overlap: [1,3]x[1,2] + [1,2]x[2,3] = 2 + 1 = 3
+        assert total_area(out) == pytest.approx(3.0)
+
+    def test_clip_splits_into_two_pieces(self):
+        # U-shape clipped by a band across its two prongs -> 2 rings
+        U = ring([(0, 0), (0, 4), (1, 4), (1, 1), (3, 1), (3, 4), (4, 4), (4, 0)])
+        out = overlay_rings([U], [rect(-1, 2, 5, 5)], "clip")
+        assert len(out) == 2
+        assert total_area(out) == pytest.approx(2 * 1 * 2.0)
+
+    def test_triangle_square_overlap(self):
+        tri = ring([(0, 0), (4, 0), (2, 4)])
+        # orientation: make CW-positive (area sign irrelevant, use abs)
+        out = overlay_rings([tri], [rect(0, 0, 4, 2)], "clip")
+        got = abs(total_area(out))
+        # triangle area below y=2: full (8) minus tip above y=2 (area 2) = 6
+        # note triangle here is CCW; kernel normalizes winding, compare abs
+        assert got == pytest.approx(6.0)
+
+    def test_hole_in_target_respected(self):
+        outer = rect(0, 0, 6, 6)
+        hole = ring([(2, 2), (4, 2), (4, 4), (2, 4)])  # CCW hole
+        out = overlay_rings([outer, hole], [rect(1, 1, 5, 5)], "clip")
+        # (4x4 clip window) minus (2x2 hole) = 12
+        assert total_area(out) == pytest.approx(12.0)
+
+
+class TestClipOperator:
+    def test_mosaic_clipped_by_diamond(self, spark):
+        from mapshaper_spark import layers as L
+        polys = L.region_mosaic_rings_local(spark, 6, 4, L.DEFAULT_BBOX) \
+            .select("rid", "rings_x", "rings_y", "bbox")
+        diamond = spark.createDataFrame(
+            [(1, [[-100.0, -90.0, -80.0, -90.0, -100.0]],
+              [[37.0, 47.0, 37.0, 27.0, 37.0]],
+              {"xmin": -100.0, "ymin": 27.0, "xmax": -80.0, "ymax": 47.0})],
+            "cid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+            "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        clipped = clip_polygons(polys, diamond)
+        from mapshaper_spark.operators.paths import ring_areas_col
+        rows = ring_areas_col(clipped).select(
+            "rid", F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v)
+            .alias("area")).collect()
+        total = sum(r.area for r in rows)
+        # diamond area = d1*d2/2 = 20*20/2 = 200; mosaic covers it fully
+        assert total == pytest.approx(200.0, abs=1e-6)
+        # clip + erase partition each feature's area exactly
+        erased = clip_polygons(polys, diamond, erase=True)
+        rows_e = ring_areas_col(erased).select(
+            "rid", F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v)
+            .alias("area")).collect()
+        total_e = sum(r.area for r in rows_e)
+        assert total + total_e == pytest.approx(60.0 * 24, abs=1e-6)
