@@ -670,6 +670,25 @@ def q_clip_diamond(spark, sf_dir):
                                    lambda a, v: a + v), 6).alias("area"))
 
 
+def q_erase_diamond(spark, sf_dir):
+    """Complement of clip_diamond: per-region area after erasing the diamond
+    must be 60 minus the clipped area (exact partition)."""
+    from mapshaper_spark.operators import overlay as OV
+    _, _, polys = _mosaic_polys(spark)
+    diamond = spark.createDataFrame(
+        [(1, [[-100.0, -90.0, -80.0, -90.0, -100.0]],
+          [[37.0, 47.0, 37.0, 27.0, 37.0]],
+          {"xmin": -100.0, "ymin": 27.0, "xmax": -80.0, "ymax": 47.0})],
+        "cid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    erased = OV.clip_polygons(polys.select("rid", "rings_x", "rings_y", "bbox"),
+                              diamond, erase=True)
+    areas = P.ring_areas_col(erased)
+    return areas.select(
+        "rid", F.round(F.aggregate("ring_areas", F.lit(0.0),
+                                   lambda a, v: a + v), 6).alias("area"))
+
+
 def q_ring_repair(spark, sf_dir):
     """Features with deliberately mis-wound rings: CCW outer + CW hole;
     repair must flip both (outer -> positive, hole -> negative)."""
@@ -891,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdivide": q_subdivide,
         "clip_polygons": q_clip_polygons,
         "clip_diamond": q_clip_diamond,
+        "erase_diamond": q_erase_diamond,
         "slice_grid": q_slice_grid,
         "ring_repair": q_ring_repair,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1308,6 +1328,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM (VALUES
             (2, 8.0), (3, 8.0), (8, 42.0), (9, 42.0),
             (14, 42.0), (15, 42.0), (20, 8.0), (21, 8.0)) v(rid, area)
+    """
+    sqls["erase_diamond"] = """
+        WITH clip(rid, a) AS (VALUES
+            (2, 8.0), (3, 8.0), (8, 42.0), (9, 42.0),
+            (14, 42.0), (15, 42.0), (20, 8.0), (21, 8.0))
+        SELECT CAST(i AS INT) AS rid, 60.0 - coalesce(a, 0.0) AS area
+        FROM range(24) t(i) LEFT JOIN clip ON clip.rid = i
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
