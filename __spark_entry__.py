@@ -488,6 +488,16 @@ def q_topology_build(spark, sf_dir):
         F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"), "n")
 
 
+def q_polygons_from_lines(spark, sf_dir):
+    """-polygons: rebuild the 24 mosaic faces from the bare line network."""
+    feats, arcs = L.region_mosaic(spark, 6, 4, BBOX)
+    faces = TP.polygons_from_lines(arcs)
+    return faces.select(
+        F.col("comp").cast("int").alias("comp"),
+        F.round("area", 6).alias("area"),
+        F.array_min("xs").alias("xmin"), F.array_min("ys").alias("ymin"))
+
+
 def q_segment_intersections(spark, sf_dir):
     horiz = spark.range(0, 10).select(
         F.col("id").alias("arc_id"),
@@ -904,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_webmercator": q_proj_webmercator,
         "knn_k3": q_knn_k3,
         "topology_build": q_topology_build,
+        "polygons_from_lines": q_polygons_from_lines,
         "segment_intersections": q_segment_intersections,
         "polyline_dissolve": q_polyline_dissolve,
         "dedup_coords": q_dedup_coords,
@@ -1280,6 +1291,11 @@ def oracle_sql() -> dict[str, str]:
                               (-70.0, 25.0, -60.0, 31.0, 3),
                               (-120.0, 43.0, -110.0, 49.0, 3),
                               (-70.0, 49.0, -60.0, 43.0, 3)) v(x0, y0, x1, y1, n)
+    """
+    sqls["polygons_from_lines"] = """
+        SELECT 0 AS comp, 60.0 AS area,
+               -120.0 + c * 10.0 AS xmin, 25.0 + r * 6.0 AS ymin
+        FROM range(4) t(r), range(6) u(c)
     """
     sqls["segment_intersections"] = """
         SELECT CAST(j AS DOUBLE) AS x, CAST(i AS DOUBLE) AS y,

@@ -384,3 +384,121 @@ def dedup_arc_coords(arcs: DataFrame) -> DataFrame:
             .withColumn("ys", F.transform("__keep", lambda i: F.element_at("ys", i)))
             .withColumn("n", F.size("xs"))
             .drop("__keep"))
+
+
+# ---------------------------------------------------------------------------
+# -polygons: build polygon faces from a polyline network
+# ---------------------------------------------------------------------------
+
+def label_components(arcs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Connected-component label per arc (label = min arc_id in component),
+    via iterative label propagation through shared endpoints — the standard
+    a few-rounds-of-joins connectivity plan. Returns (arc_id, comp)."""
+    ends = arcs.select(
+        "arc_id",
+        F.explode(F.array(
+            F.struct(F.element_at("xs", 1).alias("nx"), F.element_at("ys", 1).alias("ny")),
+            F.struct(F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
+        )).alias("node")).select("arc_id", "node.nx", "node.ny")
+    labels = arcs.select("arc_id", F.col("arc_id").alias("comp"))
+    for _ in range(max_iter):
+        lb = ends.join(labels, "arc_id")
+        node_min = lb.groupBy("nx", "ny").agg(F.min("comp").alias("node_comp"))
+        new_labels = (ends.join(node_min, ["nx", "ny"])
+                      .groupBy("arc_id").agg(F.min("node_comp").alias("comp")))
+        changed = (new_labels.alias("n").join(labels.alias("o"), "arc_id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def polygons_from_lines(arcs: DataFrame) -> DataFrame:
+    """-polygons (/root/reference/src/commands/mapshaper-polygons.js:3):
+    build the enclosed faces of a planar line network. Distributed as
+    component labeling (joins) + per-component half-edge face walk
+    (applyInPandas; a face walk is inherently sequential per component,
+    bounded by component size — same envelope as the reference's mosaic).
+
+    Face convention: at each node the walk takes the next half-edge
+    clockwise from the reversed incoming edge, yielding interior faces
+    once each; the unbounded outer face (negative area) is dropped.
+    Returns (comp, face_idx, xs, ys, area)."""
+    labels = label_components(arcs)
+    b = arcs.join(labels, "arc_id")
+
+    out_schema = T.StructType([
+        T.StructField("comp", T.LongType()),
+        T.StructField("face_idx", T.IntegerType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        comp = int(pdf["comp"].iloc[0])
+        arcs_l = [(np.asarray(r.xs, dtype=np.float64),
+                   np.asarray(r.ys, dtype=np.float64)) for r in pdf.itertuples()]
+        # half-edge h = (arc_idx, dir); dir 0 = forward (start->end)
+        outgoing: dict[tuple, list] = {}
+
+        def h_start(a, d):
+            xs, ys = arcs_l[a]
+            return (xs[0], ys[0]) if d == 0 else (xs[-1], ys[-1])
+
+        def h_angle(a, d):
+            xs, ys = arcs_l[a]
+            if d == 0:
+                return math.atan2(ys[1] - ys[0], xs[1] - xs[0])
+            return math.atan2(ys[-2] - ys[-1], xs[-2] - xs[-1])
+
+        halves = [(a, d) for a in range(len(arcs_l)) for d in (0, 1)]
+        for h in halves:
+            outgoing.setdefault(h_start(*h), []).append(h)
+        for node, hs in outgoing.items():
+            hs.sort(key=lambda h: h_angle(*h))
+
+        used = set()
+        faces = []
+        for h0 in halves:
+            if h0 in used:
+                continue
+            face = []
+            h = h0
+            fx: list[float] = []
+            fy: list[float] = []
+            while h not in used:
+                used.add(h)
+                face.append(h)
+                a, d = h
+                xs, ys = arcs_l[a]
+                if d == 1:
+                    xs, ys = xs[::-1], ys[::-1]
+                if fx:
+                    xs, ys = xs[1:], ys[1:]
+                fx.extend(xs.tolist())
+                fy.extend(ys.tolist())
+                # arrive at end node via h; continue with the next half-edge
+                # clockwise from reverse(h)
+                rev = (a, 1 - d)
+                node = h_start(*rev)
+                hs = outgoing[node]
+                i = hs.index(rev)
+                h = hs[(i + 1) % len(hs)]
+            if (fx[0], fy[0]) == (fx[-1], fy[-1]) and len(fx) >= 4:
+                from mapshaper_spark.geom import kernels as KK
+                area = KK.planar_path_area(np.asarray(fx), np.asarray(fy))
+                if area > 0:
+                    faces.append((fx, fy, area))
+        faces.sort(key=lambda f: (-f[2], f[0][0]))
+        return pd.DataFrame({
+            "comp": pd.Series([comp] * len(faces), dtype="int64"),
+            "face_idx": pd.Series(range(len(faces)), dtype="int32"),
+            "xs": pd.Series([f[0] for f in faces], dtype=object),
+            "ys": pd.Series([f[1] for f in faces], dtype=object),
+            "area": pd.Series([f[2] for f in faces], dtype="float64"),
+        })
+
+    return b.groupBy("comp").applyInPandas(walk, schema=out_schema)

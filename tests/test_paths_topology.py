@@ -206,3 +206,28 @@ class TestPolygonClip:
         df = _holey_feature(spark)
         from mapshaper_spark.operators.paths import clip_polygons_bbox
         assert clip_polygons_bbox(df, (50.0, 50.0, 60.0, 60.0)).count() == 0
+
+
+class TestPolygonsFromLines:
+    def test_mosaic_faces_rebuilt(self, spark):
+        feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        faces = TP.polygons_from_lines(arcs).collect()
+        assert len(faces) == 6
+        assert all(abs(r.area - 1.0) < 1e-12 for r in faces)
+
+    def test_two_components(self, spark):
+        # two disjoint triangles -> 2 components, 1 face each
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0, 0.5, 0.0], [0.0, 0.0, 1.0, 0.0]),
+             (1, [5.0, 6.0, 5.5, 5.0], [0.0, 0.0, 1.0, 0.0])],
+            "arc_id long, xs array<double>, ys array<double>")
+        faces = TP.polygons_from_lines(arcs).collect()
+        assert len(faces) == 2
+        assert {r.comp for r in faces} == {0, 1}
+        assert all(abs(r.area - 0.5) < 1e-12 for r in faces)
+
+    def test_open_dangle_produces_no_face(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0], [0.0, 0.0])],
+            "arc_id long, xs array<double>, ys array<double>")
+        assert TP.polygons_from_lines(arcs).count() == 0
