@@ -699,6 +699,15 @@ def q_erase_diamond(spark, sf_dir):
                                    lambda a, v: a + v), 6).alias("area"))
 
 
+def q_dissolve2(spark, sf_dir):
+    """Overlap-safe dissolve (mosaic-based) of the mosaic by state."""
+    from mapshaper_spark.operators import overlay as OV
+    _, _, polys = _mosaic_polys(spark)
+    out = OV.dissolve2(polys.select("state", "rings_x", "rings_y"), "state")
+    return out.select("state", F.round("area", 6).alias("area"),
+                      F.size("rings_x").alias("n_rings"))
+
+
 def q_ring_repair(spark, sf_dir):
     """Features with deliberately mis-wound rings: CCW outer + CW hole;
     repair must flip both (outer -> positive, hole -> negative)."""
@@ -922,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_polygons": q_clip_polygons,
         "clip_diamond": q_clip_diamond,
         "erase_diamond": q_erase_diamond,
+        "dissolve2": q_dissolve2,
         "slice_grid": q_slice_grid,
         "ring_repair": q_ring_repair,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1351,6 +1361,10 @@ def oracle_sql() -> dict[str, str]:
             (14, 42.0), (15, 42.0), (20, 8.0), (21, 8.0))
         SELECT CAST(i AS INT) AS rid, 60.0 - coalesce(a, 0.0) AS area
         FROM range(24) t(i) LEFT JOIN clip ON clip.rid = i
+    """
+    sqls["dissolve2"] = """
+        SELECT 'S' || CAST(i AS VARCHAR) AS state, 360.0 AS area, 1 AS n_rings
+        FROM range(4) t(i)
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,

@@ -287,3 +287,203 @@ def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
     if pass_through is not None:
         out = out.unionByName(pass_through)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mosaic / dissolve2 / clean (overlap-safe dissolve)
+# ---------------------------------------------------------------------------
+
+def _cut_all_rings(ring_sets):
+    """Cut every ring against every ring of every OTHER set (and itself is
+    unnecessary for simple rings). ring_sets: list of lists of (xs, ys).
+    Returns the flat list of cut rings (set structure no longer needed) and
+    the per-set cut rings."""
+    flat = [(si, ri, rx, ry)
+            for si, rings in enumerate(ring_sets)
+            for ri, (rx, ry) in enumerate(rings)]
+    cuts = [dict() for _ in flat]
+    for a in range(len(flat)):
+        for b in range(a + 1, len(flat)):
+            if flat[a][0] == flat[b][0]:
+                continue  # same feature: assume non-self-intersecting
+            _collect_cuts(flat[a][2], flat[a][3], flat[b][2], flat[b][3],
+                          cuts[a], cuts[b])
+    out_sets = [[] for _ in ring_sets]
+    for (si, ri, rx, ry), c in zip(flat, cuts):
+        out_sets[si].append(_apply_cuts(rx, ry, c))
+    return out_sets
+
+
+def _faces_from_subarcs(arcs):
+    """Planar faces of a set of sub-arcs (the half-edge smallest-turn walk,
+    same as topology.polygons_from_lines): returns [(xs, ys, area>0)]."""
+    import math
+
+    outgoing: dict = {}
+
+    def h_start(a, d):
+        xs, ys = arcs[a]
+        return (xs[0], ys[0]) if d == 0 else (xs[-1], ys[-1])
+
+    def h_angle(a, d):
+        xs, ys = arcs[a]
+        if d == 0:
+            return math.atan2(ys[1] - ys[0], xs[1] - xs[0])
+        return math.atan2(ys[-2] - ys[-1], xs[-2] - xs[-1])
+
+    halves = [(a, d) for a in range(len(arcs)) for d in (0, 1)]
+    for h in halves:
+        outgoing.setdefault(h_start(*h), []).append(h)
+    for node, hs in outgoing.items():
+        hs.sort(key=lambda h: h_angle(*h))
+
+    used = set()
+    faces = []
+    for h0 in halves:
+        if h0 in used:
+            continue
+        h = h0
+        fx: list[float] = []
+        fy: list[float] = []
+        while h not in used:
+            used.add(h)
+            a, d = h
+            xs, ys = arcs[a]
+            if d == 1:
+                xs, ys = xs[::-1], ys[::-1]
+            if fx:
+                xs, ys = xs[1:], ys[1:]
+            fx.extend(np.asarray(xs).tolist())
+            fy.extend(np.asarray(ys).tolist())
+            rev = (a, 1 - d)
+            node = h_start(*rev)
+            hs = outgoing[node]
+            i = hs.index(rev)
+            h = hs[(i + 1) % len(hs)]
+        if len(fx) >= 4 and (fx[0], fy[0]) == (fx[-1], fy[-1]):
+            area = K.planar_path_area(np.asarray(fx), np.asarray(fy))
+            if area > 0:
+                faces.append((fx, fy, area))
+    return faces
+
+
+def _face_sample_point(fx, fy):
+    """A point strictly inside a positively-wound (CW, y-up) simple face:
+    midpoint of its longest edge nudged toward the interior (right side of
+    the directed edge), with the nudge validated by a ray cast."""
+    xs = np.asarray(fx)
+    ys = np.asarray(fy)
+    dx = xs[1:] - xs[:-1]
+    dy = ys[1:] - ys[:-1]
+    lens = np.hypot(dx, dy)
+    order = np.argsort(-lens)
+    diag = max(xs.max() - xs.min(), ys.max() - ys.min())
+    for i in order[:8]:
+        if lens[i] == 0:
+            continue
+        mx = (xs[i] + xs[i + 1]) / 2.0
+        my = (ys[i] + ys[i + 1]) / 2.0
+        nx = dy[i] / lens[i]
+        ny = -dx[i] / lens[i]
+        for eps in (1e-9, 1e-7, 1e-5):
+            px = mx + nx * eps * diag
+            py = my + ny * eps * diag
+            if K.points_in_ring(np.array([px]), np.array([py]), xs, ys)[0] == 1:
+                return px, py
+    return float(xs.mean()), float(ys.mean())  # fallback
+
+
+def mosaic_rings(ring_sets):
+    """The arrangement mosaic of several features' ring sets: indivisible
+    faces + per-face membership flags (which input features cover the face).
+    Mirrors the reference's mosaic construction
+    (/root/reference/src/topology/mapshaper-polygon-mosaic.js:65+)."""
+    cut_sets = _cut_all_rings(ring_sets)
+    cut_points = {}
+    all_rings = [r for rings in cut_sets for r in rings]
+    counts: dict = {}
+    for rx, ry in all_rings:
+        for p in zip(rx.tolist(), ry.tolist()):
+            counts[p] = counts.get(p, 0) + 1
+    shared = {p for p, c in counts.items() if c > 1}
+    arcs = _sub_arcs(all_rings, shared)
+    faces = _faces_from_subarcs(arcs)
+    out = []
+    for fx, fy, area in faces:
+        px, py = _face_sample_point(fx, fy)
+        member = [bool(K.points_in_polygon(np.array([px]), np.array([py]), rings)[0])
+                  for rings in ring_sets]
+        out.append((fx, fy, area, member))
+    return out
+
+
+def _merge_faces(faces):
+    """Union of a set of positively-wound faces that share edges exactly:
+    cancel edges appearing twice, stitch the remainder, fix winding."""
+    edge_count: dict = {}
+    for fx, fy, *_ in faces:
+        for i in range(len(fx) - 1):
+            key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+            edge_count[key] = edge_count.get(key, 0) + 1
+    arcs = []
+    for fx, fy, *_ in faces:
+        for i in range(len(fx) - 1):
+            key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+            if edge_count[key] == 1:
+                arcs.append((np.array([fx[i], fx[i + 1]]),
+                             np.array([fy[i], fy[i + 1]])))
+    return _normalize_winding(_stitch(arcs))
+
+
+def dissolve2_rings(ring_sets, groups):
+    """-dissolve2 / -clean semantics at the kernel level: mosaic the
+    arrangement, assign each face to the group covering it (overlap-safe:
+    a face covered by several features of different groups goes to the
+    group of the covering feature with the LARGEST total ring area — the
+    reference's max-weight assignment, mapshaper-polygon-dissolve3.js:38-182);
+    uncovered faces (gaps/holes) are dropped; each group's faces merge into
+    rings. Returns {group: rings}."""
+    areas = [abs(sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                     for rx, ry in rings)) for rings in ring_sets]
+    out: dict = {}
+    for fx, fy, area, member in mosaic_rings(ring_sets):
+        best = None
+        for i, m in enumerate(member):
+            if m and (best is None or areas[i] > areas[best]):
+                best = i
+        if best is None:
+            continue
+        out.setdefault(groups[best], []).append((fx, fy, area))
+    return {g: _merge_faces(fs) for g, fs in out.items()}
+
+
+def dissolve2(features: DataFrame, group: str) -> DataFrame:
+    """Distributed -dissolve2: groupBy-collect each dissolve group's
+    overlap-cluster... at this layer, groups are processed independently
+    (applyInPandas per group; features of one group rarely overlap features
+    of another in the dissolve2 use-case — cross-group overlaps resolve by
+    max-weight within the mosaic of each group's cluster)."""
+    out_schema = T.StructType([
+        features.schema[group],
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group].iloc[0]
+        ring_sets = [[(np.asarray(rx, dtype=np.float64),
+                       np.asarray(ry, dtype=np.float64))
+                      for rx, ry in zip(r.rings_x, r.rings_y)]
+                     for r in pdf.itertuples()]
+        merged = dissolve2_rings(ring_sets, [g] * len(ring_sets)).get(g, [])
+        area = sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                   for rx, ry in merged)
+        return pd.DataFrame({
+            group: pd.Series([g], dtype=object),
+            "rings_x": pd.Series([[r[0] for r in merged]], dtype=object),
+            "rings_y": pd.Series([[r[1] for r in merged]], dtype=object),
+            "area": pd.Series([area], dtype="float64"),
+        })
+
+    return features.groupBy(group).applyInPandas(merge, schema=out_schema)

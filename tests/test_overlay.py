@@ -114,3 +114,63 @@ class TestClipOperator:
             .alias("area")).collect()
         total_e = sum(r.area for r in rows_e)
         assert total + total_e == pytest.approx(60.0 * 24, abs=1e-6)
+
+
+class TestMosaicDissolve2:
+    def test_mosaic_of_two_overlapping_squares(self):
+        from mapshaper_spark.operators.overlay import mosaic_rings
+        faces = mosaic_rings([[rect(0, 0, 2, 2)], [rect(1, 1, 3, 3)]])
+        # arrangement: left-L, overlap, right-L -> 3 faces
+        assert len(faces) == 3
+        by_member = {}
+        for fx, fy, area, member in faces:
+            by_member[tuple(member)] = round(area, 9)
+        assert by_member[(True, False)] == 3.0
+        assert by_member[(True, True)] == 1.0
+        assert by_member[(False, True)] == 3.0
+
+    def test_dissolve2_union_of_overlaps(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        feats = spark.createDataFrame(
+            [("g", [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+             ("g", [[1.0, 1.0, 3.0, 3.0, 1.0]], [[1.0, 3.0, 3.0, 1.0, 1.0]])],
+            "grp string, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = dissolve2(feats, "grp").collect()
+        assert len(out) == 1
+        assert out[0].area == pytest.approx(7.0)  # 4 + 4 - 1 overlap
+        assert len(out[0].rings_x) == 1
+
+    def test_dissolve2_disjoint_two_rings(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        feats = spark.createDataFrame(
+            [("g", [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+             ("g", [[5.0, 5.0, 7.0, 7.0, 5.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]])],
+            "grp string, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = dissolve2(feats, "grp").collect()
+        assert len(out) == 1
+        assert out[0].area == pytest.approx(8.0)
+        assert len(out[0].rings_x) == 2
+
+    def test_dissolve2_adjacent_cells_like_v1(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        from mapshaper_spark import layers as L
+        polys = L.region_mosaic_rings_local(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        out = dissolve2(polys.select("state", "rings_x", "rings_y"), "state") \
+            .collect()
+        # 3x2 mosaic with 3x2 state blocks -> 1 state covering everything
+        assert len(out) == 1
+        assert out[0].area == pytest.approx(6.0)
+        assert len(out[0].rings_x) == 1
+
+    def test_overlap_assignment_to_larger_feature(self):
+        from mapshaper_spark.operators.overlay import dissolve2_rings
+        big = [rect(0, 0, 4, 4)]
+        small = [rect(3, 3, 5, 5)]
+        merged = dissolve2_rings([big, small], ["A", "B"])
+        import numpy as np
+        area_a = sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                     for rx, ry in merged["A"])
+        area_b = sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                     for rx, ry in merged["B"])
+        assert area_a == pytest.approx(16.0)   # overlap goes to the big one
+        assert area_b == pytest.approx(3.0)    # 4 - 1
