@@ -155,3 +155,58 @@ class TestTwoStatesJoin:
         assert got["Oregon"].joins == 1
         assert got["Washington"].POP2010 == 6724540
         assert got["Washington"].SUB_REGION == "Pacific"
+
+
+class TestSimplifyParity:
+    def test_planar_0pct_removes_all_removable(self, spark):
+        # simplify-test.js "-simplify planar 0%": 5-pt line -> endpoints only
+        from mapshaper_spark.operators import simplify as SI
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.1, 0.0, 0.0], [0.0, 1.0, 1.1, 1.2, 2.0], None, 5,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 0.1, "ymax": 2.0})],
+            "arc_id long, xs array<double>, ys array<double>, zs array<double>, "
+            "n int, bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        with_z, zlimit = SI.simplify(arcs, method="weighted_visvalingam", pct=0.0)
+        out = SI.apply_zlimit(with_z, zlimit).collect()[0]
+        assert list(zip(out.xs, out.ys)) == [(0.0, 0.0), (0.0, 2.0)]
+
+    def test_simplification_is_reapplicable(self, spark):
+        # simplify-test.js "simplify() can be re-applied": the z overlay is
+        # non-destructive; pct=1 restores every vertex
+        from mapshaper_spark.operators import simplify as SI
+        from mapshaper_spark import layers as L
+        df = spark.range(0, 10).select(
+            F.col("id").alias("arc_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(20)),
+                        lambda v: v.cast("double")).alias("xs"),
+            F.transform(F.sequence(F.lit(0), F.lit(20)),
+                        lambda v: ((F.col("id") + v * 7) % 5).cast("double")).alias("ys")) \
+            .withColumn("zs", F.lit(None).cast("array<double>"))
+        with_z = SI.compute_thresholds(df, method="dp").cache()
+        strong = SI.apply_zlimit(with_z, SI.threshold_for_pct(with_z, 0.1))
+        full = SI.apply_zlimit(with_z, 0.0)
+        n_orig = df.select(F.sum(F.size("xs"))).collect()[0][0]
+        assert strong.select(F.sum("n")).collect()[0][0] < n_orig
+        assert full.select(F.sum("n")).collect()[0][0] == n_orig
+
+
+class TestUnitsParity:
+    def test_interval_km_on_wgs84(self):
+        # simplify-test.js convertSimplifyInterval: '0.5km' on wgs84 -> 500
+        from mapshaper_spark.geom import units as U
+        assert U.convert_distance_param("0.5km", "wgs84") == 500.0
+
+    def test_planar_unknown_crs_with_units_errors(self):
+        from mapshaper_spark.geom import units as U
+        with pytest.raises(ValueError):
+            U.convert_distance_param("0.5km", None)
+
+    def test_unitless_passthrough(self):
+        from mapshaper_spark.geom import units as U
+        assert U.convert_distance_param(3, None) == 3.0
+
+    def test_area_and_aliases(self):
+        from mapshaper_spark.geom import units as U
+        assert U.convert_distance_param("2mi", "wgs84") == 2 * 1609.344
+        assert U.convert_area_param("1km", "wgs84") == 1e6
+        assert U.convert_distance_param("10ft", "wgs84") == pytest.approx(3.048)
