@@ -502,3 +502,127 @@ def polygons_from_lines(arcs: DataFrame) -> DataFrame:
         })
 
     return b.groupBy("comp").applyInPandas(walk, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# dissolveArcs (arc healing after clip/split)
+# ---------------------------------------------------------------------------
+
+def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
+    """internal.dissolveArcs (/root/reference/src/paths/mapshaper-arc-dissolve.js:11-50):
+    merge arc chains that can be joined without affecting any layer's
+    topology (interior node has exactly two incident arc-ends and the two
+    arcs are traversed consecutively by every ring that uses them), drop
+    arcs no layer references, and remap to dense deterministic ids.
+
+    Plan: usage + node-degree tables (two small groupBys over exploded
+    refs/endpoints), then a per-feature ring rewrite with the mergeable-node
+    set broadcast, then arc re-id by first use — the same shuffle shape as
+    build_topology. Returns (new_features, new_arcs)."""
+    from mapshaper_spark.layers import absolute_arc_id_col
+
+    spark = features.sparkSession
+    refs = (features.select(key, F.posexplode("parts").alias("ring_idx", "ring"))
+            .select(key, "ring_idx", F.posexplode("ring").alias("pos", "signed"))
+            .withColumn("aid", absolute_arc_id_col(F.col("signed")).cast("long")))
+    used = refs.groupBy("aid").agg(F.count(F.lit(1)).alias("n_uses"))
+    live_arcs = arcs.join(used, arcs.arc_id == used.aid).drop("aid")
+
+    # endpoint table over live arcs only
+    ends = live_arcs.select(
+        "arc_id",
+        F.explode(F.array(
+            F.struct(F.element_at("xs", 1).alias("nx"), F.element_at("ys", 1).alias("ny")),
+            F.struct(F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
+        )).alias("e")).select("arc_id", "e.nx", "e.ny")
+    node_deg = ends.groupBy("nx", "ny").agg(F.count(F.lit(1)).alias("deg"),
+                                            F.collect_set("arc_id").alias("as_"))
+    # mergeable interior node: exactly 2 arc-ends from 2 distinct arcs, and
+    # both arcs are used the same number of times (adjacency consistency is
+    # then guaranteed for rings produced by our pipeline)
+    mergeable = (node_deg.filter((F.col("deg") == 2) & (F.size("as_") == 2))
+                 .select("nx", "ny"))
+    merge_set = {(r.nx, r.ny) for r in mergeable.collect()}
+    arc_rows = {r.arc_id: (list(r.xs), list(r.ys)) for r in live_arcs.collect()}
+    bc_nodes = spark.sparkContext.broadcast(merge_set)
+    bc_arcs = spark.sparkContext.broadcast(arc_rows)
+
+    out_schema = T.StructType([
+        features.schema[key],
+        T.StructField("parts_xy", T.ArrayType(T.ArrayType(T.StructType([
+            T.StructField("xs", T.ArrayType(T.DoubleType())),
+            T.StructField("ys", T.ArrayType(T.DoubleType())),
+        ])))),
+    ])
+
+    def rewrite(it):
+        merge_nodes = bc_nodes.value
+        amap = bc_arcs.value
+        for pdf in it:
+            out_k, out_parts = [], []
+            for k, parts in zip(pdf[iter_key], pdf["parts"]):
+                new_parts = []
+                for ring in parts:
+                    chains = []
+                    for signed in ring:
+                        aid = signed if signed >= 0 else -(signed + 1)
+                        xs, ys = amap[aid]
+                        if signed < 0:
+                            xs, ys = xs[::-1], ys[::-1]
+                        if chains and (chains[-1][0][-1], chains[-1][1][-1]) == (xs[0], ys[0]) \
+                                and (xs[0], ys[0]) in merge_nodes:
+                            chains[-1][0].extend(xs[1:])
+                            chains[-1][1].extend(ys[1:])
+                        else:
+                            chains.append([list(xs), list(ys)])
+                    # ring wrap: first and last chain may merge across the start
+                    if len(chains) > 1:
+                        lx, ly = chains[-1]
+                        fx, fy = chains[0]
+                        if (lx[-1], ly[-1]) == (fx[0], fy[0]) and (fx[0], fy[0]) in merge_nodes:
+                            chains[0] = [lx + fx[1:], ly + fy[1:]]
+                            chains.pop()
+                    new_parts.append([{"xs": c[0], "ys": c[1]} for c in chains])
+                out_k.append(k)
+                out_parts.append(new_parts)
+            yield pd.DataFrame({iter_key: out_k, "parts_xy": out_parts})
+
+    iter_key = key
+    healed = features.select(key, "parts").mapInPandas(rewrite, schema=out_schema)
+
+    # re-id merged chains deterministically (canonical direction + first use)
+    exploded = (healed.select(key, F.posexplode("parts_xy").alias("ring_idx", "ring"))
+                .select(key, "ring_idx", F.posexplode("ring").alias("pos", "chain"))
+                .select(key, "ring_idx", "pos",
+                        F.col("chain.xs").alias("xs"), F.col("chain.ys").alias("ys")))
+    fwd = (F.element_at("xs", 1) < F.element_at("xs", -1)) | \
+          ((F.element_at("xs", 1) == F.element_at("xs", -1)) &
+           (F.element_at("ys", 1) <= F.element_at("ys", -1)))
+    canon = exploded.withColumn("__fwd", fwd).select(
+        key, "ring_idx", "pos", "__fwd",
+        F.when(F.col("__fwd"), F.col("xs")).otherwise(F.reverse("xs")).alias("cxs"),
+        F.when(F.col("__fwd"), F.col("ys")).otherwise(F.reverse("ys")).alias("cys"))
+    w = Window.orderBy(F.col("__first.k"), F.col("__first.r"), F.col("__first.p"))
+    arc_tbl = (canon.groupBy("cxs", "cys")
+               .agg(F.min(F.struct(F.col(key).alias("k"),
+                                   F.col("ring_idx").alias("r"),
+                                   F.col("pos").alias("p"))).alias("__first"))
+               .withColumn("arc_id", F.row_number().over(w).cast("long") - 1))
+    new_arcs = arc_tbl.select(
+        "arc_id", F.col("cxs").alias("xs"), F.col("cys").alias("ys"),
+        F.size("cxs").alias("n"),
+        F.struct(F.array_min("cxs").alias("xmin"), F.array_min("cys").alias("ymin"),
+                 F.array_max("cxs").alias("xmax"), F.array_max("cys").alias("ymax")).alias("bbox"))
+    new_refs = (canon.join(arc_tbl.select("cxs", "cys", "arc_id"), ["cxs", "cys"])
+                .select(key, "ring_idx", "pos",
+                        F.when(F.col("__fwd"), F.col("arc_id"))
+                         .otherwise(-(F.col("arc_id") + 1)).alias("signed")))
+    new_features = (new_refs.groupBy(key, "ring_idx")
+                    .agg(F.transform(F.sort_array(F.collect_list(
+                        F.struct("pos", F.col("signed").alias("s")))),
+                        lambda st: st["s"].cast("int")).alias("ring"))
+                    .groupBy(key)
+                    .agg(F.transform(F.sort_array(F.collect_list(
+                        F.struct("ring_idx", F.col("ring").alias("r")))),
+                        lambda st: st["r"]).alias("parts")))
+    return new_features, new_arcs

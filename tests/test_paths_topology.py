@@ -231,3 +231,43 @@ class TestPolygonsFromLines:
             [(0, [0.0, 1.0], [0.0, 0.0])],
             "arc_id long, xs array<double>, ys array<double>")
         assert TP.polygons_from_lines(arcs).count() == 0
+
+
+class TestDissolveArcs:
+    def test_corner_chains_merge(self, spark):
+        """region_mosaic's 17 edge-arcs heal to 13 (the 4 outer grid corners
+        are degree-2 nodes whose arc pairs fuse into L-arcs) — the same
+        count build_topology produces from raw rings."""
+        feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        new_feats, new_arcs = TP.dissolve_arcs(feats, arcs, "rid")
+        assert arcs.count() == 17
+        assert new_arcs.count() == 13
+        # rings still reconstruct: every feature has one ring whose arcs
+        # chain end-to-end and close
+        arc_map = {r.arc_id: (list(r.xs), list(r.ys)) for r in new_arcs.collect()}
+        for row in new_feats.collect():
+            for ring in row.parts:
+                xs_out, ys_out = [], []
+                for sid in ring:
+                    aid = sid if sid >= 0 else -(sid + 1)
+                    xs, ys = arc_map[aid]
+                    if sid < 0:
+                        xs, ys = xs[::-1], ys[::-1]
+                    if xs_out:
+                        assert (xs_out[-1], ys_out[-1]) == (xs[0], ys[0]), row.rid
+                        xs, ys = xs[1:], ys[1:]
+                    xs_out += xs
+                    ys_out += ys
+                assert (xs_out[0], ys_out[0]) == (xs_out[-1], ys_out[-1])
+
+    def test_unreferenced_arcs_dropped(self, spark):
+        feats, arcs = L.region_mosaic(spark, 2, 1, (0.0, 0.0, 2.0, 1.0))
+        # only keep feature 0: feature 1's exclusive arcs must vanish
+        one = feats.filter(F.col("rid") == 0)
+        _, new_arcs = TP.dissolve_arcs(one, arcs, "rid")
+        # cell 0 ring: 4 edges; its 3 exclusive boundary corners... all nodes
+        # not shared now -> ring has NO nodes of degree > 2 except the shared
+        # edge endpoints; mergeable everywhere -> arcs fuse maximally
+        assert new_arcs.count() <= 4
+        total_pts = sum(r.n for r in new_arcs.collect())
+        assert total_pts >= 5
