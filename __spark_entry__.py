@@ -373,6 +373,13 @@ def q_points_centroid(spark, sf_dir):
     return out.select("rid", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy"))
 
 
+def q_points_inner(spark, sf_dir):
+    _, _, polys = _mosaic_polys(spark)
+    out = P.points_inner(polys.select("rid", "rings_x", "rings_y"))
+    return out.select("rid", F.round("ix", 6).alias("ix"),
+                      F.round("iy", 6).alias("iy"))
+
+
 def q_points_vertices(spark, sf_dir):
     _, _, polys = _mosaic_polys(spark)
     return P.points_vertices(polys, "rid")
@@ -913,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines": q_lines,
         "neighbors": q_neighbors,
         "points_centroid": q_points_centroid,
+        "points_inner": q_points_inner,
         "points_vertices": q_points_vertices,
         "points_interpolated": q_points_interpolated,
         "clip_points": q_clip_points,
@@ -1201,6 +1209,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(i AS INT) AS rid,
                round(-120.0 + (i % 6) * 10.0 + 5.0, 6) AS cx,
                round(25.0 + (i // 6) * 6.0 + 3.0, 6) AS cy
+        FROM range(24) t(i)
+    """
+    sqls["points_inner"] = """
+        SELECT CAST(i AS INT) AS rid,
+               round(-120.0 + (i % 6) * 10.0 + 5.0, 6) AS ix,
+               round(25.0 + (i // 6) * 6.0 + 3.0, 6) AS iy
         FROM range(24) t(i)
     """
     # mosaic ring vertex order: (x0,y0),(x0,y1),(x1,y1),(x1,y0) (closing pt dropped)

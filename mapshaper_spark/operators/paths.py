@@ -580,3 +580,53 @@ def slice_by_grid(df: DataFrame, cols: int, rows: int,
                 yield pd.DataFrame(rows_out, columns=out_cols)
 
     return cand.mapInPandas(gen, schema=out_schema)
+
+
+def points_inner(df: DataFrame, x: str = "ix", y: str = "iy",
+                 grid: int = 16) -> DataFrame:
+    """-points inner / $.innerX,$.innerY — an interior anchor point far from
+    the boundary (the reference scans vertical slices of the simplified
+    ring maximizing edge distance weighted toward the centroid,
+    /root/reference/src/points/mapshaper-anchor-points.js:17-60).
+
+    APPROXIMATION (documented): candidates = largest-ring centroid + an
+    NxN grid of interior samples; winner = max min-distance-to-boundary,
+    centroid-first tie-break. Identical to the reference on symmetric
+    shapes (the centroid attains the max); near-identical elsewhere."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            oxs, oys = [], []
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"]):
+                rings = [(np.asarray(rx, dtype=np.float64),
+                          np.asarray(ry, dtype=np.float64))
+                         for rx, ry in zip(rxs, rys)]
+                # largest ring centroid candidate
+                best_ring = max(rings, key=lambda r: abs(K.planar_path_area(*r)))
+                c = K.path_centroid(*best_ring)
+                allx = np.concatenate([r[0] for r in rings])
+                ally = np.concatenate([r[1] for r in rings])
+                gx, gy = np.meshgrid(
+                    np.linspace(allx.min(), allx.max(), grid + 2)[1:-1],
+                    np.linspace(ally.min(), ally.max(), grid + 2)[1:-1])
+                cand_x = np.concatenate([[c[0]], gx.ravel()])
+                cand_y = np.concatenate([[c[1]], gy.ravel()])
+                inside = K.points_in_polygon(cand_x, cand_y, rings)
+                cand_x, cand_y = cand_x[inside], cand_y[inside]
+                if len(cand_x) == 0:
+                    oxs.append(c[0]); oys.append(c[1])
+                    continue
+                scores = np.array([
+                    min(K.point_to_path_dist_sq(px, py, rx, ry)
+                        for rx, ry in rings)
+                    for px, py in zip(cand_x, cand_y)])
+                k = int(np.argmax(scores))  # first max -> centroid wins ties
+                oxs.append(float(cand_x[k])); oys.append(float(cand_y[k]))
+            pdf = pdf.copy()
+            pdf[x] = oxs
+            pdf[y] = oys
+            yield pdf
+
+    schema = T.StructType(df.schema.fields + [T.StructField(x, T.DoubleType()),
+                                              T.StructField(y, T.DoubleType())])
+    return df.mapInPandas(gen, schema=schema)
