@@ -57,17 +57,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=int(os.environ.get("MS_BENCH_IMAGES", 400_000_000)))
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--n-cores", type=int, default=int(os.environ.get("MS_SCALE_N", 8)),
+                    help="N of the N vs 4N comparison")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
-    lo = run_level(8, args.images, args.repeat)
-    hi = run_level(32, args.images, args.repeat)
+    n = args.n_cores
+    lo = run_level(n, args.images, args.repeat)
+    hi = run_level(4 * n, args.images, args.repeat)
     eff = hi["images_per_sec"] / (4.0 * lo["images_per_sec"])
     result = {
-        "metric": "scaling efficiency local[8] -> local[32]",
+        "metric": f"scaling efficiency local[{n}] -> local[{4 * n}]",
         "images": args.images,
-        "local8": lo,
-        "local32": hi,
+        "low": lo,
+        "high": hi,
         "efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -85,8 +88,8 @@ executors. Sandbox proxy (per driver instruction): identical flagship job
 
 | parallelism | wall (s) | throughput (images/sec) |
 |---|---|---|
-| local[8]  | {lo['sec']} | {lo['images_per_sec']:,} |
-| local[32] | {hi['sec']} | {hi['images_per_sec']:,} |
+| local[{n}]  | {lo['sec']} | {lo['images_per_sec']:,} |
+| local[{4 * n}] | {hi['sec']} | {hi['images_per_sec']:,} |
 
 **Scaling efficiency = {hi['images_per_sec']:,} / (4 x {lo['images_per_sec']:,}) =
 {result['efficiency']}** ({'PASS' if result['passes_0.8'] else 'FAIL'} vs the 0.8 bar).
