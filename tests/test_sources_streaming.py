@@ -162,3 +162,14 @@ class TestStreaming:
         total = spark.sql("SELECT sum(n_images) t FROM tiles_t").collect()[0].t
         assert total == 5000  # every footprint lands in exactly one region
         q.stop()
+
+
+class TestSvg:
+    def test_svg_paths_and_document(self, spark):
+        from mapshaper_spark.sources import svg as SVG
+        polys = L.region_mosaic_rings_local(spark, 2, 1, (0.0, 0.0, 2.0, 1.0))
+        doc = SVG.export_svg(polys)
+        assert doc.startswith("<svg")
+        assert doc.count("<path") == 2
+        assert 'M 0.0 0.0 L 0.0 -1.0 L 1.0 -1.0 L 1.0 0.0 L 0.0 0.0 Z' in doc
+        assert 'viewBox="0.0 -1.0 2.0 1.0"' in doc
