@@ -181,6 +181,7 @@ def polygon_cell_cover(polys_rings: DataFrame, key: str, bbox: Sequence[float],
             out_keys: list = []
             out_cells: list[int] = []
             out_full: list[bool] = []
+            out_segs: list = []
             for k, bb, rxs, rys in zip(pdf[key], pdf["bbox"],
                                        pdf["rings_x"], pdf["rings_y"]):
                 rings = [(np.asarray(rx, dtype=np.float64),
@@ -189,14 +190,27 @@ def polygon_cell_cover(polys_rings: DataFrame, key: str, bbox: Sequence[float],
                 interior, boundary = classify_cover_cells(rings, bb, bbox, res)
                 out_cells.extend(interior)
                 out_full.extend([True] * len(interior))
+                out_segs.extend([None] * len(interior))
                 out_cells.extend(boundary)
                 out_full.extend([False] * len(boundary))
+                if boundary:
+                    bx, by_ = CE.decode_np(np.array(boundary, dtype=np.int64))
+                    for cix, ciy in zip(bx.tolist(), by_.tolist()):
+                        segs = strip_segments(rings, cix, ciy, bbox, res)
+                        out_segs.append([[{"ax": s[0], "ay": s[1],
+                                           "bx": s[2], "by": s[3]}
+                                          for s in ring] for ring in segs])
                 out_keys.extend([k] * (len(interior) + len(boundary)))
-            yield pd.DataFrame({key: out_keys, "cell": out_cells, "full": out_full})
+            yield pd.DataFrame({key: out_keys, "cell": out_cells,
+                                "full": out_full, "segs": out_segs})
 
+    seg_t = T.ArrayType(T.ArrayType(T.StructType([
+        T.StructField("ax", T.DoubleType()), T.StructField("ay", T.DoubleType()),
+        T.StructField("bx", T.DoubleType()), T.StructField("by", T.DoubleType())])))
     schema = T.StructType([polys_rings.schema[key],
                            T.StructField("cell", T.LongType()),
-                           T.StructField("full", T.BooleanType())])
+                           T.StructField("full", T.BooleanType()),
+                           T.StructField("segs", seg_t)])
     return (polys_rings.select(key, "bbox", "rings_x", "rings_y")
             .mapInPandas(gen, schema=schema))
 
@@ -326,31 +340,15 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
         return cand.filter(keep).drop("cell", "full", "segs")
 
     # shuffle path (large polygon side): salted equi-join on cell so one hot
-    # cell cannot pin a single reducer (north_rule skew handling)
+    # cell cannot pin a single reducer (north_rule skew handling); the exact
+    # verify is the SAME whole-stage-codegen strip-segment ray cast as the
+    # broadcast path — per-cell segments ride the cover rows through the
+    # shuffle, so there is no Python here either
     pts = points.withColumn("cell", CE.morton_col(F.col(x), F.col(y), bbox, res))
     cover = polygon_cell_cover(polys_rings, poly_key, bbox, res)
-    cand = salted_cell_join(pts, cover).drop("cell")
-    sure = cand.filter(F.col("full")).drop("full")
-    maybe = cand.filter(~F.col("full")).drop("full")
-    # large-polygon-set path: rings travel with the boundary candidate rows
-    cand_r = maybe.join(polys_rings.select(poly_key, "rings_x", "rings_y"), poly_key)
-
-    def verify_wide(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            for i, (rxs, rys) in enumerate(zip(pdf["rings_x"], pdf["rings_y"])):
-                rings = [(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
-                         for rx, ry in zip(rxs, rys)]
-                keep[i] = bool(K.points_in_polygon(px[i:i + 1], py[i:i + 1], rings)[0])
-            yield pdf[keep]
-
-    wide_schema = T.StructType([f for f in cand_r.schema.fields])
-    return sure.unionByName(cand_r.mapInPandas(verify_wide, schema=wide_schema)
-                            .drop("rings_x", "rings_y"))
+    cand = salted_cell_join(pts, cover)
+    keep = F.col("full") | pip_inside_expr(F.col(x), F.col(y), F.col("segs"))
+    return cand.filter(keep).drop("cell", "full", "segs")
 
 
 def spatial_join_point_to_polygon(points: DataFrame, x: str, y: str,
