@@ -135,6 +135,26 @@ def q_each_derive(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", "revenue", "is_big")
 
 
+def q_each_where(spark, sf_dir):
+    """-each with where= guard: rows failing the guard keep the old value
+    (null for new columns) — each.js:12-19."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = A.each(li, {"disc_price": F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)},
+        where=F.col("l_quantity") > 25)
+    return out.select("l_orderkey", "l_linenumber", "disc_price")
+
+
+def q_filter_remove_empty(spark, sf_dir):
+    _, _, polys = _mosaic_polys(spark)
+    withered = polys.select(
+        "rid",
+        F.when(F.col("rid") % 4 == 0, F.col("rings_x"))
+         .otherwise(F.array().cast("array<array<double>>")).alias("rings_x"),
+        F.col("rings_y"))
+    return A.filter_remove_empty(withered).select("rid")
+
+
 def q_uniq_first_order(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn(A.ROW_IDX, F.col("o_orderkey"))
     return A.uniq(o, F.col("o_custkey"), 1).select("o_orderkey", "o_custkey", "o_totalprice")
@@ -894,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_fields": q_project_fields,
         "rename_fields": q_rename_fields,
         "each_derive": q_each_derive,
+        "each_where": q_each_where,
+        "filter_remove_empty": q_filter_remove_empty,
         "uniq_first_order": q_uniq_first_order,
         "sort_top100": q_sort_top100,
         "calc_aggs": q_calc_aggs,
@@ -989,6 +1011,15 @@ def oracle_sql() -> dict[str, str]:
                round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
                l_quantity >= 25 AS is_big
         FROM lineitem
+    """
+    sqls["each_where"] = """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity > 25
+                    THEN round(l_extendedprice * (1.0 - l_discount), 4) END AS disc_price
+        FROM lineitem
+    """
+    sqls["filter_remove_empty"] = """
+        SELECT CAST(i AS INT) AS rid FROM range(24) t(i) WHERE i % 4 = 0
     """
     sqls["uniq_first_order"] = """
         SELECT o_orderkey, o_custkey, o_totalprice FROM (

@@ -145,3 +145,23 @@ def affine(df: DataFrame, x: str, y: str, shift: tuple[float, float] = (0.0, 0.0
     nx = F.lit(a) * xc + F.lit(b) * yc + F.lit(cx) + F.lit(dx)
     ny = F.lit(-b) * xc + F.lit(a) * yc + F.lit(cy) + F.lit(dy)
     return df.withColumn(x, nx).withColumn(y, ny)
+
+
+def filter_remove_empty(df: DataFrame) -> DataFrame:
+    """-filter remove-empty (filter.js:56-61 getEmptyPolygonFilter /
+    remove_empty option): drop features with null/zero-ring geometry."""
+    return df.filter(F.col("rings_x").isNotNull() & (F.size("rings_x") > 0))
+
+
+def layer_info(df: DataFrame) -> dict:
+    """-info analog (mapshaper-info.js:8): row count, column names/types,
+    bounds when a bbox struct is present."""
+    info = {
+        "count": df.count(),
+        "fields": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+    }
+    if "bbox" in df.columns:
+        b = df.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                   F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+        info["bounds"] = tuple(float(v) if v is not None else None for v in b)
+    return info

@@ -174,3 +174,44 @@ class TestMosaicDissolve2:
                      for rx, ry in merged["B"])
         assert area_a == pytest.approx(16.0)   # overlap goes to the big one
         assert area_b == pytest.approx(3.0)    # 4 - 1
+
+
+class TestReferenceClipFigures:
+    """Geometric outcomes of /root/reference/test/clip-erase-test.js figures
+    (the mocha tests assert internal arc ids; we assert the equivalent
+    clipped geometry)."""
+
+    def test_fig4_arc_with_spike(self):
+        # Fig. 4: square abcda clipped by a polygon with a zero-width spike
+        # ("spike is cut off and ignored") -> intersection [2,4]x[2,4]
+        square = ring([(2, 5), (4, 5), (4, 2), (2, 2)])
+        spike_clip = (np.array([3.0, 3, 3, 5, 5, 1, 1, 3]),
+                      np.array([4.0, 3, 4, 4, 1, 1, 4, 4]))
+        out = overlay_rings([square], [spike_clip], "clip")
+        assert abs(total_area(out)) == pytest.approx(4.0)
+
+    def test_fig5_polygon_with_hole_clip(self):
+        # Fig. 5 "Clip test 1": outer [1,6]^2 with hole [3,5]x[3,4] clipped
+        # by [2,4]x[2,5] -> 6 - 1 = 5
+        outer = ring([(1, 6), (6, 6), (6, 1), (1, 1)])
+        hole = ring([(3, 4), (5, 4), (5, 3), (3, 3)])
+        clip = ring([(2, 5), (4, 5), (4, 2), (2, 2)])
+        out = overlay_rings([outer, hole], [clip], "clip")
+        assert total_area(out) == pytest.approx(5.0)
+
+    def test_fig5_filled_hole_clip(self):
+        # the separate "filled hole" feature [3,5]x[3,4] clipped by the same
+        # rect -> [3,4]x[3,4] = 1
+        filled = ring([(3, 4), (5, 4), (5, 3), (3, 3)])
+        clip = ring([(2, 5), (4, 5), (4, 2), (2, 2)])
+        out = overlay_rings([filled], [clip], "clip")
+        assert abs(total_area(out)) == pytest.approx(1.0)
+
+    def test_fig5_erase_complement(self):
+        # erase must be the exact complement within the feature
+        outer = ring([(1, 6), (6, 6), (6, 1), (1, 1)])
+        hole = ring([(3, 4), (5, 4), (5, 3), (3, 3)])
+        clip = ring([(2, 5), (4, 5), (4, 2), (2, 2)])
+        clip_a = total_area(overlay_rings([outer, hole], [clip], "clip"))
+        erase_a = total_area(overlay_rings([outer, hole], [clip], "erase"))
+        assert clip_a + erase_a == pytest.approx(25.0 - 2.0)  # 5^2 outer - hole
