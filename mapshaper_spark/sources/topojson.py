@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 
 
 def export_topojson(arcs: DataFrame, features: DataFrame, key: str,
-                    object_name: str = "layer", quantization: int = 10000) -> dict:
-    """arcs(arc_id, xs, ys) + features(key, parts) -> TopoJSON dict."""
+                    object_name: str = "layer", quantization: int = 10000,
+                    presimplify: bool = False) -> dict:
+    """arcs(arc_id, xs, ys) + features(key, parts) -> TopoJSON dict.
+
+    ``presimplify`` embeds the per-vertex simplification thresholds from the
+    ``zs`` column as a third coordinate per point (the reference's
+    -o presimplify, /root/reference/src/topojson/topojson-presimplify.js:3-10
+    — thresholds quantized like mapbox topojson-simplify expects)."""
     b = arcs.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
                  F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
     xmin, ymin, xmax, ymax = (float(v) for v in b)
@@ -33,17 +39,25 @@ def export_topojson(arcs: DataFrame, features: DataFrame, key: str,
 
     qx = F.transform("xs", lambda v: F.round((v - F.lit(xmin)) / F.lit(kx)).cast("long"))
     qy = F.transform("ys", lambda v: F.round((v - F.lit(ymin)) / F.lit(ky)).cast("long"))
-    quant = arcs.select("arc_id", qx.alias("qx"), qy.alias("qy")).orderBy("arc_id")
+    cols = [F.col("arc_id"), qx.alias("qx"), qy.alias("qy")]
+    if presimplify:
+        kz = min(kx, ky)
+        qz = F.transform("zs", lambda v: F.when(
+            v == F.lit(float("inf")), F.lit(-1)
+        ).otherwise(F.round(v / F.lit(kz))).cast("long"))
+        cols.append(qz.alias("qz"))
+    quant = arcs.select(*cols).orderBy("arc_id")
 
     topo_arcs = []
     for r in quant.collect():
         pts = []
         px = py = 0
+        zs = r.qz if presimplify else None
         for i, (x, y) in enumerate(zip(r.qx, r.qy)):
-            if i == 0:
-                pts.append([int(x), int(y)])
-            else:
-                pts.append([int(x - px), int(y - py)])
+            p = [int(x), int(y)] if i == 0 else [int(x - px), int(y - py)]
+            if zs is not None:
+                p.append(int(zs[i]))
+            pts.append(p)
             px, py = x, y
         topo_arcs.append(pts)
 

@@ -173,3 +173,16 @@ class TestSvg:
         assert doc.count("<path") == 2
         assert 'M 0.0 0.0 L 0.0 -1.0 L 1.0 -1.0 L 1.0 0.0 L 0.0 0.0 Z' in doc
         assert 'viewBox="0.0 -1.0 2.0 1.0"' in doc
+
+
+class TestTopoPresimplify:
+    def test_z_values_embedded(self, spark):
+        from mapshaper_spark.operators import simplify as SI
+        from mapshaper_spark.sources import topojson as TJ
+        feats, arcs = L.region_mosaic(spark, 2, 1, (0.0, 0.0, 2.0, 1.0))
+        with_z = SI.compute_thresholds(arcs, method="dp")
+        topo = TJ.export_topojson(with_z, feats, "rid", presimplify=True)
+        for arc in topo["arcs"]:
+            assert all(len(p) == 3 for p in arc)
+            # 2-point arcs: both endpoints protected (inf -> -1 sentinel)
+            assert arc[0][2] == -1 and arc[-1][2] == -1
