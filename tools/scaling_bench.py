@@ -59,7 +59,8 @@ def main():
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--n-cores", type=int, default=int(os.environ.get("MS_SCALE_N", 8)),
                     help="N of the N vs 4N comparison")
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
+    ap.add_argument("--out", default=None,
+                    help="markdown file to update (omitted = print JSON only)")
     args = ap.parse_args()
 
     n = args.n_cores
@@ -77,6 +78,10 @@ def main():
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+    if args.out is None:
+        return
 
     section = f"""## Scaling (N vs 4N parallelism)
 
