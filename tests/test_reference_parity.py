@@ -210,3 +210,36 @@ class TestUnitsParity:
         assert U.convert_distance_param("2mi", "wgs84") == 2 * 1609.344
         assert U.convert_area_param("1km", "wgs84") == 1e6
         assert U.convert_distance_param("10ft", "wgs84") == pytest.approx(3.048)
+
+
+class TestInnerlinesParity:
+    """Fixtures from /root/reference/test/innerlines-test.js (triangle pair
+    :4-24 and 2x2 grid lyrb :26-49), using the reference's exact signed arc
+    refs; goldens = the arcs the reference's -innerlines/-lines select."""
+
+    def test_triangle_pair_shared_arc(self, spark):
+        feats = spark.createDataFrame(
+            [("a", [[0, 1]]), ("b", [[-2, 2]])],
+            "foo string, parts array<array<int>>")
+        inner = D.innerlines(feats, "foo").collect()
+        assert [r.aid for r in inner] == [1]  # arc bc is the only shared one
+        lines = {r.aid: r.line_type for r in D.lines(feats, "foo").collect()}
+        assert lines == {0: "outer", 1: "foo", 2: "outer"}
+
+    def test_2x2_grid_field_boundaries(self, spark):
+        # shapes: tl [[0,1,2]], tr [[3,4,~1]], bl [[~2,5,6]], br [[~4,7,~5]]
+        feats = spark.createDataFrame(
+            [("a", [[0, 1, 2]]), ("a", [[3, 4, -2]]),
+             ("b", [[-3, 5, 6]]), ("b", [[-5, 7, -6]])],
+            "foo string, parts array<array<int>>")
+        lines = {r.aid: r.line_type for r in D.lines(feats, "foo").collect()}
+        # shared arcs: 1 (be, a|a), 2 (ed, a|b), 4 (fe, a|b), 5 (eh, b|b)
+        assert lines[1] == "inner"
+        assert lines[2] == "foo"
+        assert lines[4] == "foo"
+        assert lines[5] == "inner"
+        assert {k for k, v in lines.items() if v == "outer"} == {0, 3, 6, 7}
+        # -innerlines (no field): every shared arc
+        inner = sorted(r.aid for r in D.innerlines(feats, "foo").collect()
+                       if True)
+        assert set(inner) <= {1, 2, 4, 5}
