@@ -43,7 +43,13 @@ def main():
         "pip_first_match",       # point->polygon spatial join, first-match copy
         "region_point_stats",    # polygon<-points aggregate join
         "knn_nearest",           # buffered nearest-point join
+        "knn_k3",                # k-NN ring-disk search
         "split_on_grid",         # tile assignment
+        "slice_grid",            # -slice: exact clipped tile geometry
+        "clip_diamond",          # general polygon overlay
+        "dissolve2",             # overlap-safe mosaic dissolve
+        "topology_build",        # distributed shared-arc topology
+        "polygons_from_lines",   # planar face extraction
         "dissolve_customers_by_nation",
         "join_first_match",
         "each_derive",
@@ -52,6 +58,7 @@ def main():
         "simplify_vis",
         "text_metrics",
         "minhash_dups",
+        "ngram_jaccard",
         "ann_topk",
         "events_rollup",
         "image_decode_stats",

@@ -88,7 +88,21 @@ def region_mosaic(spark: SparkSession, cols: int = 6, rows: int = 4,
             x = xmin + c * w
             arcs.append((H + r * (cols + 1) + c, [x, x], [y0, y1], None, 2,
                          {"xmin": x, "ymin": y0, "xmax": x, "ymax": y1}))
-    arcs_df = spark.createDataFrame(arcs, ARCS_SCHEMA)
+    import pyarrow as pa
+
+    # Arrow-backed creation: evaluating these DataFrames is pure JVM work
+    # (a pickled-list parallelize would spawn Python deserializer tasks on
+    # every downstream job — ruinous for iterative algorithms)
+    arcs_df = spark.createDataFrame(pa.table({
+        "arc_id": pa.array([a[0] for a in arcs], pa.int64()),
+        "xs": pa.array([a[1] for a in arcs], pa.list_(pa.float64())),
+        "ys": pa.array([a[2] for a in arcs], pa.list_(pa.float64())),
+        "zs": pa.array([a[3] for a in arcs], pa.list_(pa.float64())),
+        "n": pa.array([a[4] for a in arcs], pa.int32()),
+        "bbox": pa.array([a[5] for a in arcs],
+                         pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                                    ("xmax", pa.float64()), ("ymax", pa.float64())])),
+    }))
 
     feats = []
     sb_c, sb_r = state_block
@@ -105,16 +119,17 @@ def region_mosaic(spark: SparkSession, cols: int = 6, rows: int = 4,
             feats.append((f"R{r}C{c}", rid, state, pop, f"county {rid}", parts,
                           {"xmin": xmin + c * w, "ymin": ymin + r * h,
                            "xmax": xmin + (c + 1) * w, "ymax": ymin + (r + 1) * h}))
-    features_schema = T.StructType([
-        T.StructField("region_id", T.StringType(), False),
-        T.StructField("rid", T.IntegerType(), False),
-        T.StructField("state", T.StringType(), False),
-        T.StructField("pop", T.DoubleType(), False),
-        T.StructField("name", T.StringType(), False),
-        T.StructField("parts", T.ArrayType(T.ArrayType(T.IntegerType())), False),
-        T.StructField("bbox", BBOX_TYPE, False),
-    ])
-    features_df = spark.createDataFrame(feats, features_schema)
+    features_df = spark.createDataFrame(pa.table({
+        "region_id": pa.array([f[0] for f in feats], pa.string()),
+        "rid": pa.array([f[1] for f in feats], pa.int32()),
+        "state": pa.array([f[2] for f in feats], pa.string()),
+        "pop": pa.array([f[3] for f in feats], pa.float64()),
+        "name": pa.array([f[4] for f in feats], pa.string()),
+        "parts": pa.array([f[5] for f in feats], pa.list_(pa.list_(pa.int32()))),
+        "bbox": pa.array([f[6] for f in feats],
+                         pa.struct([("xmin", pa.float64()), ("ymin", pa.float64()),
+                                    ("xmax", pa.float64()), ("ymax", pa.float64())])),
+    }))
     return features_df, arcs_df
 
 

@@ -390,22 +390,66 @@ def dedup_arc_coords(arcs: DataFrame) -> DataFrame:
 # -polygons: build polygon faces from a polyline network
 # ---------------------------------------------------------------------------
 
-def label_components(arcs: DataFrame, max_iter: int = 12) -> DataFrame:
-    """Connected-component label per arc (label = min arc_id in component),
-    via iterative label propagation through shared endpoints — the standard
-    a few-rounds-of-joins connectivity plan. Returns (arc_id, comp)."""
+def label_components(arcs: DataFrame, max_iter: int = 12,
+                     small_threshold: int = 100_000) -> DataFrame:
+    """Connected-component label per arc (label = min arc_id in component).
+
+    Small inputs (< small_threshold arcs) use driver-side union-find over
+    collected endpoints (one job); large inputs use iterative label
+    propagation through shared endpoints with per-round localCheckpoint —
+    the standard few-rounds-of-joins connectivity plan. Returns
+    (arc_id, comp)."""
+    import pyarrow as pa
+
+    if arcs.count() <= small_threshold:
+        rows = arcs.select(
+            "arc_id",
+            F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+            F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"),
+        ).collect()
+        parent: dict = {}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        node_owner: dict = {}
+        for r in rows:
+            parent.setdefault(r.arc_id, r.arc_id)
+            for node in ((r.x0, r.y0), (r.x1, r.y1)):
+                if node in node_owner:
+                    union(node_owner[node], r.arc_id)
+                else:
+                    node_owner[node] = r.arc_id
+        # second pass: path-compress to the component minimum
+        comp = {a: find(a) for a in parent}
+        return arcs.sparkSession.createDataFrame(pa.table({
+            "arc_id": pa.array(list(comp.keys()), pa.int64()),
+            "comp": pa.array(list(comp.values()), pa.int64()),
+        }))
+
     ends = arcs.select(
         "arc_id",
         F.explode(F.array(
             F.struct(F.element_at("xs", 1).alias("nx"), F.element_at("ys", 1).alias("ny")),
             F.struct(F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
-        )).alias("node")).select("arc_id", "node.nx", "node.ny")
-    labels = arcs.select("arc_id", F.col("arc_id").alias("comp"))
+        )).alias("node")).select("arc_id", "node.nx", "node.ny").localCheckpoint()
+    labels = arcs.select("arc_id", F.col("arc_id").alias("comp")).localCheckpoint()
     for _ in range(max_iter):
         lb = ends.join(labels, "arc_id")
         node_min = lb.groupBy("nx", "ny").agg(F.min("comp").alias("node_comp"))
+        # localCheckpoint truncates the join lineage — without it each
+        # iteration re-executes every previous round (quadratic blowup)
         new_labels = (ends.join(node_min, ["nx", "ny"])
-                      .groupBy("arc_id").agg(F.min("node_comp").alias("comp")))
+                      .groupBy("arc_id").agg(F.min("node_comp").alias("comp"))
+                      .localCheckpoint())
         changed = (new_labels.alias("n").join(labels.alias("o"), "arc_id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new_labels
