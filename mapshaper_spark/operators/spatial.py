@@ -313,8 +313,9 @@ def polygon_index(points_spark, polys_rings: DataFrame, poly_key: str,
 
 def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
              poly_key: str, bbox: Sequence[float] = None, res: int = 8,
-             broadcast_polys: bool = True,
-             cache_token: str | None = None) -> DataFrame:
+             broadcast_polys: bool | str = "auto",
+             cache_token: str | None = None,
+             broadcast_limit: int = 100_000) -> DataFrame:
     """All (point, polygon) pairs where the point is inside or on the
     boundary of the polygon — the semantics of getPointToPolygonsFunction
     (mapshaper-spatial-join.js:69-78): *all* enclosing polygons, boundary
@@ -326,6 +327,12 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
         from mapshaper_spark.layers import DEFAULT_BBOX
         bbox = DEFAULT_BBOX
     spark = points.sparkSession
+
+    if broadcast_polys == "auto":
+        # broadcast while the polygon side is dimension-sized (the analog of
+        # spark.sql.autoBroadcastJoinThreshold, by row count since ring
+        # payloads vary); beyond that, salted shuffle join
+        broadcast_polys = polys_rings.limit(broadcast_limit + 1).count() <= broadcast_limit
 
     if broadcast_polys:
         idx = polygon_index(spark, polys_rings, poly_key, bbox, res,

@@ -186,3 +186,32 @@ class TestTopoPresimplify:
             assert all(len(p) == 3 for p in arc)
             # 2-point arcs: both endpoints protected (inf -> -1 sentinel)
             assert arc[0][2] == -1 and arc[-1][2] == -1
+
+
+class TestStatefulSessionize:
+    def test_stream_sessions_match_batch(self, spark, tmp_path):
+        from mapshaper_spark.streaming import sessionize as SS
+        src = str(tmp_path / "sess_ev")
+        ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .select("user_id", "ts", "value"))
+        ev.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        sess = SS.sessionize(stream, gap_s=3600)
+        q = (sess.writeStream.format("memory").queryName("sessions_t")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, session_start, n_events, value_sum "
+            "FROM sessions_t").collect()
+        q.stop()
+        batch = SS.batch_sessionize(ev, gap_s=3600).collect()
+        bkeys = {(r.user_id, r.session_start, r.n_events, r.value_sum)
+                 for r in batch}
+        gkeys = {(r.user_id, r.session_start, r.n_events, r.value_sum)
+                 for r in got}
+        # append-mode stream emits only CLOSED sessions (gap exceeded or
+        # timed out before end-of-input); every emitted session must match
+        # a batch session exactly
+        assert len(gkeys) > 0
+        assert gkeys <= bkeys
