@@ -532,3 +532,21 @@ def threshold_by_pct(zz: np.ndarray, pct: float) -> float:
     if pct <= 0:
         z = math.inf
     return z
+
+
+def nearest_point_on_path(px: float, py: float, xs: np.ndarray, ys: np.ndarray):
+    """Nearest point on a polyline to (px, py): returns (dist_sq, qx, qy)
+    (the projection used by getPointToPathInfo for gap closing,
+    mapshaper-gaps.js findUndershootTarget)."""
+    ax, ay = xs[:-1], ys[:-1]
+    bx, by = xs[1:], ys[1:]
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg2
+    t = np.where(seg2 == 0, 0.0, np.clip(t, 0.0, 1.0))
+    qx = ax + dx * t
+    qy = ay + dy * t
+    d2 = (qx - px) ** 2 + (qy - py) ** 2
+    k = int(np.argmin(d2))
+    return float(d2[k]), float(qx[k]), float(qy[k])

@@ -670,3 +670,110 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
                         F.struct("ring_idx", F.col("ring").alias("r")))),
                         lambda st: st["r"]).alias("parts")))
     return new_features, new_arcs
+
+
+# ---------------------------------------------------------------------------
+# closeGaps (undershoot repair)
+# ---------------------------------------------------------------------------
+
+def close_gaps(arcs: DataFrame, tolerance: float) -> DataFrame:
+    """internal.closeGaps (/root/reference/src/topology/mapshaper-gaps.js:9-29):
+    dangling arc endpoints (node degree 1) within ``tolerance`` of another
+    arc's path are shifted onto the nearest point of that path, closing
+    small undershoot gaps. Dangles are few by nature -> collected and
+    broadcast; the nearest-target search runs vectorized per candidate arc;
+    endpoint shifts apply as a JVM array rewrite."""
+    import numpy as np
+    from mapshaper_spark.geom import kernels as K
+
+    ends = arcs.select(
+        "arc_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("which"),
+                     F.element_at("xs", 1).alias("ex"), F.element_at("ys", 1).alias("ey")),
+            F.struct(F.lit(1).alias("which"),
+                     F.element_at("xs", -1).alias("ex"), F.element_at("ys", -1).alias("ey")),
+        )).alias("e")).select("arc_id", "e.which", "e.ex", "e.ey")
+    deg = ends.groupBy("ex", "ey").agg(F.count(F.lit(1)).alias("deg"))
+    dangles = (ends.join(deg, ["ex", "ey"]).filter(F.col("deg") == 1)
+               .select("arc_id", "which", "ex", "ey").collect())
+    if not dangles:
+        return arcs
+
+    # dangle-to-dangle pairing first: two loose ends within tolerance snap
+    # together (onto the lowest-keyed one) — without this, two mutual
+    # undershoots would each project onto the other's path and swap places
+    dl = sorted((r.arc_id, r.which, r.ex, r.ey) for r in dangles)
+    snapped: dict = {}
+    taken = set()
+    for i in range(len(dl)):
+        if i in taken:
+            continue
+        for j in range(i + 1, len(dl)):
+            if j in taken:
+                continue
+            d2 = (dl[i][2] - dl[j][2]) ** 2 + (dl[i][3] - dl[j][3]) ** 2
+            if d2 <= tolerance * tolerance:
+                snapped[(dl[j][0], dl[j][1])] = (dl[i][2], dl[i][3])
+                taken.add(j)
+                taken.add(i)
+    remaining = [dl[i] for i in range(len(dl)) if i not in taken]
+    bc = arcs.sparkSession.sparkContext.broadcast(remaining)
+
+    hit_schema = T.StructType([
+        T.StructField("d_arc", T.LongType()), T.StructField("d_which", T.IntegerType()),
+        T.StructField("d2", T.DoubleType()),
+        T.StructField("qx", T.DoubleType()), T.StructField("qy", T.DoubleType()),
+    ])
+
+    def find(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ds = bc.value
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                xs = np.asarray(r.xs, dtype=np.float64)
+                ys = np.asarray(r.ys, dtype=np.float64)
+                bbx0, bby0 = xs.min() - tolerance, ys.min() - tolerance
+                bbx1, bby1 = xs.max() + tolerance, ys.max() + tolerance
+                for (da, dw, ex, ey) in ds:
+                    if da == r.arc_id:
+                        continue  # ignore self (reference skips own arc)
+                    if not (bbx0 <= ex <= bbx1 and bby0 <= ey <= bby1):
+                        continue
+                    d2, qx, qy = K.nearest_point_on_path(ex, ey, xs, ys)
+                    if d2 <= tolerance * tolerance:
+                        rows.append((da, dw, d2, qx, qy))
+            yield pd.DataFrame(rows, columns=[f.name for f in hit_schema.fields]) \
+                if rows else pd.DataFrame(
+                    {f.name: pd.Series([], dtype="float64") for f in hit_schema.fields})
+
+    hits = (arcs.select("arc_id", "xs", "ys").mapInPandas(find, schema=hit_schema)
+            .groupBy("d_arc", "d_which")
+            .agg(F.min(F.struct("d2", "qx", "qy")).alias("best"))
+            .select("d_arc", "d_which",
+                    F.col("best.qx").alias("qx"), F.col("best.qy").alias("qy")))
+    moves = {(r.d_arc, r.d_which): (r.qx, r.qy) for r in hits.collect()}
+    moves.update(snapped)
+    if not moves:
+        return arcs
+    bc2 = arcs.sparkSession.sparkContext.broadcast(moves)
+
+    def apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mv = bc2.value
+        for pdf in it:
+            new_xs, new_ys = [], []
+            for r in pdf.itertuples():
+                xs = list(r.xs)
+                ys = list(r.ys)
+                if (r.arc_id, 0) in mv:
+                    xs[0], ys[0] = mv[(r.arc_id, 0)]
+                if (r.arc_id, 1) in mv:
+                    xs[-1], ys[-1] = mv[(r.arc_id, 1)]
+                new_xs.append(xs)
+                new_ys.append(ys)
+            pdf = pdf.copy()
+            pdf["xs"] = new_xs
+            pdf["ys"] = new_ys
+            yield pdf
+
+    return arcs.mapInPandas(apply, schema=arcs.schema)

@@ -271,3 +271,31 @@ class TestDissolveArcs:
         assert new_arcs.count() <= 4
         total_pts = sum(r.n for r in new_arcs.collect())
         assert total_pts >= 5
+
+
+class TestCloseGaps:
+    def test_nearly_closed_ring_snaps_shut(self, spark):
+        # square broken by a 0.01 gap between its own two endpoints: the
+        # dangle pair snaps together (lower-keyed endpoint wins)
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0, 0.01]),
+             (1, [0.3, 0.7], [0.5, 0.5])],  # unrelated detached segment
+            "arc_id long, xs array<double>, ys array<double>")
+        healed = TP.close_gaps(arcs, tolerance=0.05)
+        a0 = healed.filter(F.col("arc_id") == 0).collect()[0]
+        assert a0.ys[-1] == 0.0  # gap closed onto the start point
+        assert (a0.xs[0], a0.ys[0]) == (a0.xs[-1], a0.ys[-1])
+
+    def test_two_arc_gap_closes(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+             (1, [0.0, 0.0], [1.0, 0.01])],
+            "arc_id long, xs array<double>, ys array<double>")
+        healed = TP.close_gaps(arcs, tolerance=0.05)
+        a1 = {r.arc_id: r for r in healed.collect()}[1]
+        # dangle (0, 0.01) lands on arc 0's start point (0, 0)
+        assert (a1.xs[-1], a1.ys[-1]) == (0.0, 0.0)
+        # the healed network now closes into one square face
+        faces = TP.polygons_from_lines(healed).collect()
+        assert len(faces) == 1
+        assert faces[0].area == pytest.approx(1.0)
