@@ -124,6 +124,37 @@ def strip_segments(rings, cell_ix: int, cell_iy: int,
     return out
 
 
+def strip_segments_batch(rings, cell_ixs, cell_iys, bbox: Sequence[float], res: int):
+    """Vectorized strip_segments for MANY boundary cells of one polygon:
+    one (cells x segments) mask per ring instead of a Python call per cell.
+    Returns a list (per cell) of list-of-rings of (ax, ay, bx, by) tuples."""
+    wxmin, wymin, wxmax, wymax = bbox
+    n = 1 << res
+    cw = (wxmax - wxmin) / n
+    ch = (wymax - wymin) / n
+    cix = np.asarray(cell_ixs, dtype=np.int64)
+    ciy = np.asarray(cell_iys, dtype=np.int64)
+    cx0 = wxmin + cix * cw
+    cx1 = cx0 + cw
+    cy0 = wymin + ciy * ch
+    m = len(cix)
+    out = [[] for _ in range(m)]
+    for rx, ry in rings:
+        ax, ay = rx[:-1], ry[:-1]
+        bx, by = rx[1:], ry[1:]
+        sxmin = np.minimum(ax, bx)
+        sxmax = np.maximum(ax, bx)
+        symax = np.maximum(ay, by)
+        keep = ((sxmin[None, :] <= cx1[:, None]) &
+                (sxmax[None, :] >= cx0[:, None]) &
+                (symax[None, :] >= cy0[:, None]))
+        segs = np.stack([ax, ay, bx, by], axis=1)
+        for ci in range(m):
+            sel = segs[keep[ci]]
+            out[ci].append([tuple(s) for s in sel.tolist()])
+    return out
+
+
 def pip_inside_expr(px: F.Column, py: F.Column, segs: F.Column) -> F.Column:
     """testPointInPolygon as a pure Spark SQL expression over a
     ``array<array<struct<ax,ay,bx,by>>>`` per-ring segment column — the
@@ -195,8 +226,7 @@ def polygon_cell_cover(polys_rings: DataFrame, key: str, bbox: Sequence[float],
                 out_full.extend([False] * len(boundary))
                 if boundary:
                     bx, by_ = CE.decode_np(np.array(boundary, dtype=np.int64))
-                    for cix, ciy in zip(bx.tolist(), by_.tolist()):
-                        segs = strip_segments(rings, cix, ciy, bbox, res)
+                    for segs in strip_segments_batch(rings, bx, by_, bbox, res):
                         out_segs.append([[{"ax": s[0], "ay": s[1],
                                            "bx": s[2], "by": s[3]}
                                           for s in ring] for ring in segs])
@@ -265,8 +295,7 @@ class PolygonIndex:
             cover_full.extend([False] * len(boundary))
             if boundary:
                 bx, by_ = CE.decode_np(np.array(boundary, dtype=np.int64))
-                for cix, ciy in zip(bx.tolist(), by_.tolist()):
-                    segs = strip_segments(rings, cix, ciy, bbox, res)
+                for segs in strip_segments_batch(rings, bx, by_, bbox, res):
                     cover_segs.append([[{"ax": s[0], "ay": s[1], "bx": s[2], "by": s[3]}
                                         for s in ring] for ring in segs])
             cover_keys.extend([r[poly_key]] * (len(interior) + len(boundary)))
