@@ -585,3 +585,83 @@ def filter_geom_bbox(df: DataFrame, bbox: Sequence[float],
     b = F.col("bbox")
     return df.filter((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
                      (b["ymin"] <= ymax) & (b["ymax"] >= ymin))
+
+
+def knn_join_progressive(left: DataFrame, lx: str, ly: str, left_key: str,
+                         right: DataFrame, rx: str, ry: str, right_key: str,
+                         k: int, res: int = 6,
+                         bbox: Sequence[float] = None,
+                         max_rings: int | None = None) -> DataFrame:
+    """Unbounded k-nearest-neighbor join via PROGRESSIVE ring expansion
+    (north_rule: "kNN via progressive H3 ring expansion"): round r joins
+    left rows that still lack k certain neighbors against right points in
+    the cells at Chebyshev ring r around each left cell; rounds continue
+    until every left row has k neighbors whose distances are provably final.
+
+    Certainty rule: after searching through ring r, any candidate at
+    distance <= r * cell_edge is final (no cell beyond ring r can contain a
+    closer point). Left rows whose k-th best candidate passes that bound
+    drop out of later rounds — the distributed form of a grid spiral
+    search. Ties break on lowest right key (PointIndex strict-< rule).
+    """
+    if bbox is None:
+        from mapshaper_spark.layers import DEFAULT_BBOX
+        bbox = DEFAULT_BBOX
+    n = 1 << res
+    if max_rings is None:
+        max_rings = n
+    cw, ch = CE.cell_size(bbox, res)
+    edge = min(cw, ch)
+    xmin, ymin, xmax, ymax = bbox
+
+    ixr = CE.scaled_int_col(F.col(rx), xmin, xmax, res)
+    iyr = CE.scaled_int_col(F.col(ry), ymin, ymax, res)
+    rgt = (right.select(right_key, rx, ry)
+           .withColumn("__ix", ixr).withColumn("__iy", iyr)
+           .localCheckpoint())
+
+    ixl = CE.scaled_int_col(F.col(lx), xmin, xmax, res)
+    iyl = CE.scaled_int_col(F.col(ly), ymin, ymax, res)
+    pending = (left.select(left_key, lx, ly)
+               .withColumn("__lix", ixl).withColumn("__liy", iyl)
+               .localCheckpoint())
+
+    results = None
+    spark = left.sparkSession
+    for r in range(max_rings + 1):
+        if pending.isEmpty():
+            break
+        # cells at Chebyshev ring exactly r around each pending left cell
+        if r == 0:
+            ring_off = [(0, 0)]
+        else:
+            ring_off = ([(dx, dy) for dx in range(-r, r + 1) for dy in (-r, r)] +
+                        [(dx, dy) for dy in range(-r + 1, r) for dx in (-r, r)])
+        offs = spark.createDataFrame(ring_off, "dx int, dy int")
+        probe = (pending.crossJoin(F.broadcast(offs))
+                 .withColumn("__ix", F.col("__lix") + F.col("dx"))
+                 .withColumn("__iy", F.col("__liy") + F.col("dy"))
+                 .filter((F.col("__ix") >= 0) & (F.col("__ix") < n) &
+                         (F.col("__iy") >= 0) & (F.col("__iy") < n))
+                 .drop("dx", "dy"))
+        cand = probe.join(rgt, ["__ix", "__iy"])
+        d2 = ((F.col(lx) - F.col(rx)) ** 2 + (F.col(ly) - F.col(ry)) ** 2)
+        new_hits = cand.select(left_key, F.col(right_key).alias("__rk"),
+                               d2.alias("dist_sq"))
+        results = new_hits if results is None else results.unionByName(new_hits)
+        results = results.localCheckpoint()
+
+        # a left row is DONE when its k-th nearest so far is within the
+        # certainty radius r * edge (closer points cannot exist beyond ring r)
+        w = Window.partitionBy(left_key).orderBy("dist_sq", "__rk")
+        kth = (results.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == k)
+               .filter(F.sqrt("dist_sq") <= F.lit(r * edge))
+               .select(left_key))
+        pending = pending.join(kth, left_key, "left_anti").localCheckpoint()
+
+    w = Window.partitionBy(left_key).orderBy("dist_sq", "__rk")
+    return (results.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .select(left_key, F.col("__rk").alias(right_key),
+                    "dist_sq", "knn_rank"))

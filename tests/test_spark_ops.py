@@ -259,3 +259,29 @@ class TestAttributes:
         assert got[1] == "r0c0"
         assert got[2] == "r3c3"
         assert got[3] == "r3c3"
+
+
+def test_knn_progressive_matches_brute_force(spark):
+    import mapshaper_spark.operators.spatial as S2
+    # clustered + sparse points: some neighbors are many rings away
+    left = spark.createDataFrame(
+        [(i, float(i % 5), float(i // 5)) for i in range(20)],
+        "lid int, x double, y double")
+    right = spark.createDataFrame(
+        [(100, 0.1, 0.1), (101, 0.2, 0.2), (102, 3.9, 3.5),
+         (103, 14.0, 14.0), (104, 14.5, 14.5), (105, 7.0, 0.5)],
+        "rid int, rx double, ry double")
+    got = S2.knn_join_progressive(left, "x", "y", "lid",
+                                  right, "rx", "ry", "rid",
+                                  k=3, res=5, bbox=(0.0, 0.0, 16.0, 16.0))
+    got_rows = {(r.lid, r.knn_rank): (r.rid, round(r.dist_sq, 9))
+                for r in got.collect()}
+    # brute force
+    import itertools
+    lpts = [(i, float(i % 5), float(i // 5)) for i in range(20)]
+    rpts = [(100, 0.1, 0.1), (101, 0.2, 0.2), (102, 3.9, 3.5),
+            (103, 14.0, 14.0), (104, 14.5, 14.5), (105, 7.0, 0.5)]
+    for lid, x, y in lpts:
+        ds = sorted(((x - rx) ** 2 + (y - ry) ** 2, rid) for rid, rx, ry in rpts)
+        for rank, (d2, rid) in enumerate(ds[:3], start=1):
+            assert got_rows[(lid, rank)] == (rid, round(d2, 9)), (lid, rank)
