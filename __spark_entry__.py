@@ -504,6 +504,16 @@ def q_knn_k3(spark, sf_dir):
                       bbox=BBOX)
 
 
+def q_knn_unbounded(spark, sf_dir):
+    """Unbounded 3-NN via progressive ring expansion (no radius cap)."""
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat") \
+        .filter(F.col("c_custkey") <= 300)
+    sup = _supplier_points(spark, sf_dir).select("s_suppkey", "slon", "slat")
+    return S.knn_join_progressive(pts, "lon", "lat", "c_custkey",
+                                  sup, "slon", "slat", "s_suppkey",
+                                  k=3, res=4, bbox=BBOX)
+
+
 def q_topology_build(spark, sf_dir):
     polys = L.region_mosaic_rings_local(spark, 6, 4, BBOX)
     paths = polys.select(F.col("rid").cast("long").alias("path_id"),
@@ -952,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graticule": q_graticule,
         "proj_webmercator": q_proj_webmercator,
         "knn_k3": q_knn_k3,
+        "knn_unbounded": q_knn_unbounded,
         "topology_build": q_topology_build,
         "polygons_from_lines": q_polygons_from_lines,
         "segment_intersections": q_segment_intersections,
@@ -1323,6 +1334,18 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE d2 <= 4.0)
         SELECT c_custkey, s_suppkey, d2 AS dist_sq, CAST(rn AS INT) AS knn_rank
         FROM ranked WHERE rn <= 3
+    """
+    sqls["knn_unbounded"] = f"""
+        WITH pts AS ({pts}), sup AS ({_SUPPLIER_POINTS_SQL}),
+        cand AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (c.lon - s.slon) * (c.lon - s.slon)
+                   + (c.lat - s.slat) * (c.lat - s.slat) AS d2
+            FROM pts c CROSS JOIN sup s WHERE c.c_custkey <= 300)
+        SELECT c_custkey, s_suppkey, d2 AS dist_sq, CAST(rn AS INT) AS knn_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                           ORDER BY d2, s_suppkey) AS rn
+              FROM cand) WHERE rn <= 3
     """
     # shared-arc topology of the 6x4 mosaic: every grid corner shared by >=2
     # cells is a node; the 4 outer corners are single-traversal (NOT nodes),
