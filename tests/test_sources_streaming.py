@@ -215,3 +215,51 @@ class TestStatefulSessionize:
         # a batch session exactly
         assert len(gkeys) > 0
         assert gkeys <= bkeys
+
+
+class TestGeoJSONReferenceFixtures:
+    def test_two_states_geojson_matches_shapefile(self, spark):
+        """two_states.json parsed by our GeoJSON importer must carry the
+        same attributes and equivalent ring geometry as the .shp read."""
+        with open(f"{REF}/two_states.json") as f:
+            gj = GJ.import_geojson(spark, f.read())
+        rows = gj.collect()
+        assert len(rows) == 2
+        import json as _json
+        props = [_json.loads(r.properties) for r in rows]
+        assert sorted(p["STATE_NAME"] for p in props) == ["Oregon", "Washington"]
+        # geometry equivalence vs the shapefile read (same vertex sets)
+        with open(f"{REF}/two_states.shp", "rb") as f:
+            shp_rows = SHP.import_shapefile(spark, f.read()).collect()
+        gj_pts = {round(v, 6) for r in rows for ring in r.rings_x for v in ring}
+        shp_pts = {round(v, 6) for r in shp_rows for ring in r.rings_x for v in ring}
+        assert gj_pts == shp_pts
+
+    def test_null_geometry_features(self, spark):
+        """six_counties_three_null.json: features with null geometry import
+        as geometry_type 'null' with empty rings (the reference's NULL shape
+        handling, geojson-import.js)."""
+        with open(f"{REF}/six_counties_three_null.json") as f:
+            df = GJ.import_geojson(spark, f.read())
+        rows = df.collect()
+        assert len(rows) == 6
+        nulls = [r for r in rows if r.geometry_type == "null"]
+        assert len(nulls) == 3
+        assert all(r.rings_x == [] for r in nulls)
+
+    def test_ccw_polygon_imports_verbatim(self, spark):
+        """ccw_polygon.json (GeoJSON RFC-winding exterior = positive signed
+        area in the reference's y-up CW-positive convention): imports
+        verbatim and repair_ring_nesting leaves a well-wound ring alone."""
+        from mapshaper_spark.operators import paths as P2
+        import numpy as np
+        from mapshaper_spark.geom import kernels as K2
+        with open(f"{REF}/ccw_polygon.json") as f:
+            df = GJ.import_geojson(spark, f.read())
+        r = df.collect()[0]
+        a = K2.planar_path_area(np.asarray(r.rings_x[0]), np.asarray(r.rings_y[0]))
+        assert a > 0
+        fixed = P2.repair_ring_nesting(df.select("fid", "rings_x", "rings_y", "bbox"))
+        r2 = fixed.collect()[0]
+        a2 = K2.planar_path_area(np.asarray(r2.rings_x[0]), np.asarray(r2.rings_y[0]))
+        assert a2 == a
