@@ -247,10 +247,11 @@ class TestGeoJSONReferenceFixtures:
         assert len(nulls) == 3
         assert all(r.rings_x == [] for r in nulls)
 
-    def test_ccw_polygon_imports_verbatim(self, spark):
-        """ccw_polygon.json (GeoJSON RFC-winding exterior = positive signed
-        area in the reference's y-up CW-positive convention): imports
-        verbatim and repair_ring_nesting leaves a well-wound ring alone."""
+    def test_ccw_polygon_winding_repair(self, spark):
+        """ccw_polygon.json: a counter-clockwise outer ring (negative signed
+        area in the reference's CW-positive convention) imports verbatim;
+        repair_ring_nesting reverses it to positive (to within the 1-ulp
+        reversed-shoelace rounding difference)."""
         from mapshaper_spark.operators import paths as P2
         import numpy as np
         from mapshaper_spark.geom import kernels as K2
@@ -258,8 +259,9 @@ class TestGeoJSONReferenceFixtures:
             df = GJ.import_geojson(spark, f.read())
         r = df.collect()[0]
         a = K2.planar_path_area(np.asarray(r.rings_x[0]), np.asarray(r.rings_y[0]))
-        assert a > 0
+        assert a < 0
         fixed = P2.repair_ring_nesting(df.select("fid", "rings_x", "rings_y", "bbox"))
         r2 = fixed.collect()[0]
         a2 = K2.planar_path_area(np.asarray(r2.rings_x[0]), np.asarray(r2.rings_y[0]))
-        assert a2 == a
+        assert a2 == pytest.approx(-a, rel=1e-12)
+        assert a2 > 0
