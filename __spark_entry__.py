@@ -665,6 +665,13 @@ def q_cluster(spark, sf_dir):
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_filter_geom_paths(spark, sf_dir):
+    """-filter-geom bbox= on a PATH layer: keep features whose bbox
+    intersects (filter-geom.js:3-28 path branch)."""
+    _, _, polys = _mosaic_polys(spark)
+    return S.filter_geom_bbox(polys, (-95.0, 30.0, -75.0, 40.0)).select("rid")
+
+
 def q_simplify_spherical(spark, sf_dir):
     arcs = _synthetic_arcs(spark, 100)
     with_z, zlimit = SI.simplify(arcs, method="visvalingam", pct=0.5,
@@ -987,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_fill": q_data_fill,
         "cluster": q_cluster,
         "simplify_spherical": q_simplify_spherical,
+        "filter_geom_paths": q_filter_geom_paths,
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "word_jaccard": q_word_jaccard,
@@ -1526,6 +1534,11 @@ def oracle_sql() -> dict[str, str]:
         FROM range(24) t(i)
     """
 
+    # mosaic cell (r,c) bbox intersects [-95,30,-75,40] iff c in 2..4, r in 0..2
+    sqls["filter_geom_paths"] = """
+        SELECT CAST(r * 6 + c AS INT) AS rid
+        FROM range(3) t(r), range(2, 5) u(c)
+    """
     stop_pat = r"\b(" + "|".join(TX.STOPWORDS) + r")\b"
     pat_en = r"\b(" + "|".join(TX.LANG_MARKERS["en"]) + r")\b"
     pat_es = r"\b(" + "|".join(TX.LANG_MARKERS["es"]) + r")\b"

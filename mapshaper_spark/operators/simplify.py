@@ -279,3 +279,38 @@ def post_simplify_repair(arcs_with_zs: DataFrame, zlimit: float,
         arcs_with_zs.count()
         simp.unpersist()
     return arcs_with_zs
+
+
+def pct_for_interval(arcs_with_zs: DataFrame, interval: float) -> float:
+    """Inverse of threshold_for_pct: the retained percentage a given
+    interval corresponds to (getSimplifyPct / simplify-pct.js:1-19 —
+    fraction of removable thresholds >= the interval)."""
+    zz = (arcs_with_zs.select(F.explode("zs").alias("z"))
+          .filter(F.col("z") != float("inf")))
+    row = zz.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("z") >= interval).cast("long")).alias("kept")).collect()[0]
+    if not row.n:
+        return 1.0
+    return row.kept / row.n
+
+
+def simplify_stats(arcs_with_zs: DataFrame, zlimit: float = 0.0) -> dict:
+    """-simplify stats (mapshaper-simplify-stats.js): vertex counts before/
+    after the mask, removable-threshold quantiles (distributed
+    percentile_approx — the printout path, not fixture-compared)."""
+    base = arcs_with_zs.select(F.explode("zs").alias("z"))
+    removable = base.filter(F.col("z") != float("inf"))
+    q = removable.agg(
+        F.count(F.lit(1)).alias("removable"),
+        F.sum((F.col("z") >= zlimit).cast("long")).alias("kept_removable"),
+        F.expr("percentile_approx(z, array(0.25, 0.5, 0.75, 0.95), 10000)").alias("q"),
+    ).collect()[0]
+    n_arcs = arcs_with_zs.count()
+    total = base.count()
+    return {
+        "arcs": n_arcs,
+        "vertices": total,
+        "removable": q.removable,
+        "kept_at_zlimit": (total - q.removable) + (q.kept_removable or 0),
+        "z_quantiles": {p: v for p, v in zip((0.25, 0.5, 0.75, 0.95), q.q or [])},
+    }

@@ -144,3 +144,25 @@ class TestPostSimplifyRepair:
         with_z = SI.compute_thresholds(arcs, method="dp")
         repaired = SI.post_simplify_repair(with_z, 10.0)
         assert repaired.collect()[0].zs == with_z.collect()[0].zs
+
+
+class TestSimplifyStats:
+    def test_pct_interval_roundtrip(self, spark):
+        from mapshaper_spark import layers as L2
+        df = spark.range(0, 20).select(
+            F.col("id").alias("arc_id"),
+            F.transform(F.sequence(F.lit(0), F.lit(32)),
+                        lambda v: v.cast("double")).alias("xs"),
+            F.transform(F.sequence(F.lit(0), F.lit(32)),
+                        lambda v: ((F.col("id") + v * 11) % 7).cast("double")).alias("ys")) \
+            .withColumn("zs", F.lit(None).cast("array<double>"))
+        with_z = SI.compute_thresholds(df, method="visvalingam").cache()
+        zlim = SI.threshold_for_pct(with_z, 0.4)
+        # interval -> pct must invert (within the rank-granularity of 1/n)
+        pct = SI.pct_for_interval(with_z, zlim)
+        assert abs(pct - 0.4) < 0.01
+        stats = SI.simplify_stats(with_z, zlim)
+        assert stats["arcs"] == 20
+        assert stats["vertices"] == 20 * 33
+        assert stats["removable"] == 20 * 31
+        assert 0.25 in stats["z_quantiles"]
