@@ -243,3 +243,41 @@ class TestInnerlinesParity:
         inner = sorted(r.aid for r in D.innerlines(feats, "foo").collect()
                        if True)
         assert set(inner) <= {1, 2, 4, 5}
+
+
+class TestPointsParity:
+    def test_interpolated_points_golden(self, spark):
+        # points-test.js "interpolated points": interval=200 over a path with
+        # short segments; remainder carries across segments
+        from mapshaper_spark.operators import paths as P2
+        df = spark.createDataFrame(
+            [(0, [[0.0, 300.0, 300.0, 300.0, 300.0, 300.0]],
+              [[0.0, 0.0, 300.0, 310.0, 311.0, 600.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.points_interpolated(df, "fid", 200.0).orderBy("seq").collect()
+        got = [(r.x, r.y) for r in out]
+        assert got == [(0.0, 0.0), (200.0, 0.0), (300.0, 100.0),
+                       (300.0, 300.0), (300.0, 500.0), (300.0, 600.0)]
+
+    def test_vertices_golden(self, spark):
+        # points-test.js "-points vertices": ring closing vertex dropped
+        from mapshaper_spark.operators import paths as P2
+        df = spark.createDataFrame(
+            [(0, [[2.0, 3.0, 2.0, 2.0]], [[2.0, 2.0, 1.0, 2.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.points_vertices(df, "fid").orderBy("vertex_idx").collect()
+        assert [(r.x, r.y) for r in out] == [(2.0, 2.0), (3.0, 2.0), (2.0, 1.0)]
+
+    def test_interpolated_km_units(self, spark):
+        # points-test.js "interval in km" on webmercator: 2km == 2000 units
+        from mapshaper_spark.operators import paths as P2
+        from mapshaper_spark.geom import units as U
+        interval = U.convert_distance_param("2km", "webmercator")
+        assert interval == 2000.0
+        df = spark.createDataFrame(
+            [(0, [[100.0, 100.0]], [[100.0, 10000.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.points_interpolated(df, "fid", interval).orderBy("seq").collect()
+        assert [(r.x, r.y) for r in out] == [
+            (100.0, 100.0), (100.0, 2100.0), (100.0, 4100.0),
+            (100.0, 6100.0), (100.0, 8100.0), (100.0, 10000.0)]
