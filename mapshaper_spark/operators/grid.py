@@ -72,8 +72,10 @@ def grid_rc(cx: F.Column, cy: F.Column, cols: int, rows: int,
     string building measurably anti-scales: allocation pressure at high
     thread counts)."""
     xmin, ymin, xmax, ymax = bbox
-    w = xmax - xmin
-    h = ymax - ymin
+    # degenerate (zero-extent) bounds: everything lands in cell 0 — the
+    # reference's single-feature case yields "r0c0"
+    w = (xmax - xmin) or 1.0
+    h = (ymax - ymin) or 1.0
     c = F.floor((cx - F.lit(xmin)) / F.lit(w) * F.lit(cols))
     r = F.floor((cy - F.lit(ymin)) / F.lit(h) * F.lit(rows))
     c = F.greatest(F.lit(0), F.least(F.lit(cols - 1), c))

@@ -281,3 +281,41 @@ class TestPointsParity:
         assert [(r.x, r.y) for r in out] == [
             (100.0, 100.0), (100.0, 2100.0), (100.0, 4100.0),
             (100.0, 6100.0), (100.0, 8100.0), (100.0, 10000.0)]
+
+
+class TestSplitOnGridParity:
+    def test_single_point_degenerate_bounds(self, spark):
+        # split-on-grid-test.js: one point, auto layer bounds (degenerate)
+        # -> cell "r0c0"
+        from mapshaper_spark.operators import grid as G2
+        pts = spark.createDataFrame([(1, 1.0, 1.0)], "pid int, x double, y double")
+        out = G2.split_on_grid(pts, 3, 3, bbox=None, x="x", y="y",
+                               id_field="cell_id").collect()
+        assert out[0].cell_id == "r0c0"
+
+    def test_two_points_opposite_cells(self, spark):
+        # (0,0) -> r0c0, (1,1) on the max corner clamps into r1c1
+        from mapshaper_spark.operators import grid as G2
+        pts = spark.createDataFrame([(1, 0.0, 0.0), (2, 1.0, 1.0)],
+                                    "pid int, x double, y double")
+        out = {r.pid: r.cell_id for r in
+               G2.split_on_grid(pts, 2, 2, bbox=None, x="x", y="y",
+                                id_field="cell_id").collect()}
+        assert out == {1: "r0c0", 2: "r1c1"}
+
+
+class TestUniqParity:
+    def test_remove_duplicate_ids(self, spark):
+        # uniq-test.js: first occurrence per value survives
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "a"), (3, "a")], "idx int, foo string") \
+            .withColumn(A.ROW_IDX, F.col("idx"))
+        out = sorted(r.idx for r in A.uniq(df, F.col("foo"), 1).collect())
+        assert out == [0, 1]
+
+    def test_max_count_2(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "a"), (3, "a")], "idx int, foo string") \
+            .withColumn(A.ROW_IDX, F.col("idx"))
+        out = sorted(r.idx for r in A.uniq(df, F.col("foo"), 2).collect())
+        assert out == [0, 1, 2]
