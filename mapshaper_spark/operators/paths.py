@@ -91,30 +91,73 @@ def explode(df: DataFrame, part_index: str = "part_idx") -> DataFrame:
     return with_area.mapInPandas(gen_filtered, schema=schema)
 
 
+def _ring_key(rx, ry):
+    """Rotation- and direction-invariant canonical key for a closed ring
+    (stand-in for the reference's shared-arc identity: a donut hole and its
+    filling island reference the same arc, hence identical coordinates)."""
+    pts = list(zip(rx[:-1], ry[:-1]))
+    if not pts:
+        return ()
+    k = pts.index(min(pts))
+    fwd = tuple(pts[k:] + pts[:k])
+    pts_r = pts[::-1]
+    k = pts_r.index(min(pts_r))
+    rev = tuple(pts_r[k:] + pts_r[:k])
+    return min(fwd, rev)
+
+
 def filter_islands(df: DataFrame, min_area: float | None = None,
-                   min_vertices: int | None = None) -> DataFrame:
-    """-filter-islands: remove rings whose |area| < min_area or vertex count
-    < min_vertices; drop features left with no rings (filter-islands.js:3-43
-    — only non-hole rings are tested; holes of removed rings vanish with
-    them). Operates on exploded-or-not features; hole rings (negative area)
-    are kept iff their enclosing positive ring survives (previous positive
-    ring in order)."""
+                   min_vertices: int | None = None,
+                   protect_donuts: bool = True) -> DataFrame:
+    """-filter-islands (filter-islands.js:3-65): remove island rings below
+    min_area / min_vertices, EXCEPT rings that (a) contain a hole
+    (internal.ringHasHoles) or (b) also serve as a donut hole elsewhere in
+    the layer (the reference's arc-use-count > 1 test; here: a layer-wide
+    broadcast of canonical hole-ring keys). Holes of a removed ring vanish
+    with it; features left with no rings are dropped."""
+    from mapshaper_spark.geom import kernels as KK
+
     with_area = ring_areas_col(df)
     out_cols = [f.name for f in df.schema.fields]
 
+    hole_keys = set()
+    if protect_donuts:
+        for r in with_area.select("rings_x", "rings_y", "ring_areas").collect():
+            for rx, ry, a in zip(r.rings_x, r.rings_y, r.ring_areas):
+                if a < 0:
+                    hole_keys.add(_ring_key(list(rx), list(ry)))
+    bc_holes = df.sparkSession.sparkContext.broadcast(hole_keys)
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        holes = bc_holes.value
         for pdf in it:
             rows = []
             for rec in pdf.to_dict("records"):
+                rings = list(zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]))
                 keep_x, keep_y = [], []
                 keep_current = False
-                for rx, ry, a in zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]):
+                for i, (rx, ry, a) in enumerate(rings):
                     if a > 0:
                         keep_current = True
+                        removable = False
                         if min_area is not None and abs(a) < min_area:
-                            keep_current = False
+                            removable = True
                         if min_vertices is not None and len(rx) - 1 < min_vertices:
-                            keep_current = False
+                            removable = True
+                        if removable:
+                            # ringHasHoles: a sibling ring starting inside
+                            # this ring protects it
+                            rxa = np.asarray(rx)
+                            rya = np.asarray(ry)
+                            for j, (ox, oy, _oa) in enumerate(rings):
+                                if i != j and KK.points_in_ring(
+                                        np.asarray(ox[:1]), np.asarray(oy[:1]),
+                                        rxa, rya)[0] == 1:
+                                    removable = False
+                                    break
+                        if removable and _ring_key(list(rx), list(ry)) in holes:
+                            removable = False  # donut protection
+                        keep_current = not removable
                         if keep_current:
                             keep_x.append(rx)
                             keep_y.append(ry)

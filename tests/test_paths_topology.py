@@ -51,8 +51,12 @@ class TestFilters:
         assert len(out[0].rings_x) == 2
 
     def test_min_vertices(self, spark):
+        # every ring has 4 vertices (< 10), but the outer square contains a
+        # hole -> ringHasHoles protection keeps it (and its hole); only the
+        # detached island is removed (filter-islands.js:50-57)
         out = P.filter_islands(_holey_feature(spark), min_vertices=10).collect()
-        assert len(out) == 0  # every ring has 4 vertices
+        assert len(out) == 1
+        assert len(out[0].rings_x) == 2
 
 
 class TestClip:

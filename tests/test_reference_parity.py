@@ -319,3 +319,47 @@ class TestUniqParity:
             .withColumn(A.ROW_IDX, F.col("idx"))
         out = sorted(r.idx for r in A.uniq(df, F.col("foo"), 2).collect())
         assert out == [0, 1, 2]
+
+
+class TestFilterIslandsParity:
+    def test_donut_hole_polygons_not_removed(self, spark):
+        # filter-islands-test.js:6-45: the small diamond is both a
+        # standalone polygon AND the donut hole of the big one -> protected
+        # at ANY threshold
+        from mapshaper_spark.operators import paths as P2
+        inner_x = [3.0, 4.0, 3.0, 2.0, 3.0]
+        inner_y = [4.0, 3.0, 2.0, 3.0, 4.0]
+        outer_x = [3.0, 5.0, 3.0, 1.0, 3.0]
+        outer_y = [5.0, 3.0, 1.0, 3.0, 5.0]
+        df = spark.createDataFrame(
+            [(0, [inner_x], [inner_y]),
+             (1, [outer_x, inner_x[::-1]], [outer_y, inner_y[::-1]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.filter_islands(df, min_area=1e13).collect()
+        assert len(out) == 2
+        assert {r.fid: len(r.rings_x) for r in out} == {0: 1, 1: 2}
+
+    def test_min_area_golden(self, spark):
+        # filter-islands-test.js:75-86: rect (area 100) kept, tiny triangle
+        # removed at min-area=1
+        from mapshaper_spark.operators import paths as P2
+        df = spark.createDataFrame(
+            [(0, [[1.0, 1.0, 2.0, 2.0, 1.0], [1.0, 1.0, 2.0, 1.0]],
+              [[100.0, 200.0, 200.0, 100.0, 100.0], [1.0, 2.0, 1.0, 1.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.filter_islands(df, min_area=1.0).collect()
+        assert len(out) == 1
+        assert len(out[0].rings_x) == 1
+        assert out[0].rings_y[0][0] == 100.0
+
+    def test_min_vertices_golden(self, spark):
+        # filter-islands-test.js:88-99: min-vertices=4 removes the 3-vertex
+        # triangle, keeps the 4-vertex rect
+        from mapshaper_spark.operators import paths as P2
+        df = spark.createDataFrame(
+            [(0, [[1.0, 1.0, 2.0, 2.0, 1.0], [1.0, 1.0, 2.0, 1.0]],
+              [[100.0, 200.0, 200.0, 100.0, 100.0], [1.0, 2.0, 1.0, 1.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.filter_islands(df, min_vertices=4).collect()
+        assert len(out) == 1
+        assert len(out[0].rings_x) == 1
