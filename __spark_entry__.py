@@ -1183,16 +1183,18 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["point_grid"] = """
         SELECT CAST(i % 10 AS INT) AS col, CAST(i // 10 AS INT) AS row,
-               -120.0 + (i % 10) * 6.0 AS x,
-               25.0 + (i // 10) * 3.0 AS y
+               -117.0 + (i % 10) * 6.0 AS x,
+               26.5 + (i // 10) * 3.0 AS y
         FROM range(80) t(i)
     """
+    # reference polygon-grid: cells between the 6x4 point-grid centers
+    # -> 5x3 cells starting at (-115, 28)
     sqls["polygon_grid"] = """
-        SELECT 'r' || CAST(i // 6 AS VARCHAR) || 'c' || CAST(i % 6 AS VARCHAR) AS cell_id,
-               CAST(i // 6 AS INT) AS row, CAST(i % 6 AS INT) AS col,
-               -120.0 + (i % 6) * 10.0 AS xmin, 25.0 + (i // 6) * 6.0 AS ymin,
-               -120.0 + (i % 6 + 1) * 10.0 AS xmax, 25.0 + (i // 6 + 1) * 6.0 AS ymax
-        FROM range(24) t(i)
+        SELECT 'r' || CAST(i // 5 AS VARCHAR) || 'c' || CAST(i % 5 AS VARCHAR) AS cell_id,
+               CAST(i // 5 AS INT) AS row, CAST(i % 5 AS INT) AS col,
+               -115.0 + (i % 5) * 10.0 AS xmin, 28.0 + (i // 5) * 6.0 AS ymin,
+               -105.0 + (i % 5) * 10.0 AS xmax, 34.0 + (i // 5) * 6.0 AS ymax
+        FROM range(15) t(i)
     """
     sqls["affine"] = f"""
         WITH pts AS ({pts})

@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 
 def point_grid(spark: SparkSession, cols: int, rows: int,
                bbox: Sequence[float]) -> DataFrame:
-    """Grid of points at cell corners: point(c, r) = (x0 + c*w, y0 + r*h)
-    with w = width/cols, h = height/rows (getSimpleGridFunction,
-    mapshaper-grids.js:18-22 via point-grid interval semantics)."""
+    """-point-grid <cols,rows>: points at CELL CENTERS with half-cell
+    margins — x0 = xmin + dx/2 (createPointGrid rows/cols branch,
+    mapshaper-point-grid.js:90-97; golden: bbox=10,10,20,20 2,2 ->
+    (12.5,12.5)...(17.5,17.5))."""
     xmin, ymin, xmax, ymax = bbox
     w = (xmax - xmin) / cols
     h = (ymax - ymin) / rows
@@ -35,26 +36,55 @@ def point_grid(spark: SparkSession, cols: int, rows: int,
         (F.col("id") / cols).cast("int").alias("row"),
     ).select(
         "col", "row",
-        (F.lit(xmin) + F.col("col") * F.lit(w)).alias("x"),
-        (F.lit(ymin) + F.col("row") * F.lit(h)).alias("y"),
+        (F.lit(xmin + w / 2) + F.col("col") * F.lit(w)).alias("x"),
+        (F.lit(ymin + h / 2) + F.col("row") * F.lit(h)).alias("y"),
+    )
+
+
+def point_grid_interval(spark: SparkSession, interval: float,
+                        bbox: Sequence[float]) -> DataFrame:
+    """-point-grid interval=: cols = round(w/dx) - 1, margins centered
+    (createPointGrid interval branch, mapshaper-point-grid.js:83-89)."""
+    xmin, ymin, xmax, ymax = bbox
+    w = xmax - xmin
+    h = ymax - ymin
+    cols = round(w / interval) - 1
+    rows = round(h / interval) - 1
+    x0 = xmin + (w - cols * interval) / 2
+    y0 = ymin + (h - rows * interval) / 2
+    # the reference's while (y <= ymax) loop emits cols+1 x rows+1 points
+    df = spark.range(0, (rows + 1) * (cols + 1))
+    return df.select(
+        (F.col("id") % (cols + 1)).cast("int").alias("col"),
+        (F.col("id") / (cols + 1)).cast("int").alias("row"),
+    ).select(
+        "col", "row",
+        (F.lit(x0) + F.col("col") * F.lit(interval)).alias("x"),
+        (F.lit(y0) + F.col("row") * F.lit(interval)).alias("y"),
     )
 
 
 def polygon_grid(spark: SparkSession, cols: int, rows: int,
                  bbox: Sequence[float]) -> DataFrame:
-    """Grid of rectangular cells with per-cell closed rings (rings_x/rings_y
-    + bbox struct), ready for pip_join / clipping. cell_id = "r{r}c{c}"."""
+    """-polygon-grid: rectangular cells BETWEEN adjacent point-grid centers
+    ((rows-1) x (cols-1) cells; createPolygonGridDataset,
+    mapshaper-point-grid.js:49-60), with per-cell closed rings + bbox
+    struct ready for pip_join / clipping. cell_id = "r{r}c{c}"."""
     xmin, ymin, xmax, ymax = bbox
     w = (xmax - xmin) / cols
     h = (ymax - ymin) / rows
-    df = spark.range(0, rows * cols).select(
-        (F.col("id") % cols).cast("int").alias("col"),
-        (F.col("id") / cols).cast("int").alias("row"),
+    cx0 = xmin + w / 2
+    cy0 = ymin + h / 2
+    out_cols = cols - 1
+    out_rows = rows - 1
+    df = spark.range(0, out_rows * out_cols).select(
+        (F.col("id") % out_cols).cast("int").alias("col"),
+        (F.col("id") / out_cols).cast("int").alias("row"),
     )
-    x0 = F.lit(xmin) + F.col("col") * F.lit(w)
-    x1 = F.lit(xmin) + (F.col("col") + 1) * F.lit(w)
-    y0 = F.lit(ymin) + F.col("row") * F.lit(h)
-    y1 = F.lit(ymin) + (F.col("row") + 1) * F.lit(h)
+    x0 = F.lit(cx0) + F.col("col") * F.lit(w)
+    x1 = F.lit(cx0) + (F.col("col") + 1) * F.lit(w)
+    y0 = F.lit(cy0) + F.col("row") * F.lit(h)
+    y1 = F.lit(cy0) + (F.col("row") + 1) * F.lit(h)
     return df.select(
         F.format_string("r%dc%d", F.col("row"), F.col("col")).alias("cell_id"),
         "row", "col",

@@ -363,3 +363,19 @@ class TestFilterIslandsParity:
         out = P2.filter_islands(df, min_vertices=4).collect()
         assert len(out) == 1
         assert len(out[0].rings_x) == 1
+
+
+class TestPointGridParity:
+    def test_rows_cols_golden(self, spark):
+        # point-grid-test.js:8-28: bbox=10,10,20,20 2,2 -> cell centers
+        from mapshaper_spark.operators import grid as G2
+        out = sorted((r.x, r.y) for r in
+                     G2.point_grid(spark, 2, 2, (10.0, 10.0, 20.0, 20.0)).collect())
+        assert out == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
+
+    def test_interval_golden(self, spark):
+        # point-grid-test.js:33-53: interval=5 on the same bbox -> same grid
+        from mapshaper_spark.operators import grid as G2
+        out = sorted((r.x, r.y) for r in
+                     G2.point_grid_interval(spark, 5.0, (10.0, 10.0, 20.0, 20.0)).collect())
+        assert out == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
