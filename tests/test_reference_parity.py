@@ -379,3 +379,53 @@ class TestPointGridParity:
         out = sorted((r.x, r.y) for r in
                      G2.point_grid_interval(spark, 5.0, (10.0, 10.0, 20.0, 20.0)).collect())
         assert out == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
+
+
+class TestJoinCalcParity:
+    """join-calc-test.js goldens: the calc vocabulary over matched source
+    subsets, run through join_attributes' calc= path (records :9-15)."""
+
+    def _join(self, spark, keys, calc):
+        # target key 1 matches the given source subset
+        src_rows = [("41", 500, 0), ("41", 300, 1), ("51", 500, 2),
+                    ("51", 450, 3), ("51", 150, 4)]
+        src = spark.createDataFrame(
+            [(r[0], r[1], r[2], 1 if r[2] in keys else -1) for r in src_rows],
+            "fips string, area int, idx int, k int")
+        tgt = spark.createDataFrame([(1,)], "k int")
+        return J.join_attributes(tgt, src, ("k", "k"), calc=calc,
+                                 source_order="idx").collect()[0]
+
+    def test_multiple_uses_subset_123(self, spark):
+        # f([1,2,3]) -> {min_area: 300, fips_mode: '51', a: '41', b: '51',
+        #                med: 450}
+        r = self._join(spark, {1, 2, 3},
+                       {"a": ("first", "fips"), "b": ("last", "fips"),
+                        "min_area": ("min", "area"),
+                        "fips_mode": ("mode", "fips"),
+                        "med": ("median", "area")})
+        assert r.min_area == 300
+        assert r.fips_mode == "51"
+        assert r.med == 450.0
+
+    def test_single_row_subset(self, spark):
+        # f([0]) -> {min_area: 500, fips_mode: '41', a: '41', b: '41', med: 500}
+        r = self._join(spark, {0},
+                       {"a": ("first", "fips"), "b": ("last", "fips"),
+                        "min_area": ("min", "area"),
+                        "fips_mode": ("mode", "fips"),
+                        "med": ("median", "area")})
+        assert (r.a, r.b, r.min_area, r.fips_mode, r.med) == \
+            ("41", "41", 500, "41", 500.0)
+
+    def test_unmatched_target_gets_nulls_zero_count(self, spark):
+        # getJoinCalc null-input golden: count -> 0 via joins, aggs -> null
+        src = spark.createDataFrame([("41", 500, 7)], "fips string, area int, k int")
+        tgt = spark.createDataFrame([(1,)], "k int")
+        r = J.join_attributes(tgt, src, ("k", "k"),
+                              calc={"n": ("count", "area"),
+                                    "min_area": ("min", "area"),
+                                    "tot_area": ("sum", "area")}).collect()[0]
+        assert r.joins == 0
+        assert r.min_area is None
+        assert r.n is None  # no matched group (reference: n=0 via count())
