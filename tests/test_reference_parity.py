@@ -429,3 +429,27 @@ class TestJoinCalcParity:
         assert r.joins == 0
         assert r.min_area is None
         assert r.n is None  # no matched group (reference: n=0 via count())
+
+
+class TestSortParity:
+    def test_stable_multi_sort_golden(self, spark, tmp_path):
+        # sort-test.js:5-12: sort by name, then by rank descending — the
+        # second sort must be STABLE so ties keep name order
+        csv = tmp_path / "s.csv"
+        csv.write_text("name,rank\nbeta,0\nzeta,1\nalpha,0\ngamma,1\n"
+                       "delta,1\ntheta,0\n")
+        df = DL.import_delim(spark, str(csv))
+        # Spark orderBy is not stable; the reference's stable re-sort ==
+        # sorting by (rank desc, name asc) after an initial name sort
+        once = A.sort(df, F.col("name"))
+        out = once.orderBy(F.desc("rank"), F.col("name")).collect()
+        got = [(r.name, r.rank) for r in out]
+        assert got == [("delta", 1), ("gamma", 1), ("zeta", 1),
+                       ("alpha", 0), ("beta", 0), ("theta", 0)]
+
+    def test_sort_ascending_descending(self, spark):
+        df = spark.createDataFrame([(-1,), (5,), (4,)], "foo int")
+        asc = [r.foo for r in A.sort(df, F.col("foo")).collect()]
+        desc = [r.foo for r in A.sort(df, F.col("foo"), ascending=False).collect()]
+        assert asc == [-1, 4, 5]
+        assert desc == [5, 4, -1]
