@@ -277,3 +277,46 @@ class TestThresholdByPct:
     def test_pct_zero_removes_all(self):
         zz = np.array([math.inf, 0.1, math.inf])
         assert K.threshold_by_pct(zz, 0.0) == math.inf
+
+
+class TestPointSegDistGoldens:
+    """geom-test.js pointSegDistSq / pointSegDistSq3D / nearest-point
+    goldens (:40-71)."""
+
+    def d2(self, px, py, ax, ay, cx, cy):
+        return float(K.point_seg_dist_sq(np.array([px], dtype=float),
+                                         np.array([py], dtype=float),
+                                         ax, ay, cx, cy)[0])
+
+    def test_perpendicular_to_vertical(self):
+        assert self.d2(0, 0, 2, -1, 2, 3) == 4
+        assert self.d2(1, 0, 0, 3, 2, 3) == 9
+
+    def test_perpendicular_to_horizontal(self):
+        assert self.d2(1, 1, -3, 0, -3, 3) == 16
+
+    def test_perpendicular_to_sloping(self):
+        assert self.d2(1, 1, 3, 1, 1, 3) == 2
+
+    def test_endpoint_is_nearest(self):
+        assert self.d2(0, 0, 2, 6, 2, 2) == 8
+
+    def test_3d_sloping(self):
+        got = K._point_seg_dist_sq_3d(
+            np.array([1.0]), np.array([1.0]), np.array([1.0]),
+            3.0, 1.0, 2.0, 1.0, 3.0, 2.0)
+        assert float(got[0]) == 3
+
+    def test_nearest_point_on_seg_goldens(self):
+        # findClosestPointOnSeg cases via nearest_point_on_path
+        def np_on(px, py, ax, ay, cx, cy):
+            d2, qx, qy = K.nearest_point_on_path(
+                px, py, np.array([ax, cx], dtype=float),
+                np.array([ay, cy], dtype=float))
+            return (qx, qy)
+        assert np_on(0, 0, 0, 2, 2, 0) == (1, 1)
+        assert np_on(0, 0, 0, -2, -2, 0) == (-1, -1)
+        assert np_on(3, 0, 0, 2, 2, 0) == (2, 0)
+        assert np_on(-2, 0, 0, 2, 2, 0) == (0, 2)
+        assert np_on(0, 0, 0, 2, 0, 2) == (0, 2)   # zero-length segment
+        assert np_on(2, 0, 0, 2, 2, 0) == (2, 0)   # coincident endpoint
