@@ -487,3 +487,74 @@ def dissolve2(features: DataFrame, group: str) -> DataFrame:
         })
 
     return features.groupBy(group).applyInPandas(merge, schema=out_schema)
+
+
+def clip_polylines_rings(paths, rings_c, erase: bool = False):
+    """Clip open polylines by a polygon ring set: cut each path at every
+    boundary crossing, keep the sub-paths whose midpoints are inside
+    (outside for erase) — the reference's polyline clip
+    (/root/reference/src/clipping/mapshaper-polyline-clipping.js:7-37:
+    arc-enclosure test after intersection cuts). ``paths``: list of
+    (xs, ys) open numpy paths. Returns list of kept sub-paths."""
+    out = []
+    for xs, ys in paths:
+        cuts_p: dict = {}
+        for bxs, bys in rings_c:
+            _collect_cuts(np.asarray(xs, dtype=np.float64),
+                          np.asarray(ys, dtype=np.float64),
+                          np.asarray(bxs, dtype=np.float64),
+                          np.asarray(bys, dtype=np.float64),
+                          cuts_p, {})
+        cx, cy = _apply_cuts(np.asarray(xs, dtype=np.float64),
+                             np.asarray(ys, dtype=np.float64), cuts_p)
+        cut_pts = set()
+        for segs in cuts_p.values():
+            for _t, px, py in segs:
+                cut_pts.add((px, py))
+        # split at cut points
+        bounds = [0]
+        for i in range(1, len(cx) - 1):
+            if (cx[i], cy[i]) in cut_pts:
+                bounds.append(i)
+        bounds.append(len(cx) - 1)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b <= a:
+                continue
+            sub_x, sub_y = cx[a:b + 1], cy[a:b + 1]
+            k = (len(sub_x) - 1) // 2
+            mx = (sub_x[k] + sub_x[k + 1]) / 2.0
+            my = (sub_y[k] + sub_y[k + 1]) / 2.0
+            inside = bool(K.points_in_polygon(np.array([mx]), np.array([my]),
+                                              rings_c)[0])
+            if inside != erase:
+                out.append((sub_x.tolist(), sub_y.tolist()))
+    return out
+
+
+def clip_polylines(lines: DataFrame, clip: DataFrame,
+                   erase: bool = False) -> DataFrame:
+    """-clip/-erase on a polyline feature layer (rings_x/rings_y hold open
+    paths) against a broadcast polygon clip layer."""
+    spark = lines.sparkSession
+    clip_rows = clip.select("rings_x", "rings_y").collect()
+    rings_c = [(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
+               for r in clip_rows for rx, ry in zip(r.rings_x, r.rings_y)]
+    bc = spark.sparkContext.broadcast(rings_c)
+    out_cols = [f.name for f in lines.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rc = bc.value
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                paths = list(zip(rec["rings_x"], rec["rings_y"]))
+                kept = clip_polylines_rings(paths, rc, erase=erase)
+                if kept:
+                    rec = dict(rec)
+                    rec["rings_x"] = [p[0] for p in kept]
+                    rec["rings_y"] = [p[1] for p in kept]
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return lines.mapInPandas(gen, schema=lines.schema)

@@ -215,3 +215,37 @@ class TestReferenceClipFigures:
         clip_a = total_area(overlay_rings([outer, hole], [clip], "clip"))
         erase_a = total_area(overlay_rings([outer, hole], [clip], "erase"))
         assert clip_a + erase_a == pytest.approx(25.0 - 2.0)  # 5^2 outer - hole
+
+
+class TestPolylineClip:
+    def test_line_through_diamond(self, spark):
+        from mapshaper_spark.operators.overlay import clip_polylines
+        diamond = spark.createDataFrame(
+            [(1, [[-100.0, -90.0, -80.0, -90.0, -100.0]],
+              [[37.0, 47.0, 37.0, 27.0, 37.0]])],
+            "cid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        line = spark.createDataFrame(
+            [(1, [[-120.0, -60.0]], [[37.0, 37.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = clip_polylines(line, diamond).collect()
+        assert len(out) == 1
+        seg = list(zip(out[0].rings_x[0], out[0].rings_y[0]))
+        # kept span = the diamond's horizontal diagonal
+        assert seg[0] == (-100.0, 37.0) and seg[-1] == (-80.0, 37.0)
+        ers = clip_polylines(line, diamond, erase=True).collect()
+        spans = sorted((r[0][0], r[0][-1]) for r in
+                       zip(ers[0].rings_x))
+        assert len(ers[0].rings_x) == 2  # two outside pieces
+
+    def test_line_outside_untouched_on_erase(self, spark):
+        from mapshaper_spark.operators.overlay import clip_polylines
+        diamond = spark.createDataFrame(
+            [(1, [[-100.0, -90.0, -80.0, -90.0, -100.0]],
+              [[37.0, 47.0, 37.0, 27.0, 37.0]])],
+            "cid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        line = spark.createDataFrame(
+            [(1, [[-120.0, -110.0]], [[26.0, 26.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        assert clip_polylines(line, diamond).count() == 0
+        e = clip_polylines(line, diamond, erase=True).collect()
+        assert e[0].rings_x == [[-120.0, -110.0]]
