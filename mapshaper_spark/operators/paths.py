@@ -673,3 +673,23 @@ def points_inner(df: DataFrame, x: str = "ix", y: str = "iy",
     schema = T.StructType(df.schema.fields + [T.StructField(x, T.DoubleType()),
                                               T.StructField(y, T.DoubleType())])
     return df.mapInPandas(gen, schema=schema)
+
+
+def calc_max_sliver_area(arcs: DataFrame) -> float:
+    """Default sliver-area threshold: (mean segment length)^2 over segments
+    shorter than half the dataset extent in each axis (the reference's
+    bounding-box-segment exclusion, filter-slivers.js:73-88). Distributed:
+    one agg over exploded segments."""
+    b = arcs.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                 F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+    dx_max = (float(b[2]) - float(b[0])) / 2.0
+    dy_max = (float(b[3]) - float(b[1])) / 2.0
+    n = F.size("xs")
+    seg = arcs.select(F.explode(F.sequence(F.lit(2), n)).alias("i"), "xs", "ys")
+    dx = F.abs(F.element_at("xs", F.col("i")) - F.element_at("xs", F.col("i") - 1))
+    dy = F.abs(F.element_at("ys", F.col("i")) - F.element_at("ys", F.col("i") - 1))
+    kept = seg.select(dx.alias("dx"), dy.alias("dy")) \
+        .filter((F.col("dx") < dx_max) & (F.col("dy") < dy_max))
+    row = kept.agg(F.avg(F.sqrt(F.col("dx") ** 2 + F.col("dy") ** 2)).alias("m")).collect()[0]
+    mean = float(row.m or 0.0)
+    return mean * mean

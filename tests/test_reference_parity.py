@@ -453,3 +453,24 @@ class TestSortParity:
         desc = [r.foo for r in A.sort(df, F.col("foo"), ascending=False).collect()]
         assert asc == [-1, 4, 5]
         assert desc == [5, 4, -1]
+
+
+class TestSliverThresholdParity:
+    def test_calc_max_sliver_area_golden(self, spark):
+        # filter-slivers-test.js:7-11: "ignores relatively long segments"
+        # -> calcMaxSliverArea(arcs2) == 1 (all unit segments count; the
+        # 3-long and bounding segments are excluded by the extent/2 rule)
+        from mapshaper_spark.operators.paths import calc_max_sliver_area
+        coords = [
+            (0, [3.0, 2.0, 2.0], [1.0, 1.0, 2.0]),
+            (1, [2.0, 3.0], [3.0, 3.0]),
+            (2, [1.0, 4.0, 4.0], [3.0, 3.0, 0.0]),
+        ]
+        from pyspark.sql import functions as F2
+        arcs = spark.createDataFrame(
+            coords, "arc_id long, xs array<double>, ys array<double>") \
+            .withColumn("bbox", F2.struct(
+                F2.array_min("xs").alias("xmin"), F2.array_min("ys").alias("ymin"),
+                F2.array_max("xs").alias("xmax"), F2.array_max("ys").alias("ymax")))
+        # dataset bounds come from per-arc bboxes: global (1,0)-(4,3)
+        assert calc_max_sliver_area(arcs) == pytest.approx(1.0)
