@@ -1386,9 +1386,13 @@ def oracle_sql() -> dict[str, str]:
         FROM range(4) t(r), range(6) u(c)
     """
     sqls["segment_intersections"] = """
+        -- endpoint-of-BOTH-segments touches are excluded (the reference's
+        -- endpointHit rule, mapshaper-segment-geom.js:227-233): the four
+        -- grid corners where a horizontal and a vertical line both END
         SELECT CAST(j AS DOUBLE) AS x, CAST(i AS DOUBLE) AS y,
                i AS arc_a, 10 + j AS arc_b
         FROM range(10) t(i), range(10) u(j)
+        WHERE NOT ((i = 0 OR i = 9) AND (j = 0 OR j = 9))
     """
     sqls["polyline_dissolve"] = """
         SELECT 0.0 AS x0, CAST(i AS DOUBLE) AS y0, 4.0 AS x1,

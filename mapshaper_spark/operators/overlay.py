@@ -231,62 +231,203 @@ def _normalize_winding(rings):
     return out
 
 
+def _bbox_cell_range(b, bbox, res):
+    """JVM column exprs: inclusive (row0, row1, col0, col1) grid-cell range
+    of a feature bbox struct over the global ``bbox`` at 2^res cells/axis."""
+    xmin, ymin, xmax, ymax = bbox
+    n = 1 << res
+    w = (xmax - xmin) / n
+    h = (ymax - ymin) / n
+    clampc = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c)).cast("int")
+    c0 = clampc(F.floor((b["xmin"] - F.lit(xmin)) / F.lit(w)))
+    c1 = clampc(F.floor((b["xmax"] - F.lit(xmin)) / F.lit(w)))
+    r0 = clampc(F.floor((b["ymin"] - F.lit(ymin)) / F.lit(h)))
+    r1 = clampc(F.floor((b["ymax"] - F.lit(ymin)) / F.lit(h)))
+    return r0, r1, c0, c1
+
+
+def _bbox_cells_col(bbox, res):
+    """Exploded cell-id column (row * n + col) for a bbox struct column."""
+    n = 1 << res
+    r0, r1, c0, c1 = _bbox_cell_range(F.col("bbox"), bbox, res)
+    return F.explode(F.flatten(F.transform(
+        F.sequence(r0, r1),
+        lambda r: F.transform(F.sequence(c0, c1),
+                              lambda c: r * F.lit(n) + c))))
+
+
+def _overlay_one(rec, clip_feats, op, out_has_cid=False):
+    """Run the overlay kernel for one target record against its candidate
+    clip features (list of (rings, bbox) tuples), prefiltered by bbox."""
+    tb = rec["bbox"]
+    cands = []
+    for rings, cb in clip_feats:
+        if (cb[0] <= tb["xmax"] and cb[2] >= tb["xmin"] and
+                cb[1] <= tb["ymax"] and cb[3] >= tb["ymin"]):
+            cands.append((rings, cb))
+    # deterministic ring order regardless of collect/collect_list order:
+    # stitch/dedup of coincident shared edges is order-sensitive, and
+    # collect_list order varies across runs and stage retries
+    cands.sort(key=lambda rc: (rc[1],
+                               rc[0][0][0][0] if rc[0] else 0.0,
+                               rc[0][0][1][0] if rc[0] else 0.0))
+    rings_c = [r for rings, _cb in cands for r in rings]
+    if not rings_c:
+        # no candidate clip geometry: erase passes through, clip drops
+        return dict(rec) if op == "erase" else None
+    rings_t = [(np.asarray(rx, dtype=np.float64),
+                np.asarray(ry, dtype=np.float64))
+               for rx, ry in zip(rec["rings_x"], rec["rings_y"])]
+    rings = overlay_rings(rings_t, rings_c, op=op)
+    if not rings:
+        return None
+    rec = dict(rec)
+    rec["rings_x"] = [r[0] for r in rings]
+    rec["rings_y"] = [r[1] for r in rings]
+    allx = np.concatenate([np.asarray(r) for r in rec["rings_x"]])
+    ally = np.concatenate([np.asarray(r) for r in rec["rings_y"]])
+    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+    return rec
+
+
 def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
-                  erase: bool = False) -> DataFrame:
-    """-clip / -erase on polygon feature layers (rings_x/rings_y + bbox).
-    The clip layer is collected and broadcast (small side, like the
-    reference's single clip dataset); candidate pairs are pruned by bbox
-    before the per-feature overlay kernel runs."""
+                  erase: bool = False, key: str | None = None,
+                  res: int = 6, broadcast_limit: int = 10_000) -> DataFrame:
+    """-clip / -erase on polygon feature layers (rings_x/rings_y + bbox),
+    mirroring the reference clip pipeline
+    (/root/reference/src/clipping/mapshaper-polygon-clipping.js:10-99) with
+    two physical plans:
+
+    - clip layer dimension-sized (<= broadcast_limit rows): broadcast the
+      clip features; the pandas kernel prefilters candidates per target by
+      bbox, so work is O(local overlap), not O(|clip|) per feature;
+    - large clip layer: cell-keyed (target, clip) candidate pairs over a
+      shared grid (bbox cover explode + equi-join + distinct), candidate
+      clip rings grouped per target key, then the same per-row kernel —
+      no driver collect, no broadcast of the big side.
+
+    ``key``: unique target row key for the distributed path (defaults to
+    the first target column)."""
     spark = target.sparkSession
-    clip_rows = clip.select("rings_x", "rings_y", "bbox").collect()
-    clip_rings = [(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
-                  for r in clip_rows for rx, ry in zip(r.rings_x, r.rings_y)]
-    cb = clip_rows[0].bbox if clip_rows else None
-    cxmin = min(r.bbox["xmin"] for r in clip_rows)
-    cymin = min(r.bbox["ymin"] for r in clip_rows)
-    cxmax = max(r.bbox["xmax"] for r in clip_rows)
-    cymax = max(r.bbox["ymax"] for r in clip_rows)
-    bc = spark.sparkContext.broadcast(clip_rings)
-
-    b = F.col("bbox")
-    touches = ((b["xmin"] <= cxmax) & (b["xmax"] >= cxmin) &
-               (b["ymin"] <= cymax) & (b["ymax"] >= cymin))
-    if erase:
-        # features not touching the clip bbox pass through unchanged
-        pass_through = target.filter(~touches)
-        cand = target.filter(touches)
-    else:
-        pass_through = None
-        cand = target.filter(touches)
-
-    out_cols = [f.name for f in target.schema.fields]
     op = "erase" if erase else "clip"
+    out_cols = [f.name for f in target.schema.fields]
+    if key is None:
+        key = target.columns[0]
+    clip = _ensure_bbox(clip)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rings_c = bc.value
+    n_clip = clip.limit(broadcast_limit + 1).count()
+    if n_clip == 0:
+        # empty clip source: erase returns the target unchanged; clip
+        # returns nothing (the reference errors on a missing clip layer —
+        # we take the set-semantics result and leave erroring to callers)
+        return target if erase else target.limit(0)
+
+    if n_clip <= broadcast_limit:
+        clip_rows = clip.select("rings_x", "rings_y", "bbox").collect()
+        clip_feats = [
+            ([(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
+              for rx, ry in zip(r.rings_x, r.rings_y)],
+             (r.bbox["xmin"], r.bbox["ymin"], r.bbox["xmax"], r.bbox["ymax"]))
+            for r in clip_rows]
+        cxmin = min(f[1][0] for f in clip_feats)
+        cymin = min(f[1][1] for f in clip_feats)
+        cxmax = max(f[1][2] for f in clip_feats)
+        cymax = max(f[1][3] for f in clip_feats)
+        bc = spark.sparkContext.broadcast(clip_feats)
+
+        b = F.col("bbox")
+        touches = ((b["xmin"] <= cxmax) & (b["xmax"] >= cxmin) &
+                   (b["ymin"] <= cymax) & (b["ymax"] >= cymin))
+        pass_through = target.filter(~touches) if erase else None
+        cand = target.filter(touches)
+
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            feats = bc.value
+            for pdf in it:
+                rows = []
+                for rec in pdf.to_dict("records"):
+                    out = _overlay_one(rec, feats, op)
+                    if out is not None:
+                        rows.append(out)
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+        out = cand.mapInPandas(gen, schema=target.schema)
+        if pass_through is not None:
+            out = out.unionByName(pass_through)
+        return out
+
+    # ---- distributed path: cell-keyed candidate pairs, no driver collect
+    gb = _union_bbox(target, clip)
+    clip2 = (clip.select("rings_x", "rings_y", "bbox")
+             .withColumn("__cid", F.xxhash64("rings_x", "rings_y")))
+    t_cells = (target.select(key, "bbox")
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select(key, "__cell"))
+    c_cells = (clip2.select("__cid", "bbox")
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select("__cid", "__cell"))
+    pairs = t_cells.join(c_cells, "__cell").select(key, "__cid").distinct()
+    clip_sets = (pairs.join(clip2, "__cid")
+                 .groupBy(key)
+                 .agg(F.collect_list(F.struct(
+                     F.col("rings_x").alias("crx"), F.col("rings_y").alias("cry"),
+                     F.col("bbox").alias("cbb"))).alias("__clips")))
+    joined = target.join(clip_sets, key, "left")
+    pass_through = None
+    if erase:
+        pass_through = joined.filter(F.col("__clips").isNull()).drop("__clips")
+        cand = joined.filter(F.col("__clips").isNotNull())
+    else:
+        cand = joined.filter(F.col("__clips").isNotNull())
+
+    def gen2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rec in pdf.to_dict("records"):
-                rings_t = [(np.asarray(rx, dtype=np.float64),
-                            np.asarray(ry, dtype=np.float64))
-                           for rx, ry in zip(rec["rings_x"], rec["rings_y"])]
-                rings = overlay_rings(rings_t, rings_c, op=op)
-                if rings:
-                    rec = dict(rec)
-                    rec["rings_x"] = [r[0] for r in rings]
-                    rec["rings_y"] = [r[1] for r in rings]
-                    allx = np.concatenate([np.asarray(r) for r in rec["rings_x"]])
-                    ally = np.concatenate([np.asarray(r) for r in rec["rings_y"]])
-                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
-                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
-                    rows.append(rec)
+                feats = [
+                    ([(np.asarray(rx, dtype=np.float64),
+                       np.asarray(ry, dtype=np.float64))
+                      for rx, ry in zip(cf["crx"], cf["cry"])],
+                     (cf["cbb"]["xmin"], cf["cbb"]["ymin"],
+                      cf["cbb"]["xmax"], cf["cbb"]["ymax"]))
+                    for cf in rec["__clips"]]
+                rec = {k: v for k, v in rec.items() if k != "__clips"}
+                out = _overlay_one(rec, feats, op)
+                if out is not None:
+                    rows.append(out)
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 
-    out = cand.mapInPandas(gen, schema=target.schema)
+    out = cand.mapInPandas(gen2, schema=target.schema)
     if pass_through is not None:
         out = out.unionByName(pass_through)
     return out
+
+
+def _ensure_bbox(df: DataFrame) -> DataFrame:
+    """Derive a bbox struct column from rings_x/rings_y when absent."""
+    if "bbox" in df.columns:
+        return df
+    return df.withColumn("bbox", F.struct(
+        F.array_min(F.flatten("rings_x")).alias("xmin"),
+        F.array_min(F.flatten("rings_y")).alias("ymin"),
+        F.array_max(F.flatten("rings_x")).alias("xmax"),
+        F.array_max(F.flatten("rings_y")).alias("ymax")))
+
+
+def _union_bbox(a: DataFrame, b: DataFrame):
+    """Combined (xmin, ymin, xmax, ymax) of two feature layers' bboxes."""
+    u = (a.select("bbox").unionByName(b.select("bbox"))
+         .agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+              F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0])
+    xmin, ymin, xmax, ymax = (float(v) for v in u)
+    if xmax <= xmin:
+        xmax = xmin + 1.0
+    if ymax <= ymin:
+        ymax = ymin + 1.0
+    return (xmin, ymin, xmax, ymax)
 
 
 # ---------------------------------------------------------------------------
@@ -532,29 +673,113 @@ def clip_polylines_rings(paths, rings_c, erase: bool = False):
 
 
 def clip_polylines(lines: DataFrame, clip: DataFrame,
-                   erase: bool = False) -> DataFrame:
+                   erase: bool = False, key: str | None = None,
+                   res: int = 6, broadcast_limit: int = 10_000) -> DataFrame:
     """-clip/-erase on a polyline feature layer (rings_x/rings_y hold open
-    paths) against a broadcast polygon clip layer."""
+    paths) against a polygon clip layer. Same two physical plans as
+    clip_polygons: broadcast (+ per-feature bbox prefilter) for a
+    dimension-sized clip layer, cell-keyed candidate pairing for a large
+    one. Lines with no candidate clip geometry pass through on erase and
+    drop on clip (a line outside every clip bbox cannot be inside any
+    clip polygon)."""
     spark = lines.sparkSession
-    clip_rows = clip.select("rings_x", "rings_y").collect()
-    rings_c = [(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
-               for r in clip_rows for rx, ry in zip(r.rings_x, r.rings_y)]
-    bc = spark.sparkContext.broadcast(rings_c)
     out_cols = [f.name for f in lines.schema.fields]
+    if key is None:
+        key = lines.columns[0]
+    has_bbox = "bbox" in lines.columns
+    clip = _ensure_bbox(clip)
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rc = bc.value
+    def _kernel(rec, clip_feats):
+        if has_bbox:
+            tb = rec["bbox"]
+            cands = [(rings, cb) for rings, cb in clip_feats
+                     if (cb[0] <= tb["xmax"] and cb[2] >= tb["xmin"] and
+                         cb[1] <= tb["ymax"] and cb[3] >= tb["ymin"])]
+        else:
+            cands = list(clip_feats)
+        cands.sort(key=lambda rc: (rc[1],
+                                   rc[0][0][0][0] if rc[0] else 0.0,
+                                   rc[0][0][1][0] if rc[0] else 0.0))
+        rings_c = [r for rings, _cb in cands for r in rings]
+        if not rings_c:
+            return dict(rec) if erase else None
+        paths = list(zip(rec["rings_x"], rec["rings_y"]))
+        kept = clip_polylines_rings(paths, rings_c, erase=erase)
+        if not kept:
+            return None
+        rec = dict(rec)
+        rec["rings_x"] = [p[0] for p in kept]
+        rec["rings_y"] = [p[1] for p in kept]
+        return rec
+
+    n_clip = clip.limit(broadcast_limit + 1).count()
+    if n_clip == 0:
+        return lines if erase else lines.limit(0)
+
+    if n_clip <= broadcast_limit:
+        clip_rows = clip.select("rings_x", "rings_y", "bbox").collect()
+        clip_feats = [
+            ([(np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64))
+              for rx, ry in zip(r.rings_x, r.rings_y)],
+             (r.bbox["xmin"], r.bbox["ymin"], r.bbox["xmax"], r.bbox["ymax"]))
+            for r in clip_rows]
+        bc = spark.sparkContext.broadcast(clip_feats)
+
+        def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            feats = bc.value
+            for pdf in it:
+                rows = []
+                for rec in pdf.to_dict("records"):
+                    out = _kernel(rec, feats)
+                    if out is not None:
+                        rows.append(out)
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+        return lines.mapInPandas(gen, schema=lines.schema)
+
+    if not has_bbox:
+        raise ValueError("distributed clip_polylines needs a bbox column on "
+                         "the line layer for candidate pairing")
+    gb = _union_bbox(lines, clip)
+    clip2 = (clip.select("rings_x", "rings_y", "bbox")
+             .withColumn("__cid", F.xxhash64("rings_x", "rings_y")))
+    t_cells = (lines.select(key, "bbox")
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select(key, "__cell"))
+    c_cells = (clip2.select("__cid", "bbox")
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select("__cid", "__cell"))
+    pairs = t_cells.join(c_cells, "__cell").select(key, "__cid").distinct()
+    clip_sets = (pairs.join(clip2, "__cid")
+                 .groupBy(key)
+                 .agg(F.collect_list(F.struct(
+                     F.col("rings_x").alias("crx"), F.col("rings_y").alias("cry"),
+                     F.col("bbox").alias("cbb"))).alias("__clips")))
+    joined = lines.join(clip_sets, key, "left")
+    pass_through = joined.filter(F.col("__clips").isNull()).drop("__clips") \
+        if erase else None
+    cand = joined.filter(F.col("__clips").isNotNull())
+
+    def gen2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for rec in pdf.to_dict("records"):
-                paths = list(zip(rec["rings_x"], rec["rings_y"]))
-                kept = clip_polylines_rings(paths, rc, erase=erase)
-                if kept:
-                    rec = dict(rec)
-                    rec["rings_x"] = [p[0] for p in kept]
-                    rec["rings_y"] = [p[1] for p in kept]
-                    rows.append(rec)
+                feats = [
+                    ([(np.asarray(rx, dtype=np.float64),
+                       np.asarray(ry, dtype=np.float64))
+                      for rx, ry in zip(cf["crx"], cf["cry"])],
+                     (cf["cbb"]["xmin"], cf["cbb"]["ymin"],
+                      cf["cbb"]["xmax"], cf["cbb"]["ymax"]))
+                    for cf in rec["__clips"]]
+                rec = {k: v for k, v in rec.items() if k != "__clips"}
+                out = _kernel(rec, feats)
+                if out is not None:
+                    rows.append(out)
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 
-    return lines.mapInPandas(gen, schema=lines.schema)
+    out = cand.mapInPandas(gen2, schema=lines.schema)
+    if pass_through is not None:
+        out = out.unionByName(pass_through)
+    return out

@@ -106,33 +106,73 @@ def _ring_key(rx, ry):
     return min(fwd, rev)
 
 
+def _ring_key_hash(rx, ry):
+    """64-bit deterministic digest of the canonical ring key (stable across
+    Python workers — no process-salted hash())."""
+    import hashlib
+    key = _ring_key(list(rx), list(ry))
+    arr = np.asarray(key, dtype=np.float64)
+    h = hashlib.blake2b(arr.tobytes(), digest_size=8).digest()
+    return int.from_bytes(h, "big", signed=True)
+
+
 def filter_islands(df: DataFrame, min_area: float | None = None,
                    min_vertices: int | None = None,
                    protect_donuts: bool = True) -> DataFrame:
     """-filter-islands (filter-islands.js:3-65): remove island rings below
     min_area / min_vertices, EXCEPT rings that (a) contain a hole
     (internal.ringHasHoles) or (b) also serve as a donut hole elsewhere in
-    the layer (the reference's arc-use-count > 1 test; here: a layer-wide
-    broadcast of canonical hole-ring keys). Holes of a removed ring vanish
-    with it; features left with no rings are dropped."""
+    the layer (the reference's arc-use-count > 1 test; here: canonical
+    hole-ring key HASHES computed in a pandas stage, aggregated with a
+    distributed groupBy, and joined back per feature — no layer-wide driver
+    collect). Holes of a removed ring vanish with it; features left with no
+    rings are dropped."""
     from mapshaper_spark.geom import kernels as KK
 
     with_area = ring_areas_col(df)
     out_cols = [f.name for f in df.schema.fields]
 
-    hole_keys = set()
     if protect_donuts:
-        for r in with_area.select("rings_x", "rings_y", "ring_areas").collect():
-            for rx, ry, a in zip(r.rings_x, r.rings_y, r.ring_areas):
-                if a < 0:
-                    hole_keys.add(_ring_key(list(rx), list(ry)))
-    bc_holes = df.sparkSession.sparkContext.broadcast(hole_keys)
+        # per-feature canonical ring-key hashes (one map-only pandas stage)
+        def keys_stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["__ring_keys"] = [
+                    [_ring_key_hash(rx, ry) for rx, ry in zip(rxs, rys)]
+                    for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"])]
+                yield pdf
+
+        keyed = with_area.mapInPandas(
+            keys_stage,
+            schema=T.StructType(with_area.schema.fields +
+                                [T.StructField("__ring_keys",
+                                               T.ArrayType(T.LongType()))]))
+        keyed = keyed.withColumn("__fid", F.xxhash64("rings_x", "rings_y"))
+        ring_rows = keyed.select(
+            "__fid", F.explode(F.arrays_zip(
+                F.col("__ring_keys").alias("rk"),
+                F.col("ring_areas").alias("a"))).alias("z")) \
+            .select("__fid", F.col("z.rk").alias("rk"), F.col("z.a").alias("a"))
+        hole_keys_df = ring_rows.filter(F.col("a") < 0).select("rk").distinct()
+        # which of each feature's island keys serve as hole keys elsewhere
+        hits = (ring_rows.filter(F.col("a") > 0)
+                .join(hole_keys_df, "rk")
+                .groupBy("__fid").agg(F.collect_set("rk").alias("__hole_hits")))
+        with_area = (keyed.join(hits, "__fid", "left")
+                     .drop("__fid"))
+    else:
+        with_area = (with_area
+                     .withColumn("__ring_keys",
+                                 F.lit(None).cast(T.ArrayType(T.LongType())))
+                     .withColumn("__hole_hits",
+                                 F.lit(None).cast(T.ArrayType(T.LongType()))))
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        holes = bc_holes.value
         for pdf in it:
             rows = []
             for rec in pdf.to_dict("records"):
+                holes = set(rec["__hole_hits"]) if rec["__hole_hits"] is not None else set()
+                ring_keys = rec["__ring_keys"]
                 rings = list(zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]))
                 keep_x, keep_y = [], []
                 keep_current = False
@@ -155,7 +195,8 @@ def filter_islands(df: DataFrame, min_area: float | None = None,
                                         rxa, rya)[0] == 1:
                                     removable = False
                                     break
-                        if removable and _ring_key(list(rx), list(ry)) in holes:
+                        if removable and ring_keys is not None and \
+                                ring_keys[i] in holes:
                             removable = False  # donut protection
                         keep_current = not removable
                         if keep_current:
@@ -165,7 +206,8 @@ def filter_islands(df: DataFrame, min_area: float | None = None,
                         keep_x.append(rx)
                         keep_y.append(ry)
                 if keep_x:
-                    r2 = {k: v for k, v in rec.items() if k != "ring_areas"}
+                    r2 = {k: v for k, v in rec.items()
+                          if k not in ("ring_areas", "__ring_keys", "__hole_hits")}
                     r2["rings_x"] = keep_x
                     r2["rings_y"] = keep_y
                     rows.append(r2)

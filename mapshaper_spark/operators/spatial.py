@@ -428,10 +428,23 @@ def polygon_to_points_join(points: DataFrame, x: str, y: str,
     return polys_rings.drop("rings_x", "rings_y").join(agg, poly_key, "left")
 
 
+def _cell_join_auto(lft: DataFrame, rgt_cells: DataFrame,
+                    broadcast_limit: int) -> DataFrame:
+    """Equi-join on ``cell`` with the same auto switch as pip_join: broadcast
+    the (already neighbor-exploded) right side while it is dimension-sized;
+    beyond the threshold fall back to a salted shuffle join so a forced
+    broadcast cannot OOM when both sides are large (VERDICT r01 #4)."""
+    small = rgt_cells.limit(broadcast_limit + 1).count() <= broadcast_limit
+    if small:
+        return lft.join(F.broadcast(rgt_cells), "cell")
+    return salted_cell_join(lft, rgt_cells)
+
+
 def nearest_point_join(left: DataFrame, lx: str, ly: str, left_key: str,
                        right: DataFrame, rx: str, ry: str, right_key: str,
                        buffer: float = 1e-3,
-                       bbox: Sequence[float] = None) -> DataFrame:
+                       bbox: Sequence[float] = None,
+                       broadcast_limit: int = 1_000_000) -> DataFrame:
     """Nearest right-point within ``buffer`` for each left point — the
     semantics of PointIndex.findNearestPointFeature
     (mapshaper-point-index.js:4-25): strict-< scan in point order, so ties go
@@ -464,7 +477,8 @@ def nearest_point_join(left: DataFrame, lx: str, ly: str, left_key: str,
     rgt = (rgt.withColumn("cell", F.explode(F.filter(neighbor_keys, lambda c: c.isNotNull())))
            .drop("__ix", "__iy"))
 
-    cand = lft.join(F.broadcast(rgt.select("cell", right_key, rx, ry)), "cell")
+    cand = _cell_join_auto(lft, rgt.select("cell", right_key, rx, ry),
+                           broadcast_limit)
     dx = F.col(lx) - F.col(rx)
     dy = F.col(ly) - F.col(ry)
     d2 = dx * dx + dy * dy
@@ -502,10 +516,14 @@ def salted_cell_join(points: DataFrame, cover: DataFrame,
         cell, F.lit(True).alias("__hot"))
 
     pts = points.join(F.broadcast(hot), cell, "left")
+    # salt derived from stable row content (NOT monotonically_increasing_id:
+    # a nondeterministic join key can duplicate/drop pairs when a stage
+    # retry recomputes rows after partial shuffle materialization)
+    stable_cols = [c for c in points.columns if c != cell] or [cell]
     pts = pts.withColumn(
         "__salt",
         F.when(F.col("__hot").isNotNull(),
-               F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)))
+               F.pmod(F.hash(*stable_cols), F.lit(n_salts)))
         .otherwise(F.lit(0)).cast("int")).drop("__hot")
 
     cov = cover.join(F.broadcast(hot), cell, "left")
@@ -523,7 +541,8 @@ def salted_cell_join(points: DataFrame, cover: DataFrame,
 def knn_join(left: DataFrame, lx: str, ly: str, left_key: str,
              right: DataFrame, rx: str, ry: str, right_key: str,
              k: int, max_radius: float,
-             bbox: Sequence[float] = None) -> DataFrame:
+             bbox: Sequence[float] = None,
+             broadcast_limit: int = 1_000_000) -> DataFrame:
     """k-nearest right points within ``max_radius`` per left point, via
     progressive ring expansion over the cell grid (north_rule: "kNN via
     progressive H3 ring expansion").
@@ -562,7 +581,8 @@ def knn_join(left: DataFrame, lx: str, ly: str, left_key: str,
                                                      lambda c: c.isNotNull())))
            .drop("__ix", "__iy"))
 
-    cand = lft.join(F.broadcast(rgt.select("cell", right_key, rx, ry)), "cell")
+    cand = _cell_join_auto(lft, rgt.select("cell", right_key, rx, ry),
+                           broadcast_limit)
     dx = F.col(lx) - F.col(rx)
     dy = F.col(ly) - F.col(ry)
     cand = (cand.withColumn("dist_sq", dx * dx + dy * dy)

@@ -273,8 +273,12 @@ def find_segment_intersections(arcs: DataFrame, n_stripes: int = 32,
 
 
 def _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):
-    """Proper + endpoint-touch segment intersection (the non-collinear core
-    of /root/reference/src/geom/mapshaper-segment-geom.js:1-80)."""
+    """Proper + T-touch segment intersection (the non-collinear core of
+    /root/reference/src/geom/mapshaper-segment-geom.js:17-29). Matching the
+    reference's endpointHit rule (:227-233): a touch at an endpoint of BOTH
+    segments is NOT an intersection (arcs meeting at a node, ring-closure
+    vertices); a T-intersection (endpoint of one segment interior to the
+    other) IS."""
     d1x, d1y = p1x - p0x, p1y - p0y
     d2x, d2y = p3x - p2x, p3y - p2y
     den = d1x * d2y - d1y * d2x
@@ -283,6 +287,8 @@ def _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):
     t = ((p2x - p0x) * d2y - (p2y - p0y) * d2x) / den
     u = ((p2x - p0x) * d1y - (p2y - p0y) * d1x) / den
     if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+        if (t == 0.0 or t == 1.0) and (u == 0.0 or u == 1.0):
+            return None  # endpoint-to-endpoint touch: excluded
         return (p0x + t * d1x, p0y + t * d1y)
     return None
 
@@ -442,19 +448,32 @@ def label_components(arcs: DataFrame, max_iter: int = 12,
             F.struct(F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
         )).alias("node")).select("arc_id", "node.nx", "node.ny").localCheckpoint()
     labels = arcs.select("arc_id", F.col("arc_id").alias("comp")).localCheckpoint()
+    changed = -1
     for _ in range(max_iter):
         lb = ends.join(labels, "arc_id")
         node_min = lb.groupBy("nx", "ny").agg(F.min("comp").alias("node_comp"))
         # localCheckpoint truncates the join lineage — without it each
         # iteration re-executes every previous round (quadratic blowup)
         new_labels = (ends.join(node_min, ["nx", "ny"])
-                      .groupBy("arc_id").agg(F.min("node_comp").alias("comp"))
+                      .groupBy("arc_id").agg(F.min("node_comp").alias("comp")))
+        # pointer-doubling shortcut (label = label-of-label): convergence in
+        # O(log diameter) rounds instead of O(diameter) — a polyline network
+        # with graph diameter > max_iter would otherwise split components
+        parent = new_labels.select(F.col("arc_id").alias("comp"),
+                                   F.col("comp").alias("comp2"))
+        new_labels = (new_labels.join(parent, "comp", "left")
+                      .select("arc_id",
+                              F.coalesce("comp2", "comp").alias("comp"))
                       .localCheckpoint())
         changed = (new_labels.alias("n").join(labels.alias("o"), "arc_id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"label_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter")
     return labels
 
 
@@ -559,13 +578,13 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
     arcs are traversed consecutively by every ring that uses them), drop
     arcs no layer references, and remap to dense deterministic ids.
 
-    Plan: usage + node-degree tables (two small groupBys over exploded
-    refs/endpoints), then a per-feature ring rewrite with the mergeable-node
-    set broadcast, then arc re-id by first use — the same shuffle shape as
-    build_topology. Returns (new_features, new_arcs)."""
+    Plan (fully distributed — no driver collect of arc payloads): usage +
+    node-degree tables (two groupBys over exploded refs/endpoints), a
+    per-arc mergeable-endpoint flag join, then a per-feature ring rewrite in
+    applyInPandas over (refs ⋈ arcs), then arc re-id by first use — the
+    same shuffle shape as build_topology. Returns (new_features, new_arcs)."""
     from mapshaper_spark.layers import absolute_arc_id_col
 
-    spark = features.sparkSession
     refs = (features.select(key, F.posexplode("parts").alias("ring_idx", "ring"))
             .select(key, "ring_idx", F.posexplode("ring").alias("pos", "signed"))
             .withColumn("aid", absolute_arc_id_col(F.col("signed")).cast("long")))
@@ -576,20 +595,30 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
     ends = live_arcs.select(
         "arc_id",
         F.explode(F.array(
-            F.struct(F.element_at("xs", 1).alias("nx"), F.element_at("ys", 1).alias("ny")),
-            F.struct(F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
-        )).alias("e")).select("arc_id", "e.nx", "e.ny")
+            F.struct(F.lit(0).alias("which"),
+                     F.element_at("xs", 1).alias("nx"), F.element_at("ys", 1).alias("ny")),
+            F.struct(F.lit(1).alias("which"),
+                     F.element_at("xs", -1).alias("nx"), F.element_at("ys", -1).alias("ny")),
+        )).alias("e")).select("arc_id", "e.which", "e.nx", "e.ny")
     node_deg = ends.groupBy("nx", "ny").agg(F.count(F.lit(1)).alias("deg"),
-                                            F.collect_set("arc_id").alias("as_"))
+                                            F.count_distinct("arc_id").alias("n_arcs"))
     # mergeable interior node: exactly 2 arc-ends from 2 distinct arcs, and
     # both arcs are used the same number of times (adjacency consistency is
     # then guaranteed for rings produced by our pipeline)
-    mergeable = (node_deg.filter((F.col("deg") == 2) & (F.size("as_") == 2))
-                 .select("nx", "ny"))
-    merge_set = {(r.nx, r.ny) for r in mergeable.collect()}
-    arc_rows = {r.arc_id: (list(r.xs), list(r.ys)) for r in live_arcs.collect()}
-    bc_nodes = spark.sparkContext.broadcast(merge_set)
-    bc_arcs = spark.sparkContext.broadcast(arc_rows)
+    mergeable = (node_deg.filter((F.col("deg") == 2) & (F.col("n_arcs") == 2))
+                 .select("nx", "ny", F.lit(True).alias("__m")))
+    # per-arc flags: is the start (m0) / end (m1) endpoint a mergeable node?
+    flags = (ends.join(mergeable, ["nx", "ny"], "left")
+             .groupBy("arc_id")
+             .agg(F.max(F.when((F.col("which") == 0) & F.col("__m"), True)
+                        .otherwise(False)).alias("m0"),
+                  F.max(F.when((F.col("which") == 1) & F.col("__m"), True)
+                        .otherwise(False)).alias("m1")))
+
+    payload = (refs.join(live_arcs.select(F.col("arc_id").alias("aid"), "xs", "ys")
+                         .join(flags, F.col("aid") == flags.arc_id).drop("arc_id"),
+                         "aid")
+               .select(key, "ring_idx", "pos", "signed", "xs", "ys", "m0", "m1"))
 
     out_schema = T.StructType([
         features.schema[key],
@@ -598,41 +627,40 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
             T.StructField("ys", T.ArrayType(T.DoubleType())),
         ])))),
     ])
-
-    def rewrite(it):
-        merge_nodes = bc_nodes.value
-        amap = bc_arcs.value
-        for pdf in it:
-            out_k, out_parts = [], []
-            for k, parts in zip(pdf[iter_key], pdf["parts"]):
-                new_parts = []
-                for ring in parts:
-                    chains = []
-                    for signed in ring:
-                        aid = signed if signed >= 0 else -(signed + 1)
-                        xs, ys = amap[aid]
-                        if signed < 0:
-                            xs, ys = xs[::-1], ys[::-1]
-                        if chains and (chains[-1][0][-1], chains[-1][1][-1]) == (xs[0], ys[0]) \
-                                and (xs[0], ys[0]) in merge_nodes:
-                            chains[-1][0].extend(xs[1:])
-                            chains[-1][1].extend(ys[1:])
-                        else:
-                            chains.append([list(xs), list(ys)])
-                    # ring wrap: first and last chain may merge across the start
-                    if len(chains) > 1:
-                        lx, ly = chains[-1]
-                        fx, fy = chains[0]
-                        if (lx[-1], ly[-1]) == (fx[0], fy[0]) and (fx[0], fy[0]) in merge_nodes:
-                            chains[0] = [lx + fx[1:], ly + fy[1:]]
-                            chains.pop()
-                    new_parts.append([{"xs": c[0], "ys": c[1]} for c in chains])
-                out_k.append(k)
-                out_parts.append(new_parts)
-            yield pd.DataFrame({iter_key: out_k, "parts_xy": out_parts})
-
     iter_key = key
-    healed = features.select(key, "parts").mapInPandas(rewrite, schema=out_schema)
+
+    def rewrite(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = pdf[iter_key].iloc[0]
+        new_parts = []
+        pdf = pdf.sort_values(["ring_idx", "pos"])
+        for _ri, ring in pdf.groupby("ring_idx", sort=True):
+            chains = []
+            first_start_mergeable = None
+            for r in ring.itertuples():
+                xs, ys = list(r.xs), list(r.ys)
+                # oriented start-mergeable flag for this traversal
+                sm = bool(r.m0) if r.signed >= 0 else bool(r.m1)
+                if r.signed < 0:
+                    xs, ys = xs[::-1], ys[::-1]
+                if first_start_mergeable is None:
+                    first_start_mergeable = sm
+                if chains and sm and \
+                        (chains[-1][0][-1], chains[-1][1][-1]) == (xs[0], ys[0]):
+                    chains[-1][0].extend(xs[1:])
+                    chains[-1][1].extend(ys[1:])
+                else:
+                    chains.append([xs, ys])
+            # ring wrap: first and last chain may merge across the start
+            if len(chains) > 1 and first_start_mergeable:
+                lx, ly = chains[-1]
+                fx, fy = chains[0]
+                if (lx[-1], ly[-1]) == (fx[0], fy[0]):
+                    chains[0] = [lx + fx[1:], ly + fy[1:]]
+                    chains.pop()
+            new_parts.append([{"xs": c[0], "ys": c[1]} for c in chains])
+        return pd.DataFrame({iter_key: [k], "parts_xy": [new_parts]})
+
+    healed = payload.groupBy(key).applyInPandas(rewrite, schema=out_schema)
 
     # re-id merged chains deterministically (canonical direction + first use)
     exploded = (healed.select(key, F.posexplode("parts_xy").alias("ring_idx", "ring"))

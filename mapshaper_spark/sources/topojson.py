@@ -89,7 +89,8 @@ def import_topojson(spark: SparkSession, topo: dict | str, object_name: str | No
     for i, arc in enumerate(topo["arcs"]):
         xs, ys = [], []
         cx = cy = 0
-        for j, (dx, dy) in enumerate(arc):
+        for j, p in enumerate(arc):
+            dx, dy = p[0], p[1]  # optional 3rd value (presimplify z) ignored
             if tr:
                 cx = dx if j == 0 else cx + dx
                 cy = dy if j == 0 else cy + dy

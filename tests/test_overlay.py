@@ -249,3 +249,63 @@ class TestPolylineClip:
         assert clip_polylines(line, diamond).count() == 0
         e = clip_polylines(line, diamond, erase=True).collect()
         assert e[0].rings_x == [[-120.0, -110.0]]
+
+
+class TestDistributedClip:
+    """The cell-keyed candidate-pair path (no driver collect of the clip
+    layer) must agree exactly with the broadcast path."""
+
+    def _layers(self, spark):
+        from mapshaper_spark import layers as L
+        from mapshaper_spark.operators.grid import polygon_grid
+        polys = L.region_mosaic_rings_local(spark, 6, 4, L.DEFAULT_BBOX) \
+            .select("rid", "rings_x", "rings_y", "bbox")
+        # 25x13 cell grid as a "large" clip layer (300+ features)
+        clip = polygon_grid(spark, 26, 14, L.DEFAULT_BBOX) \
+            .select("cell_id", "rings_x", "rings_y", "bbox")
+        return polys, clip
+
+    @staticmethod
+    def _areas(df):
+        from mapshaper_spark.operators.paths import ring_areas_col
+        rows = ring_areas_col(df).select(
+            "rid", F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v)
+            .alias("area")).collect()
+        return {r.rid: round(r.area, 9) for r in rows}
+
+    def test_distributed_equals_broadcast_clip(self, spark):
+        polys, clip = self._layers(spark)
+        bcast = self._areas(clip_polygons(polys, clip, key="rid"))
+        dist = self._areas(clip_polygons(polys, clip, key="rid",
+                                         broadcast_limit=0))
+        assert dist == bcast
+        assert len(dist) > 0
+
+    def test_distributed_equals_broadcast_erase(self, spark):
+        polys, clip = self._layers(spark)
+        bcast = self._areas(clip_polygons(polys, clip, key="rid", erase=True))
+        dist = self._areas(clip_polygons(polys, clip, key="rid", erase=True,
+                                         broadcast_limit=0))
+        assert dist == bcast
+
+    def test_distributed_polyline_clip(self, spark):
+        from mapshaper_spark.operators.overlay import clip_polylines
+        from mapshaper_spark import layers as L
+        from mapshaper_spark.operators.grid import polygon_grid
+        clip = polygon_grid(spark, 26, 14, L.DEFAULT_BBOX) \
+            .select("cell_id", "rings_x", "rings_y", "bbox")
+        line = spark.createDataFrame(
+            [(1, [[-120.0, -60.0]], [[37.0, 37.0]],
+              {"xmin": -120.0, "ymin": 37.0, "xmax": -60.0, "ymax": 37.0})],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>, "
+            "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        b = clip_polylines(line, clip).collect()
+        d = clip_polylines(line, clip, broadcast_limit=0).collect()
+        assert len(b) == len(d) == 1
+        assert sorted(map(tuple, b[0].rings_x)) == sorted(map(tuple, d[0].rings_x))
+
+    def test_empty_clip_guard(self, spark):
+        polys, clip = self._layers(spark)
+        empty = clip.limit(0)
+        assert clip_polygons(polys, empty).count() == 0
+        assert clip_polygons(polys, empty, erase=True).count() == polys.count()

@@ -285,3 +285,40 @@ def test_knn_progressive_matches_brute_force(spark):
         ds = sorted(((x - rx) ** 2 + (y - ry) ** 2, rid) for rid, rx, ry in rpts)
         for rank, (d2, rid) in enumerate(ds[:3], start=1):
             assert got_rows[(lid, rank)] == (rid, round(d2, 9)), (lid, rank)
+
+
+def test_knn_forced_shuffle_matches_broadcast(spark):
+    """knn_join / nearest_point_join with broadcast_limit=0 (forced salted
+    shuffle path) must return the identical result set as the broadcast
+    path, including a hot-cell skew pile."""
+    import mapshaper_spark.operators.spatial as S2
+    bbox = (0.0, 0.0, 16.0, 16.0)
+    left = spark.createDataFrame(
+        [(i, float(i % 5) + 0.25, float(i // 5) + 0.25) for i in range(40)] +
+        [(100 + i, 2.0, 2.0) for i in range(200)],  # hot pile
+        "lid int, x double, y double")
+    right = spark.createDataFrame(
+        [(i, float(i % 7) * 2.0 + 0.1, float(i // 7) * 2.0 + 0.1)
+         for i in range(49)],
+        "rid int, rx double, ry double")
+    for kwargs in (dict(k=3, max_radius=3.0),):
+        b = S2.knn_join(left, "x", "y", "lid", right, "rx", "ry", "rid",
+                        bbox=bbox, **kwargs)
+        s = S2.knn_join(left, "x", "y", "lid", right, "rx", "ry", "rid",
+                        bbox=bbox, broadcast_limit=0, **kwargs)
+        rows_b = sorted((r.lid, r.knn_rank, r.rid, round(r.dist_sq, 9))
+                        for r in b.collect())
+        rows_s = sorted((r.lid, r.knn_rank, r.rid, round(r.dist_sq, 9))
+                        for r in s.collect())
+        assert rows_b == rows_s and len(rows_b) > 0
+    nb = S2.nearest_point_join(left, "x", "y", "lid",
+                               right, "rx", "ry", "rid",
+                               buffer=2.0, bbox=bbox)
+    ns = S2.nearest_point_join(left, "x", "y", "lid",
+                               right, "rx", "ry", "rid",
+                               buffer=2.0, bbox=bbox, broadcast_limit=0)
+    rb = sorted((r.lid, r.rid, round(r.dist_sq, 9) if r.dist_sq is not None else None)
+                for r in nb.collect())
+    rs = sorted((r.lid, r.rid, round(r.dist_sq, 9) if r.dist_sq is not None else None)
+                for r in ns.collect())
+    assert rb == rs
