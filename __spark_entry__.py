@@ -752,6 +752,28 @@ def q_dissolve2(spark, sf_dir):
                       F.size("rings_x").alias("n_rings"))
 
 
+def q_dissolve2_gaps(spark, sf_dir):
+    """dissolve2 gap fill (reference dissolve3-test.js Fig. 14 figures):
+    a 3x3 polygon with a 1x1 hole plus a separate 2x2 square, min_gap_area
+    above the hole area -> the hole (an uncovered sliver face) merges into
+    its only edge-neighbor; the detached square is untouched. Oracle is the
+    hand-derived result (filled area 9 + 4, 2 rings)."""
+    from mapshaper_spark.operators import overlay as OV
+    feats = spark.createDataFrame(
+        [("g", 1,
+          [[0.0, 0.0, 3.0, 3.0, 0.0], [1.0, 2.0, 2.0, 1.0, 1.0]],
+          [[100.0, 103.0, 103.0, 100.0, 100.0], [101.0, 101.0, 102.0, 102.0, 101.0]]),
+         ("g", 2,
+          [[10.0, 10.0, 12.0, 12.0, 10.0]],
+          [[100.0, 102.0, 102.0, 100.0, 100.0]])],
+        "grp string, fid int, rings_x array<array<double>>, "
+        "rings_y array<array<double>>")
+    out = OV.dissolve2(feats.select("grp", "rings_x", "rings_y"), "grp",
+                       min_gap_area=1.1)
+    return out.select("grp", F.size("rings_x").alias("n_rings"),
+                      F.round("area", 6).alias("area"))
+
+
 def q_ring_repair(spark, sf_dir):
     """Features with deliberately mis-wound rings: CCW outer + CW hole;
     repair must flip both (outer -> positive, hole -> negative)."""
@@ -813,8 +835,7 @@ def q_audio_features(spark, sf_dir):
 
 def q_text_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    out = TX.fingerprint(TX.lang_id(TX.quality_score(
-        TX.token_count(docs, "text"), "text"), "text"), "text")
+    out = TX.text_metrics(docs, "text")  # fused single-tokenize plan
     return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
                       "quality", "lang_pred", "fingerprint")
 
@@ -926,7 +947,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order matters: the driver's correctness gate covers the FIRST
+    50 entries, so the riskiest / newest operator families (overlay clip,
+    dissolve2, simplify, the LLM-pipeline ops) sit inside that window;
+    trivial attribute ops rotate to the tail (VERDICT r01 item 5)."""
     return {
+        # spatial join + tiling core
+        "flagship_image_tiles": q_flagship_image_tiles,
+        "pip_all_pairs": q_pip_all_pairs,
+        "pip_first_match": q_pip_first_match,
+        "region_point_stats": q_region_point_stats,
+        "knn_nearest": q_knn_nearest,
+        "knn_k3": q_knn_k3,
+        "knn_unbounded": q_knn_unbounded,
+        "split_on_grid": q_split_on_grid,
+        # overlay family (newly distributed this round)
+        "slice_grid": q_slice_grid,
+        "clip_diamond": q_clip_diamond,
+        "erase_diamond": q_erase_diamond,
+        "clip_polygons": q_clip_polygons,
+        "dissolve2": q_dissolve2,
+        "dissolve2_gaps": q_dissolve2_gaps,
+        # topology family
+        "topology_build": q_topology_build,
+        "polygons_from_lines": q_polygons_from_lines,
+        "segment_intersections": q_segment_intersections,
+        "polyline_dissolve": q_polyline_dissolve,
+        "dissolve_states": q_dissolve_states,
+        "innerlines": q_innerlines,
+        "lines": q_lines,
+        "neighbors": q_neighbors,
+        # path / ring ops
+        "explode_parts": q_explode_parts,
+        "filter_islands": q_filter_islands,
+        "filter_slivers": q_filter_slivers,
+        "ring_repair": q_ring_repair,
+        "points_centroid": q_points_centroid,
+        "points_inner": q_points_inner,
+        "points_vertices": q_points_vertices,
+        "points_interpolated": q_points_interpolated,
+        "clip_points": q_clip_points,
+        "erase_points": q_erase_points,
+        "clip_bbox_lines": q_clip_bbox_lines,
+        "filter_geom_paths": q_filter_geom_paths,
+        "events_rollup": q_events_rollup,
+        # joins / calc / fill
+        "join_calc": q_join_calc,
+        "join_first_match": q_join_first_match,
+        "join_is_max": q_join_is_max,
+        "data_fill": q_data_fill,
+        "calc_aggs": q_calc_aggs,
+        "dissolve_customers_by_nation": q_dissolve_customers_by_nation,
+        # geometry expressions / proj / simplify
+        "area_expr": q_area_expr,
+        "spherical_area": q_spherical_area,
+        "proj_webmercator": q_proj_webmercator,
+        "simplify_vis": q_simplify_vis,
+        # LLM-data-pipeline family
+        "text_metrics": q_text_metrics,
+        "dedup_exact": q_dedup_exact,
+        "word_jaccard": q_word_jaccard,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        # ---- entry #50 boundary: below here = not driver-hash-checked ----
+        "dedup_coords": q_dedup_coords,
+        "filter_geom_bbox": q_filter_geom_bbox,
+        "image_decode_stats": q_image_decode_stats,
+        "minhash_dups": q_minhash_dups,
+        "simhash_dups": q_simhash_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "emb_lsh_dups": q_emb_lsh_dups,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
+        "simplify_dp": q_simplify_dp,
+        "simplify_spherical": q_simplify_spherical,
+        "cluster": q_cluster,
+        "subdivide": q_subdivide,
         "filter_where": q_filter_where,
         "project_fields": q_project_fields,
         "rename_fields": q_rename_fields,
@@ -935,79 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_remove_empty": q_filter_remove_empty,
         "uniq_first_order": q_uniq_first_order,
         "sort_top100": q_sort_top100,
-        "calc_aggs": q_calc_aggs,
-        "dissolve_customers_by_nation": q_dissolve_customers_by_nation,
-        "join_first_match": q_join_first_match,
         "join_unmatched": q_join_unmatched,
         "join_unjoined": q_join_unjoined,
-        "join_is_max": q_join_is_max,
         "merge_layers": q_merge_layers,
         "top3_per_order": q_top3_per_order,
-        "filter_geom_bbox": q_filter_geom_bbox,
-        "pip_all_pairs": q_pip_all_pairs,
-        "pip_first_match": q_pip_first_match,
-        "region_point_stats": q_region_point_stats,
-        "split_on_grid": q_split_on_grid,
-        "flagship_image_tiles": q_flagship_image_tiles,
-        "knn_nearest": q_knn_nearest,
         "point_grid": q_point_grid,
         "polygon_grid": q_polygon_grid,
         "affine": q_affine,
         "round_precision": q_round_precision,
-        "dissolve_states": q_dissolve_states,
-        "innerlines": q_innerlines,
-        "lines": q_lines,
-        "neighbors": q_neighbors,
-        "points_centroid": q_points_centroid,
-        "points_inner": q_points_inner,
-        "points_vertices": q_points_vertices,
-        "points_interpolated": q_points_interpolated,
-        "clip_points": q_clip_points,
-        "erase_points": q_erase_points,
-        "clip_bbox_lines": q_clip_bbox_lines,
-        "filter_islands": q_filter_islands,
         "graticule": q_graticule,
-        "proj_webmercator": q_proj_webmercator,
-        "knn_k3": q_knn_k3,
-        "knn_unbounded": q_knn_unbounded,
-        "topology_build": q_topology_build,
-        "polygons_from_lines": q_polygons_from_lines,
-        "segment_intersections": q_segment_intersections,
-        "polyline_dissolve": q_polyline_dissolve,
-        "dedup_coords": q_dedup_coords,
-        "subdivide": q_subdivide,
-        "clip_polygons": q_clip_polygons,
-        "clip_diamond": q_clip_diamond,
-        "erase_diamond": q_erase_diamond,
-        "dissolve2": q_dissolve2,
-        "slice_grid": q_slice_grid,
-        "ring_repair": q_ring_repair,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "video_frame_sample": q_video_frame_sample,
-        "audio_features": q_audio_features,
-        "spherical_area": q_spherical_area,
-        "area_expr": q_area_expr,
-        "explode_parts": q_explode_parts,
-        "filter_slivers": q_filter_slivers,
-        "join_calc": q_join_calc,
-        "data_fill": q_data_fill,
-        "cluster": q_cluster,
-        "simplify_spherical": q_simplify_spherical,
-        "filter_geom_paths": q_filter_geom_paths,
-        "text_metrics": q_text_metrics,
-        "dedup_exact": q_dedup_exact,
-        "word_jaccard": q_word_jaccard,
-        "minhash_dups": q_minhash_dups,
-        "simhash_dups": q_simhash_dups,
-        "events_rollup": q_events_rollup,
-        "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "cosine_pairs": q_cosine_pairs,
-        "emb_lsh_dups": q_emb_lsh_dups,
-        "image_decode_stats": q_image_decode_stats,
-        "simplify_vis": q_simplify_vis,
-        "simplify_dp": q_simplify_dp,
     }
 
 
@@ -1448,17 +1482,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'S' || CAST(i AS VARCHAR) AS state, 360.0 AS area, 1 AS n_rings
         FROM range(4) t(i)
     """
+    sqls["dissolve2_gaps"] = """
+        -- hand-derived: 3x3 square whose 1x1 hole (gap face) is filled
+        -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
+        -- signed area 9 + 4
+        SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
                round(-power(0.2 + 0.1 * (i % 5), 2), 6) AS hole_area
         FROM range(50) t(i)
     """
     sqls["ngram_jaccard"] = """
-        WITH g AS (
+        WITH g0 AS (
             SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS g
             FROM (SELECT doc_id, text,
                          unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i
                   FROM documents WHERE doc_id < 150)),
+        -- max_df=10000 vocabulary cap (matches char_ngram_jaccard_pairs)
+        g AS (SELECT * FROM g0 WHERE g IN (
+              SELECT g FROM g0 GROUP BY g HAVING count(*) <= 10000)),
         sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
@@ -1580,9 +1623,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents) WHERE rn = 1
     """
     sqls["word_jaccard"] = """
-        WITH w AS (
+        WITH w0 AS (
             SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS w
             FROM documents WHERE doc_id < 250),
+        -- max_df=10000 vocabulary cap (matches word_jaccard_pairs)
+        w AS (SELECT * FROM w0 WHERE w IN (
+              SELECT w FROM w0 GROUP BY w HAVING count(*) <= 10000)),
         sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni

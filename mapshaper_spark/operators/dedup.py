@@ -42,17 +42,29 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], order_col: str = ROW_IDX) ->
 
 def word_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                        block_col: str | None = None,
-                       threshold: float = 0.5) -> DataFrame:
+                       threshold: float = 0.5,
+                       max_df: int | None = 10_000) -> DataFrame:
     """Exact token-set Jaccard similarity between document pairs.
 
     Pure DataFrame plan: explode distinct words -> self-join on word
     (within an optional blocking column) -> |A ∩ B| per pair -> Jaccard from
     per-doc set sizes. Only pairs sharing >=1 word are ever materialized.
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    ``max_df`` (ON by default — the web-scale guard): tokens appearing in
+    more than ``max_df`` documents are dropped from the token UNIVERSE
+    (both intersections and set sizes), so one stopword shared by 10^6
+    docs can never become an O(df^2) join key. Jaccard is then computed
+    over the df-filtered vocabulary — the standard stopword-pruned
+    semantics; set None for the unbounded exact form.
     """
     words = (df.select(id_col, *( [block_col] if block_col else [] ),
                        F.explode(F.array_distinct(
                            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))).alias("w")))
+    if max_df is not None:
+        rare = (words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("w"))
+        words = words.join(rare, "w")
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = words.select(*([block_col] if block_col else []),
                      F.col(id_col).alias("id_a"), F.col("w"))
@@ -230,11 +242,17 @@ def _ngram_set_col(text_col: str, k: int) -> F.Column:
 
 
 def char_ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                             k: int = 5, threshold: float = 0.5) -> DataFrame:
+                             k: int = 5, threshold: float = 0.5,
+                             max_df: int | None = 10_000) -> DataFrame:
     """Exact character-k-gram (shingle) Jaccard between document pairs —
     the exact counterpart of minhash_lsh_pairs' estimate; same explode +
-    pair-join plan as word_jaccard_pairs."""
+    pair-join plan (and the same ``max_df`` join-key blowup guard) as
+    word_jaccard_pairs."""
     grams = df.select(id_col, F.explode(_ngram_set_col(text_col, k)).alias("g"))
+    if max_df is not None:
+        rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("g"))
+        grams = grams.join(rare, "g")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.select(F.col(id_col).alias("id_a"), "g")
     b = grams.select(F.col(id_col).alias("id_b"), F.col("g").alias("g_b"))

@@ -455,9 +455,13 @@ def _cut_all_rings(ring_sets):
     return out_sets
 
 
-def _faces_from_subarcs(arcs):
-    """Planar faces of a set of sub-arcs (the half-edge smallest-turn walk,
-    same as topology.polygons_from_lines): returns [(xs, ys, area>0)]."""
+def _faces_from_subarcs(arcs, with_negative: bool = False):
+    """Planar cycles of a set of sub-arcs (the half-edge smallest-turn walk,
+    same as topology.polygons_from_lines): returns the positive (interior)
+    cycles [(xs, ys, area>0)]; with ``with_negative`` also returns the
+    negative cycles (component outer boundaries — the boundaries of the
+    faces that CONTAIN each component, needed for hole nesting across
+    disconnected components)."""
     import math
 
     outgoing: dict = {}
@@ -480,6 +484,7 @@ def _faces_from_subarcs(arcs):
 
     used = set()
     faces = []
+    neg = []
     for h0 in halves:
         if h0 in used:
             continue
@@ -505,15 +510,22 @@ def _faces_from_subarcs(arcs):
             area = K.planar_path_area(np.asarray(fx), np.asarray(fy))
             if area > 0:
                 faces.append((fx, fy, area))
+            elif area < 0:
+                neg.append((fx, fy, area))
+    if with_negative:
+        return faces, neg
     return faces
 
 
-def _face_sample_point(fx, fy):
-    """A point strictly inside a positively-wound (CW, y-up) simple face:
-    midpoint of its longest edge nudged toward the interior (right side of
-    the directed edge), with the nudge validated by a ray cast."""
-    xs = np.asarray(fx)
-    ys = np.asarray(fy)
+def _face_sample_point(face_rings):
+    """A point strictly inside a face given as [(outer fx, fy), hole rings
+    ...]: midpoint of the outer ring's longest edge nudged toward the
+    interior, validated by an even-odd ray cast over ALL face rings (so a
+    nudge that lands inside a hole is rejected)."""
+    fx, fy = face_rings[0]
+    np_rings = [(np.asarray(rx), np.asarray(ry)) for rx, ry in face_rings]
+    xs = np_rings[0][0]
+    ys = np_rings[0][1]
     dx = xs[1:] - xs[:-1]
     dy = ys[1:] - ys[:-1]
     lens = np.hypot(dx, dy)
@@ -529,7 +541,7 @@ def _face_sample_point(fx, fy):
         for eps in (1e-9, 1e-7, 1e-5):
             px = mx + nx * eps * diag
             py = my + ny * eps * diag
-            if K.points_in_ring(np.array([px]), np.array([py]), xs, ys)[0] == 1:
+            if K.points_in_polygon(np.array([px]), np.array([py]), np_rings)[0]:
                 return px, py
     return float(xs.mean()), float(ys.mean())  # fallback
 
@@ -538,9 +550,15 @@ def mosaic_rings(ring_sets):
     """The arrangement mosaic of several features' ring sets: indivisible
     faces + per-face membership flags (which input features cover the face).
     Mirrors the reference's mosaic construction
-    (/root/reference/src/topology/mapshaper-polygon-mosaic.js:65+)."""
+    (/root/reference/src/topology/mapshaper-polygon-mosaic.js:65+).
+
+    Returns [(rings, area, member)] where ``rings`` is the face boundary as
+    [(fx, fy)] — outer cycle first, then any hole cycles contributed by
+    DISCONNECTED components nested inside the face (a negative walk cycle
+    attaches to the smallest strictly-larger positive cycle containing it;
+    unclaimed negative cycles bound the unbounded face and are dropped).
+    ``area`` is the net signed area (outer minus holes)."""
     cut_sets = _cut_all_rings(ring_sets)
-    cut_points = {}
     all_rings = [r for rings in cut_sets for r in rings]
     counts: dict = {}
     for rx, ry in all_rings:
@@ -548,62 +566,154 @@ def mosaic_rings(ring_sets):
             counts[p] = counts.get(p, 0) + 1
     shared = {p for p, c in counts.items() if c > 1}
     arcs = _sub_arcs(all_rings, shared)
-    faces = _faces_from_subarcs(arcs)
+    pos, neg = _faces_from_subarcs(arcs, with_negative=True)
+
+    faces = [{"rings": [(fx, fy)], "outer_area": area, "area": area}
+             for fx, fy, area in pos]
+    for nfx, nfy, narea in neg:
+        px, py = nfx[0], nfy[0]
+        best = None
+        for i, f in enumerate(faces):
+            ofx, ofy = f["rings"][0]
+            if f["outer_area"] > -narea and K.points_in_ring(
+                    np.array([px]), np.array([py]),
+                    np.asarray(ofx), np.asarray(ofy))[0] == 1:
+                if best is None or f["outer_area"] < faces[best]["outer_area"]:
+                    best = i
+        if best is not None:
+            faces[best]["rings"].append((nfx, nfy))
+            faces[best]["area"] += narea
+
     out = []
-    for fx, fy, area in faces:
-        px, py = _face_sample_point(fx, fy)
+    for f in faces:
+        px, py = _face_sample_point(f["rings"])
         member = [bool(K.points_in_polygon(np.array([px]), np.array([py]), rings)[0])
                   for rings in ring_sets]
-        out.append((fx, fy, area, member))
+        out.append((f["rings"], f["area"], member))
     return out
 
 
 def _merge_faces(faces):
-    """Union of a set of positively-wound faces that share edges exactly:
-    cancel edges appearing twice, stitch the remainder, fix winding."""
+    """Union of a set of positively-wound faces (each [(fx, fy), ...] rings)
+    that share edges exactly: cancel edges appearing twice, stitch the
+    remainder, fix winding."""
     edge_count: dict = {}
-    for fx, fy, *_ in faces:
-        for i in range(len(fx) - 1):
-            key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
-            edge_count[key] = edge_count.get(key, 0) + 1
+    for rings in faces:
+        for fx, fy in rings:
+            for i in range(len(fx) - 1):
+                key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+                edge_count[key] = edge_count.get(key, 0) + 1
     arcs = []
-    for fx, fy, *_ in faces:
-        for i in range(len(fx) - 1):
-            key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
-            if edge_count[key] == 1:
-                arcs.append((np.array([fx[i], fx[i + 1]]),
-                             np.array([fy[i], fy[i + 1]])))
+    for rings in faces:
+        for fx, fy in rings:
+            for i in range(len(fx) - 1):
+                key = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+                if edge_count[key] == 1:
+                    arcs.append((np.array([fx[i], fx[i + 1]]),
+                                 np.array([fy[i], fy[i + 1]])))
     return _normalize_winding(_stitch(arcs))
 
 
-def dissolve2_rings(ring_sets, groups):
+def dissolve2_rings(ring_sets, groups, gap_threshold: float | None = None):
     """-dissolve2 / -clean semantics at the kernel level: mosaic the
     arrangement, assign each face to the group covering it (overlap-safe:
     a face covered by several features of different groups goes to the
     group of the covering feature with the LARGEST total ring area — the
-    reference's max-weight assignment, mapshaper-polygon-dissolve3.js:38-182);
-    uncovered faces (gaps/holes) are dropped; each group's faces merge into
-    rings. Returns {group: rings}."""
+    reference's max-weight assignment via chooseShape/shapeWeights,
+    mapshaper-polygon-dissolve3.js:38-182); each group's faces merge into
+    rings. Returns {group: rings}.
+
+    Gap fill (``gap_threshold``): an UNCOVERED face whose area is <= the
+    threshold is assigned to the highest-weight feature among those whose
+    assigned faces share an edge with it — the reference's
+    assignRemainingTile (+ default getSliverTest threshold,
+    polygon-dissolve3.js:81-93,26-37). Larger uncovered faces stay dropped
+    (real holes)."""
     areas = [abs(sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
                      for rx, ry in rings)) for rings in ring_sets]
-    out: dict = {}
-    for fx, fy, area, member in mosaic_rings(ring_sets):
+    faces = mosaic_rings(ring_sets)
+    assigned: dict[int, int] = {}
+    gap_ids: list[int] = []
+    for fi, (rings, area, member) in enumerate(faces):
         best = None
         for i, m in enumerate(member):
             if m and (best is None or areas[i] > areas[best]):
                 best = i
         if best is None:
-            continue
-        out.setdefault(groups[best], []).append((fx, fy, area))
+            gap_ids.append(fi)
+        else:
+            assigned[fi] = best
+    if gap_threshold is not None and gap_ids:
+        edge_faces: dict = {}
+        for fi, (rings, _a, _m) in enumerate(faces):
+            for fx, fy in rings:
+                for i in range(len(fx) - 1):
+                    ek = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+                    edge_faces.setdefault(ek, []).append(fi)
+        for fi in gap_ids:
+            rings, area, _m = faces[fi]
+            if area > gap_threshold:
+                continue
+            best = None
+            for fx, fy in rings:
+                for i in range(len(fx) - 1):
+                    ek = tuple(sorted([(fx[i], fy[i]), (fx[i + 1], fy[i + 1])]))
+                    for fj in edge_faces.get(ek, ()):
+                        if fj != fi and fj in assigned:
+                            cand = assigned[fj]
+                            if best is None or areas[cand] > areas[best]:
+                                best = cand
+            if best is not None:
+                assigned[fi] = best
+    out: dict = {}
+    for fi, best in assigned.items():
+        rings, _area, _m = faces[fi]
+        out.setdefault(groups[best], []).append(rings)
     return {g: _merge_faces(fs) for g, fs in out.items()}
 
 
-def dissolve2(features: DataFrame, group: str) -> DataFrame:
+def mean_segment_len_sq(features: DataFrame) -> float:
+    """Default gap/sliver threshold over an assembled ring layer: (mean
+    segment length)^2, segments longer than half the layer extent per axis
+    excluded (the reference's calcMaxSliverArea bbox-segment exclusion,
+    filter-slivers.js:73-88) — one JVM agg, no Python."""
+    b = _ensure_bbox(features).agg(
+        F.min("bbox.xmin"), F.min("bbox.ymin"),
+        F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+    dx_max = (float(b[2]) - float(b[0])) / 2.0
+    dy_max = (float(b[3]) - float(b[1])) / 2.0
+    ring = features.select(F.explode(F.arrays_zip(
+        F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys"))).alias("r"))
+    seg = ring.select(F.col("r.xs").alias("xs"), F.col("r.ys").alias("ys")) \
+        .select(F.explode(F.sequence(F.lit(2), F.size("xs"))).alias("i"), "xs", "ys")
+    dx = F.abs(F.element_at("xs", F.col("i")) - F.element_at("xs", F.col("i") - 1))
+    dy = F.abs(F.element_at("ys", F.col("i")) - F.element_at("ys", F.col("i") - 1))
+    kept = seg.select(dx.alias("dx"), dy.alias("dy")) \
+        .filter((F.col("dx") < dx_max) & (F.col("dy") < dy_max))
+    row = kept.agg(F.avg(F.sqrt(F.col("dx") ** 2 + F.col("dy") ** 2)).alias("m")).collect()[0]
+    mean = float(row.m or 0.0)
+    return mean * mean
+
+
+def dissolve2(features: DataFrame, group: str,
+              gap_fill: bool = True,
+              min_gap_area: float | None = None) -> DataFrame:
     """Distributed -dissolve2: groupBy-collect each dissolve group's
     overlap-cluster... at this layer, groups are processed independently
     (applyInPandas per group; features of one group rarely overlap features
     of another in the dissolve2 use-case — cross-group overlaps resolve by
-    max-weight within the mosaic of each group's cluster)."""
+    max-weight within the mosaic of each group's cluster).
+
+    ``gap_fill`` (default ON, like the reference's -dissolve2/-clean):
+    uncovered slivers below ``min_gap_area`` — or below the layer's default
+    sliver threshold (mean segment length squared) when None — merge into
+    the highest-weight edge-neighbor. ``gap_fill=False`` matches
+    min_gap_area=0 in the reference (drop all gaps)."""
+    gap_threshold = None
+    if gap_fill:
+        gap_threshold = (min_gap_area if min_gap_area is not None
+                         else mean_segment_len_sq(features))
+
     out_schema = T.StructType([
         features.schema[group],
         T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
@@ -617,7 +727,8 @@ def dissolve2(features: DataFrame, group: str) -> DataFrame:
                        np.asarray(ry, dtype=np.float64))
                       for rx, ry in zip(r.rings_x, r.rings_y)]
                      for r in pdf.itertuples()]
-        merged = dissolve2_rings(ring_sets, [g] * len(ring_sets)).get(g, [])
+        merged = dissolve2_rings(ring_sets, [g] * len(ring_sets),
+                                 gap_threshold=gap_threshold).get(g, [])
         area = sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
                    for rx, ry in merged)
         return pd.DataFrame({

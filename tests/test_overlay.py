@@ -123,7 +123,7 @@ class TestMosaicDissolve2:
         # arrangement: left-L, overlap, right-L -> 3 faces
         assert len(faces) == 3
         by_member = {}
-        for fx, fy, area, member in faces:
+        for rings, area, member in faces:
             by_member[tuple(member)] = round(area, 9)
         assert by_member[(True, False)] == 3.0
         assert by_member[(True, True)] == 1.0
@@ -309,3 +309,47 @@ class TestDistributedClip:
         empty = clip.limit(0)
         assert clip_polygons(polys, empty).count() == 0
         assert clip_polygons(polys, empty, erase=True).count() == polys.count()
+
+
+class TestDissolve2GapFill:
+    """Reference dissolve3-test.js Fig. 14 figures (gap fill)."""
+
+    def _holey(self, spark):
+        return spark.createDataFrame(
+            [("g", [[0.0, 0.0, 3.0, 3.0, 0.0], [1.0, 2.0, 2.0, 1.0, 1.0]],
+              [[100.0, 103.0, 103.0, 100.0, 100.0],
+               [101.0, 101.0, 102.0, 102.0, 101.0]])],
+            "grp string, rings_x array<array<double>>, rings_y array<array<double>>")
+
+    def test_min_gap_area_removes_hole(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        out = dissolve2(self._holey(spark), "grp", min_gap_area=1.1).collect()
+        assert len(out) == 1
+        assert len(out[0].rings_x) == 1  # hole filled
+        assert out[0].area == pytest.approx(9.0)
+
+    def test_gap_above_threshold_kept(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        out = dissolve2(self._holey(spark), "grp", min_gap_area=0.5).collect()
+        assert len(out[0].rings_x) == 2  # hole area 1.0 > 0.5: not filled
+        assert out[0].area == pytest.approx(8.0)
+
+    def test_gap_fill_off_matches_old_semantics(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        out = dissolve2(self._holey(spark), "grp", gap_fill=False).collect()
+        assert len(out[0].rings_x) == 2
+        assert out[0].area == pytest.approx(8.0)
+
+    def test_default_sliver_threshold_fills_tiny_hole(self, spark):
+        # 13-unit-tall polygon with a 0.02x0.02 hole: default threshold =
+        # (mean segment length)^2 >> hole area (reference 'supports units' fig)
+        from mapshaper_spark.operators.overlay import dissolve2
+        df = spark.createDataFrame(
+            [("g", [[0.0, 0.0, 3.0, 3.0, 0.0],
+                    [1.0, 1.02, 1.02, 1.0, 1.0]],
+              [[0.0, 13.0, 13.0, 0.0, 0.0],
+               [1.0, 1.0, 1.02, 1.02, 1.0]])],
+            "grp string, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = dissolve2(df, "grp").collect()
+        assert len(out[0].rings_x) == 1
+        assert out[0].area == pytest.approx(39.0)
