@@ -131,6 +131,25 @@ def _arc_inside(arc, rings):
     return bool(K.points_in_polygon(np.array([mx]), np.array([my]), rings)[0])
 
 
+def _arc_pos(arc, rings, diag):
+    """Three-state sub-arc classification vs a ring set: 'on' (midpoint on
+    the boundary within a relative tolerance), 'in', or 'out' — the distilled
+    form of the reference's route-flag FWD/REV/hidden states
+    (/root/reference/src/paths/mapshaper-pathfinder.js:41-115): shared-edge
+    sub-arcs must be distinguishable from strictly-interior ones so erase
+    can drop them while clip keeps exactly one copy."""
+    xs, ys = arc
+    k = (len(xs) - 1) // 2
+    mx = (xs[k] + xs[k + 1]) / 2.0
+    my = (ys[k] + ys[k + 1]) / 2.0
+    tol2 = (1e-12 * diag) ** 2 if diag > 0 else 0.0
+    for rx, ry in rings:
+        if K.point_to_path_dist_sq(mx, my, np.asarray(rx), np.asarray(ry)) <= tol2:
+            return "on"
+    return "in" if K.points_in_polygon(np.array([mx]), np.array([my]),
+                                       rings)[0] else "out"
+
+
 def _arc_key(arc):
     xs, ys = arc
     fwd = tuple(xs.tolist()) + tuple(ys.tolist())
@@ -189,17 +208,38 @@ def overlay_rings(rings_t, rings_c, op: str = "clip"):
     arcs_t = _sub_arcs(cut_t, shared)
     arcs_c = _sub_arcs(cut_c, shared)
 
+    allx = [v for rx, ry in rings_t + rings_c for v in rx]
+    ally = [v for rx, ry in rings_t + rings_c for v in ry]
+    diag = max(max(allx) - min(allx), max(ally) - min(ally)) if allx else 0.0
+
+    # route selection (the reference's route-flag decision table,
+    # mapshaper-pathfinder.js:41-115, distilled to region tests):
+    #   - a strictly-interior/exterior arc keeps by its midpoint class;
+    #   - an ON-BOUNDARY arc keeps iff the output region (T∩C for clip,
+    #     T\C for erase) lies on exactly one of its two sides — shared
+    #     edges border the intersection once and the difference only where
+    #     the kept side survives (congruent-erase → empty, adjacent-erase
+    #     → shared edge retained as boundary)
     keep = []
     seen = set()
     for arc in arcs_t:
-        inside = _arc_inside(arc, rings_c)
-        if (op == "clip") == inside:
+        pos = _arc_pos(arc, rings_c, diag)
+        if pos == "on":
+            want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
+        else:
+            want = (pos == "in") if op == "clip" else (pos == "out")
+        if want:
             k = _arc_key(arc)
             if k not in seen:
                 seen.add(k)
                 keep.append(arc)
     for arc in arcs_c:
-        if _arc_inside(arc, rings_t):
+        pos = _arc_pos(arc, rings_t, diag)
+        if pos == "on":
+            want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
+        else:
+            want = pos == "in"
+        if want:
             k = _arc_key(arc)
             if k not in seen:
                 seen.add(k)
@@ -208,6 +248,32 @@ def overlay_rings(rings_t, rings_c, op: str = "clip"):
                 else:
                     keep.append(arc)
     return _normalize_winding(_stitch(keep))
+
+
+def _on_arc_borders_output(arc, rings_t, rings_c, op, diag):
+    """Does an on-boundary sub-arc border the output region? Sample a point
+    on each side of the arc midpoint (perpendicular nudge) and test region
+    membership (T∩C for clip, T\\C for erase): the arc belongs to the output
+    boundary iff exactly one side is in the region."""
+    xs, ys = arc
+    k = (len(xs) - 1) // 2
+    dx = xs[k + 1] - xs[k]
+    dy = ys[k + 1] - ys[k]
+    ln = float(np.hypot(dx, dy))
+    if ln == 0 or diag == 0:
+        return False
+    nx, ny = dy / ln, -dx / ln
+    mx = (xs[k] + xs[k + 1]) / 2.0
+    my = (ys[k] + ys[k + 1]) / 2.0
+    d = 1e-9 * diag
+    sides = []
+    for sgn in (1.0, -1.0):
+        px = np.array([mx + sgn * nx * d])
+        py = np.array([my + sgn * ny * d])
+        it = bool(K.points_in_polygon(px, py, rings_t)[0])
+        ic = bool(K.points_in_polygon(px, py, rings_c)[0])
+        sides.append((it and ic) if op == "clip" else (it and not ic))
+    return sides[0] != sides[1]
 
 
 def _normalize_winding(rings):
