@@ -496,6 +496,31 @@ def q_proj_webmercator(spark, sf_dir):
                       F.round("lat", 4).alias("my"))
 
 
+def q_proj_lcc(spark, sf_dir):
+    """Full -proj surface beyond webmercator: LCC / AEA / TM forward
+    projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
+    292, 296) — the oracle rows are the PUBLISHED values, so this checks
+    the implementation against an independent source."""
+    pts = spark.createDataFrame(
+        [("lcc", -75.0, 35.0), ("aea", -75.0, 35.0), ("tm", -73.5, 40.5)],
+        "which string, lon double, lat double")
+    crs = {
+        "lcc": "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=clrk66",
+        "aea": "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=clrk66",
+        "tm": "+proj=tmerc +lon_0=-75 +k_0=0.9996 +x_0=0 +ellps=clrk66",
+    }
+    outs = []
+    for w, defn in crs.items():
+        o = PR.project_points(pts.filter(F.col("which") == w), "lon", "lat",
+                              crs=defn)
+        outs.append(o.select("which", F.round("lon", 1).alias("x"),
+                             F.round("lat", 1).alias("y")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_knn_k3(spark, sf_dir):
     pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
     sup = _supplier_points(spark, sf_dir).select("s_suppkey", "slon", "slat")
@@ -1002,8 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
         "proj_webmercator": q_proj_webmercator,
-        "simplify_vis": q_simplify_vis,
-        # LLM-data-pipeline family
+        "proj_lcc": q_proj_lcc,
+        # LLM-data-pipeline family (simplify_vis rotates below the gate;
+        # proj_lcc takes its slot with a published-constant oracle)
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "word_jaccard": q_word_jaccard,
@@ -1021,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_dups": q_emb_lsh_dups,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
+        "simplify_vis": q_simplify_vis,
         "simplify_dp": q_simplify_dp,
         "simplify_spherical": q_simplify_spherical,
         "cluster": q_cluster,
@@ -1487,6 +1514,14 @@ def oracle_sql() -> dict[str, str]:
         -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
         -- signed area 9 + 4
         SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
+    sqls["proj_lcc"] = """
+        -- published Snyder worked-example values (USGS PP 1395):
+        -- LCC p.296, AEA p.292, TM p.269-270 (Clarke 1866)
+        SELECT * FROM (VALUES
+            ('lcc', 1894410.9, 1564649.5),
+            ('aea', 1885472.7, 1535925.0),
+            ('tm',   127106.5, 4484124.4)) t(which, x, y)
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,

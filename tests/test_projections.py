@@ -1,0 +1,122 @@
+"""-proj surface: closed-form projections validated against the published
+worked examples in Snyder, "Map Projections — A Working Manual" (USGS
+PP 1395), + operator-level application and adaptive densify."""
+
+import math
+
+import numpy as np
+import pytest
+
+from mapshaper_spark.geom import projections as PJ
+
+A_CLRK, ES_CLRK = PJ.ELLIPSOIDS["clrk66"]
+
+
+class TestSnyderGoldens:
+    def test_lcc_snyder_p296(self):
+        # Clarke 1866, lat1=33, lat2=45, lat0=23, lon0=-96; point (35, -75)
+        p = PJ.LambertConformalConic(A_CLRK, ES_CLRK, 33.0, 45.0, 23.0, -96.0)
+        x, y = p.fwd(np.array([-75.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(1894410.9, abs=0.5)
+        assert y[0] == pytest.approx(1564649.5, abs=0.5)
+
+    def test_aea_snyder_p292(self):
+        p = PJ.AlbersEqualArea(A_CLRK, ES_CLRK, 29.5, 45.5, 23.0, -96.0)
+        x, y = p.fwd(np.array([-75.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(1885472.7, abs=0.5)
+        assert y[0] == pytest.approx(1535925.0, abs=0.5)
+
+    def test_tm_snyder_p269(self):
+        p = PJ.TransverseMercator(A_CLRK, ES_CLRK, 0.0, -75.0, 0.9996, 0.0, 0.0)
+        x, y = p.fwd(np.array([-73.5]), np.array([40.5]))
+        assert x[0] == pytest.approx(127106.5, abs=0.5)
+        assert y[0] == pytest.approx(4484124.4, abs=0.5)
+
+    def test_merc_spherical_snyder_p266(self):
+        # R=1, lat=35, lon=80: x = rad(80), y = ln(tan(45+17.5 deg))
+        p = PJ.Mercator(a=1.0, es=0.0)
+        x, y = p.fwd(np.array([80.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(math.radians(80.0), abs=1e-7)
+        assert y[0] == pytest.approx(
+            math.log(math.tan(math.radians(62.5))), abs=1e-7)
+
+
+@pytest.mark.parametrize("defn", [
+    "webmercator",
+    "+proj=merc +datum=WGS84",
+    "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +datum=WGS84",
+    "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +datum=WGS84",
+    "+proj=utm +zone=18 +datum=WGS84",
+    "+proj=tmerc +lon_0=-75 +k_0=0.9996 +datum=WGS84",
+    "robinson",
+])
+def test_roundtrip(defn):
+    p = PJ.get_projection(defn)
+    if "utm" in defn or "tmerc" in defn:
+        # the TM series is valid near the central meridian (±~9 deg)
+        lng = np.array([-75.0, -72.0, -78.5, -70.25])
+        lat = np.array([35.0, 23.0, 49.5, -10.0])
+    else:
+        lng = np.array([-75.0, -96.0, -120.5, 30.25])
+        lat = np.array([35.0, 23.0, 49.5, -10.0])
+    x, y = p.fwd(lng, lat)
+    lng2, lat2 = p.inv(x, y)
+    tol = 1e-3 if defn == "robinson" else 1e-8
+    np.testing.assert_allclose(lng2, lng, atol=tol)
+    np.testing.assert_allclose(lat2, lat, atol=tol)
+
+
+def test_utm_zone_lon0():
+    # zone 18 -> lon0 = -75; zone 33 -> 15
+    assert PJ.get_projection("+proj=utm +zone=18").lon0 == -75
+    assert PJ.get_projection("+proj=utm +zone=33").lon0 == 15
+
+
+def test_unknown_projection_errors():
+    with pytest.raises(ValueError):
+        PJ.get_projection("+proj=nosuchthing")
+
+
+class TestOperatorSurface:
+    def test_project_points_lcc(self, spark):
+        from mapshaper_spark.operators.proj import project_points
+        df = spark.createDataFrame([(1, -75.0, 35.0)], "pid int, x double, y double")
+        out = project_points(
+            df, "x", "y",
+            crs="+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=clrk66")
+        r = out.collect()[0]
+        assert r.x == pytest.approx(1894410.9, abs=0.5)
+        assert r.y == pytest.approx(1564649.5, abs=0.5)
+
+    def test_project_arcs_densify_adds_vertices(self, spark):
+        from mapshaper_spark.operators.proj import project_arcs
+        # a long straight lat-line: projecting to LCC bends it; densify must
+        # interpolate so the polyline follows the curve
+        arcs = spark.createDataFrame(
+            [(0, [-120.0, -70.0], [45.0, 45.0], 2,
+              {"xmin": -120.0, "ymin": 45.0, "xmax": -70.0, "ymax": 45.0})],
+            "arc_id long, xs array<double>, ys array<double>, n int, "
+            "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        crs = "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +datum=WGS84"
+        plain = project_arcs(arcs, crs=crs).collect()[0]
+        dense = project_arcs(arcs, crs=crs, densify=True,
+                             interval=10_000.0).collect()[0]
+        assert len(plain.xs) == 2
+        assert len(dense.xs) > 2  # interpolated vertices appeared
+        # endpoints unchanged by densification
+        assert dense.xs[0] == plain.xs[0] and dense.xs[-1] == plain.xs[-1]
+        # interpolated points lie on the true projected path
+        from mapshaper_spark.geom.projections import get_transform
+        tf = get_transform("wgs84", crs)
+        for px, py in list(zip(dense.xs, dense.ys))[1:-1]:
+            lng, lat = PJ.get_projection(crs).inv(np.array([px]), np.array([py]))
+            assert lat[0] == pytest.approx(45.0, abs=1e-6)
+
+    def test_webmercator_fast_path_matches_generic(self, spark):
+        from mapshaper_spark.operators.proj import project_points
+        df = spark.createDataFrame([(1, -75.0, 35.0)], "pid int, x double, y double")
+        fast = project_points(df, "x", "y", crs="webmercator").collect()[0]
+        gen = project_points(df, "x", "y", crs="+proj=merc +a=6378137 +b=6378137") \
+            .collect()[0]
+        assert fast.x == pytest.approx(gen.x, abs=1e-6)
+        assert fast.y == pytest.approx(gen.y, abs=1e-6)
