@@ -928,8 +928,14 @@ def q_emb_lsh_dups(spark, sf_dir):
 
 
 def q_image_decode_stats(spark, sf_dir):
-    imgs = L.synth_images(spark, 500, with_bytes=True)
-    return IM.decode_stats(imgs)
+    """Every 5th image is encoded as REAL baseline JPEG (operators/jpeg.py)
+    so the lossy decode path runs inside the driver gate alongside the
+    lossless PNG/PPM rows."""
+    from mapshaper_spark.operators.images import encode_synthetic_bytes
+    imgs = L.synth_images(spark, 500)
+    imgs = imgs.withColumn(
+        "fmt", F.when(F.col("id") % 5 == 3, F.lit("jpeg")).otherwise(F.col("fmt")))
+    return IM.decode_stats(encode_synthetic_bytes(imgs))
 
 
 def q_simplify_vis(spark, sf_dir):

@@ -88,10 +88,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpeg", "jpg", "webp"):
-        # lossy codecs are not available in this container (no PIL);
-        # the acceptance criterion for them is PSNR >= 40 dB (input_hint)
-        raise NotImplementedError(f"lossy codec '{fmt}' requires an image library")
+    if fmt in ("jpeg", "jpg"):
+        # real baseline JPEG decode (pure numpy + stdlib, operators/jpeg.py)
+        # — the PSNR >= 40 dB lossy invariant is exercised on this path
+        from mapshaper_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(data)
+    if fmt == "webp":
+        raise NotImplementedError("webp requires an image library")
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -132,11 +135,17 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
     fmt=png, PPM for fmt=ppm) — used by the fixture generator."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapshaper_spark.operators.jpeg import encode_jpeg
         for pdf in it:
             blobs = []
             for i, w, h, fmt in zip(pdf["id"], pdf["w"], pdf["h"], pdf["fmt"]):
                 px = synth_pixels(int(i), int(w), int(h))
-                blobs.append(encode_png(px) if fmt == "png" else encode_ppm(px))
+                if fmt == "png":
+                    blobs.append(encode_png(px))
+                elif fmt in ("jpeg", "jpg"):
+                    blobs.append(encode_jpeg(px, quality=95))
+                else:
+                    blobs.append(encode_ppm(px))
             pdf = pdf.copy()
             pdf["bytes"] = blobs
             yield pdf

@@ -1,0 +1,423 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) encoder/decoder in pure
+numpy + stdlib — no PIL/libjpeg in this container.
+
+Purpose: the input_hint's per-row invariant for lossy formats is
+"decoded-pixel allclose (PSNR>=40dB)"; with only lossless codecs that gate
+could never be exercised. This implements the real thing: 8x8 DCT,
+quantization (quality-scaled Annex K tables), zigzag, DC-diff + AC
+run-length, canonical Huffman (Annex K tables), JFIF markers, byte
+stuffing. Encoder emits 4:4:4; decoder handles arbitrary sampling factors
+(incl. 4:2:0) with box upsampling.
+
+Used from operators/images.decode_image for fmt in ('jpeg', 'jpg').
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K quantization tables (luminance, chrominance)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.float64).reshape(8, 8)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.float64).reshape(8, 8)
+
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# Annex K Huffman specs: (bits[1..16], values)
+_HT_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_HT_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+_HT_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_HT_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# 8x8 DCT-II orthonormal matrix
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = math_cos = np.cos(np.pi * (2 * _n + 1) * _k / 16.0)
+_C *= np.sqrt(2.0 / 8.0)
+_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _build_codes(bits, values):
+    """Canonical Huffman: value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits, values):
+    """(code, length) -> value lookup dict."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _scale_quant(q, quality):
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.floor((q * s + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v):
+    """(category, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = int(a).bit_length()
+    bits = v if v > 0 else (v + (1 << cat) - 1)
+    return cat, bits
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """RGB8 (h, w, 3) -> baseline JFIF bytes (4:4:4, two quant tables,
+    four Annex K Huffman tables)."""
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+
+    ql = _scale_quant(_QL, quality)
+    qc = _scale_quant(_QC, quality)
+    dc_l = _build_codes(*_HT_DC_L)
+    dc_c = _build_codes(*_HT_DC_C)
+    ac_l = _build_codes(*_HT_AC_L)
+    ac_c = _build_codes(*_HT_AC_C)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    bh = (h + 7) // 8
+    bwidth = (w + 7) // 8
+
+    def pad(plane):
+        return np.pad(plane, ((0, bh * 8 - h), (0, bwidth * 8 - w)), mode="edge")
+
+    planes = [pad(y), pad(cb), pad(cr)]
+    for by in range(bh):
+        for bx in range(bwidth):
+            for ci, plane in enumerate(planes):
+                block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coef = _C @ block @ _C.T
+                q = ql if ci == 0 else qc
+                qv = np.round(coef / q).astype(np.int64)
+                zz = qv.ravel()[_ZZ]
+                dct = dc_l if ci == 0 else dc_c
+                act = ac_l if ci == 0 else ac_c
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                cat, bits = _magnitude(diff)
+                code, ln = dct[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(bits, cat)
+                run = 0
+                last_nz = np.nonzero(zz[1:])[0]
+                last = last_nz[-1] + 1 if len(last_nz) else 0
+                for i in range(1, last + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat, bits = _magnitude(v)
+                    code, ln = act[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(bits, cat)
+                    run = 0
+                if last < 63:
+                    code, ln = act[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + \
+            bytes(int(v) for v in q.ravel()[_ZZ])
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, (hs, vs), tq in ((1, (1, 1), 0), (2, (1, 1), 1), (3, (1, 1), 1)):
+        out += struct.pack("BBB", cid, (hs << 4) | vs, tq)
+    for tclass, tid, (bits, values) in ((0, 0, _HT_DC_L), (0, 1, _HT_DC_C),
+                                        (1, 0, _HT_AC_L), (1, 1, _HT_AC_C)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values),
+                                         (tclass << 4) | tid) + \
+            bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    for cid, (td, ta) in ((1, (0, 0)), (2, (1, 1)), (3, (1, 1))):
+        out += struct.pack("BB", cid, (td << 4) | ta)
+    out += b"\x00\x3F\x00"
+    out += bw.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self):
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("unexpected marker in entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v, cat):
+    if cat == 0:
+        return 0
+    if v < (1 << (cat - 1)):
+        return v - (1 << cat) + 1
+    return v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> RGB8 (h, w, 3). Handles arbitrary sampling
+    factors with box upsampling; restart markers unsupported (we don't
+    emit them)."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt = {}
+    huff = {}
+    comps = None
+    h = w = None
+    scan = None
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if pos + 2 > len(data) and marker not in (0xD8, 0xD9):
+            raise ValueError("truncated JPEG")
+        if marker in (0xD8, 0xD9):
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                tid = pq_tq & 0x0F
+                if pq_tq >> 4:
+                    vals = np.frombuffer(seg[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    vals = np.frombuffer(seg[off + 1:off + 65], dtype=np.uint8)
+                    off += 65
+                tab = np.zeros(64)
+                tab[_ZZ] = vals
+                qt[tid] = tab.reshape(8, 8)
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC2, 0xC3):
+            raise NotImplementedError("only baseline (SOF0/SOF1) JPEG supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                nvals = sum(bits)
+                values = list(seg[off + 17:off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder(bits, values)
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = struct.unpack("BB", seg[1 + 2 * i:3 + 2 * i])
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+            pos += seglen
+            break
+        pos += seglen
+
+    if comps is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    br = _BitReader(data[pos:])
+
+    def read_code(table):
+        length = 0
+        code = 0
+        for _ in range(16):
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("bad huffman code")
+
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                sc = next(s for s in scan if s["cs"] == c["id"])
+                dct = huff[(0, sc["td"])]
+                act = huff[(1, sc["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        cat = read_code(dct)
+                        diff = _extend(br.read_bits(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_code(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_ZZ] = zz
+                        block = coef.reshape(8, 8) * qt[c["tq"]]
+                        px = _C.T @ block @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+
+    # upsample to full resolution
+    full = []
+    for c, plane in zip(comps, planes):
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        rgb = np.stack([full[0]] * 3, axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -735,3 +735,65 @@ def calc_max_sliver_area(arcs: DataFrame) -> float:
     row = kept.agg(F.avg(F.sqrt(F.col("dx") ** 2 + F.col("dy") ** 2)).alias("m")).collect()[0]
     mean = float(row.m or 0.0)
     return mean * mean
+
+
+def stitch(features: DataFrame, e: float = 1e-10) -> DataFrame:
+    """-stitch (/root/reference/src/commands/mapshaper-stitch.js:11-37):
+    remove antimeridian/pole cuts in an unprojected dataset. Two stages:
+
+    1. snapEdgeArcs (stitch.js:55-84), pure JVM array transforms: vertices
+       with lng <= -180+e or >= 180-e snap to lng=-180; vertices at the
+       poles snap to (-180, ±90);
+    2. features that touch the world edge get their rings re-merged by
+       exact shared-edge cancellation + stitch (the coincident seam along
+       the antimeridian appears once per half and cancels) — the planar
+       stand-in for the reference's spherical dissolver (its own
+       pathfinding-on-sphere is marked TODO in the source).
+
+    Non-edge features pass through untouched via a JVM predicate."""
+    from mapshaper_spark.operators.overlay import _merge_faces
+
+    xs, ys = F.col("rings_x"), F.col("rings_y")
+    snap_x = F.transform(
+        xs, lambda ring, i: F.zip_with(
+            ring, F.element_at(ys, i + 1),
+            lambda x, y: F.when(
+                (x <= F.lit(-180.0 + e)) | (x >= F.lit(180.0 - e)) |
+                (y <= F.lit(-90.0 + e)) | (y >= F.lit(90.0 - e)),
+                F.lit(-180.0)).otherwise(x)))
+    snap_y = F.transform(
+        ys, lambda ring: F.transform(
+            ring, lambda y: F.when(y <= F.lit(-90.0 + e), F.lit(-90.0))
+                             .when(y >= F.lit(90.0 - e), F.lit(90.0))
+                             .otherwise(y)))
+    snapped = (features.withColumn("rings_x", snap_x)
+               .withColumn("rings_y", snap_y))
+    on_edge = F.exists(
+        F.col("rings_x"),
+        lambda ring: F.exists(ring, lambda x: x == F.lit(-180.0)))
+    pass_through = snapped.filter(~on_edge)
+    edge = snapped.filter(on_edge)
+
+    out_cols = [f.name for f in features.schema.fields]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                faces = [[(list(rx), list(ry))]
+                         for rx, ry in zip(rec["rings_x"], rec["rings_y"])]
+                merged = _merge_faces(faces)
+                rec = dict(rec)
+                if merged:
+                    rec["rings_x"] = [m[0] for m in merged]
+                    rec["rings_y"] = [m[1] for m in merged]
+                if "bbox" in rec and rec["rings_x"]:
+                    allx = np.concatenate([np.asarray(r) for r in rec["rings_x"]])
+                    ally = np.concatenate([np.asarray(r) for r in rec["rings_y"]])
+                    rec["bbox"] = {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                   "xmax": float(allx.max()), "ymax": float(ally.max())}
+                rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return pass_through.unionByName(edge.mapInPandas(gen, schema=features.schema))

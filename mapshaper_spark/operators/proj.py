@@ -44,6 +44,10 @@ def project_points(df: DataFrame, x: str, y: str, crs: str = "webmercator",
     Webmercator fwd/inv stay pure Catalyst expressions; every other
     projection from geom/projections.py (merc/lcc/aea/tmerc/utm/robinson +
     '+proj=' strings) applies through a vectorized pandas UDF."""
+    if crs in ("wgs84", "EPSG:4326") and src in ("wgs84", "EPSG:4326"):
+        # historical shorthand: projecting "to wgs84" with no explicit src
+        # means inverse webmercator
+        src = "webmercator"
     if crs in ("webmercator", "EPSG:3857") and src in ("wgs84", "EPSG:4326"):
         return (df.withColumn("__px", webmercator_x(F.col(x)))
                 .withColumn(y, webmercator_y(F.col(y)))

@@ -77,3 +77,86 @@ def test_lineage_and_metrics_tables(spark, root):
     met = r.metrics()
     assert met.count() == 3
     assert met.filter(F.col("wall_s") <= 0).count() == 0
+
+
+class TestShapefileWriters:
+    """Write side of the shapefile boundary (dbf-export.js / shp export):
+    round-trip through our readers, plus a real reference fixture."""
+
+    def test_dbf_roundtrip(self):
+        import datetime
+        from mapshaper_spark.sources import shapefile as SH
+        recs = [
+            {"NAME": "alpha", "POP": 1200, "RATE": 1.25, "OK": True,
+             "D0": datetime.date(2020, 2, 29)},
+            {"NAME": "beta-longer-name", "POP": -7, "RATE": 0.5, "OK": False,
+             "D0": None},
+            {"NAME": "", "POP": None, "RATE": None, "OK": None,
+             "D0": datetime.date(1999, 12, 31)},
+        ]
+        data = SH.write_dbf(recs)
+        back = SH.read_dbf(data)
+        assert [r["NAME"] for r in back] == ["alpha", "beta-longer-name", ""]
+        assert [r["POP"] for r in back] == [1200, -7, None]
+        assert [r["RATE"] for r in back] == [1.25, 0.5, None]
+        assert [r["OK"] for r in back] == [True, False, None]
+        assert back[0]["D0"] == datetime.date(2020, 2, 29)
+        assert back[1]["D0"] is None
+
+    def test_dbf_field_name_truncation_uniquified(self):
+        from mapshaper_spark.sources import shapefile as SH
+        recs = [{"a_very_long_field_1": 1, "a_very_long_field_2": 2}]
+        data = SH.write_dbf(recs)
+        back = SH.read_dbf(data)
+        names = sorted(back[0].keys())
+        assert len(names) == 2 and len(set(names)) == 2
+        assert all(len(n) <= 10 for n in names)
+
+    def test_shp_roundtrip_polygon(self):
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [
+            {"type": SH.SHP_POLYGON,
+             "parts": [[(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)],
+                       [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0), (0.5, 0.5)]]},
+            {"type": SH.SHP_POLYGON,
+             "parts": [[(5.0, 5.0), (5.0, 6.0), (6.0, 6.0), (5.0, 5.0)]]},
+        ]
+        shp, shx = SH.write_shp(geoms)
+        back = SH.read_shp(shp)
+        assert back == geoms
+        # shx: one 8-byte record per feature after the 100-byte header
+        assert len(shx) == 100 + 8 * len(geoms)
+
+    def test_shp_roundtrip_points(self):
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [{"type": SH.SHP_POINT, "points": [(1.5, -2.5)]},
+                 {"type": SH.SHP_POINT, "points": [(0.0, 0.0)]}]
+        shp, _ = SH.write_shp(geoms)
+        assert SH.read_shp(shp) == geoms
+
+    def test_reference_fixture_roundtrip(self):
+        """two_states fixture: read reference-produced .shp/.dbf, write with
+        our writers, re-read — geometry and attributes survive."""
+        from mapshaper_spark.sources import shapefile as SH
+        shp0 = open("/root/reference/test/test_data/two_states.shp", "rb").read()
+        dbf0 = open("/root/reference/test/test_data/two_states.dbf", "rb").read()
+        geoms = SH.read_shp(shp0)
+        recs = SH.read_dbf(dbf0)
+        shp1, _ = SH.write_shp(geoms)
+        dbf1 = SH.write_dbf(recs)
+        assert SH.read_shp(shp1) == geoms
+        assert SH.read_dbf(dbf1) == recs
+
+    def test_export_shapefile_dataframe(self, spark):
+        from mapshaper_spark.sources import shapefile as SH
+        df = spark.createDataFrame(
+            [(1, "A", [[0.0, 0.0, 1.0, 1.0, 0.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+             (2, "B", [[3.0, 3.0, 4.0, 3.0]], [[3.0, 4.0, 4.0, 3.0]])],
+            "fid int, name string, rings_x array<array<double>>, "
+            "rings_y array<array<double>>")
+        shp, shx, dbf = SH.export_shapefile(df)
+        geoms = SH.read_shp(shp)
+        recs = SH.read_dbf(dbf)
+        assert len(geoms) == 2 and geoms[0]["type"] == SH.SHP_POLYGON
+        assert [r["fid"] for r in recs] == [1, 2]
+        assert [r["name"] for r in recs] == ["A", "B"]

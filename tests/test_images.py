@@ -35,8 +35,13 @@ class TestCodecs:
         bad = np.clip(px + 40, 0, 255).astype(np.uint8)
         assert IM.psnr(px.astype(np.uint8), bad) < 40.0
 
-    def test_lossy_codec_is_stubbed(self):
+    def test_webp_codec_is_stubbed(self):
+        # jpeg is now a real codec (operators/jpeg.py); webp remains stubbed
         with pytest.raises(NotImplementedError):
+            IM.decode_image(b"RIFF....WEBP", "webp")
+
+    def test_truncated_jpeg_errors(self):
+        with pytest.raises(ValueError):
             IM.decode_image(b"\xff\xd8\xff", "jpeg")
 
     def test_phash_deterministic(self):
@@ -80,3 +85,54 @@ class TestSparkImageOps:
             assert r.lon == -120.0 + (r.phash % (1 << 20)) / float(1 << 20) * 60.0
             assert r.lat == 25.0 + ((r.phash >> 20) % (1 << 20)) / float(1 << 20) * 24.0
             assert -120 <= r.lon <= -60 and 25 <= r.lat <= 49
+
+
+class TestJpegCodec:
+    """Baseline JPEG (operators/jpeg.py): the lossy path of the
+    PSNR>=40dB per-row invariant (BASELINE.json input_hint)."""
+
+    def test_roundtrip_psnr_gate_q95(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels, psnr
+        px = synth_pixels(7, 64, 48)
+        back = J.decode_jpeg(J.encode_jpeg(px, quality=95))
+        assert back.shape == px.shape
+        assert psnr(px, back) >= 40.0  # the actual lossy acceptance gate
+
+    def test_lower_quality_lossier(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels, psnr
+        px = synth_pixels(3, 32, 32)
+        p95 = psnr(px, J.decode_jpeg(J.encode_jpeg(px, quality=95)))
+        p50 = psnr(px, J.decode_jpeg(J.encode_jpeg(px, quality=50)))
+        assert p95 > p50
+        s95 = len(J.encode_jpeg(px, quality=95))
+        s50 = len(J.encode_jpeg(px, quality=50))
+        assert s50 < s95
+
+    def test_non_multiple_of_8_dims(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels
+        px = synth_pixels(11, 33, 17)
+        back = J.decode_jpeg(J.encode_jpeg(px, quality=95))
+        assert back.shape == (17, 33, 3)
+
+    def test_decode_stats_on_jpeg_rows(self, spark):
+        from mapshaper_spark import layers as L
+        from mapshaper_spark.operators import images as IM
+        from pyspark.sql import functions as F
+        imgs = L.synth_images(spark, 30)
+        imgs = imgs.withColumn("fmt", F.lit("jpeg"))
+        from mapshaper_spark.operators.images import encode_synthetic_bytes
+        out = IM.decode_stats(encode_synthetic_bytes(imgs)).collect()
+        assert len(out) == 30
+        # decoded dims match metadata even through the lossy codec
+        meta = {r.image_id: (r.w, r.h) for r in imgs.collect()}
+        for r in out:
+            assert (r.dec_w, r.dec_h) == meta[r.image_id]
+
+    def test_bad_jpeg_errors(self):
+        from mapshaper_spark.operators import jpeg as J
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            J.decode_jpeg(b"not a jpeg at all")

@@ -303,3 +303,34 @@ class TestCloseGaps:
         faces = TP.polygons_from_lines(healed).collect()
         assert len(faces) == 1
         assert faces[0].area == pytest.approx(1.0)
+
+
+class TestStitch:
+    """-stitch: antimeridian seam removal (mapshaper-stitch.js:11-37)."""
+
+    def test_antimeridian_cut_merges(self, spark):
+        import mapshaper_spark.operators.paths as P2
+        feats = spark.createDataFrame(
+            [(1, [[170.0, 170.0, 180.0, 180.0, 170.0],
+                  [-180.0, -180.0, -170.0, -170.0, -180.0]],
+              [[-10.0, 10.0, 10.0, -10.0, -10.0],
+               [10.0, -10.0, -10.0, 10.0, 10.0]]),
+             (2, [[0.0, 0.0, 10.0, 10.0, 0.0]], [[0.0, 5.0, 5.0, 0.0, 0.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = {r.fid: r for r in P2.stitch(feats).collect()}
+        assert len(out[1].rings_x) == 1  # two halves merged
+        # no seam edge along x = -180 remains
+        rx, ry = out[1].rings_x[0], out[1].rings_y[0]
+        for (x0, _y0), (x1, _y1) in zip(zip(rx, ry), zip(rx[1:], ry[1:])):
+            assert not (x0 == -180.0 and x1 == -180.0)
+        assert out[2].rings_x == [[0.0, 0.0, 10.0, 10.0, 0.0]]
+
+    def test_pole_vertices_snap(self, spark):
+        import mapshaper_spark.operators.paths as P2
+        feats = spark.createDataFrame(
+            [(1, [[10.0, 20.0, 15.0, 10.0]],
+              [[80.0, 80.0, 89.9999999999999, 80.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = P2.stitch(feats).collect()[0]
+        # near-pole vertex snapped to (-180, 90)
+        assert (-180.0, 90.0) in set(zip(out.rings_x[0], out.rings_y[0]))
