@@ -805,3 +805,137 @@ def close_gaps(arcs: DataFrame, tolerance: float) -> DataFrame:
             yield pdf
 
     return arcs.mapInPandas(apply, schema=arcs.schema)
+
+
+# ---------------------------------------------------------------------------
+# addIntersectionCuts (standalone pre-pass)
+# ---------------------------------------------------------------------------
+
+def insert_cut_points(arcs: DataFrame, hits: DataFrame) -> DataFrame:
+    """Insert intersection points (find_segment_intersections output) as
+    vertices into both participating arcs — the vertex-insertion half of
+    internal.addIntersectionCuts
+    (/root/reference/src/paths/mapshaper-path-division.js:20-54).
+    Points are inserted in order of their parameter along the segment;
+    points equal to an existing vertex are skipped."""
+    a_cuts = hits.select(F.col("arc_a").alias("arc_id"),
+                         F.col("seg_a").alias("seg"), "x", "y")
+    b_cuts = hits.select(F.col("arc_b").alias("arc_id"),
+                         F.col("seg_b").alias("seg"), "x", "y")
+    cuts = (a_cuts.unionByName(b_cuts).distinct()
+            .groupBy("arc_id")
+            .agg(F.collect_list(F.struct("seg", "x", "y")).alias("__cuts")))
+    joined = arcs.join(cuts, "arc_id", "left")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_xs, new_ys, new_n, new_bb = [], [], [], []
+            # NB: itertuples renames leading-underscore columns — zip instead
+            for r_xs, r_ys, r_cuts in zip(pdf["xs"], pdf["ys"], pdf["__cuts"]):
+                xs = list(r_xs)
+                ys = list(r_ys)
+                if r_cuts is not None and len(r_cuts):
+                    by_seg: dict[int, list] = {}
+                    for c in r_cuts:
+                        # seg is 1-based (explode_segments): vertices seg-1, seg
+                        by_seg.setdefault(int(c["seg"]) - 1, []).append(
+                            (c["x"], c["y"]))
+                    out_x: list[float] = []
+                    out_y: list[float] = []
+                    for i in range(len(xs) - 1):
+                        out_x.append(xs[i])
+                        out_y.append(ys[i])
+                        pts = by_seg.get(i)
+                        if pts:
+                            ax, ay = xs[i], ys[i]
+                            bx, by_ = xs[i + 1], ys[i + 1]
+                            den = (bx - ax) ** 2 + (by_ - ay) ** 2
+                            pts.sort(key=lambda p: ((p[0] - ax) * (bx - ax) +
+                                                    (p[1] - ay) * (by_ - ay)) /
+                                     (den or 1.0))
+                            for px, py in pts:
+                                if (px, py) != (out_x[-1], out_y[-1]) and \
+                                        (px, py) != (bx, by_):
+                                    out_x.append(px)
+                                    out_y.append(py)
+                    out_x.append(xs[-1])
+                    out_y.append(ys[-1])
+                    xs, ys = out_x, out_y
+                new_xs.append(xs)
+                new_ys.append(ys)
+                new_n.append(len(xs))
+                new_bb.append({"xmin": min(xs), "ymin": min(ys),
+                               "xmax": max(xs), "ymax": max(ys)})
+            out = pdf.drop(columns=["__cuts"]).copy()
+            out["xs"] = new_xs
+            out["ys"] = new_ys
+            if "n" in out.columns:
+                out["n"] = new_n
+            if "bbox" in out.columns:
+                out["bbox"] = new_bb
+            yield out
+
+    return joined.mapInPandas(gen, schema=arcs.schema)
+
+
+def add_intersection_cuts(features: DataFrame, arcs: DataFrame, key: str):
+    """Standalone addIntersectionCuts pre-pass (the flatten -> cut ->
+    rebuild the reference runs before dissolve2/mosaic on dirty layers,
+    mapshaper-path-division.js:20-54): find all arc x arc segment
+    intersections, insert them as vertices, then rebuild shared-arc
+    topology so every intersection point is an arc endpoint (node).
+    Returns (new_features(key, parts), new_arcs)."""
+    hits = find_segment_intersections(arcs)
+    arcs_cut = insert_cut_points(arcs, hits)
+
+    # expand features to per-ring coordinate paths over the cut arcs, then
+    # rebuild topology (build_topology splits at the now-shared cut points)
+    from mapshaper_spark.layers import absolute_arc_id_col
+    exploded = (features.select(key, F.posexplode("parts").alias("ring_idx", "refs"))
+                .select(key, "ring_idx", F.posexplode("refs").alias("seq", "signed"))
+                .withColumn("aid", absolute_arc_id_col(F.col("signed")).cast("long"))
+                .withColumn("rev", F.col("signed") < 0))
+    joined = exploded.join(arcs_cut.select(F.col("arc_id").alias("aid"), "xs", "ys"),
+                           "aid")
+
+    path_schema = T.StructType([
+        T.StructField("path_id", T.StringType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ])
+
+    def concat(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        k = pdf[key].iloc[0]
+        ri = pdf["ring_idx"].iloc[0]
+        xs_out: list[float] = []
+        ys_out: list[float] = []
+        for xs, ys, rev in zip(pdf["xs"], pdf["ys"], pdf["rev"]):
+            xa = np.asarray(xs, dtype=np.float64)
+            ya = np.asarray(ys, dtype=np.float64)
+            if rev:
+                xa, ya = xa[::-1], ya[::-1]
+            if xs_out and xs_out[-1] == xa[0] and ys_out[-1] == ya[0]:
+                xa, ya = xa[1:], ya[1:]
+            xs_out.extend(xa.tolist())
+            ys_out.extend(ya.tolist())
+        return pd.DataFrame({"path_id": [f"{k}#{ri}"],
+                             "xs": [xs_out], "ys": [ys_out]})
+
+    paths = joined.groupBy(key, "ring_idx").applyInPandas(concat, path_schema)
+    new_arcs, refs = build_topology(paths, "path_id")
+
+    parts = (refs
+             .withColumn("__k", F.substring_index("path_id", "#", 1))
+             .withColumn("__ri", F.substring_index("path_id", "#", -1).cast("int"))
+             .groupBy("__k", "__ri")
+             .agg(F.transform(F.sort_array(F.collect_list(
+                 F.struct("arc_seq", F.col("signed").alias("s")))),
+                 lambda st: st["s"].cast("int")).alias("ring"))
+             .groupBy("__k")
+             .agg(F.transform(F.sort_array(F.collect_list(
+                 F.struct("__ri", F.col("ring").alias("r")))),
+                 lambda st: st["r"]).alias("parts")))
+    key_type = features.schema[key].dataType
+    new_features = parts.select(F.col("__k").cast(key_type).alias(key), "parts")
+    return new_features, new_arcs

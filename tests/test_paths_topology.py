@@ -334,3 +334,46 @@ class TestStitch:
         out = P2.stitch(feats).collect()[0]
         # near-pole vertex snapped to (-180, 90)
         assert (-180.0, 90.0) in set(zip(out.rings_x[0], out.rings_y[0]))
+
+
+class TestAddIntersectionCuts:
+    """Standalone addIntersectionCuts pre-pass
+    (mapshaper-path-division.js:20-54)."""
+
+    def test_overlapping_squares(self, spark):
+        from mapshaper_spark import layers as L
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.0, 2.0, 2.0, 0.0], [0.0, 2.0, 2.0, 0.0, 0.0], 5,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 2.0, "ymax": 2.0}),
+             (1, [1.0, 1.0, 3.0, 3.0, 1.0], [1.0, 3.0, 3.0, 1.0, 1.0], 5,
+              {"xmin": 1.0, "ymin": 1.0, "xmax": 3.0, "ymax": 3.0})],
+            "arc_id long, xs array<double>, ys array<double>, n int, "
+            "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        feats = spark.createDataFrame([(10, [[0]]), (20, [[1]])],
+                                      "fid int, parts array<array<int>>")
+        f2, a2 = TP.add_intersection_cuts(feats, arcs, "fid")
+        rows = a2.collect()
+        assert len(rows) == 4  # each ring split at the 2 intersection points
+        ends = {(r.xs[0], r.ys[0]) for r in rows} | \
+               {(r.xs[-1], r.ys[-1]) for r in rows}
+        assert (1.0, 2.0) in ends and (2.0, 1.0) in ends
+        # features reassemble to the original rings + cut vertices
+        asm = {r.fid: set(zip(r.rings_x[0], r.rings_y[0]))
+               for r in L.assemble_rings(f2, a2, key="fid").collect()}
+        assert asm[10] == {(0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0),
+                           (1.0, 2.0), (2.0, 1.0)}
+        assert asm[20] == {(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0),
+                           (1.0, 2.0), (2.0, 1.0)}
+
+    def test_no_intersections_is_identity_shape(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 1.0, 0.0], [0.0, 1.0, 1.0, 0.0, 0.0], 5,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0})],
+            "arc_id long, xs array<double>, ys array<double>, n int, "
+            "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+        feats = spark.createDataFrame([(1, [[0]])],
+                                      "fid int, parts array<array<int>>")
+        f2, a2 = TP.add_intersection_cuts(feats, arcs, "fid")
+        assert a2.count() == 1
+        r = a2.collect()[0]
+        assert len(r.xs) == 5
