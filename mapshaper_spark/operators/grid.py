@@ -223,3 +223,33 @@ def split_by_field(df: DataFrame, field: str) -> dict[str, DataFrame]:
     distinct values; at scale prefer ``df.write.partitionBy(field)``)."""
     values = [r[0] for r in df.select(field).distinct().collect()]
     return {str(v): df.filter(F.col(field) == F.lit(v)) for v in values}
+
+
+def shape(spark: SparkSession, coordinates: Sequence[float],
+          offsets: Sequence[float] = (), closed: bool = False,
+          name: str = "shape") -> DataFrame:
+    """-shape (mapshaper-shape.js:3-37): freehand polygon/polyline from a
+    flat coordinate list + optional relative offsets. A path whose first
+    and last points coincide — or closed=True — becomes a polygon ring;
+    otherwise a polyline."""
+    if not coordinates or len(coordinates) < 4:
+        raise ValueError("Missing list of coordinates")
+    pts = [(float(coordinates[i]), float(coordinates[i + 1]))
+           for i in range(0, len(coordinates) - 1, 2)]
+    x, y = pts[-1]
+    for i in range(0, len(offsets) - 1, 2):
+        x += float(offsets[i])
+        y += float(offsets[i + 1])
+        pts.append((x, y))
+    is_ring = len(pts) >= 4 and pts[0] == pts[-1]
+    if not is_ring and closed and len(pts) >= 3:
+        pts.append(pts[0])
+        is_ring = True
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return spark.createDataFrame(
+        [(name, "polygon" if is_ring else "polyline", [xs], [ys],
+          {"xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys)})],
+        "name string, geometry_type string, rings_x array<array<double>>, "
+        "rings_y array<array<double>>, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")

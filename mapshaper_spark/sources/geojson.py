@@ -154,3 +154,42 @@ def export_geojson(df: DataFrame, **kwargs) -> str:
     rows = to_geojson_features(df, **kwargs).collect()
     feats = ",".join(r.feature_json for r in rows)
     return '{"type":"FeatureCollection","features":[' + feats + "]}"
+
+
+def import_files(spark, paths, combine: bool = True):
+    """combine-files / merge-files (-i combine-files,
+    /root/reference/src/io/mapshaper-import.js multi-file import): import
+    several files (GeoJSON / TopoJSON / shapefile pairs / delimited) into
+    one DataFrame per layer list, tagging each row with its source file
+    stem. With combine=True the layers union (missing columns null-filled);
+    otherwise the list of per-file DataFrames is returned."""
+    import os
+    from pyspark.sql import functions as F
+
+    out = []
+    for path in paths:
+        stem, ext = os.path.splitext(os.path.basename(path))
+        ext = ext.lower()
+        if ext in (".json", ".geojson"):
+            with open(path) as fh:
+                df = import_geojson(spark, fh.read())
+        elif ext == ".topojson":
+            from mapshaper_spark.sources.topojson import import_topojson
+            _arcs, df = import_topojson(spark, open(path).read())
+        elif ext == ".shp":
+            from mapshaper_spark.sources.shapefile import import_shapefile
+            dbf = os.path.splitext(path)[0] + ".dbf"
+            dbf_bytes = open(dbf, "rb").read() if os.path.exists(dbf) else None
+            df = import_shapefile(spark, open(path, "rb").read(), dbf_bytes)
+        elif ext in (".csv", ".tsv", ".txt"):
+            from mapshaper_spark.sources.delim import import_delim
+            df = import_delim(spark, path)
+        else:
+            raise ValueError(f"unsupported input format: {path}")
+        out.append(df.withColumn("source", F.lit(stem)))
+    if not combine:
+        return out
+    merged = out[0]
+    for df in out[1:]:
+        merged = merged.unionByName(df, allowMissingColumns=True)
+    return merged
