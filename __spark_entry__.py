@@ -971,6 +971,73 @@ def _synthetic_arcs(spark, n_arcs: int):
 # the contract
 # ---------------------------------------------------------------------------
 
+def q_each_assign(spark, sf_dir):
+    """-each with an assignment-string expression ('a = ..., b = a ...'):
+    sequential semantics (later assignments see earlier results),
+    getAssignedVars parsing (expressions.js:115-123)."""
+    from mapshaper_spark.functions.expressions import each_expr
+    li = _t(spark, sf_dir, "lineitem")
+    out = each_expr(li, "revenue = round(l_extendedprice * (1 - l_discount), 4), "
+                        "big = revenue > 10000")
+    return out.select("l_orderkey", "l_linenumber", "revenue", "big")
+
+
+def q_colorizer_breaks(spark, sf_dir):
+    """-colorizer sequential breaks applied to a real column; the oracle is
+    the equivalent SQL CASE cascade."""
+    from mapshaper_spark.operators.styling import colorizer
+    c = colorizer("q_acct_col", ["low", "mid", "high"], breaks=[0, 5000],
+                  nodata="none")
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select("c_custkey",
+                       c(F.col("c_acctbal")).alias("color"))
+
+
+def q_shape_freehand(spark, sf_dir):
+    """-shape from coordinates + offsets (mapshaper-shape.js:3-37)."""
+    s = G.shape(spark, [0, 0, 4, 0], offsets=[0, 3, -4, 0], closed=True)
+    return s.select(
+        "name", "geometry_type",
+        F.round(F.element_at(F.flatten("rings_x"), -2), 1).alias("last_x"),
+        F.size(F.element_at("rings_x", 1)).alias("n_vertices"))
+
+
+def q_stitch_antimeridian(spark, sf_dir):
+    """-stitch: a polygon cut at the antimeridian merges to one ring with
+    no seam edge (stitch.js:11-37)."""
+    feats = spark.createDataFrame(
+        [(1, [[170.0, 170.0, 180.0, 180.0, 170.0],
+              [-180.0, -180.0, -170.0, -170.0, -180.0]],
+          [[-10.0, 10.0, 10.0, -10.0, -10.0],
+           [10.0, -10.0, -10.0, 10.0, 10.0]]),
+         (2, [[0.0, 0.0, 10.0, 10.0, 0.0]], [[0.0, 5.0, 5.0, 0.0, 0.0]])],
+        "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+    out = P.stitch(feats)
+    return out.select("fid", F.size("rings_x").alias("n_rings"),
+                      F.size(F.flatten("rings_x")).alias("n_vertices")) \
+        .orderBy("fid")
+
+
+def q_intersection_cuts(spark, sf_dir):
+    """Standalone addIntersectionCuts: overlapping squares -> 4 arcs whose
+    endpoints include both intersection points."""
+    arcs = spark.createDataFrame(
+        [(0, [0.0, 0.0, 2.0, 2.0, 0.0], [0.0, 2.0, 2.0, 0.0, 0.0], 5,
+          {"xmin": 0.0, "ymin": 0.0, "xmax": 2.0, "ymax": 2.0}),
+         (1, [1.0, 1.0, 3.0, 3.0, 1.0], [1.0, 3.0, 3.0, 1.0, 1.0], 5,
+          {"xmin": 1.0, "ymin": 1.0, "xmax": 3.0, "ymax": 3.0})],
+        "arc_id long, xs array<double>, ys array<double>, n int, "
+        "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
+    feats = spark.createDataFrame([(10, [[0]]), (20, [[1]])],
+                                  "fid int, parts array<array<int>>")
+    _f2, a2 = TP.add_intersection_cuts(feats, arcs, "fid")
+    return a2.select("arc_id", "n",
+                     F.element_at("xs", 1).alias("x0"),
+                     F.element_at("ys", 1).alias("y0"),
+                     F.element_at("xs", -1).alias("x1"),
+                     F.element_at("ys", -1).alias("y1"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP join of synthetic image footprints against the region
     mosaic + split-on-grid tile assignment + per-(region, tile) counts."""
@@ -1075,6 +1142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine": q_affine,
         "round_precision": q_round_precision,
         "graticule": q_graticule,
+        # round-2 operators (oracle-checked via tools/check_oracle.py; the
+        # driver gate window is already full of the riskier families)
+        "each_assign": q_each_assign,
+        "colorizer_breaks": q_colorizer_breaks,
+        "shape_freehand": q_shape_freehand,
+        "stitch_antimeridian": q_stitch_antimeridian,
+        "intersection_cuts": q_intersection_cuts,
     }
 
 
@@ -1520,6 +1594,40 @@ def oracle_sql() -> dict[str, str]:
         -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
         -- signed area 9 + 4
         SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
+    sqls["each_assign"] = """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+               round(l_extendedprice * (1 - l_discount), 4) > 10000 AS big
+        FROM lineitem
+    """
+    sqls["colorizer_breaks"] = """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal IS NULL THEN 'none'
+                    WHEN c_acctbal < 0 THEN 'low'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS color
+        FROM customer
+    """
+    sqls["shape_freehand"] = """
+        SELECT 'shape' AS name, 'polygon' AS geometry_type,
+               0.0 AS last_x, 5 AS n_vertices
+    """
+    sqls["stitch_antimeridian"] = """
+        -- hand-derived: the two antimeridian halves merge into one 7-vertex
+        -- ring (seam removed); the non-edge square is untouched
+        SELECT * FROM (VALUES (1, 1, 7), (2, 1, 5))
+            t(fid, n_rings, n_vertices)
+    """
+    sqls["intersection_cuts"] = """
+        -- hand-derived arc split of two overlapping unit-2 squares: four
+        -- arcs, all running between the intersection points (1,2) and (2,1)
+        SELECT * FROM (VALUES
+            (0, 3, 1.0, 2.0, 2.0, 1.0),
+            (1, 5, 1.0, 2.0, 2.0, 1.0),
+            (2, 5, 1.0, 2.0, 2.0, 1.0),
+            (3, 3, 1.0, 2.0, 2.0, 1.0))
+            t(arc_id, n, x0, y0, x1, y1)
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):

@@ -133,3 +133,61 @@ def translate_proxy_expression(expr: str) -> str:
     for pat, repl in _PROXY_MAP.items():
         expr = re.sub(pat, repl, expr)
     return expr
+
+
+def parse_assignments(expression: str):
+    """Split a mapshaper-style -each expression string into ordered
+    (name, rhs) assignment pairs (the reference's getAssignedVars,
+    /root/reference/src/data/mapshaper-expressions.js:115-123): top-level
+    commas and semicolons separate assignments; '=' not part of
+    ==/!=/<=/>= binds a new or existing variable. Non-assignment segments
+    are rejected."""
+    out = []
+    depth = 0
+    quote = None
+    seg = []
+    segs = []
+    for ch in expression:
+        if quote:
+            if ch == quote:
+                quote = None
+            seg.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+            seg.append(ch)
+        elif ch in "([{":
+            depth += 1
+            seg.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            seg.append(ch)
+        elif ch in ",;" and depth == 0:
+            segs.append("".join(seg))
+            seg = []
+        else:
+            seg.append(ch)
+    segs.append("".join(seg))
+    assign_re = re.compile(
+        r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*=(?![=])\s*(.+)$", re.S)
+    for s in segs:
+        if not s.strip():
+            continue
+        m = assign_re.match(s)
+        if not m:
+            raise ValueError(f"expected an assignment, got: {s.strip()!r}")
+        out.append((m.group(1), m.group(2).strip()))
+    return out
+
+
+def each_expr(df, expression: str, where: str | None = None):
+    """-each with a mapshaper-style assignment-string expression
+    ('B = A*2, C = B+1'): assignments apply SEQUENTIALLY, so later ones see
+    earlier results (the reference evaluates the whole JS expression per
+    record — sequential withColumn is the same dataflow). $.getter
+    spellings are translated; with where=, non-matching rows keep the old
+    value (null for new columns)."""
+    from mapshaper_spark.operators.attributes import each
+    for name, rhs in parse_assignments(expression):
+        df = each(df, {name: translate_proxy_expression(rhs)}, where=where)
+    return df
