@@ -295,8 +295,11 @@ def q_flagship_image_tiles(spark, sf_dir, n_images: int = 20000):
     # candidate rows carry only (id, lon, lat), never the wide image payload
     imgs = L.footprint_cols(L.synth_images(spark, n_images)).select("id", "lon", "lat")
     _, _, polys = _mosaic_polys(spark)
-    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=9,
-                       cache_token="mosaic6x4r9")
+    # res=8, same token as the PIP queries: one shared index build per
+    # session (the res-9 variant pruned slightly finer but paid a second
+    # ~260k-row cover build — a worse trade at every scale tested)
+    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=8,
+                       cache_token="mosaic6x4r8")
     # aggregate on the numeric (row, col) keys; format the "r{r}c{c}" tile id
     # AFTER the reduction (256 rows) — per-row string building anti-scales
     tr, tc = G.grid_rc(F.col("lon"), F.col("lat"), 16, 16, BBOX)
