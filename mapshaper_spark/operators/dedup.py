@@ -266,3 +266,34 @@ def char_ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def phash_hamming_pairs(df: DataFrame, id_col: str, phash_col: str,
+                        max_hamming: int = 6, bands: int = 4,
+                        bits: int = 40) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the image-payload counterpart of simhash_pairs: split the ``bits``-wide
+    phash into ``bands`` chunks (pigeonhole: any pair within distance <
+    bands shares a chunk), equi-join per (band, chunk), verify with JVM
+    bit_count. Pure column expressions end to end — no Python."""
+    width = bits // bands
+    banded = df.select(
+        id_col, phash_col,
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(phash_col), i * width)
+             .bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(bands)])).alias("band", "chunk"))
+    a = banded.select(F.col("band"), F.col("chunk"),
+                      F.col(id_col).alias("id_a"),
+                      F.col(phash_col).alias("ph_a"))
+    b = banded.select(F.col("band").alias("band_b"),
+                      F.col("chunk").alias("chunk_b"),
+                      F.col(id_col).alias("id_b"),
+                      F.col(phash_col).alias("ph_b"))
+    cand = (a.join(b, (a.band == b.band_b) & (a.chunk == b.chunk_b) &
+                   (a.id_a < b.id_b))
+            .select("id_a", "id_b", "ph_a", "ph_b").distinct())
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
