@@ -190,12 +190,81 @@ def _stitch(arcs):
     return rings
 
 
+def _self_cut_set(rings):
+    """Cut every ring of one set against ITSELF (non-adjacent segments) and
+    against the other rings of the same set — the same-arc half of the
+    reference's divideArcs pre-pass that makes self-intersecting ('dirty')
+    inputs processable (clip-erase-test.js 'polygon with self-intersection'
+    figures). Returns (new_rings, self_points) where self_points are the
+    inserted/matched crossing coordinates (split + region-test trigger)."""
+    cuts = [dict() for _ in rings]
+    pts = set()
+    for ri, (rx, ry) in enumerate(rings):
+        n = len(rx) - 1
+        ax, ay = rx[:-1], ry[:-1]
+        bx, by_ = rx[1:], ry[1:]
+        for i in range(n - 2):
+            # vectorized over the non-adjacent later segments
+            j0 = i + 2
+            j1 = n if i > 0 else n - 1  # skip ring-adjacency across closure
+            if j1 <= j0:
+                continue
+            sl = slice(j0, j1)
+            d1x = bx[i] - ax[i]
+            d1y = by_[i] - ay[i]
+            d2x = bx[sl] - ax[sl]
+            d2y = by_[sl] - ay[sl]
+            den = d1x * d2y - d1y * d2x
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((ax[sl] - ax[i]) * d2y - (ay[sl] - ay[i]) * d2x) / den
+                u = ((ax[sl] - ax[i]) * d1y - (ay[sl] - ay[i]) * d1x) / den
+            ok = (den != 0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+            # vertex-to-vertex touches (e.g. a retraced spike) are not crossings
+            ok &= ~(((t == 0.0) | (t == 1.0)) & ((u == 0.0) | (u == 1.0)))
+            for k in np.nonzero(ok)[0]:
+                j = j0 + int(k)
+                tv = float(t[k])
+                uv = float(u[k])
+                px = float(ax[i] + d1x * tv)
+                py = float(ay[i] + d1y * tv)
+                pts.add((px, py))
+                if 0.0 < tv < 1.0:
+                    cuts[ri].setdefault(i, []).append((tv, px, py))
+                if 0.0 < uv < 1.0:
+                    cuts[ri].setdefault(j, []).append((uv, px, py))
+        # cross-cuts between different rings of the same set
+        for rj in range(ri + 1, len(rings)):
+            before_a = {k: list(v) for k, v in cuts[ri].items()}
+            _collect_cuts(np.asarray(rx), np.asarray(ry),
+                          np.asarray(rings[rj][0]), np.asarray(rings[rj][1]),
+                          cuts[ri], cuts[rj])
+            for k, v in cuts[ri].items():
+                for t, px, py in v:
+                    if (t, px, py) not in before_a.get(k, ()):
+                        pts.add((px, py))
+    out = [_apply_cuts(np.asarray(rx), np.asarray(ry), c)
+           for (rx, ry), c in zip(rings, cuts)]
+    return out, pts
+
+
 def overlay_rings(rings_t, rings_c, op: str = "clip"):
     """Core kernel: overlay two ring sets.
 
     op='clip':  keep T pieces inside C + C pieces inside T (intersection);
     op='erase': keep T pieces outside C + C pieces inside T, reversed
-                (difference; clip pieces become hole boundaries)."""
+                (difference; clip pieces become hole boundaries).
+
+    Self-intersecting inputs ('dirty', e.g. a ring crossing itself): the
+    set is self-cut first and its sub-arcs classify by the region-border
+    side test (even-odd over the whole set), so the doubly-wound pocket is
+    excluded — matching the reference's 'self-intersection doesn't block'
+    figures (route flags thread through the crossing point)."""
+    rings_t, self_t = _self_cut_set([(np.asarray(rx, dtype=np.float64),
+                                      np.asarray(ry, dtype=np.float64))
+                                     for rx, ry in rings_t])
+    rings_c, self_c = _self_cut_set([(np.asarray(rx, dtype=np.float64),
+                                      np.asarray(ry, dtype=np.float64))
+                                     for rx, ry in rings_c])
     cut_t, cut_c = _cut_rings(rings_t, rings_c)
     cut_points = set()
     for rx, ry in cut_t:
@@ -205,8 +274,9 @@ def overlay_rings(rings_t, rings_c, op: str = "clip"):
         cut_points2.update(zip(rx.tolist(), ry.tolist()))
     shared = cut_points & cut_points2
 
-    arcs_t = _sub_arcs(cut_t, shared)
-    arcs_c = _sub_arcs(cut_c, shared)
+    # dirty sets additionally split at their own self-intersection points
+    arcs_t = _sub_arcs(cut_t, shared | self_t)
+    arcs_c = _sub_arcs(cut_c, shared | self_c)
 
     allx = [v for rx, ry in rings_t + rings_c for v in rx]
     ally = [v for rx, ry in rings_t + rings_c for v in ry]
@@ -223,22 +293,30 @@ def overlay_rings(rings_t, rings_c, op: str = "clip"):
     keep = []
     seen = set()
     for arc in arcs_t:
-        pos = _arc_pos(arc, rings_c, diag)
-        if pos == "on":
+        if self_t:
+            # dirty target: pure region-border side test (even-odd over the
+            # self-overlapping set excludes the doubly-wound pocket)
             want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
         else:
-            want = (pos == "in") if op == "clip" else (pos == "out")
+            pos = _arc_pos(arc, rings_c, diag)
+            if pos == "on":
+                want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
+            else:
+                want = (pos == "in") if op == "clip" else (pos == "out")
         if want:
             k = _arc_key(arc)
             if k not in seen:
                 seen.add(k)
                 keep.append(arc)
     for arc in arcs_c:
-        pos = _arc_pos(arc, rings_t, diag)
-        if pos == "on":
+        if self_c:
             want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
         else:
-            want = pos == "in"
+            pos = _arc_pos(arc, rings_t, diag)
+            if pos == "on":
+                want = _on_arc_borders_output(arc, rings_t, rings_c, op, diag)
+            else:
+                want = pos == "in"
         if want:
             k = _arc_key(arc)
             if k not in seen:
@@ -268,12 +346,32 @@ def _on_arc_borders_output(arc, rings_t, rings_c, op, diag):
     d = 1e-9 * diag
     sides = []
     for sgn in (1.0, -1.0):
-        px = np.array([mx + sgn * nx * d])
-        py = np.array([my + sgn * ny * d])
-        it = bool(K.points_in_polygon(px, py, rings_t)[0])
-        ic = bool(K.points_in_polygon(px, py, rings_c)[0])
+        px = mx + sgn * nx * d
+        py = my + sgn * ny * d
+        it = _winding_inside(px, py, rings_t)
+        ic = _winding_inside(px, py, rings_c)
         sides.append((it and ic) if op == "clip" else (it and not ic))
     return sides[0] != sides[1]
+
+
+def _winding_inside(px, py, rings):
+    """Nonzero-winding point-in-region over a ring set: a doubly-wound
+    pocket of a self-intersecting ('dirty') ring counts as INSIDE — the
+    reference's behavior for its self-intersection figures (the region is
+    'covered at least once'). For simple outer+oppositely-wound-hole sets
+    this equals the even-odd test."""
+    wn = 0
+    for rx, ry in rings:
+        for i in range(len(rx) - 1):
+            ax, ay = rx[i], ry[i]
+            bx, by = rx[i + 1], ry[i + 1]
+            if ay <= py < by:  # upward crossing candidate
+                if (bx - ax) * (py - ay) - (px - ax) * (by - ay) > 0:
+                    wn += 1
+            elif by <= py < ay:  # downward
+                if (bx - ax) * (py - ay) - (px - ax) * (by - ay) < 0:
+                    wn -= 1
+    return wn != 0
 
 
 def _normalize_winding(rings):

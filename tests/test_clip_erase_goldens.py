@@ -76,3 +76,39 @@ class TestFig5HoleClip:
         ers = overlay_rings(target, clip, "erase")
         # feature area (25 - 2 hole) minus clip result
         assert area(ers) == pytest.approx(23.0 - 5.0)
+
+
+class TestSelfIntersection:
+    """clip-erase-test.js 'polygon with self-intersection': a CW
+    self-crossing in the target doesn't block — the output threads through
+    the crossing point, covering the region with nonzero-winding
+    semantics (reference target shapes [[0, 2]])."""
+    T = [(np.array([3.0, 3, 4, 2, 2, 5, 5, 3]),
+          np.array([2.0, 4, 4, 2, 5, 5, 2, 2]))]
+    C = [ring([(1, 6), (6, 6), (6, 1), (1, 1)])]
+
+    def test_clip_threads_through_crossing(self):
+        out = overlay_rings(self.T, self.C, "clip")
+        assert area(out) == pytest.approx(8.5)
+        assert len(out) == 1
+        # the doubly-wound lobe boundary (b=(3,4), c=(4,4)) is dropped
+        verts = {(x, y) for rx, ry in out for x, y in zip(rx, ry)}
+        assert verts == {(3.0, 3.0), (2.0, 2.0), (2.0, 5.0), (5.0, 5.0),
+                         (5.0, 2.0), (3.0, 2.0)}
+
+    def test_erase_complement_empty(self):
+        assert area(overlay_rings(self.T, self.C, "erase")) == pytest.approx(0.0)
+
+
+class TestPartialCongruent:
+    """clip-erase-test.js 'erase a partially congruent polygon' (ring
+    form): erasing the left half of a rect leaves exactly the right half
+    (reference target [[2, ~0]])."""
+
+    def test_erase_left_half(self):
+        t = [ring([(2, 2), (2, 3), (4, 3), (4, 2)])]
+        c = [ring([(2, 2), (2, 3), (3, 3), (3, 2)])]
+        out = overlay_rings(t, c, "erase")
+        assert area(out) == pytest.approx(1.0)
+        verts = {(x, y) for rx, ry in out for x, y in zip(rx, ry)}
+        assert verts == {(3.0, 3.0), (4.0, 3.0), (4.0, 2.0), (3.0, 2.0)}
