@@ -975,6 +975,13 @@ def _synthetic_arcs(spark, n_arcs: int):
 # the contract
 # ---------------------------------------------------------------------------
 
+def q_layer_info(spark, sf_dir):
+    """-info analog: layer summary row (count, nulls, bbox, fields)."""
+    _, _, polys = _mosaic_polys(spark)
+    return A.layer_info(polys.select("rid", "state", "pop",
+                                     "rings_x", "rings_y", "bbox"), "mosaic")
+
+
 def q_phash_dups(spark, sf_dir):
     """Image near-dup pairs by perceptual-hash banded hamming (the image
     payload's counterpart of simhash dedup): pure JVM bit ops end to end,
@@ -1166,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver gate window is already full of the riskier families)
         "each_assign": q_each_assign,
         "phash_dups": q_phash_dups,
+        "layer_info": q_layer_info,
         "colorizer_breaks": q_colorizer_breaks,
         "shape_freehand": q_shape_freehand,
         "stitch_antimeridian": q_stitch_antimeridian,
@@ -1615,6 +1623,12 @@ def oracle_sql() -> dict[str, str]:
         -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
         -- signed area 9 + 4
         SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
+    sqls["layer_info"] = """
+        SELECT 'mosaic' AS layer, 'polygon/polyline' AS geometry_type,
+               24::BIGINT AS n_features, 0::BIGINT AS n_null_geoms,
+               -120.0 AS xmin, 25.0 AS ymin, -60.0 AS xmax, 49.0 AS ymax,
+               'rid,state,pop' AS fields
     """
     sqls["phash_dups"] = """
         -- same synthetic phash derivation as layers.synth_images, banded

@@ -56,9 +56,9 @@ def main():
 
     def st_text(spark, deps):
         docs = deps["images"].select("image_id", F.col("caption").alias("text"))
-        return (TX.fingerprint(TX.lang_id(TX.quality_score(
-            TX.token_count(docs, "text"), "text"), "text"), "text")
-            .select("image_id", "n_tokens", "quality", "lang_pred", "fingerprint"))
+        return (TX.text_metrics(docs, "text")  # fused single-tokenize plan
+                .select("image_id", "n_tokens", "quality", "lang_pred",
+                        "fingerprint"))
 
     def st_dedup(spark, deps):
         t = deps["text"]
@@ -66,6 +66,12 @@ def main():
         w = Window.partitionBy("fingerprint").orderBy("image_id")
         return (t.withColumn("dup_rank", F.row_number().over(w))
                 .withColumn("is_canonical", F.col("dup_rank") == 1))
+
+    def st_near_dups(spark, deps):
+        # image-side near-dups via perceptual-hash banded hamming (JVM only)
+        imgs = deps["images"].select("image_id", "phash")
+        return DD.phash_hamming_pairs(imgs, "image_id", "phash",
+                                      max_hamming=6, bands=4, bits=40)
 
     def st_tiles(spark, deps):
         pts = (L.footprint_cols(deps["images"].select("image_id", "phash"))
@@ -83,6 +89,7 @@ def main():
         Stage("stats", st_stats, inputs=("images",)),
         Stage("text", st_text, inputs=("images",)),
         Stage("dedup", st_dedup, inputs=("text",)),
+        Stage("near_dups", st_near_dups, inputs=("images",)),
         Stage("tiles", st_tiles, inputs=("images",), partition_by=("rid",)),
     ])
     print({k: {"rows": v["rows"], "wall_s": v["wall_s"]} for k, v in done.items()})

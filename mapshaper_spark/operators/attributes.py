@@ -165,3 +165,47 @@ def layer_info(df: DataFrame) -> dict:
                    F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
         info["bounds"] = tuple(float(v) if v is not None else None for v in b)
     return info
+
+
+def layer_info(df, name: str = "[unnamed]"):
+    """-info analog (/root/reference/src/commands/mapshaper-info.js
+    printInfo/getLayerInfo): one summary row per layer — name, inferred
+    geometry type, feature count, null-geometry count, bbox extent and the
+    attribute field list. Pure aggregations (one JVM pass)."""
+    geom_cols = {"rings_x", "rings_y", "bbox", "x", "y"}
+    fields = [c for c in df.columns if c not in geom_cols]
+    if "rings_x" in df.columns:
+        gtype = F.lit("polygon/polyline")
+        nulls = F.sum((F.col("rings_x").isNull() |
+                       (F.size("rings_x") == 0)).cast("long"))
+    elif "x" in df.columns:
+        gtype = F.lit("point")
+        nulls = F.sum(F.col("x").isNull().cast("long"))
+    else:
+        gtype = F.lit("table")
+        nulls = F.lit(0).cast("long")
+    aggs = [F.count(F.lit(1)).alias("n_features"), nulls.alias("n_null_geoms")]
+    if "bbox" in df.columns:
+        aggs += [F.min("bbox.xmin").alias("xmin"), F.min("bbox.ymin").alias("ymin"),
+                 F.max("bbox.xmax").alias("xmax"), F.max("bbox.ymax").alias("ymax")]
+    elif "x" in df.columns and "y" in df.columns:
+        aggs += [F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+                 F.max("x").alias("xmax"), F.max("y").alias("ymax")]
+    else:
+        aggs += [F.lit(None).cast("double").alias(c)
+                 for c in ("xmin", "ymin", "xmax", "ymax")]
+    return (df.agg(*aggs)
+            .select(F.lit(name).alias("layer"), gtype.alias("geometry_type"),
+                    "n_features", "n_null_geoms", "xmin", "ymin", "xmax", "ymax",
+                    F.lit(",".join(fields)).alias("fields")))
+
+
+def to_json_records(df, drop_geometry: bool = True) -> str:
+    """-o format=json analog: the attribute table as a JSON array of
+    records (driver-side sink, like the reference's single-file output)."""
+    import json as _json
+
+    geom_cols = {"rings_x", "rings_y", "bbox"}
+    cols = [c for c in df.columns if not (drop_geometry and c in geom_cols)]
+    rows = [r.asDict(recursive=True) for r in df.select(*cols).collect()]
+    return _json.dumps(rows, default=str)
