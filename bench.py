@@ -62,6 +62,11 @@ def main():
         "ann_topk",
         "events_rollup",
         "image_decode_stats",
+        # round-2 operators
+        "dissolve2_gaps",        # gap-filled mosaic dissolve
+        "proj_lcc",              # full -proj surface (LCC/AEA/TM)
+        "phash_dups",            # image near-dup (banded hamming, JVM)
+        "each_assign",           # assignment-string -each over lineitem
     ]
 
     timings: dict[str, float] = {}
