@@ -112,3 +112,46 @@ class TestPartialCongruent:
         assert area(out) == pytest.approx(1.0)
         verts = {(x, y) for rx, ry in out for x, y in zip(rx, ry)}
         assert verts == {(3.0, 3.0), (4.0, 3.0), (4.0, 2.0), (3.0, 2.0)}
+
+
+class TestDissolve2Figures:
+    """dissolve2-test.js figures (ring-form): adjacent triangles, filled
+    triangle, hourglass stem removal, spike skipping."""
+
+    @staticmethod
+    def _d2(ring_sets):
+        from mapshaper_spark.operators.overlay import dissolve2_rings
+        return dissolve2_rings(ring_sets, ["g"] * len(ring_sets)).get("g", [])
+
+    def test_fig1_adjacent_triangles(self):
+        tri1 = [(np.array([3.0, 1, 2, 3]), np.array([1.0, 1, 3, 1]))]
+        tri2 = [(np.array([2.0, 4, 3, 2]), np.array([3.0, 3, 1, 3]))]
+        out = self._d2([tri1, tri2])
+        assert len(out) == 1
+        assert area(out) == pytest.approx(4.0)  # the b-c shared edge cancels
+
+    def test_fig3_filled_triangle(self):
+        holed = [(np.array([5.0, 5, 1, 1, 3, 5]), np.array([3.0, 1, 1, 3, 3, 3])),
+                 (np.array([3.0, 2, 4, 3]), np.array([3.0, 2, 2, 3]))]
+        fill = [(np.array([3.0, 4, 2, 3]), np.array([3.0, 2, 2, 3]))]
+        out = self._d2([holed, fill])
+        assert len(out) == 1
+        assert area(out) == pytest.approx(8.0)  # hole exactly filled
+
+    def test_fig5_hourglass_stem_removed(self):
+        rx = [2, 1, 3, 2, 2, 3, 1, 2, 2]
+        ry = [3, 4, 4, 3, 2, 1, 1, 2, 3]
+        out = self._d2([[(np.array(rx, float), np.array(ry, float))]])
+        assert len(out) == 2  # two triangles; the zero-width stem vanishes
+        assert sorted(round(K.planar_path_area(np.asarray(a), np.asarray(b)), 9)
+                      for a, b in out) == [1.0, 1.0]
+
+    def test_fig6_spike_skipped(self):
+        rx = [1, 2, 2, 2, 3, 3, 1, 1]
+        ry = [3, 3, 2, 3, 3, 1, 1, 3]
+        out = self._d2([[(np.array(rx, float), np.array(ry, float))]])
+        assert len(out) == 1
+        assert area(out) == pytest.approx(4.0)
+        # the b-c spike excursion is gone; the square ring remains
+        verts = {(x, y) for a, b in out for x, y in zip(a, b)}
+        assert (2.0, 2.0) not in verts
