@@ -69,3 +69,18 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return q
+
+
+def streaming_exact_dedup(spark: SparkSession, path: str, schema,
+                          key_cols: Sequence[str],
+                          ts_col: str = "ts",
+                          watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key within the
+    watermark horizon (dropDuplicatesWithinWatermark — state is bounded by
+    the watermark, so the operator holds O(keys-per-horizon) state at 100 TB
+    instead of all-time keys). The streaming counterpart of
+    dedup.exact_dedup for the incremental tail of a backfill."""
+    st = (spark.readStream.schema(schema).parquet(path)
+          .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+          .withWatermark(ts_col, watermark))
+    return st.dropDuplicatesWithinWatermark(list(key_cols))

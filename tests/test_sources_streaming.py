@@ -265,3 +265,29 @@ class TestGeoJSONReferenceFixtures:
         a2 = K2.planar_path_area(np.asarray(r2.rings_x[0]), np.asarray(r2.rings_y[0]))
         assert a2 == pytest.approx(-a, rel=1e-12)
         assert a2 > 0
+
+
+class TestStreamingDedup:
+    def test_stream_dedup_matches_batch(self, spark, tmp_path):
+        import datetime
+        from mapshaper_spark.streaming.pipeline import (streaming_exact_dedup,
+                                                        run_available_now)
+        from pyspark.sql import types as T
+        rows = []
+        base = datetime.datetime(2026, 1, 1)
+        for i in range(200):
+            rows.append((f"doc{i % 50}",  # 4x duplicated keys
+                         base + datetime.timedelta(minutes=i),
+                         float(i)))
+        src = tmp_path / "in"
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        df.write.parquet(str(src))
+        schema = T.StructType([T.StructField("k", T.StringType()),
+                               T.StructField("ts", T.TimestampType()),
+                               T.StructField("v", T.DoubleType())])
+        out = streaming_exact_dedup(spark, str(src), schema, ["k"])
+        q = run_available_now(out, "dedup_stream", output_mode="append")
+        got = spark.sql("SELECT k FROM dedup_stream").collect()
+        # exactly one row per key survives within one watermark horizon
+        assert sorted(r.k for r in got) == sorted(f"doc{i}" for i in range(50))
+        q.stop()
