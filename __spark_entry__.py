@@ -975,6 +975,25 @@ def _synthetic_arcs(spark, n_arcs: int):
 # the contract
 # ---------------------------------------------------------------------------
 
+def q_clean(spark, sf_dir):
+    """-clean on the reference's overlapping_polygons fixture + a singleton
+    + an empty geometry: the contested wedge goes to the larger feature
+    (chooseShape weight), identities preserved, empties dropped."""
+    from mapshaper_spark.operators import overlay as OV
+    feats = spark.createDataFrame(
+        [(1, [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+         (2, [[1.0, 3.0, 5.0, 3.0, 1.0]], [[1.0, 3.0, 1.0, -1.0, 1.0]]),
+         (3, [[10.0, 10.0, 11.0, 11.0, 10.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+         (4, None, None)],
+        "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+    out = OV.clean(feats, "fid")
+    areas = P.ring_areas_col(out)
+    return areas.select(
+        "fid", F.round(F.aggregate("ring_areas", F.lit(0.0),
+                                   lambda a, v: a + v), 6).alias("area"),
+        F.size("rings_x").alias("n_rings")).orderBy("fid")
+
+
 def q_layer_info(spark, sf_dir):
     """-info analog: layer summary row (count, nulls, bbox, fields)."""
     _, _, polys = _mosaic_polys(spark)
@@ -1113,7 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_interpolated": q_points_interpolated,
         "clip_points": q_clip_points,
         "erase_points": q_erase_points,
-        "clip_bbox_lines": q_clip_bbox_lines,
+        "clean": q_clean,
         "filter_geom_paths": q_filter_geom_paths,
         "events_rollup": q_events_rollup,
         # joins / calc / fill
@@ -1136,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
+        "clip_bbox_lines": q_clip_bbox_lines,
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
         "image_decode_stats": q_image_decode_stats,
@@ -1623,6 +1643,13 @@ def oracle_sql() -> dict[str, str]:
         -- (min_gap_area=1.1 > 1.0) + the detached 2x2 square -> 2 rings,
         -- signed area 9 + 4
         SELECT 'g' AS grp, 2 AS n_rings, 13.0 AS area
+    """
+    sqls["clean"] = """
+        -- hand-derived from the reference's expected output rings
+        -- (clean-test.js 'Removes overlapping section'): square cedes the
+        -- wedge (ring area 3.0), diamond keeps it (8.0), singleton 1.0
+        SELECT * FROM (VALUES (1, 3.0, 1), (2, 8.0, 1), (3, 1.0, 1))
+            t(fid, area, n_rings)
     """
     sqls["layer_info"] = """
         SELECT 'mosaic' AS layer, 'polygon/polyline' AS geometry_type,

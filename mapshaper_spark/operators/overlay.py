@@ -1058,3 +1058,103 @@ def clip_polylines(lines: DataFrame, clip: DataFrame,
     if pass_through is not None:
         out = out.unionByName(pass_through)
     return out
+
+
+def _connected_feature_clusters(df: DataFrame, key: str, res: int = 6):
+    """(key, cluster) labels where features sharing a grid cell of their
+    bbox cover are in one cluster — iterative min-label propagation with a
+    pointer-doubling shortcut (O(log diameter) rounds), the same plan as
+    topology.label_components but over feature bbox-overlap edges."""
+    gb = _union_bbox(df, df)
+    cells = (df.select(key, "bbox")
+             .withColumn("__cell", _bbox_cells_col(gb, res))
+             .select(key, "__cell"))
+    labels = (df.select(F.col(key).alias("id"))
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    changed = -1
+    for _ in range(20):
+        lb = cells.join(labels, cells[key] == labels.id).select("__cell", "comp")
+        cell_min = lb.groupBy("__cell").agg(F.min("comp").alias("cell_comp"))
+        new_labels = (cells.join(cell_min, "__cell")
+                      .groupBy(key).agg(F.min("cell_comp").alias("comp"))
+                      .select(F.col(key).alias("id"), "comp"))
+        parent = new_labels.select(F.col("id").alias("comp"),
+                                   F.col("comp").alias("comp2"))
+        new_labels = (new_labels.join(parent, "comp", "left")
+                      .select("id", F.coalesce("comp2", "comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError("feature clustering did not converge")
+    return labels.select(F.col("id").alias(key), F.col("comp").alias("__cluster"))
+
+
+def clean(features: DataFrame, key: str, gap_fill: bool = True,
+          min_gap_area: float | None = None, res: int = 6) -> DataFrame:
+    """-clean (/root/reference/src/commands/mapshaper-clean.js:3-17 ->
+    dissolvePolygons2 with each feature its own group): remove overlaps
+    between features (contested mosaic faces go to the highest-area
+    feature — chooseShape weight), fill sub-sliver gaps, drop empty
+    geometries. Unlike dissolve2, features KEEP their identity.
+
+    Distribution: features cluster by bbox-cover overlap (cell equi-join +
+    label propagation); singleton clusters — the vast majority of a clean
+    layer — pass through a pure JVM filter untouched; only overlapping
+    clusters run the mosaic kernel (applyInPandas per cluster)."""
+    features = _ensure_bbox(features)
+    features = features.filter(F.col("rings_x").isNotNull() &
+                               (F.size("rings_x") > 0))
+    gap_threshold = None
+    if gap_fill:
+        gap_threshold = (min_gap_area if min_gap_area is not None
+                         else mean_segment_len_sq(features))
+
+    clusters = _connected_feature_clusters(features, key, res=res)
+    labeled = features.join(clusters, key)
+    sizes = labeled.groupBy("__cluster").agg(F.count(F.lit(1)).alias("__csz"))
+    labeled = labeled.join(sizes, "__cluster")
+    pass_through = labeled.filter(F.col("__csz") == 1) \
+        .drop("__cluster", "__csz")
+    multi = labeled.filter(F.col("__csz") > 1).drop("__csz")
+
+    out_schema = T.StructType([
+        features.schema[key],
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()), T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()), T.StructField("ymax", T.DoubleType())])),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ring_sets = []
+        keys = []
+        for r in pdf.to_dict("records"):
+            ring_sets.append([(np.asarray(rx, dtype=np.float64),
+                               np.asarray(ry, dtype=np.float64))
+                              for rx, ry in zip(r["rings_x"], r["rings_y"])])
+            keys.append(r[key])
+        cleaned = dissolve2_rings(ring_sets, keys, gap_threshold=gap_threshold)
+        rows = []
+        for k in keys:
+            rings = cleaned.get(k, [])
+            if not rings:
+                continue
+            allx = np.concatenate([np.asarray(r[0]) for r in rings])
+            ally = np.concatenate([np.asarray(r[1]) for r in rings])
+            rows.append({key: k,
+                         "rings_x": [r[0] for r in rings],
+                         "rings_y": [r[1] for r in rings],
+                         "bbox": {"xmin": float(allx.min()), "ymin": float(ally.min()),
+                                  "xmax": float(allx.max()), "ymax": float(ally.max())}})
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    cleaned = multi.select("__cluster", key, "rings_x", "rings_y") \
+        .groupBy("__cluster").applyInPandas(
+            lambda pdf: kernel(pdf), schema=out_schema)
+    keep_cols = [key, "rings_x", "rings_y", "bbox"]
+    return pass_through.select(*keep_cols).unionByName(cleaned.select(*keep_cols))

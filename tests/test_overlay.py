@@ -353,3 +353,44 @@ class TestDissolve2GapFill:
         out = dissolve2(df, "grp").collect()
         assert len(out[0].rings_x) == 1
         assert out[0].area == pytest.approx(39.0)
+
+
+class TestClean:
+    """-clean (clean-test.js): overlap removal with per-feature identity,
+    empty-geometry drop, singleton passthrough."""
+
+    def _fixture(self, spark):
+        return spark.createDataFrame(
+            [(1, [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+             (2, [[1.0, 3.0, 5.0, 3.0, 1.0]], [[1.0, 3.0, 1.0, -1.0, 1.0]]),
+             (3, [[10.0, 10.0, 11.0, 11.0, 10.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+             (4, None, None)],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+
+    def test_reference_overlap_fixture(self, spark):
+        from mapshaper_spark.operators.overlay import clean
+        out = {r.fid: r for r in clean(self._fixture(spark), "fid").collect()}
+        assert sorted(out) == [1, 2, 3]  # empty geometry dropped
+        def area(r):
+            return sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                       for rx, ry in zip(r.rings_x, r.rings_y))
+        # overlap goes to the larger feature (chooseShape weight):
+        # square cedes the wedge (ref ring a: [0,0],[0,2],[2,2],[1,1],[2,0])
+        assert area(out[1]) == pytest.approx(3.0)
+        assert area(out[2]) == pytest.approx(8.0)
+        assert sorted(set(zip(out[1].rings_x[0], out[1].rings_y[0]))) == [
+            (0.0, 0.0), (0.0, 2.0), (1.0, 1.0), (2.0, 0.0), (2.0, 2.0)]
+        # singleton cluster passes through bit-identical
+        assert out[3].rings_x == [[10.0, 10.0, 11.0, 11.0, 10.0]]
+
+    def test_clean_no_overlaps_identity(self, spark):
+        from mapshaper_spark.operators.overlay import clean
+        df = spark.createDataFrame(
+            [(i, [[float(3 * i), float(3 * i), float(3 * i + 1),
+                   float(3 * i + 1), float(3 * i)]],
+              [[0.0, 1.0, 1.0, 0.0, 0.0]]) for i in range(6)],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = clean(df, "fid").collect()
+        assert len(out) == 6
+        assert all(r.rings_x == df.filter(F.col("fid") == r.fid)
+                   .collect()[0].rings_x for r in out)
