@@ -244,31 +244,40 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 class _BitReader:
+    """Entropy-segment bit reader: unstuffs FF00 once up front and exposes
+    the stream as a numpy bit array — read_bits is a slice fold instead of
+    per-bit method calls (the decoder hot loop)."""
+
     def __init__(self, data):
-        self.data = data
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        # drop the 0x00 after each 0xFF (byte stuffing); stop at a marker
+        keep = np.ones(len(arr), dtype=bool)
+        ff = np.nonzero(arr == 0xFF)[0]
+        end = len(arr)
+        for i in ff:
+            if i + 1 < len(arr):
+                nxt = arr[i + 1]
+                if nxt == 0x00:
+                    keep[i + 1] = False
+                elif i < end:
+                    end = i  # first real marker terminates entropy data
+        keep[end:] = False
+        self.bits = np.unpackbits(arr[keep])
         self.pos = 0
-        self.acc = 0
-        self.nbits = 0
 
     def read_bit(self):
-        if self.nbits == 0:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    raise ValueError("unexpected marker in entropy data")
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
 
     def read_bits(self, n):
+        if n == 0:
+            return 0
+        p = self.pos
+        self.pos = p + n
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        for b in self.bits[p:p + n]:
+            v = (v << 1) | int(b)
         return v
 
 
@@ -357,19 +366,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data[pos:])
 
     def read_code(table):
-        length = 0
+        bits = br.bits
+        p = br.pos
         code = 0
-        for _ in range(16):
-            code = (code << 1) | br.read_bit()
-            length += 1
-            if (length, code) in table:
-                return table[(length, code)]
+        get = table.get
+        for length in range(1, 17):
+            code = (code << 1) | int(bits[p])
+            p += 1
+            v = get((length, code))
+            if v is not None:
+                br.pos = p
+                return v
         raise ValueError("bad huffman code")
 
     planes = []
     for c in comps:
         planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)))
     pred = [0] * len(comps)
+    # entropy-decode all blocks first (inherently serial), then run ONE
+    # batched IDCT per component — per-block 8x8 matmuls drown in numpy
+    # call overhead otherwise
+    blocks: list[list] = [[] for _ in comps]   # (y0, x0, zz64)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, c in enumerate(comps):
@@ -378,11 +395,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 act = huff[(1, sc["ta"])]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
+                        zz = [0.0] * 64
                         cat = read_code(dct)
                         diff = _extend(br.read_bits(cat), cat) if cat else 0
                         pred[ci] += diff
-                        zz[0] = pred[ci]
+                        zz[0] = float(pred[ci])
                         k = 1
                         while k < 64:
                             rs = read_code(act)
@@ -395,15 +412,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                             k += r
                             if k > 63:
                                 raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.read_bits(s), s)
+                            zz[k] = float(_extend(br.read_bits(s), s))
                             k += 1
-                        coef = np.zeros(64)
-                        coef[_ZZ] = zz
-                        block = coef.reshape(8, 8) * qt[c["tq"]]
-                        px = _C.T @ block @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                        blocks[ci].append(((my * c["v"] + by) * 8,
+                                           (mx * c["h"] + bx) * 8, zz))
+    for ci, c in enumerate(comps):
+        if not blocks[ci]:
+            continue
+        zzs = np.array([b[2] for b in blocks[ci]])        # (n, 64) zigzag
+        coefs = np.zeros_like(zzs)
+        coefs[:, _ZZ] = zzs
+        coefs = coefs.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        px = np.einsum("ij,njk,kl->nil", _C.T, coefs, _C) + 128.0
+        plane = planes[ci]
+        for (y0, x0, _), blk in zip(blocks[ci], px):
+            plane[y0:y0 + 8, x0:x0 + 8] = blk
 
     # upsample to full resolution
     full = []
