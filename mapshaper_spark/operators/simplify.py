@@ -314,3 +314,5 @@ def simplify_stats(arcs_with_zs: DataFrame, zlimit: float = 0.0) -> dict:
         "kept_at_zlimit": (total - q.removable) + (q.kept_removable or 0),
         "z_quantiles": {p: v for p, v in zip((0.25, 0.5, 0.75, 0.95), q.q or [])},
     }
+
+
