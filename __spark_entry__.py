@@ -880,6 +880,17 @@ def q_word_jaccard(spark, sf_dir):
     return DD.word_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: word-Jaccard pairs (>= 0.5) -> connected
+    components -> canonical member per cluster — the standard web-scale
+    'detect then collapse' dedup step. Oracle = DuckDB recursive CTE over
+    the identical pair graph."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = DD.word_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    out = DD.dup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return out.select("doc_id", "cluster", "is_canonical")
+
+
 def q_minhash_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
     return DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
@@ -1159,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
         "image_decode_stats": q_image_decode_stats,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1873,6 +1885,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
         WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.5
+    """
+    sqls["dedup_clusters"] = """
+        WITH w0 AS (
+            SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\S+'))) AS w
+            FROM documents WHERE doc_id < 250),
+        w AS (SELECT * FROM w0 WHERE w IN (
+              SELECT w FROM w0 GROUP BY w HAVING count(*) <= 10000)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+            FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT id_a, id_b FROM inter
+            JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(ni AS DOUBLE) / CAST(sa.sz + sb.sz - ni AS DOUBLE) >= 0.5),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 250),
+        walk AS (
+            -- connected components: min reachable id via recursive closure
+            WITH RECURSIVE r(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.b, r.comp FROM r JOIN edges e ON e.a = r.id)
+            SELECT id, min(comp) AS comp FROM r GROUP BY id)
+        SELECT id AS doc_id, comp AS cluster, id = comp AS is_canonical
+        FROM walk
     """
     sqls["events_rollup"] = """
         SELECT user_id, CAST(ts AS DATE) AS day, event_type,

@@ -297,3 +297,42 @@ def phash_hamming_pairs(df: DataFrame, id_col: str, phash_col: str,
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def dup_clusters(pairs: DataFrame, ids: DataFrame, id_col: str,
+                 max_iter: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERING — the pipeline step after pair detection:
+    connected components over the (id_a, id_b) pair graph; every document
+    gets a ``cluster`` label (the minimum reachable id) and the canonical
+    member is the cluster minimum. Iterative min-label propagation with a
+    pointer-doubling shortcut (O(log diameter) rounds) — the same
+    distributed-connectivity plan as topology.label_components, over dup
+    edges instead of arc endpoints. Returns (id, cluster, is_canonical)."""
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                       F.col("id_a").alias("b")))
+             .distinct().localCheckpoint())
+    labels = ids.select(F.col(id_col).alias("id")) \
+        .withColumn("comp", F.col("id")).localCheckpoint()
+    changed = -1
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.b == labels.id)
+                   .groupBy("a").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                      .select("id", F.least(
+                          "comp", F.coalesce("nbr_comp", "comp")).alias("comp")))
+        parent = new_labels.select(F.col("id").alias("comp"),
+                                   F.col("comp").alias("comp2"))
+        new_labels = (new_labels.join(parent, "comp", "left")
+                      .select("id", F.coalesce("comp2", "comp").alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(f"dup_clusters did not converge in {max_iter} rounds")
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("comp").alias("cluster"),
+                         (F.col("id") == F.col("comp")).alias("is_canonical"))

@@ -168,3 +168,27 @@ class TestSimplifyStats:
         assert stats["vertices"] == 20 * 33
         assert stats["removable"] == 20 * 31
         assert 0.25 in stats["z_quantiles"]
+
+
+class TestDupClusters:
+    def test_components_and_canonicals(self, spark):
+        import mapshaper_spark.operators.dedup as DD
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+            "id_a int, id_b int")
+        ids = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id int")
+        out = {r.doc_id: (r.cluster, r.is_canonical)
+               for r in DD.dup_clusters(pairs, ids, "doc_id").collect()}
+        assert out[1] == (1, True) and out[3] == (1, False)
+        assert out[5] == (5, True) and out[6] == (5, False)
+        assert out[11] == (8, False) and out[8] == (8, True)
+        assert out[4] == (4, True) and out[12] == (12, True)  # singletons
+
+    def test_long_chain_converges(self, spark):
+        import mapshaper_spark.operators.dedup as DD
+        n = 80  # diameter >> naive round count: pointer doubling required
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                      "id_a int, id_b int")
+        ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id int")
+        out = DD.dup_clusters(pairs, ids, "doc_id")
+        assert out.select("cluster").distinct().count() == 1
