@@ -667,46 +667,25 @@ def slice_by_grid(df: DataFrame, cols: int, rows: int,
     return cand.mapInPandas(gen, schema=out_schema)
 
 
-def points_inner(df: DataFrame, x: str = "ix", y: str = "iy",
-                 grid: int = 16) -> DataFrame:
-    """-points inner / $.innerX,$.innerY — an interior anchor point far from
-    the boundary (the reference scans vertical slices of the simplified
-    ring maximizing edge distance weighted toward the centroid,
-    /root/reference/src/points/mapshaper-anchor-points.js:17-60).
-
-    APPROXIMATION (documented): candidates = largest-ring centroid + an
-    NxN grid of interior samples; winner = max min-distance-to-boundary,
-    centroid-first tie-break. Identical to the reference on symmetric
-    shapes (the centroid attains the max); near-identical elsewhere."""
+def points_inner(df: DataFrame, x: str = "ix", y: str = "iy") -> DataFrame:
+    """-points inner / $.innerX,$.innerY — the reference's anchor point
+    (faithful findAnchorPoint2 port, see _find_anchor_point below):
+    vertical-slice midpoint candidates focused around the centroid,
+    weighted edge distance, vertical hill-climb + refinement probe.
+    Collapsed shapes yield null coordinates (the reference converts them
+    to null geometries)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             oxs, oys = [], []
             for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"]):
-                rings = [(np.asarray(rx, dtype=np.float64),
-                          np.asarray(ry, dtype=np.float64))
-                         for rx, ry in zip(rxs, rys)]
-                # largest ring centroid candidate
-                best_ring = max(rings, key=lambda r: abs(K.planar_path_area(*r)))
-                c = K.path_centroid(*best_ring)
-                allx = np.concatenate([r[0] for r in rings])
-                ally = np.concatenate([r[1] for r in rings])
-                gx, gy = np.meshgrid(
-                    np.linspace(allx.min(), allx.max(), grid + 2)[1:-1],
-                    np.linspace(ally.min(), ally.max(), grid + 2)[1:-1])
-                cand_x = np.concatenate([[c[0]], gx.ravel()])
-                cand_y = np.concatenate([[c[1]], gy.ravel()])
-                inside = K.points_in_polygon(cand_x, cand_y, rings)
-                cand_x, cand_y = cand_x[inside], cand_y[inside]
-                if len(cand_x) == 0:
-                    oxs.append(c[0]); oys.append(c[1])
-                    continue
-                scores = np.array([
-                    min(K.point_to_path_dist_sq(px, py, rx, ry)
-                        for rx, ry in rings)
-                    for px, py in zip(cand_x, cand_y)])
-                k = int(np.argmax(scores))  # first max -> centroid wins ties
-                oxs.append(float(cand_x[k])); oys.append(float(cand_y[k]))
+                p = _find_anchor_point(list(zip(rxs, rys)))
+                if p is None:
+                    oxs.append(None)
+                    oys.append(None)
+                else:
+                    oxs.append(float(p[0]))
+                    oys.append(float(p[1]))
             pdf = pdf.copy()
             pdf[x] = oxs
             pdf[y] = oys
@@ -797,3 +776,118 @@ def stitch(features: DataFrame, e: float = 1e-10) -> DataFrame:
                 yield pd.DataFrame(rows, columns=out_cols)
 
     return pass_through.unionByName(edge.mapInPandas(gen, schema=features.schema))
+
+
+def _find_anchor_point(rings):
+    """Faithful port of internal.findAnchorPoint2
+    (/root/reference/src/points/mapshaper-anchor-points.js:38-76): vertical
+    ray intersections at tics across a centroid-focused x-window, midpoint
+    candidates sorted by weighted half-interval, vertical hill-climb with
+    the 0.90 local-minima tolerance, then a refinement probe around the
+    winner. (The reference's fast-simplify pre-pass is skipped — our
+    kernels receive assembled rings; its only effect is speed, with a
+    documented rare-placement caveat in the reference source itself.)
+    Returns (x, y) or None for collapsed shapes."""
+    np_rings = [(np.asarray(rx, dtype=np.float64),
+                 np.asarray(ry, dtype=np.float64)) for rx, ry in rings]
+    areas = [K.planar_path_area(rx, ry) for rx, ry in np_rings]
+    if not np_rings:
+        return None
+    max_i = int(np.argmax([abs(a) for a in areas]))
+    mrx, mry = np_rings[max_i]
+    area = abs(areas[max_i])
+    bx0, bx1 = float(mrx.min()), float(mrx.max())
+    by0, by1 = float(mry.min()), float(mry.max())
+    width, height = bx1 - bx0, by1 - by0
+    if width <= 0 or height <= 0 or area == 0:
+        return None
+    c = K.path_centroid(mrx, mry)
+    cx, cy = float(c[0]), float(c[1])
+    ref_dist = max(width, height) / 2.0
+
+    def weight(x, y):
+        off = float(np.hypot(cx - x, cy - y))
+        return 1.0 - min(0.6 * off / ref_dist, 0.25)
+
+    single = len(np_rings) == 1
+    if single and area * 1.2 > width * height:
+        htics, focus = 5, 0.2
+    elif single and area * 1.7 > width * height:
+        htics, focus = 7, 0.4
+    else:
+        htics, focus = 11, 0.5
+    hrange = width * focus
+    lbound = cx - hrange / 2.0
+    rbound = lbound + hrange
+    hstep = hrange / htics
+
+    def ray_intersections(x):
+        """y-intercepts of the vertical line at x with every ring; a ring
+        contributing an odd count is skipped (touch, not cross) —
+        findRayRingIntersections."""
+        out = []
+        for rx, ry in np_rings:
+            ax, ay = rx[:-1], ry[:-1]
+            bx, by_ = rx[1:], ry[1:]
+            # getRayIntersection: segment straddles x (half-open rule)
+            hit = ((ax < x) & (bx >= x)) | ((bx < x) & (ax >= x))
+            if not hit.any():
+                ys = []
+            else:
+                t = (x - ax[hit]) / (bx[hit] - ax[hit])
+                ys = (ay[hit] + t * (by_[hit] - ay[hit])).tolist()
+            if len(ys) % 2 == 1:
+                continue
+            out.extend(ys)
+        return sorted(out)
+
+    def dist_to_shape(x, y):
+        return float(np.sqrt(min(
+            K.point_to_path_dist_sq(x, y, rx, ry) for rx, ry in np_rings)))
+
+    def inside(x, y):
+        return bool(K.points_in_polygon(np.array([x]), np.array([y]),
+                                        np_rings)[0])
+
+    def probe(lb, rb, tics_n):
+        step = (rb - lb) / (tics_n + 1)
+        tics = [lb + step * i for i in range(1, tics_n + 1)]
+        cands = []
+        for x in tics:
+            yy = ray_intersections(x)
+            for i in range(0, len(yy) - 1, 2):
+                interval = (yy[i + 1] - yy[i]) / 2.0
+                if interval > 0:
+                    y = (yy[i] + yy[i + 1]) / 2.0
+                    cands.append([x, y, interval * weight(x, y)])
+        cands.sort(key=lambda p: -p[2])
+        vstep = (rb - lb) / tics_n if tics_n else 0.0
+        best = None
+        for x, y, wint in cands:
+            if best is not None and best[2] > wint:
+                break
+            d = dist_to_shape(x, y) * weight(x, y)
+            p = [x, y, d]
+            for sgn in (1.0, -1.0):  # scanForBetterPoint up/down
+                yy2 = y
+                dmax = p[2]
+                while True:
+                    yy2 += sgn * vstep
+                    d2 = dist_to_shape(x, yy2) * weight(x, yy2)
+                    if d2 > dmax * 0.90 and inside(x, yy2):
+                        if d2 > dmax:
+                            p = [x, yy2, d2]
+                            dmax = d2
+                    else:
+                        break
+            if best is None or p[2] > best[2]:
+                best = p
+        return best
+
+    p = probe(lbound, rbound, htics)
+    if p is None:
+        return cx, cy  # fallback to centroid, like the reference
+    p2 = probe(p[0] - hstep / 2.0, p[0] + hstep / 2.0, 2)
+    if p2 is not None and p2[2] > p[2]:
+        p = p2
+    return p[0], p[1]

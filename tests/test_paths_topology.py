@@ -377,3 +377,48 @@ class TestAddIntersectionCuts:
         assert a2.count() == 1
         r = a2.collect()[0]
         assert len(r.xs) == 5
+
+
+class TestAnchorPoint:
+    """Faithful findAnchorPoint2 port (anchor-points-test.js figures)."""
+
+    def test_rectangle_exact_center(self):
+        from mapshaper_spark.operators.paths import _find_anchor_point
+        p = _find_anchor_point([([0.0, 0.0, 2.0, 2.0, 0.0],
+                                 [0.0, 1.0, 1.0, 0.0, 0.0])])
+        assert p == (1.0, 0.5)  # the reference's exact assertion
+
+    def test_collapsed_returns_none(self):
+        from mapshaper_spark.operators.paths import _find_anchor_point
+        assert _find_anchor_point([([0.0, 0.0, 0.0, 0.0],
+                                    [0.0, 0.0, 0.0, 0.0])]) is None
+
+    def test_donut_anchor_inside_annulus(self):
+        import numpy as np
+        from mapshaper_spark.operators.paths import _find_anchor_point
+        from mapshaper_spark.geom import kernels as KK
+        outer = ([0.0, 0.0, 10.0, 10.0, 0.0], [0.0, 10.0, 10.0, 0.0, 0.0])
+        hole = ([3.0, 7.0, 7.0, 3.0, 3.0], [3.0, 3.0, 7.0, 7.0, 3.0])
+        p = _find_anchor_point([outer, hole])
+        rings = [(np.array(outer[0]), np.array(outer[1])),
+                 (np.array(hole[0]), np.array(hole[1]))]
+        assert bool(KK.points_in_polygon(np.array([p[0]]), np.array([p[1]]),
+                                         rings)[0])
+
+    def test_reference_fixture_anchors_inside(self, spark):
+        """six_counties.shp: every anchor lands inside its polygon (the
+        reference suite's own acceptance criterion)."""
+        import numpy as np
+        from mapshaper_spark.sources import shapefile as SH
+        from mapshaper_spark.operators.paths import _find_anchor_point
+        from mapshaper_spark.geom import kernels as KK
+        shp = open("/root/reference/test/test_data/six_counties.shp", "rb").read()
+        geoms = SH.read_shp(shp)
+        for g in geoms:
+            rings = [([p[0] for p in part], [p[1] for p in part])
+                     for part in g["parts"]]
+            p = _find_anchor_point(rings)
+            assert p is not None
+            np_rings = [(np.array(rx), np.array(ry)) for rx, ry in rings]
+            assert bool(KK.points_in_polygon(np.array([p[0]]),
+                                             np.array([p[1]]), np_rings)[0])
