@@ -160,3 +160,40 @@ class TestShapefileWriters:
         assert len(geoms) == 2 and geoms[0]["type"] == SH.SHP_POLYGON
         assert [r["fid"] for r in recs] == [1, 2]
         assert [r["name"] for r in recs] == ["A", "B"]
+
+
+class TestCellBucketing:
+    """north_rule 'explicit range/hash partitioning on cell prefix': two
+    tables written bucketed on the cell key join with ZERO Exchange."""
+
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        from mapshaper_spark.plans import bucketing as B
+        from pyspark.sql import functions as F
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            imgs = spark.range(20000).select(
+                F.col("id"), (F.col("id") % 1024).alias("cell"))
+            tiles = spark.range(1024).select(
+                F.col("id").alias("cell"), (F.col("id") % 24).alias("rid"))
+            B.write_cell_bucketed(imgs, "t_b_imgs", 8,
+                                  path=str(tmp_path / "imgs"))
+            B.write_cell_bucketed(tiles, "t_b_tiles", 8,
+                                  path=str(tmp_path / "tiles"))
+            j = B.read_bucketed(spark, "t_b_imgs").join(
+                B.read_bucketed(spark, "t_b_tiles"), "cell")
+            assert j.count() == 20000
+            assert not B.has_exchange(j)
+            # the same join without bucketing shuffles
+            assert B.has_exchange(imgs.join(tiles, "cell"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_b_imgs")
+            spark.sql("DROP TABLE IF EXISTS t_b_tiles")
+
+    def test_cell_prefix_column(self, spark):
+        from mapshaper_spark.plans.bucketing import cell_prefix_col
+        from pyspark.sql import functions as F
+        df = spark.range(8).select((F.col("id") * 16 + 3).alias("cell"))
+        out = df.select(cell_prefix_col(F.col("cell"), 4).alias("p")).collect()
+        assert [r.p for r in out] == list(range(8))
