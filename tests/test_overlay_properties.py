@@ -64,3 +64,29 @@ def test_self_clip_identity(x0, y0, w, h):
         pytest.approx(w * h, abs=1e-9)
     assert area(overlay_rings(t, [rect(x0, y0, w, h)], "erase")) == \
         pytest.approx(0.0, abs=1e-9)
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_raycast_agrees_with_winding_on_simple_polygon(seed):
+    """Two independent point-in-region implementations (the transcribed
+    mapshaper ray cast and the overlay module's winding-number test) must
+    agree everywhere off the boundary for simple polygons."""
+    from mapshaper_spark.operators.overlay import _winding_inside
+    rng = np.random.RandomState(seed)
+    # random star-shaped simple polygon around a center
+    n = rng.randint(3, 12)
+    th = np.sort(rng.uniform(0, 2 * np.pi, n))
+    r = rng.uniform(0.5, 3.0, n)
+    cx, cy = rng.uniform(-1, 1, 2)
+    rx = np.append(cx + r * np.cos(th), cx + r[0] * np.cos(th[0]))
+    ry = np.append(cy + r * np.sin(th), cy + r[0] * np.sin(th[0]))
+    pts = rng.uniform(-4, 4, (30, 2))
+    eo = K.points_in_polygon(pts[:, 0], pts[:, 1], [(rx, ry)])
+    for (px, py), e in zip(pts, eo):
+        # skip points exactly on the boundary (measure-zero; conventions differ)
+        d2 = K.point_to_path_dist_sq(float(px), float(py), rx, ry)
+        if d2 < 1e-18:
+            continue
+        assert _winding_inside(float(px), float(py), [(rx, ry)]) == bool(e), \
+            (seed, px, py)
