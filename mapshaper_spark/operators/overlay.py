@@ -861,12 +861,15 @@ def mean_segment_len_sq(features: DataFrame) -> float:
 
 def dissolve2(features: DataFrame, group: str,
               gap_fill: bool = True,
-              min_gap_area: float | None = None) -> DataFrame:
-    """Distributed -dissolve2: groupBy-collect each dissolve group's
-    overlap-cluster... at this layer, groups are processed independently
-    (applyInPandas per group; features of one group rarely overlap features
-    of another in the dissolve2 use-case — cross-group overlaps resolve by
-    max-weight within the mosaic of each group's cluster).
+              min_gap_area: float | None = None,
+              cluster_threshold: int = 10_000) -> DataFrame:
+    """Distributed -dissolve2. Groups decompose further into bbox-overlap
+    CLUSTERS (same fencing as -clean): features of one group whose bbox
+    covers are disjoint cannot interact through the mosaic, so each
+    (group, cluster) runs its own arrangement kernel and the per-group
+    result is the flat union of cluster rings — the mosaic task is bounded
+    by the overlap-cluster size, not the group size (a country-sized
+    dissolve group no longer lands in one pandas task).
 
     ``gap_fill`` (default ON, like the reference's -dissolve2/-clean):
     uncovered slivers below ``min_gap_area`` — or below the layer's default
@@ -878,8 +881,21 @@ def dissolve2(features: DataFrame, group: str,
         gap_threshold = (min_gap_area if min_gap_area is not None
                          else mean_segment_len_sq(features))
 
-    out_schema = T.StructType([
+    feats = _ensure_bbox(features).withColumn(
+        "__fid", F.xxhash64(group, "rings_x", "rings_y"))
+    # size gate: the cluster-decomposition machinery (label-propagation
+    # rounds) only pays for itself when groups can be big; a small layer
+    # runs one kernel per group directly
+    small = features.limit(cluster_threshold + 1).count() <= cluster_threshold
+    if small:
+        labeled = feats.withColumn("__cluster", F.lit(0).cast("long"))
+    else:
+        clusters = _connected_feature_clusters(feats, "__fid", scope_col=group)
+        labeled = feats.join(clusters, "__fid")
+
+    cluster_schema = T.StructType([
         features.schema[group],
+        T.StructField("__cluster", T.LongType()),
         T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
         T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
         T.StructField("area", T.DoubleType()),
@@ -887,6 +903,7 @@ def dissolve2(features: DataFrame, group: str,
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf[group].iloc[0]
+        cl = pdf["__cluster"].iloc[0]
         ring_sets = [[(np.asarray(rx, dtype=np.float64),
                        np.asarray(ry, dtype=np.float64))
                       for rx, ry in zip(r.rings_x, r.rings_y)]
@@ -897,12 +914,27 @@ def dissolve2(features: DataFrame, group: str,
                    for rx, ry in merged)
         return pd.DataFrame({
             group: pd.Series([g], dtype=object),
+            "__cluster": pd.Series([cl], dtype="int64"),
             "rings_x": pd.Series([[r[0] for r in merged]], dtype=object),
             "rings_y": pd.Series([[r[1] for r in merged]], dtype=object),
             "area": pd.Series([area], dtype="float64"),
         })
 
-    return features.groupBy(group).applyInPandas(merge, schema=out_schema)
+    per_cluster = (labeled.select(group, "__cluster", "rings_x", "rings_y")
+                   .groupBy(group, "__cluster")
+                   .applyInPandas(merge, schema=cluster_schema))
+    # per-group assembly: disjoint clusters just union (sorted by cluster
+    # label for deterministic ring order)
+    return (per_cluster.groupBy(group)
+            .agg(F.flatten(F.transform(
+                     F.sort_array(F.collect_list(F.struct(
+                         "__cluster", F.col("rings_x").alias("rx")))),
+                     lambda s: s["rx"])).alias("rings_x"),
+                 F.flatten(F.transform(
+                     F.sort_array(F.collect_list(F.struct(
+                         "__cluster", F.col("rings_y").alias("ry")))),
+                     lambda s: s["ry"])).alias("rings_y"),
+                 F.round(F.sum("area"), 12).alias("area")))
 
 
 def clip_polylines_rings(paths, rings_c, erase: bool = False):
@@ -1060,16 +1092,22 @@ def clip_polylines(lines: DataFrame, clip: DataFrame,
     return out
 
 
-def _connected_feature_clusters(df: DataFrame, key: str, res: int = 6):
+def _connected_feature_clusters(df: DataFrame, key: str, res: int = 6,
+                                scope_col: str | None = None):
     """(key, cluster) labels where features sharing a grid cell of their
     bbox cover are in one cluster — iterative min-label propagation with a
     pointer-doubling shortcut (O(log diameter) rounds), the same plan as
-    topology.label_components but over feature bbox-overlap edges."""
+    topology.label_components but over feature bbox-overlap edges.
+    ``scope_col`` fences clustering (features in different scopes never
+    merge — used by dissolve2 to cluster within each group)."""
     gb = _union_bbox(df, df)
-    cells = (df.select(key, "bbox")
-             .withColumn("__cell", _bbox_cells_col(gb, res))
-             .select(key, "__cell"))
-    labels = (df.select(F.col(key).alias("id"))
+    cells = (df.select(key, "bbox",
+                       *( [scope_col] if scope_col else [] ))
+             .withColumn("__cell", _bbox_cells_col(gb, res)))
+    if scope_col:
+        cells = cells.withColumn("__cell", F.xxhash64(scope_col, "__cell"))
+    cells = cells.select(key, "__cell")
+    labels = (df.select(F.col(key).alias("id")).distinct()
               .withColumn("comp", F.col("id")).localCheckpoint())
     changed = -1
     for _ in range(20):

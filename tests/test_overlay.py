@@ -394,3 +394,34 @@ class TestClean:
         assert len(out) == 6
         assert all(r.rings_x == df.filter(F.col("fid") == r.fid)
                    .collect()[0].rings_x for r in out)
+
+
+class TestDissolve2ClusterPath:
+    """The cluster-decomposed dissolve2 path (forced via
+    cluster_threshold=0) must equal the direct per-group path."""
+
+    def test_cluster_path_equals_direct(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        from mapshaper_spark import layers as L
+        polys = L.region_mosaic_rings_local(spark, 6, 4, L.DEFAULT_BBOX) \
+            .select("state", "rings_x", "rings_y")
+        direct = {r.state: (round(r.area, 9), len(r.rings_x))
+                  for r in dissolve2(polys, "state").collect()}
+        clustered = {r.state: (round(r.area, 9), len(r.rings_x))
+                     for r in dissolve2(polys, "state",
+                                        cluster_threshold=0).collect()}
+        assert direct == clustered and len(direct) == 4
+
+    def test_disjoint_groups_cluster_separately(self, spark):
+        from mapshaper_spark.operators.overlay import dissolve2
+        # two groups, each with overlapping + far-away pieces
+        feats = spark.createDataFrame(
+            [("g", [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+             ("g", [[1.0, 1.0, 3.0, 3.0, 1.0]], [[1.0, 3.0, 3.0, 1.0, 1.0]]),
+             ("g", [[50.0, 50.0, 51.0, 51.0, 50.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+             ("h", [[0.5, 0.5, 1.5, 1.5, 0.5]], [[0.5, 1.5, 1.5, 0.5, 0.5]])],
+            "grp string, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = {r.grp: (round(r.area, 9), len(r.rings_x))
+               for r in dissolve2(feats, "grp", cluster_threshold=0).collect()}
+        assert out["g"] == (8.0, 2)   # union 7 + far square 1, two rings
+        assert out["h"] == (1.0, 1)   # separate group untouched by overlap
