@@ -6,24 +6,27 @@ Architecture mirrors the reference's clip pipeline
 addIntersectionCuts -> pathfinding,
 /root/reference/src/clipping/mapshaper-polygon-clipping.js:10-99):
 
-  1. cut: find all target x clip segment intersections and insert them as
-     vertices into both ring sets (the reference's addIntersectionCuts);
+  1. cut: find all target x clip segment intersections (plus each set's
+     SELF-intersections for dirty inputs) and insert them as vertices into
+     both ring sets (the reference's addIntersectionCuts/divideArcs);
   2. classify: each sub-arc (maximal piece between consecutive cut points)
-     is inside/outside the other polygon by testing its midpoint with the
-     exact even-odd ray cast (boundary counts as inside — on-shared-edge
-     sub-arcs are deduplicated);
+     by a 3-state test — strictly in/out by exact even-odd midpoint ray
+     cast; ON-BOUNDARY arcs (and all arcs of self-intersecting sets) by
+     the region-border side test (does the output region lie on exactly
+     one side?), the distilled form of the reference's 8-bit route flags;
   3. stitch: walk chosen sub-arcs by endpoint matching into closed output
-     rings (same walk as dissolve pass 2).
+     rings (same walk as dissolve pass 2), winding re-derived by
+     containment depth.
 
-Distribution: candidate (target, clip) pairs via bbox/cell pruning with the
-clip side broadcast; each pair's overlay runs as one vectorized-numpy task
-inside an Arrow-batched pandas UDF — bounded by the pair's vertex count,
-exactly like the reference's per-shape pathfinder.
+Tangency parity: congruent / adjacent / shared-edge / corner-touch /
+spike / self-intersection figures all match the reference
+(tests/test_clip_erase_goldens.py transcribes its clip-erase suite).
 
-Known limitation (documented): vertex-grazing tangencies that touch without
-crossing can produce degenerate zero-area rings, which are dropped; the
-reference resolves these through its snap + route-flag machinery and can
-differ on such inputs.
+Distribution: small clip layers broadcast with a per-target bbox
+prefilter; large clip layers pair with targets via a cell-keyed
+bbox-cover equi-join (no driver collect); each pair's overlay runs as one
+vectorized-numpy task inside an Arrow-batched pandas UDF — bounded by the
+pair's vertex count, exactly like the reference's per-shape pathfinder.
 """
 
 from __future__ import annotations
