@@ -71,8 +71,12 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and spin up the
+    # Python worker pool (first Arrow stage otherwise pays ~3 s of worker
+    # spawn inside whichever query happens to run first)
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     for name in bench_queries:
         t0 = time.time()
