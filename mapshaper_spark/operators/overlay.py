@@ -733,6 +733,19 @@ def mosaic_rings(ring_sets):
             counts[p] = counts.get(p, 0) + 1
     shared = {p for p, c in counts.items() if c > 1}
     arcs = _sub_arcs(all_rings, shared)
+    # coincident sub-arcs (adjacent features each carrying the full shared
+    # border in their own ring) collapse to ONE arc before the face walk —
+    # the arrangement analog of the reference's shared-arc dedup
+    # (ArcIndex.findDuplicateArc); duplicated half-edges with identical
+    # angles otherwise corrupt the smallest-turn traversal
+    seen_keys = set()
+    deduped = []
+    for arc in arcs:
+        k = _arc_key(arc)
+        if k not in seen_keys:
+            seen_keys.add(k)
+            deduped.append(arc)
+    arcs = deduped
     pos, neg = _faces_from_subarcs(arcs, with_negative=True)
 
     faces = [{"rings": [(fx, fy)], "outer_area": area, "area": area}

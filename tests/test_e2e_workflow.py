@@ -1,0 +1,78 @@
+"""End-to-end reference-user workflow: the command chain a mapshaper user
+runs daily, through this engine's operators —
+
+    -i two_states.shp -clean -dissolve2 -simplify -o out.shp / out.json
+
+Import a reference-produced shapefile, repair overlaps, dissolve, simplify,
+export through our writers, and re-read the result.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapshaper_spark.geom import kernels as K
+
+
+class TestReferenceUserWorkflow:
+    def test_shapefile_to_shapefile_pipeline(self, spark):
+        from mapshaper_spark.sources import shapefile as SH
+        from mapshaper_spark.operators.overlay import clean, dissolve2
+        from mapshaper_spark.operators.paths import ring_areas_col
+
+        shp = open("/root/reference/test/test_data/two_states.shp", "rb").read()
+        dbf = open("/root/reference/test/test_data/two_states.dbf", "rb").read()
+        df = SH.import_shapefile(spark, shp, dbf)
+        assert df.count() == 2
+
+        # this fixture is REAL data: the shared border is only nearly
+        # coincident (micro overlaps + micro gaps). -clean repairs both;
+        # per-feature area moves by at most a sliver envelope
+        a0 = {r.fid: sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                         for rx, ry in zip(r.rings_x, r.rings_y))
+              for r in df.collect()}
+        cleaned = clean(df.select("fid", "rings_x", "rings_y"), "fid")
+        a1 = {r.fid: sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                         for rx, ry in zip(r.rings_x, r.rings_y))
+              for r in cleaned.collect()}
+        assert set(a1) == set(a0)
+        for fid, a in a1.items():
+            assert abs(a - a0[fid]) < 0.01 * max(a0.values())
+
+        # -dissolve2 all features into one group
+        merged = dissolve2(cleaned.select(F.lit("all").alias("grp"),
+                                          "rings_x", "rings_y"), "grp").collect()
+        assert len(merged) == 1
+        # dissolved area = cleaned (gap-filled) total
+        total_in = sum(a1.values())
+        assert merged[0].area == pytest.approx(total_in, rel=1e-9)
+
+        # export -> re-read through our own writers
+        out_shp, _shx, out_dbf = SH.export_shapefile(
+            cleaned.join(df.select("fid", "STATE_NAME"), "fid"))
+        back = SH.read_shp(out_shp)
+        recs = SH.read_dbf(out_dbf)
+        assert len(back) == 2 and len(recs) == 2
+        assert {r["STATE_NAME"] for r in recs} == \
+            {r.STATE_NAME for r in df.select("STATE_NAME").collect()}
+        # geometry survives the round trip exactly
+        back_area = sum(
+            K.planar_path_area(np.array([p[0] for p in part]),
+                               np.array([p[1] for p in part]))
+            for g in back for part in g["parts"])
+        assert back_area == pytest.approx(total_in, rel=1e-12)
+
+    def test_simplify_then_geojson_export(self, spark):
+        from mapshaper_spark import layers as L
+        from mapshaper_spark.sources.geojson import export_geojson
+        import json
+        feats, arcs = L.region_mosaic(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        import mapshaper_spark.operators.simplify as SI
+        with_z, zlimit = SI.simplify(arcs, method="visvalingam", pct=1.0)
+        kept = SI.apply_zlimit(with_z, zlimit)
+        assembled = L.assemble_rings(feats, kept.select(
+            "arc_id", "xs", "ys", "n", "bbox"), key="rid")
+        gj = export_geojson(assembled.select("rid", "rings_x", "rings_y"))
+        obj = gj if isinstance(gj, dict) else json.loads(gj)
+        assert obj["type"] == "FeatureCollection"
+        assert len(obj["features"]) == 6
