@@ -76,3 +76,31 @@ class TestReferenceUserWorkflow:
         obj = gj if isinstance(gj, dict) else json.loads(gj)
         assert obj["type"] == "FeatureCollection"
         assert len(obj["features"]) == 6
+
+
+class TestSixCounties:
+    """Real-data regression: six adjacent counties (~14k vertices, fully
+    shared borders). clean must preserve every feature's area exactly
+    (topologically clean input) and dissolve2 must merge to the exact
+    total — this fixture exposed the coincident-arc face-walk bug."""
+
+    def test_clean_and_dissolve2(self, spark):
+        from mapshaper_spark.sources import shapefile as SH
+        from mapshaper_spark.operators.overlay import clean, dissolve2
+        shp = open("/root/reference/test/test_data/six_counties.shp",
+                   "rb").read()
+        df = SH.import_shapefile(spark, shp)
+        a0 = {r.fid: sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                         for rx, ry in zip(r.rings_x, r.rings_y))
+              for r in df.collect()}
+        cleaned = clean(df.select("fid", "rings_x", "rings_y"), "fid").collect()
+        a1 = {r.fid: sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                         for rx, ry in zip(r.rings_x, r.rings_y))
+              for r in cleaned}
+        assert set(a1) == set(a0)
+        for fid in a0:
+            assert a1[fid] == pytest.approx(a0[fid], abs=1e-12)
+        merged = dissolve2(df.select(F.lit("all").alias("g"),
+                                     "rings_x", "rings_y"), "g").collect()
+        assert len(merged) == 1
+        assert merged[0].area == pytest.approx(sum(a0.values()), rel=1e-9)
