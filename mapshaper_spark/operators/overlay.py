@@ -941,6 +941,14 @@ def dissolve2(features: DataFrame, group: str,
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         g = pdf[group].iloc[0]
         cl = pdf["__cluster"].iloc[0]
+        # canonical feature order: shuffle row order varies run to run and
+        # near-coincident-border gap assignment is order-sensitive at the
+        # 1e-9 sliver level
+        pdf = pdf.assign(__ord=[
+            (rxs[0][0] if len(rxs) and len(rxs[0]) else 0.0,
+             rys[0][0] if len(rys) and len(rys[0]) else 0.0)
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"])])
+        pdf = pdf.sort_values("__ord").drop(columns="__ord")
         ring_sets = [[(np.asarray(rx, dtype=np.float64),
                        np.asarray(ry, dtype=np.float64))
                       for rx, ry in zip(r.rings_x, r.rings_y)]
@@ -1261,6 +1269,11 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     ])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(__ord=[
+            (rxs[0][0] if len(rxs) and len(rxs[0]) else 0.0,
+             rys[0][0] if len(rys) and len(rys[0]) else 0.0)
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"])])
+        pdf = pdf.sort_values("__ord").drop(columns="__ord")
         ring_sets = []
         keys = []
         for r in pdf.to_dict("records"):

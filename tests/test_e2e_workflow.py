@@ -99,7 +99,11 @@ class TestSixCounties:
               for r in cleaned}
         assert set(a1) == set(a0)
         for fid in a0:
-            assert a1[fid] == pytest.approx(a0[fid], abs=1e-12)
+            # micro-sliver gap-fill envelope on the shared borders (the
+            # default threshold is mean-segment-length^2 ~ 1e-6 deg^2 here;
+            # a handful of filled border slivers per county)
+            assert a1[fid] == pytest.approx(a0[fid], rel=1e-4)
+            assert a1[fid] >= a0[fid] - 1e-12  # fills only ever add area
         merged = dissolve2(df.select(F.lit("all").alias("g"),
                                      "rings_x", "rings_y"), "g").collect()
         assert len(merged) == 1
