@@ -108,3 +108,27 @@ class TestSixCounties:
                                      "rings_x", "rings_y"), "g").collect()
         assert len(merged) == 1
         assert merged[0].area == pytest.approx(sum(a0.values()), rel=1e-9)
+
+
+class TestNaturalEarthStates:
+    """51 US states/provinces (Natural Earth 110m) dissolve into the
+    country outline — the canonical real-world -dissolve2 use."""
+
+    def test_states_dissolve_to_country(self, spark):
+        from mapshaper_spark.sources import shapefile as SH
+        from mapshaper_spark.operators.overlay import dissolve2
+        base = "/root/reference/test/test_data/ne/ne_110m_admin_1_states_provinces_shp"
+        df = SH.import_shapefile(spark, open(base + ".shp", "rb").read(),
+                                 open(base + ".dbf", "rb").read())
+        assert df.count() == 51
+        a0 = sum(sum(K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                     for rx, ry in zip(r.rings_x, r.rings_y))
+                 for r in df.collect())
+        merged = dissolve2(df.select(F.lit("us").alias("g"),
+                                     "rings_x", "rings_y"), "g").collect()
+        assert len(merged) == 1
+        # continental outline + Alaska/Hawaii/island parts
+        assert 5 <= len(merged[0].rings_x) <= 20
+        # area preserved up to the border-sliver gap-fill envelope
+        assert merged[0].area == pytest.approx(a0, rel=1e-5)
+        assert merged[0].area >= a0 - 1e-9
