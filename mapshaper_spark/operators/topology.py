@@ -124,11 +124,30 @@ def build_topology(paths: DataFrame, path_id: str):
         T.StructField("arc_seq", T.IntegerType()),
         T.StructField("sub_xs", T.ArrayType(T.DoubleType())),
         T.StructField("sub_ys", T.ArrayType(T.DoubleType())),
+        T.StructField("pre_flipped", T.BooleanType()),
     ])
+
+    def _canon_closed(xs, ys):
+        """Rotation+direction canonical form of a node-free closed ring:
+        two traversals of the SAME cycle (an enclave ring vs its host's
+        hole) must dedup to one arc even when they start at different
+        vertices or wind oppositely. Returns (xs, ys, flipped)."""
+        pts = list(zip(xs[:-1].tolist(), ys[:-1].tolist()))
+        k = pts.index(min(pts))
+        fwd = pts[k:] + pts[:k]
+        rpts = pts[::-1]
+        k2 = rpts.index(min(rpts))
+        rev = rpts[k2:] + rpts[:k2]
+        if tuple(fwd) <= tuple(rev):
+            out, flipped = fwd, False
+        else:
+            out, flipped = rev, True
+        out = out + [out[0]]
+        return ([p[0] for p in out], [p[1] for p in out], flipped)
 
     def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_pid, out_seq, out_xs, out_ys = [], [], [], []
+            out_pid, out_seq, out_xs, out_ys, out_flip = [], [], [], [], []
             for pid, vs in zip(pdf[path_id], pdf["vs"]):
                 xs = np.array([v["x"] for v in vs])
                 ys = np.array([v["y"] for v in vs])
@@ -139,8 +158,10 @@ def build_topology(paths: DataFrame, path_id: str):
                 if closed:
                     core_cuts = [c for c in cuts if c != m - 1]
                     if not core_cuts:
+                        cx, cy, flipped = _canon_closed(xs, ys)
                         out_pid.append(pid); out_seq.append(0)
-                        out_xs.append(xs.tolist()); out_ys.append(ys.tolist())
+                        out_xs.append(cx); out_ys.append(cy)
+                        out_flip.append(flipped)
                         continue
                     # rotate ring to start at the first node, then split
                     s = core_cuts[0]
@@ -157,20 +178,28 @@ def build_topology(paths: DataFrame, path_id: str):
                         out_pid.append(pid); out_seq.append(seq)
                         out_xs.append(xs[a:b + 1].tolist())
                         out_ys.append(ys[a:b + 1].tolist())
+                        out_flip.append(False)
                         seq += 1
             yield pd.DataFrame({path_id: out_pid, "arc_seq": out_seq,
-                                "sub_xs": out_xs, "sub_ys": out_ys})
+                                "sub_xs": out_xs, "sub_ys": out_ys,
+                                "pre_flipped": out_flip})
 
     segs = per_path.mapInPandas(split, schema=seg_schema)
 
-    # canonical form: direction-normalized coordinate arrays
-    fwd = (F.element_at("sub_xs", 1) < F.element_at("sub_xs", -1)) | \
-          ((F.element_at("sub_xs", 1) == F.element_at("sub_xs", -1)) &
-           (F.element_at("sub_ys", 1) <= F.element_at("sub_ys", -1)))
+    # canonical form: direction-normalized coordinate arrays (closed rings
+    # were already rotation+direction canonicalized in the split stage;
+    # pre_flipped records a reversed original traversal so the signed ref
+    # keeps the feature's winding)
+    fwd = ((F.element_at("sub_xs", 1) < F.element_at("sub_xs", -1)) |
+           ((F.element_at("sub_xs", 1) == F.element_at("sub_xs", -1)) &
+            (F.element_at("sub_ys", 1) <= F.element_at("sub_ys", -1)))) & \
+          ~F.col("pre_flipped")
     canon = segs.withColumn("__fwd", fwd).select(
-        path_id, "arc_seq", "__fwd",
-        F.when(F.col("__fwd"), F.col("sub_xs")).otherwise(F.reverse("sub_xs")).alias("cxs"),
-        F.when(F.col("__fwd"), F.col("sub_ys")).otherwise(F.reverse("sub_ys")).alias("cys"),
+        path_id, "arc_seq", "__fwd", "pre_flipped",
+        F.when(F.col("__fwd") | F.col("pre_flipped"),
+               F.col("sub_xs")).otherwise(F.reverse("sub_xs")).alias("cxs"),
+        F.when(F.col("__fwd") | F.col("pre_flipped"),
+               F.col("sub_ys")).otherwise(F.reverse("sub_ys")).alias("cys"),
     )
     # deterministic arc ids: first use order
     w = Window.orderBy(F.col("__first.pid"), F.col("__first.seq"))

@@ -132,3 +132,47 @@ class TestNaturalEarthStates:
         # area preserved up to the border-sliver gap-fill envelope
         assert merged[0].area == pytest.approx(a0, rel=1e-5)
         assert merged[0].area >= a0 - 1e-9
+
+
+class TestEnclaveTopology:
+    """Enclave (donut) counties: a feature whose outer ring coincides with
+    another feature's hole ring must share ONE arc after build_topology —
+    rotation+direction canonicalization of node-free closed rings (this
+    fixture exposed the missed dedup: county 4 is an enclave of county 2)."""
+
+    def test_six_counties_enclave_neighbors(self, spark):
+        from mapshaper_spark.sources import shapefile as SH
+        import mapshaper_spark.operators.topology as TP
+        from mapshaper_spark.operators.dissolve import polygon_neighbors
+        shp = open("/root/reference/test/test_data/six_counties.shp",
+                   "rb").read()
+        geoms = SH.read_shp(shp)
+        rows = []
+        for fi, g in enumerate(geoms):
+            for ri, part in enumerate(g["parts"]):
+                rows.append((f"{fi}#{ri}", [float(p[0]) for p in part],
+                             [float(p[1]) for p in part]))
+        paths = spark.createDataFrame(
+            rows, "path_id string, xs array<double>, ys array<double>")
+        arcs, refs = TP.build_topology(paths, "path_id")
+        feats = (refs.withColumn(
+            "fid", F.substring_index("path_id", "#", 1).cast("int"))
+            .groupBy("fid", "path_id")
+            .agg(F.transform(F.sort_array(F.collect_list(
+                F.struct("arc_seq", F.col("signed").alias("s")))),
+                lambda st: st["s"].cast("int")).alias("ring"))
+            .groupBy("fid").agg(F.collect_list("ring").alias("parts")))
+        got = sorted((r.key_a, r.key_b)
+                     for r in polygon_neighbors(feats, "fid").collect())
+        assert (2, 4) in got  # the enclave adjacency
+        assert got == [(0, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+        # winding survives the canonicalized shared arc
+        from mapshaper_spark import layers as L
+        asm = L.assemble_rings(feats, arcs, key="fid") \
+            .filter(F.col("fid") == 4).collect()[0]
+        areas = [K.planar_path_area(np.asarray(rx), np.asarray(ry))
+                 for rx, ry in zip(asm.rings_x, asm.rings_y)]
+        orig = [K.planar_path_area(np.array([p[0] for p in part]),
+                                   np.array([p[1] for p in part]))
+                for part in geoms[4]["parts"]]
+        assert sum(areas) == pytest.approx(sum(orig), rel=1e-12)
