@@ -136,7 +136,18 @@ def import_shapefile(spark, shp_bytes: bytes, dbf_bytes: bytes | None = None):
         for row, rec in zip(rows, read_dbf(dbf_bytes)):
             for k, v in rec.items():
                 row[k] = v
-    return spark.createDataFrame(pd.DataFrame(rows))
+    pdf = pd.DataFrame(rows)
+    # polyline/polygon files carry no point coords: an all-None object
+    # column breaks Spark's type inference — pin x/y to float64 (None->NaN)
+    # and restore SQL nulls after conversion
+    pdf["x"] = pd.to_numeric(pdf["x"])
+    pdf["y"] = pd.to_numeric(pdf["y"])
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(pdf)
+    for c in ("x", "y"):
+        df = df.withColumn(c, F.when(F.isnan(F.col(c)), None)
+                           .otherwise(F.col(c)))
+    return df
 
 
 # ---------------------------------------------------------------------------
