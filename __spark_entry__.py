@@ -688,10 +688,13 @@ def q_data_fill(spark, sf_dir):
 
 
 def q_cluster(spark, sf_dir):
+    """-cluster with the deterministic sample-seeded Lloyd spec: the
+    oracle replays the identical seeding/iteration/tie-break rules in SQL
+    (unrolled CTEs), so the per-point assignment is EXACT-checkable."""
     from mapshaper_spark.operators import cluster as CL
     pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
-    out = CL.cluster_points(pts, "lon", "lat", count=8)
-    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    out = CL.cluster_points(pts, "lon", "lat", count=8, iterations=8)
+    return out.select("c_custkey", "cluster")
 
 
 def q_filter_geom_paths(spark, sf_dir):
@@ -1211,6 +1214,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_antimeridian": q_stitch_antimeridian,
         "intersection_cuts": q_intersection_cuts,
     }
+
+
+def _cluster_oracle_sql(count: int = 8, iterations: int = 8,
+                        cap: int = 10_000) -> str:
+    """SQL replay of operators/cluster.py cluster_points: same bounded
+    (x, y)-sorted sample, same evenly-spaced seeding, ``iterations``
+    unrolled Lloyd rounds with centers rounded to 9 dp (an emptied
+    cluster keeps its previous center), ties broken by lowest cluster id
+    at every stage, final nearest-center assignment over the full table.
+    Converged rounds are fixed points, so the Spark side's early exit
+    lands on the same centers as the fixed unroll."""
+    parts = [f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   -120.0 + (c_custkey % 1000) / 1000.0 * 60.0 AS x,
+                   25.0 + ((c_custkey * 7) % 1000) / 1000.0 * 24.0 AS y
+            FROM customer),
+        samp AS (SELECT x, y FROM pts ORDER BY x, y LIMIT {cap}),
+        idx AS (SELECT x, y, row_number() OVER (ORDER BY x, y) - 1 AS rn
+                FROM samp),
+        prm AS (SELECT greatest(1, count(*) // {count}) AS step FROM samp),
+        c0 AS (SELECT CAST(rn // step AS INT) AS cid, x AS cx, y AS cy
+               FROM idx, prm WHERE rn % step = 0 AND rn // step < {count})"""]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""",
+        a{i} AS (SELECT rn, x, y, cid FROM (
+            SELECT i.rn, i.x, i.y, c.cid,
+                   row_number() OVER (PARTITION BY i.rn
+                       ORDER BY (i.x - c.cx) * (i.x - c.cx)
+                              + (i.y - c.cy) * (i.y - c.cy), c.cid) AS rnk
+            FROM idx i CROSS JOIN c{p} c) WHERE rnk = 1),
+        c{i} AS (SELECT s.cid,
+                        coalesce(round(n.mx, 9), s.cx) AS cx,
+                        coalesce(round(n.my, 9), s.cy) AS cy
+                 FROM c{p} s LEFT JOIN (
+                     SELECT cid, avg(x) AS mx, avg(y) AS my
+                     FROM a{i} GROUP BY cid) n USING (cid))""")
+    parts.append(f"""
+        SELECT id AS c_custkey, cid AS cluster FROM (
+            SELECT p.id, c.cid,
+                   row_number() OVER (PARTITION BY p.id
+                       ORDER BY (p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rnk
+            FROM pts p CROSS JOIN c{iterations} c) WHERE rnk = 1""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1919,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n, round(sum(value), 2) AS value_sum
         FROM events GROUP BY 1, 2, 3
     """
+    sqls["cluster"] = _cluster_oracle_sql(count=8, iterations=8, cap=10_000)
     sqls["ann_topk"] = f"""
         WITH q(i, qv) AS (VALUES {qvals}),
         e AS (

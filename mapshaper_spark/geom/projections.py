@@ -284,8 +284,7 @@ class Robinson(Projection):
         self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
 
     def _interp(self, table, alat):
-        return np.interp(alat, _ROBINSON_LAT, table) if False else \
-            self._cubic(table, alat)
+        return self._cubic(table, alat)
 
     def _cubic(self, table, alat):
         i = np.clip((alat / 5.0).astype(np.int64), 0, len(table) - 2)

@@ -153,20 +153,6 @@ def filter_remove_empty(df: DataFrame) -> DataFrame:
     return df.filter(F.col("rings_x").isNotNull() & (F.size("rings_x") > 0))
 
 
-def layer_info(df: DataFrame) -> dict:
-    """-info analog (mapshaper-info.js:8): row count, column names/types,
-    bounds when a bbox struct is present."""
-    info = {
-        "count": df.count(),
-        "fields": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
-    }
-    if "bbox" in df.columns:
-        b = df.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
-                   F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
-        info["bounds"] = tuple(float(v) if v is not None else None for v in b)
-    return info
-
-
 def layer_info(df, name: str = "[unnamed]"):
     """-info analog (/root/reference/src/commands/mapshaper-info.js
     printInfo/getLayerInfo): one summary row per layer — name, inferred

@@ -1242,7 +1242,11 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     Distribution: features cluster by bbox-cover overlap (cell equi-join +
     label propagation); singleton clusters — the vast majority of a clean
     layer — pass through a pure JVM filter untouched; only overlapping
-    clusters run the mosaic kernel (applyInPandas per cluster)."""
+    clusters run the mosaic kernel (applyInPandas per cluster).
+
+    Column contract: returns (key, rings_x, rings_y, bbox) plus every other
+    non-geometry attribute column of the input, joined back by ``key``
+    (matching the reference -clean, which keeps the attribute table)."""
     features = _ensure_bbox(features)
     features = features.filter(F.col("rings_x").isNotNull() &
                                (F.size("rings_x") > 0))
@@ -1300,4 +1304,8 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
         .groupBy("__cluster").applyInPandas(
             lambda pdf: kernel(pdf), schema=out_schema)
     keep_cols = [key, "rings_x", "rings_y", "bbox"]
-    return pass_through.select(*keep_cols).unionByName(cleaned.select(*keep_cols))
+    out = pass_through.select(*keep_cols).unionByName(cleaned.select(*keep_cols))
+    attr_cols = [c for c in features.columns if c not in keep_cols]
+    if attr_cols:
+        out = out.join(features.select(key, *attr_cols), key, "left")
+    return out

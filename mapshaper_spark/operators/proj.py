@@ -43,7 +43,15 @@ def project_points(df: DataFrame, x: str, y: str, crs: str = "webmercator",
 
     Webmercator fwd/inv stay pure Catalyst expressions; every other
     projection from geom/projections.py (merc/lcc/aea/tmerc/utm/robinson +
-    '+proj=' strings) applies through a vectorized pandas UDF."""
+    '+proj=' strings) applies through a vectorized pandas UDF.
+
+    CRS aliases (intentional, matching the reference's mproj semantics):
+    ``crs="webmercator"``/``"EPSG:3857"`` is the SPHERICAL web-mercator fast
+    path; ``crs="merc"`` resolves through get_projection to the ELLIPSOIDAL
+    ``+proj=merc +datum=WGS84`` (y differs from webmercator by up to ~20 km —
+    same split as the reference's webmercator vs +proj=merc). ``crs="wgs84"``
+    with the default src is shorthand for INVERSE webmercator (see the
+    src-rewrite below); pass an explicit ``src=`` for any other inverse."""
     if crs in ("wgs84", "EPSG:4326") and src in ("wgs84", "EPSG:4326"):
         # historical shorthand: projecting "to wgs84" with no explicit src
         # means inverse webmercator
