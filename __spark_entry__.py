@@ -204,15 +204,21 @@ def q_join_first_match(spark, sf_dir):
 
 
 def q_join_unmatched(spark, sf_dir):
+    """Target rows with no source match. TPC-H foreign keys are fully
+    covered, so the source side is restricted (o_custkey % 3 == 0) to make
+    the anti-join NON-EMPTY — a 0-row oracle proves nothing (VERDICT r02
+    What's-wrong #4)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 3 == 0)
     return J.join_unmatched(c, o, ("c_custkey", "o_custkey")) \
         .select("c_custkey", "c_name")
 
 
 def q_join_unjoined(spark, sf_dir):
+    """Source rows that joined no target: lineitem restricted to low order
+    keys, so most parts go un-referenced and the output is NON-EMPTY."""
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
     return J.join_unjoined(li, p, ("l_partkey", "p_partkey")) \
         .select("p_partkey", "p_name")
 
@@ -1332,11 +1338,13 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["join_unmatched"] = """
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_custkey % 3 = 0)
     """
     sqls["join_unjoined"] = """
         SELECT p_partkey, p_name FROM part
-        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                WHERE l_orderkey <= 1000)
     """
     sqls["join_is_max"] = """
         WITH best AS (

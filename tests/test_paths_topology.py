@@ -290,6 +290,31 @@ class TestCloseGaps:
         assert a0.ys[-1] == 0.0  # gap closed onto the start point
         assert (a0.xs[0], a0.ys[0]) == (a0.xs[-1], a0.ys[-1])
 
+    def test_three_dangle_star_snaps_to_lowest(self, spark):
+        # three loose ends mutually within tolerance: greedy sorted-order
+        # pairing snaps BOTH later dangles onto the lowest-keyed one's
+        # coords (star absorption, not chained swaps)
+        arcs = spark.createDataFrame(
+            [(0, [5.0, 0.0], [5.0, 0.0]),
+             (1, [5.0, 0.01], [-5.0, 0.0]),
+             (2, [-5.0, 0.0], [5.0, 0.01])],
+            "arc_id long, xs array<double>, ys array<double>")
+        healed = {r.arc_id: r for r in
+                  TP.close_gaps(arcs, tolerance=0.05).collect()}
+        # anchor = dangle of arc 0 (end at (0, 0)) stays put
+        assert (healed[0].xs[-1], healed[0].ys[-1]) == (0.0, 0.0)
+        assert (healed[1].xs[-1], healed[1].ys[-1]) == (0.0, 0.0)
+        assert (healed[2].xs[-1], healed[2].ys[-1]) == (0.0, 0.0)
+
+    def test_far_dangle_unmoved(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 1.0], [0.0, 0.0]),
+             (1, [10.0, 11.0], [10.0, 10.0])],
+            "arc_id long, xs array<double>, ys array<double>")
+        healed = sorted(TP.close_gaps(arcs, tolerance=0.05).collect(),
+                        key=lambda r: r.arc_id)
+        assert healed[0].xs == [0.0, 1.0] and healed[1].xs == [10.0, 11.0]
+
     def test_two_arc_gap_closes(self, spark):
         arcs = spark.createDataFrame(
             [(0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
