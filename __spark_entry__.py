@@ -710,6 +710,16 @@ def q_filter_geom_paths(spark, sf_dir):
     return S.filter_geom_bbox(polys, (-95.0, 30.0, -75.0, 40.0)).select("rid")
 
 
+def q_fast_simplify(spark, sf_dir):
+    """fast-simplify interval thinning (mapshaper-simplify-fast.js:3-66);
+    the oracle replays the sequential keep-walk as a recursive CTE."""
+    arcs = _synthetic_arcs(spark, 20).select("arc_id", "xs", "ys", "n")
+    out = SI.simplify_arcs_fast(arcs, dist=2.0)
+    s = lambda c: F.round(F.aggregate(c, F.lit(0.0), lambda a, v: a + v), 6)
+    return out.select("arc_id", F.col("n").alias("n_kept"),
+                      s("xs").alias("sx"), s("ys").alias("sy"))
+
+
 def q_simplify_spherical(spark, sf_dir):
     arcs = _synthetic_arcs(spark, 100)
     with_z, zlimit = SI.simplify(arcs, method="visvalingam", pct=0.5,
@@ -1191,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_vis": q_simplify_vis,
         "simplify_dp": q_simplify_dp,
         "simplify_spherical": q_simplify_spherical,
+        "fast_simplify": q_fast_simplify,
         "cluster": q_cluster,
         "subdivide": q_subdivide,
         "filter_where": q_filter_where,
@@ -1977,6 +1988,35 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2, 3
     """
     sqls["cluster"] = _cluster_oracle_sql(count=8, iterations=8, cap=10_000)
+    sqls["fast_simplify"] = """
+        WITH RECURSIVE v AS (
+          SELECT arc_id, j AS i, CAST(j AS DOUBLE) AS x,
+                 CAST((arc_id*31 + j*17) % 13 AS DOUBLE) * 0.25 AS y
+          FROM range(0, 20) t(arc_id), range(0, 33) s(j)
+        ),
+        keep AS (
+          SELECT arc_id, i, x, y FROM v WHERE i = 0
+          UNION ALL
+          SELECT nxt.arc_id, nxt.i, nxt.x, nxt.y
+          FROM keep k, LATERAL (
+            SELECT v.arc_id, v.i, v.x, v.y FROM v
+            WHERE v.arc_id = k.arc_id AND v.i > k.i
+              AND (v.x - k.x)*(v.x - k.x) + (v.y - k.y)*(v.y - k.y) > 4.0
+            ORDER BY v.i LIMIT 1) nxt
+        ),
+        lastk AS (SELECT arc_id, max(i) AS mi FROM keep GROUP BY arc_id),
+        extra AS (
+          SELECT lv.arc_id, 32 AS i, lv.x, lv.y
+          FROM (SELECT arc_id, x, y FROM v WHERE i = 32) lv
+          JOIN lastk lk USING (arc_id)
+          JOIN keep k ON k.arc_id = lv.arc_id AND k.i = lk.mi
+          WHERE lv.x != k.x OR lv.y != k.y
+        ),
+        allk AS (SELECT * FROM keep UNION ALL SELECT * FROM extra)
+        SELECT arc_id, count(*) AS n_kept,
+               round(sum(x), 6) AS sx, round(sum(y), 6) AS sy
+        FROM allk GROUP BY arc_id
+    """
     sqls["ann_topk"] = f"""
         WITH q(i, qv) AS (VALUES {qvals}),
         e AS (

@@ -316,3 +316,86 @@ def simplify_stats(arcs_with_zs: DataFrame, zlimit: float = 0.0) -> dict:
     }
 
 
+
+
+# ---------------------------------------------------------------------------
+# fast simplify (interval thinning)
+# ---------------------------------------------------------------------------
+
+def _fast_keep_walk(xs, ys, dist):
+    """simplifyPathFast (/root/reference/src/simplify/
+    mapshaper-simplify-fast.js:45-66): keep the first vertex, then every
+    vertex farther than ``dist`` from the LAST KEPT one; always append the
+    final vertex if it differs from the last kept. Sequential by nature
+    (each decision depends on the previous kept point)."""
+    n = len(xs)
+    if n == 0:
+        return [], []
+    kx = [xs[0]]
+    ky = [ys[0]]
+    px, py = xs[0], ys[0]
+    d2 = dist * dist
+    for i in range(1, n):
+        x, y = xs[i], ys[i]
+        if (x - px) ** 2 + (y - py) ** 2 > d2:
+            kx.append(x)
+            ky.append(y)
+            px, py = x, y
+    if n > 1 and (xs[n - 1] != px or ys[n - 1] != py):
+        kx.append(xs[n - 1])
+        ky.append(ys[n - 1])
+    return kx, ky
+
+
+def simplify_arcs_fast(arcs: DataFrame, dist: float) -> DataFrame:
+    """internal.simplifyArcsFast (mapshaper-simplify-fast.js:3-18): interval
+    thinning per arc; an arc reduced to a single vertex becomes EMPTY
+    (count 0), matching the reference's pop. Arcs are independent ->
+    embarrassingly parallel mapInPandas; no shuffle."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nxs, nys, nn = [], [], []
+            for xs, ys in zip(pdf["xs"], pdf["ys"]):
+                kx, ky = _fast_keep_walk(list(xs), list(ys), dist)
+                if len(kx) == 1:
+                    kx, ky = [], []
+                nxs.append(kx)
+                nys.append(ky)
+                nn.append(len(kx))
+            pdf = pdf.copy()
+            pdf["xs"] = nxs
+            pdf["ys"] = nys
+            if "n" in pdf.columns:
+                pdf["n"] = nn
+            yield pdf
+
+    return arcs.mapInPandas(gen, schema=arcs.schema)
+
+
+def simplify_polygons_fast(features: DataFrame, dist: float) -> DataFrame:
+    """internal.simplifyPolygonFast (mapshaper-simplify-fast.js:20-43) over
+    a ring feature layer: thin each ring; rings left with < 4 vertices are
+    dropped; features with no surviving rings are dropped (the reference
+    returns shape=null)."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep_rows = []
+            nxs, nys = [], []
+            for i, (rxs, rys) in enumerate(zip(pdf["rings_x"], pdf["rings_y"])):
+                okx, oky = [], []
+                if rxs is not None:
+                    for xs, ys in zip(rxs, rys):
+                        kx, ky = _fast_keep_walk(list(xs), list(ys), dist)
+                        if len(kx) >= 4:
+                            okx.append(kx)
+                            oky.append(ky)
+                if okx:
+                    keep_rows.append(i)
+                    nxs.append(okx)
+                    nys.append(oky)
+            out = pdf.iloc[keep_rows].copy()
+            out["rings_x"] = pd.Series(nxs, index=out.index, dtype=object)
+            out["rings_y"] = pd.Series(nys, index=out.index, dtype=object)
+            yield out
+
+    return features.mapInPandas(gen, schema=features.schema)

@@ -240,6 +240,46 @@ def test_salted_join_matches_broadcast_path(spark):
     assert len(a) >= 1000  # hot points hit both congruent squares
 
 
+class TestFastSimplify:
+    """fast-simplify (mapshaper-simplify-fast.js:3-66) interval thinning."""
+
+    def test_keep_walk_golden(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.5, 1.2, 1.3, 3.0], [0.0] * 5, 5)],
+            "arc_id long, xs array<double>, ys array<double>, n int")
+        out = SI.simplify_arcs_fast(arcs, dist=1.0).collect()[0]
+        # keep first; 0.5 within dist; 1.2 kept; 1.3 within; 3.0 kept (=last)
+        assert out.xs == [0.0, 1.2, 3.0]
+        assert out.n == 3
+
+    def test_endpoint_always_kept(self, spark):
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.1, 0.2], [0.0, 0.0, 0.0], 3)],
+            "arc_id long, xs array<double>, ys array<double>, n int")
+        out = SI.simplify_arcs_fast(arcs, dist=1.0).collect()[0]
+        # interior thinned, final vertex appended even though within dist
+        assert out.xs == [0.0, 0.2]
+
+    def test_single_vertex_arc_becomes_empty(self, spark):
+        # tiny closed loop: everything collapses onto the first vertex ->
+        # count 1 -> reference pops it to an EMPTY arc
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.1, 0.0], [0.0, 0.1, 0.0], 3)],
+            "arc_id long, xs array<double>, ys array<double>, n int")
+        out = SI.simplify_arcs_fast(arcs, dist=1.0).collect()[0]
+        assert out.xs == [] and out.n == 0
+
+    def test_polygon_ring_under_4_vertices_dropped(self, spark):
+        feats = spark.createDataFrame(
+            [(1, [[0.0, 2.0, 2.0, 0.0, 0.0]], [[0.0, 0.0, 2.0, 2.0, 0.0]]),
+             (2, [[0.0, 20.0, 20.0, 0.0, 0.0]], [[0.0, 0.0, 20.0, 20.0, 0.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = {r.fid: r for r in
+               SI.simplify_polygons_fast(feats, dist=2.5).collect()}
+        assert 1 not in out          # thinned to 3 vertices -> dropped
+        assert len(out[2].rings_x[0]) == 5  # big ring untouched
+
+
 class TestAttributes:
     def test_uniq_keeps_first_by_order(self, spark):
         df = spark.createDataFrame(
