@@ -710,6 +710,17 @@ def q_filter_geom_paths(spark, sf_dir):
     return S.filter_geom_bbox(polys, (-95.0, 30.0, -75.0, 40.0)).select("rid")
 
 
+def q_proj_albersusa(spark, sf_dir):
+    """albersusa mixed projection (AEA base + AK/HI LCC inset frames,
+    mapshaper-projections.js:132-140); the oracle re-derives the Snyder
+    formulas AND the Matrix2D frame replay numerically in DuckDB."""
+    pts = spark.createDataFrame(_ALBERSUSA_POINTS,
+                                "city string, lon double, lat double")
+    out = PR.project_points(pts, "lon", "lat", crs="albersusa")
+    return out.select("city", F.round("lon", 3).alias("x"),
+                      F.round("lat", 3).alias("y"))
+
+
 def q_fast_simplify(spark, sf_dir):
     """fast-simplify interval thinning (mapshaper-simplify-fast.js:3-66);
     the oracle replays the sequential keep-walk as a recursive CTE."""
@@ -1177,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spherical_area": q_spherical_area,
         "proj_webmercator": q_proj_webmercator,
         "proj_lcc": q_proj_lcc,
+        "proj_albersusa": q_proj_albersusa,
         # LLM-data-pipeline family (simplify_vis rotates below the gate;
         # proj_lcc takes its slot with a published-constant oracle)
         "text_metrics": q_text_metrics,
@@ -1231,6 +1243,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stitch_antimeridian": q_stitch_antimeridian,
         "intersection_cuts": q_intersection_cuts,
     }
+
+
+_ALBERSUSA_POINTS = [
+    ("ks", -96.0, 40.0), ("nyc", -74.006, 40.7128), ("sf", -122.42, 37.77),
+    ("miami", -80.19, 25.77), ("seattle", -122.33, 47.6),
+    ("anchorage", -149.9, 61.22), ("fairbanks", -147.72, 64.84),
+    ("juneau", -134.42, 58.3), ("honolulu", -157.858, 21.307),
+    ("hilo", -155.09, 19.72), ("kauai", -159.5, 22.05)]
+
+
+def _albersusa_oracle_sql(ndigits: int = 3) -> str:
+    """SQL re-derivation of the albersusa composite from first principles:
+    the Snyder AEA/LCC 2SP formulas (USGS PP 1395 eq. 14-x / 15-x) and the
+    reference's Matrix2D frame replay (mapshaper-mixed-projection.js) are
+    all recomputed numerically by DuckDB — no constants copied from the
+    Python implementation."""
+    D2R = "(pi()/180.0)"
+
+    def msfn(latdeg):
+        p = f"({latdeg}*{D2R})"
+        return f"(cos({p})/sqrt(1-es*sin({p})*sin({p})))"
+
+    def qsfn(latdeg):
+        s = f"sin({latdeg}*{D2R})"
+        return (f"((1-es)*({s}/(1-es*{s}*{s})"
+                f" - (0.5/e)*ln((1-e*{s})/(1+e*{s}))))")
+
+    def tsfn(latdeg):
+        p = f"({latdeg}*{D2R})"
+        return (f"(tan(0.5*(pi()/2 - {p}))"
+                f"/power((1-e*sin({p}))/(1+e*sin({p})), 0.5*e))")
+
+    vals = ",\n            ".join(f"('{n}', {lon!r}, {lat!r})"
+                                  for n, lon, lat in _ALBERSUSA_POINTS)
+    return f"""
+        WITH k AS (
+          SELECT 6378137.0 AS a, 0.0066943799901413165 AS es,
+                 sqrt(0.0066943799901413165) AS e
+        ),
+        ka AS (
+          SELECT *, {msfn('29.5')} AS m1a, {msfn('45.5')} AS m2a,
+                 {qsfn('29.5')} AS q1a, {qsfn('45.5')} AS q2a,
+                 {qsfn('37.5')} AS q0a
+          FROM k),
+        ka2 AS (SELECT *, (m1a*m1a - m2a*m2a)/(q2a - q1a) AS an FROM ka),
+        ka3 AS (SELECT *, m1a*m1a + an*q1a AS ac FROM ka2),
+        ka4 AS (SELECT *, a*sqrt(ac - an*q0a)/an AS arho0 FROM ka3),
+        kl AS (
+          SELECT *, {msfn('33.0')} AS m1l, {msfn('45.0')} AS m2l,
+                 {tsfn('33.0')} AS t1l, {tsfn('45.0')} AS t2l,
+                 {tsfn('39.0')} AS t0l
+          FROM ka4),
+        kl2 AS (SELECT *, (ln(m1l) - ln(m2l))/(ln(t1l) - ln(t2l)) AS nl FROM kl),
+        kl3 AS (SELECT *, m1l/(nl*power(t1l, nl)) AS fl FROM kl2),
+        c AS (SELECT *, a*fl*power(t0l, nl) AS lrho0 FROM kl3),
+        pts(city, lon, lat) AS (VALUES
+            {vals}),
+        b1 AS (SELECT p.city, p.lon, p.lat, {qsfn('p.lat')} AS qv
+               FROM pts p, c),
+        b2 AS (SELECT b1.*, a*sqrt(ac - an*qv)/an AS rho,
+                      an*(lon + 96.0)*{D2R} AS th FROM b1, c),
+        base AS (SELECT b2.city, b2.lon, b2.lat,
+                        rho*sin(th)/a AS bx, (arho0 - rho*cos(th))/a AS by
+                 FROM b2, c),
+        f0(fi, c1lon, c1lat, c2lon, c2lat, fw, fh, s, rot) AS (VALUES
+            (0, -152.0, 63.0, -115.0, 27.0, 6000000.0, 3000000.0, 0.31, 29.2),
+            (1, -157.0, 20.9, -106.6, 28.2, 3000000.0, 5000000.0, 0.9, 40.0)),
+        f1 AS (SELECT f.*, {qsfn('f.c1lat')} AS q1v,
+                      {qsfn('f.c2lat')} AS q2v FROM f0 f, c),
+        f2 AS (SELECT f1.*, a*sqrt(ac - an*q1v)/an AS rho1,
+                      an*(c1lon + 96.0)*{D2R} AS th1,
+                      a*sqrt(ac - an*q2v)/an AS rho2,
+                      an*(c2lon + 96.0)*{D2R} AS th2
+               FROM f1, c),
+        f3 AS (SELECT f2.*, rho1*sin(th1)/a AS x1, (arho0 - rho1*cos(th1))/a AS y1,
+                      rho2*sin(th2)/a AS x2, (arho0 - rho2*cos(th2))/a AS y2,
+                      cos(rot*{D2R}) AS cr, sin(rot*{D2R}) AS sr
+               FROM f2, c),
+        f4 AS (SELECT f3.*, s*cr AS ma, -s*sr AS mc, s*sr AS mb, s*cr AS md,
+                      x1 - x1*cr + y1*sr AS tx0, y1 - x1*sr - y1*cr AS ty0
+               FROM f3),
+        f5 AS (SELECT fi, ma, mb, mc, md,
+                      tx0 + x2 - (x1*ma + y1*mc + tx0) AS tx,
+                      ty0 + y2 - (x1*mb + y1*md + ty0) AS ty,
+                      x1 - fw/(2*a) AS bxmin, x1 + fw/(2*a) AS bxmax,
+                      y1 - fh/(2*a) AS bymin, y1 + fh/(2*a) AS bymax
+               FROM f4, c),
+        hit AS (SELECT b.city, min(f.fi) AS fi
+                FROM base b JOIN f5 f
+                  ON b.bx >= f.bxmin AND b.bx <= f.bxmax
+                 AND b.by >= f.bymin AND b.by <= f.bymax
+                GROUP BY b.city),
+        l1 AS (SELECT b.city, f.ma, f.mb, f.mc, f.md, f.tx, f.ty,
+                      a*fl*power({tsfn('b.lat')}, nl) AS rho,
+                      nl*(b.lon + 96.0)*{D2R} AS th
+               FROM base b
+               JOIN hit h ON b.city = h.city
+               JOIN f5 f ON f.fi = h.fi, c),
+        l2 AS (SELECT l1.*, rho*sin(th)/a AS lx, (lrho0 - rho*cos(th))/a AS ly
+               FROM l1, c),
+        framed AS (SELECT l2.city, (lx*ma + ly*mc + tx)*a AS x,
+                          (lx*mb + ly*md + ty)*a AS y FROM l2, c)
+        SELECT b.city,
+               round(coalesce(fr.x, b.bx*(SELECT a FROM k)), {ndigits}) AS x,
+               round(coalesce(fr.y, b.by*(SELECT a FROM k)), {ndigits}) AS y
+        FROM base b LEFT JOIN framed fr ON b.city = fr.city
+    """
 
 
 def _cluster_oracle_sql(count: int = 8, iterations: int = 8,
@@ -1988,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2, 3
     """
     sqls["cluster"] = _cluster_oracle_sql(count=8, iterations=8, cap=10_000)
+    sqls["proj_albersusa"] = _albersusa_oracle_sql()
     sqls["fast_simplify"] = """
         WITH RECURSIVE v AS (
           SELECT arc_id, j AS i, CAST(j AS DOUBLE) AS x,

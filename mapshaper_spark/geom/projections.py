@@ -336,6 +336,72 @@ def _parse_params(defn: str) -> dict:
     return out
 
 
+class AlbersUSA(Projection):
+    """mapshaper 'albersusa' (AlbersNYT, /root/reference/src/geom/
+    mapshaper-projections.js:132-140 + mapshaper-mixed-projection.js):
+    WGS84 AEA base (lon_0=-96 lat_0=37.5 lat_1=29.5 lat_2=45.5) with two
+    rectangular inset frames reprojected through LCC (lon_0=-96 lat_0=39
+    lat_1=33 lat_2=45) and affine-placed: Alaska (center -152,63 ->
+    -115,27; 6000x3000 km frame, scale 0.31, rotation 29.2deg) and Hawaii
+    (center -157,20.9 -> -106.6,28.2; 3000x5000 km, scale 0.9, rotation
+    40deg). Frame membership tests the BASE projection's raw
+    (earth-radius-unit) coords; the first matching frame wins. The inverse
+    is the plain base-AEA inverse — the reference's MixedProjection copies
+    the base proj object and overrides only fwd, so its documented
+    roundtrip behavior ignores the frames (projections-test.js:48 only
+    roundtrips a CONUS point)."""
+
+    def __init__(self):
+        a, es = ELLIPSOIDS["WGS84"]
+        self.a = a
+        self.base = AlbersEqualArea(a, es, 29.5, 45.5, 37.5, -96.0)
+        self.lcc = LambertConformalConic(a, es, 33.0, 45.0, 39.0, -96.0)
+        self.frames = []
+        for ctr1, ctr2, fw, fh, s, rot in (
+                ((-152.0, 63.0), (-115.0, 27.0), 6e6, 3e6, 0.31, 29.2),
+                ((-157.0, 20.9), (-106.6, 28.2), 3e6, 5e6, 0.9, 40.0)):
+            bx, by = self.base.fwd(np.array([ctr1[0]]), np.array([ctr1[1]]))
+            x1, y1 = float(bx[0]) / a, float(by[0]) / a
+            # Matrix2D replay (mapshaper-matrix2d.js): rotate about (x1,y1),
+            # scale (tx/ty NOT scaled), then translate so the transformed
+            # frame center lands on the base-projected ctr2
+            q = rot * D2R
+            cosq, sinq = math.cos(q), math.sin(q)
+            ma, mc, mb, md = cosq, -sinq, sinq, cosq
+            tx = x1 - x1 * cosq + y1 * sinq
+            ty = y1 - x1 * sinq - y1 * cosq
+            ma, mc, mb, md = ma * s, mc * s, mb * s, md * s
+            x1t = x1 * ma + y1 * mc + tx
+            y1t = x1 * mb + y1 * md + ty
+            bx2, by2 = self.base.fwd(np.array([ctr2[0]]), np.array([ctr2[1]]))
+            tx += float(bx2[0]) / a - x1t
+            ty += float(by2[0]) / a - y1t
+            half_w, half_h = fw / (2.0 * a), fh / (2.0 * a)
+            bbox = (x1 - half_w, y1 - half_h, x1 + half_w, y1 + half_h)
+            self.frames.append((bbox, (ma, mb, mc, md, tx, ty)))
+
+    def fwd(self, lng, lat):
+        lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        bx, by = self.base.fwd(lng, lat)
+        x, y = bx / self.a, by / self.a
+        ox, oy = x.copy(), y.copy()
+        done = np.zeros(x.shape, dtype=bool)
+        for bbox, (ma, mb, mc, md, tx, ty) in self.frames:
+            m = (~done & (x >= bbox[0]) & (x <= bbox[2]) &
+                 (y >= bbox[1]) & (y <= bbox[3]))
+            if m.any():
+                fx, fy = self.lcc.fwd(lng[m], lat[m])
+                fx, fy = fx / self.a, fy / self.a
+                ox[m] = fx * ma + fy * mc + tx
+                oy[m] = fx * mb + fy * md + ty
+                done |= m
+        return ox * self.a, oy * self.a
+
+    def inv(self, x, y):
+        return self.base.inv(x, y)
+
+
 ALIASES = {
     # mapshaper-projections.js:163-168
     "webmercator": "+proj=merc +a=6378137 +b=6378137",
@@ -349,6 +415,8 @@ ALIASES = {
 def get_projection(defn: str) -> Projection:
     """'+proj=...' string or alias -> Projection instance (the engine's
     analog of internal.getCRS, mapshaper-proj.js:211-229)."""
+    if defn == "albersusa":
+        return AlbersUSA()
     if defn in ALIASES:
         defn = ALIASES[defn]
     elif not defn.startswith("+"):

@@ -120,3 +120,74 @@ class TestOperatorSurface:
             .collect()[0]
         assert fast.x == pytest.approx(gen.x, abs=1e-6)
         assert fast.y == pytest.approx(gen.y, abs=1e-6)
+
+
+class TestAlbersUSA:
+    """albersusa mixed projection (mapshaper-projections.js:132-140,
+    mapshaper-mixed-projection.js): AEA base + AK/HI LCC inset frames."""
+
+    def _p(self):
+        return PJ.get_projection("albersusa")
+
+    def test_conus_matches_plain_aea(self):
+        p = self._p()
+        lons = np.array([-96.0, -74.006, -122.42, -80.19])
+        lats = np.array([40.0, 40.7128, 37.77, 25.77])
+        x, y = p.fwd(lons, lats)
+        bx, by = p.base.fwd(lons, lats)
+        assert np.allclose(x, bx, atol=1e-9) and np.allclose(y, by, atol=1e-9)
+
+    def test_matrix_maps_frame_anchor_to_destination(self):
+        # Matrix2D replay invariant: the affine must send the BASE-projected
+        # frame center ctr1 exactly onto the BASE-projected ctr2
+        p = self._p()
+        for (c1, c2), (bbox, (ma, mb, mc, md, tx, ty)) in zip(
+                [((-152.0, 63.0), (-115.0, 27.0)),
+                 ((-157.0, 20.9), (-106.6, 28.2))], p.frames):
+            x1, y1 = (v[0] / p.a for v in
+                      p.base.fwd(np.array([c1[0]]), np.array([c1[1]])))
+            x2, y2 = (v[0] / p.a for v in
+                      p.base.fwd(np.array([c2[0]]), np.array([c2[1]])))
+            assert x1 * ma + y1 * mc + tx == pytest.approx(x2, abs=1e-12)
+            assert x1 * mb + y1 * md + ty == pytest.approx(y2, abs=1e-12)
+            # ctr1 sits at the center of its bbox
+            assert (bbox[0] + bbox[2]) / 2 == pytest.approx(x1, abs=1e-12)
+            assert (bbox[1] + bbox[3]) / 2 == pytest.approx(y1, abs=1e-12)
+
+    def test_insets_use_lcc_plus_affine(self):
+        # independently recompute an AK point: LCC raw coords through the
+        # frame matrix, in earth radii, scaled back to meters
+        p = self._p()
+        lon, lat = -149.9, 61.22  # Anchorage
+        x, y = p.fwd(np.array([lon]), np.array([lat]))
+        (bbox, (ma, mb, mc, md, tx, ty)) = p.frames[0]
+        fx, fy = p.lcc.fwd(np.array([lon]), np.array([lat]))
+        ex = (fx[0] / p.a * ma + fy[0] / p.a * mc + tx) * p.a
+        ey = (fx[0] / p.a * mb + fy[0] / p.a * md + ty) * p.a
+        assert x[0] == pytest.approx(ex, abs=1e-6)
+        assert y[0] == pytest.approx(ey, abs=1e-6)
+        # and it must differ from the plain base projection
+        bx, by = p.base.fwd(np.array([lon]), np.array([lat]))
+        assert abs(bx[0] - x[0]) > 1e5
+
+    def test_inverse_is_base_inverse(self):
+        # reference MixedProjection copies the base proj and overrides only
+        # fwd -> inv ignores frames; its own roundtrip test uses (-96, 40)
+        p = self._p()
+        x, y = p.fwd(np.array([-96.0]), np.array([40.0]))
+        lon, lat = p.inv(x, y)
+        assert lon[0] == pytest.approx(-96.0, abs=1e-9)
+        assert lat[0] == pytest.approx(40.0, abs=1e-9)
+
+    def test_scale_factors(self):
+        # AK frame shrinks distances by ~0.31 x (LCC local scale ~1 near the
+        # frame center), HI by ~0.9
+        p = self._p()
+        for (lon, lat), s in [((-152.0, 63.0), 0.31), ((-157.0, 20.9), 0.9)]:
+            x1, y1 = p.fwd(np.array([lon]), np.array([lat]))
+            x2, y2 = p.fwd(np.array([lon + 0.1]), np.array([lat]))
+            d = math.hypot(x2[0] - x1[0], y2[0] - y1[0])
+            fx1, fy1 = p.lcc.fwd(np.array([lon]), np.array([lat]))
+            fx2, fy2 = p.lcc.fwd(np.array([lon + 0.1]), np.array([lat]))
+            dl = math.hypot(fx2[0] - fx1[0], fy2[0] - fy1[0])
+            assert d / dl == pytest.approx(s, rel=1e-9)
