@@ -899,7 +899,9 @@ def mean_segment_len_sq(features: DataFrame) -> float:
 def dissolve2(features: DataFrame, group: str,
               gap_fill: bool = True,
               min_gap_area: float | None = None,
-              cluster_threshold: int = 10_000) -> DataFrame:
+              cluster_threshold: int = 10_000,
+              max_task_features: int = 4096,
+              target_per_cell: int = 64) -> DataFrame:
     """Distributed -dissolve2. Groups decompose further into bbox-overlap
     CLUSTERS (same fencing as -clean): features of one group whose bbox
     covers are disjoint cannot interact through the mosaic, so each
@@ -912,7 +914,13 @@ def dissolve2(features: DataFrame, group: str,
     uncovered slivers below ``min_gap_area`` — or below the layer's default
     sliver threshold (mean segment length squared) when None — merge into
     the highest-weight edge-neighbor. ``gap_fill=False`` matches
-    min_gap_area=0 in the reference (drop all gaps)."""
+    min_gap_area=0 in the reference (drop all gaps).
+
+    Clusters larger than ``max_task_features`` (a continental dissolve is
+    ONE transitively-connected cluster) take the TWO-LEVEL mosaic path
+    (_dissolve2_cells): per-cell mosaic kernels + distributed edge-cancel
+    merge, so no single task ever holds more than ~``target_per_cell``
+    features' geometry."""
     gap_threshold = None
     if gap_fill:
         gap_threshold = (min_gap_area if min_gap_area is not None
@@ -965,9 +973,26 @@ def dissolve2(features: DataFrame, group: str,
             "area": pd.Series([area], dtype="float64"),
         })
 
-    per_cluster = (labeled.select(group, "__cluster", "rings_x", "rings_y")
+    if small:
+        routed = labeled.withColumn("__big", F.lit(False))
+    else:
+        csizes = (labeled.groupBy(group, "__cluster")
+                  .agg(F.count(F.lit(1)).alias("__csz")))
+        routed = (labeled.join(csizes, [group, "__cluster"])
+                  .withColumn("__big", F.col("__csz") > max_task_features)
+                  .drop("__csz"))
+    small_part = routed.filter(~F.col("__big")).drop("__big")
+    big_part = routed.filter(F.col("__big")).drop("__big")
+
+    per_cluster = (small_part.select(group, "__cluster", "rings_x", "rings_y")
                    .groupBy(group, "__cluster")
                    .applyInPandas(merge, schema=cluster_schema))
+    if not small and not big_part.isEmpty():
+        two_level = _dissolve2_cells(
+            big_part.select(group, "__cluster", "rings_x", "rings_y", "bbox"),
+            group, gap_threshold, target_per_cell=target_per_cell)
+        per_cluster = per_cluster.unionByName(
+            two_level.select(group, "__cluster", "rings_x", "rings_y", "area"))
     # per-group assembly: disjoint clusters just union (sorted by cluster
     # label for deterministic ring order)
     return (per_cluster.groupBy(group)
@@ -980,6 +1005,409 @@ def dissolve2(features: DataFrame, group: str,
                          "__cluster", F.col("rings_y").alias("ry")))),
                      lambda s: s["ry"])).alias("rings_y"),
                  F.round(F.sum("area"), 12).alias("area")))
+
+
+# ---------------------------------------------------------------------------
+# two-level mosaic (hot-cluster decomposition for dissolve2 / clean)
+# ---------------------------------------------------------------------------
+
+def _cut_ring_at_gridlines(rx, ry, xlines, ylines):
+    """Insert vertices where ring segments cross the given grid lines. Every
+    crossing is computed from the ORIGINAL segment endpoints with the exact
+    interpolation formula of _sutherland_hodgman's ix/iy, so the two cells
+    sharing a line see bit-identical cut points (after this pre-cut, the
+    rect clip never interpolates strictly-crossing segments again: t
+    degenerates to exactly 0 or 1)."""
+    out_x = [float(rx[0])]
+    out_y = [float(ry[0])]
+    for i in range(len(rx) - 1):
+        x0, y0, x1, y1 = float(rx[i]), float(ry[i]), float(rx[i + 1]), float(ry[i + 1])
+        cuts = []
+        if x1 != x0:
+            for lx in xlines:
+                if (x0 < lx < x1) or (x1 < lx < x0):
+                    t = (lx - x0) / (x1 - x0)
+                    cuts.append((t, lx, y0 + (y1 - y0) * t))
+        if y1 != y0:
+            for ly in ylines:
+                if (y0 < ly < y1) or (y1 < ly < y0):
+                    t = (ly - y0) / (y1 - y0)
+                    cuts.append((t, x0 + (x1 - x0) * t, ly))
+        for _t, cx_, cy_ in sorted(cuts):
+            if (cx_, cy_) != (out_x[-1], out_y[-1]):
+                out_x.append(cx_)
+                out_y.append(cy_)
+        if (x1, y1) != (out_x[-1], out_y[-1]):
+            out_x.append(x1)
+            out_y.append(y1)
+    return out_x, out_y
+
+
+def _subdivide_on_lines(rx, ry, xl: dict, yl: dict):
+    """Insert the given on-line points into every ring edge that runs ALONG
+    a grid line and spans them (T-junction consistency for the two-level
+    mosaic: both cells of a seam insert the same union of crossing points)."""
+    out_x = [float(rx[0])]
+    out_y = [float(ry[0])]
+    for i in range(len(rx) - 1):
+        x0, y0, x1, y1 = float(rx[i]), float(ry[i]), float(rx[i + 1]), float(ry[i + 1])
+        inserts = []
+        if x0 == x1 and x0 in xl and y0 != y1:
+            lo, hi = (y0, y1) if y0 < y1 else (y1, y0)
+            pts = [v for v in xl[x0] if lo < v < hi]
+            pts.sort(reverse=y0 > y1)
+            inserts = [(x0, v) for v in pts]
+        elif y0 == y1 and y0 in yl and x0 != x1:
+            lo, hi = (x0, x1) if x0 < x1 else (x1, x0)
+            pts = [v for v in yl[y0] if lo < v < hi]
+            pts.sort(reverse=x0 > x1)
+            inserts = [(v, y0) for v in pts]
+        for px, py in inserts:
+            if (px, py) != (out_x[-1], out_y[-1]):
+                out_x.append(px)
+                out_y.append(py)
+        if (x1, y1) != (out_x[-1], out_y[-1]):
+            out_x.append(x1)
+            out_y.append(y1)
+    return (np.asarray(out_x, dtype=np.float64),
+            np.asarray(out_y, dtype=np.float64))
+
+
+def _cluster_grids(labeled: DataFrame, target_per_cell: int) -> dict:
+    """Per-cluster grid meta {cluster: (x0, y0, w, h, nx, ny)} sized so a
+    cell holds ~target_per_cell features."""
+    import math as _math
+
+    rows = (labeled.groupBy("__cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("bbox.xmin").alias("x0"), F.min("bbox.ymin").alias("y0"),
+                 F.max("bbox.xmax").alias("x1"), F.max("bbox.ymax").alias("y1"))
+            .collect())
+    meta = {}
+    for r in rows:
+        n_side = max(2, int(_math.ceil(_math.sqrt(r.n / max(1, target_per_cell)))))
+        w = (float(r.x1) - float(r.x0)) / n_side or 1.0
+        h = (float(r.y1) - float(r.y0)) / n_side or 1.0
+        meta[r["__cluster"]] = (float(r.x0), float(r.y0), w, h, n_side, n_side)
+    return meta
+
+
+def _unit_edges(df: DataFrame, extra_cols: list):
+    """Explode face rings into canonical unit edges (pure JVM): one row per
+    consecutive vertex pair, endpoint-sorted struct key ``__edge``."""
+    ring = df.select(*extra_cols,
+                     F.explode(F.arrays_zip(F.col("rings_x").alias("xs"),
+                                            F.col("rings_y").alias("ys"))).alias("r"))
+    seg = (ring.select(*extra_cols, F.col("r.xs").alias("xs"), F.col("r.ys").alias("ys"))
+           .select(*extra_cols, "xs", "ys",
+                   F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("i")))
+    ax, ay = F.element_at("xs", F.col("i")), F.element_at("ys", F.col("i"))
+    bx, by_ = F.element_at("xs", F.col("i") + 1), F.element_at("ys", F.col("i") + 1)
+    fwd = (ax < bx) | ((ax == bx) & (ay <= by_))
+    key = F.when(fwd, F.struct(ax.alias("x1"), ay.alias("y1"),
+                               bx.alias("x2"), by_.alias("y2"))) \
+        .otherwise(F.struct(bx.alias("x1"), by_.alias("y1"),
+                            ax.alias("x2"), ay.alias("y2")))
+    return seg.select(*extra_cols, key.alias("__edge"))
+
+
+def _dissolve2_cells(labeled: DataFrame, group: str,
+                     gap_threshold: float | None,
+                     target_per_cell: int = 64) -> DataFrame:
+    """Two-level mosaic for OVERSIZED overlap clusters (VERDICT r02 item 2):
+    instead of one applyInPandas task holding a whole transitively-connected
+    cluster (a continental dissolve2 is ONE cluster), the cluster decomposes
+    over a per-cluster grid:
+
+    1. every feature pre-cuts its rings at the grid lines (crossings
+       computed from original segments -> bit-identical on both sides) and
+       emits one clipped piece per overlapped cell;
+    2. each (cluster, cell) runs the SAME mosaic kernel on its bounded
+       piece set — face assignment uses the features' GLOBAL areas, so
+       chooseShape weights match the single-task result;
+    3. gap faces are NOT filled locally: pieces of one global gap face
+       reconnect across cell borders (shared-edge equi-join between pieces
+       of different cells + label propagation), total area decides the fill,
+       the highest-weight edge-neighbor (found by a plain edge join against
+       assigned faces — local and cross-cell alike) receives them;
+    4. per (cluster, group) the face pieces merge by distributed edge
+       canceling (count==1 edges survive — cell-border seams and interior
+       same-group face edges vanish) and only the PERIMETER edges reach the
+       final stitch task.
+
+    DOCUMENTED DEVIATIONS vs the single-task kernel (both only matter for
+    adversarial inputs): gap->gap fill cascades do not cross cell borders,
+    and assignment ties between equal-weight covering features resolve by
+    piece order within the cell rather than global feature order.
+
+    Expects columns (group, __cluster, rings_x, rings_y, bbox); returns
+    (group, __cluster, rings_x, rings_y, area)."""
+    spark = labeled.sparkSession
+    meta = _cluster_grids(labeled, target_per_cell)
+    bc_meta = spark.sparkContext.broadcast(meta)
+    gtype = labeled.schema[group].dataType
+
+    piece_schema = T.StructType([
+        T.StructField("__cluster", labeled.schema["__cluster"].dataType),
+        T.StructField("__cell", T.LongType()),
+        T.StructField(group, gtype),
+        T.StructField("__garea", T.DoubleType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+
+    def gen_pieces(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grids = bc_meta.value
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                grid = grids[rec["__cluster"]]
+                x0, y0, w, h, nx, ny = grid
+                garea = abs(sum(
+                    K.planar_path_area(np.asarray(rx_, dtype=np.float64),
+                                       np.asarray(ry_, dtype=np.float64))
+                    for rx_, ry_ in zip(rec["rings_x"], rec["rings_y"])))
+                b = rec["bbox"]
+                c0 = max(0, min(nx - 1, int((b["xmin"] - x0) / w)))
+                c1 = max(0, min(nx - 1, int((b["xmax"] - x0) / w)))
+                r0 = max(0, min(ny - 1, int((b["ymin"] - y0) / h)))
+                r1 = max(0, min(ny - 1, int((b["ymax"] - y0) / h)))
+                xlines = [x0 + k * w for k in range(c0, c1 + 2)]
+                ylines = [y0 + k * h for k in range(r0, r1 + 2)]
+                cut = [_cut_ring_at_gridlines(rx_, ry_, xlines, ylines)
+                       for rx_, ry_ in zip(rec["rings_x"], rec["rings_y"])]
+                for rr in range(r0, r1 + 1):
+                    for cc in range(c0, c1 + 1):
+                        rect = (x0 + cc * w, y0 + rr * h,
+                                x0 + (cc + 1) * w, y0 + (rr + 1) * h)
+                        nxs, nys = [], []
+                        for cx_, cy_ in cut:
+                            sx, sy = _sutherland_hodgman_exact(cx_, cy_, rect)
+                            if sx:
+                                nxs.append(sx)
+                                nys.append(sy)
+                        if nxs:
+                            rows.append({
+                                "__cluster": rec["__cluster"],
+                                "__cell": rr * nx + cc,
+                                group: rec[group],
+                                "__garea": garea,
+                                "rings_x": nxs, "rings_y": nys,
+                            })
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in piece_schema.fields])
+
+    pieces = (labeled.select("__cluster", group, "rings_x", "rings_y", "bbox")
+              .mapInPandas(gen_pieces, schema=piece_schema))
+
+    cell_schema = T.StructType([
+        T.StructField("__cluster", labeled.schema["__cluster"].dataType),
+        T.StructField("__cell", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField(group, gtype),
+        T.StructField("fweight", T.DoubleType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cl = pdf["__cluster"].iloc[0]
+        cell = pdf["__cell"].iloc[0]
+        grids = bc_meta.value
+        gx0, gy0, gw, gh, gnx, _gny = grids[cl]
+        rr, cc = divmod(int(cell), gnx)
+        border_x = (gx0 + cc * gw, gx0 + (cc + 1) * gw)
+        border_y = (gy0 + rr * gh, gy0 + (rr + 1) * gh)
+        pdf = pdf.assign(__ord=[
+            (rxs[0][0] if len(rxs) and len(rxs[0]) else 0.0,
+             rys[0][0] if len(rys) and len(rys[0]) else 0.0)
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"])])
+        pdf = pdf.sort_values("__ord").drop(columns="__ord")
+        ring_sets, groups, weights = [], [], []
+        for r in pdf.to_dict("records"):
+            ring_sets.append([(np.asarray(rx_, dtype=np.float64),
+                               np.asarray(ry_, dtype=np.float64))
+                              for rx_, ry_ in zip(r["rings_x"], r["rings_y"])])
+            groups.append(r[group])
+            weights.append(r["__garea"])
+        # subdivide border-line runs by the UNION of this cell's on-line
+        # vertices: every feature crossing a shared line exists in BOTH
+        # adjacent cells, so each side inserts the same crossing set and
+        # unit edges along the seam match exactly (-> clean edge cancel)
+        xl: dict = {}
+        yl: dict = {}
+        for rs in ring_sets:
+            for rx_, ry_ in rs:
+                for lx in border_x:
+                    m = rx_ == lx
+                    if m.any():
+                        xl.setdefault(lx, set()).update(ry_[m].tolist())
+                for ly in border_y:
+                    m = ry_ == ly
+                    if m.any():
+                        yl.setdefault(ly, set()).update(rx_[m].tolist())
+        if xl or yl:
+            ring_sets = [[_subdivide_on_lines(rx_, ry_, xl, yl)
+                          for rx_, ry_ in rs] for rs in ring_sets]
+        faces = mosaic_rings(ring_sets)
+        rows = []
+        for rings, area, member in faces:
+            best = None
+            for i, m in enumerate(member):
+                if m and (best is None or weights[i] > weights[best]):
+                    best = i
+            rec = {"__cluster": cl, "__cell": cell,
+                   "rings_x": [list(fx) for fx, _fy in rings],
+                   "rings_y": [list(fy) for _fx, fy in rings],
+                   "area": float(area)}
+            if best is None:
+                rec.update(kind="gap", fweight=None)
+                rec[group] = None
+            else:
+                rec.update(kind="face", fweight=float(weights[best]))
+                rec[group] = groups[best]
+            rows.append(rec)
+        cols = [f.name for f in cell_schema.fields]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    cellout = (pieces.groupBy("__cluster", "__cell")
+               .applyInPandas(cell_kernel, schema=cell_schema)
+               .localCheckpoint())
+
+    faces = cellout.filter(F.col("kind") == "face").drop("kind")
+    gaps = (cellout.filter(F.col("kind") == "gap")
+            .withColumn("__pid", F.xxhash64("__cluster", "__cell",
+                                            "rings_x", "rings_y")))
+
+    filled = None
+    if gap_threshold is not None and not gaps.isEmpty():
+        gap_edges = _unit_edges(gaps, ["__cluster", "__pid", "__cell"])
+        face_edges = _unit_edges(faces, ["__cluster", group, "fweight"])
+        # neighbor candidates: ANY assigned face sharing an edge (within or
+        # across cells alike — one uniform equi-join)
+        nb = (gap_edges.join(face_edges, ["__cluster", "__edge"])
+              .select("__cluster", "__pid",
+                      F.struct(F.col("fweight"), F.col(group).alias("g")).alias("cand"))
+              .groupBy("__cluster", "__pid")
+              .agg(F.max("cand").alias("best")))
+        # global gap faces: pieces of DIFFERENT cells sharing a border edge
+        a = gap_edges.select("__cluster", "__edge",
+                             F.col("__pid").alias("id_a"), F.col("__cell").alias("ca"))
+        b = gap_edges.select("__cluster", "__edge",
+                             F.col("__pid").alias("id_b"), F.col("__cell").alias("cb"))
+        gg = (a.join(b, ["__cluster", "__edge"])
+              .filter((F.col("id_a") < F.col("id_b")) & (F.col("ca") != F.col("cb")))
+              .select("id_a", "id_b").distinct())
+        from mapshaper_spark.operators.dedup import dup_clusters
+        comps = dup_clusters(gg, gaps.select("__pid"), "__pid") \
+            .select("__pid", F.col("cluster").alias("__comp"))
+        gl = gaps.join(comps, "__pid").join(nb, ["__cluster", "__pid"], "left")
+        decide = (gl.groupBy("__comp")
+                  .agg(F.sum("area").alias("total_area"),
+                       F.max("best").alias("best")))
+        ok = decide.filter((F.col("total_area") <= F.lit(gap_threshold)) &
+                           F.col("best").isNotNull())
+        filled = (gl.select("__cluster", "__comp", "rings_x", "rings_y", "area")
+                  .join(ok.select("__comp", "best"), "__comp")
+                  .select("__cluster", F.col("best.g").alias(group),
+                          F.col("best.fweight").alias("fweight"),
+                          "rings_x", "rings_y", "area"))
+
+    all_faces = faces.select("__cluster", group, "rings_x", "rings_y", "area")
+    if filled is not None:
+        all_faces = all_faces.unionByName(
+            filled.select("__cluster", group, "rings_x", "rings_y", "area"))
+
+    # distributed edge cancel: seams (cell borders between same-group
+    # pieces) and interior same-group face edges appear twice -> vanish
+    edges = _unit_edges(all_faces, ["__cluster", group])
+    surv = (edges.groupBy("__cluster", group, "__edge")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 1)
+            .select("__cluster", group,
+                    F.col("__edge.x1").alias("x1"), F.col("__edge.y1").alias("y1"),
+                    F.col("__edge.x2").alias("x2"), F.col("__edge.y2").alias("y2")))
+
+    out_schema = T.StructType([
+        T.StructField(group, gtype),
+        T.StructField("__cluster", labeled.schema["__cluster"].dataType),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("area", T.DoubleType()),
+    ])
+
+    def stitch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf[group].iloc[0]
+        cl = pdf["__cluster"].iloc[0]
+        grids = bc_meta.value
+        x0, y0, w, h, nx, ny = grids[cl]
+        xline = {x0 + k * w for k in range(nx + 1)}
+        yline = {y0 + k * h for k in range(ny + 1)}
+        pdf = pdf.sort_values(["x1", "y1", "x2", "y2"])
+        arcs = [(np.array([ax, bx_]), np.array([ay, by2]))
+                for ax, ay, bx_, by2 in zip(pdf["x1"], pdf["y1"],
+                                            pdf["x2"], pdf["y2"])]
+        rings = _normalize_winding(_stitch(arcs))
+        clean_rings = []
+        for rx_, ry_ in rings:
+            # drop collinear vertices introduced by the grid pre-cut: the
+            # vertex must sit exactly on a grid line AND be (numerically)
+            # on the segment joining its neighbors
+            keep_x, keep_y = [], []
+            n = len(rx_) - 1  # closed ring: last == first
+            for i in range(n):
+                vx, vy = rx_[i], ry_[i]
+                px, py = rx_[i - 1] if i else rx_[n - 1], ry_[i - 1] if i else ry_[n - 1]
+                qx, qy = rx_[i + 1], ry_[i + 1]
+                on_line = vx in xline or vy in yline
+                if on_line:
+                    cross = (vx - px) * (qy - py) - (vy - py) * (qx - px)
+                    scale = max(abs(qx - px), abs(qy - py), 1e-300) ** 2
+                    between = (min(px, qx) <= vx <= max(px, qx) and
+                               min(py, qy) <= vy <= max(py, qy))
+                    if abs(cross) <= 1e-12 * scale and between:
+                        continue
+                keep_x.append(vx)
+                keep_y.append(vy)
+            if len(keep_x) >= 3:
+                keep_x.append(keep_x[0])
+                keep_y.append(keep_y[0])
+                ra = K.planar_path_area(np.asarray(keep_x), np.asarray(keep_y))
+                # sub-threshold HOLES fill at the merged level: degenerate
+                # (zero-area) mosaic cycles are dropped by the face walk, so
+                # hairline slivers between near-coincident borders surface
+                # here as negative rings below the gap threshold — absorbing
+                # them into the surrounding group is exactly what
+                # assignRemainingTile does for their non-degenerate kin
+                if ra == 0.0:
+                    continue
+                if ra < 0 and gap_threshold is not None and -ra <= gap_threshold:
+                    continue
+                clean_rings.append((keep_x, keep_y))
+        area = sum(K.planar_path_area(np.asarray(rx_), np.asarray(ry_))
+                   for rx_, ry_ in clean_rings)
+        return pd.DataFrame({
+            group: pd.Series([g], dtype=object),
+            "__cluster": pd.Series([cl]),
+            "rings_x": pd.Series([[r[0] for r in clean_rings]], dtype=object),
+            "rings_y": pd.Series([[r[1] for r in clean_rings]], dtype=object),
+            "area": pd.Series([float(area)], dtype="float64"),
+        })
+
+    return (surv.groupBy("__cluster", group)
+            .applyInPandas(stitch_kernel, schema=out_schema)
+            .select(group, "__cluster", "rings_x", "rings_y", "area"))
+
+
+def _sutherland_hodgman_exact(rx, ry, bbox):
+    """paths._sutherland_hodgman over a grid-pre-cut ring: identical
+    algorithm — after _cut_ring_at_gridlines the interpolation is exact
+    (t degenerates to 0/1), see that docstring."""
+    from mapshaper_spark.operators.paths import _sutherland_hodgman
+    return _sutherland_hodgman(rx, ry, bbox)
 
 
 def clip_polylines_rings(paths, rings_c, erase: bool = False):
@@ -1232,7 +1660,9 @@ def _connected_feature_clusters(df: DataFrame, key: str, res: int = 6,
 
 
 def clean(features: DataFrame, key: str, gap_fill: bool = True,
-          min_gap_area: float | None = None, res: int = 6) -> DataFrame:
+          min_gap_area: float | None = None, res: int = 6,
+          max_task_features: int = 4096,
+          target_per_cell: int = 64) -> DataFrame:
     """-clean (/root/reference/src/commands/mapshaper-clean.js:3-17 ->
     dissolvePolygons2 with each feature its own group): remove overlaps
     between features (contested mosaic faces go to the highest-area
@@ -1261,7 +1691,9 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     labeled = labeled.join(sizes, "__cluster")
     pass_through = labeled.filter(F.col("__csz") == 1) \
         .drop("__cluster", "__csz")
-    multi = labeled.filter(F.col("__csz") > 1).drop("__csz")
+    multi = labeled.filter((F.col("__csz") > 1) &
+                           (F.col("__csz") <= max_task_features)).drop("__csz")
+    big = labeled.filter(F.col("__csz") > max_task_features).drop("__csz")
 
     out_schema = T.StructType([
         features.schema[key],
@@ -1305,6 +1737,20 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
             lambda pdf: kernel(pdf), schema=out_schema)
     keep_cols = [key, "rings_x", "rings_y", "bbox"]
     out = pass_through.select(*keep_cols).unionByName(cleaned.select(*keep_cols))
+    if not big.isEmpty():
+        # hot clusters: two-level mosaic, each feature its own group
+        two_level = _dissolve2_cells(
+            big.select(F.col(key), "__cluster", "rings_x", "rings_y", "bbox"),
+            key, gap_threshold, target_per_cell=target_per_cell)
+        two_level = two_level.filter(F.size("rings_x") > 0).select(
+            key, "rings_x", "rings_y",
+            F.struct(
+                F.array_min(F.transform("rings_x", F.array_min)).alias("xmin"),
+                F.array_min(F.transform("rings_y", F.array_min)).alias("ymin"),
+                F.array_max(F.transform("rings_x", F.array_max)).alias("xmax"),
+                F.array_max(F.transform("rings_y", F.array_max)).alias("ymax"),
+            ).alias("bbox"))
+        out = out.unionByName(two_level.select(*keep_cols))
     attr_cols = [c for c in features.columns if c not in keep_cols]
     if attr_cols:
         out = out.join(features.select(key, *attr_cols), key, "left")

@@ -133,6 +133,29 @@ class TestNaturalEarthStates:
         assert merged[0].area == pytest.approx(a0, rel=1e-5)
         assert merged[0].area >= a0 - 1e-9
 
+    def test_two_level_mosaic_matches_single_task(self, spark):
+        """The forced cell-decomposed path (per-cell mosaic kernels +
+        distributed edge-cancel) reproduces the single-task country outline
+        ring-for-ring on real Natural Earth geometry."""
+        from mapshaper_spark.sources import shapefile as SH
+        from mapshaper_spark.operators.overlay import dissolve2
+        base = "/root/reference/test/test_data/ne/ne_110m_admin_1_states_provinces_shp"
+        df = SH.import_shapefile(spark, open(base + ".shp", "rb").read(),
+                                 open(base + ".dbf", "rb").read())
+        src = df.select(F.lit("us").alias("g"), "rings_x", "rings_y")
+        single = dissolve2(src, "g").collect()[0]
+        two = dissolve2(src, "g", cluster_threshold=0, max_task_features=5,
+                        target_per_cell=4).collect()[0]
+
+        def ring_areas(r):
+            return sorted(round(K.planar_path_area(np.asarray(rx),
+                                                   np.asarray(ry)), 9)
+                          for rx, ry in zip(r.rings_x, r.rings_y))
+
+        assert len(two.rings_x) == len(single.rings_x)
+        assert ring_areas(two) == ring_areas(single)
+        assert two.area == pytest.approx(single.area, rel=1e-12)
+
 
 class TestEnclaveTopology:
     """Enclave (donut) counties: a feature whose outer ring coincides with
