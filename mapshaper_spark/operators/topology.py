@@ -404,6 +404,71 @@ def snap_coords_grid(df: DataFrame, interval: float,
     return df.withColumn(x, gx).withColumn(y, gy)
 
 
+def snap_coords_sweep(df: DataFrame, interval: float,
+                      x: str = "x", y: str = "y") -> DataFrame:
+    """EXACT reference snapping (internal.snapCoordsByInterval,
+    /root/reference/src/paths/mapshaper-snapping.js:31-63), flag-gated
+    alternative to the scale-default snap_coords_grid: vertices sort by x;
+    each point pulls every later point within ``interval`` (euclidean) onto
+    its CURRENT coordinates, so chains propagate left-to-right — later
+    points snap onto earlier ones, and a snapped point anchors its own
+    forward neighbors at its new coords. Tie order among equal x is (x, y)
+    lexicographic — a deterministic refinement of the reference's
+    unspecified quicksort tie order (DEVIATIONS.md).
+
+    Distribution: points bucket by floor(x/interval); runs of occupied
+    buckets separated by >= 2 empty buckets cannot interact (a point only
+    ever moves LEFT onto an earlier anchor and the scan breaks at
+    dx > interval, which always holds across a 2-bucket original-x gap),
+    so each run sweeps independently — one kernel task per run. A single
+    dense run degenerates to one task; that is inherent to the serial
+    reference rule, which is why grid snap stays the default at scale."""
+    if interval <= 0:
+        return df
+    out_cols = list(df.columns)
+    work = df.withColumn("__bkt", F.floor(F.col(x) / F.lit(interval)).cast("long"))
+    buckets = work.select("__bkt").distinct()
+    b2 = buckets.select(F.col("__bkt").alias("nb"))
+    edges = (buckets.join(
+        b2, (F.col("nb") > F.col("__bkt")) & (F.col("nb") <= F.col("__bkt") + 2))
+        .select(F.col("__bkt").alias("id_a"), F.col("nb").alias("id_b")))
+    from mapshaper_spark.operators.dedup import dup_clusters
+    comp = dup_clusters(edges, buckets.select(F.col("__bkt")), "__bkt") \
+        .select("__bkt", F.col("cluster").alias("__run"))
+    work = work.join(comp, "__bkt")
+
+    limit = float(interval)
+    lim2 = limit * limit
+    schema = df.schema
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pdf = pdf.sort_values([x, y], kind="stable").reset_index(drop=True)
+        xx = pdf[x].to_numpy(np.float64).copy()
+        yy = pdf[y].to_numpy(np.float64).copy()
+        n = len(xx)
+        for i in range(n):
+            xi, yi = xx[i], yy[i]
+            j = i + 1
+            while j < n:
+                dx = xx[j] - xi
+                if dx > limit:
+                    break
+                dy = yy[j] - yi
+                if not (dx == 0.0 and dy == 0.0) and dx * dx + dy * dy <= lim2:
+                    xx[j] = xi
+                    yy[j] = yi
+                j += 1
+        pdf = pdf.copy()
+        pdf[x] = xx
+        pdf[y] = yy
+        return pdf[out_cols]
+
+    return (work.groupBy("__run")
+            .applyInPandas(lambda pdf: sweep(pdf), schema=schema)
+            .select(*out_cols))
+
+
 def dedup_arc_coords(arcs: DataFrame) -> DataFrame:
     """Remove repeated consecutive vertices per arc
     (internal.dedupArcCoords, mapshaper-arcs.js:648-669). Pure JVM:

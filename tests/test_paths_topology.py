@@ -277,6 +277,69 @@ class TestDissolveArcs:
         assert total_pts >= 5
 
 
+class TestSnapSweep:
+    """Exact sorted-sweep snapping (snapping.js:31-63): later points snap
+    onto EARLIER ones at their CURRENT coords; a moved point anchors its
+    own forward neighbors at its new location."""
+
+    @staticmethod
+    def _reference_sweep(pts, limit):
+        # direct port of snapCoordsByInterval for the test oracle
+        order = sorted(range(len(pts)), key=lambda i: (pts[i][0], pts[i][1]))
+        xx = [pts[i][0] for i in order]
+        yy = [pts[i][1] for i in order]
+        n = len(xx)
+        for i in range(n):
+            xi, yi = xx[i], yy[i]
+            for j in range(i + 1, n):
+                dx = xx[j] - xi
+                if dx > limit:
+                    break
+                dy = yy[j] - yi
+                if not (dx == 0 and dy == 0) and dx * dx + dy * dy <= limit * limit:
+                    xx[j] = xi
+                    yy[j] = yi
+        return sorted(zip(xx, yy))
+
+    def test_chain_breaks_after_anchor_moves(self, spark):
+        # 0, 0.9, 1.7: 0.9 snaps onto 0; 1.7 then does NOT snap (its would-be
+        # anchor moved away) — the defining quirk of the serial rule that
+        # grid snapping cannot reproduce
+        df = spark.createDataFrame([(0.0, 0.0), (0.9, 0.0), (1.7, 0.0)],
+                                   "x double, y double")
+        out = sorted((r.x, r.y) for r in
+                     TP.snap_coords_sweep(df, 1.0).collect())
+        assert out == [(0.0, 0.0), (0.0, 0.0), (1.7, 0.0)]
+
+    def test_star_absorption_order(self, spark):
+        # 0, 0.9, 1.8, 2.7: [0 <- 0.9], break, then 1.8 anchors 2.7
+        df = spark.createDataFrame([(0.0, 1.0), (0.9, 1.0), (1.8, 1.0),
+                                    (2.7, 1.0)], "x double, y double")
+        out = sorted((r.x, r.y) for r in
+                     TP.snap_coords_sweep(df, 1.0).collect())
+        assert out == [(0.0, 1.0), (0.0, 1.0), (1.8, 1.0), (1.8, 1.0)]
+
+    def test_matches_serial_reference_on_jitter(self, spark):
+        import random
+        rng = random.Random(7)
+        pts = []
+        for cx in (0.0, 10.0, 20.0):   # three clusters -> separate runs
+            for _ in range(40):
+                pts.append((cx + rng.uniform(-0.004, 0.004),
+                            rng.uniform(0, 1)))
+        df = spark.createDataFrame(pts, "x double, y double")
+        got = sorted((r.x, r.y) for r in
+                     TP.snap_coords_sweep(df, 0.01).collect())
+        assert got == self._reference_sweep(pts, 0.01)
+
+    def test_runs_do_not_interact(self, spark):
+        df = spark.createDataFrame([(0.0, 0.0), (5.0, 0.0)],
+                                   "x double, y double")
+        out = sorted((r.x, r.y) for r in
+                     TP.snap_coords_sweep(df, 1.0).collect())
+        assert out == [(0.0, 0.0), (5.0, 0.0)]
+
+
 class TestCloseGaps:
     def test_nearly_closed_ring_snaps_shut(self, spark):
         # square broken by a 0.01 gap between its own two endpoints: the
