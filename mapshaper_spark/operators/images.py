@@ -88,9 +88,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpeg", "jpg"):
-        # real baseline JPEG decode (pure numpy + stdlib, operators/jpeg.py)
-        # — the PSNR >= 40 dB lossy invariant is exercised on this path
+    if fmt in ("jpeg", "jpg", "jpeg_progressive"):
+        # real JPEG decode (pure numpy + stdlib, operators/jpeg.py) — both
+        # baseline (SOF0/1) and progressive (SOF2: spectral selection +
+        # successive approximation) streams, dispatched on the SOF marker;
+        # the PSNR >= 40 dB lossy invariant is exercised on this path
         from mapshaper_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(data)
     if fmt == "webp":
@@ -135,13 +137,16 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
     fmt=png, PPM for fmt=ppm) — used by the fixture generator."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mapshaper_spark.operators.jpeg import encode_jpeg
+        from mapshaper_spark.operators.jpeg import (encode_jpeg,
+                                                    encode_jpeg_progressive)
         for pdf in it:
             blobs = []
             for i, w, h, fmt in zip(pdf["id"], pdf["w"], pdf["h"], pdf["fmt"]):
                 px = synth_pixels(int(i), int(w), int(h))
                 if fmt == "png":
                     blobs.append(encode_png(px))
+                elif fmt == "jpeg_progressive":
+                    blobs.append(encode_jpeg_progressive(px, quality=95))
                 elif fmt in ("jpeg", "jpg"):
                     blobs.append(encode_jpeg(px, quality=95))
                 else:

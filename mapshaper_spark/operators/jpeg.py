@@ -264,6 +264,7 @@ class _BitReader:
         keep[end:] = False
         self.bits = np.unpackbits(arr[keep])
         self.pos = 0
+        self.consumed = int(end)  # input bytes up to the terminating marker
 
     def read_bit(self):
         b = int(self.bits[self.pos])
@@ -333,8 +334,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3):
-            raise NotImplementedError("only baseline (SOF0/SOF1) JPEG supported")
+        elif marker == 0xC2:
+            return _decode_progressive(data)
+        elif marker == 0xC3:
+            raise NotImplementedError("lossless (SOF3) JPEG unsupported")
         elif marker == 0xC4:
             off = 0
             while off < len(seg):
@@ -444,3 +447,430 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     else:
         rgb = np.stack([full[0]] * 3, axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+# Encoder exists to make real progressive fixtures; the decoder handles the
+# general SOF2 stream (EOBn runs, ZRL, AC/DC refinement per T.81 Annex G).
+# Point transforms follow the spec/libjpeg convention: DC uses an ARITHMETIC
+# shift, AC uses a sign-magnitude (toward-zero) shift.
+
+_PROG_SCANS = (
+    # (comp indices, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, Al=1
+    ((0,), 1, 5, 0, 1),        # AC Y low band
+    ((1,), 1, 63, 0, 1),       # AC Cb full band
+    ((2,), 1, 63, 0, 1),       # AC Cr full band
+    ((0,), 6, 63, 0, 1),       # AC Y high band
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refinement (raw bits)
+    ((0,), 1, 63, 1, 0),       # AC Y refinement
+    ((1,), 1, 63, 1, 0),       # AC Cb refinement
+    ((2,), 1, 63, 1, 0),       # AC Cr refinement
+)
+
+
+def _quantized_blocks(pixels: np.ndarray, quality: int):
+    """Shared front half of the encoders: YCbCr 4:4:4 -> per-component
+    (bh, bw, 64) zigzag-ordered quantized coefficient arrays."""
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = (-0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+          + 0.5 * rgb[:, :, 2] + 128)
+    cr = (0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+          - 0.081312 * rgb[:, :, 2] + 128)
+    ql = _scale_quant(_QL, quality)
+    qc = _scale_quant(_QC, quality)
+    bh = (h + 7) // 8
+    bw = (w + 7) // 8
+
+    def pad(plane):
+        return np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+
+    out = []
+    for ci, plane in enumerate((pad(y), pad(cb), pad(cr))):
+        q = ql if ci == 0 else qc
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ij,abjk,kl->abil", _C, blocks, _C.T)
+        qv = np.round(coefs / q[None, None]).astype(np.int64)
+        out.append(qv.reshape(bh, bw, 64)[:, :, _ZZ_INV_FLAT])
+    return out, ql, qc, h, w, bh, bw
+
+
+# zigzag reorder helper: qv[..., i*8+j] natural -> zigzag order
+_ZZ_INV_FLAT = np.asarray(_ZZ)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """RGB8 (h, w, 3) -> PROGRESSIVE JFIF bytes (SOF2, 4:4:4): the standard
+    spectral-selection + successive-approximation progression (DC Al=1 ->
+    AC bands Al=1 -> DC/AC refinement scans). Same quantized coefficients
+    as encode_jpeg at the same quality, so the decoded pixels must be
+    bit-identical to the baseline round trip."""
+    comps_zz, ql, qc, h, w, bh, bw = _quantized_blocks(pixels, quality)
+    dc_tabs = (_build_codes(*_HT_DC_L), _build_codes(*_HT_DC_C),
+               _build_codes(*_HT_DC_C))
+    ac_tabs = (_build_codes(*_HT_AC_L), _build_codes(*_HT_AC_C),
+               _build_codes(*_HT_AC_C))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + \
+            bytes(int(v) for v in q.ravel()[_ZZ])
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)
+    for tclass, tid, (bits, values) in ((0, 0, _HT_DC_L), (0, 1, _HT_DC_C),
+                                        (1, 0, _HT_AC_L), (1, 1, _HT_AC_C)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values),
+                                         (tclass << 4) | tid) + \
+            bytes(bits) + bytes(values)
+
+    for comp_ids, ss, se, ah, al in _PROG_SCANS:
+        bwr = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over all comps; 4:4:4 -> 1 block/MCU)
+            if ah == 0:
+                pred = [0] * 3
+                for by in range(bh):
+                    for bx in range(bw):
+                        for ci in comp_ids:
+                            v = int(comps_zz[ci][by, bx, 0]) >> al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            cat, bits_ = _magnitude(diff)
+                            code, ln = dc_tabs[ci][cat]
+                            bwr.write(code, ln)
+                            if cat:
+                                bwr.write(bits_, cat)
+            else:  # DC refinement: one raw bit per block per comp
+                for by in range(bh):
+                    for bx in range(bw):
+                        for ci in comp_ids:
+                            bwr.write((int(comps_zz[ci][by, bx, 0]) >> al) & 1, 1)
+        else:  # AC scan: single component, non-interleaved
+            ci = comp_ids[0]
+            act = ac_tabs[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = comps_zz[ci][by, bx]
+                    if ah == 0:
+                        # first AC scan: baseline-style RLE on the
+                        # point-transformed band, plain EOB (EOBRUN=1)
+                        band = []
+                        for k in range(ss, se + 1):
+                            v = int(zz[k])
+                            band.append(-((-v) >> al) if v < 0 else v >> al)
+                        nz = [i for i, v in enumerate(band) if v]
+                        last = nz[-1] if nz else -1
+                        run = 0
+                        for i in range(last + 1):
+                            v = band[i]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act[0xF0]
+                                bwr.write(code, ln)
+                                run -= 16
+                            cat, bits_ = _magnitude(v)
+                            code, ln = act[(run << 4) | cat]
+                            bwr.write(code, ln)
+                            bwr.write(bits_, cat)
+                            run = 0
+                        if last < se - ss:
+                            code, ln = act[0x00]
+                            bwr.write(code, ln)
+                    else:
+                        # AC refinement (T.81 G.1.2.3 / libjpeg
+                        # encode_mcu_AC_refine), EOBRUN flushed per block
+                        absv = []
+                        eob = -1
+                        for i, k in enumerate(range(ss, se + 1)):
+                            t = abs(int(zz[k])) >> al
+                            absv.append(t)
+                            if t == 1:
+                                eob = i
+                        r = 0
+                        br_bits: list = []
+                        for i, k in enumerate(range(ss, se + 1)):
+                            t = absv[i]
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and i <= eob:
+                                code, ln = act[0xF0]
+                                bwr.write(code, ln)
+                                r -= 16
+                                for b in br_bits:
+                                    bwr.write(b, 1)
+                                br_bits = []
+                            if t > 1:
+                                br_bits.append(t & 1)
+                                continue
+                            code, ln = act[(r << 4) | 1]
+                            bwr.write(code, ln)
+                            r = 0
+                            bwr.write(0 if int(zz[k]) < 0 else 1, 1)
+                            for b in br_bits:
+                                bwr.write(b, 1)
+                            br_bits = []
+                        if r > 0 or br_bits:
+                            code, ln = act[0x00]  # EOB (run of 1)
+                            bwr.write(code, ln)
+                            for b in br_bits:
+                                bwr.write(b, 1)
+        bwr.flush()
+        ns = len(comp_ids)
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            out += struct.pack("BB", ci + 1, (td << 4) | ta)
+        out += struct.pack("BBB", ss, se, (ah << 4) | al)
+        out += bwr.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JFIF (SOF2) -> RGB8 (h, w, 3): general spectral-selection
+    + successive-approximation decode (T.81 Annex G.2 / libjpeg
+    decode_mcu_* semantics), incl. EOBn runs, ZRL in refinement scans, and
+    DHT/DQT redefinition between scans. Coefficients accumulate per scan;
+    one batched dequantize+IDCT at the end (same tail as baseline)."""
+    pos = 2
+    qt = {}
+    huff = {}
+    comps = None
+    h = w = None
+    coef = None
+    hmax = vmax = 1
+    mcux = mcuy = 0
+
+    def comp_geometry(c):
+        # non-interleaved scans iterate the component's OWN block grid
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8,):
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                tid = pq_tq & 0x0F
+                if pq_tq >> 4:
+                    vals = np.frombuffer(seg[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    vals = np.frombuffer(seg[off + 1:off + 65], dtype=np.uint8)
+                    off += 65
+                tab = np.zeros(64)
+                tab[_ZZ] = vals
+                qt[tid] = tab.reshape(8, 8)
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                    for c in comps]
+            pred_dc = [0] * nc
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                nvals = sum(bits)
+                values = list(seg[off + 17:off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder(bits, values)
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack("BB", seg[1 + 2 * i:3 + 2 * i])
+                ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
+                scomps.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = struct.unpack("BBB", seg[1 + 2 * ns:4 + 2 * ns])
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos += seglen
+            br = _BitReader(data[pos:])
+            _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al,
+                              huff, pred_dc, mcux, mcuy, comp_geometry)
+            pos += br.consumed
+            continue
+        pos += seglen
+
+    if coef is None:
+        raise ValueError("missing SOF2/SOS")
+    # dequantize + IDCT + upsample (baseline tail)
+    planes = []
+    for ci, c in enumerate(comps):
+        nby, nbx = coef[ci].shape[0], coef[ci].shape[1]
+        zzs = coef[ci].reshape(-1, 64).astype(np.float64)
+        coefs = np.zeros_like(zzs)
+        coefs[:, _ZZ] = zzs
+        coefs = coefs.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        px = np.einsum("ij,njk,kl->nil", _C.T, coefs, _C) + 128.0
+        px = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby * 8, nbx * 8)
+        planes.append(px)
+    full = []
+    for c, plane in zip(comps, planes):
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        rgb = np.stack([full[0]] * 3, axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
+                      pred_dc, mcux, mcuy, comp_geometry):
+    def read_code(table):
+        bits = br.bits
+        p = br.pos
+        code = 0
+        get = table.get
+        for length in range(1, 17):
+            code = (code << 1) | int(bits[p])
+            p += 1
+            v = get((length, code))
+            if v is not None:
+                br.pos = p
+                return v
+        raise ValueError("bad huffman code")
+
+    if ss == 0:  # DC scan
+        if ah == 0:
+            for ci, _td, _ta in scomps:
+                pred_dc[ci] = 0
+        if len(scomps) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, td, _ta in scomps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                gy, gx = my * c["v"] + by, mx * c["h"] + bx
+                                if ah == 0:
+                                    cat = read_code(huff[(0, td)])
+                                    diff = _extend(br.read_bits(cat), cat) if cat else 0
+                                    pred_dc[ci] += diff
+                                    coef[ci][gy, gx, 0] = pred_dc[ci] << al
+                                else:
+                                    if br.read_bit():
+                                        coef[ci][gy, gx, 0] |= (1 << al)
+        else:
+            ci, td, _ta = scomps[0]
+            nbx, nby = comp_geometry(comps[ci])
+            for gy in range(nby):
+                for gx in range(nbx):
+                    if ah == 0:
+                        cat = read_code(huff[(0, td)])
+                        diff = _extend(br.read_bits(cat), cat) if cat else 0
+                        pred_dc[ci] += diff
+                        coef[ci][gy, gx, 0] = pred_dc[ci] << al
+                    else:
+                        if br.read_bit():
+                            coef[ci][gy, gx, 0] |= (1 << al)
+        return
+
+    # AC scan: always one component, non-interleaved
+    ci, _td, ta = scomps[0]
+    act = huff[(1, ta)]
+    nbx, nby = comp_geometry(comps[ci])
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for gy in range(nby):
+        for gx in range(nbx):
+            blk = coef[ci][gy, gx]
+            if ah == 0:  # first scan for these bits
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = read_code(act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # refinement (G.2 / libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = read_code(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            newval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if br.read_bit():
+                                    if (v & p1) == 0:
+                                        blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0 and br.read_bit():
+                            if (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1

@@ -136,3 +136,56 @@ class TestJpegCodec:
         import pytest as _pt
         with _pt.raises(ValueError):
             J.decode_jpeg(b"not a jpeg at all")
+
+
+class TestProgressiveJpeg:
+    """Progressive JPEG (SOF2): spectral selection + successive
+    approximation, encoder (fixture source) + general decoder
+    (operators/jpeg.py, T.81 Annex G)."""
+
+    def test_roundtrip_psnr_gate_q95(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels, psnr
+        px = synth_pixels(7, 64, 48)
+        data = J.encode_jpeg_progressive(px, quality=95)
+        back = J.decode_jpeg(data)
+        assert back.shape == px.shape
+        assert psnr(px, back) >= 40.0
+
+    def test_is_actually_sof2(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels
+        data = J.encode_jpeg_progressive(synth_pixels(1, 16, 16), quality=90)
+        assert b"\xFF\xC2" in data      # SOF2 frame marker
+        assert data.count(b"\xFF\xDA") == 9  # one SOS per scan in the script
+
+    def test_identical_to_baseline_roundtrip(self):
+        # both entropy paths carry the SAME quantized coefficients, so the
+        # decoded pixels must match BIT-FOR-BIT — a strong cross-check of
+        # the EOBn/refinement decode against the independent baseline path
+        import numpy as np
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels
+        rng = np.random.RandomState(5)
+        for q in (95, 75, 50):
+            for seed, w, h in ((2, 40, 24), (9, 33, 17), (4, 8, 8)):
+                px = synth_pixels(seed, w, h)
+                noisy = np.clip(px.astype(int) +
+                                rng.randint(-40, 40, px.shape), 0, 255) \
+                    .astype(np.uint8)
+                base = J.decode_jpeg(J.encode_jpeg(noisy, quality=q))
+                prog = J.decode_jpeg(J.encode_jpeg_progressive(noisy, quality=q))
+                assert np.array_equal(base, prog), (q, seed, w, h)
+
+    def test_decode_stats_on_progressive_rows(self, spark):
+        from mapshaper_spark import layers as L
+        from mapshaper_spark.operators import images as IM
+        from mapshaper_spark.operators.images import encode_synthetic_bytes
+        from pyspark.sql import functions as F
+        imgs = L.synth_images(spark, 20).withColumn(
+            "fmt", F.lit("jpeg_progressive"))
+        out = IM.decode_stats(encode_synthetic_bytes(imgs)).collect()
+        assert len(out) == 20
+        meta = {r.image_id: (r.w, r.h) for r in imgs.collect()}
+        for r in out:
+            assert (r.dec_w, r.dec_h) == meta[r.image_id]
