@@ -1178,28 +1178,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_points": q_erase_points,
         "clean": q_clean,
         "filter_geom_paths": q_filter_geom_paths,
-        "events_rollup": q_events_rollup,
-        # joins / calc / fill
+        # joins / calc / fill (join_unjoined/join_unmatched de-vacuated r3)
         "join_calc": q_join_calc,
         "join_first_match": q_join_first_match,
         "join_is_max": q_join_is_max,
+        "join_unjoined": q_join_unjoined,
+        "join_unmatched": q_join_unmatched,
         "data_fill": q_data_fill,
-        "calc_aggs": q_calc_aggs,
-        "dissolve_customers_by_nation": q_dissolve_customers_by_nation,
+        # round-3 operators with NEW exact oracles sit inside the window
+        "cluster": q_cluster,
+        "fast_simplify": q_fast_simplify,
         # geometry expressions / proj / simplify
-        "area_expr": q_area_expr,
-        "spherical_area": q_spherical_area,
         "proj_webmercator": q_proj_webmercator,
         "proj_lcc": q_proj_lcc,
         "proj_albersusa": q_proj_albersusa,
-        # LLM-data-pipeline family (simplify_vis rotates below the gate;
-        # proj_lcc takes its slot with a published-constant oracle)
+        # LLM-data-pipeline family
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
+        # (rotated out r3 after two green rounds: area_expr, spherical_area,
+        # calc_aggs, events_rollup, dissolve_customers_by_nation — all
+        # trivially-SQL ops still oracle-checked by tools/check_oracle.py)
+        "area_expr": q_area_expr,
+        "spherical_area": q_spherical_area,
+        "calc_aggs": q_calc_aggs,
+        "events_rollup": q_events_rollup,
+        "dissolve_customers_by_nation": q_dissolve_customers_by_nation,
         "clip_bbox_lines": q_clip_bbox_lines,
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
@@ -1216,8 +1223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_vis": q_simplify_vis,
         "simplify_dp": q_simplify_dp,
         "simplify_spherical": q_simplify_spherical,
-        "fast_simplify": q_fast_simplify,
-        "cluster": q_cluster,
         "subdivide": q_subdivide,
         "filter_where": q_filter_where,
         "project_fields": q_project_fields,
@@ -1227,8 +1232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_remove_empty": q_filter_remove_empty,
         "uniq_first_order": q_uniq_first_order,
         "sort_top100": q_sort_top100,
-        "join_unmatched": q_join_unmatched,
-        "join_unjoined": q_join_unjoined,
         "merge_layers": q_merge_layers,
         "top3_per_order": q_top3_per_order,
         "point_grid": q_point_grid,
