@@ -469,6 +469,35 @@ class TestDissolve2TwoLevel:
                      for x, y in zip(b[k].rings_x, b[k].rings_y))
             assert bb == pytest.approx(aa, rel=1e-12)
 
+    def test_donut_hole_nesting_across_cells(self, spark):
+        # donut + island-in-hole + edge-sharing neighbor: hole rings must
+        # survive the per-cell split and re-nest after the edge-cancel merge
+        from mapshaper_spark.operators.overlay import dissolve2
+        rows = [
+            (0, 0, [[0.0, 10.0, 10.0, 0.0, 0.0], [3.0, 3.0, 7.0, 7.0, 3.0]],
+             [[0.0, 0.0, 10.0, 10.0, 0.0], [3.0, 7.0, 7.0, 3.0, 3.0]]),
+            (1, 1, [[4.0, 6.0, 6.0, 4.0, 4.0]], [[4.0, 4.0, 6.0, 6.0, 4.0]]),
+            (2, 0, [[10.0, 16.0, 16.0, 10.0, 10.0]],
+             [[0.0, 0.0, 10.0, 10.0, 0.0]]),
+        ]
+        df = spark.createDataFrame(
+            rows, "fid int, grp int, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+        single = {r.grp: r for r in dissolve2(df, "grp").collect()}
+        two = {r.grp: r for r in dissolve2(
+            df, "grp", cluster_threshold=0, max_task_features=1,
+            target_per_cell=1).collect()}
+
+        def areas(r):
+            return sorted(round(K.planar_path_area(np.asarray(rx),
+                                                   np.asarray(ry)), 9)
+                          for rx, ry in zip(r.rings_x, r.rings_y))
+
+        for g in single:
+            assert areas(two[g]) == areas(single[g])
+        assert areas(single[0]) == [-16.0, 160.0]  # merged outer + hole
+        assert areas(single[1]) == [4.0]           # island intact
+
     def test_decomposition_uses_multiple_cells(self, spark):
         # the stress guarantee: a >max_task_features cluster decomposes into
         # a >= 2x2 per-cluster grid, i.e. >1 mosaic kernel task
