@@ -67,6 +67,11 @@ def main():
         "proj_lcc",              # full -proj surface (LCC/AEA/TM)
         "phash_dups",            # image near-dup (banded hamming, JVM)
         "each_assign",           # assignment-string -each over lineitem
+        # round-3 operators
+        "cluster",               # sample-seeded Lloyd, map-only assignment
+        "fast_simplify",         # interval-thinning keep-walk
+        "proj_albersusa",        # mixed projection (AEA + LCC inset frames)
+        "clean",                 # overlap removal, identity-preserving
     ]
 
     timings: dict[str, float] = {}

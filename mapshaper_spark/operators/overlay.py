@@ -978,9 +978,11 @@ def dissolve2(features: DataFrame, group: str,
     else:
         csizes = (labeled.groupBy(group, "__cluster")
                   .agg(F.count(F.lit(1)).alias("__csz")))
+        # three consumers (small_part, big_part, big_part.isEmpty) would
+        # each recompute the clustering join otherwise
         routed = (labeled.join(csizes, [group, "__cluster"])
                   .withColumn("__big", F.col("__csz") > max_task_features)
-                  .drop("__csz"))
+                  .drop("__csz").localCheckpoint())
     small_part = routed.filter(~F.col("__big")).drop("__big")
     big_part = routed.filter(F.col("__big")).drop("__big")
 
@@ -1688,7 +1690,9 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     clusters = _connected_feature_clusters(features, key, res=res)
     labeled = features.join(clusters, key)
     sizes = labeled.groupBy("__cluster").agg(F.count(F.lit(1)).alias("__csz"))
-    labeled = labeled.join(sizes, "__cluster")
+    # four consumers (pass-through, multi, big, big.isEmpty) would each
+    # recompute the clustering join otherwise
+    labeled = labeled.join(sizes, "__cluster").localCheckpoint()
     pass_through = labeled.filter(F.col("__csz") == 1) \
         .drop("__cluster", "__csz")
     multi = labeled.filter((F.col("__csz") > 1) &
