@@ -710,6 +710,57 @@ def q_filter_geom_paths(spark, sf_dir):
     return S.filter_geom_bbox(polys, (-95.0, 30.0, -75.0, 40.0)).select("rid")
 
 
+def q_close_gaps(spark, sf_dir):
+    """closeGaps undershoot repair (mapshaper-gaps.js:9-29) on a synthetic
+    layer of 20 groups x 3 arcs: a nearly-closed ring (its two dangles pair
+    and snap onto the lower-keyed end), a long horizontal target arc, and a
+    vertical stub whose lower dangle projects onto the target path. The
+    oracle replays dangle detection, pair-snapping and the exact
+    nearest-point-on-segment projection formula in SQL."""
+    import mapshaper_spark.operators.topology as TP
+    g = spark.range(20).select(F.col("id").alias("i"),
+                               (F.col("id") * 20.0).alias("x0"))
+    d = lambda v: F.lit(float(v))
+    ring = g.select((F.col("i") * 3).alias("arc_id"),
+                    F.array(F.col("x0"), F.col("x0") + 1, F.col("x0") + 1,
+                            F.col("x0"), F.col("x0")).alias("xs"),
+                    F.array(d(0), d(0), d(1), d(1), d(0.01)).alias("ys"))
+    horiz = g.select((F.col("i") * 3 + 1).alias("arc_id"),
+                     F.array(F.col("x0") + 2, F.col("x0") + 5).alias("xs"),
+                     F.array(d(5), d(5)).alias("ys"))
+    stub = g.select((F.col("i") * 3 + 2).alias("arc_id"),
+                    F.array(F.col("x0") + 3, F.col("x0") + 3).alias("xs"),
+                    F.array(d(5.6), d(5.03)).alias("ys"))
+    arcs = ring.unionByName(horiz).unionByName(stub)
+    healed = TP.close_gaps(arcs, tolerance=0.05)
+    r9 = lambda c: F.round(c, 9)
+    return healed.select(
+        "arc_id",
+        r9(F.element_at("xs", 1)).alias("ax"), r9(F.element_at("ys", 1)).alias("ay"),
+        r9(F.element_at("xs", -1)).alias("bx"), r9(F.element_at("ys", -1)).alias("by"))
+
+
+def q_snap_sweep(spark, sf_dir):
+    """Exact sorted-sweep snapping (snapping.js:31-63) over 60 jitter
+    clusters (diameter << interval << separation): the sweep collapses each
+    cluster onto its lexicographic-min (x, y) point, which the oracle
+    computes directly from the same deterministic construction."""
+    import mapshaper_spark.operators.topology as TP
+    pts = spark.range(3000).select(
+        (F.col("id") % 60).alias("c"),
+        ((F.col("id") % 60) * 7.0 +
+         ((F.col("id") / 60).cast("long") % 5) * 1e-7).alias("x"),
+        (((F.col("id") % 60) * 3 % 11).cast("double") +
+         ((F.col("id") / 60).cast("long") % 7) * 1e-7).alias("y"))
+    out = TP.snap_coords_sweep(pts, 1e-5)
+    return (out.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("x"), 9).alias("x_min"),
+                 F.round(F.max("x"), 9).alias("x_max"),
+                 F.round(F.min("y"), 9).alias("y_min"),
+                 F.round(F.max("y"), 9).alias("y_max")))
+
+
 def q_proj_albersusa(spark, sf_dir):
     """albersusa mixed projection (AEA base + AK/HI LCC inset frames,
     mapshaper-projections.js:132-140); the oracle re-derives the Snyder
@@ -1172,8 +1223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_repair": q_ring_repair,
         "points_centroid": q_points_centroid,
         "points_inner": q_points_inner,
-        "points_vertices": q_points_vertices,
-        "points_interpolated": q_points_interpolated,
+        # round-3: distributed close_gaps + exact sorted-sweep snapping get
+        # driver hash rows (points_vertices/points_interpolated rotate out)
+        "close_gaps": q_close_gaps,
+        "snap_sweep": q_snap_sweep,
         "clip_points": q_clip_points,
         "erase_points": q_erase_points,
         "clean": q_clean,
@@ -1207,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_aggs": q_calc_aggs,
         "events_rollup": q_events_rollup,
         "dissolve_customers_by_nation": q_dissolve_customers_by_nation,
+        "points_vertices": q_points_vertices,
+        "points_interpolated": q_points_interpolated,
         "clip_bbox_lines": q_clip_bbox_lines,
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
@@ -2114,6 +2169,80 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["cluster"] = _cluster_oracle_sql(count=8, iterations=8, cap=10_000)
     sqls["proj_albersusa"] = _albersusa_oracle_sql()
+    sqls["close_gaps"] = """
+        -- replay of closeGaps on the synthetic fixture: every endpoint
+        -- coordinate is unique -> all 6 endpoints/group are dangles;
+        -- within-tolerance dangles pair (mover = higher (arc, which) key);
+        -- remaining dangles project onto other arcs' segments with the
+        -- EXACT kernel formula (t = dot/seg2 clipped, q = a + d*t)
+        WITH g AS (SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE)*20.0 AS x0
+                   FROM range(20) t(i)),
+        ends(arc_id, wh, ex, ey) AS (
+            SELECT 3*i, 0, x0, 0.0 FROM g
+            UNION ALL SELECT 3*i, 1, x0, 0.01 FROM g
+            UNION ALL SELECT 3*i+1, 0, x0+2.0, 5.0 FROM g
+            UNION ALL SELECT 3*i+1, 1, x0+5.0, 5.0 FROM g
+            UNION ALL SELECT 3*i+2, 0, x0+3.0, 5.6 FROM g
+            UNION ALL SELECT 3*i+2, 1, x0+3.0, 5.03 FROM g),
+        prs AS (
+            SELECT a.arc_id AS aa, a.wh AS aw, b.arc_id AS ba, b.wh AS bw,
+                   a.ex, a.ey
+            FROM ends a JOIN ends b
+              ON (a.ex-b.ex)*(a.ex-b.ex) + (a.ey-b.ey)*(a.ey-b.ey) <= 0.0025
+             AND (a.arc_id < b.arc_id
+                  OR (a.arc_id = b.arc_id AND a.wh < b.wh))),
+        taken AS (SELECT aa AS arc_id, aw AS wh FROM prs
+                  UNION ALL SELECT ba, bw FROM prs),
+        rem AS (SELECT e.* FROM ends e
+                LEFT JOIN taken t ON e.arc_id = t.arc_id AND e.wh = t.wh
+                WHERE t.arc_id IS NULL),
+        segs(arc_id, sax, say, sbx, sby) AS (
+            SELECT 3*i, x0, 0.0, x0+1.0, 0.0 FROM g
+            UNION ALL SELECT 3*i, x0+1.0, 0.0, x0+1.0, 1.0 FROM g
+            UNION ALL SELECT 3*i, x0+1.0, 1.0, x0, 1.0 FROM g
+            UNION ALL SELECT 3*i, x0, 1.0, x0, 0.01 FROM g
+            UNION ALL SELECT 3*i+1, x0+2.0, 5.0, x0+5.0, 5.0 FROM g
+            UNION ALL SELECT 3*i+2, x0+3.0, 5.6, x0+3.0, 5.03 FROM g),
+        pr0 AS (
+            SELECT r.arc_id, r.wh,
+                   s.sax + (s.sbx - s.sax) * tt AS qx,
+                   s.say + (s.sby - s.say) * tt AS qy
+            FROM rem r JOIN segs s ON s.arc_id != r.arc_id,
+            LATERAL (SELECT least(greatest(
+                       ((r.ex - s.sax)*(s.sbx - s.sax)
+                        + (r.ey - s.say)*(s.sby - s.say))
+                       / ((s.sbx - s.sax)*(s.sbx - s.sax)
+                          + (s.sby - s.say)*(s.sby - s.say)), 0.0), 1.0) AS tt)),
+        hits AS (
+            SELECT arc_id, wh, qx, qy,
+                   row_number() OVER (PARTITION BY arc_id, wh
+                                      ORDER BY d2, qx, qy) AS rn
+            FROM (SELECT p.*, (qx - r.ex)*(qx - r.ex) + (qy - r.ey)*(qy - r.ey) AS d2
+                  FROM pr0 p JOIN rem r USING (arc_id, wh))
+            WHERE d2 <= 0.0025),
+        moves AS (SELECT ba AS arc_id, bw AS wh, ex AS qx, ey AS qy FROM prs
+                  UNION ALL SELECT arc_id, wh, qx, qy FROM hits WHERE rn = 1)
+        SELECT e.arc_id,
+               round(coalesce(m0.qx, s0.ex), 9) AS ax,
+               round(coalesce(m0.qy, s0.ey), 9) AS ay,
+               round(coalesce(m1.qx, s1.ex), 9) AS bx,
+               round(coalesce(m1.qy, s1.ey), 9) AS by
+        FROM (SELECT DISTINCT arc_id FROM ends) e
+        JOIN ends s0 ON s0.arc_id = e.arc_id AND s0.wh = 0
+        JOIN ends s1 ON s1.arc_id = e.arc_id AND s1.wh = 1
+        LEFT JOIN moves m0 ON m0.arc_id = e.arc_id AND m0.wh = 0
+        LEFT JOIN moves m1 ON m1.arc_id = e.arc_id AND m1.wh = 1
+    """
+    sqls["snap_sweep"] = """
+        -- isolated jitter clusters (diameter << interval << separation):
+        -- the serial sweep provably collapses each cluster onto its
+        -- lexicographic-min (x, y) point = the zero-offset base point
+        SELECT CAST(i AS BIGINT) AS c, CAST(50 AS BIGINT) AS n,
+               round(i*7.0, 9) AS x_min, round(i*7.0, 9) AS x_max,
+               round(CAST(i*3 % 11 AS DOUBLE), 9) AS y_min,
+               round(CAST(i*3 % 11 AS DOUBLE), 9) AS y_max
+        FROM range(60) t(i)
+    """
     sqls["fast_simplify"] = """
         WITH RECURSIVE v AS (
           SELECT arc_id, j AS i, CAST(j AS DOUBLE) AS x,

@@ -857,7 +857,9 @@ def close_gaps(arcs: DataFrame, tolerance: float, res: int = 6) -> DataFrame:
           .filter(F.col("did") < F.col("did_b"))
           .filter((F.col("ex") - F.col("bx")) * (F.col("ex") - F.col("bx")) +
                   (F.col("ey") - F.col("by")) * (F.col("ey") - F.col("by")) <= tol2)
-          .select(F.col("did").alias("id_a"), F.col("did_b").alias("id_b"))
+          .select(F.col("did").alias("id_a"), F.col("ex").alias("ax"),
+                  F.col("ey").alias("ay"),
+                  F.col("did_b").alias("id_b"), F.col("bx"), F.col("by"))
           .distinct())
 
     snap_schema = T.StructType([
@@ -895,14 +897,68 @@ def close_gaps(arcs: DataFrame, tolerance: float, res: int = 6) -> DataFrame:
                            "int64" if f.name in ("arc_id", "which") else "float64"))
                 for f in snap_schema.fields})
 
-    if dd.isEmpty():
-        snapped = arcs.sparkSession.createDataFrame([], snap_schema)
+    # size gate (same pattern as label_components): the candidate PAIRS are
+    # already the product of the distributed cell join — when few, run the
+    # union-find + per-component greedy driver-side over only the paired
+    # dangles (linear in #pairs, never O(d^2) over the corpus); past the
+    # gate, distribute via label propagation + per-component kernels
+    small_gate = 100_000
+    dd_rows = dd.limit(small_gate + 1).collect()
+    if len(dd_rows) <= small_gate:
+        if not dd_rows:
+            snapped = arcs.sparkSession.createDataFrame([], snap_schema)
+        else:
+            coords = {}
+            parent: dict = {}
+
+            def find(a):
+                while parent[a] != a:
+                    parent[a] = parent[parent[a]]
+                    a = parent[a]
+                return a
+
+            for r in dd_rows:
+                coords[r.id_a] = (r.ax, r.ay)
+                coords[r.id_b] = (r.bx, r.by)
+                parent.setdefault(r.id_a, r.id_a)
+                parent.setdefault(r.id_b, r.id_b)
+                ra, rb = find(r.id_a), find(r.id_b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            comps: dict = {}
+            for did in parent:
+                comps.setdefault(find(did), []).append(did)
+            rows = []
+            for members in comps.values():
+                # did = arc_id*2 + which sorts identically to
+                # (arc_id, which, ex, ey) since coords are endpoint-determined
+                recs = sorted((did // 2, did % 2, *coords[did])
+                              for did in sorted(members))
+                taken: set = set()
+                for i in range(len(recs)):
+                    if i in taken:
+                        continue
+                    for j in range(i + 1, len(recs)):
+                        if j in taken:
+                            continue
+                        d2 = ((recs[i][2] - recs[j][2]) ** 2 +
+                              (recs[i][3] - recs[j][3]) ** 2)
+                        if d2 <= tol2:
+                            rows.append((int(recs[j][0]), int(recs[j][1]), True,
+                                         float(recs[i][2]), float(recs[i][3])))
+                            if i not in taken:
+                                rows.append((int(recs[i][0]), int(recs[i][1]),
+                                             False, float("nan"), float("nan")))
+                            taken.add(i)
+                            taken.add(j)
+            snapped = arcs.sparkSession.createDataFrame(rows, snap_schema)
     else:
         from mapshaper_spark.operators.dedup import dup_clusters
+        pair_ids = dd.select("id_a", "id_b")
         paired_ids = (dd.select(F.col("id_a").alias("did"))
                       .unionByName(dd.select(F.col("id_b").alias("did")))
                       .distinct())
-        comp = dup_clusters(dd, paired_ids, "did").select("did", "cluster")
+        comp = dup_clusters(pair_ids, paired_ids, "did").select("did", "cluster")
         snapped = (dangles.join(comp, "did")
                    .select("cluster", "arc_id", "which", "ex", "ey")
                    .groupBy("cluster")
