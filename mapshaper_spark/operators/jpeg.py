@@ -156,9 +156,13 @@ def _magnitude(v):
     return cat, bits
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
     """RGB8 (h, w, 3) -> baseline JFIF bytes (4:4:4, two quant tables,
-    four Annex K Huffman tables)."""
+    four Annex K Huffman tables). ``restart_interval`` > 0 emits a DRI
+    segment and byte-aligned RSTn markers every that many MCUs (DC
+    predictors reset, T.81 E.1.4) — used to fixture the decoder's
+    restart path."""
     h, w, _ = pixels.shape
     rgb = pixels.astype(np.float64)
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -181,8 +185,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         return np.pad(plane, ((0, bh * 8 - h), (0, bwidth * 8 - w)), mode="edge")
 
     planes = [pad(y), pad(cb), pad(cr)]
+    mcu_i = 0
+    n_rst = 0
     for by in range(bh):
         for bx in range(bwidth):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                pred = [0, 0, 0]
+            mcu_i += 1
             for ci, plane in enumerate(planes):
                 block = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 coef = _C @ block @ _C.T
@@ -226,6 +238,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     for tid, q in ((0, ql), (1, qc)):
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + \
             bytes(int(v) for v in q.ravel()[_ZZ])
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, (hs, vs), tq in ((1, (1, 1), 0), (2, (1, 1), 1), (3, (1, 1), 1)):
         out += struct.pack("BBB", cid, (hs << 4) | vs, tq)
@@ -290,6 +304,32 @@ def _extend(v, cat):
     return v
 
 
+def _split_restart_segments(data: bytes) -> list:
+    """Split an entropy stream at RSTn (FFD0-FFD7) markers; stops at the
+    first non-restart marker. Stuffed FF00 bytes pass through (each
+    returned chunk is unstuffed by its own _BitReader)."""
+    arr = bytes(data)
+    out = []
+    start = 0
+    i = 0
+    n = len(arr)
+    while i + 1 < n:
+        if arr[i] == 0xFF:
+            nxt = arr[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                out.append(arr[start:i])
+                i += 2
+                start = i
+                continue
+            break  # real marker: end of scan
+        i += 1
+    out.append(arr[start:])
+    return out
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> RGB8 (h, w, 3). Handles arbitrary sampling
     factors with box upsampling; restart markers unsupported (we don't
@@ -302,6 +342,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = None
     h = w = None
     scan = None
+    restart_interval = 0
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -348,7 +389,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder(bits, values)
                 off += 17 + nvals
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             scan = []
@@ -366,7 +407,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    br = _BitReader(data[pos:])
+    # restart intervals (DRI + RSTn): entropy data splits into byte-aligned
+    # segments of `restart_interval` MCUs each; DC predictors reset at each
+    segments = _split_restart_segments(data[pos:]) if restart_interval \
+        else [data[pos:]]
+    readers = [_BitReader(s) for s in segments]
+    seg_i = 0
+    br = readers[0]
 
     def read_code(table):
         bits = br.bits
@@ -390,8 +437,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # batched IDCT per component — per-block 8x8 matmuls drown in numpy
     # call overhead otherwise
     blocks: list[list] = [[] for _ in comps]   # (y0, x0, zz64)
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                seg_i += 1          # byte-aligned restart: fresh reader,
+                br = readers[seg_i]  # DC predictors reset (T.81 E.1.4)
+                pred = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 sc = next(s for s in scan if s["cs"] == c["id"])
                 dct = huff[(0, sc["td"])]

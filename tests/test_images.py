@@ -189,3 +189,28 @@ class TestProgressiveJpeg:
         meta = {r.image_id: (r.w, r.h) for r in imgs.collect()}
         for r in out:
             assert (r.dec_w, r.dec_h) == meta[r.image_id]
+
+
+class TestRestartIntervals:
+    """DRI + RSTn markers (T.81 E.1.4): byte-aligned entropy restarts with
+    DC predictor resets — common in real-world JPEGs."""
+
+    def test_dri_roundtrip_identical_to_plain(self):
+        import numpy as np
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels
+        for seed, w, h, ri in ((7, 64, 48, 3), (3, 33, 17, 1), (5, 80, 80, 7)):
+            px = synth_pixels(seed, w, h)
+            plain = J.decode_jpeg(J.encode_jpeg(px, quality=95))
+            dri = J.decode_jpeg(J.encode_jpeg(px, quality=95,
+                                              restart_interval=ri))
+            assert np.array_equal(plain, dri), (seed, w, h, ri)
+
+    def test_dri_emits_markers(self):
+        from mapshaper_spark.operators import jpeg as J
+        from mapshaper_spark.operators.images import synth_pixels
+        data = J.encode_jpeg(synth_pixels(7, 64, 48), quality=95,
+                             restart_interval=3)
+        assert b"\xFF\xDD" in data
+        n_rst = sum(data.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
+        assert n_rst == 48 // 3 - 1  # 48 MCUs, a restart between intervals
