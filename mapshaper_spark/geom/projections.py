@@ -336,6 +336,161 @@ def _parse_params(defn: str) -> dict:
     return out
 
 
+class Equirectangular(Projection):
+    """eqc / Plate Carrée (Snyder eq. 12-1..12-6, p. 90): x scaled by
+    cos(lat_ts) at the standard parallel; spherical (proj treats eqc as
+    spherical-only)."""
+
+    def __init__(self, a=6378137.0, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.coslat = math.cos(lat_ts * D2R)
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        return (self.a * lam * self.coslat + self.x0,
+                self.a * phi + self.y0)
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) / (self.a * self.coslat)
+        phi = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class LambertAzimuthalEqualArea(Projection):
+    """laea, ellipsoidal oblique (Snyder eq. 24-2..24-14 via authalic
+    latitude, pp. 187-190). Verified by the equal-area property (local
+    area scale == 1 everywhere) + inverse round-trip (tests)."""
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        self.qp = float(_qsfn(np.float64(1.0), self.e, es))
+        q0 = float(_qsfn(np.float64(math.sin(lat0 * D2R)), self.e, es))
+        self.beta0 = math.asin(min(1.0, max(-1.0, q0 / self.qp)))
+        self.rq = a * math.sqrt(self.qp / 2.0)
+        m0 = float(_msfn(math.sin(lat0 * D2R), math.cos(lat0 * D2R), es))
+        cb0 = math.cos(self.beta0)
+        self.d = (a * m0) / (self.rq * cb0) if cb0 > 1e-12 else 1.0
+
+    def _beta(self, phi):
+        q = _qsfn(np.sin(phi), self.e, self.es)
+        return np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        beta = self._beta(phi)
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        sb, cb = np.sin(beta), np.cos(beta)
+        denom = 1.0 + sb0 * sb + cb0 * cb * np.cos(lam)
+        b = self.rq * np.sqrt(2.0 / np.maximum(denom, 1e-300))
+        x = b * self.d * cb * np.sin(lam)
+        y = (b / self.d) * (cb0 * sb - sb0 * cb * np.cos(lam))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xp = (np.asarray(x, dtype=np.float64) - self.x0) / self.d
+        yp = (np.asarray(y, dtype=np.float64) - self.y0) * self.d
+        rho = np.hypot(xp, yp)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            beta = np.arcsin(np.clip(
+                cce * sb0 + (yp * sce * cb0 / np.where(rho == 0, 1.0, rho)),
+                -1.0, 1.0))
+            lam = np.arctan2(xp * sce,
+                             rho * cb0 * cce - yp * sb0 * sce)
+        beta = np.where(rho == 0, self.beta0, beta)
+        lam = np.where(rho == 0, 0.0, lam)
+        # authalic -> geodetic latitude by fixed point on q
+        q = self.qp * np.sin(beta)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(15):
+            sphi = np.sin(phi)
+            con = self.e * sphi
+            phi = phi + (q - _qsfn(sphi, self.e, self.es)) * \
+                ((1.0 - con * con) ** 2 /
+                 (2.0 * np.cos(phi) * (1.0 - self.es)))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Stereographic(Projection):
+    """stere. POLAR aspects use the ellipsoidal form (Snyder eq. 21-33..
+    21-34, 15-9); non-polar centers use the SPHERICAL oblique form
+    (eq. 21-2..21-4) — the proj-style double-stereographic oblique
+    ellipsoid is out of scope (documented). Verified by conformality
+    (local scale isotropy) + round-trip (tests)."""
+
+    def __init__(self, a, es, lat0=90.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lat0, self.lon0, self.k0 = lat0, lon0, k0
+        self.x0, self.y0 = x0, y0
+        self.north = lat0 > 89.999
+        self.south = lat0 < -89.999
+        self.polar = self.north or self.south
+        if self.polar and es > 0:
+            e = self.e
+            self.tfac = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        if self.polar:
+            if self.south:
+                phi, lam = -phi, -lam
+            if self.es > 0:
+                t = _tsfn(phi, np.sin(phi), self.e)
+                rho = 2.0 * self.a * self.k0 * t / self.tfac
+            else:
+                rho = 2.0 * self.a * self.k0 * np.tan(0.25 * math.pi - 0.5 * phi)
+            x = rho * np.sin(lam)
+            y = -rho * np.cos(lam)
+            if self.south:
+                x, y = -x, -y
+            return x + self.x0, y + self.y0
+        p0 = self.lat0 * D2R
+        s0, c0 = math.sin(p0), math.cos(p0)
+        sp, cp = np.sin(phi), np.cos(phi)
+        k = 2.0 * self.k0 / (1.0 + s0 * sp + c0 * cp * np.cos(lam))
+        x = self.a * k * cp * np.sin(lam)
+        y = self.a * k * (c0 * sp - s0 * cp * np.cos(lam))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.x0
+        yp = np.asarray(y, dtype=np.float64) - self.y0
+        if self.polar:
+            if self.south:
+                xp, yp = -xp, -yp
+            rho = np.hypot(xp, yp)
+            if self.es > 0:
+                ts = rho * self.tfac / (2.0 * self.a * self.k0)
+                phi = _phi2(ts, self.e)
+            else:
+                phi = 0.5 * math.pi - 2.0 * np.arctan(
+                    rho / (2.0 * self.a * self.k0))
+            lam = np.arctan2(xp, -yp)
+            lam = np.where(rho == 0, 0.0, lam)
+            if self.south:
+                phi, lam = -phi, -lam
+            return lam / D2R + self.lon0, phi / D2R
+        p0 = self.lat0 * D2R
+        s0, c0 = math.sin(p0), math.cos(p0)
+        rho = np.hypot(xp, yp)
+        c = 2.0 * np.arctan(rho / (2.0 * self.a * self.k0))
+        sc, cc = np.sin(c), np.cos(c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.arcsin(np.clip(
+                cc * s0 + (yp * sc * c0 / np.where(rho == 0, 1.0, rho)),
+                -1.0, 1.0))
+            lam = np.arctan2(xp * sc, rho * c0 * cc - yp * s0 * sc)
+        phi = np.where(rho == 0, p0, phi)
+        lam = np.where(rho == 0, 0.0, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
 class AlbersUSA(Projection):
     """mapshaper 'albersusa' (AlbersNYT, /root/reference/src/geom/
     mapshaper-projections.js:132-140 + mapshaper-mixed-projection.js):
@@ -459,6 +614,29 @@ def get_projection(defn: str) -> Projection:
                                   10000000.0 if "south" in p else 0.0)
     if name == "robin":
         return Robinson(a, lon0=lon0, x0=x0, y0=y0)
+    if name in ("eqc", "platecarree"):
+        lat_ts = float(p.get("lat_ts", 0.0))
+        return Equirectangular(a, lat_ts=lat_ts, lon0=lon0, x0=x0, y0=y0)
+    if name == "laea":
+        return LambertAzimuthalEqualArea(a, es, lat0=lat0, lon0=lon0,
+                                         x0=x0, y0=y0)
+    if name == "stere":
+        lat0s = float(p.get("lat_0", 90.0))
+        k0s = k0
+        if "lat_ts" in p and abs(lat0s) > 89.999:
+            # polar standard-parallel spelling: derive k0 from lat_ts
+            pts = float(p["lat_ts"]) * D2R
+            if es > 0:
+                e = math.sqrt(es)
+                m = math.cos(pts) / math.sqrt(1 - es * math.sin(pts) ** 2)
+                t = float(_tsfn(np.float64(abs(pts)),
+                                np.float64(math.sin(abs(pts))), e))
+                tfac = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+                k0s = m * tfac / (2.0 * t)
+            else:
+                k0s = (1.0 + math.sin(abs(pts))) / 2.0
+        return Stereographic(a, es, lat0=lat0s, lon0=lon0, k0=k0s,
+                             x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

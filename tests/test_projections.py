@@ -191,3 +191,86 @@ class TestAlbersUSA:
             fx2, fy2 = p.lcc.fwd(np.array([lon + 0.1]), np.array([lat]))
             dl = math.hypot(fx2[0] - fx1[0], fy2[0] - fy1[0])
             assert d / dl == pytest.approx(s, rel=1e-9)
+
+
+class TestProjTail:
+    """eqc / laea / stere additions: property-based verification (equal
+    area, conformality, round-trip) instead of transcribed constants."""
+
+    def test_eqc_plate_carree(self):
+        p = PJ.get_projection("+proj=eqc +lat_ts=30")
+        x, y = p.fwd(np.array([10.0]), np.array([20.0]))
+        a = 6378137.0
+        assert x[0] == pytest.approx(a * math.radians(10) * math.cos(math.radians(30)))
+        assert y[0] == pytest.approx(a * math.radians(20))
+        lo, la = p.inv(x, y)
+        assert (lo[0], la[0]) == pytest.approx((10.0, 20.0), abs=1e-12)
+
+    def test_laea_equal_area_property(self):
+        # local area scale must be 1 everywhere on the ellipsoid: compare a
+        # tiny projected quad's area against its true ellipsoidal area
+        p = PJ.get_projection("+proj=laea +lat_0=45 +lon_0=-100 +datum=WGS84")
+        a, es = 6378137.0, 0.0066943799901413165
+        for lon, lat in ((-100.0, 45.0), (-80.0, 30.0), (-120.0, 60.0),
+                         (-100.0, -10.0)):
+            d = 1e-4  # degrees
+            lons = np.array([lon, lon + d, lon + d, lon])
+            lats = np.array([lat, lat, lat + d, lat + d])
+            x, y = p.fwd(lons, lats)
+            proj_area = 0.5 * abs(sum(
+                x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i] for i in range(4)))
+            phi = math.radians(lat)
+            sp = math.sin(phi)
+            # ellipsoidal area element: M * N * cos(phi) dphi dlam
+            m_rad = a * (1 - es) / (1 - es * sp * sp) ** 1.5
+            n_rad = a / math.sqrt(1 - es * sp * sp)
+            true_area = (m_rad * n_rad * math.cos(phi) *
+                         math.radians(d) ** 2)
+            assert proj_area / true_area == pytest.approx(1.0, rel=1e-3)
+
+    def test_laea_roundtrip(self):
+        p = PJ.get_projection("+proj=laea +lat_0=52 +lon_0=10 +datum=WGS84")
+        lons = np.array([10.0, -5.0, 31.0, 10.0])
+        lats = np.array([52.0, 40.0, 70.0, -20.0])
+        lo, la = p.inv(*p.fwd(lons, lats))
+        assert np.allclose(lo, lons, atol=1e-9)
+        assert np.allclose(la, lats, atol=1e-9)
+
+    def test_stere_polar_conformal_and_roundtrip(self):
+        p = PJ.get_projection("+proj=stere +lat_0=90 +lat_ts=70 +datum=WGS84")
+        # conformality: local scale is direction-independent
+        for lon, lat in ((0.0, 80.0), (45.0, 70.0), (-120.0, 60.0)):
+            d = 1e-5
+            x0, y0 = p.fwd(np.array([lon]), np.array([lat]))
+            xe, ye = p.fwd(np.array([lon + d]), np.array([lat]))
+            xn, yn = p.fwd(np.array([lon]), np.array([lat + d]))
+            se = math.hypot(xe[0] - x0[0], ye[0] - y0[0])
+            sn = math.hypot(xn[0] - x0[0], yn[0] - y0[0])
+            a, es = 6378137.0, 0.0066943799901413165
+            phi = math.radians(lat)
+            sp = math.sin(phi)
+            m_rad = a * (1 - es) / (1 - es * sp * sp) ** 1.5
+            n_rad = a / math.sqrt(1 - es * sp * sp)
+            ke = se / (n_rad * math.cos(phi) * math.radians(d))
+            kn = sn / (m_rad * math.radians(d))
+            assert ke / kn == pytest.approx(1.0, rel=1e-4)
+            # scale ~1 at the standard parallel
+            if lat == 70.0:
+                assert ke == pytest.approx(1.0, rel=1e-6)
+        lo, la = p.inv(*p.fwd(np.array([13.0, -77.0]), np.array([85.0, 66.0])))
+        assert np.allclose(lo, [13.0, -77.0], atol=1e-9)
+        assert np.allclose(la, [85.0, 66.0], atol=1e-9)
+
+    def test_stere_oblique_spherical_roundtrip(self):
+        p = PJ.get_projection("+proj=stere +lat_0=40 +lon_0=-100 +ellps=sphere")
+        lons = np.array([-100.0, -90.0, -120.0])
+        lats = np.array([40.0, 30.0, 55.0])
+        lo, la = p.inv(*p.fwd(lons, lats))
+        assert np.allclose(lo, lons, atol=1e-9)
+        assert np.allclose(la, lats, atol=1e-9)
+
+    def test_stere_south_polar(self):
+        p = PJ.get_projection("+proj=stere +lat_0=-90 +lat_ts=-71 +datum=WGS84")
+        lo, la = p.inv(*p.fwd(np.array([0.0, 140.0]), np.array([-90.0, -66.0])))
+        assert np.allclose(la, [-90.0, -66.0], atol=1e-9)
+        assert abs(((lo[1] - 140.0 + 180) % 360) - 180) < 1e-9
