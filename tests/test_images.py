@@ -35,6 +35,92 @@ class TestCodecs:
         bad = np.clip(px + 40, 0, 255).astype(np.uint8)
         assert IM.psnr(px.astype(np.uint8), bad) < 40.0
 
+    def test_png_adaptive_filters_roundtrip(self):
+        # a smooth gradient makes the min-sum-abs heuristic pick Sub/Up/Paeth
+        y, x = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+        px = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256],
+                      axis=2).astype(np.uint8)
+        blob = IM.encode_png(px, adaptive=True)
+        assert (IM.decode_png(blob) == px).all()
+        # the adaptive encoder must actually have used a non-zero filter
+        import struct as _s
+        import zlib as _z
+        pos, idat = 8, b""
+        while pos < len(blob):
+            (ln,) = _s.unpack(">I", blob[pos:pos + 4])
+            if blob[pos + 4:pos + 8] == b"IDAT":
+                idat += blob[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        raw = np.frombuffer(_z.decompress(idat), np.uint8).reshape(40, 56 * 3 + 1)
+        assert set(raw[:, 0].tolist()) - {0}
+
+    def test_png_every_filter_type_decodes(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+        flat = px.reshape(10, 36)
+        for f in range(5):
+            parts, prev = [], np.zeros(36, np.uint8)
+            for r in range(10):
+                parts.append(bytes([f]) + IM._filter_row(f, flat[r], prev, 3).tobytes())
+                prev = flat[r]
+            import struct as _s
+            import zlib as _z
+            ihdr = _s.pack(">IIBBBBB", 12, 10, 8, 2, 0, 0, 0)
+            blob = (IM._PNG_SIG + IM._chunk(b"IHDR", ihdr) +
+                    IM._chunk(b"IDAT", _z.compress(b"".join(parts))) +
+                    IM._chunk(b"IEND", b""))
+            assert (IM.decode_png(blob) == px).all(), f"filter {f}"
+
+    @staticmethod
+    def _png_raw(ctype, w, h, body, plte=None):
+        import struct as _s
+        import zlib as _z
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        out = IM._PNG_SIG + IM._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += IM._chunk(b"PLTE", plte.tobytes())
+        return out + IM._chunk(b"IDAT", _z.compress(body)) + IM._chunk(b"IEND", b"")
+
+    def test_png_gray_palette_alpha_color_types(self):
+        rng = np.random.default_rng(11)
+        gray = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+        body = b"".join(b"\x00" + gray[r].tobytes() for r in range(6))
+        got = IM.decode_png(self._png_raw(0, 5, 6, body))
+        assert (got == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+        ga = rng.integers(0, 256, (4, 3, 2), dtype=np.uint8)
+        body = b"".join(b"\x00" + ga[r].tobytes() for r in range(4))
+        got = IM.decode_png(self._png_raw(4, 3, 4, body))
+        assert (got == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+        rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        body = b"".join(b"\x00" + rgba[r].tobytes() for r in range(4))
+        got = IM.decode_png(self._png_raw(6, 4, 4, body))
+        assert (got == rgba[:, :, :3]).all()
+
+        plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (5, 7), dtype=np.uint8)
+        body = b"".join(b"\x00" + idx[r].tobytes() for r in range(5))
+        got = IM.decode_png(self._png_raw(3, 7, 5, body, plte=plte))
+        assert (got == plte[idx]).all()
+
+    def test_png_adam7_interlace(self):
+        import struct as _s
+        import zlib as _z
+        rng = np.random.default_rng(13)
+        h, w = 9, 11  # non-multiples of 8 exercise partial passes
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        body = b""
+        for x0, xs, y0, ys in IM._ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            body += b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        blob = (IM._PNG_SIG + IM._chunk(b"IHDR", ihdr) +
+                IM._chunk(b"IDAT", _z.compress(body)) + IM._chunk(b"IEND", b""))
+        assert (IM.decode_png(blob) == px).all()
+
     def test_webp_codec_is_stubbed(self):
         # jpeg is now a real codec (operators/jpeg.py); webp remains stubbed
         with pytest.raises(NotImplementedError):
