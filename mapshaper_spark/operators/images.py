@@ -223,7 +223,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from mapshaper_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(data)
     if fmt == "webp":
-        raise NotImplementedError("webp requires an image library")
+        # pure-numpy lossless VP8L codec (operators/webp.py); lossy VP8
+        # streams raise NotImplementedError inside
+        from mapshaper_spark.operators.webp import decode_webp
+        return decode_webp(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -272,6 +275,9 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
                 px = synth_pixels(int(i), int(w), int(h))
                 if fmt == "png":
                     blobs.append(encode_png(px))
+                elif fmt == "webp":
+                    from mapshaper_spark.operators.webp import encode_webp
+                    blobs.append(encode_webp(px, subtract_green=True))
                 elif fmt == "jpeg_progressive":
                     blobs.append(encode_jpeg_progressive(px, quality=95))
                 elif fmt in ("jpeg", "jpg"):

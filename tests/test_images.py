@@ -121,10 +121,12 @@ class TestCodecs:
                 IM._chunk(b"IDAT", _z.compress(body)) + IM._chunk(b"IEND", b""))
         assert (IM.decode_png(blob) == px).all()
 
-    def test_webp_codec_is_stubbed(self):
-        # jpeg is now a real codec (operators/jpeg.py); webp remains stubbed
-        with pytest.raises(NotImplementedError):
-            IM.decode_image(b"RIFF....WEBP", "webp")
+    def test_webp_lossless_roundtrip(self):
+        # lossless VP8L is a real codec now (operators/webp.py); only the
+        # lossy VP8 stream remains NotImplemented
+        from mapshaper_spark.operators import webp as W
+        px = IM.synth_pixels(6, 20, 14)
+        assert (IM.decode_image(W.encode_webp(px), "webp") == px).all()
 
     def test_truncated_jpeg_errors(self):
         with pytest.raises(ValueError):
