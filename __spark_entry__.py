@@ -941,6 +941,46 @@ def q_audio_features(spark, sf_dir):
     return out.select("media_id", "n_samples", "rms", "zero_crossings")
 
 
+def q_audio_features_wav(spark, sf_dir):
+    """WAV container + G.711 mu-law decode (operators/media.py). The blobs
+    carry mu-law codes c = (i*37 + j*11) % 256, so the PCM the engine must
+    recover is exactly the ITU-T G.711 expansion of those codes — which the
+    oracle recomputes in closed-form SQL. A wrong bit anywhere in the RIFF
+    parse or the mu-law bit math changes rms/zero_crossings."""
+    import numpy as np
+    from mapshaper_spark.operators.media import encode_wav, ulaw_decode
+    rows = []
+    for i in range(24):
+        codes = np.arange(240, dtype=np.int64) * 11 + i * 37
+        pcm = ulaw_decode((codes % 256).astype(np.uint8))
+        rows.append((f"wav{i:03d}", bytes(encode_wav(pcm, codec="ulaw")),
+                     "wav"))
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    out = IM.extract_audio_features(df)
+    return out.select("media_id", "n_samples", "rms", "zero_crossings")
+
+
+def q_video_frames_mjpeg(spark, sf_dir):
+    """Frame sampling over REAL RIFF/AVI MJPG containers (operators/media.py
+    + the baseline JPEG codec). fps=2.5 -> avih us_per_frame=400000; with a
+    NULL duration column the engine must derive duration from the container
+    (n_frames * 400 ms) and map each sampled ts to the on-screen frame."""
+    from mapshaper_spark.operators.jpeg import encode_jpeg
+    from mapshaper_spark.operators.media import encode_avi_mjpeg
+    rows = []
+    for i in range(8):
+        n = 3 + (i % 3)
+        frames = [encode_jpeg(IM.synth_pixels(i * 16 + k, 16, 16), quality=90)
+                  for k in range(n)]
+        rows.append((f"mv{i:03d}", bytes(encode_avi_mjpeg(frames, fps=2.5)),
+                     None, "mjpeg_avi"))
+    vids = spark.createDataFrame(
+        rows, "media_id string, bytes binary, duration_ms long, fmt string")
+    out = IM.sample_video_frames(vids, every_ms=300)
+    return out.select("media_id", "frame_idx", "ts_ms",
+                      F.length("frame_bytes").alias("frame_len"), "fmt")
+
+
 # --- text / dedup / similarity -----------------------------------------------
 
 def q_text_metrics(spark, sf_dir):
@@ -1250,13 +1290,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-data-pipeline family
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
-        "word_jaccard": q_word_jaccard,
-        "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
+        # media codec queries (operators/media.py, late r3)
+        "audio_features_wav": q_audio_features_wav,
+        "video_frames_mjpeg": q_video_frames_mjpeg,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
         # (rotated out r3 after two green rounds: area_expr, spherical_area,
-        # calc_aggs, events_rollup, dissolve_customers_by_nation — all
-        # trivially-SQL ops still oracle-checked by tools/check_oracle.py)
+        # calc_aggs, events_rollup, dissolve_customers_by_nation, and —
+        # late r3, for the media codec slots — word_jaccard, ngram_jaccard;
+        # all still oracle-checked by tools/check_oracle.py)
+        "word_jaccard": q_word_jaccard,
+        "ngram_jaccard": q_ngram_jaccard,
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
         "calc_aggs": q_calc_aggs,
@@ -2026,6 +2070,37 @@ def oracle_sql() -> dict[str, str]:
                    ((((i * 7 + (j - 1) * 13) % 2001) - 1000) < 0))
                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         FROM samples GROUP BY i
+    """
+    sqls["audio_features_wav"] = """
+        -- G.711 mu-law expansion in closed form (ITU-T G.711): byte c ->
+        -- u = ~c; pcm = sign * (((mant*8 + 132) << exp) - 132)
+        WITH dec AS (
+            SELECT i, j,
+                   CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END *
+                   ((((255 - c) % 16) * 8 + 132) *
+                    (1 << (((255 - c) // 16) % 8)) - 132) AS v
+            FROM (SELECT i, j, (i * 37 + j * 11) % 256 AS c
+                  FROM range(24) t(i), range(240) u(j))),
+        lagged AS (
+            SELECT i, j, v,
+                   lag(v) OVER (PARTITION BY i ORDER BY j) AS prev
+            FROM dec)
+        SELECT 'wav' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_id,
+               CAST(240 AS BIGINT) AS n_samples,
+               round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+               CAST(sum(CASE WHEN j > 0 AND ((v < 0) != (prev < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM lagged GROUP BY i
+    """
+    sqls["video_frames_mjpeg"] = """
+        -- avih us_per_frame = 400000 (fps 2.5); duration_ms is NULL so
+        -- duration = n_frames * 400 ms; frame on screen at ts = ts // 400
+        WITH vids AS (SELECT i, 3 + (i % 3) AS n FROM range(8) t(i))
+        SELECT 'mv' || lpad(CAST(i AS VARCHAR), 3, '0') AS media_id,
+               CAST(least(k * 300 // 400, n - 1) AS INT) AS frame_idx,
+               k * 300 AS ts_ms, 781 AS frame_len, 'ppm' AS fmt
+        FROM vids, range(7) u(k)
+        WHERE k * 300 < n * 400
     """
     sqls["spherical_area"] = """
         SELECT CAST(i AS INT) AS rid,

@@ -352,7 +352,7 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# video / audio payload plumbing (decode stubbed; Spark-side shapes real)
+# video / audio payload plumbing (real codecs: operators/media.py + jpeg.py)
 # ---------------------------------------------------------------------------
 
 VIDEO_FRAME_SCHEMA = T.StructType([
@@ -368,27 +368,52 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         media_id: str = "media_id", bytes_col: str = "bytes",
                         duration_ms: str = "duration_ms") -> DataFrame:
     """Frame sampling over an opaque video binary column: one output row per
-    sampled timestamp. The codec is STUBBED (no av libs in this container —
-    NotImplementedError unless fmt == 'rawgrid', a deterministic fake whose
-    frame k is synth_pixels(hash(media_id)+k, 16, 16) as PPM); the Spark
-    plumbing — schema, Arrow batching, row explosion — is real and tested."""
+    sampled timestamp, decoded and re-encoded as PPM.
+
+    REAL path: fmt == 'mjpeg_avi' — a RIFF/AVI container with an MJPG
+    stream (operators/media.py); frame timing comes from the avih
+    microseconds-per-frame field (duration = n_frames * us/1000 when the
+    duration column is null), each sampled timestamp maps to the frame
+    on-screen at that instant (idx = ts*1000 // us_per_frame) and that
+    frame's JPEG decodes through operators/jpeg.py.
+
+    'rawgrid' remains the deterministic fake (frame k is
+    synth_pixels(hash(media_id)+k, 16, 16)) for plumbing tests; compressed
+    codecs this container cannot express (H.264, VP9...) raise
+    NotImplementedError. The Spark plumbing — schema, Arrow batching, row
+    explosion — is identical on every path."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapshaper_spark.operators.jpeg import decode_jpeg
+        from mapshaper_spark.operators.media import parse_avi_mjpeg
         for pdf in it:
             out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
             for mid, blob, dur, fmt in zip(pdf[media_id], pdf[bytes_col],
                                            pdf[duration_ms], pdf["fmt"]):
-                if fmt != "rawgrid":
+                if fmt == "rawgrid":
+                    seed = sum(mid.encode()) if isinstance(mid, str) else int(mid)
+                    for k, ts in enumerate(range(0, int(dur), every_ms)):
+                        px = synth_pixels(seed + k, 16, 16)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["ts_ms"].append(ts)
+                        out["frame_bytes"].append(encode_ppm(px))
+                        out["fmt"].append("ppm")
+                elif fmt == "mjpeg_avi":
+                    us, frames = parse_avi_mjpeg(bytes(blob))
+                    total_ms = (dur if dur is not None and not pd.isna(dur)
+                                else len(frames) * us // 1000)
+                    for ts in range(0, int(total_ms), every_ms):
+                        idx = min(ts * 1000 // us, len(frames) - 1)
+                        px = decode_jpeg(frames[idx])
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(int(idx))
+                        out["ts_ms"].append(ts)
+                        out["frame_bytes"].append(encode_ppm(px))
+                        out["fmt"].append("ppm")
+                else:
                     raise NotImplementedError(
                         f"video codec '{fmt}' requires an av library")
-                seed = sum(mid.encode()) if isinstance(mid, str) else int(mid)
-                for k, ts in enumerate(range(0, int(dur), every_ms)):
-                    px = synth_pixels(seed + k, 16, 16)
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(k)
-                    out["ts_ms"].append(ts)
-                    out["frame_bytes"].append(encode_ppm(px))
-                    out["fmt"].append("ppm")
             yield pd.DataFrame(out)
 
     return (df.select(media_id, bytes_col, duration_ms, "fmt")
@@ -405,19 +430,26 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 def extract_audio_features(df: DataFrame, media_id: str = "media_id",
                            bytes_col: str = "bytes") -> DataFrame:
-    """Audio feature extraction over an opaque PCM16-LE binary column
-    (real decode — raw PCM needs no codec): sample count, RMS, zero
-    crossings. Compressed formats raise NotImplementedError (no audio libs
-    in this container)."""
+    """Audio feature extraction over an opaque audio binary column: sample
+    count, RMS, zero crossings.
+
+    Real decodes: fmt == 'pcm16' (raw little-endian), fmt == 'wav' (RIFF
+    container, operators/media.py — PCM16, G.711 mu-law/A-law, IMA ADPCM).
+    Psychoacoustic codecs (MP3, AAC, Opus...) raise NotImplementedError —
+    they genuinely need an audio library this container lacks."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mapshaper_spark.operators.media import decode_wav
         for pdf in it:
             out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
             for mid, blob, fmt in zip(pdf[media_id], pdf[bytes_col], pdf["fmt"]):
-                if fmt != "pcm16":
+                if fmt == "pcm16":
+                    pcm = np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64)
+                elif fmt == "wav":
+                    pcm = decode_wav(bytes(blob))[0].astype(np.float64)
+                else:
                     raise NotImplementedError(
                         f"audio codec '{fmt}' requires an audio library")
-                pcm = np.frombuffer(bytes(blob), dtype="<i2").astype(np.float64)
                 out["media_id"].append(mid)
                 out["n_samples"].append(len(pcm))
                 out["rms"].append(round(float(np.sqrt(np.mean(pcm ** 2))) if len(pcm) else 0.0, 6))

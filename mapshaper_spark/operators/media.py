@@ -1,0 +1,351 @@
+"""Audio + video container codecs (pure numpy/stdlib — no media libraries).
+
+The reference delegates raster/media work entirely (its pipeline carries
+opaque attributes); the BASELINE.json north rule makes media columns
+first-class here, so the decode boundary is real code, not a stub:
+
+  * G.711 mu-law / A-law (ITU-T G.711 tables as closed-form bit math),
+  * IMA ADPCM (the DVI4 / WAV-format-0x11 step-size algorithm),
+  * RIFF/WAVE container parse + write for all of the above,
+  * RIFF/AVI container parse + write with MJPG streams — every frame is a
+    baseline JPEG decoded by operators/jpeg.py (no new image codec).
+
+Everything decodes deterministically so Spark-side results hash-verify.
+Compressed formats this container genuinely cannot express in pure numpy
+(MP3, AAC, H.264, VP9...) still raise NotImplementedError at the dispatch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (ITU-T G.711; closed-form segment/mantissa bit math)
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM -> mu-law bytes (G.711), vectorized."""
+    x = samples.astype(np.int32)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = highest set bit of mag above bit 7 (segments 0..7)
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8))).astype(np.uint8)
+
+
+def ulaw_decode(data: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 PCM (G.711), vectorized."""
+    u = (~data.astype(np.uint8)).astype(np.int32)
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (G.711 linear2alaw), vectorized."""
+    x13 = samples.astype(np.int32) >> 3  # 13-bit input per G.711
+    mask = np.where(x13 >= 0, 0xD5, 0x55)
+    pcm = np.where(x13 < 0, -x13 - 1, x13)
+    pcm = np.minimum(pcm, 0xFFF)
+    # segment = floor(log2(pcm)) - 4 for pcm >= 0x20, else 0
+    seg = np.where(pcm >= 0x20,
+                   np.floor(np.log2(np.maximum(pcm, 1))).astype(np.int32) - 4, 0)
+    mant = (pcm >> np.maximum(seg, 1)) & 0x0F
+    return (((seg << 4) | mant) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(data: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 PCM (G.711 alaw2linear), vectorized."""
+    a = (data.astype(np.uint8) ^ 0x55).astype(np.int32)
+    positive = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4 / WAV format 0x11), mono
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, predictor: int, index: int) -> np.ndarray:
+    """Replay the IMA ADPCM predictor over a nibble stream (serial by spec)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    pred = int(predictor)
+    idx = int(index)
+    steps = _IMA_STEPS
+    adj = _IMA_INDEX_ADJ
+    for i, nib in enumerate(nibbles):
+        nib = int(nib)
+        step = int(steps[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            pred -= diff
+        else:
+            pred += diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(adj[nib & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_samples(samples: np.ndarray, predictor: int, index: int):
+    """int16 -> 4-bit codes; returns (nibbles, final_pred, final_index)."""
+    nibbles = np.empty(len(samples), dtype=np.uint8)
+    pred = int(predictor)
+    idx = int(index)
+    for i, s in enumerate(samples):
+        step = int(_IMA_STEPS[idx])
+        delta = int(s) - pred
+        nib = 0
+        if delta < 0:
+            nib = 8
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # reconstruct exactly as the decoder will
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred += -diff if nib & 8 else diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nib & 7])))
+        nibbles[i] = nib
+    return nibbles, pred, idx
+
+
+def ima_adpcm_encode_blocks(samples: np.ndarray, samples_per_block: int = 505) -> bytes:
+    """Mono int16 -> WAV-format-0x11 block stream. Each block: 4-byte header
+    (first sample verbatim + step index) then (samples_per_block-1) nibbles
+    packed low-first. The final block is zero-padded to full size (WAV
+    `fact`/data sample count trims it on decode)."""
+    out = bytearray()
+    idx = 0
+    pos = 0
+    n = len(samples)
+    while pos < n:
+        first = int(samples[pos])
+        block = samples[pos + 1:pos + samples_per_block]
+        pos += samples_per_block
+        out += struct.pack("<hBB", first, idx, 0)
+        pad = (samples_per_block - 1) - len(block)
+        if pad:
+            block = np.concatenate([block, np.full(pad, block[-1] if len(block)
+                                                   else first, dtype=np.int16)])
+        nibbles, _pred, idx = _ima_encode_samples(block, first, idx)
+        if len(nibbles) % 2:
+            nibbles = np.append(nibbles, 0)
+        out += (nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def ima_adpcm_decode_blocks(data: bytes, samples_per_block: int = 505,
+                            n_samples: int | None = None) -> np.ndarray:
+    """WAV-format-0x11 block stream -> mono int16."""
+    block_bytes = 4 + (samples_per_block - 1 + 1) // 2
+    chunks = []
+    for off in range(0, len(data), block_bytes):
+        block = data[off:off + block_bytes]
+        if len(block) < 4:
+            break
+        first, idx, _r = struct.unpack("<hBB", block[:4])
+        packed = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+        nibbles[0::2] = packed & 0x0F
+        nibbles[1::2] = packed >> 4
+        rest = _ima_decode_nibbles(nibbles[:samples_per_block - 1], first, idx)
+        chunks.append(np.concatenate([[np.int16(first)], rest]))
+    out = np.concatenate(chunks) if chunks else np.empty(0, np.int16)
+    return out[:n_samples] if n_samples is not None else out
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE container
+# ---------------------------------------------------------------------------
+
+_WAV_PCM16, _WAV_ALAW, _WAV_ULAW, _WAV_IMA = 1, 6, 7, 0x11
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, codec: str = "pcm16",
+               samples_per_block: int = 505) -> bytes:
+    """Mono int16 samples -> WAV bytes in one of pcm16 / alaw / ulaw /
+    ima_adpcm. Writes a `fact` chunk for the compressed formats (sample
+    count), matching what mainstream writers emit."""
+    samples = np.asarray(samples, dtype=np.int16)
+    n = len(samples)
+    if codec == "pcm16":
+        fmt_tag, bits, block_align = _WAV_PCM16, 16, 2
+        payload = samples.astype("<i2").tobytes()
+        extra = b""
+    elif codec == "ulaw":
+        fmt_tag, bits, block_align = _WAV_ULAW, 8, 1
+        payload = ulaw_encode(samples).tobytes()
+        extra = struct.pack("<H", 0)
+    elif codec == "alaw":
+        fmt_tag, bits, block_align = _WAV_ALAW, 8, 1
+        payload = alaw_encode(samples).tobytes()
+        extra = struct.pack("<H", 0)
+    elif codec == "ima_adpcm":
+        fmt_tag, bits = _WAV_IMA, 4
+        block_align = 4 + (samples_per_block - 1 + 1) // 2
+        payload = ima_adpcm_encode_blocks(samples, samples_per_block)
+        extra = struct.pack("<HH", 2, samples_per_block)
+    else:
+        raise ValueError(f"unknown wav codec {codec}")
+    byte_rate = rate * block_align if fmt_tag == _WAV_IMA else rate * block_align
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, byte_rate, block_align, bits) + extra
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if fmt_tag != _WAV_PCM16:
+        chunks.append(b"fact" + struct.pack("<II", 4, n))
+    data = payload + (b"\x00" if len(payload) % 2 else b"")
+    chunks.append(b"data" + struct.pack("<I", len(payload)) + data)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (mono int16 samples, sample_rate). Supports PCM16,
+    G.711 A-law/mu-law, IMA ADPCM (format 0x11). Anything else raises."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt_tag = rate = block_align = None
+    samples_per_block = fact_samples = None
+    payload = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        chunk = data[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _br, block_align, _bits = struct.unpack(
+                "<HHIIHH", chunk[:16])
+            if channels != 1:
+                raise NotImplementedError("only mono WAV supported")
+            if fmt_tag == _WAV_IMA and length >= 20:
+                (_cb, samples_per_block) = struct.unpack("<HH", chunk[16:20])
+        elif tag == b"fact":
+            (fact_samples,) = struct.unpack("<I", chunk[:4])
+        elif tag == b"data":
+            payload = chunk
+        pos += 8 + length + (length % 2)
+    if fmt_tag is None or payload is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag == _WAV_PCM16:
+        return np.frombuffer(payload, dtype="<i2").copy(), rate
+    if fmt_tag == _WAV_ULAW:
+        return ulaw_decode(np.frombuffer(payload, np.uint8)), rate
+    if fmt_tag == _WAV_ALAW:
+        return alaw_decode(np.frombuffer(payload, np.uint8)), rate
+    if fmt_tag == _WAV_IMA:
+        spb = samples_per_block or (block_align - 4) * 2 + 1
+        return ima_adpcm_decode_blocks(payload, spb, fact_samples), rate
+    raise NotImplementedError(f"WAV format tag 0x{fmt_tag:x} requires an audio library")
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container with MJPG streams
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(kind: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + payload)
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: float = 10.0,
+                     w: int = 16, h: int = 16) -> bytes:
+    """JPEG frame blobs -> minimal single-stream AVI (vids/MJPG) with a
+    standard hdrl (avih + strh/strf), movi of 00dc chunks, and an idx1."""
+    us_per_frame = int(round(1_000_000 / fps))
+    n = len(frames)
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0x10, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    rate, scale = int(round(fps * 1000)), 1000
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            scale, rate, 0, n, 0, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) +
+                      _riff_list(b"strl", _riff_chunk(b"strh", strh) +
+                                 _riff_chunk(b"strf", strf)))
+    movi_payload = b"movi"
+    idx_entries = []
+    for blob in frames:
+        idx_entries.append((len(movi_payload) - 4 + 8, len(blob)))
+        movi_payload += _riff_chunk(b"00dc", blob)
+    movi = _riff_chunk(b"LIST", movi_payload)
+    idx1 = b"".join(b"00dc" + struct.pack("<III", 0x10, off, size)
+                    for off, size in idx_entries)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(data: bytes) -> tuple[int, list[bytes]]:
+    """AVI bytes -> (microseconds_per_frame, [jpeg_frame_bytes...]).
+    Walks the RIFF tree; frames come from 00dc/00dd chunks in movi order
+    (idx1, if present, is ignored — movi order is authoritative here)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    us_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        pos = start
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag in (b"LIST", b"RIFF"):
+                walk(body_start + 4, body_start + length)
+            elif tag == b"avih":
+                (us_per_frame,) = struct.unpack("<I", data[body_start:body_start + 4])
+            elif tag[2:4] in (b"dc", b"dd") and tag[:2].isdigit():
+                frames.append(data[body_start:body_start + length])
+            pos = body_start + length + (length % 2)
+
+    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
+    if us_per_frame is None:
+        raise ValueError("AVI missing avih header")
+    return us_per_frame, frames

@@ -1,0 +1,165 @@
+"""Tests for operators/media.py: G.711, IMA ADPCM, WAV and AVI/MJPG
+containers, and their Spark-side wiring in operators/images.py.
+
+The reference pipeline carries media as opaque attributes; the decode
+semantics verified here come from the public specs (ITU-T G.711 tables,
+IMA ADPCM / WAV format 0x11, RIFF/AVI) — see operators/media.py header.
+"""
+
+import numpy as np
+import pytest
+
+from mapshaper_spark.operators import images as IM
+from mapshaper_spark.operators import media as M
+from mapshaper_spark.operators.jpeg import encode_jpeg
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    ref = ref.astype(np.float64)
+    err = ref - out.astype(np.float64)
+    return 10 * np.log10(np.sum(ref ** 2) / max(np.sum(err ** 2), 1e-12))
+
+
+class TestG711:
+    # Published G.711 table anchors (ITU-T G.711 / CCITT Blue Book).
+    def test_ulaw_known_values(self):
+        dec = M.ulaw_decode(np.array([0xFF, 0x00, 0x80, 0x7F], np.uint8))
+        assert dec[0] == 0          # code 0xFF = +0
+        assert dec[1] == -32124     # most negative
+        assert dec[2] == 32124      # most positive
+        assert dec[3] == 0          # "minus zero" alias
+
+    def test_alaw_known_values(self):
+        dec = M.alaw_decode(np.array([0x55, 0xD5, 0x2A, 0xAA], np.uint8))
+        assert dec[0] == -8         # code 0x55 (all-toggle) = smallest neg
+        assert dec[1] == 8
+        assert dec[2] == -32256     # most negative
+        assert dec[3] == 32256      # most positive
+
+    def test_ulaw_roundtrip_all_codes(self):
+        codes = np.arange(256, dtype=np.uint8)
+        rt = M.ulaw_encode(M.ulaw_decode(codes))
+        # 0x7F is "minus zero": decodes to 0, re-encodes as +0 = 0xFF.
+        ok = (rt == codes) | ((codes == 0x7F) & (rt == 0xFF))
+        assert ok.all()
+
+    def test_alaw_roundtrip_all_codes(self):
+        codes = np.arange(256, dtype=np.uint8)
+        rt = M.alaw_encode(M.alaw_decode(codes))
+        assert (rt == codes).all()
+
+    def test_ulaw_encode_monotone_error_bound(self):
+        x = np.arange(-32124, 32124, 7, dtype=np.int16)
+        rt = M.ulaw_decode(M.ulaw_encode(x))
+        # worst-case quantization error in the top segment is < 1024
+        assert np.max(np.abs(rt.astype(np.int32) - x.astype(np.int32))) < 1024
+        assert _snr_db(x, rt) > 30
+
+
+class TestIMAADPCM:
+    def test_roundtrip_snr(self):
+        t = np.arange(4000)
+        x = (8000 * np.sin(2 * np.pi * t / 127.0)).astype(np.int16)
+        blob = M.ima_adpcm_encode_blocks(x)
+        out = M.ima_adpcm_decode_blocks(blob, n_samples=len(x))
+        assert len(out) == len(x)
+        assert _snr_db(x, out) > 25
+
+    def test_first_sample_verbatim(self):
+        x = np.array([1234] + [0] * 600, dtype=np.int16)
+        out = M.ima_adpcm_decode_blocks(M.ima_adpcm_encode_blocks(x),
+                                        n_samples=len(x))
+        assert out[0] == 1234
+        # block 2's header also carries its first sample verbatim
+        assert out[505] == 0
+
+
+class TestWav:
+    def test_pcm16_roundtrip_exact(self):
+        x = ((np.arange(777) * 251) % 60001 - 30000).astype(np.int16)
+        pcm, rate = M.decode_wav(M.encode_wav(x, rate=8000, codec="pcm16"))
+        assert rate == 8000
+        assert (pcm == x).all()
+
+    @pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+    def test_g711_container_matches_raw_codec(self, codec):
+        x = ((np.arange(500) * 997) % 50001 - 25000).astype(np.int16)
+        pcm, rate = M.decode_wav(M.encode_wav(x, rate=16000, codec=codec))
+        enc = M.ulaw_encode(x) if codec == "ulaw" else M.alaw_encode(x)
+        dec = M.ulaw_decode(enc) if codec == "ulaw" else M.alaw_decode(enc)
+        assert (pcm == dec).all()
+
+    def test_ima_container_trims_to_fact(self):
+        x = (3000 * np.sin(np.arange(1300) / 9.0)).astype(np.int16)
+        pcm, _ = M.decode_wav(M.encode_wav(x, codec="ima_adpcm"))
+        assert len(pcm) == 1300   # fact chunk trims the padded final block
+        assert _snr_db(x, pcm) > 25
+
+    def test_unknown_format_raises(self):
+        import struct
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 8)  # MP3 tag
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt +
+                b"data" + struct.pack("<I", 2) + b"\x00\x00")
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            M.decode_wav(blob)
+
+
+class TestAviMjpeg:
+    def _frames(self, n=4):
+        return [encode_jpeg(IM.synth_pixels(100 + k, 16, 16), quality=90)
+                for k in range(n)]
+
+    def test_container_roundtrip(self):
+        frames = self._frames()
+        us, out = M.parse_avi_mjpeg(M.encode_avi_mjpeg(frames, fps=10.0))
+        assert us == 100_000
+        assert len(out) == 4
+        assert all(a == b for a, b in zip(out, frames))
+
+    def test_decoded_frames_psnr(self):
+        frames = self._frames(2)
+        from mapshaper_spark.operators.jpeg import decode_jpeg
+        _, out = M.parse_avi_mjpeg(M.encode_avi_mjpeg(frames))
+        for k, blob in enumerate(out):
+            assert IM.psnr(decode_jpeg(blob),
+                           IM.synth_pixels(100 + k, 16, 16)) >= 40
+
+    def test_odd_length_frame_padding(self):
+        # RIFF pads odd chunk payloads; the parser must skip the pad byte
+        frames = [b"\xff\xd8" + b"x" * 13 + b"\xff\xd9",   # odd length
+                  b"\xff\xd8" + b"y" * 14 + b"\xff\xd9"]
+        _, out = M.parse_avi_mjpeg(M.encode_avi_mjpeg(frames, fps=5.0))
+        assert out == frames
+
+
+class TestSparkMediaWiring:
+    def test_audio_features_wav_all_codecs(self, spark):
+        x = (6000 * np.sin(np.arange(800) / 11.0)).astype(np.int16)
+        rows = [(f"w_{c}", bytearray(M.encode_wav(x, codec=c)), "wav")
+                for c in ["pcm16", "ulaw", "alaw", "ima_adpcm"]]
+        df = spark.createDataFrame(rows,
+                                   "media_id string, bytes binary, fmt string")
+        got = {r.media_id: r for r in IM.extract_audio_features(df).collect()}
+        assert got["w_pcm16"].n_samples == 800
+        assert got["w_pcm16"].rms == pytest.approx(
+            float(np.sqrt(np.mean(x.astype(np.float64) ** 2))), abs=1e-4)
+        # lossy codecs: same sample count, RMS within codec error
+        for c in ["ulaw", "alaw", "ima_adpcm"]:
+            assert got[f"w_{c}"].n_samples == 800
+            assert got[f"w_{c}"].rms == pytest.approx(got["w_pcm16"].rms,
+                                                      rel=0.02)
+
+    def test_video_frames_mjpeg_avi(self, spark):
+        frames = [encode_jpeg(IM.synth_pixels(7 + k, 16, 16), quality=90)
+                  for k in range(5)]
+        blob = bytearray(M.encode_avi_mjpeg(frames, fps=2.0))  # 500 ms/frame
+        vids = spark.createDataFrame(
+            [("mv1", blob, None, "mjpeg_avi")],
+            "media_id string, bytes binary, duration_ms long, fmt string")
+        out = IM.sample_video_frames(vids, every_ms=1000).collect()
+        # duration = 5 frames * 500 ms = 2500 ms -> ts 0, 1000, 2000
+        assert [(r.ts_ms, r.frame_idx) for r in out] == [(0, 0), (1000, 2),
+                                                         (2000, 4)]
+        px = IM.decode_ppm(bytes(out[1].frame_bytes))
+        assert IM.psnr(px, IM.synth_pixels(7 + 2, 16, 16)) >= 40
