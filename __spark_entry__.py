@@ -506,6 +506,21 @@ def q_proj_webmercator(spark, sf_dir):
                       F.round("lat", 4).alias("my"))
 
 
+def q_proj_sinu(spark, sf_dir):
+    """Round-3 -proj tail: ellipsoidal sinusoidal (Snyder eq. 30-1..30-2;
+    geom/projections.py Sinusoidal). Input lon/lat derive from integer
+    arithmetic so Spark and DuckDB agree bit-for-bit; the oracle re-derives
+    the full meridional-arc series in SQL."""
+    pts = spark.range(0, 100).select(
+        F.col("id"),
+        (F.lit(-170.0) + (F.col("id") * 73 % 3400) / 10.0).alias("lon"),
+        (F.lit(-80.0) + (F.col("id") * 117 % 1600) / 10.0).alias("lat"))
+    out = PR.project_points(pts, "lon", "lat",
+                            crs="+proj=sinu +lon_0=-20 +datum=WGS84")
+    return out.select("id", F.round("lon", 4).alias("x"),
+                      F.round("lat", 4).alias("y"))
+
+
 def q_proj_lcc(spark, sf_dir):
     """Full -proj surface beyond webmercator: LCC / AEA / TM forward
     projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
@@ -1284,9 +1299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster": q_cluster,
         "fast_simplify": q_fast_simplify,
         # geometry expressions / proj / simplify
-        "proj_webmercator": q_proj_webmercator,
         "proj_lcc": q_proj_lcc,
         "proj_albersusa": q_proj_albersusa,
+        "proj_sinu": q_proj_sinu,
         # LLM-data-pipeline family
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
@@ -1301,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-checked by tools/check_oracle.py)
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
+        "proj_webmercator": q_proj_webmercator,
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
         "calc_aggs": q_calc_aggs,
@@ -2018,6 +2034,28 @@ def oracle_sql() -> dict[str, str]:
             (2, 5, 1.0, 2.0, 2.0, 1.0),
             (3, 3, 1.0, 2.0, 2.0, 1.0))
             t(arc_id, n, x0, y0, x1, y1)
+    """
+    sqls["proj_sinu"] = """
+        -- ellipsoidal sinusoidal, Snyder eq. 30-1..30-2 re-derived in SQL
+        -- (WGS84, lon_0 = -20): x = a*lam*cos(phi)/sqrt(1-es*sin^2 phi),
+        -- y = meridional arc M(phi) by the eq. 3-21 series
+        WITH pts AS (
+            SELECT i AS id,
+                   -170.0 + (i * 73 % 3400) / 10.0 AS lon,
+                   -80.0 + (i * 117 % 1600) / 10.0 AS lat
+            FROM range(100) t(i)),
+        f AS (
+            SELECT id, radians(lat) AS phi, radians(lon + 20.0) AS lam,
+                   CAST(6378137.0 AS DOUBLE) AS a,
+                   CAST(0.0066943799901413165 AS DOUBLE) AS es
+            FROM pts)
+        SELECT id,
+            round(a * lam * cos(phi) / sqrt(1 - es * sin(phi) * sin(phi)), 4) AS x,
+            round(a * ((1 - es/4 - 3*es*es/64 - 5*es*es*es/256) * phi
+                     - (3*es/8 + 3*es*es/32 + 45*es*es*es/1024) * sin(2*phi)
+                     + (15*es*es/256 + 45*es*es*es/1024) * sin(4*phi)
+                     - (35*es*es*es/3072) * sin(6*phi)), 4) AS y
+        FROM f
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):

@@ -59,6 +59,25 @@ def _phi2(ts, e, iters=15):
     return phi
 
 
+def _mlfn(phi, a, es):
+    """Meridional arc length from the equator (Snyder eq. 3-21)."""
+    return a * (
+        (1 - es / 4 - 3 * es ** 2 / 64 - 5 * es ** 3 / 256) * phi
+        - (3 * es / 8 + 3 * es ** 2 / 32 + 45 * es ** 3 / 1024) * np.sin(2 * phi)
+        + (15 * es ** 2 / 256 + 45 * es ** 3 / 1024) * np.sin(4 * phi)
+        - (35 * es ** 3 / 3072) * np.sin(6 * phi))
+
+
+def _inv_mlfn(M, a, es):
+    """Footpoint latitude for a meridional arc (Snyder eq. 7-19, 3-26)."""
+    e1 = (1 - math.sqrt(1 - es)) / (1 + math.sqrt(1 - es))
+    mu = M / (a * (1 - es / 4 - 3 * es ** 2 / 64 - 5 * es ** 3 / 256))
+    return (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+            + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+            + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+            + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+
+
 def _qsfn(sphi, e, es):
     if e < 1e-12:
         return 2.0 * sphi
@@ -491,6 +510,257 @@ class Stereographic(Projection):
         return lam / D2R + self.lon0, phi / D2R
 
 
+class Sinusoidal(Projection):
+    """sinu, ellipsoidal (Snyder eq. 30-1..30-2 / inverse 30-6..30-8,
+    pp. 243-248). Verified by the equal-area property + round-trip."""
+
+    def __init__(self, a, es, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sphi = np.sin(phi)
+        x = self.a * lam * np.cos(phi) / np.sqrt(1.0 - self.es * sphi * sphi)
+        return x + self.x0, _mlfn(phi, self.a, self.es) + self.y0
+
+    def inv(self, x, y):
+        phi = _inv_mlfn(np.asarray(y, dtype=np.float64) - self.y0,
+                        self.a, self.es)
+        sphi, cphi = np.sin(phi), np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = ((np.asarray(x, dtype=np.float64) - self.x0) *
+                   np.sqrt(1.0 - self.es * sphi * sphi) / (self.a * cphi))
+        lam = np.where(np.abs(cphi) < 1e-12, 0.0, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Mollweide(Projection):
+    """moll, spherical (Snyder eq. 31-1..31-8, pp. 249-252): Newton solve
+    of 2t + sin 2t = pi sin(phi). Verified by the equal-area property,
+    the frame extents (2*sqrt(2)*R by sqrt(2)*R), and round-trip."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def _theta(self, phi):
+        target = math.pi * np.sin(phi)
+        theta = phi.copy()
+        for _ in range(25):
+            denom = 2.0 + 2.0 * np.cos(2.0 * theta)
+            delta = np.where(np.abs(denom) < 1e-14, 0.0,
+                             -(2.0 * theta + np.sin(2.0 * theta) - target) /
+                             np.maximum(denom, 1e-14))
+            theta = theta + delta
+            if np.all(np.abs(delta) < 1e-13):
+                break
+        return np.where(np.abs(phi) >= HALFPI - 1e-12,
+                        np.sign(phi) * HALFPI, theta)
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        theta = self._theta(phi)
+        x = (2.0 * math.sqrt(2.0) / math.pi) * self.a * lam * np.cos(theta)
+        y = math.sqrt(2.0) * self.a * np.sin(theta)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        theta = np.arcsin(np.clip(
+            (np.asarray(y, dtype=np.float64) - self.y0) /
+            (math.sqrt(2.0) * self.a), -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (2.0 * theta + np.sin(2.0 * theta)) / math.pi, -1.0, 1.0))
+        ctheta = np.cos(theta)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (math.pi * (np.asarray(x, dtype=np.float64) - self.x0) /
+                   (2.0 * math.sqrt(2.0) * self.a * ctheta))
+        lam = np.where(np.abs(ctheta) < 1e-12, 0.0, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class _SphericalAzimuthal(Projection):
+    """Shared oblique-aspect machinery for the spherical azimuthal family
+    (Snyder ch. 20/22/25: common direction equations, per-projection radial
+    scale k'(c) and inverse radial angle c(rho))."""
+
+    def __init__(self, a, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lat0, self.lon0 = a, lat0, lon0
+        self.x0, self.y0 = x0, y0
+        self.s0 = math.sin(lat0 * D2R)
+        self.c0 = math.cos(lat0 * D2R)
+
+    def _k(self, cosc):  # radial scale as a function of cos(angular dist)
+        raise NotImplementedError
+
+    def _c(self, rho):   # angular distance from projected radius
+        raise NotImplementedError
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sp, cp = np.sin(phi), np.cos(phi)
+        cosc = np.clip(self.s0 * sp + self.c0 * cp * np.cos(lam), -1.0, 1.0)
+        k = self._k(cosc)
+        x = self.a * k * cp * np.sin(lam)
+        y = self.a * k * (self.c0 * sp - self.s0 * cp * np.cos(lam))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.x0
+        yp = np.asarray(y, dtype=np.float64) - self.y0
+        rho = np.hypot(xp, yp)
+        c = self._c(rho)
+        sc, cc = np.sin(c), np.cos(c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            phi = np.arcsin(np.clip(
+                cc * self.s0 + yp * sc * self.c0 / np.where(rho == 0, 1.0, rho),
+                -1.0, 1.0))
+            lam = np.arctan2(xp * sc, rho * self.c0 * cc - yp * self.s0 * sc)
+        phi = np.where(rho == 0, self.lat0 * D2R, phi)
+        lam = np.where(rho == 0, 0.0, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class AzimuthalEquidistant(_SphericalAzimuthal):
+    """aeqd, spherical oblique (Snyder eq. 25-1..25-4, p. 195): k' = c/sin c,
+    so projected distance from the center is EXACTLY R*c — the defining
+    property the tests assert."""
+
+    def _k(self, cosc):
+        c = np.arccos(cosc)
+        sinc = np.sin(c)
+        return np.where(sinc < 1e-12, 1.0, c / np.where(sinc == 0, 1.0, sinc))
+
+    def _c(self, rho):
+        return rho / self.a
+
+
+class Orthographic(_SphericalAzimuthal):
+    """ortho, spherical (Snyder eq. 20-3..20-6, pp. 148-150): k' = 1. The
+    far hemisphere projects onto the near disk (no horizon clip — matching
+    proj's behavior of leaving clipping to the caller)."""
+
+    def _k(self, cosc):
+        return np.ones_like(cosc)
+
+    def _c(self, rho):
+        return np.arcsin(np.clip(rho / self.a, -1.0, 1.0))
+
+
+class Gnomonic(_SphericalAzimuthal):
+    """gnom, spherical (Snyder eq. 22-3..22-5, pp. 164-168): k' = 1/cos c.
+    Great circles map to straight lines — the property the tests assert."""
+
+    def _k(self, cosc):
+        return 1.0 / np.maximum(cosc, 1e-12)
+
+    def _c(self, rho):
+        return np.arctan(rho / self.a)
+
+
+class CylindricalEqualArea(Projection):
+    """cea, ellipsoidal with standard parallel lat_ts (Snyder eq. 10-7,
+    10-8, 10-11, pp. 81-83): x = a*k0*lam, y = a*q/(2*k0). Verified by the
+    equal-area property + round-trip."""
+
+    def __init__(self, a, es, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        phs = lat_ts * D2R
+        self.k0 = float(_msfn(math.sin(phs), math.cos(phs), es)) if es > 0 \
+            else math.cos(phs)
+        self.qp = float(_qsfn(np.float64(1.0), self.e, es))
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        q = _qsfn(np.sin(phi), self.e, self.es)
+        return (self.a * self.k0 * lam + self.x0,
+                self.a * q / (2.0 * self.k0) + self.y0)
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) / (self.a * self.k0)
+        q = 2.0 * (np.asarray(y, dtype=np.float64) - self.y0) * self.k0 / self.a
+        if self.es == 0.0:
+            phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        else:
+            beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+            phi = beta
+            for _ in range(15):
+                sphi = np.sin(phi)
+                con = self.e * sphi
+                phi = phi + (self.qp * np.sin(beta) -
+                             _qsfn(sphi, self.e, self.es)) * \
+                    ((1.0 - con * con) ** 2 /
+                     (2.0 * np.cos(phi) * (1.0 - self.es)))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Miller(Projection):
+    """mill, Miller cylindrical, spherical (Snyder eq. 18-1..18-4, p. 88):
+    y = R * ln(tan(pi/4 + 0.4*phi)) / 0.8, exact closed-form inverse."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        y = self.a * np.log(np.tan(0.25 * math.pi + 0.4 * phi)) / 0.8
+        return self.a * lam + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        phi = 2.5 * np.arctan(np.exp(
+            0.8 * (np.asarray(y, dtype=np.float64) - self.y0) / self.a)) - \
+            0.625 * math.pi
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class EquidistantConic(Projection):
+    """eqdc, ellipsoidal 2SP (Snyder eq. 16-1..16-6 / inverse 16-10..16-11,
+    pp. 111-115). Along every meridian, projected distance equals the true
+    meridional arc — the property the tests assert."""
+
+    def __init__(self, a, es, lat1, lat2, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        p1, p2 = lat1 * D2R, lat2 * D2R
+        m1 = float(_msfn(math.sin(p1), math.cos(p1), es))
+        M1 = float(_mlfn(np.float64(p1), a, es))
+        if abs(lat1 - lat2) < 1e-10:
+            self.n = math.sin(p1)
+        else:
+            m2 = float(_msfn(math.sin(p2), math.cos(p2), es))
+            M2 = float(_mlfn(np.float64(p2), a, es))
+            self.n = a * (m1 - m2) / (M2 - M1)
+        self.G = m1 / self.n + M1 / a
+        self.rho0 = a * self.G - float(_mlfn(np.float64(lat0 * D2R), a, es))
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        rho = self.a * self.G - _mlfn(phi, self.a, self.es)
+        theta = self.n * lam
+        return (rho * np.sin(theta) + self.x0,
+                self.rho0 - rho * np.cos(theta) + self.y0)
+
+    def inv(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.x0
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.hypot(xp, yp)
+        if self.n < 0:
+            rho = -rho
+            theta = np.arctan2(-xp, -yp)
+        else:
+            theta = np.arctan2(xp, yp)
+        M = self.a * self.G - rho
+        phi = _inv_mlfn(M, self.a, self.es)
+        return theta / (self.n * D2R) + self.lon0, phi / D2R
+
+
 class AlbersUSA(Projection):
     """mapshaper 'albersusa' (AlbersNYT, /root/reference/src/geom/
     mapshaper-projections.js:132-140 + mapshaper-mixed-projection.js):
@@ -637,6 +907,25 @@ def get_projection(defn: str) -> Projection:
                 k0s = (1.0 + math.sin(abs(pts))) / 2.0
         return Stereographic(a, es, lat0=lat0s, lon0=lon0, k0=k0s,
                              x0=x0, y0=y0)
+    if name == "sinu":
+        return Sinusoidal(a, es, lon0=lon0, x0=x0, y0=y0)
+    if name == "moll":
+        return Mollweide(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "aeqd":
+        return AzimuthalEquidistant(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "ortho":
+        return Orthographic(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "gnom":
+        return Gnomonic(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "cea":
+        return CylindricalEqualArea(a, es, lat_ts=float(p.get("lat_ts", 0.0)),
+                                    lon0=lon0, x0=x0, y0=y0)
+    if name == "mill":
+        return Miller(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "eqdc":
+        lat1 = float(p.get("lat_1", 0.0))
+        lat2 = float(p.get("lat_2", p.get("lat_1", 0.0)))
+        return EquidistantConic(a, es, lat1, lat2, lat0, lon0, x0, y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

@@ -274,3 +274,167 @@ class TestProjTail:
         lo, la = p.inv(*p.fwd(np.array([0.0, 140.0]), np.array([-90.0, -66.0])))
         assert np.allclose(la, [-90.0, -66.0], atol=1e-9)
         assert abs(((lo[1] - 140.0 + 180) % 360) - 180) < 1e-9
+
+
+class TestProjTailRound3:
+    """sinu / moll / aeqd / ortho / gnom / cea / mill / eqdc: each verified
+    by the projection's DEFINING mathematical property (stronger than
+    transcribed constants) + inverse round-trip."""
+
+    A, ES = PJ.ELLIPSOIDS["WGS84"]
+
+    def _area_scale(self, p, lon, lat, a, es):
+        d = 1e-4
+        lons = np.array([lon, lon + d, lon + d, lon])
+        lats = np.array([lat, lat, lat + d, lat + d])
+        x, y = p.fwd(lons, lats)
+        proj_area = 0.5 * abs(sum(
+            x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i] for i in range(4)))
+        phi = math.radians(lat)
+        sp = math.sin(phi)
+        m_rad = a * (1 - es) / (1 - es * sp * sp) ** 1.5
+        n_rad = a / math.sqrt(1 - es * sp * sp)
+        return proj_area / (m_rad * n_rad * math.cos(phi) *
+                            math.radians(d) ** 2)
+
+    @pytest.mark.parametrize("defn", [
+        "+proj=sinu +lon_0=-90 +datum=WGS84",
+        "+proj=cea +lat_ts=30 +datum=WGS84",
+        "+proj=moll +lon_0=20 +a=6378137 +b=6378137",
+    ])
+    def test_equal_area_property(self, defn):
+        p = PJ.get_projection(defn)
+        a = 6378137.0
+        es = 0.0 if "moll" in defn else self.ES
+        for lon, lat in ((-100.0, 45.0), (-80.0, 12.0), (-120.0, 60.0),
+                         (-95.0, -33.0)):
+            assert self._area_scale(p, lon, lat, a, es) == \
+                pytest.approx(1.0, rel=1e-3)
+
+    def test_sinu_central_meridian_is_meridional_arc(self):
+        p = PJ.get_projection("+proj=sinu +lon_0=-90 +datum=WGS84")
+        x, y = p.fwd(np.array([-90.0]), np.array([40.0]))
+        assert x[0] == pytest.approx(0.0, abs=1e-6)
+        assert y[0] == pytest.approx(
+            float(PJ._mlfn(np.float64(math.radians(40.0)), self.A, self.ES)),
+            abs=1e-6)
+
+    def test_moll_frame_extents(self):
+        p = PJ.Mollweide(a=1.0)
+        x, _ = p.fwd(np.array([180.0, -180.0]), np.array([0.0, 0.0]))
+        np.testing.assert_allclose(
+            x, [2 * math.sqrt(2), -2 * math.sqrt(2)], atol=1e-9)
+        _, y = p.fwd(np.array([0.0, 0.0]), np.array([90.0, -90.0]))
+        np.testing.assert_allclose(
+            y, [math.sqrt(2), -math.sqrt(2)], atol=1e-9)
+
+    def test_aeqd_exact_center_distances(self):
+        # defining property: projected radius == R * true angular distance
+        R = 6378137.0
+        p = PJ.get_projection("+proj=aeqd +lat_0=40 +lon_0=-100 +a=6378137 +b=6378137")
+        lons = np.array([-100.0, -60.0, 80.0, -100.0])
+        lats = np.array([40.0, 10.0, -30.0, -50.0])
+        x, y = p.fwd(lons, lats)
+        c0 = math.cos(math.radians(40))
+        for k in range(4):
+            lam = math.radians(lons[k] + 100.0)
+            phi = math.radians(lats[k])
+            # haversine: numerically stable angular distance even at c ~ 0
+            c = 2.0 * math.asin(math.sqrt(
+                math.sin((phi - math.radians(40)) / 2.0) ** 2 +
+                c0 * math.cos(phi) * math.sin(lam / 2.0) ** 2))
+            assert math.hypot(x[k], y[k]) == pytest.approx(R * c, abs=1e-3)
+
+    def test_ortho_radius_is_sin_of_distance(self):
+        R = 6378137.0
+        p = PJ.get_projection("+proj=ortho +lat_0=40 +lon_0=-100 +a=6378137 +b=6378137")
+        lons = np.array([-95.0, -120.0, -80.0])
+        lats = np.array([45.0, 20.0, 55.0])
+        x, y = p.fwd(lons, lats)
+        s0, c0 = math.sin(math.radians(40)), math.cos(math.radians(40))
+        for k in range(3):
+            lam = math.radians(lons[k] + 100.0)
+            phi = math.radians(lats[k])
+            c = math.acos(s0 * math.sin(phi) +
+                          c0 * math.cos(phi) * math.cos(lam))
+            assert math.hypot(x[k], y[k]) == pytest.approx(
+                R * math.sin(c), abs=1e-3)
+
+    def test_gnom_great_circles_are_straight(self):
+        # three points of the great circle through (0,0) with azimuth 35deg
+        # must be collinear under any gnomonic aspect
+        p = PJ.get_projection("+proj=gnom +lat_0=15 +lon_0=10 +a=6378137 +b=6378137")
+        az = math.radians(35.0)
+        pts = []
+        for sigma in (0.1, 0.25, 0.4):  # arc distances along the circle
+            lat = math.asin(math.cos(az) * math.sin(sigma))
+            lon = math.degrees(math.atan2(math.sin(az) * math.sin(sigma),
+                                          math.cos(sigma)))
+            pts.append((lon, math.degrees(lat)))
+        x, y = p.fwd(np.array([q[0] for q in pts]),
+                     np.array([q[1] for q in pts]))
+        cross = (x[1] - x[0]) * (y[2] - y[0]) - (x[2] - x[0]) * (y[1] - y[0])
+        span = math.hypot(x[2] - x[0], y[2] - y[0])
+        assert abs(cross) / (span * span) < 1e-9
+
+    def test_mill_matches_closed_form(self):
+        p = PJ.get_projection("+proj=mill +a=6378137 +b=6378137")
+        R = 6378137.0
+        x, y = p.fwd(np.array([-75.0]), np.array([50.0]))
+        assert x[0] == pytest.approx(R * math.radians(-75.0), abs=1e-6)
+        assert y[0] == pytest.approx(
+            R * math.log(math.tan(math.pi / 4 + 0.4 * math.radians(50.0))) / 0.8,
+            abs=1e-6)
+
+    def test_eqdc_meridian_equidistance(self):
+        # defining property: projected distance along any meridian equals
+        # the true ellipsoidal meridional-arc difference
+        p = PJ.get_projection(
+            "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +datum=WGS84")
+        for lon in (-96.0, -80.0, -110.0):
+            lats = np.array([25.0, 55.0])
+            x, y = p.fwd(np.array([lon, lon]), lats)
+            proj_d = math.hypot(x[1] - x[0], y[1] - y[0])
+            arc = abs(float(PJ._mlfn(np.float64(math.radians(55.0)), self.A, self.ES)) -
+                      float(PJ._mlfn(np.float64(math.radians(25.0)), self.A, self.ES)))
+            assert proj_d == pytest.approx(arc, rel=1e-9)
+
+    def test_eqdc_single_parallel(self):
+        p = PJ.get_projection("+proj=eqdc +lat_1=35 +lat_2=35 +datum=WGS84")
+        assert p.n == pytest.approx(math.sin(math.radians(35.0)))
+
+    @pytest.mark.parametrize("defn", [
+        "+proj=sinu +lon_0=-90 +datum=WGS84",
+        "+proj=moll +lon_0=20 +a=6378137 +b=6378137",
+        "+proj=aeqd +lat_0=40 +lon_0=-100 +a=6378137 +b=6378137",
+        "+proj=ortho +lat_0=40 +lon_0=-100 +a=6378137 +b=6378137",
+        "+proj=gnom +lat_0=15 +lon_0=10 +a=6378137 +b=6378137",
+        "+proj=cea +lat_ts=30 +datum=WGS84",
+        "+proj=mill +a=6378137 +b=6378137",
+        "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 +datum=WGS84",
+    ])
+    def test_roundtrip_tail(self, defn):
+        p = PJ.get_projection(defn)
+        if "ortho" in defn or "gnom" in defn:
+            # single-hemisphere projections: stay near the center
+            lng = np.array([-98.0, -80.0, -120.5]) if "ortho" in defn \
+                else np.array([12.0, 30.0, -15.5])
+            lat = np.array([35.0, 23.0, 49.5]) if "ortho" in defn \
+                else np.array([18.0, -10.0, 40.0])
+        else:
+            lng = np.array([-75.0, -96.0, -120.5, 30.25])
+            lat = np.array([35.0, 23.0, 49.5, -10.0])
+        x, y = p.fwd(lng, lat)
+        lng2, lat2 = p.inv(x, y)
+        np.testing.assert_allclose(lng2, lng, atol=1e-8)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+    def test_poles_dont_produce_nans(self):
+        for defn in ("+proj=sinu +datum=WGS84",
+                     "+proj=moll +a=6378137 +b=6378137",
+                     "+proj=cea +datum=WGS84"):
+            p = PJ.get_projection(defn)
+            x, y = p.fwd(np.array([30.0, -60.0]), np.array([90.0, -90.0]))
+            assert np.isfinite(x).all() and np.isfinite(y).all()
+            lo, la = p.inv(x, y)
+            np.testing.assert_allclose(la, [90.0, -90.0], atol=1e-6)
