@@ -1,0 +1,720 @@
+"""mapshaper-style command-string front end — the reference's CLI surface.
+
+The reference is driven by command strings (``mapshaper in.shp -filter
+'POP > 100' -dissolve STATE -o out.json``); its tests call
+``api.runCommands``. This module is the engine's analog:
+
+    from mapshaper_spark.cli import run_commands
+    cat = run_commands(spark, "-i states.shp -filter 'POP > 0' "
+                              "-dissolve REGION sum-fields=POP -o out.json")
+
+Grammar (re-implemented from the public behavior of
+/root/reference/src/cli/mapshaper-parse-commands.js — NOT a port: tokens
+come from shlex, which honors the same single/double-quote rules):
+
+  * a token matching ``-[a-zA-Z]...`` starts a command; everything up to
+    the next command token belongs to it;
+  * ``key=value`` tokens are named options (``-`` in keys normalized to
+    ``_``); bare tokens are positional values; a bare known flag word
+    (``remove-empty``, ``keep-shapes``...) is a boolean option;
+  * the leading tokens before any command are implicit ``-i`` inputs.
+
+State threads through a :class:`Catalog` of named layers, mirroring the
+reference's internal.Catalog (src/dataset/mapshaper-catalog.js): ``-target``
+selects, ``-o`` serializes. Each command delegates to the operators package;
+nothing here re-implements geometry.
+
+Layer geometry is carried the engine's way: polygons/paths as
+``rings_x``/``rings_y`` array columns, points as ``lon``/``lat`` (or
+``x``/``y``) columns — the shapes every operator in this repo speaks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shlex
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# boolean flag words per command (reference option definitions,
+# src/cli/mapshaper-options.js)
+_FLAG_WORDS = {
+    "remove-empty", "keep-shapes", "descending", "unjoined", "unmatched",
+    "combine-files", "erase", "centroid", "inner", "vertices", "endpoints",
+    "no-gap-fill", "planar", "force", "each",
+}
+
+_CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
+
+
+@dataclass
+class Command:
+    name: str
+    values: list[str] = field(default_factory=list)
+    options: dict[str, str | bool] = field(default_factory=dict)
+
+    def opt(self, key: str, default=None):
+        return self.options.get(key.replace("-", "_"), default)
+
+    def num(self, key: str, default=None):
+        v = self.opt(key)
+        return default if v is None else float(v)
+
+    def flag(self, key: str) -> bool:
+        return bool(self.opt(key, False))
+
+    def csv(self, key: str) -> list[str]:
+        v = self.opt(key)
+        return [s.strip() for s in str(v).split(",")] if v else []
+
+
+def parse_commands(command_str: str) -> list[Command]:
+    """Command string -> list of Command (name, positional values, options)."""
+    tokens = shlex.split(command_str)
+    cmds: list[Command] = []
+    cur: Command | None = None
+    for tok in tokens:
+        if _CMD_RE.match(tok):
+            cur = Command(tok[1:])
+            cmds.append(cur)
+            continue
+        if cur is None:  # leading tokens = implicit -i
+            cur = Command("i")
+            cmds.append(cur)
+        m = re.match(r"^([\w-]+)=(.*)$", tok)
+        if m:
+            cur.options[m.group(1).replace("-", "_")] = m.group(2)
+        elif tok in _FLAG_WORDS:
+            cur.options[tok.replace("-", "_")] = True
+        else:
+            cur.values.append(tok)
+    return cmds
+
+
+@dataclass
+class Catalog:
+    """Named layers + current target, mirroring internal.Catalog."""
+    spark: SparkSession
+    layers: dict[str, DataFrame] = field(default_factory=dict)
+    order: list[str] = field(default_factory=list)
+    target: str | None = None
+    outputs: dict[str, str | bytes | dict] = field(default_factory=dict)
+    info: list[dict] = field(default_factory=list)
+
+    def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
+        base, k = name, 2
+        while name in self.layers:
+            name = f"{base}{k}"
+            k += 1
+        self.layers[name] = df
+        self.order.append(name)
+        if make_target:
+            self.target = name
+        return name
+
+    def df(self, name: str | None = None) -> DataFrame:
+        name = name or self.target
+        if name is None or name not in self.layers:
+            raise ValueError(f"no target layer (have: {self.order})")
+        return self.layers[name]
+
+    def replace(self, df: DataFrame, name: str | None = None) -> None:
+        self.layers[name or self.target] = df
+
+
+def _geometry_kind(df: DataFrame) -> str:
+    cols = set(df.columns)
+    if "rings_x" in cols:
+        return "polygon"
+    if "xs" in cols and "ys" in cols:
+        return "path"
+    if {"lon", "lat"} <= cols or {"x", "y"} <= cols:
+        return "point"
+    return "table"
+
+
+def _point_cols(df: DataFrame) -> tuple[str, str]:
+    return ("lon", "lat") if "lon" in df.columns else ("x", "y")
+
+
+def _layer_name(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _sql(expr: str) -> str:
+    """JS-flavored reference expressions -> Spark SQL (the documented
+    expression-surface deviation: `$.` proxies, ===, &&, ||)."""
+    from mapshaper_spark.functions.expressions import translate_proxy_expression
+    out = translate_proxy_expression(expr)
+    out = out.replace("===", "=").replace("!==", "<>")
+    out = out.replace("&&", " AND ").replace("||", " OR ")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# command implementations (each: (catalog, command) -> None)
+# ---------------------------------------------------------------------------
+
+def _cmd_i(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.sources import delim as DL
+    from mapshaper_spark.sources import geojson as GJ
+    from mapshaper_spark.sources import shapefile as SH
+    from mapshaper_spark.sources import topojson as TJ
+
+    dfs = []
+    for path in c.values:
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".json", ".geojson", ".topojson"):
+            with open(path) as f:
+                obj = json.load(f)
+            if obj.get("type") == "Topology":
+                df = TJ.import_topojson(cat.spark, obj)
+            else:
+                df = GJ.import_geojson(cat.spark, obj)
+        elif ext == ".shp":
+            shp = open(path, "rb").read()
+            dbf_path = os.path.splitext(path)[0] + ".dbf"
+            dbf = open(dbf_path, "rb").read() if os.path.exists(dbf_path) else None
+            df = SH.import_shapefile(cat.spark, shp, dbf)
+        elif ext in (".csv", ".tsv"):
+            df = DL.import_delim(cat.spark, path)
+        elif ext == ".parquet":
+            df = cat.spark.read.parquet(path)
+        else:
+            raise ValueError(f"-i: unsupported input format '{ext}'")
+        dfs.append((path, df))
+    if c.flag("combine-files") and len(dfs) > 1:
+        from mapshaper_spark.operators.attributes import merge_layers
+        merged = merge_layers([d for _, d in dfs], force=True)
+        cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
+    else:
+        for path, df in dfs:
+            cat.add(str(c.opt("name", _layer_name(path))), df)
+
+
+def _cmd_filter(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import attributes as AT
+    df = cat.df()
+    if c.values:
+        df = AT.filter_features(df, _sql(c.values[0]))
+    if c.flag("remove-empty"):
+        df = AT.filter_remove_empty(df)
+    cat.replace(df)
+
+
+def _cmd_filter_fields(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import attributes as AT
+    fields = [s for v in c.values for s in v.split(",")]
+    df = cat.df()
+    geom = [g for g in ("rings_x", "rings_y", "bbox", "xs", "ys", "n")
+            if g in df.columns and g not in fields]
+    cat.replace(AT.filter_fields(df, fields + geom))
+
+
+def _cmd_rename_fields(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import attributes as AT
+    mapping = {}
+    for v in c.values:
+        for pair in v.split(","):
+            new, old = pair.split("=")
+            mapping[old] = new
+    cat.replace(AT.rename_fields(cat.df(), mapping))
+
+
+def _cmd_each(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.functions.expressions import each_expr
+    where = c.opt("where")
+    cat.replace(each_expr(cat.df(), _sql(c.values[0]),
+                          _sql(where) if where else None))
+
+
+def _cmd_uniq(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import attributes as AT
+    df = AT.with_feature_index(cat.df())
+    out = AT.uniq(df, _sql(c.values[0]), max_count=int(c.num("max-count", 1)))
+    cat.replace(out.drop(AT.ROW_IDX))
+
+
+def _cmd_sort(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import attributes as AT
+    cat.replace(AT.sort(cat.df(), _sql(c.values[0]),
+                        ascending=not c.flag("descending")))
+
+
+def _parse_calc(spec: str) -> dict[str, tuple[str, str]]:
+    """'total=sum(POP), n=count()' -> {out: (fn, col)}"""
+    out: dict[str, tuple[str, str]] = {}
+    for part in re.split(r",\s*(?=\w+\s*=)", spec):
+        m = re.match(r"^\s*(\w+)\s*=\s*(\w+)\(\s*([\w.]*)\s*\)\s*$", part)
+        if not m:
+            raise ValueError(f"calc= spec not understood: '{part}'")
+        out[m.group(1)] = (m.group(2), m.group(3) or "1")
+    return out
+
+
+def _cmd_join(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import joins as J
+    source = cat.df(c.values[0]) if c.values else cat.df(str(c.opt("source")))
+    keys = c.csv("keys")
+    if len(keys) != 2:
+        raise ValueError("-join requires keys=target_key,source_key")
+    target = cat.df()
+    where = c.opt("where")
+    if where and re.match(r"^is(Max|Min)\(", str(where)):
+        m = re.match(r"^is(Max|Min)\(\s*([\w.]+)\s*\)$", str(where))
+        out = J.join_where_is_max(target, source, tuple(keys), m.group(2),
+                                  is_min=(m.group(1) == "Min"),
+                                  copy_fields=c.csv("fields"))
+    else:
+        out = J.join_attributes(
+            target, source, tuple(keys),
+            copy_fields=c.csv("fields"), sum_fields=c.csv("sum-fields"),
+            calc=_parse_calc(str(c.opt("calc"))) if c.opt("calc") else None)
+    if c.flag("unjoined"):
+        cat.add(cat.target + "_unjoined",
+                J.join_unjoined(target, source, tuple(keys)), make_target=False)
+    if c.flag("unmatched"):
+        cat.add(cat.target + "_unmatched",
+                J.join_unmatched(target, source, tuple(keys)), make_target=False)
+    cat.replace(out)
+
+
+def _cmd_dissolve(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import dissolve as DS
+    df = cat.df()
+    fields = [s for v in c.values for s in v.split(",")] or ["__all__"]
+    if fields == ["__all__"]:
+        df = df.withColumn("__all__", F.lit(1))
+    calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
+    kind = _geometry_kind(df)
+    attrs = DS.dissolve_attributes(
+        df, fields, sum_fields=c.csv("sum-fields"),
+        copy_fields=c.csv("copy-fields"), calc=calc)
+    if kind == "polygon":
+        from mapshaper_spark.operators.topology import build_topology
+        field = fields[0]
+        paths, fid = _rings_to_paths(df, field)
+        arcs, refs = build_topology(paths, "path_id")
+        feats = _features_with_parts(refs, paths, fid)
+        geo = DS.dissolve_polygons(feats, arcs, fid).withColumnRenamed(
+            fid, field)
+        if set(attrs.columns) - set(fields):
+            geo = geo.join(attrs, field, "left")
+        cat.replace(geo)
+    elif kind == "point":
+        x, y = _point_cols(df)
+        cat.replace(DS.dissolve_points(df, fields, x, y))
+    else:
+        cat.replace(attrs)
+
+
+def _rings_to_paths(df: DataFrame, key: str):
+    """(key, rings_x, rings_y) -> paths(path_id, fid, xs, ys). path_id
+    hashes (key, ring index, coords) — deterministic and unique up to
+    bit-identical duplicate rings of the same feature key."""
+    fid = "__fid"
+    exploded = (df.select(F.col(key).alias(fid),
+                          F.posexplode(F.arrays_zip(
+                              F.col("rings_x").alias("xs"),
+                              F.col("rings_y").alias("ys"))).alias("ri", "r"))
+                .select(fid, "ri", F.col("r.xs").alias("xs"),
+                        F.col("r.ys").alias("ys")))
+    paths = exploded.select(
+        F.xxhash64(F.col(fid).cast("string"), "ri", "xs", "ys").alias("path_id"),
+        fid, "xs", "ys")
+    return paths, fid
+
+
+def _features_with_parts(refs: DataFrame, paths: DataFrame, fid: str):
+    """refs(path_id, arc_seq, signed) -> (fid, parts) where parts is the
+    array-of-rings-of-signed-arc-ids shape dissolve_polygons/keep_shapes
+    expect."""
+    ring_refs = refs.groupBy("path_id").agg(F.expr(
+        "transform(sort_array(collect_list(struct(arc_seq, signed))),"
+        " s -> s.signed)").alias("__ring"))
+    return (ring_refs.join(paths.select("path_id", fid), "path_id")
+            .groupBy(fid).agg(F.collect_list("__ring").alias("parts")))
+
+
+def _cmd_dissolve2(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.overlay import dissolve2
+    df = cat.df()
+    fields = [s for v in c.values for s in v.split(",")]
+    if not fields:
+        df = df.withColumn("__all__", F.lit("all"))
+        fields = ["__all__"]
+    out = dissolve2(df.select(fields[0], "rings_x", "rings_y"), fields[0],
+                    gap_fill=not c.flag("no-gap-fill"))
+    if fields == ["__all__"]:
+        out = out.drop("__all__")
+    cat.replace(out)
+
+
+def _cmd_clean(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.overlay import clean
+    df = cat.df()
+    key = c.opt("key") or df.columns[0]
+    cat.replace(clean(df, str(key), gap_fill=not c.flag("no-gap-fill")))
+
+
+def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
+    from mapshaper_spark.operators import paths as P
+    from mapshaper_spark.operators.overlay import clip_polygons, clip_polylines
+    df = cat.df()
+    kind = _geometry_kind(df)
+    if c.opt("bbox"):
+        bbox = [float(v) for v in c.csv("bbox")]
+        if erase:
+            raise ValueError("-erase bbox= not supported; use a clip layer")
+        if kind == "point":
+            x, y = _point_cols(df)
+            cat.replace(P.clip_bbox_points(df, x, y, bbox))
+        elif kind == "polygon":
+            cat.replace(P.clip_polygons_bbox(df, bbox))
+        else:
+            cat.replace(P.clip_bbox_paths(df, bbox))
+        return
+    from mapshaper_spark.operators.overlay import _ensure_bbox
+    clip_layer = cat.df(c.values[0])
+    if _geometry_kind(clip_layer) != "polygon":
+        raise ValueError("-clip/-erase source must be a polygon layer")
+    if kind == "point":
+        x, y = _point_cols(df)
+        cat.replace(P.clip_points(df, x, y, clip_layer,
+                                  clip_layer.columns[0], erase=erase))
+    elif kind == "path":
+        cat.replace(clip_polylines(df, clip_layer, erase=erase))
+    else:
+        cat.replace(clip_polygons(_ensure_bbox(df), clip_layer, erase=erase,
+                                  key=df.columns[0]))
+
+
+def _cmd_explode(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.paths import explode
+    cat.replace(explode(cat.df()))
+
+
+def _cmd_filter_islands(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.paths import filter_islands
+    cat.replace(filter_islands(
+        cat.df(), min_area=c.num("min-area"),
+        min_vertices=int(c.num("min-vertices")) if c.opt("min-vertices") else None))
+
+
+def _cmd_filter_slivers(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.paths import filter_slivers
+    cat.replace(filter_slivers(cat.df(), min_area=c.num("min-area", 0.0)))
+
+
+def _cmd_lines(cat: Catalog, c: Command, inner_only: bool = False) -> None:
+    from mapshaper_spark.operators import dissolve as DS
+    from mapshaper_spark.operators.topology import build_topology
+    df = cat.df()
+    group = c.values[0] if c.values else df.columns[0]
+    if "parts" in df.columns:  # already in arc-topology form
+        cat.replace(DS.innerlines(df, group) if inner_only
+                    else DS.lines(df, group))
+        return
+    paths, fid = _rings_to_paths(df.withColumnRenamed(group, "__grp"), "__grp")
+    arcs, refs = build_topology(paths, "path_id")
+    feats = _features_with_parts(refs, paths, fid).withColumnRenamed(
+        fid, group)
+    classified = (DS.innerlines(feats, group) if inner_only
+                  else DS.lines(feats, group))
+    cat.replace(classified.join(
+        arcs.select(F.col("arc_id").alias("aid"), "xs", "ys"), "aid"))
+
+
+def _cmd_points(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import paths as P
+    df = cat.df()
+    if c.opt("x") and c.opt("y"):
+        cat.replace(P.points_from_columns(df, str(c.opt("x")), str(c.opt("y"))))
+    elif c.flag("vertices"):
+        cat.replace(P.points_vertices(df, df.columns[0]))
+    elif c.flag("endpoints"):
+        cat.replace(P.points_endpoints(df, df.columns[0]))
+    elif c.opt("interval"):
+        cat.replace(P.points_interpolated(df, df.columns[0],
+                                          c.num("interval")))
+    elif c.flag("inner"):
+        cat.replace(P.points_inner(df))
+    else:  # centroid default, matching -points with no options
+        cat.replace(P.points_from_centroids(df))
+
+
+def _cmd_proj(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import proj as PR
+    df = cat.df()
+    crs = " ".join(c.values)
+    kind = _geometry_kind(df)
+    if kind == "point":
+        x, y = _point_cols(df)
+        cat.replace(PR.project_points(df, x, y, crs=crs))
+    elif kind == "path":
+        cat.replace(PR.project_arcs(df, crs=crs))
+    else:
+        raise ValueError("-proj on polygon layers: project the arcs "
+                         "(build topology first) — CLI v1 limitation")
+
+
+def _cmd_simplify(cat: Catalog, c: Command) -> None:
+    """-simplify N% [dp|visvalingam [weighted]] [interval=] [keep-shapes]
+    over a polygon layer: build shared-arc topology, threshold, reassemble
+    (the reference pipeline: mapshaper-simplify.js -> arc dataset)."""
+    from mapshaper_spark.operators import simplify as SI
+    from mapshaper_spark.operators.topology import build_topology
+    df = cat.df()
+    method = "dp" if "dp" in c.values else (
+        "visvalingam" if "visvalingam" in c.values and "weighted" not in c.values
+        else "weighted_visvalingam")
+    pct = None
+    for v in c.values:
+        if v.endswith("%"):
+            pct = float(v[:-1]) / 100.0
+        elif re.match(r"^[\d.]+$", v) and v not in ("dp",):
+            pct = float(v) / 100.0
+    if c.opt("percentage"):
+        pct = float(str(c.opt("percentage")).rstrip("%")) / 100.0
+        if pct > 1:
+            pct /= 100.0
+    if _geometry_kind(df) != "polygon":
+        raise ValueError("-simplify CLI v1 supports polygon layers")
+    key = df.columns[0]
+    paths, fid = _rings_to_paths(df, key)
+    arcs, refs = build_topology(paths, "path_id")
+    # compute_thresholds fills zs in place (schema = input schema)
+    arcs = arcs.withColumn(
+        "zs", F.expr("array_repeat(CAST(0.0 AS DOUBLE), size(xs))"))
+    if c.opt("interval"):
+        with_z = SI.compute_thresholds(arcs, method=method)
+        zlimit = c.num("interval")
+    else:
+        with_z, zlimit = SI.simplify(arcs, method=method, pct=pct or 1.0)
+    if c.flag("keep-shapes"):
+        feats = _features_with_parts(refs, paths, fid)
+        with_z = SI.keep_shapes(feats, with_z, fid)
+    kept = SI.apply_zlimit(with_z, zlimit)
+    rebuilt = _assemble_paths(refs, kept)
+    out = (paths.select("path_id", fid).join(rebuilt, "path_id")
+           .groupBy(F.col(fid).alias(key))
+           .agg(F.collect_list("xs").alias("rings_x"),
+                F.collect_list("ys").alias("rings_y")))
+    attrs = df.drop("rings_x", "rings_y", "bbox")
+    if len(attrs.columns) > 1:
+        out = out.join(attrs, key, "left")
+    cat.replace(out)
+
+
+def _assemble_paths(refs: DataFrame, arcs: DataFrame) -> DataFrame:
+    """refs(path_id, arc_seq, signed) + arcs(arc_id, xs, ys) -> per-path
+    concatenated coordinates (drop the duplicated junction vertex between
+    consecutive arcs) — all JVM higher-order functions."""
+    from mapshaper_spark.layers import absolute_arc_id_col
+    oriented = (refs.join(
+        arcs.select(F.col("arc_id").alias("__aid"), "xs", "ys"),
+        absolute_arc_id_col(F.col("signed")) == F.col("__aid"))
+        .select("path_id", "arc_seq",
+                F.when(F.col("signed") < 0, F.reverse("xs")).otherwise(F.col("xs")).alias("xs"),
+                F.when(F.col("signed") < 0, F.reverse("ys")).otherwise(F.col("ys")).alias("ys")))
+    grouped = (oriented.groupBy("path_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("arc_seq", "xs", "ys"))).alias("parts")))
+    concat = ("flatten(transform(parts, (p, i) -> IF(i = 0, p.{c}, "
+              "slice(p.{c}, 2, size(p.{c}) - 1))))")
+    return grouped.select(
+        "path_id",
+        F.expr(concat.format(c="xs")).alias("xs"),
+        F.expr(concat.format(c="ys")).alias("ys"))
+
+
+def _cmd_affine(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.attributes import affine
+    df = cat.df()
+    x, y = _point_cols(df)
+    shift = [float(v) for v in c.csv("shift")] or [0.0, 0.0]
+    anchor = [float(v) for v in c.csv("anchor")] or (0.0, 0.0)
+    cat.replace(affine(df, x, y, shift=tuple(shift),
+                       scale=c.num("scale", 1.0),
+                       rotate_deg=c.num("rotate", 0.0),
+                       anchor=tuple(anchor)))
+
+
+def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.attributes import merge_layers
+    names = c.csv("name") or cat.order
+    merged = merge_layers([cat.layers[n] for n in names if n in cat.layers],
+                          force=c.flag("force"))
+    cat.add(str(c.opt("target-name", "merged")), merged)
+
+
+def _cmd_split(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.grid import split_by_field
+    field_name = c.values[0]
+    for val, df in split_by_field(cat.df(), field_name).items():
+        cat.add(f"{cat.target}_{val}", df, make_target=False)
+
+
+def _cmd_split_on_grid(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.grid import split_on_grid
+    cols, rows = (int(v) for v in c.values[0].split(","))
+    df = cat.df()
+    if _geometry_kind(df) == "point":
+        x, y = _point_cols(df)
+        cat.replace(split_on_grid(df, cols, rows, x=x, y=y))
+    else:
+        cat.replace(split_on_grid(df, cols, rows))
+
+
+def _cmd_target(cat: Catalog, c: Command) -> None:
+    name = c.values[0]
+    if name not in cat.layers:
+        raise ValueError(f"-target: no layer '{name}' (have {cat.order})")
+    cat.target = name
+
+
+def _cmd_rename_layers(cat: Catalog, c: Command) -> None:
+    new_names = [s for v in c.values for s in v.split(",")]
+    for old, new in zip(list(cat.order), new_names):
+        cat.layers[new] = cat.layers.pop(old)
+        cat.order[cat.order.index(old)] = new
+        if cat.target == old:
+            cat.target = new
+
+
+def _cmd_o(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.sources import delim as DL
+    from mapshaper_spark.sources import geojson as GJ
+    from mapshaper_spark.sources import shapefile as SH
+    from mapshaper_spark.sources import svg as SVG
+    df = cat.df()
+    path = c.values[0] if c.values else None
+    fmt = str(c.opt("format", "")) or (
+        os.path.splitext(path)[1].lstrip(".").lower() if path else "geojson")
+    if fmt in ("json", "geojson"):
+        geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n"}
+        kind = _geometry_kind(df)
+        props = [col for col in df.columns if col not in geom_cols
+                 and col not in _point_cols(df) + ("lon", "lat", "x", "y")] \
+            if kind == "point" else \
+            [col for col in df.columns if col not in geom_cols]
+        kwargs = {"property_cols": props}
+        if kind == "point":
+            px, py = _point_cols(df)
+            kwargs.update(geometry_type="Point", x=px, y=py)
+        elif kind == "path":
+            # arc frames carry xs/ys; LineString rendering reads ring arrays
+            df = df.withColumn("rings_x", F.array("xs")) \
+                   .withColumn("rings_y", F.array("ys"))
+            kwargs.update(geometry_type="LineString")
+        if c.opt("precision"):
+            kwargs["precision"] = c.num("precision")
+        out = GJ.export_geojson(df, **kwargs)
+        payload = out if isinstance(out, str) else json.dumps(out)
+    elif fmt == "svg":
+        payload = SVG.export_svg(df)
+    elif fmt in ("csv", "tsv"):
+        if path is None:
+            raise ValueError("-o csv requires a file path")
+        DL.export_delim(df, path, delimiter="\t" if fmt == "tsv" else ",")
+        cat.outputs[path] = path
+        return
+    elif fmt == "shp":
+        shp, shx, dbf = SH.export_shapefile(df)
+        if path:
+            base = os.path.splitext(path)[0]
+            for ext, blob in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
+                with open(base + ext, "wb") as f:
+                    f.write(blob)
+        cat.outputs[path or cat.target] = shp
+        return
+    elif fmt == "parquet":
+        if path is None:
+            raise ValueError("-o parquet requires a file path")
+        df.write.mode("overwrite").parquet(path)
+        cat.outputs[path] = path
+        return
+    else:
+        raise ValueError(f"-o: unsupported format '{fmt}'")
+    if path:
+        with open(path, "w") as f:
+            f.write(payload)
+    cat.outputs[path or cat.target] = payload
+
+
+def _cmd_info(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.attributes import layer_info
+    cat.info.append({"layer": cat.target,
+                     "rows": layer_info(cat.df(), cat.target or "").collect()})
+
+
+def _cmd_calc(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.attributes import calc
+    df = cat.df()
+    where = c.opt("where")
+    if where:
+        df = df.filter(F.expr(_sql(str(where))))
+    aggs = _parse_calc(c.values[0]) if "=" in c.values[0] else \
+        {"result": next(iter(_parse_calc("result=" + c.values[0]).values()))}
+    cat.info.append({"layer": cat.target,
+                     "calc": calc(df, aggs).collect()[0].asDict()})
+
+
+COMMANDS = {
+    "i": _cmd_i,
+    "filter": _cmd_filter,
+    "filter-fields": _cmd_filter_fields,
+    "rename-fields": _cmd_rename_fields,
+    "each": _cmd_each,
+    "uniq": _cmd_uniq,
+    "sort": _cmd_sort,
+    "join": _cmd_join,
+    "dissolve": _cmd_dissolve,
+    "dissolve2": _cmd_dissolve2,
+    "clean": _cmd_clean,
+    "clip": _cmd_clip,
+    "erase": lambda cat, c: _cmd_clip(cat, c, erase=True),
+    "explode": _cmd_explode,
+    "filter-islands": _cmd_filter_islands,
+    "filter-slivers": _cmd_filter_slivers,
+    "lines": _cmd_lines,
+    "innerlines": lambda cat, c: _cmd_lines(cat, c, inner_only=True),
+    "points": _cmd_points,
+    "proj": _cmd_proj,
+    "simplify": _cmd_simplify,
+    "affine": _cmd_affine,
+    "merge-layers": _cmd_merge_layers,
+    "split": _cmd_split,
+    "split-on-grid": _cmd_split_on_grid,
+    "target": _cmd_target,
+    "rename-layers": _cmd_rename_layers,
+    "o": _cmd_o,
+    "info": _cmd_info,
+    "calc": _cmd_calc,
+}
+
+
+def run_commands(spark: SparkSession, command_str: str,
+                 layers: dict[str, DataFrame] | None = None) -> Catalog:
+    """Execute a mapshaper-style command string against a fresh Catalog.
+
+    ``layers``: pre-loaded named DataFrames (the tests' stand-in for file
+    inputs; the first one becomes the initial target). Returns the final
+    Catalog — outputs under ``.outputs``, layer frames under ``.layers``.
+    """
+    cat = Catalog(spark)
+    if layers:
+        for name, df in layers.items():
+            cat.add(name, df)
+        cat.target = next(iter(layers))
+    for cmd in parse_commands(command_str):
+        fn = COMMANDS.get(cmd.name)
+        if fn is None:
+            raise ValueError(f"unknown command -{cmd.name} "
+                             f"(supported: {sorted(COMMANDS)})")
+        fn(cat, cmd)
+    return cat

@@ -51,6 +51,8 @@ def dissolve_attributes(df: DataFrame, fields: Sequence[str],
         vocab = calc_exprs()
         for out, (fn, c) in calc.items():
             aggs.append(vocab[fn](F.col(c)).alias(out))
+    if not aggs:  # bare -dissolve: one row per group, key fields only
+        return df.select(*fields).distinct()
     out = df.groupBy(*fields).agg(*aggs)
     if copy_fields:
         out = out.select(*fields,
