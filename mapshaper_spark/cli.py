@@ -48,6 +48,16 @@ _FLAG_WORDS = {
     "no-gap-fill", "planar", "force", "each",
 }
 
+# named options the grammar recognizes; any other k=v token is a positional
+# VALUE (e.g. the -each expression 'FOO=0') — mirroring the reference's
+# per-command option definitions (src/cli/mapshaper-options.js)
+_KNOWN_OPTS = {
+    "name", "where", "keys", "fields", "sum-fields", "copy-fields", "calc",
+    "max-count", "format", "bbox", "min-area", "min-vertices", "interval",
+    "precision", "source", "scale", "rotate", "shift", "anchor", "x", "y",
+    "percentage", "target-name", "key", "names", "encoding", "delimiter",
+}
+
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
 
 
@@ -86,7 +96,7 @@ def parse_commands(command_str: str) -> list[Command]:
             cur = Command("i")
             cmds.append(cur)
         m = re.match(r"^([\w-]+)=(.*)$", tok)
-        if m:
+        if m and m.group(1) in _KNOWN_OPTS:
             cur.options[m.group(1).replace("-", "_")] = m.group(2)
         elif tok in _FLAG_WORDS:
             cur.options[tok.replace("-", "_")] = True
@@ -104,6 +114,7 @@ class Catalog:
     target: str | None = None
     outputs: dict[str, str | bytes | dict] = field(default_factory=dict)
     info: list[dict] = field(default_factory=list)
+    calc_env: dict[str, object] = field(default_factory=dict)
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -145,13 +156,19 @@ def _layer_name(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _sql(expr: str) -> str:
+def _sql(expr: str, env: dict[str, object] | None = None) -> str:
     """JS-flavored reference expressions -> Spark SQL (the documented
-    expression-surface deviation: `$.` proxies, ===, &&, ||)."""
+    expression-surface deviation: `$.` proxies, ===, &&, ||). ``env``:
+    -calc results visible to later expressions (mapshaper-calc.js: calc
+    assignments enter the expression scope)."""
     from mapshaper_spark.functions.expressions import translate_proxy_expression
     out = translate_proxy_expression(expr)
     out = out.replace("===", "=").replace("!==", "<>")
     out = out.replace("&&", " AND ").replace("||", " OR ")
+    for name in sorted(env or {}, key=len, reverse=True):
+        val = env[name]
+        lit = "NULL" if val is None else repr(val)
+        out = re.sub(rf"\b{re.escape(name)}\b", lit, out)
     return out
 
 
@@ -171,10 +188,14 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
         if ext in (".json", ".geojson", ".topojson"):
             with open(path) as f:
                 obj = json.load(f)
-            if obj.get("type") == "Topology":
+            if isinstance(obj, list):  # JSON array of records = table
+                import pandas as _pd
+                df = cat.spark.createDataFrame(_pd.DataFrame(obj))
+            elif obj.get("type") == "Topology":
                 df = TJ.import_topojson(cat.spark, obj)
             else:
-                df = GJ.import_geojson(cat.spark, obj)
+                df = _flatten_props(cat.spark, GJ.import_geojson(cat.spark, obj),
+                                    obj)
         elif ext == ".shp":
             shp = open(path, "rb").read()
             dbf_path = os.path.splitext(path)[0] + ".dbf"
@@ -196,11 +217,29 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             cat.add(str(c.opt("name", _layer_name(path))), df)
 
 
+def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
+    """GeoJSON properties (a JSON-string column from import_geojson) ->
+    top-level typed columns, the way the reference exposes fields to
+    expressions. Typed via pandas inference on the parsed features."""
+    import pandas as _pd
+    feats = obj.get("features") if isinstance(obj, dict) else None
+    if not feats:
+        return df
+    records = [f.get("properties") or {} for f in feats]
+    keys = {k for r in records for k in r}
+    if not keys:
+        return df
+    pdf = _pd.DataFrame(records)
+    pdf.insert(0, "fid", range(len(records)))
+    props = spark.createDataFrame(pdf)
+    return df.drop("properties").join(props, "fid", "left")
+
+
 def _cmd_filter(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import attributes as AT
     df = cat.df()
     if c.values:
-        df = AT.filter_features(df, _sql(c.values[0]))
+        df = AT.filter_features(df, _sql(c.values[0], cat.calc_env))
     if c.flag("remove-empty"):
         df = AT.filter_remove_empty(df)
     cat.replace(df)
@@ -228,8 +267,8 @@ def _cmd_rename_fields(cat: Catalog, c: Command) -> None:
 def _cmd_each(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.functions.expressions import each_expr
     where = c.opt("where")
-    cat.replace(each_expr(cat.df(), _sql(c.values[0]),
-                          _sql(where) if where else None))
+    cat.replace(each_expr(cat.df(), _sql(c.values[0], cat.calc_env),
+                          _sql(str(where), cat.calc_env) if where else None))
 
 
 def _cmd_uniq(cat: Catalog, c: Command) -> None:
@@ -256,24 +295,63 @@ def _parse_calc(spec: str) -> dict[str, tuple[str, str]]:
     return out
 
 
+def _resolve_source(cat: Catalog, token: str) -> DataFrame:
+    """A command's source operand: an existing layer name, or a file path
+    to auto-import (the reference imports -join/-clip file sources)."""
+    if token in cat.layers:
+        return cat.layers[token]
+    if _layer_name(token) in cat.layers:
+        return cat.layers[_layer_name(token)]
+    if os.path.exists(token):
+        saved = cat.target
+        _cmd_i(cat, Command("i", values=[token]))
+        df = cat.df()
+        cat.target = saved
+        return df
+    raise ValueError(f"no layer or file '{token}' (layers: {cat.order})")
+
+
 def _cmd_join(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import joins as J
-    source = cat.df(c.values[0]) if c.values else cat.df(str(c.opt("source")))
+    source = _resolve_source(cat, c.values[0] if c.values
+                             else str(c.opt("source")))
     keys = c.csv("keys")
     if len(keys) != 2:
         raise ValueError("-join requires keys=target_key,source_key")
     target = cat.df()
+    # fields= semantics (mapshaper-join.js): absent -> all source fields
+    # except the key; '*' -> all INCLUDING the key; '' -> none
+    fields_opt = c.opt("fields")
+    if fields_opt is None:
+        copy = [col for col in source.columns
+                if col != keys[1] and col not in target.columns]
+    elif str(fields_opt) == "":
+        copy = []
+    elif str(fields_opt) == "*":
+        copy = [col for col in source.columns if col not in target.columns]
+    else:
+        copy = c.csv("fields")
+    calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
+    if calc:  # calc= outputs supersede same-named fields= copies
+        copy = [f for f in copy if f not in calc]
     where = c.opt("where")
     if where and re.match(r"^is(Max|Min)\(", str(where)):
         m = re.match(r"^is(Max|Min)\(\s*([\w.]+)\s*\)$", str(where))
         out = J.join_where_is_max(target, source, tuple(keys), m.group(2),
                                   is_min=(m.group(1) == "Min"),
-                                  copy_fields=c.csv("fields"))
+                                  copy_fields=copy)
     else:
-        out = J.join_attributes(
-            target, source, tuple(keys),
-            copy_fields=c.csv("fields"), sum_fields=c.csv("sum-fields"),
-            calc=_parse_calc(str(c.opt("calc"))) if c.opt("calc") else None)
+        out = J.join_attributes(target, source, tuple(keys),
+                                copy_fields=copy,
+                                sum_fields=c.csv("sum-fields"), calc=calc)
+        out = _drop_exact(out, "joins")
+        if calc:  # count()-style calcs read 0 on unmatched rows, not null
+            zero_fill = {name: 0 for name, (fn, _c) in calc.items()
+                         if fn == "count"}
+            if zero_fill:
+                out = out.fillna(zero_fill)
+    if isinstance(c.opt("where"), str) and c.opt("where"):
+        out = _drop_exact(out, "joins")
     if c.flag("unjoined"):
         cat.add(cat.target + "_unjoined",
                 J.join_unjoined(target, source, tuple(keys)), make_target=False)
@@ -281,6 +359,19 @@ def _cmd_join(cat: Catalog, c: Command) -> None:
         cat.add(cat.target + "_unmatched",
                 J.join_unmatched(target, source, tuple(keys)), make_target=False)
     cat.replace(out)
+
+
+def _drop_exact(df: DataFrame, name: str) -> DataFrame:
+    """Drop by EXACT (case-sensitive) column name — Spark's resolver is
+    case-insensitive, so df.drop('joins') is ambiguous when a user column
+    'JOINS' also exists. Positional rename sidesteps the resolver."""
+    cols = list(df.columns)
+    if name not in cols:
+        return df
+    tmp = [f"__c{i}" for i in range(len(cols))]
+    keep = [i for i in range(len(cols)) if i != cols.index(name)]
+    return df.toDF(*tmp).select(
+        *[F.col(tmp[i]).alias(cols[i]) for i in keep])
 
 
 def _cmd_dissolve(cat: Catalog, c: Command) -> None:
@@ -379,7 +470,7 @@ def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
             cat.replace(P.clip_bbox_paths(df, bbox))
         return
     from mapshaper_spark.operators.overlay import _ensure_bbox
-    clip_layer = cat.df(c.values[0])
+    clip_layer = _resolve_source(cat, c.values[0])
     if _geometry_kind(clip_layer) != "polygon":
         raise ValueError("-clip/-erase source must be a polygon layer")
     if kind == "point":
@@ -592,9 +683,25 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import shapefile as SH
     from mapshaper_spark.sources import svg as SVG
     df = cat.df()
+    kind0 = _geometry_kind(df)
     path = c.values[0] if c.values else None
     fmt = str(c.opt("format", "")) or (
-        os.path.splitext(path)[1].lstrip(".").lower() if path else "geojson")
+        os.path.splitext(path)[1].lstrip(".").lower() if path
+        else ("csv" if kind0 == "table" else "geojson"))
+    if fmt == "json" and kind0 == "table":
+        # records-json (the reference's format=json on attribute tables)
+        from mapshaper_spark.operators.attributes import to_json_records
+        payload = to_json_records(df)
+        key = path or f"{cat.target}.json"
+        if path:
+            with open(path, "w") as f:
+                f.write(payload)
+        cat.outputs[key] = payload
+        return
+    if fmt == "csv" and path is None:
+        payload = df.toPandas().to_csv(index=False).rstrip("\n")
+        cat.outputs[f"{cat.target}.csv"] = payload
+        return
     if fmt in ("json", "geojson"):
         geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n"}
         kind = _geometry_kind(df)
@@ -643,7 +750,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     if path:
         with open(path, "w") as f:
             f.write(payload)
-    cat.outputs[path or cat.target] = payload
+    cat.outputs[path or f"{cat.target}.json"] = payload
 
 
 def _cmd_info(cat: Catalog, c: Command) -> None:
@@ -660,8 +767,9 @@ def _cmd_calc(cat: Catalog, c: Command) -> None:
         df = df.filter(F.expr(_sql(str(where))))
     aggs = _parse_calc(c.values[0]) if "=" in c.values[0] else \
         {"result": next(iter(_parse_calc("result=" + c.values[0]).values()))}
-    cat.info.append({"layer": cat.target,
-                     "calc": calc(df, aggs).collect()[0].asDict()})
+    result = calc(df, aggs).collect()[0].asDict()
+    cat.info.append({"layer": cat.target, "calc": result})
+    cat.calc_env.update(result)  # calc results enter later expression scope
 
 
 COMMANDS = {
@@ -696,6 +804,63 @@ COMMANDS = {
     "info": _cmd_info,
     "calc": _cmd_calc,
 }
+
+
+def apply_commands(spark: SparkSession, command_str: str,
+                   inputs: dict[str, str | bytes] | None = None
+                   ) -> dict[str, str | bytes]:
+    """The reference's ``api.applyCommands(cmd, {name: content})`` shape:
+    in-memory named inputs, outputs returned as {name: content}. Input and
+    output names in the command string are resolved inside a temp dir, so
+    reference test strings transcribe nearly verbatim."""
+    import tempfile
+    inputs = inputs or {}
+    with tempfile.TemporaryDirectory() as td:
+        for name, content in inputs.items():
+            mode = "wb" if isinstance(content, (bytes, bytearray)) else "w"
+            with open(os.path.join(td, name), mode) as f:
+                f.write(content)
+        cmds = parse_commands(command_str)
+        out_names: list[str] = []
+        for cmd in cmds:
+            if cmd.name in ("i", "join", "clip", "erase"):
+                cmd.values = [os.path.join(td, v) if v in inputs else v
+                              for v in cmd.values]
+            elif cmd.name == "o":
+                out_names.extend(cmd.values)
+                cmd.values = [os.path.join(td, v) for v in cmd.values]
+        cat = Catalog(spark)
+        for cmd in cmds:
+            fn = COMMANDS.get(cmd.name)
+            if fn is None:
+                raise ValueError(f"unknown command -{cmd.name}")
+            fn(cat, cmd)
+        results: dict[str, str | bytes] = {}
+        for name in out_names:
+            path = os.path.join(td, name)
+            if os.path.isdir(path):  # spark csv/parquet directory output
+                parts = sorted(p for p in os.listdir(path)
+                               if p.startswith("part-"))
+                results[name] = "".join(
+                    open(os.path.join(path, p)).read() for p in parts)
+            elif os.path.exists(path):
+                ext = os.path.splitext(name)[1].lower()
+                mode = "rb" if ext in (".shp", ".shx", ".dbf") else "r"
+                with open(path, mode) as f:
+                    results[name] = f.read()
+                if ext == ".shp":
+                    base = os.path.splitext(path)[0]
+                    for side in (".shx", ".dbf"):
+                        sp = base + side
+                        if os.path.exists(sp):
+                            results[os.path.splitext(name)[0] + side] = \
+                                open(sp, "rb").read()
+        # pathless -o outputs (e.g. '-o format=json') live in cat.outputs
+        # keyed '<layer>.<ext>', the reference's derived output names
+        for k, v in cat.outputs.items():
+            if not os.path.isabs(str(k)) and k not in results:
+                results[k] = v
+        return results
 
 
 def run_commands(spark: SparkSession, command_str: str,

@@ -44,7 +44,9 @@ def join_attributes(target: DataFrame, source: DataFrame, keys: tuple[str, str],
     dest_key, src_key = keys
     order = F.col(source_order) if source_order else F.col(src_key)
 
-    aggs: list[Column] = [F.count(F.lit(1)).alias("joins")]
+    # internal name: a user calc= alias like 'JOINS' would collide with
+    # 'joins' under Spark's case-insensitive resolution; renamed at the end
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__ms_joins")]
     if copy_fields:
         first = F.min(F.struct(order.alias("__o"),
                                *[F.col(f).alias(f) for f in copy_fields])).alias("__first")
@@ -59,7 +61,7 @@ def join_attributes(target: DataFrame, source: DataFrame, keys: tuple[str, str],
     grouped = source.groupBy(F.col(src_key).alias(dest_key)).agg(*aggs)
     if copy_fields:
         grouped = grouped.select(
-            dest_key, "joins",
+            dest_key, "__ms_joins",
             *[F.col(f"__first.{f}").alias(f) for f in copy_fields],
             *[f"sum_{f}" for f in sum_fields],
             *(list(calc.keys()) if calc else []),
@@ -67,8 +69,8 @@ def join_attributes(target: DataFrame, source: DataFrame, keys: tuple[str, str],
     if broadcast_source:
         grouped = F.broadcast(grouped)
     out = target.join(grouped, dest_key, "left")
-    out = out.fillna({"joins": 0, **{f"sum_{f}": 0 for f in sum_fields}})
-    return out
+    out = out.fillna({"__ms_joins": 0, **{f"sum_{f}": 0 for f in sum_fields}})
+    return out.withColumnRenamed("__ms_joins", "joins")
 
 
 def join_unjoined(target: DataFrame, source: DataFrame,
