@@ -60,6 +60,10 @@ _KNOWN_OPTS = {
 
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
 
+# implicit row-order column threaded by -sort and honored by -o (the
+# reference's feature order; a distributed engine must carry it explicitly)
+_ORDER_COL = "__ms_order"
+
 
 @dataclass
 class Command:
@@ -115,6 +119,7 @@ class Catalog:
     outputs: dict[str, str | bytes | dict] = field(default_factory=dict)
     info: list[dict] = field(default_factory=list)
     calc_env: dict[str, object] = field(default_factory=dict)
+    kinds: dict[str, str] = field(default_factory=dict)  # layer kind hints
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -185,6 +190,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     dfs = []
     for path in c.values:
         ext = os.path.splitext(path)[1].lower()
+        kind_hint = None
         if ext in (".json", ".geojson", ".topojson"):
             with open(path) as f:
                 obj = json.load(f)
@@ -196,6 +202,14 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             else:
                 df = _flatten_props(cat.spark, GJ.import_geojson(cat.spark, obj),
                                     obj)
+                gtypes = {(f.get("geometry") or {}).get("type")
+                          for f in obj.get("features", [])} or \
+                    {g.get("type") for g in obj.get("geometries", [])}
+                if gtypes and gtypes <= {"LineString", "MultiLineString"}:
+                    kind_hint = "polyline"
+                elif gtypes and gtypes <= {"Point"}:
+                    kind_hint = "point"
+                    df = df.drop("rings_x", "rings_y")
         elif ext == ".shp":
             shp = open(path, "rb").read()
             dbf_path = os.path.splitext(path)[0] + ".dbf"
@@ -207,14 +221,16 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             df = cat.spark.read.parquet(path)
         else:
             raise ValueError(f"-i: unsupported input format '{ext}'")
-        dfs.append((path, df))
+        dfs.append((path, df, kind_hint))
     if c.flag("combine-files") and len(dfs) > 1:
         from mapshaper_spark.operators.attributes import merge_layers
-        merged = merge_layers([d for _, d in dfs], force=True)
+        merged = merge_layers([d for _, d, _k in dfs], force=True)
         cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
     else:
-        for path, df in dfs:
-            cat.add(str(c.opt("name", _layer_name(path))), df)
+        for path, df, kind_hint in dfs:
+            name = cat.add(str(c.opt("name", _layer_name(path))), df)
+            if kind_hint:
+                cat.kinds[name] = kind_hint
 
 
 def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
@@ -279,9 +295,18 @@ def _cmd_uniq(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_sort(cat: Catalog, c: Command) -> None:
-    from mapshaper_spark.operators import attributes as AT
-    cat.replace(AT.sort(cat.df(), _sql(c.values[0]),
-                        ascending=not c.flag("descending")))
+    """-sort, STABLE across multiple calls (sort-test.js:5-12: a later
+    sort preserves the previous order among ties). The catalog threads an
+    __ms_order column: each sort ranks by (key, previous order) and
+    rewrites it; -o emits rows in __ms_order."""
+    from pyspark.sql import Window
+    df = cat.df()
+    if _ORDER_COL not in df.columns:
+        df = df.withColumn(_ORDER_COL, F.monotonically_increasing_id())
+    key = F.expr(_sql(c.values[0], cat.calc_env))
+    key = key.asc() if not c.flag("descending") else key.desc()
+    w = Window.orderBy(key, F.col(_ORDER_COL).asc())
+    cat.replace(df.withColumn(_ORDER_COL, F.row_number().over(w)))
 
 
 def _parse_calc(spec: str) -> dict[str, tuple[str, str]]:
@@ -459,15 +484,30 @@ def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
     kind = _geometry_kind(df)
     if c.opt("bbox"):
         bbox = [float(v) for v in c.csv("bbox")]
+        if len(bbox) != 4 or bbox[2] <= bbox[0] or bbox[3] <= bbox[1]:
+            # the reference raises UserError on a degenerate bbox
+            raise ValueError(f"-clip: invalid bbox {bbox}")
         if erase:
             raise ValueError("-erase bbox= not supported; use a clip layer")
+        kind = cat.kinds.get(cat.target, kind)
         if kind == "point":
             x, y = _point_cols(df)
             cat.replace(P.clip_bbox_points(df, x, y, bbox))
+        elif kind == "polyline":
+            from mapshaper_spark.operators.overlay import _ensure_bbox
+            had_bbox = "bbox" in df.columns
+            out = P.clip_bbox_paths(_ensure_bbox(df), bbox)
+            cat.replace(out if had_bbox else out.drop("bbox"))
         elif kind == "polygon":
             cat.replace(P.clip_polygons_bbox(df, bbox))
         else:
-            cat.replace(P.clip_bbox_paths(df, bbox))
+            if "bbox" not in df.columns:
+                df = df.withColumn("bbox", F.struct(
+                    F.array_min("xs").alias("xmin"),
+                    F.array_min("ys").alias("ymin"),
+                    F.array_max("xs").alias("xmax"),
+                    F.array_max("ys").alias("ymax")))
+            cat.replace(P.clip_bbox_paths(df, bbox).drop("bbox"))
         return
     from mapshaper_spark.operators.overlay import _ensure_bbox
     clip_layer = _resolve_source(cat, c.values[0])
@@ -683,6 +723,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import shapefile as SH
     from mapshaper_spark.sources import svg as SVG
     df = cat.df()
+    if _ORDER_COL in df.columns:
+        df = df.orderBy(_ORDER_COL).drop(_ORDER_COL)
     kind0 = _geometry_kind(df)
     path = c.values[0] if c.values else None
     fmt = str(c.opt("format", "")) or (
@@ -713,6 +755,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         if kind == "point":
             px, py = _point_cols(df)
             kwargs.update(geometry_type="Point", x=px, y=py)
+        elif cat.kinds.get(cat.target) == "polyline":
+            kwargs.update(geometry_type="LineString")
         elif kind == "path":
             # arc frames carry xs/ys; LineString rendering reads ring arrays
             df = df.withColumn("rings_x", F.array("xs")) \

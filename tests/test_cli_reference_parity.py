@@ -148,3 +148,64 @@ class TestGeoJsonRoundtrip:
         assert f["properties"]["name"] == "b"
         ring = f["geometry"]["coordinates"][0]
         assert ring[0] == [2, 0] and len(ring) == 5
+
+
+class TestSortParity:
+    # /root/reference/test/sort-test.js:5-12: a later -sort is STABLE with
+    # respect to the previous order (delta/gamma/zeta keep name order
+    # within rank=1). Exact string parity including row order.
+    def test_sort_stable_across_calls(self, spark):
+        csv = "name,rank\nbeta,0\nzeta,1\nalpha,0\ngamma,1\ndelta,1\ntheta,0"
+        target = ("name,rank\ndelta,1\ngamma,1\nzeta,1\nalpha,0\nbeta,0\n"
+                  "theta,0")
+        out = apply_commands(
+            spark, "in.csv -sort name -sort rank descending -o out.csv",
+            {"in.csv": csv})
+        assert out["out.csv"].strip() == target
+
+
+class TestClipBboxParity:
+    # /root/reference/test/clip-erase-test.js:38-58: LineString clipped to
+    # bbox=1,0,2,2 -> [[1,1],[2,1]]. (Adapted: bare GeometryCollection
+    # input/output becomes a FeatureCollection here — geometry identical.)
+    def test_clip_line_to_bbox(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 1], [5, 1]]}}]}
+        out = apply_commands(
+            spark, "-i in.json -clip bbox=1,0,2,2 -o out.json",
+            {"in.json": json.dumps(gj)})
+        obj = json.loads(out["out.json"])
+        assert len(obj["features"]) == 1
+        g = obj["features"][0]["geometry"]
+        assert g["type"] == "LineString"
+        assert g["coordinates"] == [[1, 1], [2, 1]]
+
+    # clip-erase-test.js:60-72: degenerate bbox raises (UserError there)
+    def test_invalid_bbox_raises(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 1], [5, 1]]}}]}
+        with pytest.raises(ValueError, match="invalid bbox"):
+            apply_commands(spark, "-i in.json -clip bbox=1,0,1,2",
+                           {"in.json": json.dumps(gj)})
+
+
+class TestPointGeoJson:
+    # point FeatureCollections route through the point clip/export paths
+    # (dissolve-points-test.js / point-clipping semantics)
+    def test_point_clip_and_roundtrip(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"id": i},
+             "geometry": {"type": "Point", "coordinates": [float(i), 1.0]}}
+            for i in range(6)]}
+        out = apply_commands(
+            spark, "-i p.json -clip bbox=1.5,0,4.5,2 -o out.json",
+            {"p.json": json.dumps(gj)})
+        obj = json.loads(out["out.json"])
+        ids = sorted(f["properties"]["id"] for f in obj["features"])
+        assert ids == [2, 3, 4]
+        assert all(f["geometry"]["type"] == "Point"
+                   for f in obj["features"])
