@@ -506,6 +506,21 @@ def q_proj_webmercator(spark, sf_dir):
                       F.round("lat", 4).alias("my"))
 
 
+def q_cli_pipeline(spark, sf_dir):
+    """End-to-end CLI command-string pipeline (mapshaper_spark/cli.py —
+    the api.runCommands analog a reference user drives): import -> filter
+    -> each -> dissolve with sum-fields + calc, all from one string."""
+    from mapshaper_spark.cli import run_commands
+    cat = run_commands(
+        spark,
+        f"-i {sf_dir}/customer.parquet -filter 'c_acctbal > 1000' "
+        "-each 'seg = upper(c_mktsegment)' "
+        "-dissolve seg sum-fields=c_nationkey calc='n = count()'")
+    return cat.df().select(
+        "seg", F.col("c_nationkey").cast("long").alias("sum_nk"),
+        F.col("n").cast("long").alias("n"))
+
+
 def q_proj_sinu(spark, sf_dir):
     """Round-3 -proj tail: ellipsoidal sinusoidal (Snyder eq. 30-1..30-2;
     geom/projections.py Sinusoidal). Input lon/lat derive from integer
@@ -1273,8 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "innerlines": q_innerlines,
         "lines": q_lines,
         "neighbors": q_neighbors,
-        # path / ring ops
-        "explode_parts": q_explode_parts,
+        # path / ring ops (+ CLI end-to-end, late r3)
+        "cli_pipeline": q_cli_pipeline,
         "filter_islands": q_filter_islands,
         "filter_slivers": q_filter_slivers,
         "ring_repair": q_ring_repair,
@@ -1317,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "proj_webmercator": q_proj_webmercator,
+        "explode_parts": q_explode_parts,
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
         "calc_aggs": q_calc_aggs,
@@ -2034,6 +2050,13 @@ def oracle_sql() -> dict[str, str]:
             (2, 5, 1.0, 2.0, 2.0, 1.0),
             (3, 3, 1.0, 2.0, 2.0, 1.0))
             t(arc_id, n, x0, y0, x1, y1)
+    """
+    sqls["cli_pipeline"] = """
+        SELECT upper(c_mktsegment) AS seg,
+               CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 1000
+        GROUP BY upper(c_mktsegment)
     """
     sqls["proj_sinu"] = """
         -- ellipsoidal sinusoidal, Snyder eq. 30-1..30-2 re-derived in SQL
