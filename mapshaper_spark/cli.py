@@ -582,15 +582,29 @@ def _cmd_proj(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import proj as PR
     df = cat.df()
     crs = " ".join(c.values)
-    kind = _geometry_kind(df)
+    kind = cat.kinds.get(cat.target, _geometry_kind(df))
     if kind == "point":
         x, y = _point_cols(df)
         cat.replace(PR.project_points(df, x, y, crs=crs))
     elif kind == "path":
         cat.replace(PR.project_arcs(df, crs=crs))
     else:
-        raise ValueError("-proj on polygon layers: project the arcs "
-                         "(build topology first) — CLI v1 limitation")
+        # ring layers: explode rings -> per-path projection (project_arcs,
+        # adaptive densify included) -> regroup in ring order
+        other = [col for col in df.columns
+                 if col not in ("rings_x", "rings_y", "bbox")]
+        exploded = (df.select(*other, F.posexplode(F.arrays_zip(
+            F.col("rings_x").alias("xs"),
+            F.col("rings_y").alias("ys"))).alias("__ri", "__r"))
+            .select(*other, "__ri", F.col("__r.xs").alias("xs"),
+                    F.col("__r.ys").alias("ys")))
+        projected = PR.project_arcs(exploded, crs=crs)
+        regrouped = (projected.groupBy(*other).agg(
+            F.expr("transform(sort_array(collect_list("
+                   "struct(__ri, xs, ys))), s -> s.xs)").alias("rings_x"),
+            F.expr("transform(sort_array(collect_list("
+                   "struct(__ri, xs, ys))), s -> s.ys)").alias("rings_y")))
+        cat.replace(regrouped)
 
 
 def _cmd_simplify(cat: Catalog, c: Command) -> None:

@@ -211,3 +211,29 @@ class TestReferenceFixtures:
     def test_unknown_command_errors(self, spark, states):
         with pytest.raises(ValueError, match="unknown command"):
             run_commands(spark, "-frobnicate", layers={"states": states})
+
+
+class TestProjPolygons:
+    def test_proj_polygon_rings_webmercator(self, spark, states):
+        cat = run_commands(spark, "-proj webmercator",
+                           layers={"states": states})
+        got = {r.fid: r for r in cat.df().collect()}
+        assert len(got) == 4
+        import math
+        R = 6378137.0
+        # vertex (1, 1) -> webmercator
+        exp_x = math.radians(1.0) * R
+        exp_y = R * math.log(math.tan(math.pi / 4 + math.radians(1.0) / 2))
+        rx, ry = got[0].rings_x[0], got[0].rings_y[0]
+        assert len(rx) == 5
+        xs = sorted(set(round(v, 6) for v in rx))
+        assert xs == [0.0, round(exp_x, 6)]
+        assert round(max(ry), 6) == round(exp_y, 6)
+
+    def test_proj_polygon_proj_string(self, spark, states):
+        cat = run_commands(
+            spark, "-proj +proj=sinu +lon_0=0 +datum=WGS84",
+            layers={"states": states})
+        out = cat.df().collect()
+        assert len(out) == 4
+        assert all(len(r.rings_x) == 1 for r in out)
