@@ -1257,6 +1257,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_image_tiles(spark, "/root/testdata/sf0.001", n_images=2000)
 
 
+def q_mosaic_faces(spark, sf_dir):
+    """-mosaic (overlay.mosaic, round 3): arrangement faces of 25
+    overlapping square pairs (one per nation key; A at [10k,10k+2]^2,
+    B shifted +1). Each pair mosaics into exactly 3 faces — the 1x1
+    overlap (covered by both inputs) and two area-3 L-shapes — so the
+    face set is arithmetic in the fixture and the oracle re-derives
+    (xmin, ymin, area, n_members) per face in plain SQL
+    (reference: src/commands/mapshaper-mosaic.js -> MosaicIndex)."""
+    from mapshaper_spark.operators.overlay import mosaic
+    n = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("double") * 10).alias("x0"))
+    feats = (n.select(F.explode(F.array(
+        F.struct(F.col("x0").alias("x0"), F.lit(0.0).alias("y0")),
+        F.struct((F.col("x0") + 1).alias("x0"), F.lit(1.0).alias("y0"))))
+        .alias("s"))
+        .select(F.col("s.x0").alias("x0"), F.col("s.y0").alias("y0")))
+    x0, y0 = F.col("x0"), F.col("y0")
+    sq = feats.select(
+        F.concat_ws("_", x0, y0).alias("fid"),
+        F.array(F.array(x0, x0, x0 + 2, x0 + 2, x0)).alias("rings_x"),
+        F.array(F.array(y0, y0 + 2, y0 + 2, y0, y0)).alias("rings_y"))
+    faces = mosaic(sq, key="fid")
+    return faces.select(
+        F.round(F.array_min(F.transform("rings_x", F.array_min)), 6).alias("xmin"),
+        F.round(F.array_min(F.transform("rings_y", F.array_min)), 6).alias("ymin"),
+        F.round("area", 6).alias("area"),
+        F.col("n_members"))
+
+
+def q_slice_layer(spark, sf_dir):
+    """-slice source= (overlay.slice_polygons, round 3): 25 nation squares
+    [2k+1, 2k+3] x [0, 2] sliced by an aligned 2-unit polygon grid — each
+    square straddles exactly two cells (area 2 each); the row above is
+    tangent and must contribute nothing (the tangency contract of the
+    overlay kernel). Oracle: two arithmetic rows per nation."""
+    from mapshaper_spark.operators.overlay import slice_polygons
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    x0 = F.col("n_nationkey").cast("double") * 2 + 1
+    sq = n.select(
+        F.col("n_nationkey").alias("fid"),
+        F.array(F.array(x0, x0, x0 + 2, x0 + 2, x0)).alias("rings_x"),
+        F.array(F.array(F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0),
+                        F.lit(0.0))).alias("rings_y"))
+    grid = G.polygon_grid(spark, 27, 3, (-1.0, -1.0, 53.0, 5.0))
+    out = slice_polygons(sq, grid, id_field="cell_id", key="fid")
+    areas = P.ring_areas_col(out)
+    return areas.select(
+        "fid", "slice_id",
+        F.round(F.aggregate("ring_areas", F.lit(0.0), lambda a, v: a + v),
+                6).alias("area"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's correctness gate covers the FIRST
     50 entries, so the riskiest / newest operator families (overlay clip,
@@ -1273,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_unbounded": q_knn_unbounded,
         "split_on_grid": q_split_on_grid,
         # overlay family (newly distributed this round)
+        "mosaic_faces": q_mosaic_faces,
+        "slice_layer": q_slice_layer,
         "slice_grid": q_slice_grid,
         "clip_diamond": q_clip_diamond,
         "erase_diamond": q_erase_diamond,
@@ -1293,8 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_islands": q_filter_islands,
         "filter_slivers": q_filter_slivers,
         "ring_repair": q_ring_repair,
-        "points_centroid": q_points_centroid,
-        "points_inner": q_points_inner,
         # round-3: distributed close_gaps + exact sorted-sweep snapping get
         # driver hash rows (points_vertices/points_interpolated rotate out)
         "close_gaps": q_close_gaps,
@@ -1331,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-checked by tools/check_oracle.py)
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
+        "points_centroid": q_points_centroid,
+        "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
         "explode_parts": q_explode_parts,
         "area_expr": q_area_expr,
@@ -1959,6 +2013,25 @@ def oracle_sql() -> dict[str, str]:
         FROM r, g
         WHERE least(x1, gx1) > greatest(x0, gx0)
           AND least(y1, gy1) > greatest(y0, gy0)
+    """
+    sqls["mosaic_faces"] = """
+        WITH n AS (SELECT CAST(n_nationkey AS DOUBLE) * 10 AS x0 FROM nation)
+        SELECT round(x0, 6) AS xmin, 0.0 AS ymin,
+               CAST(3.0 AS DOUBLE) AS area, CAST(1 AS INT) AS n_members
+        FROM n
+        UNION ALL
+        SELECT round(x0 + 1, 6), 1.0, 3.0, CAST(1 AS INT) FROM n
+        UNION ALL
+        SELECT round(x0 + 1, 6), 1.0, 1.0, CAST(2 AS INT) FROM n
+    """
+    sqls["slice_layer"] = """
+        SELECT n_nationkey AS fid,
+               'r0c' || CAST(n_nationkey AS VARCHAR) AS slice_id,
+               CAST(2.0 AS DOUBLE) AS area
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, 'r0c' || CAST(n_nationkey + 1 AS VARCHAR), 2.0
+        FROM nation
     """
     sqls["clip_diamond"] = """
         SELECT * FROM (VALUES

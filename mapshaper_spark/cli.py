@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 _FLAG_WORDS = {
     "remove-empty", "keep-shapes", "descending", "unjoined", "unmatched",
     "combine-files", "erase", "centroid", "inner", "vertices", "endpoints",
-    "no-gap-fill", "planar", "force", "each",
+    "no-gap-fill", "planar", "force", "each", "closed", "geometry",
+    "postprocess", "debug",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -56,6 +57,25 @@ _KNOWN_OPTS = {
     "max-count", "format", "bbox", "min-area", "min-vertices", "interval",
     "precision", "source", "scale", "rotate", "shift", "anchor", "x", "y",
     "percentage", "target-name", "key", "names", "encoding", "delimiter",
+}
+
+# per-command option names — the reference's parser is context-sensitive
+# (each command declares its own options, src/cli/mapshaper-options.js), so
+# e.g. fill= is an option of -style but a plain assignment inside -each
+_STYLE_OPTS = {"fill", "stroke", "stroke-width", "opacity", "r", "class"}
+_CMD_OPTS = {
+    "point-grid": {"cols", "rows"},
+    "polygon-grid": {"cols", "rows"},
+    "rectangle": {"offset"},
+    "shape": {"coordinates", "offsets"},
+    "cluster": {"id-field", "pct", "count"},
+    "data-fill": {"field"},
+    "slice": {"id-field"},
+    "style": _STYLE_OPTS,
+    "svg-style": _STYLE_OPTS,
+    "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
+    "include": {"file"},
+    "polygons": {"gap-tolerance"},
 }
 
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
@@ -100,7 +120,8 @@ def parse_commands(command_str: str) -> list[Command]:
             cur = Command("i")
             cmds.append(cur)
         m = re.match(r"^([\w-]+)=(.*)$", tok)
-        if m and m.group(1) in _KNOWN_OPTS:
+        if m and (m.group(1) in _KNOWN_OPTS or
+                  m.group(1) in _CMD_OPTS.get(cur.name, ())):
             cur.options[m.group(1).replace("-", "_")] = m.group(2)
         elif tok in _FLAG_WORDS:
             cur.options[tok.replace("-", "_")] = True
@@ -282,7 +303,19 @@ def _cmd_rename_fields(cat: Catalog, c: Command) -> None:
 
 def _cmd_each(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.functions.expressions import each_expr
+    from mapshaper_spark.operators.styling import DEFS
     where = c.opt("where")
+    # defs calls first: 'fill = getColor(RATING)' where getColor is a
+    # -colorizer / -include definition (the reference resolves these from
+    # getStateVar('defs') inside the expression context)
+    m = re.match(r"^\s*([\w-]+)\s*=\s*(\w+)\(\s*([\w.]+)\s*\)\s*$", c.values[0])
+    if m and m.group(2) in DEFS and callable(DEFS[m.group(2)]):
+        fn = DEFS[m.group(2)]
+        col = fn(F.col(m.group(3)))
+        if where:
+            col = F.when(F.expr(_sql(str(where), cat.calc_env)), col)
+        cat.replace(cat.df().withColumn(m.group(1), col))
+        return
     cat.replace(each_expr(cat.df(), _sql(c.values[0], cat.calc_env),
                           _sql(str(where), cat.calc_env) if where else None))
 
@@ -830,6 +863,302 @@ def _cmd_calc(cat: Catalog, c: Command) -> None:
     cat.calc_env.update(result)  # calc results enter later expression scope
 
 
+def _layer_bbox(df: DataFrame) -> list[float]:
+    """Overall [xmin, ymin, xmax, ymax] of a layer, any geometry kind."""
+    kind = _geometry_kind(df)
+    if kind == "point":
+        x, y = _point_cols(df)
+        r = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
+        return [float(v) for v in r]
+    if "bbox" in df.columns:
+        r = df.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                   F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+        return [float(v) for v in r]
+    if "rings_x" in df.columns:
+        r = df.agg(
+            F.min(F.array_min(F.transform("rings_x", F.array_min))),
+            F.min(F.array_min(F.transform("rings_y", F.array_min))),
+            F.max(F.array_max(F.transform("rings_x", F.array_max))),
+            F.max(F.array_max(F.transform("rings_y", F.array_max)))).collect()[0]
+        return [float(v) for v in r]
+    r = df.agg(F.min(F.array_min("xs")), F.min(F.array_min("ys")),
+               F.max(F.array_max("xs")), F.max(F.array_max("ys"))).collect()[0]
+    return [float(v) for v in r]
+
+
+def _opt_bbox(cat: Catalog, c: Command) -> list[float]:
+    """bbox= option, defaulting to the target layer's bounds (the
+    reference's 'default is bbox of data')."""
+    if c.opt("bbox"):
+        return [float(v) for v in c.csv("bbox")]
+    return _layer_bbox(cat.df())
+
+
+def _grid_shape(c: Command) -> tuple[int, int]:
+    """cols/rows from the positional '<cols,rows>' or cols=/rows= options."""
+    if c.values:
+        parts = c.values[0].split(",")
+        return int(parts[0]), int(parts[1])
+    cols = c.opt("cols")
+    rows = c.opt("rows")
+    if cols is None or rows is None:
+        raise ValueError("grid commands need <cols,rows> or cols=/rows=")
+    return int(cols), int(rows)
+
+
+def _cmd_point_grid(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import grid as G
+    bbox = _opt_bbox(cat, c) if (cat.target or c.opt("bbox")) else None
+    if bbox is None:
+        raise ValueError("-point-grid needs bbox= or an existing layer")
+    if c.opt("interval") and not c.values:
+        out = G.point_grid_interval(cat.spark, c.num("interval"), bbox)
+    else:
+        cols, rows = _grid_shape(c)
+        out = G.point_grid(cat.spark, cols, rows, bbox)
+    cat.add(str(c.opt("name", "grid")), out)
+
+
+def _cmd_polygon_grid(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import grid as G
+    bbox = _opt_bbox(cat, c) if (cat.target or c.opt("bbox")) else None
+    if bbox is None:
+        raise ValueError("-polygon-grid needs bbox= or an existing layer")
+    cols, rows = _grid_shape(c)
+    cat.add(str(c.opt("name", "grid")), G.polygon_grid(cat.spark, cols, rows, bbox))
+
+
+def _cmd_graticule(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.grid import graticule
+    name = cat.add("graticule", graticule(cat.spark))
+    cat.kinds[name] = "polyline"
+
+
+def _cmd_rectangle(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.grid import rectangle
+    if c.opt("bbox"):
+        bbox = [float(v) for v in c.csv("bbox")]
+    elif c.opt("source"):
+        bbox = _layer_bbox(_resolve_source(cat, str(c.opt("source"))))
+    elif cat.target:
+        bbox = _layer_bbox(cat.df())
+    else:
+        raise ValueError("-rectangle needs bbox= or source=")
+    if c.opt("offset"):
+        off = c.num("offset")
+        bbox = [bbox[0] - off, bbox[1] - off, bbox[2] + off, bbox[3] + off]
+    cat.add(str(c.opt("name", "rectangle")), rectangle(cat.spark, bbox))
+
+
+def _cmd_shape(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.grid import shape
+    coords = [float(v) for v in c.csv("coordinates")]
+    offsets = [float(v) for v in c.csv("offsets")]
+    out = shape(cat.spark, coords, offsets, closed=c.flag("closed"),
+                name=str(c.opt("name", "shape")))
+    name = cat.add(str(c.opt("name", "shape")), out)
+    if out.limit(1).collect()[0]["geometry_type"] == "polyline":
+        cat.kinds[name] = "polyline"
+
+
+def _cmd_subdivide(cat: Catalog, c: Command) -> None:
+    """-subdivide 'count() > N' (the canonical split expression,
+    mapshaper-subdivide.js — arbitrary JS conditions are the documented
+    expression-surface deviation)."""
+    from mapshaper_spark.operators.grid import subdivide
+    m = re.match(r"^\s*count\(\s*\)\s*>\s*(\d+)\s*$", c.values[0])
+    if not m:
+        raise ValueError("-subdivide supports the canonical 'count() > N'")
+    df = cat.df()
+    if _geometry_kind(df) != "point":
+        raise ValueError("-subdivide CLI v1 supports point layers")
+    x, y = _point_cols(df)
+    cat.replace(subdivide(df, x, y, int(m.group(1))))
+
+
+def _cmd_cluster(cat: Catalog, c: Command) -> None:
+    """-cluster pct=50% (count = round(n*pct), mapshaper-cluster.js:7-12)
+    or the engine extension count=K; assignment = the documented
+    deterministic sample-seeded Lloyd spec (operators/cluster.py)."""
+    from mapshaper_spark.operators.cluster import cluster_points
+    from mapshaper_spark.operators.paths import points_from_centroids
+    df = cat.df()
+    id_field = str(c.opt("id-field", "cluster"))
+    kind = _geometry_kind(df)
+    if kind == "point":
+        work, x, y, synthetic = df, *_point_cols(df), False
+    else:
+        work, x, y, synthetic = points_from_centroids(df, "__cx", "__cy"), \
+            "__cx", "__cy", True
+    if c.opt("count"):
+        count = int(c.num("count"))
+    else:
+        pct = float(str(c.opt("pct", "100")).rstrip("%"))
+        if pct > 1:
+            pct /= 100.0
+        count = max(1, round(work.count() * pct))
+    out = cluster_points(work, x, y, count, id_field=id_field)
+    cat.replace(out.drop("__cx", "__cy") if synthetic else out)
+
+
+def _cmd_data_fill(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import datafill as DF_
+    from mapshaper_spark.operators.topology import build_topology
+    field_name = str(c.opt("field"))
+    df0 = cat.df()
+    # numeric surrogate key: data_fill's deterministic neighbor tie-break
+    # orders by key value, which needs a numeric key (string feature ids
+    # get a stable hash; ties then break by hash order — same contract)
+    df = df0.withColumn("__dfk", F.xxhash64(F.col(df0.columns[0]).cast("string")))
+    paths, fid = _rings_to_paths(df, "__dfk")
+    arcs, refs = build_topology(paths, "path_id")
+    feats = (_features_with_parts(refs, paths, fid)
+             .withColumnRenamed(fid, "__dfk")
+             .join(df.select("__dfk", field_name), "__dfk"))
+    filled = DF_.data_fill(feats, arcs, "__dfk", field_name)
+    cat.replace(df.drop(field_name)
+                .join(filled.select("__dfk", field_name), "__dfk", "left")
+                .drop("__dfk"))
+
+
+def _cmd_drop(cat: Catalog, c: Command) -> None:
+    """-drop: no args = delete the target layer; fields= deletes columns
+    ('*' = all attribute fields); geometry deletes the geometry columns
+    (mapshaper-drop.js:5-28)."""
+    geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
+                 "lon", "lat", "x", "y"}
+    df = cat.df() if cat.target else None
+    if c.flag("geometry") and df is not None:
+        cat.replace(df.drop(*[g for g in geom_cols if g in df.columns]))
+        return
+    if c.opt("fields") and df is not None:
+        want = c.csv("fields")
+        if want == ["*"]:
+            drop = [col for col in df.columns if col not in geom_cols]
+        else:
+            drop = [f for f in want if f in df.columns]
+        cat.replace(df.drop(*drop))
+        return
+    # delete the target layer(s)
+    name = cat.target
+    if name is None:
+        raise ValueError("-drop: no target layer")
+    del cat.layers[name]
+    cat.order.remove(name)
+    cat.target = cat.order[-1] if cat.order else None
+
+
+def _cmd_filter_geom(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.spatial import filter_geom_bbox
+    bbox = [float(v) for v in c.csv("bbox")]
+    df = cat.df()
+    if _geometry_kind(df) == "point":
+        x, y = _point_cols(df)
+        cat.replace(filter_geom_bbox(df, bbox, x=x, y=y))
+        return
+    from mapshaper_spark.operators.overlay import _ensure_bbox
+    had_bbox = "bbox" in df.columns
+    if not had_bbox and "xs" in df.columns:
+        df = df.withColumn("bbox", F.struct(
+            F.array_min("xs").alias("xmin"), F.array_min("ys").alias("ymin"),
+            F.array_max("xs").alias("xmax"), F.array_max("ys").alias("ymax")))
+    else:
+        df = _ensure_bbox(df)
+    out = filter_geom_bbox(df, bbox)
+    cat.replace(out if had_bbox else out.drop("bbox"))
+
+
+def _cmd_mosaic(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.overlay import mosaic
+    cat.replace(mosaic(cat.df()))
+
+
+def _cmd_polygons(cat: Catalog, c: Command) -> None:
+    """-polygons: enclosed faces of a polyline network. Paths are noded
+    first (shared-vertex topology + segment-intersection cuts), then the
+    per-component half-edge face walk runs (topology.polygons_from_lines)."""
+    from mapshaper_spark.operators.topology import (
+        build_topology, find_segment_intersections, insert_cut_points,
+        polygons_from_lines)
+    df = cat.df()
+    if "xs" not in df.columns:
+        raise ValueError("-polygons needs a polyline layer (xs/ys)")
+    paths = df.select(F.xxhash64("xs", "ys").alias("path_id"), "xs", "ys")
+    arcs0, _ = build_topology(paths, "path_id")
+    hits = find_segment_intersections(arcs0)
+    arcs_cut = insert_cut_points(arcs0, hits)
+    paths2 = arcs_cut.select(F.col("arc_id").alias("path_id"), "xs", "ys")
+    arcs, _ = build_topology(paths2, "path_id")
+    faces = polygons_from_lines(arcs)
+    out = faces.select(
+        F.xxhash64("xs", "ys").alias("fid"),
+        F.array("xs").alias("rings_x"), F.array("ys").alias("rings_y"),
+        "area")
+    cat.replace(out)
+
+
+def _cmd_slice(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.overlay import _ensure_bbox, slice_polygons
+    source = _resolve_source(cat, c.values[0] if c.values
+                             else str(c.opt("source")))
+    if _geometry_kind(source) != "polygon":
+        raise ValueError("-slice source must be a polygon layer")
+    df = _ensure_bbox(cat.df())
+    id_field = c.opt("id-field")
+    cat.replace(slice_polygons(df, source,
+                               id_field=str(id_field) if id_field else None))
+
+
+def _cmd_stitch(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.paths import stitch
+    cat.replace(stitch(cat.df()))
+
+
+_COLOR_LIT = re.compile(r"^([a-z]+|#[0-9a-fA-F]+|rgba?\([0-9,. ]+\)|-?[.0-9]+[a-z]*)$")
+
+
+def _cmd_style(cat: Catalog, c: Command) -> None:
+    """-style / -svg-style: set reserved SVG fields. The reference's
+    literal-vs-expression rule (mapshaper-svg-style.js parseSvgValue):
+    a field name or JS-syntax string is an expression; color/number/
+    classname literals pass through."""
+    df = cat.df()
+    where = c.opt("where")
+    for key in ("fill", "stroke", "stroke_width", "opacity", "r", "class"):
+        v = c.opt(key)
+        if v is None:
+            continue
+        sval = str(v).strip()
+        if sval in df.columns or not _COLOR_LIT.match(sval):
+            col = F.expr(_sql(sval, cat.calc_env))
+        else:
+            col = F.lit(float(sval)) if re.match(r"^-?[.0-9]+$", sval) \
+                else F.lit(sval)
+        svg_name = key.replace("_", "-") if key != "class" else "class"
+        if where:
+            keep = F.col(svg_name) if svg_name in df.columns else F.lit(None)
+            col = F.when(F.expr(_sql(str(where), cat.calc_env)), col) \
+                .otherwise(keep)
+        df = df.withColumn(svg_name, col)
+    cat.replace(df)
+
+
+def _cmd_colorizer(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.styling import colorizer
+    colorizer(str(c.opt("name")),
+              c.csv("colors"),
+              breaks=[float(b) for b in c.csv("breaks")] or None,
+              categories=c.csv("categories") or None,
+              other=str(c.opt("other")) if c.opt("other") else None,
+              nodata=str(c.opt("nodata", "white")),
+              precision=c.num("precision") if c.opt("precision") else None)
+
+
+def _cmd_include(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators.styling import include_defs
+    include_defs(c.values[0] if c.values else str(c.opt("file")))
+
+
 COMMANDS = {
     "i": _cmd_i,
     "filter": _cmd_filter,
@@ -861,6 +1190,24 @@ COMMANDS = {
     "o": _cmd_o,
     "info": _cmd_info,
     "calc": _cmd_calc,
+    "point-grid": _cmd_point_grid,
+    "polygon-grid": _cmd_polygon_grid,
+    "graticule": _cmd_graticule,
+    "rectangle": _cmd_rectangle,
+    "shape": _cmd_shape,
+    "subdivide": _cmd_subdivide,
+    "cluster": _cmd_cluster,
+    "data-fill": _cmd_data_fill,
+    "drop": _cmd_drop,
+    "filter-geom": _cmd_filter_geom,
+    "mosaic": _cmd_mosaic,
+    "polygons": _cmd_polygons,
+    "slice": _cmd_slice,
+    "stitch": _cmd_stitch,
+    "style": _cmd_style,
+    "svg-style": _cmd_style,
+    "colorizer": _cmd_colorizer,
+    "include": _cmd_include,
 }
 
 

@@ -1759,3 +1759,141 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     if attr_cols:
         out = out.join(features.select(key, *attr_cols), key, "left")
     return out
+
+
+def mosaic(features: DataFrame, key: str = None, res: int = 6) -> DataFrame:
+    """-mosaic (/root/reference/src/commands/mapshaper-mosaic.js:3-18 ->
+    MosaicIndex.mosaic): replace a polygon layer with the indivisible faces
+    of its arrangement; each face carries how many input features cover it.
+
+    Distribution mirrors -clean: features cluster by bbox-cover overlap
+    (cell equi-join + label propagation, `_connected_feature_clusters`);
+    each cluster runs the arrangement kernel (`mosaic_rings`) in one
+    applyInPandas task — faces can only be formed by features whose bbox
+    covers touch, so disjoint clusters are embarrassingly parallel.
+    Singleton clusters skip the kernel: their mosaic is the feature itself
+    (n_members=1), a pure JVM projection.
+
+    Returns (face_id, rings_x, rings_y, area, n_members); face_id is a
+    content hash — stable across runs and partitionings."""
+    key = key or features.columns[0]
+    features = _ensure_bbox(features)
+    features = features.filter(F.col("rings_x").isNotNull() &
+                               (F.size("rings_x") > 0))
+    clusters = _connected_feature_clusters(features, key, res=res)
+    labeled = features.join(clusters, key)
+    sizes = labeled.groupBy("__cluster").agg(F.count(F.lit(1)).alias("__csz"))
+    labeled = labeled.join(sizes, "__cluster").localCheckpoint()
+
+    out_schema = T.StructType([
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("n_members", T.IntegerType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical feature order (see dissolve2.merge): face assembly is
+        # deterministic regardless of shuffle row order
+        pdf = pdf.assign(__ord=[
+            (rxs[0][0] if len(rxs) and len(rxs[0]) else 0.0,
+             rys[0][0] if len(rys) and len(rys[0]) else 0.0)
+            for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"])])
+        pdf = pdf.sort_values("__ord").drop(columns="__ord")
+        ring_sets = [[(np.asarray(rx, dtype=np.float64),
+                       np.asarray(ry, dtype=np.float64))
+                      for rx, ry in zip(r["rings_x"], r["rings_y"])]
+                     for r in pdf.to_dict("records")]
+        rows = []
+        for rings, area, member in mosaic_rings(ring_sets):
+            rows.append({"rings_x": [fx.tolist() if hasattr(fx, "tolist") else list(fx)
+                                     for fx, _fy in rings],
+                         "rings_y": [fy.tolist() if hasattr(fy, "tolist") else list(fy)
+                                     for _fx, fy in rings],
+                         "area": float(area),
+                         "n_members": int(sum(member))})
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    singles = (labeled.filter(F.col("__csz") == 1)
+               .select("rings_x", "rings_y")
+               .withColumn("area", F.aggregate(
+                   # offset shoelace, CW => positive — bit-identical to
+                   # K.planar_path_area so the JVM fast path and the kernel
+                   # path agree on the same ring
+                   F.zip_with("rings_x", "rings_y", lambda rx, ry: F.aggregate(
+                       F.sequence(F.lit(0), F.size(rx) - 2),
+                       F.lit(0.0),
+                       lambda acc, i: acc +
+                       ((rx[i + 1] - rx[0]) * (ry[i] - ry[0]) -
+                        (rx[i] - rx[0]) * (ry[i + 1] - ry[0])),
+                       lambda s: s / 2)),
+                   F.lit(0.0), lambda a, v: a + v))
+               .withColumn("n_members", F.lit(1)))
+    multi = (labeled.filter(F.col("__csz") > 1)
+             .select("__cluster", "rings_x", "rings_y")
+             .groupBy("__cluster").applyInPandas(
+                 lambda pdf: kernel(pdf), schema=out_schema))
+    out = singles.select(*[f.name for f in out_schema.fields]) \
+        .unionByName(multi)
+    return out.select(
+        F.xxhash64("rings_x", "rings_y").alias("face_id"),
+        "rings_x", "rings_y", "area", "n_members")
+
+
+def slice_polygons(target: DataFrame, source: DataFrame,
+                   id_field: str | None = None, key: str | None = None,
+                   out_field: str = "slice_id", res: int = 6) -> DataFrame:
+    """-slice source= (/root/reference/src/commands/mapshaper-clip-erase.js
+    sliceLayers): cut the target layer by EVERY polygon of the source
+    layer — one output row per intersecting (target feature, slice
+    polygon) pair, geometry = the intersection, tagged with the slice
+    polygon's ``id_field`` value (default: the source's first column).
+
+    Physical plan (always distributed — no broadcast special case needed
+    because pairs are independent): bbox-cell equi-join builds candidate
+    (target, slice) pairs over a shared grid, each pair runs the clip
+    kernel for exactly one clip feature, so task size is bounded by one
+    pair's geometry regardless of layer sizes."""
+    key = key or target.columns[0]
+    id_field = id_field or source.columns[0]
+    target = _ensure_bbox(target)
+    source = _ensure_bbox(source)
+    gb = _union_bbox(target, source)
+
+    src = source.select(F.col(id_field).cast("string").alias("__sid"),
+                        F.col("rings_x").alias("__srx"),
+                        F.col("rings_y").alias("__sry"),
+                        F.col("bbox").alias("__sbb"))
+    t_cells = (target.select(key, "bbox")
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select(key, "__cell"))
+    s_cells = (src.select("__sid", F.col("__sbb").alias("bbox"))
+               .withColumn("__cell", _bbox_cells_col(gb, res))
+               .select("__sid", "__cell"))
+    pairs = t_cells.join(s_cells, "__cell").select(key, "__sid").distinct()
+    cand = pairs.join(target, key).join(src, "__sid")
+
+    out_cols = [f.name for f in target.schema.fields] + [out_field]
+    out_schema = T.StructType(list(target.schema.fields) +
+                              [T.StructField(out_field, T.StringType())])
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                feat = ([(np.asarray(rx, dtype=np.float64),
+                          np.asarray(ry, dtype=np.float64))
+                         for rx, ry in zip(rec["__srx"], rec["__sry"])],
+                        (rec["__sbb"]["xmin"], rec["__sbb"]["ymin"],
+                         rec["__sbb"]["xmax"], rec["__sbb"]["ymax"]))
+                sid = rec["__sid"]
+                rec = {k: v for k, v in rec.items()
+                       if k not in ("__sid", "__srx", "__sry", "__sbb")}
+                out = _overlay_one(rec, [feat], "clip")
+                if out is not None:
+                    out[out_field] = sid
+                    rows.append(out)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+
+    return cand.mapInPandas(gen, schema=out_schema)

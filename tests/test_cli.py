@@ -237,3 +237,164 @@ class TestProjPolygons:
         out = cat.df().collect()
         assert len(out) == 4
         assert all(len(r.rings_x) == 1 for r in out)
+
+
+class TestRound3Commands:
+    """The 17 commands wired in round 3: layer creation (point-grid,
+    polygon-grid, graticule, rectangle, shape), layer surgery (drop,
+    filter-geom, mosaic, polygons, slice, stitch, subdivide, cluster,
+    data-fill) and styling (style/svg-style, colorizer, include)."""
+
+    def test_point_grid_reference_golden(self, spark):
+        # createPointGrid rows/cols: cell centers with half-cell margins
+        cat = run_commands(spark, "-point-grid 2,2 bbox=10,10,20,20")
+        pts = sorted((r.x, r.y) for r in cat.df().collect())
+        assert pts == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
+
+    def test_polygon_grid_and_slice(self, spark, states):
+        # aligned grid: cells coincide with the unit squares — tangent
+        # neighbors contribute NO degenerate slivers, each square maps to
+        # exactly its own cell
+        grid = run_commands(spark, "-polygon-grid 3,3 bbox=-0.5,-0.5,2.5,2.5")
+        assert grid.df().count() == 4
+        cat = run_commands(spark, "-slice grid id-field=cell_id",
+                           layers={"states": states, "grid": grid.df()})
+        got = sorted((r.fid, r.slice_id) for r in cat.df().collect())
+        assert got == [(0, "r0c0"), (1, "r1c0"), (2, "r0c1"), (3, "r1c1")]
+
+        # shifted grid (cells offset by 0.5): partial intersections
+        grid2 = run_commands(spark, "-polygon-grid 3,3 bbox=0,0,3,3")
+        cat2 = run_commands(spark, "-slice grid2 id-field=cell_id",
+                            layers={"states": states, "grid2": grid2.df()})
+        out = cat2.df()
+        assert out.count() == 9  # 4 + 2 + 2 + 1 overlapping pairs
+        total = out.select(F.aggregate(
+            F.zip_with("rings_x", "rings_y", lambda rx, ry: F.aggregate(
+                F.sequence(F.lit(0), F.size(rx) - 2), F.lit(0.0),
+                lambda a, i: a + (rx[i + 1] - rx[0]) * (ry[i] - ry[0]) -
+                (rx[i] - rx[0]) * (ry[i + 1] - ry[0]),
+                lambda s: s / 2)),
+            F.lit(0.0), lambda a, v: a + v).alias("a")) \
+            .agg(F.sum(F.abs("a"))).collect()[0][0]
+        # slices tile states ∩ [0.5,2.5]^2 = [0.5,2]^2
+        assert abs(total - 2.25) < 1e-9
+
+    def test_graticule_shape_rectangle(self, spark):
+        g = run_commands(spark, "-graticule").df()
+        assert g.count() == 37 + 19
+        r = run_commands(spark, "-rectangle bbox=1,2,3,4 offset=1").df()
+        b = r.collect()[0]["bbox"]
+        assert (b["xmin"], b["ymin"], b["xmax"], b["ymax"]) == (0, 1, 4, 5)
+        s = run_commands(spark,
+                         "-shape coordinates=0,0,1,0,1,1 closed").df()
+        row = s.collect()[0]
+        assert row["geometry_type"] == "polygon"
+        assert row["rings_x"][0][0] == row["rings_x"][0][-1]
+
+    def test_mosaic_two_overlapping_squares(self, spark):
+        rows = [("a", [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+                ("b", [[1.0, 1.0, 3.0, 3.0, 1.0]], [[1.0, 3.0, 3.0, 1.0, 1.0]])]
+        df = spark.createDataFrame(
+            rows, "fid string, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+        faces = run_commands(spark, "-mosaic", layers={"p": df}).df()
+        got = sorted((round(r.area, 9), r.n_members) for r in faces.collect())
+        assert got == [(1.0, 2), (3.0, 1), (3.0, 1)]
+
+    def test_mosaic_singleton_jvm_path_area_sign(self, spark):
+        # disjoint features: pure JVM path; area positive for CW rings
+        rows = [("a", [[0.0, 0.0, 1.0, 1.0, 0.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+                ("b", [[5.0, 5.0, 7.0, 7.0, 5.0]], [[5.0, 7.0, 7.0, 5.0, 5.0]])]
+        df = spark.createDataFrame(
+            rows, "fid string, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+        faces = run_commands(spark, "-mosaic", layers={"p": df}).df()
+        got = sorted((round(r.area, 9), r.n_members) for r in faces.collect())
+        assert got == [(1.0, 1), (4.0, 1)]
+
+    def test_polygons_from_lines(self, spark):
+        lines = spark.createDataFrame([
+            (1, [0.0, 2.0], [0.0, 0.0]), (2, [0.0, 2.0], [1.0, 1.0]),
+            (3, [0.0, 0.0], [0.0, 1.0]), (4, [1.0, 1.0], [0.0, 1.0]),
+            (5, [2.0, 2.0], [0.0, 1.0]),
+        ], "lid int, xs array<double>, ys array<double>")
+        cat = run_commands(spark, "-polygons", layers={"l": lines})
+        areas = sorted(round(r.area, 9) for r in cat.df().collect())
+        assert areas == [1.0, 1.0]
+
+    def test_cluster_pct_on_polygons(self, spark, states):
+        cat = run_commands(spark, "-cluster pct=50%", layers={"s": states})
+        out = cat.df()
+        assert out.select("cluster").distinct().count() == 2
+        assert "__cx" not in out.columns
+
+    def test_subdivide_points(self, spark):
+        pts = spark.range(0, 40).select(
+            (F.col("id") % 8).cast("double").alias("x"),
+            (F.col("id") / 8).cast("double").alias("y"))
+        cat = run_commands(spark, "-subdivide 'count() > 12'",
+                           layers={"pts": pts})
+        sizes = {r["split_name"]: r["count"] for r in
+                 cat.df().groupBy("split_name").count().collect()}
+        assert sum(sizes.values()) == 40
+        assert all(v <= 12 for v in sizes.values())
+
+    def test_data_fill_string_keys(self, spark):
+        rows = []
+        for i in range(4):
+            x0 = float(i)
+            rows.append((f"g{i}", "A" if i == 0 else None,
+                         [[x0, x0, x0 + 1, x0 + 1, x0]],
+                         [[0.0, 1.0, 1.0, 0.0, 0.0]]))
+        strip = spark.createDataFrame(
+            rows, "fid string, grp string, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+        cat = run_commands(spark, "-data-fill field=grp", layers={"s": strip})
+        assert sorted((r.fid, r.grp) for r in cat.df().collect()) == \
+            [(f"g{i}", "A") for i in range(4)]
+
+    def test_drop_fields_geometry_layer(self, spark, states):
+        cat = run_commands(spark, "-drop fields=pop", layers={"s": states})
+        assert "pop" not in cat.df().columns
+        cat = run_commands(spark, "-drop geometry", layers={"s": states})
+        assert "rings_x" not in cat.df().columns
+        cat = Catalog(spark)
+        cat.add("a", states)
+        cat.add("b", states.select("fid"))
+        run_commands  # keep flake quiet
+        from mapshaper_spark.cli import COMMANDS, Command
+        COMMANDS["drop"](cat, Command("drop"))
+        assert cat.order == ["a"] and cat.target == "a"
+
+    def test_filter_geom_bbox_polygons(self, spark, states):
+        cat = run_commands(spark, "-filter-geom bbox=1.5,1.5,3,3",
+                           layers={"s": states})
+        assert [r.fid for r in cat.df().collect()] == [3]
+
+    def test_style_colorizer_each_include(self, spark, states, tmp_path):
+        # the reference's canonical colorizer example shape
+        cat = run_commands(
+            spark,
+            "-colorizer name=getColor breaks=15,35 colors=red,green,blue "
+            "-each 'fill = getColor(pop)' "
+            "-style stroke=black stroke-width=2 opacity=0.5",
+            layers={"s": states})
+        rows = {r.fid: (r.fill, r["stroke"], r["stroke-width"], r.opacity)
+                for r in cat.df().collect()}
+        assert rows[0][0] == "red" and rows[1][0] == "green" \
+            and rows[3][0] == "blue"
+        assert all(v[1:] == ("black", 2.0, 0.5) for v in rows.values())
+        # -style with an expression value (field-name rule)
+        cat = run_commands(spark, "-style fill=state", layers={"s": states})
+        assert {r.fill for r in cat.df().collect()} == {"A", "B"}
+        # -include: defs file usable from -each
+        p = tmp_path / "defs.py"
+        p.write_text("def double_pop(col):\n    return col * 2\n")
+        cat = run_commands(spark,
+                           f"-include {p} -each 'p2 = double_pop(pop)'",
+                           layers={"s": states})
+        assert {r.p2 for r in cat.df().collect()} == {20, 40, 60, 80}
+
+    def test_stitch_passthrough(self, spark, states):
+        cat = run_commands(spark, "-stitch", layers={"s": states})
+        assert cat.df().count() == 4
