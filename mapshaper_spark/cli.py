@@ -813,6 +813,19 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
             kwargs["precision"] = c.num("precision")
         out = GJ.export_geojson(df, **kwargs)
         payload = out if isinstance(out, str) else json.dumps(out)
+    elif fmt == "topojson":
+        # shared-arc export: rebuild arc topology from the ring layer so
+        # shared borders serialize once (the reference's TopoJSON contract)
+        from mapshaper_spark.operators.topology import build_topology
+        from mapshaper_spark.sources import topojson as TJ
+        key = df.columns[0]
+        paths, fid = _rings_to_paths(df, key)
+        arcs, refs = build_topology(paths, "path_id")
+        feats = _features_with_parts(refs, paths, fid).withColumnRenamed(
+            fid, key)
+        topo = TJ.export_topojson(arcs, feats, key,
+                                  object_name=cat.target or "layer")
+        payload = json.dumps(topo)
     elif fmt == "svg":
         payload = SVG.export_svg(df)
     elif fmt in ("csv", "tsv"):

@@ -398,3 +398,20 @@ class TestRound3Commands:
     def test_stitch_passthrough(self, spark, states):
         cat = run_commands(spark, "-stitch", layers={"s": states})
         assert cat.df().count() == 4
+
+    def test_o_topojson_shared_arcs(self, spark, states):
+        cat = run_commands(spark, "-o format=topojson", layers={"states": states})
+        topo = json.loads(cat.outputs["states.json"])
+        assert topo["type"] == "Topology"
+        geoms = topo["objects"]["states"]["geometries"]
+        assert len(geoms) == 4
+        # 2x2 grid of unit squares: shared borders serialize ONCE -> the
+        # arc pool is smaller than 4 independent rings (4x4=16 segments
+        # collapse to 12 distinct arcs at most)
+        assert 4 <= len(topo["arcs"]) <= 12
+        # every geometry references arcs within range
+        for g in geoms:
+            for ring in g["arcs"]:
+                for a in ring:
+                    idx = a if a >= 0 else ~a
+                    assert 0 <= idx < len(topo["arcs"])
