@@ -1096,15 +1096,16 @@ def q_emb_lsh_dups(spark, sf_dir):
 def q_image_decode_stats(spark, sf_dir):
     """Every 5th image is encoded as REAL baseline JPEG, every 7th as REAL
     progressive JPEG (SOF2 spectral selection + successive approximation,
-    operators/jpeg.py), and every 11th as REAL lossless WebP (pure-numpy
-    VP8L, operators/webp.py) so all three non-trivial decode paths run
-    alongside the PNG/PPM rows."""
+    operators/jpeg.py), every 11th as REAL lossless WebP (pure-numpy VP8L,
+    operators/webp.py), and every 13th as REAL GIF (LZW, operators/gif.py)
+    so all four non-trivial decode paths run alongside the PNG/PPM rows."""
     from mapshaper_spark.operators.images import encode_synthetic_bytes
     imgs = L.synth_images(spark, 500)
     imgs = imgs.withColumn(
         "fmt", F.when(F.col("id") % 7 == 2, F.lit("jpeg_progressive"))
                .when(F.col("id") % 5 == 3, F.lit("jpeg"))
                .when(F.col("id") % 11 == 4, F.lit("webp"))
+               .when(F.col("id") % 13 == 5, F.lit("gif"))
                .otherwise(F.col("fmt")))
     return IM.decode_stats(encode_synthetic_bytes(imgs))
 

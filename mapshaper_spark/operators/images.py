@@ -227,6 +227,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         # streams raise NotImplementedError inside
         from mapshaper_spark.operators.webp import decode_webp
         return decode_webp(data)
+    if fmt == "gif":
+        # full GIF87a/89a decode (operators/gif.py): variable-width LZW,
+        # interlace, local/global palettes, transparency; first frame
+        from mapshaper_spark.operators.gif import decode_gif
+        return decode_gif(data)
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -278,6 +283,11 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
                 elif fmt == "webp":
                     from mapshaper_spark.operators.webp import encode_webp
                     blobs.append(encode_webp(px, subtract_green=True))
+                elif fmt == "gif":
+                    # synth pixels have exactly 256 distinct colors, so the
+                    # GIF palette holds them all — exact round-trip
+                    from mapshaper_spark.operators.gif import encode_gif
+                    blobs.append(encode_gif(px))
                 elif fmt == "jpeg_progressive":
                     blobs.append(encode_jpeg_progressive(px, quality=95))
                 elif fmt in ("jpeg", "jpg"):
@@ -398,6 +408,27 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         out["frame_idx"].append(k)
                         out["ts_ms"].append(ts)
                         out["frame_bytes"].append(encode_ppm(px))
+                        out["fmt"].append("ppm")
+                elif fmt == "gif_anim":
+                    # animated GIF as a real video container: per-frame
+                    # delays from the Graphic Control Extension drive the
+                    # same timestamp -> on-screen-frame mapping as AVI
+                    from mapshaper_spark.operators.gif import decode_gif_frames
+                    gframes = decode_gif_frames(bytes(blob))
+                    starts = []
+                    t = 0
+                    for d, _px in gframes:
+                        starts.append(t)
+                        t += max(d, 10)
+                    total_ms = (dur if dur is not None and not pd.isna(dur)
+                                else t)
+                    for ts in range(0, int(total_ms), every_ms):
+                        idx = max(0, int(np.searchsorted(
+                            np.asarray(starts), ts, side="right")) - 1)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(int(idx))
+                        out["ts_ms"].append(ts)
+                        out["frame_bytes"].append(encode_ppm(gframes[idx][1]))
                         out["fmt"].append("ppm")
                 elif fmt == "mjpeg_avi":
                     us, frames = parse_avi_mjpeg(bytes(blob))

@@ -8,7 +8,9 @@ IMA ADPCM / WAV format 0x11, RIFF/AVI) — see operators/media.py header.
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
+from mapshaper_spark.operators import gif as GIF
 from mapshaper_spark.operators import images as IM
 from mapshaper_spark.operators import media as M
 from mapshaper_spark.operators.jpeg import encode_jpeg
@@ -163,3 +165,86 @@ class TestSparkMediaWiring:
                                                          (2000, 4)]
         px = IM.decode_ppm(bytes(out[1].frame_bytes))
         assert IM.psnr(px, IM.synth_pixels(7 + 2, 16, 16)) >= 40
+
+
+class TestGif:
+    """operators/gif.py: GIF is lossless on palette indices, so every
+    round-trip below is bit-exact (quantize_666 applied first when the
+    source exceeds 256 colors)."""
+
+    def test_exact_roundtrip_paletted(self):
+        rng = np.random.default_rng(7)
+        px = (rng.integers(0, 5, (40, 64, 3)) * 60).astype(np.uint8)
+        assert np.array_equal(GIF.decode_gif(GIF.encode_gif(px)), px)
+
+    def test_synth_pattern_256_colors_exact(self):
+        # synth_pixels yields exactly 256 distinct colors -> no quantization
+        px = IM.synth_pixels(3, 97, 55)
+        assert np.array_equal(GIF.decode_gif(GIF.encode_gif(px)), px)
+
+    def test_interlace_roundtrip(self):
+        px = IM.synth_pixels(5, 64, 33)
+        assert np.array_equal(
+            GIF.decode_gif(GIF.encode_gif(px, interlace=True)), px)
+        tall = (np.random.default_rng(1).integers(0, 2, (513, 3, 3))
+                * 255).astype(np.uint8)
+        assert np.array_equal(
+            GIF.decode_gif(GIF.encode_gif(tall, interlace=True)), tall)
+
+    def test_truecolor_quantizes_to_666_cube(self):
+        rng = np.random.default_rng(11)
+        tc = rng.integers(0, 256, (60, 80, 3)).astype(np.uint8)
+        assert len(np.unique(tc.reshape(-1, 3), axis=0)) > 256
+        assert np.array_equal(GIF.decode_gif(GIF.encode_gif(tc)),
+                              GIF.quantize_666(tc))
+
+    def test_lzw_dictionary_cap(self):
+        # enough entropy to overflow the 12-bit dictionary -> CLEAR resets
+        rng = np.random.default_rng(13)
+        big = GIF.quantize_666(rng.integers(0, 256, (300, 200, 3))
+                               .astype(np.uint8))
+        assert np.array_equal(GIF.decode_gif(GIF.encode_gif(big)), big)
+
+    def test_animation_frames_and_delays(self):
+        frames = [IM.synth_pixels(i, 32, 24) for i in range(1, 5)]
+        blob = GIF.encode_gif(IM.synth_pixels(0, 32, 24), frames=frames,
+                              delay_ms=120)
+        out = GIF.decode_gif_frames(blob)
+        assert len(out) == 5 and all(d == 120 for d, _ in out)
+        for i, (_, f) in enumerate(out):
+            assert np.array_equal(f, IM.synth_pixels(i, 32, 24))
+
+    def test_not_a_gif_raises(self):
+        with pytest.raises(ValueError):
+            GIF.decode_gif(b"RIFFxxxxWEBP")
+
+
+class TestSparkGifWiring:
+    def test_decode_stats_gif_rows(self, spark):
+        from mapshaper_spark.operators.images import encode_synthetic_bytes
+        from mapshaper_spark import layers as L
+        imgs = L.synth_images(spark, 30).withColumn("fmt", F.lit("gif"))
+        meta = {r.image_id: (r.w, r.h) for r in imgs.collect()}
+        stats = IM.decode_stats(encode_synthetic_bytes(imgs)).collect()
+        assert len(stats) == 30
+        # the GIF path is EXACT for the synth pattern (256 colors fit the
+        # palette): decoded stats must match the raw pixels bit-for-bit
+        for r in stats:
+            w, h = meta[r.image_id]
+            px = IM.synth_pixels(int(r.image_id[3:]), w, h)
+            assert (r.dec_w, r.dec_h) == (w, h)
+            assert r.ahash == IM.phash64(px)
+
+    def test_video_frames_gif_anim(self, spark):
+        frames = [IM.synth_pixels(20 + k, 16, 16) for k in range(1, 5)]
+        blob = bytearray(GIF.encode_gif(IM.synth_pixels(20, 16, 16),
+                                        frames=frames, delay_ms=500))
+        vids = spark.createDataFrame(
+            [("gv1", blob, None, "gif_anim")],
+            "media_id string, bytes binary, duration_ms long, fmt string")
+        out = IM.sample_video_frames(vids, every_ms=1000).collect()
+        # 5 frames * 500 ms = 2500 ms -> ts 0, 1000, 2000 -> frames 0, 2, 4
+        assert [(r.ts_ms, r.frame_idx) for r in out] == [(0, 0), (1000, 2),
+                                                         (2000, 4)]
+        px = IM.decode_ppm(bytes(out[2].frame_bytes))
+        assert np.array_equal(px, IM.synth_pixels(20 + 4, 16, 16))
