@@ -72,6 +72,8 @@ def main():
         "fast_simplify",         # interval-thinning keep-walk
         "proj_albersusa",        # mixed projection (AEA + LCC inset frames)
         "clean",                 # overlap removal, identity-preserving
+        "mosaic_faces",          # arrangement faces (clustered kernels)
+        "slice_layer",           # general -slice (cell-pair clip kernels)
     ]
 
     timings: dict[str, float] = {}
