@@ -521,6 +521,27 @@ def q_cli_pipeline(spark, sf_dir):
         F.col("n").cast("long").alias("n"))
 
 
+def q_cli_pipeline2(spark, sf_dir):
+    """Second end-to-end CLI chain, exercising the round-3 command wave:
+    -each (derive coords) -> -points x=/y= -> -filter-geom bbox= ->
+    -drop fields= -> -affine; every stage is plain arithmetic so the
+    oracle replays the whole pipeline in one SQL query."""
+    from mapshaper_spark.cli import run_commands
+    cat = run_commands(
+        spark,
+        f"-i {sf_dir}/customer.parquet "
+        "-each 'lon = -120.0 + c_custkey % 1000 / 1000.0 * 60.0, "
+        "lat = 25.0 + c_custkey * 7 % 1000 / 1000.0 * 24.0' "
+        "-points x=lon y=lat "
+        "-drop fields=c_comment,c_address,c_phone,c_mktsegment,c_name,"
+        "c_acctbal,c_nationkey,lon,lat "
+        "-filter-geom bbox=-110,30,-70,45 "
+        "-affine shift=3,4 scale=2 anchor=0,0")
+    return cat.df().select("c_custkey",
+                           F.round("x", 6).alias("ax"),
+                           F.round("y", 6).alias("ay"))
+
+
 def q_proj_sinu(spark, sf_dir):
     """Round-3 -proj tail: ellipsoidal sinusoidal (Snyder eq. 30-1..30-2;
     geom/projections.py Sinusoidal). Input lon/lat derive from integer
@@ -1384,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-checked by tools/check_oracle.py)
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
+        "cli_pipeline2": q_cli_pipeline2,
         "points_centroid": q_points_centroid,
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
@@ -2131,6 +2153,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM customer WHERE c_acctbal > 1000
         GROUP BY upper(c_mktsegment)
+    """
+    sqls["cli_pipeline2"] = """
+        WITH pts AS (
+            SELECT c_custkey,
+                   -120.0 + (c_custkey % 1000) / 1000.0 * 60.0 AS lon,
+                   25.0 + (c_custkey * 7 % 1000) / 1000.0 * 24.0 AS lat
+            FROM customer)
+        SELECT c_custkey,
+               round(lon * 2 + 3, 6) AS ax,
+               round(lat * 2 + 4, 6) AS ay
+        FROM pts
+        WHERE lon BETWEEN -110 AND -70 AND lat BETWEEN 30 AND 45
     """
     sqls["proj_sinu"] = """
         -- ellipsoidal sinusoidal, Snyder eq. 30-1..30-2 re-derived in SQL
