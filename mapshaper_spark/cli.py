@@ -660,8 +660,20 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
         pct = float(str(c.opt("percentage")).rstrip("%")) / 100.0
         if pct > 1:
             pct /= 100.0
+    if _geometry_kind(df) == "path":
+        # polyline layers: each row IS an arc — threshold directly, no
+        # shared-arc topology needed (the reference's polyline path)
+        arcs = df.withColumn(
+            "zs", F.expr("array_repeat(CAST(0.0 AS DOUBLE), size(xs))"))
+        if c.opt("interval"):
+            with_z = SI.compute_thresholds(arcs, method=method)
+            zlimit = c.num("interval")
+        else:
+            with_z, zlimit = SI.simplify(arcs, method=method, pct=pct or 1.0)
+        cat.replace(SI.apply_zlimit(with_z, zlimit).drop("zs"))
+        return
     if _geometry_kind(df) != "polygon":
-        raise ValueError("-simplify CLI v1 supports polygon layers")
+        raise ValueError("-simplify needs a polygon or polyline layer")
     key = df.columns[0]
     paths, fid = _rings_to_paths(df, key)
     arcs, refs = build_topology(paths, "path_id")

@@ -415,3 +415,14 @@ class TestRound3Commands:
                 for a in ring:
                     idx = a if a >= 0 else ~a
                     assert 0 <= idx < len(topo["arcs"])
+
+    def test_simplify_polyline_layer(self, spark):
+        xs = [float(i) for i in range(11)]
+        ys = [0.0, 0.05, -0.05, 0.04, -0.04, 0.03, -0.03, 0.02, -0.02,
+              0.01, 0.0]
+        lines = spark.createDataFrame(
+            [(1, xs, ys)], "lid int, xs array<double>, ys array<double>")
+        cat = run_commands(spark, "-simplify 30% dp", layers={"l": lines})
+        r = cat.df().collect()[0]
+        # endpoints always survive; the wiggle interior thins out
+        assert len(r.xs) < 11 and r.xs[0] == 0.0 and r.xs[-1] == 10.0
