@@ -127,12 +127,160 @@ _PROXY_MAP = {
 }
 
 
+# JS method -> SQL function rewrites. The receiver pattern matches an
+# identifier chain optionally ending in one call (arguments may nest calls
+# three levels deep — enough for any chained rewrite, since each fixpoint
+# pass wraps at most one more level) — applied to a FIXPOINT so chains like
+# name.trim().toUpperCase().split('-')[0] rewrite inside-out. This is the
+# documented expression-surface strategy (no JS engine; the translator
+# covers the reference test corpus's JS idioms as SQL).
+_ARGS1 = r"\((?:[^()]|\([^()]*\))*\)"            # calls nested <= 2 deep
+_ARGS2 = r"\((?:[^()]|" + _ARGS1 + r")*\)"       # calls nested <= 3 deep
+# the lookbehind stops a receiver from matching mid-chain (e.g. grabbing
+# only "toUpperCase()" out of "s.trim().toUpperCase().split(...)")
+_RECV = r"(?<![.\w])((?:\w+\.)*\w+(?:" + _ARGS2 + r")?)"
+
+_JS_METHODS = [
+    # indexing a split: bar.split(",")[0] -> split_part(bar, ',', 1)
+    (re.compile(_RECV + r"\.split\((['\"])(.*?)\2\)\[(\d+)\]"),
+     lambda m: f"split_part({m.group(1)}, '{m.group(3)}', {int(m.group(4)) + 1})"),
+    # JS substr(start, len) is 0-based; SQL substr is 1-based
+    (re.compile(_RECV + r"\.substr\(\s*(\d+)\s*,\s*(\d+)\s*\)"),
+     lambda m: f"substr({m.group(1)}, {int(m.group(2)) + 1}, {m.group(3)})"),
+    (re.compile(_RECV + r"\.substring\(\s*(\d+)\s*,\s*(\d+)\s*\)"),
+     lambda m: f"substr({m.group(1)}, {int(m.group(2)) + 1}, "
+               f"{int(m.group(3)) - int(m.group(2))})"),
+    (re.compile(_RECV + r"\.charAt\(\s*(\d+)\s*\)"),
+     lambda m: f"substr({m.group(1)}, {int(m.group(2)) + 1}, 1)"),
+    (re.compile(_RECV + r"\.toUpperCase\(\)"), lambda m: f"upper({m.group(1)})"),
+    (re.compile(_RECV + r"\.toLowerCase\(\)"), lambda m: f"lower({m.group(1)})"),
+    (re.compile(_RECV + r"\.trim\(\)"), lambda m: f"trim({m.group(1)})"),
+    (re.compile(_RECV + r"\.indexOf\((.+?)\)"),
+     lambda m: f"(instr({m.group(1)}, {m.group(2)}) - 1)"),
+    (re.compile(_RECV + r"\.includes\((.+?)\)"),
+     lambda m: f"(instr({m.group(1)}, {m.group(2)}) > 0)"),
+    (re.compile(_RECV + r"\.startsWith\((.+?)\)"),
+     lambda m: f"startswith({m.group(1)}, {m.group(2)})"),
+    (re.compile(_RECV + r"\.endsWith\((.+?)\)"),
+     lambda m: f"endswith({m.group(1)}, {m.group(2)})"),
+    (re.compile(_RECV + r"\.padStart\((.+?)\)"),
+     lambda m: f"lpad({m.group(1)}, {m.group(2)})"),
+    (re.compile(_RECV + r"\.padEnd\((.+?)\)"),
+     lambda m: f"rpad({m.group(1)}, {m.group(2)})"),
+    (re.compile(_RECV + r"\.concat\((.+?)\)"),
+     lambda m: f"concat({m.group(1)}, {m.group(2)})"),
+    # toFixed returns a STRING in JS -> printf-style formatting
+    (re.compile(_RECV + r"\.toFixed\(\s*(\d+)\s*\)"),
+     lambda m: f"format_string('%.{m.group(2)}f', cast({m.group(1)} as double))"),
+]
+
+_MATH_MAP = {
+    "Math.round": "round", "Math.floor": "floor", "Math.ceil": "ceil",
+    "Math.abs": "abs", "Math.sqrt": "sqrt", "Math.pow": "power",
+    "Math.min": "least", "Math.max": "greatest", "Math.log": "ln",
+    "Math.exp": "exp", "Math.sin": "sin", "Math.cos": "cos",
+    "Math.tan": "tan", "Math.atan2": "atan2", "Math.sign": "sign",
+}
+
+
+def _rewrite_ternary(s: str) -> str:
+    """cond ? a : b -> IF(cond, a, b), right-associative, quote/paren-aware.
+    Handles ternaries at the top level of the expression and (recursively)
+    inside each branch; a ternary buried inside a function-call argument is
+    out of scope (not present in the reference corpus)."""
+    depth = 0
+    quote = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            # find the matching top-level ':' (skip nested ternaries)
+            nest = 0
+            d2 = 0
+            q2 = None
+            for j in range(i + 1, len(s)):
+                cj = s[j]
+                if q2:
+                    if cj == q2:
+                        q2 = None
+                    continue
+                if cj in "'\"":
+                    q2 = cj
+                elif cj in "([{":
+                    d2 += 1
+                elif cj in ")]}":
+                    d2 -= 1
+                elif cj == "?" and d2 == 0:
+                    nest += 1
+                elif cj == ":" and d2 == 0:
+                    if nest == 0:
+                        cond = s[:i].strip()
+                        then = _rewrite_ternary(s[i + 1:j].strip())
+                        els = _rewrite_ternary(s[j + 1:].strip())
+                        return f"IF({cond}, {then}, {els})"
+                    nest -= 1
+            break
+    # no top-level ternary: a fully-parenthesized expression may hide one
+    if s.startswith("(") and s.endswith(")"):
+        d3 = 0
+        q3 = None
+        for k, ck in enumerate(s):
+            if q3:
+                if ck == q3:
+                    q3 = None
+                continue
+            if ck in "'\"":
+                q3 = ck
+            elif ck in "([{":
+                d3 += 1
+            elif ck in ")]}":
+                d3 -= 1
+                if d3 == 0:
+                    if k == len(s) - 1:
+                        return "(" + _rewrite_ternary(s[1:-1]) + ")"
+                    break
+    return s
+
+
 def translate_proxy_expression(expr: str) -> str:
-    """Rewrite mapshaper ``$.getter`` spellings to the registered SQL
-    functions. ``round(...)`` and arithmetic pass through (SQL builtins)."""
+    """Rewrite mapshaper ``$.getter`` spellings AND the JS idioms of the
+    reference's expression corpus (string methods, Math.*, ternaries,
+    ===/&&/||, null) to Spark SQL. Plain SQL passes through unchanged.
+
+    Known semantic edges (documented, not silently wrong): JS
+    String.replace (first-occurrence) is NOT mapped (SQL replace is
+    replace-all); Math.round(-0.5) differs (JS rounds toward +inf, SQL
+    half-away-from-zero)."""
     for pat, repl in _PROXY_MAP.items():
         expr = re.sub(pat, repl, expr)
-    return expr
+    # method rewrites to a fixpoint (chained calls resolve inside-out)
+    changed = True
+    while changed:
+        changed = False
+        for pat, fn in _JS_METHODS:
+            new = pat.sub(fn, expr)
+            if new != expr:
+                expr = new
+                changed = True
+    for js, sql in _MATH_MAP.items():
+        expr = expr.replace(js + "(", sql + "(")
+    expr = expr.replace("Math.PI", "pi()")
+    expr = expr.replace("===", "=").replace("!==", "<>")
+    expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    expr = re.sub(r"\bundefined\b", "NULL", expr)
+    expr = re.sub(r"\bnull\b", "NULL", expr)
+    # JS loose/strict null comparisons are IS [NOT] NULL in SQL
+    expr = re.sub(r"(?:<>|!=)\s*NULL", " IS NOT NULL", expr)
+    expr = re.sub(r"(?<![!<>=])==?\s*NULL", " IS NULL", expr)
+    return _rewrite_ternary(expr)
 
 
 def parse_assignments(expression: str):

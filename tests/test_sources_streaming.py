@@ -117,6 +117,38 @@ class TestExpressions:
         assert all(r.a == 4.0 for r in out)
         assert EX.translate_proxy_expression("$.width * 2") == "(bbox.xmax - bbox.xmin) * 2"
 
+    def test_js_idiom_translation(self):
+        """Round-3 translator widening: the JS idioms of the reference's
+        -each corpus (string methods, Math.*, ternaries, null tests)
+        compile to Spark SQL — the documented no-JS-engine strategy."""
+        from mapshaper_spark.functions import expressions as EX
+        T = EX.translate_proxy_expression
+        # the reference's own -each example (mapshaper-options.js):
+        # 'STATE_FIPS=CNTY_FIPS.substr(0, 2)' — JS substr is 0-based
+        assert T("CNTY_FIPS.substr(0, 2)") == "substr(CNTY_FIPS, 1, 2)"
+        assert T('bar.split(",")[0]') == "split_part(bar, ',', 1)"
+        assert T("name.trim().toUpperCase()") == "upper(trim(name))"
+        assert T("a ? b : c ? d : e") == "IF(a, b, IF(c, d, e))"
+        assert T("Math.pow(y, 2) + Math.round(x)") == "power(y, 2) + round(x)"
+        assert T("v == null ? 0 : v") == "IF(v  IS NULL, 0, v)"
+        assert T("v != null") == "v  IS NOT NULL"
+        # SQL spellings pass through untouched
+        assert T("sum(x) > 5 AND y IS NULL") == "sum(x) > 5 AND y IS NULL"
+
+    def test_js_idioms_through_each(self, spark):
+        from mapshaper_spark.functions.expressions import each_expr
+        df = spark.createDataFrame(
+            [("  ab-cd  ", 12.0, None), ("x-y", 3.0, 5.0)],
+            "s string, v double, w double")
+        out = each_expr(
+            df,
+            "first = s.trim().toUpperCase().split('-')[0], "
+            "band = v > 10 ? 'hi' : 'lo', "
+            "wz = w == null ? 0 : w").collect()
+        assert [r.first for r in out] == ["AB", "X"]
+        assert [r.band for r in out] == ["hi", "lo"]
+        assert [r.wz for r in out] == [0.0, 5.0]
+
     def test_centroid_functions(self, spark):
         from mapshaper_spark.functions import expressions as EX
         EX.register_geometry_functions(spark)
