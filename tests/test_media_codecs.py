@@ -248,3 +248,49 @@ class TestSparkGifWiring:
                                                          (2000, 4)]
         px = IM.decode_ppm(bytes(out[2].frame_bytes))
         assert np.array_equal(px, IM.synth_pixels(20 + 4, 16, 16))
+
+
+class TestGifProperties:
+    """Property tests: GIF is LOSSLESS on palette indices, so any image
+    whose colors fit a 256-slot palette must round-trip bit-exactly through
+    every encoder configuration."""
+
+    def test_random_paletted_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(seed=st.integers(0, 10_000),
+               w=st.integers(1, 70), h=st.integers(1, 70),
+               n_colors=st.integers(1, 256),
+               interlace=st.booleans())
+        def check(seed, w, h, n_colors, interlace):
+            rng = np.random.default_rng(seed)
+            palette = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+            idx = rng.integers(0, n_colors, (h, w))
+            px = palette[idx]
+            blob = GIF.encode_gif(px, interlace=interlace)
+            assert np.array_equal(GIF.decode_gif(blob), px)
+
+        check()
+
+    def test_random_animation_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(seed=st.integers(0, 10_000), n_frames=st.integers(2, 6),
+               delay=st.integers(1, 500))
+        def check(seed, n_frames, delay):
+            rng = np.random.default_rng(seed)
+            palette = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+            frames = [palette[rng.integers(0, 64, (20, 30))]
+                      for _ in range(n_frames)]
+            blob = GIF.encode_gif(frames[0], frames=frames[1:],
+                                  delay_ms=delay)
+            out = GIF.decode_gif_frames(blob)
+            assert len(out) == n_frames
+            # encoder rounds delays down to centiseconds (the GIF unit)
+            assert all(d == delay // 10 * 10 for d, _ in out)
+            for f_exp, (_, f_got) in zip(frames, out):
+                assert np.array_equal(f_got, f_exp)
+
+        check()
