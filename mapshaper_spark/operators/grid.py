@@ -232,7 +232,11 @@ def shape(spark: SparkSession, coordinates: Sequence[float],
     flat coordinate list + optional relative offsets. A path whose first
     and last points coincide — or closed=True — becomes a polygon ring;
     otherwise a polyline."""
-    if not coordinates or len(coordinates) < 4:
+    # one seed point + offsets is legal (shape-test.js: '-shape
+    # coordinates=10,10 offsets=0,10,...'); only a path that stays a
+    # single point is an error
+    if not coordinates or len(coordinates) < 2 or \
+            (len(coordinates) < 4 and not offsets):
         raise ValueError("Missing list of coordinates")
     pts = [(float(coordinates[i]), float(coordinates[i + 1]))
            for i in range(0, len(coordinates) - 1, 2)]

@@ -209,3 +209,75 @@ class TestPointGeoJson:
         assert ids == [2, 3, 4]
         assert all(f["geometry"]["type"] == "Point"
                    for f in obj["features"])
+
+
+class TestShapeCreationParity:
+    # /root/reference/test/point-grid-test.js:8-31
+    def test_point_grid_rows_cols(self, spark):
+        out = apply_commands(
+            spark, "-point-grid bbox=10,10,20,20 2,2 -o out.json", {})
+        pts = sorted(tuple(g["coordinates"]) for g in _geoms(out["out.json"])
+                     if g["type"] == "Point")
+        assert pts == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
+
+    # /root/reference/test/point-grid-test.js:33-56
+    def test_point_grid_interval(self, spark):
+        out = apply_commands(
+            spark, "-point-grid bbox=10,10,20,20 interval=5 -o out.json", {})
+        pts = sorted(tuple(g["coordinates"]) for g in _geoms(out["out.json"])
+                     if g["type"] == "Point")
+        assert pts == [(12.5, 12.5), (12.5, 17.5), (17.5, 12.5), (17.5, 17.5)]
+
+    # /root/reference/test/shape-test.js:16-25
+    def test_rectangle_bbox_offset(self, spark):
+        out = apply_commands(
+            spark, "-rectangle bbox=1,1,4,4 offset=1 -o out.json", {})
+        ring = _first_geom(out["out.json"])["coordinates"][0]
+        assert ring == [[0, 0], [0, 5], [5, 5], [5, 0], [0, 0]]
+
+    # /root/reference/test/shape-test.js:28-37
+    def test_shape_polyline_from_offsets(self, spark):
+        out = apply_commands(
+            spark,
+            "-shape coordinates=10,10 offsets=0,10,10,0,0,-10 -o out.json",
+            {})
+        g = _first_geom(out["out.json"])
+        assert g["type"] == "LineString"
+        assert g["coordinates"] == [[10, 10], [10, 20], [20, 20], [20, 10]]
+
+    # /root/reference/test/shape-test.js:39-48
+    def test_shape_closed_polygon_from_offsets(self, spark):
+        out = apply_commands(
+            spark,
+            "-shape coordinates=10,10 offsets=0,10,10,0,0,-10 closed "
+            "-o out.json", {})
+        g = _first_geom(out["out.json"])
+        assert g["type"] == "Polygon"
+        assert g["coordinates"][0] == \
+            [[10, 10], [10, 20], [20, 20], [20, 10], [10, 10]]
+
+    # /root/reference/test/shape-test.js:50-59
+    def test_shape_polygon_from_coordinates(self, spark):
+        out = apply_commands(
+            spark,
+            "-shape coordinates=10,10,10,20,20,20,20,10,10,10 -o out.json",
+            {})
+        g = _first_geom(out["out.json"])
+        assert g["type"] == "Polygon"
+        assert g["coordinates"][0] == \
+            [[10, 10], [10, 20], [20, 20], [20, 10], [10, 10]]
+
+
+def _geoms(payload):
+    """All geometry objects of a GeoJSON payload, whatever the container
+    shape (GeometryCollection / FeatureCollection / bare geometry)."""
+    obj = json.loads(payload)
+    if obj.get("type") == "GeometryCollection":
+        return obj["geometries"]
+    if obj.get("type") == "FeatureCollection":
+        return [f["geometry"] for f in obj["features"]]
+    return [obj]
+
+
+def _first_geom(payload):
+    return _geoms(payload)[0]
