@@ -103,9 +103,17 @@ def load_rows(since: str) -> list[dict]:
 
 
 def best_credible(rows: list[dict]) -> dict | None:
-    """Best pair, excluding super-linear artifacts (eff > 1.05 means the lo
-    side was externally contended — not evidence of anything)."""
+    """Best pair, excluding contended-lo artifacts: eff > 1.05 is an
+    obviously poisoned lo side, and a lo more than 1.5x slower than the
+    axis's fastest observed lo inflates the ratio the same way even when
+    the result lands below 1.05 (e.g. the 22:11 pair: lo 86.6 s vs a 43.7 s
+    clean lo -> eff 0.954 overstated). Both exclusions make the headline
+    MORE conservative."""
     ok = [r for r in rows if r["efficiency"] <= 1.05]
+    if not ok:
+        return None
+    min_lo = min(r["low"]["sec"] for r in ok)
+    ok = [r for r in ok if r["low"]["sec"] <= 1.5 * min_lo]
     return max(ok, key=lambda r: r["efficiency"]) if ok else None
 
 
@@ -125,8 +133,10 @@ def render_section(rows: list[dict], images: int, since: str) -> str:
         f"current flagship plan (rows since {since} — the last commit that",
         "touched the flagship path; the function and its modules are",
         "byte-identical from then through round 3) and headlines the best",
-        "credible pair per axis (super-linear pairs — a contended lo side —",
-        "excluded). Best-of-windows is the right statistic here: the SAME",
+        "credible pair per axis (pairs with a contended lo side excluded:",
+        "eff > 1.05, or lo wall-time > 1.5x the axis's fastest lo — a slow",
+        "lo inflates the ratio even when the result lands under 1.05).",
+        "Best-of-windows is the right statistic here: the SAME",
         "code + input measured local[4] at 41-47 s in morning windows vs",
         "56-67 s in afternoon windows, so scatter is external load, not plan",
         "variance.",
