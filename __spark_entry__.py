@@ -2423,13 +2423,15 @@ def oracle_sql() -> dict[str, str]:
         -- EXACT kernel formula (t = dot/seg2 clipped, q = a + d*t)
         WITH g AS (SELECT CAST(i AS BIGINT) AS i, CAST(i AS DOUBLE)*20.0 AS x0
                    FROM range(20) t(i)),
-        ends(arc_id, wh, ex, ey) AS (
-            SELECT 3*i, 0, x0, 0.0 FROM g
-            UNION ALL SELECT 3*i, 1, x0, 0.01 FROM g
-            UNION ALL SELECT 3*i+1, 0, x0+2.0, 5.0 FROM g
-            UNION ALL SELECT 3*i+1, 1, x0+5.0, 5.0 FROM g
-            UNION ALL SELECT 3*i+2, 0, x0+3.0, 5.6 FROM g
-            UNION ALL SELECT 3*i+2, 1, x0+3.0, 5.03 FROM g),
+        -- (px, py) = the dangle's neighbor vertex, the anchor of the
+        -- reference's tiny-overshoot extension (mapshaper-gaps.js:96-118)
+        ends(arc_id, wh, ex, ey, px, py) AS (
+            SELECT 3*i, 0, x0, 0.0, x0+1.0, 0.0 FROM g
+            UNION ALL SELECT 3*i, 1, x0, 0.01, x0, 1.0 FROM g
+            UNION ALL SELECT 3*i+1, 0, x0+2.0, 5.0, x0+5.0, 5.0 FROM g
+            UNION ALL SELECT 3*i+1, 1, x0+5.0, 5.0, x0+2.0, 5.0 FROM g
+            UNION ALL SELECT 3*i+2, 0, x0+3.0, 5.6, x0+3.0, 5.03 FROM g
+            UNION ALL SELECT 3*i+2, 1, x0+3.0, 5.03, x0+3.0, 5.6 FROM g),
         prs AS (
             SELECT a.arc_id AS aa, a.wh AS aw, b.arc_id AS ba, b.wh AS bw,
                    a.ex, a.ey
@@ -2450,7 +2452,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3*i+1, x0+2.0, 5.0, x0+5.0, 5.0 FROM g
             UNION ALL SELECT 3*i+2, x0+3.0, 5.6, x0+3.0, 5.03 FROM g),
         pr0 AS (
-            SELECT r.arc_id, r.wh,
+            SELECT r.arc_id, r.wh, r.px, r.py, tt,
                    s.sax + (s.sbx - s.sax) * tt AS qx,
                    s.say + (s.sby - s.say) * tt AS qy
             FROM rem r JOIN segs s ON s.arc_id != r.arc_id,
@@ -2459,12 +2461,22 @@ def oracle_sql() -> dict[str, str]:
                         + (r.ey - s.say)*(s.sby - s.say))
                        / ((s.sbx - s.sax)*(s.sbx - s.sax)
                           + (s.sby - s.say)*(s.sby - s.say)), 0.0), 1.0) AS tt)),
+        -- interior hits get the tiny overshoot: q' = p + (d+1e-6)/d*(q-p)
+        pr1 AS (
+            SELECT arc_id, wh, qx AS qx0, qy AS qy0,
+                   CASE WHEN tt > 0 AND tt < 1 AND dd > 0
+                        THEN px + (dd + 1e-6)/dd * (qx - px) ELSE qx END AS qx,
+                   CASE WHEN tt > 0 AND tt < 1 AND dd > 0
+                        THEN py + (dd + 1e-6)/dd * (qy - py) ELSE qy END AS qy
+            FROM (SELECT p.*, sqrt((qx-px)*(qx-px) + (qy-py)*(qy-py)) AS dd
+                  FROM pr0 p)),
         hits AS (
             SELECT arc_id, wh, qx, qy,
                    row_number() OVER (PARTITION BY arc_id, wh
                                       ORDER BY d2, qx, qy) AS rn
-            FROM (SELECT p.*, (qx - r.ex)*(qx - r.ex) + (qy - r.ey)*(qy - r.ey) AS d2
-                  FROM pr0 p JOIN rem r USING (arc_id, wh))
+            FROM (SELECT p.*, (qx0 - r.ex)*(qx0 - r.ex)
+                            + (qy0 - r.ey)*(qy0 - r.ey) AS d2
+                  FROM pr1 p JOIN rem r USING (arc_id, wh))
             WHERE d2 <= 0.0025),
         moves AS (SELECT ba AS arc_id, bw AS wh, ex AS qx, ey AS qy FROM prs
                   UNION ALL SELECT arc_id, wh, qx, qy FROM hits WHERE rn = 1)

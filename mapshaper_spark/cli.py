@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 # src/cli/mapshaper-options.js)
 _FLAG_WORDS = {
     "remove-empty", "keep-shapes", "descending", "unjoined", "unmatched",
-    "combine-files", "erase", "centroid", "inner", "vertices", "endpoints",
+    "combine-files", "merge-files", "erase", "centroid", "inner",
+    "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
     "postprocess", "debug",
 }
@@ -73,6 +74,8 @@ _CMD_OPTS = {
     "slice": {"id-field"},
     "style": _STYLE_OPTS,
     "svg-style": _STYLE_OPTS,
+    "drop": {"target"},
+    "o": {"target"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
     "include": {"file"},
     "polygons": {"gap-tolerance"},
@@ -243,7 +246,11 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
         else:
             raise ValueError(f"-i: unsupported input format '{ext}'")
         dfs.append((path, df, kind_hint))
-    if c.flag("combine-files") and len(dfs) > 1:
+    # reference semantics (mapshaper-file-import.js:22-28): merge-files
+    # unions everything into ONE layer; combine-files imports each file as
+    # its own layer of one dataset — which is this catalog's default
+    # multi-file behavior
+    if c.flag("merge-files") and len(dfs) > 1:
         from mapshaper_spark.operators.attributes import merge_layers
         merged = merge_layers([d for _, d, _k in dfs], force=True)
         cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
@@ -781,6 +788,25 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import geojson as GJ
     from mapshaper_spark.sources import shapefile as SH
     from mapshaper_spark.sources import svg as SVG
+    # target= selects which layer(s) to write; '*' = every layer, each to
+    # its own derived '<layer>.<ext>' output (the reference's -o target=*)
+    tgt = c.opt("target")
+    if tgt:
+        names = list(cat.order) if str(tgt) == "*" \
+            else [s.strip() for s in str(tgt).split(",")]
+        if not names:
+            raise ValueError("-o: no layers to output")
+        saved = cat.target
+        for name in names:
+            if name not in cat.layers:
+                raise ValueError(f"-o: no layer '{name}' (have {cat.order})")
+            cat.target = name
+            sub = Command("o", values=list(c.values) if len(names) == 1 else [],
+                          options={k: v for k, v in c.options.items()
+                                   if k != "target"})
+            _cmd_o(cat, sub)
+        cat.target = saved
+        return
     df = cat.df()
     if _ORDER_COL in df.columns:
         df = df.orderBy(_ORDER_COL).drop(_ORDER_COL)
@@ -1031,6 +1057,11 @@ def _cmd_data_fill(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators.topology import build_topology
     field_name = str(c.opt("field"))
     df0 = cat.df()
+    # the reference's isEmptyValue treats '' like null (data-fill-test.js
+    # 'works for simple case': state='' gets filled)
+    if dict(df0.dtypes).get(field_name) == "string":
+        df0 = df0.withColumn(field_name, F.when(
+            F.col(field_name) == "", None).otherwise(F.col(field_name)))
     # numeric surrogate key: data_fill's deterministic neighbor tie-break
     # orders by key value, which needs a numeric key (string feature ids
     # get a stable hash; ties then break by hash order — same contract)
@@ -1064,13 +1095,23 @@ def _cmd_drop(cat: Catalog, c: Command) -> None:
             drop = [f for f in want if f in df.columns]
         cat.replace(df.drop(*drop))
         return
-    # delete the target layer(s)
-    name = cat.target
-    if name is None:
-        raise ValueError("-drop: no target layer")
-    del cat.layers[name]
-    cat.order.remove(name)
-    cat.target = cat.order[-1] if cat.order else None
+    # delete the target layer(s); target= selects by name, '*' = all
+    tgt = c.opt("target")
+    if tgt and str(tgt) == "*":
+        names = list(cat.order)
+    elif tgt:
+        names = [s.strip() for s in str(tgt).split(",")]
+    else:
+        if cat.target is None:
+            raise ValueError("-drop: no target layer")
+        names = [cat.target]
+    for name in names:
+        if name not in cat.layers:
+            raise ValueError(f"-drop: no layer '{name}' (have {cat.order})")
+        del cat.layers[name]
+        cat.order.remove(name)
+    if cat.target not in cat.layers:
+        cat.target = cat.order[-1] if cat.order else None
 
 
 def _cmd_filter_geom(cat: Catalog, c: Command) -> None:
@@ -1099,21 +1140,50 @@ def _cmd_mosaic(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_polygons(cat: Catalog, c: Command) -> None:
-    """-polygons: enclosed faces of a polyline network. Paths are noded
-    first (shared-vertex topology + segment-intersection cuts), then the
-    per-component half-edge face walk runs (topology.polygons_from_lines)."""
+    """-polygons [gap-tolerance=]: enclosed faces of a polyline network.
+    Paths are noded first (shared-vertex topology + segment-intersection
+    cuts), optionally gap-healed (topology.close_gaps — the reference's
+    gap-tolerance option), then the per-component half-edge face walk runs
+    (topology.polygons_from_lines)."""
     from mapshaper_spark.operators.topology import (
-        build_topology, find_segment_intersections, insert_cut_points,
-        polygons_from_lines)
+        build_topology, close_gaps, find_segment_intersections,
+        insert_cut_points, polygons_from_lines)
     df = cat.df()
+    if "xs" not in df.columns and "rings_x" in df.columns:
+        # multi-part polyline layer (e.g. imported MultiLineString):
+        # explode parts into per-path rows
+        df = (df.select(F.explode(F.arrays_zip(
+            F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys")))
+            .alias("__p"))
+            .select(F.col("__p.xs").alias("xs"), F.col("__p.ys").alias("ys")))
     if "xs" not in df.columns:
         raise ValueError("-polygons needs a polyline layer (xs/ys)")
+    tol = None
+    if c.opt("gap-tolerance"):
+        tol = c.num("gap-tolerance")
+    elif "gap-tolerance" in c.values:  # '-polygons gap-tolerance 0.11' form
+        tol = float(c.values[c.values.index("gap-tolerance") + 1])
+    # localCheckpoint between phases: each phase references its input
+    # several times (node detect + explode + regroup; cells + joins), so an
+    # unbroken lazy chain of 4+ phases recomputes shared subtrees
+    # multiplicatively — the checkpoint bounds every phase to one execution
     paths = df.select(F.xxhash64("xs", "ys").alias("path_id"), "xs", "ys")
     arcs0, _ = build_topology(paths, "path_id")
+    arcs0 = arcs0.localCheckpoint()
     hits = find_segment_intersections(arcs0)
     arcs_cut = insert_cut_points(arcs0, hits)
     paths2 = arcs_cut.select(F.col("arc_id").alias("path_id"), "xs", "ys")
     arcs, _ = build_topology(paths2, "path_id")
+    arcs = arcs.localCheckpoint()
+    if tol:
+        # heal undershoots, then re-node (healed endpoints become junctions)
+        healed = close_gaps(arcs, tol).localCheckpoint()
+        hits2 = find_segment_intersections(healed)
+        healed = insert_cut_points(healed, hits2)
+        arcs, _ = build_topology(
+            healed.select(F.col("arc_id").alias("path_id"), "xs", "ys"),
+            "path_id")
+        arcs = arcs.localCheckpoint()
     faces = polygons_from_lines(arcs)
     out = faces.select(
         F.xxhash64("xs", "ys").alias("fid"),

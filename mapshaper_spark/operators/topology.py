@@ -987,18 +987,28 @@ def close_gaps(arcs: DataFrame, tolerance: float, res: int = 6) -> DataFrame:
         .alias("bbox"))
         .withColumn("__cell", _bbox_cells_col(gb, res))
         .select("arc_id", "__cell"))
-    dangle_cells = (remaining.select(
+    # each dangle carries its NEIGHBOR vertex (px, py) — the reference's
+    # getArcExtension anchors the tiny overshoot on the second-to-last
+    # vertex of the dangling arc (mapshaper-gaps.js:96-118)
+    dangle_cells = (remaining.join(
+        arcs.select(F.col("arc_id"), F.col("xs").alias("__dxs"),
+                    F.col("ys").alias("__dys")), "arc_id")
+        .select(
         F.col("did"), F.col("arc_id").alias("darc"),
         F.col("which").alias("dwhich"), "ex", "ey",
+        F.when(F.col("which") == 0, F.element_at("__dxs", 2))
+         .otherwise(F.element_at("__dxs", -2)).alias("px"),
+        F.when(F.col("which") == 0, F.element_at("__dys", 2))
+         .otherwise(F.element_at("__dys", -2)).alias("py"),
         F.struct((F.col("ex") - tolerance).alias("xmin"),
                  (F.col("ey") - tolerance).alias("ymin"),
                  (F.col("ex") + tolerance).alias("xmax"),
                  (F.col("ey") + tolerance).alias("ymax")).alias("bbox"))
         .withColumn("__cell", _bbox_cells_col(gb, res))
-        .select("did", "darc", "dwhich", "ex", "ey", "__cell"))
+        .select("did", "darc", "dwhich", "ex", "ey", "px", "py", "__cell"))
     cand = (arc_cells.join(dangle_cells, "__cell")
             .filter(F.col("arc_id") != F.col("darc"))  # reference skips self
-            .select("arc_id", "darc", "dwhich", "ex", "ey")
+            .select("arc_id", "darc", "dwhich", "ex", "ey", "px", "py")
             .distinct()
             .join(arcs.select("arc_id", "xs", "ys"), "arc_id"))
 
@@ -1011,17 +1021,51 @@ def close_gaps(arcs: DataFrame, tolerance: float, res: int = 6) -> DataFrame:
     def find(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for darc, dwhich, ex, ey, xs, ys in zip(
+            for darc, dwhich, ex, ey, px, py, xs, ys in zip(
                     pdf["darc"], pdf["dwhich"], pdf["ex"], pdf["ey"],
-                    pdf["xs"], pdf["ys"]):
+                    pdf["px"], pdf["py"], pdf["xs"], pdf["ys"]):
                 xsa = np.asarray(xs, dtype=np.float64)
                 ysa = np.asarray(ys, dtype=np.float64)
                 if not (xsa.min() - tolerance <= ex <= xsa.max() + tolerance and
                         ysa.min() - tolerance <= ey <= ysa.max() + tolerance):
                     continue
-                d2, qx, qy = K.nearest_point_on_path(ex, ey, xsa, ysa)
-                if d2 <= tol2:
-                    rows.append((int(darc), int(dwhich), d2, qx, qy))
+                # nearest point + its segment (vectorized over the path)
+                ax, ay = xsa[:-1], ysa[:-1]
+                bx, by = xsa[1:], ysa[1:]
+                dx, dy = bx - ax, by - ay
+                L2 = dx * dx + dy * dy
+                L2s = np.where(L2 == 0, 1.0, L2)
+                t = np.clip(((ex - ax) * dx + (ey - ay) * dy) / L2s, 0.0, 1.0)
+                qxs = ax + t * dx
+                qys = ay + t * dy
+                d2s = (qxs - ex) ** 2 + (qys - ey) ** 2
+                si = int(d2s.argmin())
+                d2 = float(d2s[si])
+                if d2 > tol2:
+                    continue
+                qx, qy = float(qxs[si]), float(qys[si])
+                s1 = (float(ax[si]), float(ay[si]))
+                s2 = (float(bx[si]), float(by[si]))
+                if (qx, qy) != s1 and (qx, qy) != s2:
+                    # reference getArcExtension (mapshaper-gaps.js:96-118):
+                    # overshoot a hair PAST the hit so the later
+                    # intersection-cut sees a true crossing (exact-touch
+                    # detection dies to float rounding); if rounding still
+                    # defeats the crossing test, snap to the closer
+                    # segment endpoint instead
+                    dist = float(np.hypot(qx - px, qy - py))
+                    if dist > 0:
+                        k = (dist + 1e-6) / dist
+                        nx = px + k * (qx - px)
+                        ny = py + k * (qy - py)
+                        if _seg_intersection(px, py, nx, ny,
+                                             s1[0], s1[1], s2[0], s2[1]):
+                            qx, qy = nx, ny
+                        else:
+                            d1 = (px - s1[0]) ** 2 + (py - s1[1]) ** 2
+                            d2_ = (px - s2[0]) ** 2 + (py - s2[1]) ** 2
+                            qx, qy = s1 if d1 < d2_ else s2
+                rows.append((int(darc), int(dwhich), d2, qx, qy))
             yield pd.DataFrame(rows, columns=[f.name for f in hit_schema.fields]) \
                 if rows else pd.DataFrame(
                     {f.name: pd.Series([], dtype="float64") for f in hit_schema.fields})

@@ -281,3 +281,98 @@ def _geoms(payload):
 
 def _first_geom(payload):
     return _geoms(payload)[0]
+
+
+class TestDataFillParity:
+    # /root/reference/test/data-fill-test.js:7-42 ('' counts as missing)
+    def test_simple_two_boxes(self, spark):
+        inp = {
+            "type": "FeatureCollection",
+            "features": [{
+                "type": "Feature", "properties": {"state": ""},
+                "geometry": {"type": "Polygon", "coordinates":
+                             [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]},
+            }, {
+                "type": "Feature", "properties": {"state": "IL"},
+                "geometry": {"type": "Polygon", "coordinates":
+                             [[[1, 0], [1, 1], [2, 1], [2, 0], [1, 0]]]},
+            }],
+        }
+        out = apply_commands(
+            spark, "-i polygons.json -data-fill field=state -o",
+            {"polygons.json": json.dumps(inp)})
+        feats = json.loads(out["polygons.json"])["features"]
+        states = sorted(f["properties"]["state"] for f in feats)
+        assert states == ["IL", "IL"]
+
+
+def _norm_ring(coords, tol=0.0):
+    """Ring cycle -> canonical form: drop the closing vertex, round, rotate
+    so the lexicographically smallest vertex leads, orient so the second
+    vertex is the smaller of the two neighbors (start-vertex and direction
+    independent)."""
+    pts = [tuple(round(v, 9) for v in p) for p in coords[:-1]]
+    i = pts.index(min(pts))
+    pts = pts[i:] + pts[:i]
+    if len(pts) > 2 and pts[-1] < pts[1]:
+        pts = [pts[0]] + pts[1:][::-1]
+    return pts
+
+
+class TestPolygonsParity:
+    # /root/reference/test/polygons-test.js:7-27 (tic-tac-toe board)
+    def test_tictactoe_center_cell(self, spark):
+        inp = {"type": "MultiLineString",
+               "coordinates": [[[1, 0], [1, 3]], [[2, 0], [2, 3]],
+                               [[3, 1], [0, 1]], [[0, 2], [3, 2]]]}
+        out = apply_commands(spark, "in.json -polygons -o out.json",
+                             {"in.json": json.dumps(inp)})
+        polys = [g for g in _geoms(out["out.json"]) if g["type"] == "Polygon"]
+        assert len(polys) == 1
+        assert _norm_ring(polys[0]["coordinates"][0]) == \
+            _norm_ring([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]])
+
+    # /root/reference/test/polygons-test.js:29-49 (gaps + gap-tolerance)
+    def test_tictactoe_with_gaps(self, spark):
+        inp = {"type": "MultiLineString",
+               "coordinates": [[[1, 0], [1, 1.9]], [[2, 1.1], [2, 3]],
+                               [[3, 1], [1.1, 1]], [[0, 2], [3, 2]]]}
+        out = apply_commands(
+            spark, "in.json -polygons gap-tolerance 0.11 -o out.json",
+            {"in.json": json.dumps(inp)})
+        polys = [g for g in _geoms(out["out.json"]) if g["type"] == "Polygon"]
+        assert len(polys) == 1
+        got = _norm_ring(polys[0]["coordinates"][0])
+        want = _norm_ring([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]])
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert abs(g[0] - w[0]) < 1e-9 and abs(g[1] - w[1]) < 1e-9
+
+
+class TestDropParity:
+    # /root/reference/test/drop-test.js:20-28 (removes one of two layers)
+    def test_drop_named_target(self, spark):
+        out = apply_commands(
+            spark, "-i a.csv b.csv combine-files -drop target=a -o",
+            {"a.csv": "a,b,c,d\n1,2,3,4\n", "b.csv": "e\n5\n"})
+        assert list(out) == ["b.csv"]
+        assert out["b.csv"].strip() == "e\n5"
+
+    # /root/reference/test/drop-test.js:30-38 (removes implicit target)
+    def test_drop_implicit_target(self, spark):
+        out = apply_commands(
+            spark, "-i a.csv -i b.csv -drop -o",
+            {"a.csv": "a,b,c,d\n1,2,3,4\n", "b.csv": "e\n5\n"})
+        assert list(out) == ["a.csv"]
+        assert out["a.csv"].strip() == "a,b,c,d\n1,2,3,4"
+
+    # /root/reference/test/drop-test.js:72-85 (-rectangle after -drop target=*)
+    def test_rectangle_after_drop_all(self, spark):
+        out = apply_commands(
+            spark,
+            "-i a.csv b.csv combine-files -drop target=* "
+            "-rectangle bbox=0,0,1,1 -o target=* format=geojson",
+            {"a.csv": "a,b,c,d\n1,2,3,4\n", "b.csv": "e\n5\n"})
+        assert list(out) == ["rectangle.json"]
+        ring = _first_geom(out["rectangle.json"])["coordinates"][0]
+        assert ring == [[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]
