@@ -144,6 +144,7 @@ class Catalog:
     info: list[dict] = field(default_factory=list)
     calc_env: dict[str, object] = field(default_factory=dict)
     kinds: dict[str, str] = field(default_factory=dict)  # layer kind hints
+    formats: dict[str, str] = field(default_factory=dict)  # input format per layer
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -259,6 +260,11 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             name = cat.add(str(c.opt("name", _layer_name(path))), df)
             if kind_hint:
                 cat.kinds[name] = kind_hint
+            # pathless -o mirrors the INPUT format (the reference derives
+            # output format from the imported file)
+            ext2 = os.path.splitext(path)[1].lstrip(".").lower()
+            if ext2 in ("json", "geojson", "csv", "tsv"):
+                cat.formats[name] = ext2
 
 
 def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
@@ -814,7 +820,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     path = c.values[0] if c.values else None
     fmt = str(c.opt("format", "")) or (
         os.path.splitext(path)[1].lstrip(".").lower() if path
-        else ("csv" if kind0 == "table" else "geojson"))
+        else cat.formats.get(cat.target,
+                             "csv" if kind0 == "table" else "geojson"))
     if fmt == "json" and kind0 == "table":
         # records-json (the reference's format=json on attribute tables)
         from mapshaper_spark.operators.attributes import to_json_records
@@ -1115,6 +1122,10 @@ def _cmd_drop(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_filter_geom(cat: Catalog, c: Command) -> None:
+    """-filter-geom bbox= (mapshaper-filter-geom.js:3-28): the filter is
+    PART-level — each part of a multi-part geometry is kept iff its bounds
+    intersect the bbox (closed intervals); features whose every part is
+    removed drop entirely."""
     from mapshaper_spark.operators.spatial import filter_geom_bbox
     bbox = [float(v) for v in c.csv("bbox")]
     df = cat.df()
@@ -1122,14 +1133,34 @@ def _cmd_filter_geom(cat: Catalog, c: Command) -> None:
         x, y = _point_cols(df)
         cat.replace(filter_geom_bbox(df, bbox, x=x, y=y))
         return
-    from mapshaper_spark.operators.overlay import _ensure_bbox
+    if "rings_x" in df.columns:
+        xmin, ymin, xmax, ymax = bbox
+        zipped = F.arrays_zip(F.col("rings_x").alias("rx"),
+                              F.col("rings_y").alias("ry"))
+        keep = F.filter(zipped, lambda p:
+                        (F.array_min(p["rx"]) <= F.lit(xmax)) &
+                        (F.array_max(p["rx"]) >= F.lit(xmin)) &
+                        (F.array_min(p["ry"]) <= F.lit(ymax)) &
+                        (F.array_max(p["ry"]) >= F.lit(ymin)))
+        out = (df.withColumn("__keep", keep)
+               .filter(F.size("__keep") > 0)
+               .withColumn("rings_x", F.transform("__keep", lambda p: p["rx"]))
+               .withColumn("rings_y", F.transform("__keep", lambda p: p["ry"]))
+               .drop("__keep"))
+        if "bbox" in df.columns:
+            out = out.withColumn("bbox", F.struct(
+                F.array_min(F.transform("rings_x", F.array_min)).alias("xmin"),
+                F.array_min(F.transform("rings_y", F.array_min)).alias("ymin"),
+                F.array_max(F.transform("rings_x", F.array_max)).alias("xmax"),
+                F.array_max(F.transform("rings_y", F.array_max)).alias("ymax")))
+        cat.replace(out)
+        return
+    # single-part path rows (xs/ys): part == feature, bounds test suffices
     had_bbox = "bbox" in df.columns
-    if not had_bbox and "xs" in df.columns:
+    if not had_bbox:
         df = df.withColumn("bbox", F.struct(
             F.array_min("xs").alias("xmin"), F.array_min("ys").alias("ymin"),
             F.array_max("xs").alias("xmax"), F.array_max("ys").alias("ymax")))
-    else:
-        df = _ensure_bbox(df)
     out = filter_geom_bbox(df, bbox)
     cat.replace(out if had_bbox else out.drop("bbox"))
 

@@ -126,25 +126,33 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
             return c
         return F.round(c / F.lit(precision)) * F.lit(precision)
 
+    props = F.struct(*[F.col(c).alias(c) for c in property_cols]) \
+        if property_cols else F.struct(F.lit(None).alias("__empty"))
+
+    def feat(gtype: str, coords):
+        return F.to_json(F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(F.lit(gtype).alias("type"),
+                     coords.alias("coordinates")).alias("geometry"),
+            props.alias("properties")))
+
     if geometry_type == "Point":
-        coords = F.array(r(F.col(x)), r(F.col(y)))
+        feature = feat("Point", F.array(r(F.col(x)), r(F.col(y))))
     elif geometry_type == "LineString":
-        coords = F.transform(
-            F.arrays_zip(F.element_at("rings_x", 1).alias("xs"),
-                         F.element_at("rings_y", 1).alias("ys")),
-            lambda s: F.array(r(s["xs"]), r(s["ys"])))
+        # multi-part path features serialize as MultiLineString (one
+        # coordinates array per part), single-part as LineString — the
+        # reference's per-shape type choice (geojson-export.js)
+        multi = F.zip_with(
+            "rings_x", "rings_y",
+            lambda rx, ry: F.zip_with(rx, ry, lambda a, b: F.array(r(a), r(b))))
+        feature = F.when(F.size("rings_x") > 1,
+                         feat("MultiLineString", multi)) \
+            .otherwise(feat("LineString", F.element_at(multi, 1)))
     else:  # Polygon: rings -> [[[x,y],...], ...]
         coords = F.zip_with(
             "rings_x", "rings_y",
             lambda rx, ry: F.zip_with(rx, ry, lambda a, b: F.array(r(a), r(b))))
-
-    props = F.struct(*[F.col(c).alias(c) for c in property_cols]) \
-        if property_cols else F.struct(F.lit(None).alias("__empty"))
-    feature = F.to_json(F.struct(
-        F.lit("Feature").alias("type"),
-        F.struct(F.lit(geometry_type).alias("type"),
-                 coords.alias("coordinates")).alias("geometry"),
-        props.alias("properties")))
+        feature = feat(geometry_type, coords)
     return df.select(feature.alias("feature_json"))
 
 

@@ -376,3 +376,74 @@ class TestDropParity:
         assert list(out) == ["rectangle.json"]
         ring = _first_geom(out["rectangle.json"])["coordinates"][0]
         assert ring == [[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]
+
+
+class TestStyleParity:
+    # /root/reference/test/svg-style-test.js:7-27 (both command spellings)
+    def test_style_r_literal_both_names(self, spark):
+        for cmd in ("-svg-style r=2", "-style r=2"):
+            out = apply_commands(
+                spark, f"-i data.json {cmd} -o",
+                {"data.json": json.dumps([{"name": "foo"}])})
+            rows = json.loads(out["data.json"])
+            assert len(rows) == 1
+            assert rows[0]["name"] == "foo" and rows[0]["r"] == 2
+
+    # /root/reference/test/svg-style-test.js:77-103 (field/expression/
+    # ternary values resolve per record; literals pass through)
+    def test_style_expressions(self, spark):
+        recs = [{"foo": 2, "bar": "a", "baz": "white"},
+                {"foo": 0.5, "bar": "b", "baz": "black"}]
+        out = apply_commands(
+            spark,
+            "-i data.json -style stroke=baz 'stroke-width=foo / 2' "
+            "'fill=bar == \"a\" ? \"pink\" : \"green\"' -o",
+            {"data.json": json.dumps(recs)})
+        rows = sorted(json.loads(out["data.json"]), key=lambda r: r["bar"])
+        assert rows[0]["stroke"] == "white" and rows[0]["stroke-width"] == 1
+        assert rows[0]["fill"] == "pink"
+        assert rows[1]["stroke"] == "black" and rows[1]["stroke-width"] == 0.25
+        assert rows[1]["fill"] == "green"
+
+    # /root/reference/test/svg-style-test.js:106-123
+    def test_style_literals(self, spark):
+        out = apply_commands(
+            spark,
+            "-i data.json -style stroke=#222222 stroke-width=4 "
+            "'fill=rgba(255,255,255,0.2)' -o",
+            {"data.json": json.dumps([{"id": 1}])})
+        row = json.loads(out["data.json"])[0]
+        assert row["stroke"] == "#222222"
+        assert row["stroke-width"] == 4
+        assert row["fill"] == "rgba(255,255,255,0.2)"
+
+
+class TestFilterGeomParity:
+    # /root/reference/test/filter-geom-test.js:43-68 (polyline layer:
+    # PART-level filtering inside a MultiLineString; emptied features drop)
+    def test_polyline_parts_filtered(self, spark):
+        lines = {
+            "type": "GeometryCollection",
+            "geometries": [{
+                "type": "MultiLineString",
+                "coordinates": [[[0, 0], [0, -10]], [[180, -1], [179, -2]],
+                                [[-180, 90], [-180, 89]]],
+            }, {
+                "type": "LineString",
+                "coordinates": [[10, -10], [11, -11]],
+            }],
+        }
+        out = apply_commands(
+            spark, "-i lines.json -filter-geom bbox=-180,0,180,90 -o",
+            {"lines.json": json.dumps(lines)})
+        geoms = _geoms(out["lines.json"])
+        parts = sorted(tuple(map(tuple, g["coordinates"]))
+                       if g["type"] == "LineString"
+                       else tuple(tuple(map(tuple, p)) for p in g["coordinates"])
+                       for g in geoms)
+        flat = []
+        for g in geoms:
+            cc = g["coordinates"] if g["type"] == "MultiLineString" else [g["coordinates"]]
+            flat.extend(tuple(map(tuple, p)) for p in cc)
+        assert sorted(flat) == sorted([
+            ((0, 0), (0, -10)), ((-180, 90), (-180, 89))])
