@@ -1761,7 +1761,224 @@ def clean(features: DataFrame, key: str, gap_fill: bool = True,
     return out
 
 
-def mosaic(features: DataFrame, key: str = None, res: int = 6) -> DataFrame:
+def _mosaic_cells(labeled: DataFrame, key: str,
+                  target_per_cell: int = 64) -> DataFrame:
+    """Two-level -mosaic for OVERSIZED overlap clusters (the hot-cluster
+    escape `_dissolve2_cells` gave dissolve2/clean, applied to the face
+    mosaic): a transitively-connected continent would otherwise serialize
+    into ONE kernel task holding every ring.
+
+    1. every feature pre-cuts its rings at a per-cluster grid and emits one
+       clipped piece per overlapped cell (bit-identical cut points on both
+       sides of a line — `_cut_ring_at_gridlines`);
+    2. each (cluster, cell) runs `mosaic_rings` on its bounded piece set;
+       every face piece is keyed by its covering-feature SIGNATURE (hash of
+       the sorted global feature ids). Two adjacent arrangement faces
+       always differ in at least one member, so pieces of the same
+       signature sharing an edge belong to the same global face — and
+       cell-border seams between them appear exactly twice;
+    3. distributed edge cancel per (cluster, signature): count==1 edges
+       survive (seams and duplicated interior edges vanish), the final
+       stitch task sees only one signature's PERIMETER edges;
+    4. the stitch splits the merged rings back into faces: each positive
+       cycle is a face outer, negative cycles nest into the smallest
+       containing positive (mosaic_rings' own hole rule), so two disjoint
+       same-signature overlaps stay two rows.
+
+    Expects (key, __cluster, rings_x, rings_y, bbox); returns
+    (rings_x, rings_y, area, n_members)."""
+    spark = labeled.sparkSession
+    meta = _cluster_grids(labeled, target_per_cell)
+    bc_meta = spark.sparkContext.broadcast(meta)
+
+    piece_schema = T.StructType([
+        T.StructField("__cluster", labeled.schema["__cluster"].dataType),
+        T.StructField("__cell", T.LongType()),
+        T.StructField("__fid", T.StringType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+
+    def gen_pieces(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        grids = bc_meta.value
+        for pdf in it:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                x0, y0, w, h, nx, ny = grids[rec["__cluster"]]
+                b = rec["bbox"]
+                c0 = max(0, min(nx - 1, int((b["xmin"] - x0) / w)))
+                c1 = max(0, min(nx - 1, int((b["xmax"] - x0) / w)))
+                r0 = max(0, min(ny - 1, int((b["ymin"] - y0) / h)))
+                r1 = max(0, min(ny - 1, int((b["ymax"] - y0) / h)))
+                xlines = [x0 + k * w for k in range(c0, c1 + 2)]
+                ylines = [y0 + k * h for k in range(r0, r1 + 2)]
+                cut = [_cut_ring_at_gridlines(rx_, ry_, xlines, ylines)
+                       for rx_, ry_ in zip(rec["rings_x"], rec["rings_y"])]
+                for rr in range(r0, r1 + 1):
+                    for cc in range(c0, c1 + 1):
+                        rect = (x0 + cc * w, y0 + rr * h,
+                                x0 + (cc + 1) * w, y0 + (rr + 1) * h)
+                        nxs, nys = [], []
+                        for cx_, cy_ in cut:
+                            sx, sy = _sutherland_hodgman_exact(cx_, cy_, rect)
+                            if sx:
+                                nxs.append(sx)
+                                nys.append(sy)
+                        if nxs:
+                            rows.append({"__cluster": rec["__cluster"],
+                                         "__cell": rr * nx + cc,
+                                         "__fid": str(rec[key]),
+                                         "rings_x": nxs, "rings_y": nys})
+            if rows:
+                yield pd.DataFrame(rows,
+                                   columns=[f.name for f in piece_schema.fields])
+
+    pieces = (labeled.select("__cluster", key, "rings_x", "rings_y", "bbox")
+              .mapInPandas(gen_pieces, schema=piece_schema))
+
+    face_schema = T.StructType([
+        T.StructField("__cluster", labeled.schema["__cluster"].dataType),
+        T.StructField("__sig", T.StringType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cl = pdf["__cluster"].iloc[0]
+        cell = pdf["__cell"].iloc[0]
+        grids = bc_meta.value
+        gx0, gy0, gw, gh, gnx, _gny = grids[cl]
+        rr, cc = divmod(int(cell), gnx)
+        border_x = (gx0 + cc * gw, gx0 + (cc + 1) * gw)
+        border_y = (gy0 + rr * gh, gy0 + (rr + 1) * gh)
+        pdf = pdf.sort_values("__fid")
+        ring_sets, fids = [], []
+        for r in pdf.to_dict("records"):
+            ring_sets.append([(np.asarray(rx_, dtype=np.float64),
+                               np.asarray(ry_, dtype=np.float64))
+                              for rx_, ry_ in zip(r["rings_x"], r["rings_y"])])
+            fids.append(r["__fid"])
+        # seam consistency: subdivide border-line runs by the union of this
+        # cell's on-line vertices (same trick as _dissolve2_cells)
+        xl: dict = {}
+        yl: dict = {}
+        for rs in ring_sets:
+            for rx_, ry_ in rs:
+                for lx in border_x:
+                    m = rx_ == lx
+                    if m.any():
+                        xl.setdefault(lx, set()).update(ry_[m].tolist())
+                for ly in border_y:
+                    m = ry_ == ly
+                    if m.any():
+                        yl.setdefault(ly, set()).update(rx_[m].tolist())
+        if xl or yl:
+            ring_sets = [[_subdivide_on_lines(rx_, ry_, xl, yl)
+                          for rx_, ry_ in rs] for rs in ring_sets]
+        rows = []
+        for rings, _area, member in mosaic_rings(ring_sets):
+            sig = ";".join(f for f, m in zip(fids, member) if m)
+            if not sig:  # uncovered gap face: not part of the mosaic output
+                continue
+            rows.append({"__cluster": cl, "__sig": sig,
+                         "n_members": int(sum(member)),
+                         "rings_x": [list(fx) for fx, _fy in rings],
+                         "rings_y": [list(fy) for _fx, fy in rings]})
+        cols = [f.name for f in face_schema.fields]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    cellout = (pieces.groupBy("__cluster", "__cell")
+               .applyInPandas(cell_kernel, schema=face_schema)
+               .localCheckpoint())
+
+    edges = _unit_edges(cellout, ["__cluster", "__sig", "n_members"])
+    surv = (edges.groupBy("__cluster", "__sig", "n_members", "__edge")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 1)
+            .select("__cluster", "__sig", "n_members",
+                    F.col("__edge.x1").alias("x1"), F.col("__edge.y1").alias("y1"),
+                    F.col("__edge.x2").alias("x2"), F.col("__edge.y2").alias("y2")))
+
+    out_schema = T.StructType([
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("n_members", T.IntegerType()),
+    ])
+
+    def stitch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        nm = int(pdf["n_members"].iloc[0])
+        cl = pdf["__cluster"].iloc[0]
+        grids = bc_meta.value
+        x0, y0, w, h, nx, ny = grids[cl]
+        xline = {x0 + k * w for k in range(nx + 1)}
+        yline = {y0 + k * h for k in range(ny + 1)}
+        pdf = pdf.sort_values(["x1", "y1", "x2", "y2"])
+        arcs = [(np.array([ax, bx_]), np.array([ay, by2]))
+                for ax, ay, bx_, by2 in zip(pdf["x1"], pdf["y1"],
+                                            pdf["x2"], pdf["y2"])]
+        rings = _normalize_winding(_stitch(arcs))
+        cleaned = []
+        for rx_, ry_ in rings:
+            keep_x, keep_y = [], []
+            n = len(rx_) - 1
+            for i in range(n):
+                vx, vy = rx_[i], ry_[i]
+                px, py = (rx_[i - 1], ry_[i - 1]) if i else (rx_[n - 1], ry_[n - 1])
+                qx, qy = rx_[i + 1], ry_[i + 1]
+                if vx in xline or vy in yline:
+                    cross = (vx - px) * (qy - py) - (vy - py) * (qx - px)
+                    scale = max(abs(qx - px), abs(qy - py), 1e-300) ** 2
+                    between = (min(px, qx) <= vx <= max(px, qx) and
+                               min(py, qy) <= vy <= max(py, qy))
+                    if abs(cross) <= 1e-12 * scale and between:
+                        continue
+                keep_x.append(vx)
+                keep_y.append(vy)
+            if len(keep_x) >= 3:
+                keep_x.append(keep_x[0])
+                keep_y.append(keep_y[0])
+                ra = K.planar_path_area(np.asarray(keep_x), np.asarray(keep_y))
+                if ra != 0.0:
+                    cleaned.append((keep_x, keep_y, ra))
+        # split into faces: positive cycles are outers; negative cycles
+        # nest into the smallest containing positive (mosaic_rings rule)
+        outers = [{"rings": [(cx, cy)], "outer_area": ra, "area": ra}
+                  for cx, cy, ra in cleaned if ra > 0]
+        for cx, cy, ra in cleaned:
+            if ra >= 0:
+                continue
+            px_, py_ = cx[0], cy[0]
+            best = None
+            for i, f in enumerate(outers):
+                ox, oy = f["rings"][0]
+                if f["outer_area"] > -ra and K.points_in_ring(
+                        np.array([px_]), np.array([py_]),
+                        np.asarray(ox), np.asarray(oy))[0] == 1:
+                    if best is None or f["outer_area"] < outers[best]["outer_area"]:
+                        best = i
+            if best is not None:
+                outers[best]["rings"].append((cx, cy))
+                outers[best]["area"] += ra
+        rows = [{"rings_x": [list(r[0]) for r in f["rings"]],
+                 "rings_y": [list(r[1]) for r in f["rings"]],
+                 "area": float(f["area"]), "n_members": nm}
+                for f in outers]
+        cols = [f.name for f in out_schema.fields]
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return (surv.groupBy("__cluster", "__sig")
+            .applyInPandas(stitch_kernel, schema=out_schema))
+
+
+def mosaic(features: DataFrame, key: str = None, res: int = 6,
+           max_task_features: int = 4096,
+           target_per_cell: int = 64) -> DataFrame:
     """-mosaic (/root/reference/src/commands/mapshaper-mosaic.js:3-18 ->
     MosaicIndex.mosaic): replace a polygon layer with the indivisible faces
     of its arrangement; each face carries how many input features cover it.
@@ -1773,6 +1990,13 @@ def mosaic(features: DataFrame, key: str = None, res: int = 6) -> DataFrame:
     covers touch, so disjoint clusters are embarrassingly parallel.
     Singleton clusters skip the kernel: their mosaic is the feature itself
     (n_members=1), a pure JVM projection.
+
+    Clusters larger than ``max_task_features`` (one transitively-connected
+    continent) take the two-level path (`_mosaic_cells`): per-cell mosaic
+    kernels emit face PIECES keyed by their covering-feature signature,
+    pieces merge by distributed edge canceling (cell-border seams vanish),
+    and the final stitch task is bounded by one signature's perimeter —
+    no task ever holds a whole hot cluster.
 
     Returns (face_id, rings_x, rings_y, area, n_members); face_id is a
     content hash — stable across runs and partitionings."""
@@ -1829,12 +2053,20 @@ def mosaic(features: DataFrame, key: str = None, res: int = 6) -> DataFrame:
                        lambda s: s / 2)),
                    F.lit(0.0), lambda a, v: a + v))
                .withColumn("n_members", F.lit(1)))
-    multi = (labeled.filter(F.col("__csz") > 1)
+    multi = (labeled.filter((F.col("__csz") > 1) &
+                            (F.col("__csz") <= max_task_features))
              .select("__cluster", "rings_x", "rings_y")
              .groupBy("__cluster").applyInPandas(
                  lambda pdf: kernel(pdf), schema=out_schema))
     out = singles.select(*[f.name for f in out_schema.fields]) \
         .unionByName(multi)
+    big = labeled.filter(F.col("__csz") > max_task_features)
+    if not big.isEmpty():
+        two_level = _mosaic_cells(
+            big.select(F.col(key), "__cluster", "rings_x", "rings_y", "bbox"),
+            key, target_per_cell=target_per_cell)
+        out = out.unionByName(
+            two_level.select(*[f.name for f in out_schema.fields]))
     return out.select(
         F.xxhash64("rings_x", "rings_y").alias("face_id"),
         "rings_x", "rings_y", "area", "n_members")

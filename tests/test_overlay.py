@@ -545,3 +545,37 @@ class TestDissolve2ClusterPath:
                for r in dissolve2(feats, "grp", cluster_threshold=0).collect()}
         assert out["g"] == (8.0, 2)   # union 7 + far square 1, two rings
         assert out["h"] == (1.0, 1)   # separate group untouched by overlap
+
+
+class TestMosaicTwoLevel:
+    def test_forced_two_level_matches_single_task(self, spark):
+        """Hot-cluster escape for -mosaic: per-cell kernels + signature
+        edge-cancel merge must reproduce the single-task faces exactly —
+        including a donut (hole nesting across the split/stitch) and a
+        6-square transitive overlap chain."""
+        from mapshaper_spark.operators.overlay import mosaic
+
+        def rect(x0, y0, x1, y1):
+            x0, y0, x1, y1 = map(float, (x0, y0, x1, y1))
+            return ([[x0, x0, x1, x1, x0]], [[y0, y1, y1, y0, y0]])
+
+        rows = []
+        for i in range(6):
+            rx, ry = rect(i * 1.5, 0, i * 1.5 + 2, 2)
+            rows.append((f"f{i}", rx, ry))
+        rx, ry = rect(10, 0, 14, 4)
+        rows.append(("big", rx, ry))
+        rx, ry = rect(11, 1, 13, 3)
+        rows.append(("in", rx, ry))
+        df = spark.createDataFrame(
+            rows, "fid string, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+
+        def summary(d):
+            return sorted((round(r.area, 9), r.n_members) for r in d.collect())
+
+        single = summary(mosaic(df))
+        forced = summary(mosaic(df, max_task_features=1, target_per_cell=2))
+        assert single == forced
+        assert sum(a for a, _ in single) == 35.0
+        assert (4.0, 2) in single and (12.0, 1) in single  # the donut pair
