@@ -447,3 +447,29 @@ class TestFilterGeomParity:
             flat.extend(tuple(map(tuple, p)) for p in cc)
         assert sorted(flat) == sorted([
             ((0, 0), (0, -10)), ((-180, 90), (-180, 89))])
+
+
+class TestKeepShapesParity:
+    # /root/reference/test/keep-shapes-test.js:8-34 (Issue #228: island
+    # shapes survive -simplify 0% keep-shapes verbatim)
+    def test_island_preserved_at_zero_pct(self, spark):
+        poly = {"type": "Polygon",
+                "coordinates": [[[0, 0], [0, 1], [0.5, 0], [0, -1], [0, 0]]]}
+        out = apply_commands(
+            spark, "-i poly.json -simplify keep-shapes dp 0% -o",
+            {"poly.json": json.dumps(poly)})
+        got = _first_geom(out["poly.json"])
+        assert got["type"] == "Polygon"
+        assert _norm_ring(got["coordinates"][0]) == \
+            _norm_ring(poly["coordinates"][0])
+
+    def test_tiny_positive_area_island(self, spark):
+        poly = {"type": "Polygon",
+                "coordinates": [[[-1e-11, 0], [0, 1], [0.5, 0], [0, -1],
+                                 [-1e-11, 0]]]}
+        out = apply_commands(
+            spark, "-i poly.json -simplify keep-shapes dp 0% -o",
+            {"poly.json": json.dumps(poly)})
+        got = _first_geom(out["poly.json"])
+        assert _norm_ring(got["coordinates"][0]) == \
+            _norm_ring(poly["coordinates"][0])
