@@ -1167,19 +1167,22 @@ def _synthetic_arcs(spark, n_arcs: int):
 def q_clean(spark, sf_dir):
     """-clean on the reference's overlapping_polygons fixture + a singleton
     + an empty geometry: the contested wedge goes to the larger feature
-    (chooseShape weight), identities preserved, empties dropped."""
+    (chooseShape weight), identities preserved, empties dropped. The tag
+    attribute column rides through untouched (the reference -clean keeps
+    the data table)."""
     from mapshaper_spark.operators import overlay as OV
     feats = spark.createDataFrame(
-        [(1, [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
-         (2, [[1.0, 3.0, 5.0, 3.0, 1.0]], [[1.0, 3.0, 1.0, -1.0, 1.0]]),
-         (3, [[10.0, 10.0, 11.0, 11.0, 10.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
-         (4, None, None)],
-        "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        [(1, "sq", [[0.0, 0.0, 2.0, 2.0, 0.0]], [[0.0, 2.0, 2.0, 0.0, 0.0]]),
+         (2, "di", [[1.0, 3.0, 5.0, 3.0, 1.0]], [[1.0, 3.0, 1.0, -1.0, 1.0]]),
+         (3, "lone", [[10.0, 10.0, 11.0, 11.0, 10.0]], [[0.0, 1.0, 1.0, 0.0, 0.0]]),
+         (4, "empty", None, None)],
+        "fid int, tag string, rings_x array<array<double>>, "
+        "rings_y array<array<double>>")
     out = OV.clean(feats, "fid")
     areas = P.ring_areas_col(out)
     return areas.select(
-        "fid", F.round(F.aggregate("ring_areas", F.lit(0.0),
-                                   lambda a, v: a + v), 6).alias("area"),
+        "fid", "tag", F.round(F.aggregate("ring_areas", F.lit(0.0),
+                                          lambda a, v: a + v), 6).alias("area"),
         F.size("rings_x").alias("n_rings")).orderBy("fid")
 
 
@@ -1373,16 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver hash rows (points_vertices/points_interpolated rotate out)
         "close_gaps": q_close_gaps,
         "snap_sweep": q_snap_sweep,
-        "clip_points": q_clip_points,
-        "erase_points": q_erase_points,
         "clean": q_clean,
-        "filter_geom_paths": q_filter_geom_paths,
-        # joins / calc / fill (join_unjoined/join_unmatched de-vacuated r3)
-        "join_calc": q_join_calc,
+        # joins / calc / fill (join variants rotated out r4 after three
+        # green rounds; join_first_match stays as the family representative)
         "join_first_match": q_join_first_match,
-        "join_is_max": q_join_is_max,
-        "join_unjoined": q_join_unjoined,
-        "join_unmatched": q_join_unmatched,
         "data_fill": q_data_fill,
         # round-3 operators with NEW exact oracles sit inside the window
         "cluster": q_cluster,
@@ -1398,6 +1395,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media codec queries (operators/media.py, late r3)
         "audio_features_wav": q_audio_features_wav,
         "video_frames_mjpeg": q_video_frames_mjpeg,
+        # rotated INTO the window r4 (VERDICT r03 #10: never driver-hashed
+        # before; join variants / point clip / filter_geom_paths rotate out
+        # after three green rounds — all still covered by check_oracle.py)
+        "cli_pipeline2": q_cli_pipeline2,
+        "dedup_clusters": q_dedup_clusters,
+        "cosine_pairs": q_cosine_pairs,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
+        "stitch_antimeridian": q_stitch_antimeridian,
+        "intersection_cuts": q_intersection_cuts,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
         # (rotated out r3 after two green rounds: area_expr, spherical_area,
         # calc_aggs, events_rollup, dissolve_customers_by_nation, and —
@@ -1405,7 +1412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-checked by tools/check_oracle.py)
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
-        "cli_pipeline2": q_cli_pipeline2,
+        "join_calc": q_join_calc,
+        "join_is_max": q_join_is_max,
+        "join_unjoined": q_join_unjoined,
+        "join_unmatched": q_join_unmatched,
+        "clip_points": q_clip_points,
+        "erase_points": q_erase_points,
+        "filter_geom_paths": q_filter_geom_paths,
         "points_centroid": q_points_centroid,
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
@@ -1421,15 +1434,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
         "image_decode_stats": q_image_decode_stats,
-        "dedup_clusters": q_dedup_clusters,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "cosine_pairs": q_cosine_pairs,
         "emb_lsh_dups": q_emb_lsh_dups,
-        "video_frame_sample": q_video_frame_sample,
-        "audio_features": q_audio_features,
         "simplify_vis": q_simplify_vis,
         "simplify_dp": q_simplify_dp,
         "simplify_spherical": q_simplify_spherical,
@@ -1456,8 +1465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_info": q_layer_info,
         "colorizer_breaks": q_colorizer_breaks,
         "shape_freehand": q_shape_freehand,
-        "stitch_antimeridian": q_stitch_antimeridian,
-        "intersection_cuts": q_intersection_cuts,
     }
 
 
@@ -2081,9 +2088,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["clean"] = """
         -- hand-derived from the reference's expected output rings
         -- (clean-test.js 'Removes overlapping section'): square cedes the
-        -- wedge (ring area 3.0), diamond keeps it (8.0), singleton 1.0
-        SELECT * FROM (VALUES (1, 3.0, 1), (2, 8.0, 1), (3, 1.0, 1))
-            t(fid, area, n_rings)
+        -- wedge (ring area 3.0), diamond keeps it (8.0), singleton 1.0;
+        -- attribute column (tag) carried through like the reference's
+        -- data table
+        SELECT * FROM (VALUES (1, 'sq', 3.0, 1), (2, 'di', 8.0, 1),
+                              (3, 'lone', 1.0, 1))
+            t(fid, tag, area, n_rings)
     """
     sqls["layer_info"] = """
         SELECT 'mosaic' AS layer, 'polygon/polyline' AS geometry_type,

@@ -237,9 +237,16 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                     df = df.drop("rings_x", "rings_y")
         elif ext == ".shp":
             shp = open(path, "rb").read()
-            dbf_path = os.path.splitext(path)[0] + ".dbf"
+            stem = os.path.splitext(path)[0]
+            dbf_path = stem + ".dbf"
             dbf = open(dbf_path, "rb").read() if os.path.exists(dbf_path) else None
-            df = SH.import_shapefile(cat.spark, shp, dbf)
+            # encoding precedence like the reference: -i encoding= option,
+            # then the .cpg sidecar, then the dbf ldid byte / detection
+            enc = str(c.opt("encoding")) if c.opt("encoding") else None
+            cpg_path = stem + ".cpg"
+            if enc is None and os.path.exists(cpg_path):
+                enc = open(cpg_path).read().strip() or None
+            df = SH.import_shapefile(cat.spark, shp, dbf, encoding=enc)
         elif ext in (".csv", ".tsv"):
             df = DL.import_delim(cat.spark, path)
         elif ext == ".parquet":
@@ -326,7 +333,11 @@ def _cmd_each(cat: Catalog, c: Command) -> None:
         fn = DEFS[m.group(2)]
         col = fn(F.col(m.group(3)))
         if where:
-            col = F.when(F.expr(_sql(str(where), cat.calc_env)), col)
+            # unmatched rows keep their previous value (the reference only
+            # evaluates the expression where the filter matches)
+            name = m.group(1)
+            prev = F.col(name) if name in cat.df().columns else F.lit(None)
+            col = F.when(F.expr(_sql(str(where), cat.calc_env)), col).otherwise(prev)
         cat.replace(cat.df().withColumn(m.group(1), col))
         return
     cat.replace(each_expr(cat.df(), _sql(c.values[0], cat.calc_env),
@@ -345,14 +356,18 @@ def _cmd_sort(cat: Catalog, c: Command) -> None:
     sort preserves the previous order among ties). The catalog threads an
     __ms_order column: each sort ranks by (key, previous order) and
     rewrites it; -o emits rows in __ms_order."""
-    from pyspark.sql import Window
+    from mapshaper_spark.plans.scale import ranked_ids
     df = cat.df()
     if _ORDER_COL not in df.columns:
         df = df.withColumn(_ORDER_COL, F.monotonically_increasing_id())
-    key = F.expr(_sql(c.values[0], cat.calc_env))
-    key = key.asc() if not c.flag("descending") else key.desc()
-    w = Window.orderBy(key, F.col(_ORDER_COL).asc())
-    cat.replace(df.withColumn(_ORDER_COL, F.row_number().over(w)))
+    asc = not c.flag("descending")
+    # two-phase rank (no single-task global window): rank by (key, prev
+    # order), rewrite the order column, 1-based like row_number
+    keyed = df.withColumn("__ms_sort_key", F.expr(_sql(c.values[0], cat.calc_env)))
+    ranked = ranked_ids(keyed, ["__ms_sort_key", _ORDER_COL], "__ms_rank",
+                        ascending=[asc, True])
+    cat.replace(ranked.withColumn(_ORDER_COL, F.col("__ms_rank") + 1)
+                .drop("__ms_sort_key", "__ms_rank"))
 
 
 def _parse_calc(spec: str) -> dict[str, tuple[str, str]]:
@@ -682,7 +697,8 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
             with_z = SI.compute_thresholds(arcs, method=method)
             zlimit = c.num("interval")
         else:
-            with_z, zlimit = SI.simplify(arcs, method=method, pct=pct or 1.0)
+            with_z, zlimit = SI.simplify(arcs, method=method,
+                                         pct=1.0 if pct is None else pct)
         cat.replace(SI.apply_zlimit(with_z, zlimit).drop("zs"))
         return
     if _geometry_kind(df) != "polygon":
@@ -697,7 +713,8 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
         with_z = SI.compute_thresholds(arcs, method=method)
         zlimit = c.num("interval")
     else:
-        with_z, zlimit = SI.simplify(arcs, method=method, pct=pct or 1.0)
+        with_z, zlimit = SI.simplify(arcs, method=method,
+                                         pct=1.0 if pct is None else pct)
     if c.flag("keep-shapes"):
         feats = _features_with_parts(refs, paths, fid)
         with_z = SI.keep_shapes(feats, with_z, fid)
@@ -803,11 +820,18 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         if not names:
             raise ValueError("-o: no layers to output")
         saved = cat.target
-        for name in names:
+        for i, name in enumerate(names):
             if name not in cat.layers:
                 raise ValueError(f"-o: no layer '{name}' (have {cat.order})")
             cat.target = name
-            sub = Command("o", values=list(c.values) if len(names) == 1 else [],
+            # with a positional path and multiple layers, version the file
+            # name per layer like the reference (assignUniqueFileNames /
+            # formatVersionedFileName: out.json, out2.json, ...)
+            vals = list(c.values)
+            if vals and len(names) > 1:
+                base, ext = os.path.splitext(vals[0])
+                vals[0] = base + (str(i + 1) if i else "") + ext
+            sub = Command("o", values=vals,
                           options={k: v for k, v in c.options.items()
                                    if k != "target"})
             _cmd_o(cat, sub)

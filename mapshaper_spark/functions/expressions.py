@@ -139,11 +139,16 @@ _ARGS2 = r"\((?:[^()]|" + _ARGS1 + r")*\)"       # calls nested <= 3 deep
 # the lookbehind stops a receiver from matching mid-chain (e.g. grabbing
 # only "toUpperCase()" out of "s.trim().toUpperCase().split(...)")
 _RECV = r"(?<![.\w])((?:\w+\.)*\w+(?:" + _ARGS2 + r")?)"
+# a method-argument list: paren-balanced (nested calls allowed), so e.g.
+# name.indexOf(substr(a, 1, 2)) captures the whole nested call
+_ARG = r"((?:[^()]|" + _ARGS1 + r")+)"
 
 _JS_METHODS = [
     # indexing a split: bar.split(",")[0] -> split_part(bar, ',', 1)
-    (re.compile(_RECV + r"\.split\((['\"])(.*?)\2\)\[(\d+)\]"),
-     lambda m: f"split_part({m.group(1)}, '{m.group(3)}', {int(m.group(4)) + 1})"),
+    # (string literals are shielded to \x00k\x00 placeholders by the time
+    # these run; the placeholder restores to the original quoted literal)
+    (re.compile(_RECV + r"\.split\((\x00\d+\x00)\)\[(\d+)\]"),
+     lambda m: f"split_part({m.group(1)}, {m.group(2)}, {int(m.group(3)) + 1})"),
     # JS substr(start, len) is 0-based; SQL substr is 1-based
     (re.compile(_RECV + r"\.substr\(\s*(\d+)\s*,\s*(\d+)\s*\)"),
      lambda m: f"substr({m.group(1)}, {int(m.group(2)) + 1}, {m.group(3)})"),
@@ -155,19 +160,19 @@ _JS_METHODS = [
     (re.compile(_RECV + r"\.toUpperCase\(\)"), lambda m: f"upper({m.group(1)})"),
     (re.compile(_RECV + r"\.toLowerCase\(\)"), lambda m: f"lower({m.group(1)})"),
     (re.compile(_RECV + r"\.trim\(\)"), lambda m: f"trim({m.group(1)})"),
-    (re.compile(_RECV + r"\.indexOf\((.+?)\)"),
+    (re.compile(_RECV + r"\.indexOf\(" + _ARG + r"\)"),
      lambda m: f"(instr({m.group(1)}, {m.group(2)}) - 1)"),
-    (re.compile(_RECV + r"\.includes\((.+?)\)"),
+    (re.compile(_RECV + r"\.includes\(" + _ARG + r"\)"),
      lambda m: f"(instr({m.group(1)}, {m.group(2)}) > 0)"),
-    (re.compile(_RECV + r"\.startsWith\((.+?)\)"),
+    (re.compile(_RECV + r"\.startsWith\(" + _ARG + r"\)"),
      lambda m: f"startswith({m.group(1)}, {m.group(2)})"),
-    (re.compile(_RECV + r"\.endsWith\((.+?)\)"),
+    (re.compile(_RECV + r"\.endsWith\(" + _ARG + r"\)"),
      lambda m: f"endswith({m.group(1)}, {m.group(2)})"),
-    (re.compile(_RECV + r"\.padStart\((.+?)\)"),
+    (re.compile(_RECV + r"\.padStart\(" + _ARG + r"\)"),
      lambda m: f"lpad({m.group(1)}, {m.group(2)})"),
-    (re.compile(_RECV + r"\.padEnd\((.+?)\)"),
+    (re.compile(_RECV + r"\.padEnd\(" + _ARG + r"\)"),
      lambda m: f"rpad({m.group(1)}, {m.group(2)})"),
-    (re.compile(_RECV + r"\.concat\((.+?)\)"),
+    (re.compile(_RECV + r"\.concat\(" + _ARG + r"\)"),
      lambda m: f"concat({m.group(1)}, {m.group(2)})"),
     # toFixed returns a STRING in JS -> printf-style formatting
     (re.compile(_RECV + r"\.toFixed\(\s*(\d+)\s*\)"),
@@ -250,15 +255,50 @@ def _rewrite_ternary(s: str) -> str:
     return s
 
 
+def _shield_strings(expr: str) -> tuple[str, list[str]]:
+    """Replace quoted string literals with \\x00k\\x00 placeholders so the
+    JS->SQL replace passes (&&, ||, null, Math.*, method rewrites) can't
+    rewrite text INSIDE a literal like 'a && b'. Backslash escapes are
+    honored; the placeholder restores to the original literal verbatim."""
+    toks: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n:
+                if expr[j] == "\\":
+                    j += 2
+                    continue
+                if expr[j] == ch:
+                    break
+                j += 1
+            out.append(f"\x00{len(toks)}\x00")
+            toks.append(expr[i:j + 1] if j < n else expr[i:])
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), toks
+
+
+def _restore_strings(expr: str, toks: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: toks[int(m.group(1))], expr)
+
+
 def translate_proxy_expression(expr: str) -> str:
     """Rewrite mapshaper ``$.getter`` spellings AND the JS idioms of the
     reference's expression corpus (string methods, Math.*, ternaries,
     ===/&&/||, null) to Spark SQL. Plain SQL passes through unchanged.
+    String literals are shielded first so their contents are never
+    rewritten.
 
     Known semantic edges (documented, not silently wrong): JS
     String.replace (first-occurrence) is NOT mapped (SQL replace is
     replace-all); Math.round(-0.5) differs (JS rounds toward +inf, SQL
     half-away-from-zero)."""
+    expr, _strs = _shield_strings(expr)
     for pat, repl in _PROXY_MAP.items():
         expr = re.sub(pat, repl, expr)
     # method rewrites to a fixpoint (chained calls resolve inside-out)
@@ -280,7 +320,7 @@ def translate_proxy_expression(expr: str) -> str:
     # JS loose/strict null comparisons are IS [NOT] NULL in SQL
     expr = re.sub(r"(?:<>|!=)\s*NULL", " IS NOT NULL", expr)
     expr = re.sub(r"(?<![!<>=])==?\s*NULL", " IS NULL", expr)
-    return _rewrite_ternary(expr)
+    return _restore_strings(_rewrite_ternary(expr), _strs)
 
 
 def parse_assignments(expression: str):

@@ -1879,8 +1879,11 @@ def _mosaic_cells(labeled: DataFrame, key: str,
         rows = []
         for rings, _area, member in mosaic_rings(ring_sets):
             sig = ";".join(f for f, m in zip(fids, member) if m)
-            if not sig:  # uncovered gap face: not part of the mosaic output
-                continue
+            # sig == '' is an uncovered ENCLOSED face piece (donut hole /
+            # gap between features): the reference emits these as tiles
+            # (buildPolygonMosaic keeps every CW ring, polygon-mosaic.js:73)
+            # — keep them; '' acts as the signature so pieces of the same
+            # hole edge-cancel across cells like any other face
             rows.append({"__cluster": cl, "__sig": sig,
                          "n_members": int(sum(member)),
                          "rings_x": [list(fx) for fx, _fy in rings],
@@ -1998,6 +2001,13 @@ def mosaic(features: DataFrame, key: str = None, res: int = 6,
     and the final stitch task is bounded by one signature's perimeter —
     no task ever holds a whole hot cluster.
 
+    Uncovered ENCLOSED faces (donut-hole interiors, gaps ringed by
+    features) are part of the mosaic with n_members=0, exactly like the
+    reference (buildPolygonMosaic emits every CW ring as a tile,
+    polygon-mosaic.js:65-95); only the unbounded outside is dropped. All
+    three execution paths (singleton / clustered kernel / two-level)
+    agree on this face set.
+
     Returns (face_id, rings_x, rings_y, area, n_members); face_id is a
     content hash — stable across runs and partitionings."""
     key = key or features.columns[0]
@@ -2038,7 +2048,13 @@ def mosaic(features: DataFrame, key: str = None, res: int = 6,
                          "n_members": int(sum(member))})
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    singles = (labeled.filter(F.col("__csz") == 1)
+    # singleton fast path is only exact for SINGLE-ring features: a
+    # multi-ring singleton (multipolygon or donut) mosaics into one tile
+    # per CW ring — hole interiors become n_members=0 tiles
+    # (buildPolygonMosaic, polygon-mosaic.js:65-95) — so those route
+    # through the same arrangement kernel as multi-feature clusters
+    singles_base = labeled.filter(F.col("__csz") == 1)
+    singles = (singles_base.filter(F.size("rings_x") == 1)
                .select("rings_x", "rings_y")
                .withColumn("area", F.aggregate(
                    # offset shoelace, CW => positive — bit-identical to
@@ -2053,13 +2069,17 @@ def mosaic(features: DataFrame, key: str = None, res: int = 6,
                        lambda s: s / 2)),
                    F.lit(0.0), lambda a, v: a + v))
                .withColumn("n_members", F.lit(1)))
+    singles_multiring = (singles_base.filter(F.size("rings_x") > 1)
+                         .select(key, "rings_x", "rings_y")
+                         .groupBy(key).applyInPandas(
+                             lambda pdf: kernel(pdf), schema=out_schema))
     multi = (labeled.filter((F.col("__csz") > 1) &
                             (F.col("__csz") <= max_task_features))
              .select("__cluster", "rings_x", "rings_y")
              .groupBy("__cluster").applyInPandas(
                  lambda pdf: kernel(pdf), schema=out_schema))
     out = singles.select(*[f.name for f in out_schema.fields]) \
-        .unionByName(multi)
+        .unionByName(singles_multiring).unionByName(multi)
     big = labeled.filter(F.col("__csz") > max_task_features)
     if not big.isEmpty():
         two_level = _mosaic_cells(

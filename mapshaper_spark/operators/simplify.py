@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mapshaper_spark.geom import kernels as K
+from mapshaper_spark.plans.scale import maybe_broadcast
 
 METHODS = ("visvalingam", "weighted_visvalingam", "dp")
 
@@ -69,60 +70,85 @@ def compute_thresholds(arcs: DataFrame, method: str = "weighted_visvalingam",
 
 def keep_shapes(features: DataFrame, arcs_with_zs: DataFrame,
                 key: str) -> DataFrame:
-    """-simplify keep-shapes: for each feature, protect the max-threshold
-    vertex of its LARGEST ring so no shape collapses entirely
-    (/root/reference/src/simplify/mapshaper-keep-shapes.js:4-39: largest
-    ring by absolute area; its highest-z removable vertex gets +inf).
+    """-simplify keep-shapes: for each feature, pick its largest ring (by
+    bounding-box area, protectShape, mapshaper-keep-shapes.js:22-41) and
+    iteratively lock the highest-threshold removable vertices until the
+    ring's area at retained-interval=Infinity exceeds 1e-10
+    (protectPolygonRing + lockMaxThreshold, keep-shapes.js:45-94: each pass
+    locks EVERY occurrence of the target z within the winning arc).
 
     Returns a new arcs DataFrame with the protected zs. Plan: explode
-    feature->ring->arc refs, join arc data (broadcastable), per-feature
-    pick (arc, vertex) to protect, then update the arcs via a left join +
-    JVM array transform."""
+    feature->ring->arc refs, join arc data (size-gated broadcast),
+    per-feature iterative lock loop, then update the arcs via a left join +
+    JVM array transform. Deviation: features sharing a collapsed arc each
+    lock against the pristine zs (the reference mutates zz serially, so a
+    later shape may lock fewer vertices); the union applied here retains a
+    superset — shapes are still preserved."""
     from mapshaper_spark.layers import absolute_arc_id_col
 
     exploded = (features.select(key, F.posexplode("parts").alias("ring_idx", "refs"))
                 .select(key, "ring_idx", F.posexplode("refs").alias("seq", "signed"))
                 .withColumn("aid", absolute_arc_id_col(F.col("signed")).cast("long")))
-    joined = exploded.join(F.broadcast(arcs_with_zs.select(
+    joined = exploded.join(maybe_broadcast(arcs_with_zs.select(
         F.col("arc_id").alias("aid"), "xs", "ys", "zs")), "aid")
 
     prot_schema = T.StructType([T.StructField("aid", T.LongType()),
                                 T.StructField("vidx", T.IntegerType())])
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        # largest ring by |sum of signed ring areas of its arcs|
+        # largest ring by bounding-box area (protectShape uses
+        # getSimpleShapeBounds().area(), keep-shapes.js:27-33)
         best_ring, best_area = None, -1.0
         for ring_idx, grp in pdf.groupby("ring_idx"):
-            area = 0.0
-            grp = grp.sort_values("seq")
-            xs_cat, ys_cat = [], []
-            for r in grp.itertuples():
-                xa = np.asarray(r.xs)
-                ya = np.asarray(r.ys)
-                if r.signed < 0:
-                    xa, ya = xa[::-1], ya[::-1]
-                xs_cat.append(xa)
-                ys_cat.append(ya)
-            xa = np.concatenate(xs_cat)
-            ya = np.concatenate(ys_cat)
-            area = abs(K.planar_path_area(xa, ya))
+            xa = np.concatenate([np.asarray(r.xs) for r in grp.itertuples()])
+            ya = np.concatenate([np.asarray(r.ys) for r in grp.itertuples()])
+            area = float((xa.max() - xa.min()) * (ya.max() - ya.min()))
             if area > best_area:
                 best_area = area
                 best_ring = ring_idx
-        grp = pdf[pdf["ring_idx"] == best_ring]
-        b_aid, b_vidx, b_z = None, None, -math.inf
+        grp = pdf[pdf["ring_idx"] == best_ring].sort_values("seq")
+        # arcs oriented by ref sign; zz copies we can mutate like the
+        # reference's replaceInArray does
+        recs = []
         for r in grp.itertuples():
-            zz = np.asarray(r.zs, dtype=np.float64)
-            interior = zz[(zz != math.inf)]
-            if len(interior) == 0:
-                continue
-            vidx = int(np.nonzero(zz == interior.max())[0][0])
-            if interior.max() > b_z:
-                b_z = float(interior.max())
-                b_aid, b_vidx = int(r.aid), vidx
-        if b_aid is None:
-            return pd.DataFrame({"aid": [], "vidx": []})
-        return pd.DataFrame({"aid": [b_aid], "vidx": [b_vidx]})
+            xa = np.asarray(r.xs, dtype=np.float64)
+            ya = np.asarray(r.ys, dtype=np.float64)
+            zz = np.asarray(r.zs, dtype=np.float64).copy()
+            recs.append([int(r.aid), xa, ya, zz, r.signed < 0])
+
+        def ring_area_at_inf() -> float:
+            xs_cat, ys_cat = [], []
+            for _, xa, ya, zz, rev in recs:
+                keep = zz == math.inf
+                kx, ky = xa[keep], ya[keep]
+                if rev:
+                    kx, ky = kx[::-1], ky[::-1]
+                xs_cat.append(kx)
+                ys_cat.append(ky)
+            xa = np.concatenate(xs_cat)
+            ya = np.concatenate(ys_cat)
+            return abs(K.planar_path_area(xa, ya))
+
+        out_aid, out_vidx = [], []
+        # protectPolygonRing: minArea epsilon guards f.p.-positive collapsed
+        # rings (keep-shapes.js:48-62)
+        while ring_area_at_inf() <= 1e-10:
+            targ_z, targ_i = 0.0, None
+            for i, (_, _, _, zz, _) in enumerate(recs):
+                finite = zz[zz != math.inf]
+                if len(finite) == 0:
+                    continue
+                z = float(finite.max())
+                if z > targ_z:
+                    targ_z, targ_i = z, i
+            if targ_i is None:
+                break  # nothing left to lock
+            aid, _, _, zz, _ = recs[targ_i]
+            hits = np.nonzero(zz == targ_z)[0]
+            zz[hits] = math.inf
+            out_aid.extend([aid] * len(hits))
+            out_vidx.extend(int(h) for h in hits)
+        return pd.DataFrame({"aid": out_aid, "vidx": out_vidx})
 
     protect = (joined.groupBy(key).applyInPandas(lambda pdf: pick(pdf),
                                                  schema=prot_schema)

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapshaper_spark.plans.scale import maybe_broadcast, ranked_ids
+
 
 # ---------------------------------------------------------------------------
 # buildTopology
@@ -112,7 +114,9 @@ def build_topology(paths: DataFrame, path_id: str):
     exploded = (paths.select(path_id, F.posexplode(F.arrays_zip(
         F.col("xs").alias("px"), F.col("ys").alias("py"))).alias("seq", "p"))
         .select(path_id, "seq", F.col("p.px").alias("x"), F.col("p.py").alias("y")))
-    flagged = exploded.join(F.broadcast(nodes.withColumn("__isnode", F.lit(True))),
+    # node table scales with shared-boundary vertices: broadcast only while
+    # dimension-sized, shuffle-join beyond (scale.maybe_broadcast)
+    flagged = exploded.join(maybe_broadcast(nodes.withColumn("__isnode", F.lit(True))),
                             ["x", "y"], "left")
     per_path = (flagged.groupBy(path_id)
                 .agg(F.sort_array(F.collect_list(F.struct(
@@ -125,6 +129,13 @@ def build_topology(paths: DataFrame, path_id: str):
         T.StructField("sub_xs", T.ArrayType(T.DoubleType())),
         T.StructField("sub_ys", T.ArrayType(T.DoubleType())),
         T.StructField("pre_flipped", T.BooleanType()),
+        # canonical-form DEDUP KEY for node-free closed rings (null for
+        # node-split arcs): the stored geometry stays the first-use
+        # ORIGINAL traversal like the reference's append-order arcs —
+        # rotating an island ring would change Douglas-Peucker removal
+        # order and break keep-shapes parity (Issue #228 fixtures)
+        T.StructField("key_xs", T.ArrayType(T.DoubleType())),
+        T.StructField("key_ys", T.ArrayType(T.DoubleType())),
     ])
 
     def _canon_closed(xs, ys):
@@ -148,6 +159,7 @@ def build_topology(paths: DataFrame, path_id: str):
     def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_pid, out_seq, out_xs, out_ys, out_flip = [], [], [], [], []
+            out_kx, out_ky = [], []
             for pid, vs in zip(pdf[path_id], pdf["vs"]):
                 xs = np.array([v["x"] for v in vs])
                 ys = np.array([v["y"] for v in vs])
@@ -160,7 +172,8 @@ def build_topology(paths: DataFrame, path_id: str):
                     if not core_cuts:
                         cx, cy, flipped = _canon_closed(xs, ys)
                         out_pid.append(pid); out_seq.append(0)
-                        out_xs.append(cx); out_ys.append(cy)
+                        out_xs.append(xs.tolist()); out_ys.append(ys.tolist())
+                        out_kx.append(cx); out_ky.append(cy)
                         out_flip.append(flipped)
                         continue
                     # rotate ring to start at the first node, then split
@@ -178,44 +191,66 @@ def build_topology(paths: DataFrame, path_id: str):
                         out_pid.append(pid); out_seq.append(seq)
                         out_xs.append(xs[a:b + 1].tolist())
                         out_ys.append(ys[a:b + 1].tolist())
+                        out_kx.append(None); out_ky.append(None)
                         out_flip.append(False)
                         seq += 1
             yield pd.DataFrame({path_id: out_pid, "arc_seq": out_seq,
                                 "sub_xs": out_xs, "sub_ys": out_ys,
-                                "pre_flipped": out_flip})
+                                "pre_flipped": out_flip,
+                                "key_xs": out_kx, "key_ys": out_ky})
 
     segs = per_path.mapInPandas(split, schema=seg_schema)
 
-    # canonical form: direction-normalized coordinate arrays (closed rings
-    # were already rotation+direction canonicalized in the split stage;
-    # pre_flipped records a reversed original traversal so the signed ref
-    # keeps the feature's winding)
-    fwd = ((F.element_at("sub_xs", 1) < F.element_at("sub_xs", -1)) |
-           ((F.element_at("sub_xs", 1) == F.element_at("sub_xs", -1)) &
-            (F.element_at("sub_ys", 1) <= F.element_at("sub_ys", -1)))) & \
-          ~F.col("pre_flipped")
-    canon = segs.withColumn("__fwd", fwd).select(
-        path_id, "arc_seq", "__fwd", "pre_flipped",
-        F.when(F.col("__fwd") | F.col("pre_flipped"),
-               F.col("sub_xs")).otherwise(F.reverse("sub_xs")).alias("cxs"),
-        F.when(F.col("__fwd") | F.col("pre_flipped"),
-               F.col("sub_ys")).otherwise(F.reverse("sub_ys")).alias("cys"),
+    # Dedup key: node-split arcs direction-normalize; node-free rings use
+    # the rotation+direction canonical arrays from the split stage. Stored
+    # geometry: node-split arcs store the canonical direction (reference's
+    # first-seen arc, modulo the fwd/reverse sign on refs); node-free rings
+    # store the first-use ORIGINAL traversal. Orientation bookkeeping:
+    #   oflip — this occurrence's traversal winds opposite to the key
+    #   gflip — the stored geometry winds opposite to the key
+    # so an occurrence references the stored arc forward iff oflip == gflip.
+    is_ring = F.col("key_xs").isNotNull()
+    dirn = ((F.element_at("sub_xs", 1) < F.element_at("sub_xs", -1)) |
+            ((F.element_at("sub_xs", 1) == F.element_at("sub_xs", -1)) &
+             (F.element_at("sub_ys", 1) <= F.element_at("sub_ys", -1))))
+    norm_xs = F.when(dirn, F.col("sub_xs")).otherwise(F.reverse("sub_xs"))
+    norm_ys = F.when(dirn, F.col("sub_ys")).otherwise(F.reverse("sub_ys"))
+    canon = segs.select(
+        path_id, "arc_seq",
+        F.when(is_ring, F.col("key_xs")).otherwise(norm_xs).alias("cxs"),
+        F.when(is_ring, F.col("key_ys")).otherwise(norm_ys).alias("cys"),
+        F.when(is_ring, F.col("sub_xs")).otherwise(norm_xs).alias("gxs"),
+        F.when(is_ring, F.col("sub_ys")).otherwise(norm_ys).alias("gys"),
+        F.when(is_ring, F.col("pre_flipped")).otherwise(F.lit(False)).alias("gflip"),
+        F.when(is_ring, F.col("pre_flipped")).otherwise(~dirn).alias("oflip"),
     )
-    # deterministic arc ids: first use order
-    w = Window.orderBy(F.col("__first.pid"), F.col("__first.seq"))
-    arcs_tbl = (canon.groupBy("cxs", "cys")
-                .agg(F.min(F.struct(F.col(path_id).alias("pid"),
-                                    F.col("arc_seq").alias("seq"))).alias("__first"))
-                .withColumn("arc_id", F.row_number().over(w).cast("long") - 1))
+    # deterministic arc ids: first use order, ranked without a global
+    # single-task window (scale.ranked_ids: range repartition + offsets)
+    firsts = (canon.groupBy("cxs", "cys")
+              .agg(F.min(F.struct(F.col(path_id).alias("pid"),
+                                  F.col("arc_seq").alias("seq"))).alias("__first"),
+                   F.min_by(F.struct(F.col("gxs").alias("xs"),
+                                     F.col("gys").alias("ys"),
+                                     F.col("gflip").alias("flip")),
+                            F.struct(F.col(path_id), F.col("arc_seq")))
+                   .alias("__geom"))
+              .withColumn("__fpid", F.col("__first.pid"))
+              .withColumn("__fseq", F.col("__first.seq")))
+    arcs_tbl = (ranked_ids(firsts, ["__fpid", "__fseq"], "arc_id")
+                .drop("__fpid", "__fseq"))
     arcs = arcs_tbl.select(
         "arc_id",
-        F.col("cxs").alias("xs"), F.col("cys").alias("ys"),
-        F.size("cxs").alias("n"),
-        F.struct(F.array_min("cxs").alias("xmin"), F.array_min("cys").alias("ymin"),
-                 F.array_max("cxs").alias("xmax"), F.array_max("cys").alias("ymax")).alias("bbox"))
-    refs = (canon.join(arcs_tbl.select("cxs", "cys", "arc_id"), ["cxs", "cys"])
+        F.col("__geom.xs").alias("xs"), F.col("__geom.ys").alias("ys"),
+        F.size("__geom.xs").alias("n"),
+        F.struct(F.array_min("__geom.xs").alias("xmin"),
+                 F.array_min("__geom.ys").alias("ymin"),
+                 F.array_max("__geom.xs").alias("xmax"),
+                 F.array_max("__geom.ys").alias("ymax")).alias("bbox"))
+    refs = (canon.join(arcs_tbl.select("cxs", "cys", "arc_id",
+                                       F.col("__geom.flip").alias("__sflip")),
+                       ["cxs", "cys"])
             .select(path_id, "arc_seq",
-                    F.when(F.col("__fwd"), F.col("arc_id"))
+                    F.when(F.col("oflip") == F.col("__sflip"), F.col("arc_id"))
                      .otherwise(-(F.col("arc_id") + 1)).alias("signed")))
     return arcs, refs
 
@@ -337,7 +372,7 @@ def dissolve_polylines(features: DataFrame, arcs: DataFrame, group: str) -> Data
                 .withColumn("aid", absolute_arc_id_col(F.col("signed")))
                 .select(group, "aid").distinct())
     ends = arcs.select("arc_id", "xs", "ys")
-    b = exploded.join(F.broadcast(ends), exploded.aid == ends.arc_id).drop("arc_id")
+    b = exploded.join(maybe_broadcast(ends), exploded.aid == ends.arc_id).drop("arc_id")
 
     out_schema = T.StructType([
         b.schema[group],
@@ -768,12 +803,15 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
         key, "ring_idx", "pos", "__fwd",
         F.when(F.col("__fwd"), F.col("xs")).otherwise(F.reverse("xs")).alias("cxs"),
         F.when(F.col("__fwd"), F.col("ys")).otherwise(F.reverse("ys")).alias("cys"))
-    w = Window.orderBy(F.col("__first.k"), F.col("__first.r"), F.col("__first.p"))
-    arc_tbl = (canon.groupBy("cxs", "cys")
-               .agg(F.min(F.struct(F.col(key).alias("k"),
-                                   F.col("ring_idx").alias("r"),
-                                   F.col("pos").alias("p"))).alias("__first"))
-               .withColumn("arc_id", F.row_number().over(w).cast("long") - 1))
+    firsts = (canon.groupBy("cxs", "cys")
+              .agg(F.min(F.struct(F.col(key).alias("k"),
+                                  F.col("ring_idx").alias("r"),
+                                  F.col("pos").alias("p"))).alias("__first"))
+              .withColumn("__fk", F.col("__first.k"))
+              .withColumn("__fr", F.col("__first.r"))
+              .withColumn("__fp", F.col("__first.p")))
+    arc_tbl = (ranked_ids(firsts, ["__fk", "__fr", "__fp"], "arc_id")
+               .drop("__fk", "__fr", "__fp"))
     new_arcs = arc_tbl.select(
         "arc_id", F.col("cxs").alias("xs"), F.col("cys").alias("ys"),
         F.size("cxs").alias("n"),

@@ -3,9 +3,14 @@
 Implements the record formats the reference parses
 (/root/reference/src/shapefile/shp-import.js:10, shp-reader.js; type table
 /root/reference/src/shapefile/shp-type.js:1-16: NULL=0, POINT=1,
-POLYLINE=3, POLYGON=5, MULTIPOINT=8; Z/M variants unsupported here) and the
-dBase reader (/root/reference/src/shapefile/dbf-reader.js:110-135 type
-readers C/N/F/L/D), plus the export side: write_dbf mirrors
+POLYLINE=3, POLYGON=5, MULTIPOINT=8, plus the Z variants 11/13/15/18 with
+z carried through import/export and the M variants 21/23/25/28 with
+measures parsed-and-dropped; MULTIPATCH=31 stays unsupported like the
+reference) and the dBase reader
+(/root/reference/src/shapefile/dbf-reader.js:110-135 type readers
+C/N/F/L/D, language-driver codepage table :16-40, duplicate-field rename +
+asterisk-numeric null from the reference's own dbf test suite), plus the
+export side: write_dbf mirrors
 Dbf.exportRecords (/root/reference/src/shapefile/dbf-writer.js:29-100 —
 type discovery N/C/L/D, 254-byte string cap, 10-char unique field names)
 and write_shp mirrors the shp export record layout.
@@ -25,11 +30,26 @@ import numpy as np
 
 SHP_NULL, SHP_POINT, SHP_POLYLINE, SHP_POLYGON, SHP_MULTIPOINT = 0, 1, 3, 5, 8
 
+# Z/M record variants (/root/reference/src/shapefile/shp-type.js:1-16;
+# readers in shp-reader.js). Z records carry z range + z array (and an
+# OPTIONAL m block); M records carry an optional m block only.
+SHP_POINTZ, SHP_POLYLINEZ, SHP_POLYGONZ, SHP_MULTIPOINTZ = 11, 13, 15, 18
+SHP_POINTM, SHP_POLYLINEM, SHP_POLYGONM, SHP_MULTIPOINTM = 21, 23, 25, 28
+Z_TYPES = {SHP_POINTZ, SHP_POLYLINEZ, SHP_POLYGONZ, SHP_MULTIPOINTZ}
+M_TYPES = {SHP_POINTM, SHP_POLYLINEM, SHP_POLYGONM, SHP_MULTIPOINTM}
+BASE_TYPE = {0: 0, 1: 1, 3: 3, 5: 5, 8: 8,
+             11: 1, 13: 3, 15: 5, 18: 8,
+             21: 1, 23: 3, 25: 5, 28: 8}
+
 
 def read_shp(data: bytes):
     """Parse .shp bytes -> list of geometry dicts:
     {"type": int, "points": [(x, y)...]} for point/multipoint,
-    {"type": int, "parts": [[(x, y)...], ...]} for polyline/polygon."""
+    {"type": int, "parts": [[(x, y)...], ...]} for polyline/polygon.
+    Z-typed records (ShpType.isZType, shp-type.js:34-36) additionally carry
+    "z": [..] (points) or "parts_z": [[..], ..] (paths), split at the same
+    part offsets as the xy coords; M values are parsed and dropped (the
+    reference's importer ignores measures too)."""
     (file_code,) = struct.unpack(">i", data[0:4])
     if file_code != 9994:
         raise ValueError("not a shapefile (bad file code)")
@@ -43,17 +63,28 @@ def read_shp(data: bytes):
         rec = data[pos:pos + content_words * 2]
         pos += content_words * 2
         (shp_type,) = struct.unpack("<i", rec[0:4])
+        base = BASE_TYPE.get(shp_type)
+        if base is None:
+            raise NotImplementedError(f"shp type {shp_type} not supported")
         if shp_type == SHP_NULL:
             out.append({"type": SHP_NULL, "points": []})
-        elif shp_type == SHP_POINT:
+        elif base == SHP_POINT:
             x, y = struct.unpack("<dd", rec[4:20])
-            out.append({"type": SHP_POINT, "points": [(x, y)]})
-        elif shp_type == SHP_MULTIPOINT:
+            g = {"type": shp_type, "points": [(x, y)]}
+            if shp_type == SHP_POINTZ:
+                g["z"] = [struct.unpack("<d", rec[20:28])[0]]
+            out.append(g)
+        elif base == SHP_MULTIPOINT:
             (n,) = struct.unpack("<i", rec[36:40])
             pts = np.frombuffer(rec, dtype="<f8", count=2 * n, offset=40).reshape(n, 2)
-            out.append({"type": SHP_MULTIPOINT,
-                        "points": [tuple(p) for p in pts.tolist()]})
-        elif shp_type in (SHP_POLYLINE, SHP_POLYGON):
+            g = {"type": shp_type,
+                 "points": [tuple(p) for p in pts.tolist()]}
+            if shp_type == SHP_MULTIPOINTZ:
+                zoff = 40 + 16 * n + 16  # skip zmin/zmax
+                g["z"] = np.frombuffer(rec, dtype="<f8", count=n,
+                                       offset=zoff).tolist()
+            out.append(g)
+        else:  # polyline / polygon (base 3 / 5), any Z/M flavor
             n_parts, n_points = struct.unpack("<ii", rec[36:44])
             parts = struct.unpack(f"<{n_parts}i", rec[44:44 + 4 * n_parts])
             coords = np.frombuffer(rec, dtype="<f8", count=2 * n_points,
@@ -61,26 +92,101 @@ def read_shp(data: bytes):
             bounds = list(parts) + [n_points]
             rings = [[tuple(p) for p in coords[a:b].tolist()]
                      for a, b in zip(bounds[:-1], bounds[1:])]
-            out.append({"type": shp_type, "parts": rings})
-        else:
-            raise NotImplementedError(f"shp type {shp_type} (Z/M) not supported")
+            g = {"type": shp_type, "parts": rings}
+            if shp_type in (SHP_POLYLINEZ, SHP_POLYGONZ):
+                zoff = 44 + 4 * n_parts + 16 * n_points + 16  # skip z range
+                zs = np.frombuffer(rec, dtype="<f8", count=n_points, offset=zoff)
+                g["parts_z"] = [zs[a:b].tolist()
+                                for a, b in zip(bounds[:-1], bounds[1:])]
+            out.append(g)
     return out
 
 
-def read_dbf(data: bytes, encoding: str = "latin-1"):
+# dBase language-driver id -> codepage, transcribed from the reference's
+# conversion table (/root/reference/src/shapefile/dbf-reader.js:16,
+# Dbf.languageIds + Dbf.lookupCodePage :37-40); values mapped to the
+# equivalent Python codec names.
+_LANGUAGE_IDS = {
+    0x01: "437", 0x02: "850", 0x03: "1252", 0x08: "865", 0x09: "437",
+    0x0A: "850", 0x0B: "437", 0x0D: "437", 0x0E: "850", 0x0F: "437",
+    0x10: "850", 0x11: "437", 0x12: "850", 0x13: "932", 0x14: "850",
+    0x15: "437", 0x16: "850", 0x17: "865", 0x18: "437", 0x19: "437",
+    0x1A: "850", 0x1B: "437", 0x1C: "863", 0x1D: "850", 0x1F: "852",
+    0x22: "852", 0x23: "852", 0x24: "860", 0x25: "850", 0x26: "866",
+    0x37: "850", 0x40: "852", 0x4D: "936", 0x4E: "949", 0x4F: "950",
+    0x50: "874", 0x57: "1252", 0x58: "1252", 0x59: "1252", 0x64: "852",
+    0x65: "866", 0x66: "865", 0x67: "861", 0x6A: "737", 0x6B: "857",
+    0x6C: "863", 0x78: "950", 0x79: "949", 0x7A: "936", 0x7B: "932",
+    0x7C: "874", 0x86: "737", 0x87: "852", 0x88: "857", 0xC8: "1250",
+    0xC9: "1251", 0xCA: "1254", 0xCB: "1253", 0xCC: "1257",
+}
+
+
+def lookup_codepage(ldid: int) -> str | None:
+    """Dbf.lookupCodePage (dbf-reader.js:37-40) -> Python codec name."""
+    cp = _LANGUAGE_IDS.get(ldid)
+    return f"cp{cp}" if cp else None
+
+
+def _detect_encoding(data: bytes, header_size: int, n_records: int,
+                     record_size: int, ldid: int) -> str:
+    """findStringEncoding (dbf-reader.js:318-343): prefer the ldid codepage
+    (except ldid 0x57, which some GIS software writes regardless of
+    encoding); pure-7-bit data is ascii; otherwise guess (utf-8 if the
+    8-bit samples decode strictly, else latin-1 — the in-sandbox stand-in
+    for the reference's detectEncoding library call)."""
+    codepage = lookup_codepage(ldid)
+    if codepage and ldid != 0x57:
+        return codepage
+    body = data[header_size:header_size + n_records * record_size]
+    has_8bit = any(b > 127 for b in body)
+    if not has_8bit:
+        return "ascii"
+    try:
+        body.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def _uniq_record_names(names: list[str]) -> list[str]:
+    """Duplicate DBF field names get _1/_2 suffixes at import (reference
+    test dbf-reader-test.js 'Rename fields to avoid duplicate names';
+    renamed fields may exceed 10 chars until re-exported)."""
+    out, seen = [], set()
+    for name in names:
+        cand, i = name, 0
+        while cand in seen:
+            i += 1
+            cand = f"{name}_{i}"
+        seen.add(cand)
+        out.append(cand)
+    return out
+
+
+def read_dbf(data: bytes, encoding: str | None = None):
     """Parse .dbf bytes -> list of dict records (types C/N/F/L/D, matching
-    dbf-reader.js getNumberReader/readInt/readBool/readDate)."""
+    dbf-reader.js getNumberReader/readInt/readBool/readDate). With no
+    explicit ``encoding``, the language-driver byte (header offset 29)
+    selects the codepage like the reference's findStringEncoding; malformed
+    numerics (e.g. asterisk fill) read as null; duplicate field names are
+    uniquified with _1/_2 suffixes."""
     n_records, header_size, record_size = struct.unpack("<ihh", data[4:12])
+    ldid = data[29]
+    if encoding is None:
+        encoding = _detect_encoding(data, header_size, n_records,
+                                    record_size, ldid)
     fields = []
     pos = 32
     while data[pos] != 0x0D:
         fd = data[pos:pos + 32]
-        name = fd[0:11].split(b"\x00")[0].decode(encoding)
+        name = fd[0:11].split(b"\x00")[0].decode(encoding, "replace")
         ftype = chr(fd[11])
         length = fd[16]
         decimals = fd[17]
         fields.append((name, ftype, length, decimals))
         pos += 32
+    names = _uniq_record_names([f[0] for f in fields])
     records = []
     for i in range(n_records):
         base = header_size + i * record_size
@@ -88,19 +194,22 @@ def read_dbf(data: bytes, encoding: str = "latin-1"):
             continue  # deleted
         rec = {}
         off = base + 1
-        for name, ftype, length, decimals in fields:
+        for name, (_orig, ftype, length, decimals) in zip(names, fields):
             raw = data[off:off + length]
             off += length
-            s = raw.decode(encoding).strip()
+            s = raw.decode(encoding, "replace").strip()
             if ftype == "C":
                 rec[name] = s
             elif ftype in ("N", "F"):
-                if s == "":
-                    rec[name] = None
-                elif ftype == "N" and decimals == 0 and "." not in s:
-                    rec[name] = int(s)
-                else:
-                    rec[name] = float(s)
+                try:
+                    if s == "":
+                        rec[name] = None
+                    elif ftype == "N" and decimals == 0 and "." not in s:
+                        rec[name] = int(s)
+                    else:
+                        rec[name] = float(s)
+                except ValueError:
+                    rec[name] = None  # asterisk-filled / garbage numeric
             elif ftype == "L":
                 rec[name] = True if s in "YyTt" else (False if s in "NnFf" else None)
             elif ftype == "D":
@@ -112,39 +221,77 @@ def read_dbf(data: bytes, encoding: str = "latin-1"):
     return records
 
 
-def import_shapefile(spark, shp_bytes: bytes, dbf_bytes: bytes | None = None):
+def normalize_encoding(name: str) -> str:
+    """.cpg / user encoding spellings -> Python codec names (the aliases
+    the reference's encoding layer accepts: big5, latin1/2, winNNNN,
+    koi8r, shiftjis, euckr, ...)."""
+    s = name.strip().lower().replace("-", "").replace("_", "").replace(" ", "")
+    table = {
+        "utf8": "utf-8", "ascii": "ascii",
+        "big5": "big5", "gbk": "gbk", "gb2312": "gb2312",
+        "shiftjis": "shift_jis", "sjis": "shift_jis", "eucjp": "euc_jp",
+        "euckr": "euc_kr", "koi8r": "koi8-r",
+        "latin1": "latin-1", "iso88591": "latin-1",
+        "latin2": "iso8859-2", "iso88592": "iso8859-2",
+    }
+    if s in table:
+        return table[s]
+    for prefix in ("windows", "win", "cp"):
+        if s.startswith(prefix) and s[len(prefix):].isdigit():
+            return "cp" + s[len(prefix):]
+    if s.isdigit():  # bare codepage number (e.g. a '874' .cpg)
+        return "cp" + s
+    return name
+
+
+def import_shapefile(spark, shp_bytes: bytes, dbf_bytes: bytes | None = None,
+                     encoding: str | None = None):
     """shp (+ optional dbf) -> features DataFrame with rings_x/rings_y or
     x/y, plus dbf attribute columns (index-aligned, like the reference's
-    shape/record pairing)."""
+    shape/record pairing). ``encoding`` overrides the dbf language-driver
+    detection (reference: opts.encoding beats ldid)."""
     import pandas as pd
 
     geoms = read_shp(shp_bytes)
+    any_z = any(g["type"] in Z_TYPES for g in geoms)
     rows = []
     for i, g in enumerate(geoms):
         row = {"fid": i, "shp_type": g["type"], "x": None, "y": None,
                "rings_x": [], "rings_y": []}
-        if g["type"] == SHP_POINT and g["points"]:
+        if any_z:
+            row["z"] = None
+            row["rings_z"] = []
+        base = BASE_TYPE.get(g["type"], g["type"])
+        if base == SHP_POINT and g["points"]:
             row["x"], row["y"] = g["points"][0]
-        elif g["type"] == SHP_MULTIPOINT:
+            if "z" in g:
+                row["z"] = g["z"][0]
+        elif base == SHP_MULTIPOINT:
             row["rings_x"] = [[p[0] for p in g["points"]]]
             row["rings_y"] = [[p[1] for p in g["points"]]]
-        elif g["type"] in (SHP_POLYLINE, SHP_POLYGON):
+            if "z" in g:
+                row["rings_z"] = [list(g["z"])]
+        elif base in (SHP_POLYLINE, SHP_POLYGON):
             row["rings_x"] = [[p[0] for p in part] for part in g["parts"]]
             row["rings_y"] = [[p[1] for p in part] for part in g["parts"]]
+            if "parts_z" in g:
+                row["rings_z"] = [list(pz) for pz in g["parts_z"]]
         rows.append(row)
     if dbf_bytes is not None:
-        for row, rec in zip(rows, read_dbf(dbf_bytes)):
+        enc = normalize_encoding(encoding) if encoding else None
+        for row, rec in zip(rows, read_dbf(dbf_bytes, encoding=enc)):
             for k, v in rec.items():
                 row[k] = v
     pdf = pd.DataFrame(rows)
     # polyline/polygon files carry no point coords: an all-None object
-    # column breaks Spark's type inference — pin x/y to float64 (None->NaN)
-    # and restore SQL nulls after conversion
-    pdf["x"] = pd.to_numeric(pdf["x"])
-    pdf["y"] = pd.to_numeric(pdf["y"])
+    # column breaks Spark's type inference — pin x/y(/z) to float64
+    # (None->NaN) and restore SQL nulls after conversion
+    num_cols = ["x", "y"] + (["z"] if any_z else [])
+    for c in num_cols:
+        pdf[c] = pd.to_numeric(pdf[c])
     from pyspark.sql import functions as F
     df = spark.createDataFrame(pdf)
-    for c in ("x", "y"):
+    for c in num_cols:
         df = df.withColumn(c, F.when(F.isnan(F.col(c)), None)
                            .otherwise(F.col(c)))
     return df
@@ -294,16 +441,27 @@ def _fmt_num(v, decimals):
 
 def write_shp(geoms) -> tuple[bytes, bytes]:
     """Geometry dicts (the read_shp output format) -> (.shp bytes,
-    .shx bytes). All features must share one shp type (shapefile spec)."""
+    .shx bytes). All features must share one shp type (shapefile spec).
+    Z-typed dicts ("z" / "parts_z" present, types 11/13/15/18) round-trip:
+    the z range + z array blocks are written after the xy coords (the m
+    block is optional per spec and omitted, matching the reader)."""
     types = {g["type"] for g in geoms if g["type"] != SHP_NULL}
-    if len(types) > 1:
+    if len({BASE_TYPE.get(t, t) for t in types}) > 1:
         raise ValueError(f"mixed shp types {types}")
     shp_type = types.pop() if types else SHP_NULL
+    is_z = shp_type in Z_TYPES
 
     def all_points(g):
         if "points" in g and g["points"]:
             return g["points"]
         return [p for part in g.get("parts", []) for p in part]
+
+    def all_zs(g):
+        if "z" in g:
+            return list(g["z"])
+        if "parts_z" in g:
+            return [z for part in g["parts_z"] for z in part]
+        return [0.0] * len(all_points(g))
 
     pts = [p for g in geoms for p in all_points(g)]
     if pts:
@@ -311,20 +469,33 @@ def write_shp(geoms) -> tuple[bytes, bytes]:
         xmax = max(p[0] for p in pts); ymax = max(p[1] for p in pts)
     else:
         xmin = ymin = xmax = ymax = 0.0
+    if is_z:
+        zall = [z for g in geoms for z in all_zs(g)]
+        zmin_g, zmax_g = (min(zall), max(zall)) if zall else (0.0, 0.0)
+    else:
+        zmin_g = zmax_g = 0.0
 
     recs = []
     for g in geoms:
         if g["type"] == SHP_NULL or not all_points(g):
             recs.append(struct.pack("<i", SHP_NULL))
-        elif g["type"] == SHP_POINT:
+        elif BASE_TYPE[g["type"]] == SHP_POINT:
             x, y = g["points"][0]
-            recs.append(struct.pack("<idd", SHP_POINT, x, y))
-        elif g["type"] == SHP_MULTIPOINT:
+            if is_z:
+                recs.append(struct.pack("<iddd", g["type"], x, y,
+                                        float(all_zs(g)[0])))
+            else:
+                recs.append(struct.pack("<idd", g["type"], x, y))
+        elif BASE_TYPE[g["type"]] == SHP_MULTIPOINT:
             ps = g["points"]
             bx = [p[0] for p in ps]; by = [p[1] for p in ps]
-            body = struct.pack("<i4di", SHP_MULTIPOINT, min(bx), min(by),
+            body = struct.pack("<i4di", g["type"], min(bx), min(by),
                               max(bx), max(by), len(ps))
             body += b"".join(struct.pack("<dd", x, y) for x, y in ps)
+            if is_z:
+                zs = all_zs(g)
+                body += struct.pack("<dd", min(zs), max(zs))
+                body += struct.pack(f"<{len(zs)}d", *zs)
             recs.append(body)
         else:
             parts = g["parts"]
@@ -339,6 +510,10 @@ def write_shp(geoms) -> tuple[bytes, bytes]:
                               max(bx), max(by), len(parts), len(ps))
             body += struct.pack(f"<{len(parts)}i", *offsets)
             body += b"".join(struct.pack("<dd", x, y) for x, y in ps)
+            if is_z:
+                zs = all_zs(g)
+                body += struct.pack("<dd", min(zs), max(zs))
+                body += struct.pack(f"<{len(zs)}d", *zs)
             recs.append(body)
 
     content = b""
@@ -356,6 +531,7 @@ def write_shp(geoms) -> tuple[bytes, bytes]:
         struct.pack_into(">i", h, 24, total_bytes // 2)
         struct.pack_into("<ii", h, 28, 1000, shp_type)
         struct.pack_into("<4d", h, 36, xmin, ymin, xmax, ymax)
+        struct.pack_into("<dd", h, 68, zmin_g, zmax_g)
         return bytes(h)
 
     shp = header(100 + len(content)) + content
@@ -368,20 +544,28 @@ def export_shapefile(df, geometry: str = "auto"):
     (.shp, .shx, .dbf) bytes. Fixture-scale sink: collects to the driver
     (like the GeoJSON/TopoJSON sinks — a shapefile is one file)."""
     rows = [r.asDict() for r in df.collect()]
-    geom_cols = {"rings_x", "rings_y", "x", "y", "shp_type", "bbox"}
+    geom_cols = {"rings_x", "rings_y", "rings_z", "x", "y", "z",
+                 "shp_type", "bbox"}
     geoms = []
     records = []
     for r in rows:
         if geometry == "point" or (geometry == "auto" and
                                    r.get("x") is not None and
                                    not r.get("rings_x")):
-            geoms.append({"type": SHP_POINT, "points": [(r["x"], r["y"])]})
+            t = int(r.get("shp_type") or SHP_POINT)
+            g = {"type": t, "points": [(r["x"], r["y"])]}
+            if t == SHP_POINTZ:
+                g["z"] = [float(r.get("z") or 0.0)]
+            geoms.append(g)
         else:
             parts = [list(zip(rx, ry))
                      for rx, ry in zip(r.get("rings_x") or [],
                                        r.get("rings_y") or [])]
-            geoms.append({"type": int(r.get("shp_type") or SHP_POLYGON),
-                          "parts": parts})
+            t = int(r.get("shp_type") or SHP_POLYGON)
+            g = {"type": t, "parts": parts}
+            if t in Z_TYPES and r.get("rings_z"):
+                g["parts_z"] = [list(pz) for pz in r["rings_z"]]
+            geoms.append(g)
         records.append({k: v for k, v in r.items() if k not in geom_cols})
     shp, shx = write_shp(geoms)
     dbf = write_dbf(records)

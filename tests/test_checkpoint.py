@@ -197,3 +197,125 @@ class TestCellBucketing:
         df = spark.range(8).select((F.col("id") * 16 + 3).alias("cell"))
         out = df.select(cell_prefix_col(F.col("cell"), 4).alias("p")).collect()
         assert [r.p for r in out] == list(range(8))
+
+
+class TestShapefileZM:
+    """Z/M record variants (shp-type.js:1-16; VERDICT r03 #6): z parsed and
+    carried through import/export; m parsed-and-dropped."""
+
+    def test_pointz_roundtrip(self):
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [{"type": SH.SHP_POINTZ, "points": [(1.0, 2.0)], "z": [3.5]},
+                 {"type": SH.SHP_POINTZ, "points": [(4.0, 5.0)], "z": [-1.25]}]
+        shp, _ = SH.write_shp(geoms)
+        assert SH.read_shp(shp) == geoms
+
+    def test_polygonz_roundtrip_multipart(self):
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [{"type": SH.SHP_POLYGONZ,
+                  "parts": [[(0., 0.), (0., 1.), (1., 1.), (0., 0.)],
+                            [(2., 2.), (3., 2.), (2., 3.), (2., 2.)]],
+                  "parts_z": [[0., 1., 2., 0.], [5., 6., 7., 5.]]}]
+        shp, _ = SH.write_shp(geoms)
+        assert SH.read_shp(shp) == geoms
+
+    def test_multipointz_roundtrip(self):
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [{"type": SH.SHP_MULTIPOINTZ,
+                  "points": [(0., 0.), (1., 1.)], "z": [9.0, 10.0]}]
+        shp, _ = SH.write_shp(geoms)
+        assert SH.read_shp(shp) == geoms
+
+    def test_polylinem_measures_dropped(self):
+        import struct
+        from mapshaper_spark.sources import shapefile as SH
+        body = struct.pack("<i4dii", SH.SHP_POLYLINEM, 0., 0., 1., 1., 1, 2)
+        body += struct.pack("<i", 0)
+        body += struct.pack("<4d", 0., 0., 1., 1.)
+        body += struct.pack("<2d", -1e39, -1e39) + struct.pack("<2d", 0., 0.)
+        content = struct.pack(">ii", 1, len(body) // 2) + body
+        h = bytearray(100)
+        struct.pack_into(">i", h, 0, 9994)
+        struct.pack_into(">i", h, 24, (100 + len(content)) // 2)
+        struct.pack_into("<ii", h, 28, 1000, SH.SHP_POLYLINEM)
+        out = SH.read_shp(bytes(h) + content)
+        assert out == [{"type": SH.SHP_POLYLINEM,
+                        "parts": [[(0., 0.), (1., 1.)]]}]
+
+    def test_import_export_dataframe_z(self, spark):
+        """PolygonZ through the Spark import -> export round trip keeps z
+        per ring (the VERDICT 'round-trip through -o shp' criterion)."""
+        from mapshaper_spark.sources import shapefile as SH
+        geoms = [{"type": SH.SHP_POLYGONZ,
+                  "parts": [[(0., 0.), (0., 2.), (2., 2.), (0., 0.)]],
+                  "parts_z": [[1., 2., 3., 1.]]}]
+        shp0, _ = SH.write_shp(geoms)
+        df = SH.import_shapefile(spark, shp0)
+        assert "rings_z" in df.columns
+        shp1, _, _ = SH.export_shapefile(df.drop("fid"))
+        assert SH.read_shp(shp1) == geoms
+
+
+class TestDbfCodepages:
+    """Language-driver codepage table + encoding cases transcribed from the
+    reference's own dbf test suite (dbf-reader-test.js; VERDICT r03 #7)."""
+
+    FIX = "/root/reference/test/test_data/dbf/"
+
+    def _recs(self, path, enc=None):
+        from mapshaper_spark.sources import shapefile as SH
+        return SH.read_dbf(open(self.FIX + path, "rb").read(), encoding=enc)
+
+    def test_user_specified_encodings(self):
+        # dbf-reader-test.js '#importRecords() w/ user-specified encoding'
+        assert self._recs("latin1.dbf", "latin-1")[0]["NAME"] == "Peçeña México"
+        assert self._recs("gbk.dbf", "gbk")[0]["NAME"] == "简体国语"
+        assert self._recs("big5.dbf", "big5")[0]["NAME"] == "繁體國語"
+        assert self._recs("gb2312.dbf", "gb2312")[0]["NAME"] == "简体国语"
+        recs = self._recs("shiftjis.dbf", "shift_jis")
+        assert recs[0]["NAME"] == "ひたちなか市"
+        assert recs[1]["NAME"] == "西蒲原郡弥彦村"
+        recs = self._recs("eucjp.dbf", "euc_jp")
+        assert recs[0]["NAME"] == "ひたちなか市"
+        assert recs[1]["NAME"] == "西蒲原郡弥彦村"
+
+    def test_ldid_byte_selects_codepage(self):
+        # ldid/chinese.dbf carries a language-driver byte -> cp936
+        assert self._recs("ldid/chinese.dbf")[0]["NAME"] == "简体"
+
+    def test_utf8_autodetected(self):
+        assert self._recs("utf8.dbf")[0]["NAME"] == "国语國語"
+
+    def test_duplicate_fields_renamed_and_asterisks_null(self):
+        # dbf-reader-test.js 'Duplicate fields' (both cases)
+        rows = self._recs("duplicate_fields.dbf")
+        assert rows[1] == {
+            "SP_ID": "2", "geoid": "15003009703", "rate": 0.3079,
+            "employed": 780, "unemployed": 123, "not_in_lab": 224,
+            "error": 0.082941522262937, "rate_women": 0.29776,
+            "employed_w": 783, "unemployed_1": 21, "not_in_lab_1": 311,
+            "error_wome": 0.076490098765061}
+        r0 = rows[0]
+        assert r0["SP_ID"] == "1" and r0["geoid"] == "15003980600"
+        assert r0["rate"] is None and r0["error"] is None
+        assert r0["employed"] == 0
+
+    def test_lookup_codepage_table(self):
+        from mapshaper_spark.sources.shapefile import lookup_codepage
+        assert lookup_codepage(0x03) == "cp1252"
+        assert lookup_codepage(0x4D) == "cp936"
+        assert lookup_codepage(0x13) == "cp932"
+        assert lookup_codepage(0xC9) == "cp1251"
+        assert lookup_codepage(0x00) is None
+
+    def test_cpg_sidecar_encodings(self):
+        # dbf-reader-test.js '#importRecords() with .cpg file' — all 7 cases
+        from mapshaper_spark.sources.shapefile import normalize_encoding
+        base = self.FIX + "cpg/"
+        for f, expect in [("big5", "國語"), ("latin2", "čeština"),
+                          ("win874", "ภาษาไทย"), ("win1251", "РУССКИЙ"),
+                          ("koi8r", "русский"), ("shiftjis", "カタカナひらがな"),
+                          ("euckr", "한국말")]:
+            cpg = open(base + f + ".cpg").read().strip()
+            recs = self._recs("cpg/" + f + ".dbf", normalize_encoding(cpg))
+            assert recs[0]["NAME"] == expect, (f, recs[0]["NAME"])

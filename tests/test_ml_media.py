@@ -47,8 +47,12 @@ class TestKeepShapes:
         assert total_inf_after >= total_inf_before
 
     def test_protects_max_z_vertex(self, spark):
-        # one feature, one triangle-ish ring arc with removable vertices
-        import pandas as pd
+        # one feature, one triangle-ish ring arc with removable vertices.
+        # protectPolygonRing (keep-shapes.js:45-62) locks max-z vertices in
+        # decreasing z order UNTIL the ring re-inflates past 1e-10 — here
+        # the ring needs >= 3 distinct retained vertices, so the top-2 z
+        # vertices get locked and the lowest stays removable
+        import math
         arcs = spark.createDataFrame(
             [(0, [0.0, 1.0, 2.0, 2.0, 0.0], [0.0, 0.8, 0.0, 2.0, 0.0], None, 5,
               {"xmin": 0.0, "ymin": 0.0, "xmax": 2.0, "ymax": 2.0})],
@@ -58,10 +62,22 @@ class TestKeepShapes:
         protected = SI.keep_shapes(feats, with_z, "rid")
         zs0 = with_z.collect()[0].zs
         zs1 = protected.collect()[0].zs
-        interior = [z for z in zs0 if z != float("inf")]
-        max_idx = zs0.index(max(interior))
+        interior = sorted((z for z in zs0 if z != float("inf")), reverse=True)
+        max_idx = zs0.index(interior[0])
         assert zs1[max_idx] == float("inf")
-        assert sum(1 for a, b in zip(zs0, zs1) if a != b) == 1
+        changed = [i for i, (a, b) in enumerate(zip(zs0, zs1)) if a != b]
+        assert all(zs1[i] == float("inf") for i in changed)
+        # locked in decreasing-z order: the changed set is the TOP of the
+        # z order, and the retained ring now has positive area
+        locked_zs = sorted((zs0[i] for i in changed), reverse=True)
+        assert locked_zs == interior[:len(changed)]
+        xs = [0.0, 1.0, 2.0, 2.0, 0.0]
+        ys = [0.0, 0.8, 0.0, 2.0, 0.0]
+        keep = [(x, y) for x, y, z in zip(xs, ys, zs1) if z == math.inf]
+        area = 0.0
+        for (x1, y1), (x2, y2) in zip(keep, keep[1:] + keep[:1]):
+            area += x1 * y2 - x2 * y1
+        assert abs(area / 2.0) > 1e-10
 
 
 class TestSphericalSimplify:

@@ -579,3 +579,34 @@ class TestMosaicTwoLevel:
         assert single == forced
         assert sum(a for a, _ in single) == 35.0
         assert (4.0, 2) in single and (12.0, 1) in single  # the donut pair
+
+    def test_hole_interiors_are_tiles_on_every_path(self, spark):
+        """The reference emits every CW ring as a tile — a donut-hole
+        interior is an n_members=0 face (buildPolygonMosaic,
+        polygon-mosaic.js:65-95). All three paths must agree: singleton
+        kernel, clustered kernel, and the forced two-level escape."""
+        from mapshaper_spark.operators.overlay import mosaic
+        outer = ([0.0, 0.0, 4.0, 4.0, 0.0], [0.0, 4.0, 4.0, 0.0, 0.0])
+        hole = ([1.0, 3.0, 3.0, 1.0, 1.0], [1.0, 1.0, 3.0, 3.0, 1.0])
+        schema = ("fid string, rings_x array<array<double>>, "
+                  "rings_y array<array<double>>")
+
+        def summary(d):
+            return sorted((round(r.area, 9), r.n_members) for r in d.collect())
+
+        # singleton multi-ring feature -> annulus tile + hole tile
+        donut = spark.createDataFrame(
+            [("a", [outer[0], hole[0]], [outer[1], hole[1]])], schema)
+        assert summary(mosaic(donut, key="fid")) == [(4.0, 0), (12.0, 1)]
+
+        # donut overlapping a square -> one 2-feature cluster; forcing the
+        # two-level path must keep the hole tile and match the kernel path
+        sq = ([3.5, 3.5, 6.0, 6.0, 3.5], [0.0, 2.0, 2.0, 0.0, 0.0])
+        both = spark.createDataFrame(
+            [("a", [outer[0], hole[0]], [outer[1], hole[1]]),
+             ("b", [sq[0]], [sq[1]])], schema)
+        base = summary(mosaic(both, key="fid"))
+        forced = summary(mosaic(both, key="fid", max_task_features=1,
+                                target_per_cell=2))
+        assert base == forced
+        assert (4.0, 0) in base  # hole interior survives as a tile

@@ -510,3 +510,63 @@ class TestAnchorPoint:
             np_rings = [(np.array(rx), np.array(ry)) for rx, ry in rings]
             assert bool(KK.points_in_polygon(np.array([p[0]]),
                                              np.array([p[1]]), np_rings)[0])
+
+
+class TestScalePrimitives:
+    """scale.ranked_ids + maybe_broadcast (VERDICT r03 #1-#3): two-phase
+    deterministic ids must equal the global-window ranking AND plan with no
+    single-partition Exchange; data-sized broadcasts must be row-gated."""
+
+    def test_ranked_ids_matches_global_window(self, spark):
+        import random
+        from mapshaper_spark.plans.scale import ranked_ids
+        rng = random.Random(11)
+        data = [(rng.randrange(10 ** 9), i) for i in range(4000)]
+        df = spark.createDataFrame(data, "k long, v int")
+        got = {r.k: r.rid for r in ranked_ids(df, ["k"], "rid").collect()}
+        expect = {k: i for i, (k, _) in enumerate(sorted(data))}
+        assert got == expect
+
+    def test_ranked_ids_no_single_partition_exchange(self, spark):
+        from mapshaper_spark.plans.scale import ranked_ids
+        df = spark.range(1000).withColumn("k", F.col("id") * 7 % 997)
+        out = ranked_ids(df, ["k", "id"], "rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_build_topology_plan_shape(self, spark):
+        """The arc-id assignment must not funnel arcs through one task
+        (VERDICT r03 #1: topology.py global Window.orderBy)."""
+        polys = L.region_mosaic_rings_local(spark, 3, 2, (0.0, 0.0, 3.0, 2.0))
+        paths = polys.select(F.col("rid").cast("long").alias("path_id"),
+                             F.element_at("rings_x", 1).alias("xs"),
+                             F.element_at("rings_y", 1).alias("ys"))
+        arcs, refs = TP.build_topology(paths, "path_id")
+        for d in (arcs, refs):
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            assert "SinglePartition" not in plan
+
+    def test_maybe_broadcast_paths_agree(self, spark):
+        """Equality across the gate: forcing the shuffle path (limit=0)
+        must give the same node flags as the broadcast path."""
+        from mapshaper_spark.plans.scale import maybe_broadcast
+        dim = spark.createDataFrame([(i, i * 2) for i in range(50)],
+                                    "k int, val int")
+        fact = spark.range(500).select((F.col("id") % 50).cast("int").alias("k"))
+        a = fact.join(maybe_broadcast(dim, limit=1000), "k").groupBy("k") \
+            .agg(F.sum("val").alias("s"))
+        # above the gate no hint is emitted; kill Spark's own stats-based
+        # auto-broadcast so the shuffle path is actually planned
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            b = fact.join(maybe_broadcast(dim, limit=0), "k").groupBy("k") \
+                .agg(F.sum("val").alias("s"))
+            rows_b = sorted(map(tuple, b.collect()))
+            pb = b._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert sorted(map(tuple, a.collect())) == rows_b
+        pa = a._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in pa
+        assert "BroadcastHashJoin" not in pb

@@ -9,21 +9,26 @@ JVMs and reporting throughput at both plus scaling efficiency
 The host carries external tenant load (1-min loadavg swings 2-27), so a
 single lo/hi pair can land in different contention windows and produce
 nonsense in either direction (a contended lo side reads as super-linear
-scaling; a contended hi side reads as 0.3). Methodology:
+scaling; a contended hi side reads as 0.3). Methodology — PRE-REGISTERED
+gating (VERDICT r03 #5: no post-hoc exclusions):
 
-  * the two levels are measured back-to-back as PAIRS (lo then hi within
-    ~2 min), and efficiency is only ever computed within a pair — never
-    from the best lo and best hi of different windows;
+  * before EACH side of a pair, a wait-for-quiet loop blocks until
+    1-min loadavg < --quiet-load (fixed threshold, default 6.0) or the
+    per-pair wait budget runs out; a pair is recorded "gated": true only
+    when BOTH sides started under the threshold — decided by the pre-run
+    sample, never by how the number came out;
+  * the two levels are measured back-to-back as PAIRS (lo then hi),
+    and efficiency is only ever computed within a pair;
   * 1-min loadavg is sampled before each child and recorded in the JSONL
     row, so every measurement carries its own contention evidence;
-  * --max-load skips (exit 3) when the window is already contended;
-  * the BENCH.md section is a distribution summary over ALL logged rows
-    for the current code era (--since), with the best quiet pair as the
-    headline — not whatever the last run happened to say.
+  * the BENCH.md headline statistic is the MEDIAN over gated pairs
+    (>= --min-gated of them, default 5); ungated rows are logged but
+    summarized separately and never feed the headline.
 
 Usage: python tools/scaling_bench.py [--images N] [--pairs K] [--repeat R]
-           [--n-cores N] [--max-load L] [--since TS] [--out BENCH.md]
-Appends one JSON line per run to BENCH_SCALING.jsonl and refreshes the
+           [--n-cores N] [--quiet-load L] [--quiet-wait S] [--since TS]
+           [--out BENCH.md]
+Appends one JSON line per pair to BENCH_SCALING.jsonl and refreshes the
 "## Scaling" section of --out from the full log.
 """
 
@@ -60,8 +65,23 @@ print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(best, 3),
 """
 
 
-def run_level(cores: int, images: int, repeat: int) -> dict:
-    load = round(os.getloadavg()[0], 2)
+def wait_for_quiet(threshold: float, budget: float) -> tuple[float, bool]:
+    """Block until loadavg_1m < threshold or budget (seconds) runs out.
+    Returns (loadavg at exit, started_quiet). The gate is decided HERE,
+    before the measurement — never on the result."""
+    t0 = time.time()
+    while True:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            return round(load, 2), True
+        if time.time() - t0 >= budget:
+            return round(load, 2), False
+        time.sleep(10.0)
+
+
+def run_level(cores: int, images: int, repeat: int,
+              quiet_load: float, quiet_wait: float) -> dict:
+    load, quiet = wait_for_quiet(quiet_load, quiet_wait)
     script = CHILD.format(repo=REPO, cores=cores, images=images, repeat=repeat)
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
                          text=True, cwd=REPO, timeout=1800)
@@ -70,12 +90,14 @@ def run_level(cores: int, images: int, repeat: int) -> dict:
         raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
     rec = json.loads(m.group(1))
     rec["loadavg_1m"] = load
+    rec["started_quiet"] = quiet
     return rec
 
 
-def measure_pair(n: int, images: int, repeat: int) -> dict:
-    lo = run_level(n, images, repeat)
-    hi = run_level(4 * n, images, repeat)
+def measure_pair(n: int, images: int, repeat: int,
+                 quiet_load: float, quiet_wait: float) -> dict:
+    lo = run_level(n, images, repeat, quiet_load, quiet_wait)
+    hi = run_level(4 * n, images, repeat, quiet_load, quiet_wait)
     eff = hi["images_per_sec"] / (4.0 * lo["images_per_sec"])
     return {
         "metric": f"scaling efficiency local[{n}] -> local[{4 * n}]",
@@ -85,6 +107,8 @@ def measure_pair(n: int, images: int, repeat: int) -> dict:
         "efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
         "paired": True,
+        "gated": bool(lo["started_quiet"] and hi["started_quiet"]),
+        "quiet_load": quiet_load,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
@@ -102,74 +126,72 @@ def load_rows(since: str) -> list[dict]:
     return [r for r in rows if r.get("ts", "") >= since]
 
 
-def best_credible(rows: list[dict]) -> dict | None:
-    """Best pair, excluding contended-lo artifacts: eff > 1.05 is an
-    obviously poisoned lo side, and a lo more than 1.5x slower than the
-    axis's fastest observed lo inflates the ratio the same way even when
-    the result lands below 1.05 (e.g. the 22:11 pair: lo 86.6 s vs a 43.7 s
-    clean lo -> eff 0.954 overstated). Both exclusions make the headline
-    MORE conservative."""
-    ok = [r for r in rows if r["efficiency"] <= 1.05]
-    if not ok:
-        return None
-    min_lo = min(r["low"]["sec"] for r in ok)
-    ok = [r for r in ok if r["low"]["sec"] <= 1.5 * min_lo]
-    return max(ok, key=lambda r: r["efficiency"]) if ok else None
+def median(vals: list[float]) -> float:
+    vals = sorted(vals)
+    n = len(vals)
+    mid = n // 2
+    return vals[mid] if n % 2 else (vals[mid - 1] + vals[mid]) / 2.0
 
 
-def render_section(rows: list[dict], images: int, since: str) -> str:
+def render_section(rows: list[dict], images: int, since: str,
+                   min_gated: int) -> str:
     lines = [
         "## Scaling (N vs 4N parallelism)",
         "",
         "North-rule criterion: throughput scaling efficiency >= 0.8 going from",
         "N to 4N executors. Sandbox proxy (per driver instruction): identical",
-        f"flagship job (spatial-join + tile-assignment over {images:,}",
-        "synthetic images, /root/testdata/sf0.1) at two local parallelism",
-        "levels, fresh JVM each, lo/hi measured back-to-back as a pair.",
+        "flagship job (spatial-join + tile-assignment over synthetic images,",
+        "/root/testdata/sf0.1) at two local parallelism levels, fresh JVM",
+        "each, lo/hi measured back-to-back as a pair.",
         "",
-        "The host carries external tenant load (1-min loadavg samples recorded",
-        "per run in BENCH_SCALING.jsonl swing 2-27), so single windows scatter",
-        "widely; the table below summarizes EVERY logged window for the",
-        f"current flagship plan (rows since {since} — the last commit that",
-        "touched the flagship path; the function and its modules are",
-        "byte-identical from then through round 3) and headlines the best",
-        "credible pair per axis (pairs with a contended lo side excluded:",
-        "eff > 1.05, or lo wall-time > 1.5x the axis's fastest lo — a slow",
-        "lo inflates the ratio even when the result lands under 1.05).",
-        "Best-of-windows is the right statistic here: the SAME",
-        "code + input measured local[4] at 41-47 s in morning windows vs",
-        "56-67 s in afternoon windows, so scatter is external load, not plan",
-        "variance.",
+        "The host carries external tenant load, so measurement is gated",
+        "PRE-REGISTERED (decided before each shot, never on the result): a",
+        "wait-for-quiet loop blocks until loadavg_1m is under the fixed",
+        "threshold recorded in each row ('quiet_load'); a pair counts as",
+        "GATED only when both sides started under it. The headline statistic",
+        f"is the MEDIAN efficiency over gated pairs (minimum {min_gated};",
+        "fewer means the axis is UNPROVEN this era, and says so). Ungated",
+        "rows stay in BENCH_SCALING.jsonl as contention evidence but never",
+        f"feed the headline. Rows since {since} (the last commit touching",
+        "the flagship path).",
         "",
-        "| axis | windows | median eff | best credible pair | at | PASS >=0.8 |",
+        "| axis | gated pairs | gated median eff | gated min..max | ungated rows | PASS >=0.8 |",
         "|---|---|---|---|---|---|",
     ]
     by_metric: dict[str, list[dict]] = {}
     for r in rows:
         by_metric.setdefault(r["metric"], []).append(r)
-    headline = []
+    details = []
     for metric in sorted(by_metric):
         rs = by_metric[metric]
-        effs = sorted(r["efficiency"] for r in rs)
-        med = effs[len(effs) // 2]
-        best = best_credible(rs)
-        if best is None:
-            continue
-        lines.append(
-            f"| {metric.replace('scaling efficiency ', '')} | {len(rs)} "
-            f"| {med:.3f} | **{best['efficiency']:.3f}** | {best['ts']} "
-            f"| {'PASS' if best['passes_0.8'] else 'FAIL'} |")
-        headline.append((metric, best))
+        gated = [r for r in rs if r.get("gated")]
+        ungated = [r for r in rs if not r.get("gated")]
+        axis = metric.replace("scaling efficiency ", "")
+        if len(gated) >= min_gated:
+            effs = [r["efficiency"] for r in gated]
+            med = median(effs)
+            verdict = "PASS" if med >= 0.8 else "FAIL"
+            lines.append(
+                f"| {axis} | {len(gated)} | **{med:.3f}** "
+                f"| {min(effs):.3f}..{max(effs):.3f} | {len(ungated)} "
+                f"| {verdict} |")
+            details.append((axis, gated, med))
+        else:
+            lines.append(
+                f"| {axis} | {len(gated)} (<{min_gated}) | UNPROVEN | — "
+                f"| {len(ungated)} | n/a |")
     lines.append("")
-    for metric, best in headline:
-        lo, hi = best["low"], best["high"]
-        lines.append(
-            f"Best {metric.replace('scaling efficiency ', '')} pair: "
-            f"local[{lo['cores']}] {lo['sec']} s ({lo['images_per_sec']:,.0f} img/s), "
-            f"local[{hi['cores']}] {hi['sec']} s ({hi['images_per_sec']:,.0f} img/s) "
-            f"-> eff {best['efficiency']:.3f}.")
+    for axis, gated, med in details:
+        lines.append(f"Gated pairs, {axis} (loadavg_1m lo/hi before each shot):")
+        lines.append("")
+        for r in sorted(gated, key=lambda r: r["ts"]):
+            lo, hi = r["low"], r["high"]
+            lines.append(
+                f"- {r['ts']}  local[{lo['cores']}] {lo['sec']} s "
+                f"(load {lo['loadavg_1m']}) / local[{hi['cores']}] {hi['sec']} s "
+                f"(load {hi['loadavg_1m']}) -> eff {r['efficiency']:.3f}")
+        lines.append("")
     lines += [
-        "",
         "Platform context: a pure-CPU numpy calibration of this host (BENCH.md",
         "round-2 notes) ceilings the contended 8->32 axis at ~0.81 even with",
         "zero Spark overhead; the 4->16 axis leaves idle headroom and is the",
@@ -201,14 +223,18 @@ def main():
     ap.add_argument("--images", type=int, default=int(os.environ.get("MS_BENCH_IMAGES", 400_000_000)))
     ap.add_argument("--repeat", type=int, default=2, help="best-of runs inside each child")
     ap.add_argument("--pairs", type=int, default=1, help="lo/hi pairs to measure this invocation")
-    ap.add_argument("--n-cores", type=int, default=int(os.environ.get("MS_SCALE_N", 8)),
+    ap.add_argument("--n-cores", type=int, default=int(os.environ.get("MS_SCALE_N", 4)),
                     help="N of the N vs 4N comparison")
-    ap.add_argument("--max-load", type=float, default=None,
-                    help="skip (exit 3) if 1-min loadavg exceeds this at start")
+    ap.add_argument("--quiet-load", type=float, default=6.0,
+                    help="pre-registered loadavg_1m gate for every shot")
+    ap.add_argument("--quiet-wait", type=float, default=900.0,
+                    help="max seconds to wait for quiet before each shot")
+    ap.add_argument("--min-gated", type=int, default=5,
+                    help="gated pairs required before an axis median is reported")
     # Era anchor: commit 8e9336b (2026-08-17 05:48) was the LAST change to the
     # flagship path (res 8 -> 9). q_flagship_image_tiles + spatial/grid/
-    # session/layers are byte-identical from there through round 3 (verified
-    # by git diff), so every logged row at/after it measures the same plan.
+    # session/layers are byte-identical from there onward (verified by git
+    # diff), so every logged row at/after it measures the same plan.
     ap.add_argument("--since", default="2026-08-17T05:48",
                     help="BENCH.md summary includes logged rows at/after this ts "
                          "(last flagship-path change, commit 8e9336b)")
@@ -219,19 +245,17 @@ def main():
     args = ap.parse_args()
 
     if not args.summary_only:
-        if args.max_load is not None and os.getloadavg()[0] > args.max_load:
-            print(json.dumps({"skipped": True, "loadavg_1m": round(os.getloadavg()[0], 2),
-                              "max_load": args.max_load}))
-            sys.exit(3)
         for _ in range(args.pairs):
-            result = measure_pair(args.n_cores, args.images, args.repeat)
+            result = measure_pair(args.n_cores, args.images, args.repeat,
+                                  args.quiet_load, args.quiet_wait)
             print(json.dumps(result))
             with open(os.path.join(REPO, "BENCH_SCALING.jsonl"), "a") as f:
                 f.write(json.dumps(result) + "\n")
 
     if args.out is not None:
         rows = load_rows(args.since)
-        update_out(args.out, render_section(rows, args.images, args.since))
+        update_out(args.out, render_section(rows, args.images, args.since,
+                                            args.min_gated))
 
 
 if __name__ == "__main__":
