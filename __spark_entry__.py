@@ -557,6 +557,25 @@ def q_proj_sinu(spark, sf_dir):
                       F.round("lat", 4).alias("y"))
 
 
+def q_proj_wintri(spark, sf_dir):
+    """Round-4 projection tail: Winkel Tripel + Equal Earth forward over
+    deterministic nation-derived points. Both forwards are closed-form, so
+    the DuckDB oracle recomputes them from the same published equations
+    (wintri: arithmetic mean of equirectangular at acos(2/pi) and Aitoff;
+    eqearth: Savric-Patterson-Jenny 2018 polynomial)."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 13 % 340) - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 7 % 160) - 80).cast("double").alias("lat"))
+    w = PR.project_points(n, "lon", "lat", crs="+proj=wintri")
+    e = PR.project_points(n, "lon", "lat", crs="+proj=eqearth")
+    return (w.select("n_nationkey", F.lit("wintri").alias("which"),
+                     F.round("lon", 4).alias("x"), F.round("lat", 4).alias("y"))
+            .unionByName(e.select("n_nationkey", F.lit("eqearth").alias("which"),
+                                  F.round("lon", 4).alias("x"),
+                                  F.round("lat", 4).alias("y"))))
+
+
 def q_proj_lcc(spark, sf_dir):
     """Full -proj surface beyond webmercator: LCC / AEA / TM forward
     projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
@@ -1363,7 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygons_from_lines": q_polygons_from_lines,
         "segment_intersections": q_segment_intersections,
         "polyline_dissolve": q_polyline_dissolve,
-        "dissolve_states": q_dissolve_states,
+        "proj_wintri": q_proj_wintri,  # new r4: rotated in (dissolve_states
+        # out — driver-green since r1, still covered by check_oracle)
         "innerlines": q_innerlines,
         "lines": q_lines,
         "neighbors": q_neighbors,
@@ -1422,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_centroid": q_points_centroid,
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
+        "dissolve_states": q_dissolve_states,
         "explode_parts": q_explode_parts,
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
@@ -2197,6 +2218,39 @@ def oracle_sql() -> dict[str, str]:
                      + (15*es*es/256 + 45*es*es*es/1024) * sin(4*phi)
                      - (35*es*es*es/3072) * sin(6*phi)), 4) AS y
         FROM f
+    """
+    sqls["proj_wintri"] = """
+        WITH pts AS (
+            SELECT n_nationkey,
+                   radians(CAST((n_nationkey * 13 % 340) - 170 AS DOUBLE)) AS lam,
+                   radians(CAST((n_nationkey * 7 % 160) - 80 AS DOUBLE)) AS phi
+            FROM nation),
+        wt AS (
+            SELECT n_nationkey, lam, phi,
+                   acos(least(1.0, greatest(-1.0, cos(phi) * cos(lam / 2)))) AS alpha
+            FROM pts),
+        wt2 AS (
+            SELECT n_nationkey, lam, phi,
+                   CASE WHEN abs(alpha) < 1e-12 THEN 1.0
+                        ELSE sin(alpha) / alpha END AS sinca
+            FROM wt),
+        ee AS (
+            SELECT n_nationkey, lam, phi,
+                   asin(least(1.0, greatest(-1.0, sqrt(3) / 2 * sin(phi)))) AS t
+            FROM pts)
+        SELECT n_nationkey, 'wintri' AS which,
+               round(6378137.0 / 2 * (lam * (2 / pi()) +
+                     2 * cos(phi) * sin(lam / 2) / sinca), 4) AS x,
+               round(6378137.0 / 2 * (phi + sin(phi) / sinca), 4) AS y
+        FROM wt2
+        UNION ALL
+        SELECT n_nationkey, 'eqearth',
+               round(6378137.0 * lam * cos(t) / ((sqrt(3) / 2) *
+                     (1.340264 + 3 * (-0.081106) * t * t +
+                      pow(t, 6) * (7 * 0.000893 + 9 * 0.003796 * t * t))), 4),
+               round(6378137.0 * t * (1.340264 + (-0.081106) * t * t +
+                     pow(t, 6) * (0.000893 + 0.003796 * t * t)), 4)
+        FROM ee
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):

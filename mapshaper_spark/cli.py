@@ -145,6 +145,9 @@ class Catalog:
     calc_env: dict[str, object] = field(default_factory=dict)
     kinds: dict[str, str] = field(default_factory=dict)  # layer kind hints
     formats: dict[str, str] = field(default_factory=dict)  # input format per layer
+    crs: dict[str, str] = field(default_factory=dict)  # proj4 per layer (.prj)
+    prj_text: dict[str, str] = field(default_factory=dict)  # original .prj WKT
+    flags: set = field(default_factory=set)  # -quiet/-verbose/-debug
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -213,6 +216,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import topojson as TJ
 
     dfs = []
+    prj_pending: dict[str, tuple] = {}
     for path in c.values:
         ext = os.path.splitext(path)[1].lower()
         kind_hint = None
@@ -247,6 +251,21 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             if enc is None and os.path.exists(cpg_path):
                 enc = open(cpg_path).read().strip() or None
             df = SH.import_shapefile(cat.spark, shp, dbf, encoding=enc)
+            import struct as _struct
+            base_type = SH.BASE_TYPE.get(_struct.unpack("<i", shp[32:36])[0])
+            if base_type == SH.SHP_POINT:
+                df = df.drop("rings_x", "rings_y")
+                kind_hint = "point"
+            elif base_type == SH.SHP_POLYLINE:
+                kind_hint = "polyline"
+            prj_path = stem + ".prj"
+            if os.path.exists(prj_path):
+                from mapshaper_spark.sources import prj as PJ
+                wkt = open(prj_path).read().strip()
+                try:
+                    prj_pending[path] = (wkt, PJ.wkt_to_proj4(wkt))
+                except ValueError:
+                    prj_pending[path] = (wkt, None)  # keep for re-export
         elif ext in (".csv", ".tsv"):
             df = DL.import_delim(cat.spark, path)
         elif ext == ".parquet":
@@ -265,6 +284,11 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     else:
         for path, df, kind_hint in dfs:
             name = cat.add(str(c.opt("name", _layer_name(path))), df)
+            if path in prj_pending:
+                wkt, p4 = prj_pending[path]
+                cat.prj_text[name] = wkt
+                if p4:
+                    cat.crs[name] = p4
             if kind_hint:
                 cat.kinds[name] = kind_hint
             # pathless -o mirrors the INPUT format (the reference derives
@@ -643,12 +667,16 @@ def _cmd_proj(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import proj as PR
     df = cat.df()
     crs = " ".join(c.values)
+    # an imported .prj sets the SOURCE crs (the reference projects from the
+    # dataset CRS); a from= option overrides it
+    src = str(c.opt("from")) if c.opt("from") else \
+        cat.crs.get(cat.target or "", "wgs84")
     kind = cat.kinds.get(cat.target, _geometry_kind(df))
     if kind == "point":
         x, y = _point_cols(df)
-        cat.replace(PR.project_points(df, x, y, crs=crs))
+        cat.replace(PR.project_points(df, x, y, crs=crs, src=src))
     elif kind == "path":
-        cat.replace(PR.project_arcs(df, crs=crs))
+        cat.replace(PR.project_arcs(df, crs=crs, src=src))
     else:
         # ring layers: explode rings -> per-path projection (project_arcs,
         # adaptive densify included) -> regroup in ring order
@@ -659,13 +687,16 @@ def _cmd_proj(cat: Catalog, c: Command) -> None:
             F.col("rings_y").alias("ys"))).alias("__ri", "__r"))
             .select(*other, "__ri", F.col("__r.xs").alias("xs"),
                     F.col("__r.ys").alias("ys")))
-        projected = PR.project_arcs(exploded, crs=crs)
+        projected = PR.project_arcs(exploded, crs=crs, src=src)
         regrouped = (projected.groupBy(*other).agg(
             F.expr("transform(sort_array(collect_list("
                    "struct(__ri, xs, ys))), s -> s.xs)").alias("rings_x"),
             F.expr("transform(sort_array(collect_list("
                    "struct(__ri, xs, ys))), s -> s.ys)").alias("rings_y")))
         cat.replace(regrouped)
+    if cat.target:
+        cat.prj_text.pop(cat.target, None)
+        cat.crs[cat.target] = crs
 
 
 def _cmd_simplify(cat: Catalog, c: Command) -> None:
@@ -910,6 +941,10 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
             for ext, blob in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
                 with open(base + ext, "wb") as f:
                     f.write(blob)
+            if cat.target in cat.prj_text:
+                # pass the imported WKT through untouched (shp-export.js:21)
+                with open(base + ".prj", "w") as f:
+                    f.write(cat.prj_text[cat.target])
         cat.outputs[path or cat.target] = shp
         return
     elif fmt == "parquet":
@@ -1309,6 +1344,79 @@ def _cmd_include(cat: Catalog, c: Command) -> None:
     include_defs(c.values[0] if c.values else str(c.opt("file")))
 
 
+def _cmd_inspect(cat: Catalog, c: Command) -> None:
+    """-inspect <expression>: select features with a boolean expression;
+    exactly one match reports full geometry + attribute detail, otherwise
+    the match count (api.inspect, commands/mapshaper-inspect.js:3-12)."""
+    df = cat.df()
+    matched = df.filter(F.expr(_sql(c.values[0], cat.calc_env)))
+    rows = matched.limit(2).collect()
+    if len(rows) != 1:
+        n = matched.count() if len(rows) > 1 else 0
+        s = "" if n == 1 else "s"
+        cat.info.append({"layer": cat.target,
+                         "inspect": f"Expression matched {n} feature{s}. "
+                                    "Select one feature for details"})
+        return
+    row = rows[0].asDict()
+    geom_cols = {"rings_x", "rings_y", "xs", "ys", "bbox", "ring_areas"}
+    kind = cat.kinds.get(cat.target, _geometry_kind(df))
+    geo: dict[str, object] = {"type": kind}
+    if row.get("rings_x") is not None:
+        # getPolygonInfo parity: cw/ccw ring counts + planar area
+        # (mapshaper-inspect.js getShapeInfo)
+        import numpy as np
+        from mapshaper_spark.geom import kernels as K
+        areas = [K.planar_path_area(np.asarray(rx, dtype=np.float64),
+                                    np.asarray(ry, dtype=np.float64))
+                 for rx, ry in zip(row["rings_x"], row["rings_y"])]
+        geo["rings_cw"] = sum(1 for a in areas if a > 0)
+        geo["rings_ccw"] = sum(1 for a in areas if a < 0)
+        geo["planar_area"] = float(sum(areas))
+    elif row.get("xs") is not None:
+        geo["points" if kind == "point" else "parts"] = len(row["xs"])
+    cat.info.append({"layer": cat.target, "geometry": geo,
+                     "attributes": {k: v for k, v in row.items()
+                                    if k not in geom_cols}})
+
+
+def _cmd_projections(cat: Catalog, c: Command) -> None:
+    """-projections: the implemented projection index (the reference prints
+    mproj's pj_list + its alias index, geom/mapshaper-projections.js:104)."""
+    from mapshaper_spark.geom.projections import ALIASES, PROJ_NAMES
+    cat.info.append({"projections": list(PROJ_NAMES),
+                     "aliases": sorted(ALIASES) + ["albersusa"]})
+
+
+def _cmd_encodings(cat: Catalog, c: Command) -> None:
+    """-encodings: supported text encodings (internal.printEncodings,
+    text/mapshaper-encodings.js:123) — here, the DBF language-driver
+    codepage set plus the universal codecs."""
+    from mapshaper_spark.sources.shapefile import (_LANGUAGE_IDS,
+                                                   normalize_encoding)
+    encs = sorted({normalize_encoding(v) for v in _LANGUAGE_IDS.values()} |
+                  {"utf-8", "latin-1", "ascii", "utf-16"})
+    cat.info.append({"encodings": encs})
+
+
+def _cmd_version(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark import __version__
+    cat.info.append({"version": __version__})
+
+
+def _cmd_help(cat: Catalog, c: Command) -> None:
+    cat.info.append({"commands": sorted(COMMANDS)})
+
+
+def _cmd_verbosity(cat: Catalog, c: Command) -> None:
+    """-quiet/-verbose/-debug: logging switches (cli/mapshaper-commands.js
+    dispatch); mapped onto the Spark log level + a catalog flag callers
+    can consult."""
+    cat.flags.add(c.name)
+    cat.spark.sparkContext.setLogLevel(
+        {"quiet": "ERROR", "verbose": "INFO", "debug": "DEBUG"}[c.name])
+
+
 COMMANDS = {
     "i": _cmd_i,
     "filter": _cmd_filter,
@@ -1358,6 +1466,14 @@ COMMANDS = {
     "svg-style": _cmd_style,
     "colorizer": _cmd_colorizer,
     "include": _cmd_include,
+    "inspect": _cmd_inspect,
+    "projections": _cmd_projections,
+    "encodings": _cmd_encodings,
+    "version": _cmd_version,
+    "help": _cmd_help,
+    "quiet": _cmd_verbosity,
+    "verbose": _cmd_verbosity,
+    "debug": _cmd_verbosity,
 }
 
 

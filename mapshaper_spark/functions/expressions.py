@@ -177,6 +177,15 @@ _JS_METHODS = [
     # toFixed returns a STRING in JS -> printf-style formatting
     (re.compile(_RECV + r"\.toFixed\(\s*(\d+)\s*\)"),
      lambda m: f"format_string('%.{m.group(2)}f', cast({m.group(1)} as double))"),
+    # JS String.replace with STRING-literal find/replacement replaces the
+    # FIRST occurrence only — spelled out via instr/substr (regex or
+    # non-literal finds stay untranslated; documented surface edge)
+    (re.compile(_RECV + r"\.replace\((\x00\d+\x00)\s*,\s*(\x00\d+\x00)\)"),
+     lambda m: (f"IF(instr({m.group(1)}, {m.group(2)}) > 0, "
+                f"concat(substr({m.group(1)}, 1, instr({m.group(1)}, {m.group(2)}) - 1), "
+                f"{m.group(3)}, "
+                f"substr({m.group(1)}, instr({m.group(1)}, {m.group(2)}) + length({m.group(2)}))), "
+                f"{m.group(1)})")),
 ]
 
 _MATH_MAP = {
@@ -284,7 +293,17 @@ def _shield_strings(expr: str) -> tuple[str, list[str]]:
 
 
 def _restore_strings(expr: str, toks: list[str]) -> str:
-    return re.sub(r"\x00(\d+)\x00", lambda m: toks[int(m.group(1))], expr)
+    def _sql_literal(tok: str) -> str:
+        # normalize JS double-quoted literals to SQL single-quoted form
+        # (ANSI SQL treats double quotes as identifiers; content is kept
+        # verbatim, single quotes inside escaped by doubling)
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            body = tok[1:-1].replace('\\"', '"').replace("'", "''")
+            return f"'{body}'"
+        return tok
+
+    return re.sub(r"\x00(\d+)\x00",
+                  lambda m: _sql_literal(toks[int(m.group(1))]), expr)
 
 
 def translate_proxy_expression(expr: str) -> str:
@@ -295,8 +314,9 @@ def translate_proxy_expression(expr: str) -> str:
     rewritten.
 
     Known semantic edges (documented, not silently wrong): JS
-    String.replace (first-occurrence) is NOT mapped (SQL replace is
-    replace-all); Math.round(-0.5) differs (JS rounds toward +inf, SQL
+    String.replace maps to a first-occurrence instr/substr form for
+    string-LITERAL find/replacement only (regex or computed finds stay
+    untranslated); Math.round(-0.5) differs (JS rounds toward +inf, SQL
     half-away-from-zero)."""
     expr, _strs = _shield_strings(expr)
     for pat, repl in _PROXY_MAP.items():

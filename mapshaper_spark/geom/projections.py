@@ -28,6 +28,7 @@ ELLIPSOIDS = {
     "WGS84": (6378137.0, 0.0066943799901413165),
     "GRS80": (6378137.0, 0.0066943800229007876),
     "clrk66": (6378206.4, 0.006768657997291094),
+    "bessel": (6377397.155, 0.006674372230614254),
     "sphere": (6370997.0, 0.0),
 }
 
@@ -827,6 +828,680 @@ class AlbersUSA(Projection):
         return self.base.inv(x, y)
 
 
+class Hammer(Projection):
+    """hammer, spherical (Snyder pp. 160-163 / mproj pj_list tail): the
+    classic equal-area world ellipse. Closed forward and inverse."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        d = np.sqrt(2.0 / (1.0 + np.cos(phi) * np.cos(lam / 2.0)))
+        x = 2.0 * self.a * d * np.cos(phi) * np.sin(lam / 2.0)
+        y = self.a * d * np.sin(phi)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xs = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        ys = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        z2 = 1.0 - (xs / 4.0) ** 2 - (ys / 2.0) ** 2
+        z = np.sqrt(np.clip(z2, 0.0, None))
+        lam = 2.0 * np.arctan2(z * xs, 2.0 * (2.0 * z * z - 1.0))
+        phi = np.arcsin(np.clip(z * ys, -1.0, 1.0))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class WinkelTripel(Projection):
+    """wintri, spherical (the arithmetic mean of equirectangular at lat_1
+    and Aitoff; lat_1 defaults to acos(2/pi) like proj's pj_wink2 family).
+    Forward closed; inverse by 2-variable Newton with numeric Jacobian."""
+
+    def __init__(self, a, lat1=None, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.cosphi1 = (2.0 / math.pi if lat1 is None
+                        else math.cos(lat1 * D2R))
+
+    def _fwd_rad(self, lam, phi):
+        alpha = np.arccos(np.clip(np.cos(phi) * np.cos(lam / 2.0), -1.0, 1.0))
+        sinc = np.where(np.abs(alpha) < 1e-12, 1.0,
+                        np.sin(alpha) / np.where(np.abs(alpha) < 1e-12, 1.0, alpha))
+        x = 0.5 * (lam * self.cosphi1 + 2.0 * np.cos(phi) * np.sin(lam / 2.0) / sinc)
+        y = 0.5 * (phi + np.sin(phi) / sinc)
+        return x, y
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        x, y = self._fwd_rad(lam, phi)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        tx = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        ty = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        lam = np.clip(2.0 * tx / (1.0 + self.cosphi1), -math.pi, math.pi)
+        phi = np.clip(ty, -HALFPI, HALFPI)
+        h = 1e-7
+        for _ in range(30):
+            fx, fy = self._fwd_rad(lam, phi)
+            rx, ry = fx - tx, fy - ty
+            dxdl, dydl = self._fwd_rad(lam + h, phi)
+            dxdp, dydp = self._fwd_rad(lam, phi + h)
+            j11 = (dxdl - fx) / h
+            j21 = (dydl - fy) / h
+            j12 = (dxdp - fx) / h
+            j22 = (dydp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-15, 1e-15, det)
+            dl = (rx * j22 - ry * j12) / det
+            dp = (ry * j11 - rx * j21) / det
+            lam = np.clip(lam - dl, -math.pi, math.pi)
+            phi = np.clip(phi - dp, -HALFPI, HALFPI)
+            if np.all(np.abs(dl) < 1e-13) and np.all(np.abs(dp) < 1e-13):
+                break
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class EckertIV(Projection):
+    """eck4, spherical (Snyder pp. 253-258): Newton solve of
+    theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi).
+    Inverse closed."""
+
+    _CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+    _CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        target = (2.0 + HALFPI) * np.sin(phi)
+        theta = phi / 2.0
+        for _ in range(25):
+            st, ct = np.sin(theta), np.cos(theta)
+            f = theta + st * ct + 2.0 * st - target
+            fp = 1.0 + ct * ct - st * st + 2.0 * ct
+            delta = -f / np.maximum(np.abs(fp), 1e-14) * np.sign(fp)
+            theta = theta + delta
+            if np.all(np.abs(delta) < 1e-13):
+                break
+        x = self._CX * self.a * lam * (1.0 + np.cos(theta))
+        y = self._CY * self.a * np.sin(theta)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        theta = np.arcsin(np.clip(
+            (np.asarray(y, dtype=np.float64) - self.y0) / (self._CY * self.a),
+            -1.0, 1.0))
+        st, ct = np.sin(theta), np.cos(theta)
+        phi = np.arcsin(np.clip((theta + st * ct + 2.0 * st) / (2.0 + HALFPI),
+                                -1.0, 1.0))
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) / \
+            (self._CX * self.a * (1.0 + ct))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class _PolyPseudoCylindrical(Projection):
+    """Shared machinery for polynomial pseudocylindricals (Natural Earth,
+    Equal Earth): y = poly(theta), x = lam * width(theta), inverse by
+    Newton on theta."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def _theta(self, phi):  # parametric latitude from geographic
+        return phi
+
+    def _phi(self, theta):
+        return theta
+
+    def _y_of_theta(self, t):
+        raise NotImplementedError
+
+    def _dy_dtheta(self, t):
+        raise NotImplementedError
+
+    def _xscale(self, t):
+        raise NotImplementedError
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        t = self._theta(phi)
+        return (self.a * lam * self._xscale(t) + self.x0,
+                self.a * self._y_of_theta(t) + self.y0)
+
+    def inv(self, x, y):
+        ty = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        t = ty.copy()
+        for _ in range(30):
+            delta = -(self._y_of_theta(t) - ty) / self._dy_dtheta(t)
+            t = t + delta
+            if np.all(np.abs(delta) < 1e-13):
+                break
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) / \
+            (self.a * self._xscale(t))
+        return lam / D2R + self.lon0, self._phi(t) / D2R
+
+
+class NaturalEarth(_PolyPseudoCylindrical):
+    """natearth (Savric, Jenny, Patterson & Hurni 2011 — published
+    polynomial coefficients; same constants as proj's pj_natearth)."""
+
+    def _y_of_theta(self, p):
+        p2 = p * p
+        return p * (1.007226 + p2 * (0.015085 + p2 * p2 * (
+            -0.044475 + p2 * (0.028874 - 0.005916 * p2))))
+
+    def _dy_dtheta(self, p):
+        p2 = p * p
+        return (1.007226 + p2 * (0.045255 + p2 * p2 * (
+            -0.311325 + p2 * (0.259866 - 0.065076 * p2))))
+
+    def _xscale(self, p):
+        p2 = p * p
+        return (0.870700 - p2 * (0.131979 + p2 * (0.013791 - p2 * p2 * p2 * (
+            0.003971 - 0.001529 * p2))))
+
+
+class EqualEarth(_PolyPseudoCylindrical):
+    """eqearth (Savric, Patterson & Jenny 2018 — published equal-area
+    pseudocylindrical; constants as in the paper / proj's pj_eqearth)."""
+
+    _M = math.sqrt(3.0) / 2.0
+    _A1, _A2, _A3, _A4 = 1.340264, -0.081106, 0.000893, 0.003796
+
+    def _theta(self, phi):
+        return np.arcsin(np.clip(self._M * np.sin(phi), -1.0, 1.0))
+
+    def _phi(self, theta):
+        return np.arcsin(np.clip(np.sin(theta) / self._M, -1.0, 1.0))
+
+    def _y_of_theta(self, t):
+        t2 = t * t
+        return t * (self._A1 + self._A2 * t2 +
+                    t2 * t2 * t2 * (self._A3 + self._A4 * t2))
+
+    def _dy_dtheta(self, t):
+        t2 = t * t
+        return (self._A1 + 3.0 * self._A2 * t2 +
+                t2 * t2 * t2 * (7.0 * self._A3 + 9.0 * self._A4 * t2))
+
+    def _xscale(self, t):
+        return np.cos(t) / (self._M * self._dy_dtheta(t))
+
+
+class VanDerGrinten(Projection):
+    """vandg, Van der Grinten I (Snyder pp. 239-242): circle-bounded world.
+    Forward per eq. 33-1..33-11; inverse via the closed cubic 33-12..33-18."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        theta = np.arcsin(np.clip(np.abs(2.0 * phi / math.pi), 0.0, 1.0))
+        st, ct = np.sin(theta), np.cos(theta)
+        absl = np.abs(lam)
+        safe_l = np.where(absl < 1e-12, 1e-12, absl)
+        A = 0.5 * np.abs(math.pi / safe_l - safe_l / math.pi)
+        denom_g = st + ct - 1.0
+        G = ct / np.where(np.abs(denom_g) < 1e-12, 1e-12, denom_g)
+        P = G * (2.0 / np.where(st < 1e-12, 1e-12, st) - 1.0)
+        Q = A * A + G
+        P2A2 = P * P + A * A
+        under_x = A * A * (G - P * P) ** 2 - P2A2 * (G * G - P * P)
+        x = (math.pi * (A * (G - P * P) +
+                        np.sqrt(np.clip(under_x, 0.0, None))) / P2A2)
+        under_y = (A * A + 1.0) * P2A2 - Q * Q
+        y = math.pi * np.abs(P * Q - A * np.sqrt(np.clip(under_y, 0.0, None))) / P2A2
+        x = np.where(absl < 1e-12, 0.0, x) * np.sign(lam)
+        y = y * np.sign(phi)
+        # phi == 0: equator maps to x = R*lam; |phi| == pi/2: poles
+        x = np.where(np.abs(phi) < 1e-12, lam, x)
+        y = np.where(np.abs(phi) < 1e-12, 0.0, y)
+        polar = np.abs(np.abs(phi) - HALFPI) < 1e-12
+        x = np.where(polar, 0.0, x)
+        y = np.where(polar, math.pi * np.tan(theta / 2.0) * np.sign(phi), y)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        X = (np.asarray(x, dtype=np.float64) - self.x0) / (math.pi * self.a)
+        Y = (np.asarray(y, dtype=np.float64) - self.y0) / (math.pi * self.a)
+        absY = np.abs(Y)
+        r2 = X * X + Y * Y
+        c1 = -absY * (1.0 + r2)
+        c2 = c1 - 2.0 * Y * Y + X * X
+        c3 = -2.0 * c1 + 1.0 + 2.0 * Y * Y + r2 * r2
+        d = Y * Y / c3 + (2.0 * c2 ** 3 / c3 ** 3 -
+                          9.0 * c1 * c2 / (c3 * c3)) / 27.0
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(np.clip(-a1 / 3.0, 1e-30, None))
+        inner = np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)
+        theta1 = np.arccos(inner) / 3.0
+        phi = math.pi * (-m1 * np.cos(theta1 + math.pi / 3.0) -
+                         c2 / (3.0 * c3)) * np.sign(Y)
+        phi = np.where(absY < 1e-14, 0.0, phi)
+        safe_x = np.where(np.abs(X) < 1e-12, 1e-12, X)
+        lam = math.pi * (r2 - 1.0 + np.sqrt(
+            1.0 + 2.0 * (X * X - Y * Y) + r2 * r2)) / (2.0 * safe_x)
+        lam = np.where(np.abs(X) < 1e-12, 0.0, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class GallStereographic(Projection):
+    """gall, spherical cylindrical (Snyder p. 104): x = R lam / sqrt(2),
+    y = R (1 + sqrt(2)/2) tan(phi/2). Closed both ways."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        return (self.a * lam / math.sqrt(2.0) + self.x0,
+                self.a * (1.0 + math.sqrt(2.0) / 2.0) * np.tan(phi / 2.0) + self.y0)
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.x0) * math.sqrt(2.0) / self.a
+        phi = 2.0 * np.arctan((np.asarray(y, dtype=np.float64) - self.y0) /
+                              (self.a * (1.0 + math.sqrt(2.0) / 2.0)))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Cassini(Projection):
+    """cass, spherical (Snyder pp. 92-95): transverse equidistant
+    cylindrical. Closed both ways."""
+
+    def __init__(self, a, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lat0, self.lon0 = a, lat0, lon0
+        self.x0, self.y0 = x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        x = self.a * np.arcsin(np.clip(np.cos(phi) * np.sin(lam), -1.0, 1.0))
+        y = self.a * (np.arctan2(np.tan(phi), np.cos(lam)) - self.lat0 * D2R)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        dd = (np.asarray(y, dtype=np.float64) - self.y0) / self.a + \
+            self.lat0 * D2R
+        phi = np.arcsin(np.clip(np.sin(dd) * np.cos(xr), -1.0, 1.0))
+        lam = np.arctan2(np.tan(xr), np.cos(dd))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Bonne(Projection):
+    """bonne, spherical (Snyder eq. 19-1..19-5, pp. 138-140): equal-area
+    pseudoconic. lat_1 is the standard parallel (required; the cone
+    degenerates at 0)."""
+
+    def __init__(self, a, lat1, lon0=0.0, x0=0.0, y0=0.0):
+        if abs(lat1) < 1e-10:
+            raise ValueError("+proj=bonne needs a nonzero +lat_1")
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.phi1 = lat1 * D2R
+        self.cotphi1 = 1.0 / math.tan(self.phi1)
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        rho = self.cotphi1 + self.phi1 - phi
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e_ = np.where(np.abs(rho) < 1e-12, 0.0,
+                          lam * np.cos(phi) / rho)
+        x = self.a * rho * np.sin(e_)
+        y = self.a * (self.cotphi1 - rho * np.cos(e_))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = self.cotphi1 - (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        rho = np.sign(self.phi1) * np.sqrt(xr * xr + yr * yr)
+        phi = self.cotphi1 + self.phi1 - rho
+        cphi = np.cos(phi)
+        ang = np.arctan2(np.sign(self.phi1) * xr, np.sign(self.phi1) * yr)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(np.abs(cphi) < 1e-12, 0.0, rho * ang / cphi)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Polyconic(Projection):
+    """poly, American polyconic, ellipsoidal (Snyder eq. 18-12..18-15 /
+    iterative inverse 18-18, pp. 124-131)."""
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        self.ml0 = float(_mlfn(np.float64(lat0 * D2R), a, es)) / a
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sp, cp = np.sin(phi), np.cos(phi)
+        flat = np.abs(phi) < 1e-10
+        ee = lam * sp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cot = cp / sp
+            n_ = 1.0 / np.sqrt(1.0 - self.es * sp * sp)  # N/a
+            x = np.where(flat, lam, n_ * cot * np.sin(ee))
+            y = np.where(flat, -self.ml0,
+                         _mlfn(phi, 1.0, self.es) - self.ml0 +
+                         n_ * cot * (1.0 - np.cos(ee)))
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a + self.ml0
+        flat = np.abs(yr) <= 1e-10
+        r = yr * yr + xr * xr
+        phi = yr.copy()
+        one_es = 1.0 - self.es
+        for _ in range(25):
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            s2ph = sp * cp
+            mlp = np.sqrt(1.0 - self.es * sp * sp)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = sp * mlp / cp
+                ml = _mlfn(phi, 1.0, self.es)
+                mlb = ml * ml + r
+                mlp3 = one_es / (mlp * mlp * mlp)
+                dphi = ((ml + ml + c * mlb - 2.0 * yr * (c * ml + 1.0)) /
+                        (self.es * s2ph * (mlb - 2.0 * yr * ml) / c +
+                         2.0 * (yr - ml) * (c * mlp3 - 1.0 / s2ph) -
+                         mlp3 - mlp3))
+            dphi = np.where(flat | ~np.isfinite(dphi), 0.0, dphi)
+            # damp + clamp: near |lam sin phi| ~ pi/2 the Newton step is
+            # steep and overshoots past a pole, never to return (the fwd
+            # map is only injective for |lam sin phi| < pi/2 anyway);
+            # bounded steps keep the iterate in the convergence basin
+            dphi = np.clip(dphi, -0.3, 0.3)
+            phi = np.clip(phi + dphi, -HALFPI + 1e-9, HALFPI - 1e-9)
+            if np.all(np.abs(dphi) < 1e-12):
+                break
+        sp = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (np.arcsin(np.clip(
+                xr * np.tan(phi) * np.sqrt(1.0 - self.es * sp * sp),
+                -1.0, 1.0)) / np.where(np.abs(sp) < 1e-12, 1.0, sp))
+        lam = np.where(flat, xr, lam)
+        phi = np.where(flat, 0.0, phi)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Goode(Projection):
+    """goode, spherical (Goode 1925 homolosine, uninterrupted as in proj's
+    +proj=goode): sinusoidal equatorward of ~40d44', Mollweide poleward
+    with the y offset that makes the two pieces meet. Equal-area."""
+
+    PHI_LIM = 0.7109889596207567  # latitude where sinu and moll areas match
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.sinu = Sinusoidal(a, 0.0, lon0=lon0)
+        self.moll = Mollweide(a, lon0=lon0)
+        # y correction: moll y at the seam minus sinu y (= a*phi) at it
+        _, ym = self.moll.fwd(np.array([lon0]),
+                              np.array([self.PHI_LIM / D2R]))
+        self.y_cor = float(ym[0]) - a * self.PHI_LIM
+
+    def fwd(self, lng, lat):
+        lng = np.asarray(lng, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        hi = np.abs(lat) * D2R > self.PHI_LIM
+        xs, ys = self.sinu.fwd(lng, lat)
+        xm, ym = self.moll.fwd(lng, lat)
+        x = np.where(hi, xm, xs)
+        y = np.where(hi, ym - np.sign(lat) * self.y_cor, ys)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = np.asarray(y, dtype=np.float64) - self.y0
+        hi = np.abs(y) > self.a * self.PHI_LIM
+        ls, ps = self.sinu.inv(x, y)
+        lm, pm = self.moll.inv(x, y + np.sign(y) * self.y_cor)
+        return np.where(hi, lm, ls), np.where(hi, pm, ps)
+
+
+class Eckert(Projection):
+    """eck1/eck2/eck3/eck5/eck6, spherical closed forms (Snyder Appendix A
+    pp. 253-258 table; the same equations proj's PJ_eck*.c implement).
+    eck4 has its own class (iterative, implemented round 4)."""
+
+    def __init__(self, variant, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.v, self.a = variant, a
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def _theta6(self, phi):
+        # theta + sin theta = (1 + pi/2) sin phi, Newton
+        target = (1.0 + HALFPI) * np.sin(phi)
+        theta = phi.copy()
+        for _ in range(25):
+            delta = -(theta + np.sin(theta) - target) / (1.0 + np.cos(theta))
+            theta = theta + delta
+            if np.all(np.abs(delta) < 1e-13):
+                break
+        return theta
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        a = self.a
+        if self.v == 1:
+            c = 2.0 * math.sqrt(2.0 / (3.0 * math.pi))
+            x, y = c * a * lam * (1.0 - np.abs(phi) / math.pi), c * a * phi
+        elif self.v == 2:
+            s = np.sqrt(4.0 - 3.0 * np.sin(np.abs(phi)))
+            x = 2.0 / math.sqrt(6.0 * math.pi) * a * lam * s
+            y = (math.sqrt(2.0 * math.pi / 3.0) * a * (2.0 - s) *
+                 np.sign(phi))
+        elif self.v == 3:
+            c = math.sqrt(math.pi * (4.0 + math.pi))
+            x = 2.0 / c * a * lam * (
+                1.0 + np.sqrt(np.clip(1.0 - (2.0 * phi / math.pi) ** 2,
+                                      0.0, 1.0)))
+            y = 4.0 / c * a * phi
+        elif self.v == 5:
+            c = math.sqrt(2.0 + math.pi)
+            x, y = a * lam * (1.0 + np.cos(phi)) / c, 2.0 * a * phi / c
+        else:  # 6
+            theta = self._theta6(phi)
+            c = math.sqrt(2.0 + math.pi)
+            x, y = a * lam * (1.0 + np.cos(theta)) / c, 2.0 * a * theta / c
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.x0
+        yr = np.asarray(y, dtype=np.float64) - self.y0
+        a = self.a
+        if self.v == 1:
+            c = 2.0 * math.sqrt(2.0 / (3.0 * math.pi))
+            phi = yr / (c * a)
+            lam = xr / (c * a * (1.0 - np.abs(phi) / math.pi))
+        elif self.v == 2:
+            s = 2.0 - np.abs(yr) / (math.sqrt(2.0 * math.pi / 3.0) * a)
+            phi = np.arcsin(np.clip((4.0 - s * s) / 3.0, -1.0, 1.0)) * \
+                np.sign(yr)
+            lam = xr / (2.0 / math.sqrt(6.0 * math.pi) * a * s)
+        elif self.v == 3:
+            c = math.sqrt(math.pi * (4.0 + math.pi))
+            phi = yr * c / (4.0 * a)
+            lam = xr * c / (2.0 * a * (
+                1.0 + np.sqrt(np.clip(1.0 - (2.0 * phi / math.pi) ** 2,
+                                      0.0, 1.0))))
+        elif self.v == 5:
+            c = math.sqrt(2.0 + math.pi)
+            phi = yr * c / (2.0 * a)
+            lam = xr * c / (a * (1.0 + np.cos(phi)))
+        else:  # 6
+            c = math.sqrt(2.0 + math.pi)
+            theta = yr * c / (2.0 * a)
+            phi = np.arcsin(np.clip((theta + np.sin(theta)) /
+                                    (1.0 + HALFPI), -1.0, 1.0))
+            lam = xr * c / (a * (1.0 + np.cos(theta)))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class SwissObliqueMercator(Projection):
+    """somerc, ellipsoidal (the Swiss CH1903 / EPSG 9814 two-step:
+    ellipsoid -> conformal sphere -> equatorial-aspect sphere -> Mercator;
+    equations as published in the swisstopo projection formulae and proj's
+    PJ_somerc.c). Conformal; origin maps exactly to (x_0, y_0)."""
+
+    NITER = 20
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        phi0 = lat0 * D2R
+        hlf_e = 0.5 * self.e
+        cp = math.cos(phi0) ** 2
+        one_es = 1.0 - es
+        self.c = math.sqrt(1.0 + es * cp * cp / one_es)
+        sp = math.sin(phi0)
+        self.sinp0 = sp / self.c
+        phip0 = math.asin(self.sinp0)
+        self.cosp0 = math.cos(phip0)
+        spe = sp * self.e
+        self.K = (math.log(math.tan(math.pi / 4 + 0.5 * phip0)) -
+                  self.c * (math.log(math.tan(math.pi / 4 + 0.5 * phi0)) -
+                            hlf_e * math.log((1.0 + spe) / (1.0 - spe))))
+        # radius of the conformal sphere times k0 (in units of a)
+        self.kR = k0 * math.sqrt(one_es) / (1.0 - es * sp * sp)
+        self.hlf_e = hlf_e
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sp = self.e * np.sin(phi)
+        phip = 2.0 * np.arctan(np.exp(
+            self.c * (np.log(np.tan(math.pi / 4 + 0.5 * phi)) -
+                      self.hlf_e * np.log((1.0 + sp) / (1.0 - sp))) +
+            self.K)) - HALFPI
+        lamp = self.c * lam
+        cp = np.cos(phip)
+        phipp = np.arcsin(np.clip(self.cosp0 * np.sin(phip) -
+                                  self.sinp0 * cp * np.cos(lamp),
+                                  -1.0, 1.0))
+        lampp = np.arcsin(np.clip(cp * np.sin(lamp) / np.cos(phipp),
+                                  -1.0, 1.0))
+        x = self.a * self.kR * lampp
+        y = self.a * self.kR * np.log(np.tan(math.pi / 4 + 0.5 * phipp))
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        phipp = 2.0 * (np.arctan(np.exp(
+            (np.asarray(y, dtype=np.float64) - self.y0) /
+            (self.a * self.kR))) - math.pi / 4)
+        lampp = (np.asarray(x, dtype=np.float64) - self.x0) / \
+            (self.a * self.kR)
+        cp = np.cos(phipp)
+        phip = np.arcsin(np.clip(self.cosp0 * np.sin(phipp) +
+                                 self.sinp0 * cp * np.cos(lampp),
+                                 -1.0, 1.0))
+        lamp = np.arcsin(np.clip(cp * np.sin(lampp) / np.cos(phip),
+                                 -1.0, 1.0))
+        con = (self.K - np.log(np.tan(math.pi / 4 + 0.5 * phip))) / self.c
+        phi = phip.copy()
+        for _ in range(self.NITER):
+            esp = self.e * np.sin(phi)
+            dphi = ((con + np.log(np.tan(math.pi / 4 + 0.5 * phi)) -
+                     self.hlf_e * np.log((1.0 + esp) / (1.0 - esp))) *
+                    (1.0 - esp * esp) * np.cos(phi) / (1.0 - self.es))
+            phi = phi - dphi
+            if np.all(np.abs(dphi) < 1e-12):
+                break
+        return (lamp / self.c) / D2R + self.lon0, phi / D2R
+
+
+class ObliqueStereographic(Projection):
+    """sterea, ellipsoidal (EPSG method 9809: Gauss conformal sphere +
+    spherical oblique stereographic — the Dutch RD projection; the same
+    construction as proj's pj_gauss + PJ_sterea.c). Conformal."""
+
+    NITER = 20
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0, self.k0 = lon0, x0, y0, k0
+        phi0 = lat0 * D2R
+        sphi, cphi2 = math.sin(phi0), math.cos(phi0) ** 2
+        self.rc = math.sqrt(1.0 - es) / (1.0 - es * sphi * sphi)
+        self.C = math.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
+        chi0 = math.asin(sphi / self.C)
+        self.ratexp = 0.5 * self.C * self.e
+        self.K = (math.tan(0.5 * chi0 + math.pi / 4) /
+                  (math.tan(0.5 * phi0 + math.pi / 4) ** self.C *
+                   self._srat(self.e * sphi, self.ratexp)))
+        self.sinc0, self.cosc0 = math.sin(chi0), math.cos(chi0)
+        self.R2 = 2.0 * self.rc
+
+    @staticmethod
+    def _srat(esinp, ex):
+        return np.power((1.0 - esinp) / (1.0 + esinp), ex)
+
+    def _gauss_fwd(self, lam, phi):
+        chi = 2.0 * np.arctan(
+            self.K * np.power(np.tan(0.5 * phi + math.pi / 4), self.C) *
+            self._srat(self.e * np.sin(phi), self.ratexp)) - HALFPI
+        return self.C * lam, chi
+
+    def _gauss_inv(self, lam, chi):
+        lam_out = lam / self.C
+        num = np.power(np.tan(0.5 * chi + math.pi / 4) / self.K,
+                       1.0 / self.C)
+        phi = chi.copy()
+        for _ in range(self.NITER):
+            phi_new = 2.0 * np.arctan(
+                num * self._srat(self.e * np.sin(phi), -0.5 * self.e)) - \
+                HALFPI
+            if np.all(np.abs(phi_new - phi) < 1e-14):
+                phi = phi_new
+                break
+            phi = phi_new
+        return lam_out, phi
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        lamc, chi = self._gauss_fwd(lam, phi)
+        sinc, cosc = np.sin(chi), np.cos(chi)
+        cosl = np.cos(lamc)
+        k = self.k0 * self.R2 / (1.0 + self.sinc0 * sinc +
+                                 self.cosc0 * cosc * cosl)
+        x = self.a * k * cosc * np.sin(lamc)
+        y = self.a * k * (self.cosc0 * sinc - self.sinc0 * cosc * cosl)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / \
+            (self.a * 2.0 * self.rc * self.k0)
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / \
+            (self.a * 2.0 * self.rc * self.k0)
+        rho = np.sqrt(xr * xr + yr * yr)
+        c = 2.0 * np.arctan(rho)
+        sinc, cosc = np.sin(c), np.cos(c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi = np.where(rho < 1e-14, math.asin(self.sinc0),
+                           np.arcsin(np.clip(
+                               cosc * self.sinc0 +
+                               yr * sinc * self.cosc0 / np.maximum(rho, 1e-300),
+                               -1.0, 1.0)))
+            lamc = np.where(rho < 1e-14, 0.0,
+                            np.arctan2(xr * sinc,
+                                       rho * self.cosc0 * cosc -
+                                       yr * self.sinc0 * sinc))
+        lam, phi = self._gauss_inv(lamc, chi)
+        return lam / D2R + self.lon0, phi / D2R
+
+
 ALIASES = {
     # mapshaper-projections.js:163-168
     "webmercator": "+proj=merc +a=6378137 +b=6378137",
@@ -835,6 +1510,17 @@ ALIASES = {
     "EPSG:3857": "+proj=merc +a=6378137 +b=6378137",
     "EPSG:4326": "+proj=longlat +datum=WGS84",
 }
+
+
+# every `+proj=` family get_projection() dispatches — the engine's pj_list
+# for -projections (the reference prints mproj's table,
+# geom/mapshaper-projections.js:104-110); kept in dispatch order
+PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
+              "eqc", "laea", "stere", "sinu", "moll", "aeqd", "ortho",
+              "gnom", "cea", "mill", "eqdc", "hammer", "wintri", "eck4",
+              "natearth", "eqearth", "vandg", "gall", "cass", "bonne",
+              "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
+              "somerc", "sterea")
 
 
 def get_projection(defn: str) -> Projection:
@@ -856,6 +1542,9 @@ def get_projection(defn: str) -> Projection:
         if "b" in p and p["b"] != p["a"]:
             b = float(p["b"])
             es = 1.0 - (b * b) / (a * a)
+        elif "rf" in p:  # inverse flattening (the .prj SPHEROID spelling)
+            f = 1.0 / float(p["rf"])
+            es = 2.0 * f - f * f
     lon0 = float(p.get("lon_0", 0.0))
     lat0 = float(p.get("lat_0", 0.0))
     x0 = float(p.get("x_0", 0.0))
@@ -864,6 +1553,11 @@ def get_projection(defn: str) -> Projection:
     if name in ("longlat", "latlong", "lonlat"):
         return LongLat()
     if name == "merc":
+        if "lat_ts" in p and "k_0" not in p and "k" not in p:
+            # standard-parallel spelling (the .prj standard_parallel_1):
+            # k0 = m(lat_ts) = cos(phi_ts) / sqrt(1 - es sin^2 phi_ts)
+            pts = float(p["lat_ts"]) * D2R
+            k0 = math.cos(pts) / math.sqrt(1.0 - es * math.sin(pts) ** 2)
         return Mercator(a, es, lon0=lon0, x0=x0, y0=y0, k0=k0)
     if name == "lcc":
         lat1 = float(p.get("lat_1", 33.0))
@@ -926,6 +1620,37 @@ def get_projection(defn: str) -> Projection:
         lat1 = float(p.get("lat_1", 0.0))
         lat2 = float(p.get("lat_2", p.get("lat_1", 0.0)))
         return EquidistantConic(a, es, lat1, lat2, lat0, lon0, x0, y0)
+    if name == "hammer":
+        return Hammer(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wintri":
+        lat1 = float(p["lat_1"]) if "lat_1" in p else None
+        return WinkelTripel(a, lat1=lat1, lon0=lon0, x0=x0, y0=y0)
+    if name == "eck4":
+        return EckertIV(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "natearth":
+        return NaturalEarth(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "eqearth":
+        return EqualEarth(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "vandg":
+        return VanDerGrinten(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "gall":
+        return GallStereographic(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "cass":
+        return Cassini(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "bonne":
+        return Bonne(a, float(p.get("lat_1", 45.0)), lon0=lon0, x0=x0, y0=y0)
+    if name == "poly":
+        return Polyconic(a, es, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "goode":
+        return Goode(a, lon0=lon0, x0=x0, y0=y0)
+    if name in ("eck1", "eck2", "eck3", "eck5", "eck6"):
+        return Eckert(int(name[3]), a, lon0=lon0, x0=x0, y0=y0)
+    if name == "somerc":
+        return SwissObliqueMercator(a, es, lat0=lat0, lon0=lon0, k0=k0,
+                                    x0=x0, y0=y0)
+    if name == "sterea":
+        return ObliqueStereographic(a, es, lat0=lat0, lon0=lon0, k0=k0,
+                                    x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

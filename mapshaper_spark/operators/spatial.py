@@ -419,15 +419,17 @@ def spatial_join_point_to_polygon(points: DataFrame, x: str, y: str,
                      cache_token=cache_token)
     attrs = polys_rings.select(poly_key, *[f for f in set(list(copy_fields) + list(sum_fields))])
     pairs = pairs.join(F.broadcast(attrs), poly_key)
-    w = Window.partitionBy(point_key).orderBy(poly_key)
-    ranked = pairs.withColumn("__rn", F.row_number().over(w))
+    # first-match = the min-poly_key row per point: min_by instead of a
+    # window rank so the aggregation stays PARTIAL (map-side combine before
+    # the exchange; a window would force a full sort-shuffle of every
+    # candidate pair first — the pairs table is the biggest relation here)
     aggs = [F.count(F.lit(1)).alias("joins"),
             F.min(F.col(poly_key)).alias(f"first_{poly_key}")]
     for f in copy_fields:
-        aggs.append(F.first(F.when(F.col("__rn") == 1, F.col(f)), ignorenulls=True).alias(f))
+        aggs.append(F.min_by(F.col(f), F.col(poly_key)).alias(f))
     for f in sum_fields:
         aggs.append(F.sum(f).alias(f"sum_{f}"))
-    agg = ranked.groupBy(point_key).agg(*aggs)
+    agg = pairs.groupBy(point_key).agg(*aggs)
     return points.join(agg, point_key, "left").fillna({"joins": 0})
 
 
@@ -607,6 +609,19 @@ def knn_join(left: DataFrame, lx: str, ly: str, left_key: str,
     dy = F.col(ly) - F.col(ry)
     cand = (cand.withColumn("dist_sq", dx * dx + dy * dy)
             .filter(F.col("dist_sq") <= F.lit(max_radius * max_radius)))
+    if k == 1:
+        # partial-aggregatable fast path: min_by reduces each point's
+        # candidates to ONE row on the map side, so only |points| rows
+        # cross the exchange (a window rank would shuffle every candidate
+        # pair first); tie-break matches the rank ordering (dist, right id)
+        best = (cand.groupBy(left_key)
+                .agg(F.min_by(F.struct(F.col(right_key).alias("rk"),
+                                       F.col("dist_sq").alias("d")),
+                              F.struct(F.col("dist_sq"), F.col(right_key)))
+                .alias("b")))
+        return best.select(left_key, F.col("b.rk").alias(right_key),
+                           F.col("b.d").alias("dist_sq"),
+                           F.lit(1).alias("knn_rank"))
     w = Window.partitionBy(left_key).orderBy(F.col("dist_sq"), F.col(right_key))
     return (cand.withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)

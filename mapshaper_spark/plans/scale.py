@@ -57,8 +57,12 @@ def ranked_ids(df: DataFrame, sort_cols: list[str], id_name: str,
     # the exchange can pick DIFFERENT boundaries (column pruning defeats
     # exchange reuse), making offsets disagree with local ranks. Caching
     # pins both consumers to one InMemoryRelation -> one exchange instance
-    # -> one boundary set. MEMORY_AND_DISK default; ContextCleaner reclaims
-    # it once the plan is garbage-collected.
+    # -> one boundary set. MEMORY_AND_DISK default; blocks are LRU-evictable
+    # under memory pressure, and the cached table is the already-deduped key
+    # set (far smaller than the input). localCheckpoint would be
+    # GC-reclaimed sooner but truncates lineage — an executor loss at
+    # cluster scale would fail the job instead of recomputing — so the
+    # CacheManager entry lingering for the session is the cheaper cost.
     parted = parted.persist()
     w = Window.partitionBy("__pid").orderBy(*keys)
     local = parted.withColumn("__rn", F.row_number().over(w))

@@ -1,0 +1,167 @@
+"""Shapefile .prj (ESRI WKT) -> '+proj=' definition strings.
+
+The reference delegates WKT parsing to mproj's wkt module
+(/root/reference/src/shapefile/shp-export.js:21-28 export side;
+mapshaper-projections.js parse side). This is a from-scratch minimal WKT1
+reader covering the projection families geom/projections.py implements:
+a recursive bracket parser, the ESRI PROJECTION name index, and the
+PARAMETER -> proj-param mapping. Anything unrecognized raises ValueError
+so callers can fall back to treating the layer as unprojected.
+"""
+
+from __future__ import annotations
+
+
+def _tokenize(s: str):
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in '[],()':
+            # some WKT dialects use () instead of []
+            yield {'[': '[', ']': ']', '(': '[', ')': ']', ',': ','}[c]
+            i += 1
+        elif c == '"':
+            j = s.index('"', i + 1)
+            yield ('str', s[i + 1:j])
+            i = j + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and s[j] not in '[](),"' and not s[j].isspace():
+                j += 1
+            tok = s[i:j]
+            try:
+                yield ('num', float(tok))
+            except ValueError:
+                yield ('word', tok)
+            i = j
+
+
+def parse_wkt(s: str):
+    """WKT text -> nested (name, [items]) tuples; leaves are strings or
+    floats."""
+    toks = list(_tokenize(s))
+    pos = 0
+
+    def node():
+        nonlocal pos
+        kind, val = toks[pos]
+        pos += 1
+        if kind == 'word' and pos < len(toks) and toks[pos] == '[':
+            pos += 1  # consume '['
+            items = []
+            while toks[pos] != ']':
+                if toks[pos] == ',':
+                    pos += 1
+                    continue
+                items.append(node())
+            pos += 1  # consume ']'
+            return (val, items)
+        return val
+
+    return node()
+
+
+# ESRI PROJECTION["..."] names -> +proj= (families implemented in
+# geom/projections.py)
+_PROJECTION_NAMES = {
+    "mercator": "merc",
+    "mercator_auxiliary_sphere": "merc",
+    "lambert_conformal_conic": "lcc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "albers": "aea",
+    "albers_conic_equal_area": "aea",
+    "transverse_mercator": "tmerc",
+    "gauss_kruger": "tmerc",
+    "sinusoidal": "sinu",
+    "mollweide": "moll",
+    "azimuthal_equidistant": "aeqd",
+    "orthographic": "ortho",
+    "gnomonic": "gnom",
+    "stereographic": "stere",
+    "polar_stereographic": "stere",
+    "stereographic_north_pole": "stere",
+    "stereographic_south_pole": "stere",
+    "lambert_azimuthal_equal_area": "laea",
+    "cylindrical_equal_area": "cea",
+    "miller_cylindrical": "mill",
+    "equidistant_conic": "eqdc",
+    "equidistant_cylindrical": "eqc",
+    "plate_carree": "eqc",
+    "equirectangular": "eqc",
+    "robinson": "robin",
+    "van_der_grinten_i": "vandg",
+    "vandergrinten": "vandg",
+    "winkel_tripel": "wintri",
+    "eckert_iv": "eck4",
+    "gall_stereographic": "gall",
+    "cassini": "cass",
+    "natural_earth": "natearth",
+    "equal_earth": "eqearth",
+    "hammer_aitoff": "hammer",
+}
+
+_PARAM_NAMES = {
+    "central_meridian": "lon_0",
+    "longitude_of_center": "lon_0",
+    "latitude_of_origin": "lat_0",
+    "latitude_of_center": "lat_0",
+    "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "false_easting": "x_0",
+    "false_northing": "y_0",
+    "scale_factor": "k_0",
+}
+
+
+def _find(items, name):
+    for it in items:
+        if isinstance(it, tuple) and it[0].upper() == name:
+            return it
+    return None
+
+
+def _spheroid_params(geogcs) -> str:
+    datum = _find(geogcs[1], "DATUM")
+    sph = _find(datum[1], "SPHEROID") if datum else None
+    if sph is None:
+        return "+datum=WGS84"
+    a = float(sph[1][1])
+    rf = float(sph[1][2])
+    if rf == 0:
+        return f"+a={a} +b={a}"
+    return f"+a={a} +rf={rf}"
+
+
+def wkt_to_proj4(wkt: str) -> str:
+    """ESRI WKT (.prj content) -> '+proj=...' string usable by
+    geom.projections.get_projection. GEOGCS-only -> +proj=longlat."""
+    root = parse_wkt(wkt)
+    if not isinstance(root, tuple):
+        raise ValueError("not WKT")
+    kind, items = root[0].upper(), root[1]
+    if kind == "GEOGCS":
+        return "+proj=longlat +datum=WGS84"
+    if kind != "PROJCS":
+        raise ValueError(f"unsupported WKT root {kind}")
+    projection = _find(items, "PROJECTION")
+    if projection is None:
+        raise ValueError("PROJCS without PROJECTION")
+    pname = str(projection[1][0]).lower()
+    proj = _PROJECTION_NAMES.get(pname)
+    if proj is None:
+        raise ValueError(f"unsupported PROJECTION '{projection[1][0]}'")
+    geogcs = _find(items, "GEOGCS")
+    parts = [f"+proj={proj}"]
+    if geogcs is not None:
+        parts.append(_spheroid_params(geogcs))
+    for it in items:
+        if isinstance(it, tuple) and it[0].upper() == "PARAMETER":
+            key = str(it[1][0]).lower()
+            if proj in ("merc", "eqc", "cea") and key == "standard_parallel_1":
+                # cylindricals spell the standard parallel as lat_ts
+                parts.append(f"+lat_ts={float(it[1][1])}")
+            elif key in _PARAM_NAMES:
+                parts.append(f"+{_PARAM_NAMES[key]}={float(it[1][1])}")
+    return " ".join(parts)

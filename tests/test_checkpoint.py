@@ -319,3 +319,82 @@ class TestDbfCodepages:
             cpg = open(base + f + ".cpg").read().strip()
             recs = self._recs("cpg/" + f + ".dbf", normalize_encoding(cpg))
             assert recs[0]["NAME"] == expect, (f, recs[0]["NAME"])
+
+
+class TestPrjSidecar:
+    """.prj (ESRI WKT) -> proj4 parsing + CLI integration (shp-export.js:21
+    pass-through; the dataset CRS feeds -proj as the source)."""
+
+    def test_geogcs_and_projcs_parse(self):
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        w = open("/root/reference/test/test_data/two_states.prj").read()
+        assert wkt_to_proj4(w) == "+proj=longlat +datum=WGS84"
+        wm = open("/root/reference/test/test_data/two_states_mercator.prj").read()
+        p4 = wkt_to_proj4(wm)
+        assert p4.startswith("+proj=merc +a=6378137.0 +rf=298.257223563")
+
+    def test_unsupported_projection_raises(self):
+        import pytest
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        wkt = ('PROJCS["weird",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+               'SPHEROID["WGS_1984",6378137,298.257223563]],'
+               'PRIMEM["Greenwich",0],UNIT["Degree",0.017453]],'
+               'PROJECTION["Space_Oblique_Mercator"],UNIT["Meter",1]]')
+        with pytest.raises(ValueError):
+            wkt_to_proj4(wkt)
+
+    def test_projcs_parameters_map(self):
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        wkt = ('PROJCS["lcc_test",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+               'SPHEROID["WGS_1984",6378137,298.257223563]],'
+               'PRIMEM["Greenwich",0],UNIT["Degree",0.017453]],'
+               'PROJECTION["Lambert_Conformal_Conic"],'
+               'PARAMETER["central_meridian",-96],'
+               'PARAMETER["latitude_of_origin",23],'
+               'PARAMETER["standard_parallel_1",33],'
+               'PARAMETER["standard_parallel_2",45],'
+               'PARAMETER["false_easting",0],UNIT["Meter",1]]')
+        p4 = wkt_to_proj4(wkt)
+        assert "+proj=lcc" in p4 and "+lon_0=-96.0" in p4
+        assert "+lat_1=33.0" in p4 and "+lat_2=45.0" in p4 and "+lat_0=23.0" in p4
+
+    def test_cli_prj_import_and_passthrough(self, spark, tmp_path):
+        """Import a .shp with its .prj, run an attribute op, export shp:
+        the .prj rides through verbatim."""
+        import shutil
+        from mapshaper_spark.cli import run_commands
+        for ext in (".shp", ".dbf", ".prj"):
+            shutil.copy("/root/reference/test/test_data/two_states" + ext,
+                        tmp_path / ("two_states" + ext))
+        out = tmp_path / "out.shp"
+        cat = run_commands(
+            spark, f"-i {tmp_path}/two_states.shp -each 'X2 = 1' -o {out}")
+        assert (tmp_path / "out.prj").exists()
+        assert (tmp_path / "out.prj").read_text() == \
+            open("/root/reference/test/test_data/two_states.prj").read().strip()
+        assert cat.crs  # proj4 recorded for the layer
+
+    def test_cli_proj_uses_prj_as_source(self, spark, tmp_path):
+        """A layer imported with a projected .prj inverse-projects through
+        that CRS when -proj targets wgs84 (the reference projects from the
+        dataset CRS)."""
+        import shutil
+        from mapshaper_spark.cli import run_commands
+        from mapshaper_spark.sources import shapefile as SH
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        # write a small projected point shapefile + mercator .prj
+        merc = get_projection("+proj=merc +a=6378137.0 +rf=298.257223563")
+        x, y = merc.fwd(np.array([-90.0]), np.array([40.0]))
+        shp, shx = SH.write_shp([{"type": SH.SHP_POINT,
+                                  "points": [(float(x[0]), float(y[0]))]}])
+        (tmp_path / "pts.shp").write_bytes(shp)
+        (tmp_path / "pts.shx").write_bytes(shx)
+        (tmp_path / "pts.dbf").write_bytes(SH.write_dbf([{"fid": 1}]))
+        shutil.copy("/root/reference/test/test_data/two_states_mercator.prj",
+                    tmp_path / "pts.prj")
+        cat = run_commands(spark, f"-i {tmp_path}/pts.shp -proj wgs84 -o out.json")
+        import json as _json
+        geo = _json.loads(cat.outputs["out.json"])
+        cc = geo["features"][0]["geometry"]["coordinates"]
+        assert abs(cc[0] - (-90.0)) < 1e-6 and abs(cc[1] - 40.0) < 1e-6

@@ -426,3 +426,47 @@ class TestRound3Commands:
         r = cat.df().collect()[0]
         # endpoints always survive; the wiggle interior thins out
         assert len(r.xs) < 11 and r.xs[0] == 0.0 and r.xs[-1] == 10.0
+
+
+class TestMetaCommands:
+    """-inspect/-projections/-encodings/-version/-help/-quiet/-verbose/-debug
+    (cli/mapshaper-commands.js dispatch; commands/mapshaper-inspect.js)."""
+
+    def test_inspect_single_match(self, spark, states):
+        cat = run_commands(spark, "-inspect 'pop == 30'", layers={"s": states})
+        info = cat.info[-1]
+        assert info["attributes"]["pop"] == 30
+        geo = info["geometry"]
+        # the fixture square winds CCW under the kernel's sign convention
+        # (positive = CW, matching the reference's getPathArea)
+        assert geo["rings_cw"] == 0 and geo["rings_ccw"] == 1
+        assert abs(geo["planar_area"] - (-1.0)) < 1e-12
+
+    def test_inspect_multi_and_zero_match(self, spark, states):
+        cat = run_commands(spark, "-inspect 'pop > 15'", layers={"s": states})
+        assert "matched 3 features" in cat.info[-1]["inspect"]
+        cat = run_commands(spark, "-inspect 'pop > 99'", layers={"s": states})
+        assert "matched 0 features" in cat.info[-1]["inspect"]
+
+    def test_projections_and_encodings_lists(self, spark):
+        from mapshaper_spark.geom.projections import get_projection
+        cat = run_commands(spark, "-projections -encodings -version -help")
+        projs = cat.info[0]["projections"]
+        # every listed +proj= name must actually resolve in get_projection
+        # params for families with no valid bare form (proj itself rejects
+        # eqdc with lat_1 = lat_2 = 0, and utm needs a zone)
+        needs = {"utm": "+proj=utm +zone=15",
+                 "lcc": "+proj=lcc +lat_1=33 +lat_2=45",
+                 "eqdc": "+proj=eqdc +lat_1=20 +lat_2=60"}
+        for name in projs:
+            get_projection(needs.get(name, f"+proj={name}"))
+        assert "albersusa" in cat.info[0]["aliases"]
+        assert "utf-8" in cat.info[1]["encodings"]
+        assert cat.info[2]["version"]
+        assert "clip" in cat.info[3]["commands"]
+
+    def test_verbosity_flags(self, spark, states):
+        cat = run_commands(spark, "-quiet -filter 'pop > 15'",
+                           layers={"s": states})
+        assert "quiet" in cat.flags
+        assert cat.df().count() == 3

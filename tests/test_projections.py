@@ -438,3 +438,220 @@ class TestProjTailRound3:
             assert np.isfinite(x).all() and np.isfinite(y).all()
             lo, la = p.inv(x, y)
             np.testing.assert_allclose(la, [90.0, -90.0], atol=1e-6)
+
+
+class TestProjTailRound4:
+    """Round-4 +proj additions: hammer, wintri, eck4, natearth, eqearth,
+    vandg, gall, cass (mproj pj_list tail; Snyder closed forms + the two
+    published-polynomial pseudocylindricals)."""
+
+    NAMES = ["hammer", "wintri", "eck4", "natearth", "eqearth",
+             "vandg", "gall", "cass"]
+
+    @pytest.mark.parametrize("name", NAMES)
+    def test_roundtrip_and_origin(self, name):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(f"+proj={name}")
+        rng = np.random.default_rng(3)
+        lng = rng.uniform(-170, 170, 300)
+        lat = rng.uniform(-85, 85, 300)
+        x, y = p.fwd(lng, lat)
+        lng2, lat2 = p.inv(np.asarray(x), np.asarray(y))
+        assert max(np.abs(lng2 - lng).max(), np.abs(lat2 - lat).max()) < 1e-6
+        x0, y0 = p.fwd(np.array([0.0]), np.array([0.0]))
+        assert abs(float(x0[0])) < 1e-6 and abs(float(y0[0])) < 1e-6
+
+    @pytest.mark.parametrize("name", ["hammer", "eck4", "eqearth"])
+    def test_equal_area_property(self, name):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection(f"+proj={name}")
+        for la in [0.0, 30.0, 60.0, -45.0]:
+            d = 0.01
+            pts = [(20.0, la), (20.0 + d, la), (20.0 + d, la + d), (20.0, la + d)]
+            xs, ys = p.fwd(np.array([q[0] for q in pts]),
+                           np.array([q[1] for q in pts]))
+            a = abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                        for i in range(4)) / 2.0)
+            true = (math.radians(d) * R) ** 2 * math.cos(math.radians(la + d / 2))
+            assert abs(a / true - 1.0) < 5e-3, (name, la, a / true)
+
+    def test_vandg_snyder_p365(self):
+        """Snyder numerical example for Van der Grinten I (Appendix p. 365):
+        R=1, lon_0=-85, (lam, phi) = (-160, -50) -> (-1.1954154, -0.9960733)."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=vandg +a=1 +lon_0=-85")
+        x, y = p.fwd(np.array([-160.0]), np.array([-50.0]))
+        assert abs(float(x[0]) - (-1.1954154)) < 2e-6
+        assert abs(float(y[0]) - (-0.9960733)) < 2e-6
+
+    def test_cass_equator_is_identity_scale(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=cass")
+        x, y = p.fwd(np.array([10.0, 20.0]), np.array([0.0, 0.0]))
+        assert abs(float(x[1] - x[0]) - 6378137.0 * np.radians(10.0)) < 1e-3
+        assert abs(float(y[0])) < 1e-6
+
+
+class TestRound4TailB:
+    """bonne/poly/goode/eck1-6/somerc/sterea (round 4, second batch):
+    national-grid goldens (published origin constants), Snyder worked
+    example, equal-area Jacobians, conformality, round-trips."""
+
+    def test_somerc_ch1903_origin_and_conformality(self):
+        """Swiss CH1903: the projection origin (Bern) maps exactly to the
+        published false origin E=600000, N=200000 (swisstopo formulas)."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=somerc +lat_0=46.952405555555565 "
+                           "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 "
+                           "+y_0=200000 +ellps=bessel")
+        x, y = p.fwd(np.array([7.439583333333333]),
+                     np.array([46.952405555555565]))
+        assert abs(float(x[0]) - 600000.0) < 1e-6
+        assert abs(float(y[0]) - 200000.0) < 1e-6
+        # conformality: local scale is isotropic (E-W == N-S to 1e-6)
+        d = 1e-5
+        for lon, lat in [(8.5, 47.0), (6.2, 46.2)]:
+            x0, y0 = p.fwd(np.array([lon]), np.array([lat]))
+            xe, ye = p.fwd(np.array([lon + d]), np.array([lat]))
+            xn, yn = p.fwd(np.array([lon]), np.array([lat + d]))
+            se = float(np.hypot(xe - x0, ye - y0))
+            sn = float(np.hypot(xn - x0, yn - y0)) * \
+                np.cos(np.radians(lat))  # compare per true ground distance
+            # ground: E-W arc ~ nu cos(lat) dlam, N-S ~ rho dphi; on the
+            # conformal sphere both scale equally -> ratio of projected
+            # lengths equals ratio of geodesic lengths
+            import math
+            a, es = 6377397.155, 0.006674372230614254
+            s, c = math.sin(math.radians(lat)), math.cos(math.radians(lat))
+            nu = a / math.sqrt(1 - es * s * s)
+            rho = a * (1 - es) / (1 - es * s * s) ** 1.5
+            k_e = se / (nu * c * math.radians(d))
+            k_n = float(np.hypot(xn - x0, yn - y0)) / (rho * math.radians(d))
+            assert abs(k_e / k_n - 1.0) < 1e-6, (lon, lat, k_e, k_n)
+
+    def test_sterea_rd_origin_and_roundtrip(self):
+        """Dutch RD (EPSG 28992 parameters): Amersfoort origin maps exactly
+        to x_0=155000, y_0=463000; inverse round-trips."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=sterea +lat_0=52.15616055555555 "
+                           "+lon_0=5.38763888888889 +k_0=0.9999079 "
+                           "+x_0=155000 +y_0=463000 +ellps=bessel")
+        x, y = p.fwd(np.array([5.38763888888889]),
+                     np.array([52.15616055555555]))
+        assert abs(float(x[0]) - 155000.0) < 1e-6
+        assert abs(float(y[0]) - 463000.0) < 1e-6
+        lons = np.array([3.5, 4.8, 6.9, 5.1]); lats = np.array([50.8, 52.4, 53.3, 51.5])
+        xs, ys = p.fwd(lons, lats)
+        lo, la = p.inv(xs, ys)
+        assert np.abs(lo - lons).max() < 1e-9
+        assert np.abs(la - lats).max() < 1e-9
+
+    def test_poly_snyder_forward_golden(self):
+        """Snyder PP 1395 polyconic numerical example (Clarke 1866,
+        lon_0=-96): phi=40N lam=-75 -> x = 1,776,774.5 m; the central
+        meridian maps to the true meridional arc (x=0, y=M(phi)-M(lat0))."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection, _mlfn
+        p = get_projection("+proj=poly +lon_0=-96 +ellps=clrk66")
+        x, y = p.fwd(np.array([-75.0]), np.array([40.0]))
+        assert abs(float(x[0]) - 1776774.5) < 0.5
+        x0, y0 = p.fwd(np.array([-96.0]), np.array([40.0]))
+        M = float(_mlfn(np.float64(np.radians(40.0)), 6378206.4,
+                        0.006768657997291094))
+        assert abs(float(x0[0])) < 1e-6 and abs(float(y0[0]) - M) < 1e-6
+
+    def test_poly_inverse_roundtrip_domain(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=poly")
+        lon = np.linspace(-89, 89, 15); lat = np.linspace(-85, 85, 15)
+        LO, LA = np.meshgrid(lon, lat)
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-8
+        assert np.abs(la - LA.ravel()).max() < 1e-8
+
+    def test_bonne_equal_area_and_roundtrip(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection("+proj=bonne +lat_1=45")
+        for la in [10.0, 45.0, -30.0, 70.0]:
+            d = 0.01
+            pts = [(20.0, la), (20.0 + d, la), (20.0 + d, la + d), (20.0, la + d)]
+            xs, ys = p.fwd(np.array([q[0] for q in pts]),
+                           np.array([q[1] for q in pts]))
+            a = abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                        for i in range(4)) / 2.0)
+            true = (math.radians(d) * R) ** 2 * math.cos(math.radians(la + d / 2))
+            assert abs(a / true - 1.0) < 5e-3, (la, a / true)
+        lons = np.linspace(-170, 170, 9); lats = np.linspace(-80, 80, 9)
+        LO, LA = np.meshgrid(lons, lats)
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la2 = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-8
+        assert np.abs(la2 - LA.ravel()).max() < 1e-8
+
+    def test_goode_matches_pieces_and_is_continuous(self):
+        """goode == sinusoidal below the 40d44' seam, offset Mollweide
+        above; y is continuous across the seam."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        g = get_projection("+proj=goode")
+        s = get_projection("+proj=sinu +a=6378137 +b=6378137")
+        lo = np.array([35.0]);  lat_lo = np.array([30.0])
+        xg, yg = g.fwd(lo, lat_lo); xs, ys = s.fwd(lo, lat_lo)
+        assert abs(float(xg[0] - xs[0])) < 1e-6
+        assert abs(float(yg[0] - ys[0])) < 1e-6
+        seam = 0.7109889596207567 / np.pi * 180.0
+        xa, ya = g.fwd(np.array([35.0]), np.array([seam - 1e-7]))
+        xb, yb = g.fwd(np.array([35.0]), np.array([seam + 1e-7]))
+        assert abs(float(ya[0] - yb[0])) < 0.1  # metres, continuous seam
+        lons = np.linspace(-170, 170, 9); lats = np.linspace(-85, 85, 9)
+        LO, LA = np.meshgrid(lons, lats)
+        x, y = g.fwd(LO.ravel(), LA.ravel())
+        l2, p2 = g.inv(x, y)
+        assert np.abs(l2 - LO.ravel()).max() < 1e-8
+        assert np.abs(p2 - LA.ravel()).max() < 1e-8
+
+    @pytest.mark.parametrize("name", ["eck1", "eck2", "eck3", "eck5", "eck6"])
+    def test_eckert_family_roundtrip_and_extents(self, name):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(f"+proj={name}")
+        lons = np.linspace(-179, 179, 9); lats = np.linspace(-89, 89, 9)
+        LO, LA = np.meshgrid(lons, lats)
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-7, name
+        assert np.abs(la - LA.ravel()).max() < 1e-7, name
+        # pole line is half the equator line in every Eckert projection
+        xe, _ = p.fwd(np.array([180.0]), np.array([0.0]))
+        xp, _ = p.fwd(np.array([180.0]), np.array([90.0]))
+        assert abs(float(xp[0]) / float(xe[0]) - 0.5) < 1e-9, name
+
+    @pytest.mark.parametrize("name", ["eck2", "eck6"])
+    def test_eckert_equal_area_members(self, name):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection(f"+proj={name}")
+        for la in [0.0, 30.0, 60.0, -45.0]:
+            d = 0.01
+            pts = [(20.0, la), (20.0 + d, la), (20.0 + d, la + d), (20.0, la + d)]
+            xs, ys = p.fwd(np.array([q[0] for q in pts]),
+                           np.array([q[1] for q in pts]))
+            a = abs(sum(xs[i] * ys[(i + 1) % 4] - xs[(i + 1) % 4] * ys[i]
+                        for i in range(4)) / 2.0)
+            true = (math.radians(d) * R) ** 2 * math.cos(math.radians(la + d / 2))
+            assert abs(a / true - 1.0) < 5e-3, (name, la, a / true)

@@ -362,3 +362,30 @@ def test_knn_forced_shuffle_matches_broadcast(spark):
     rs = sorted((r.lid, r.rid, round(r.dist_sq, 9) if r.dist_sq is not None else None)
                 for r in ns.collect())
     assert rb == rs
+
+
+class TestFlagshipPlanShape:
+    """100x-posture regression: the flagship spatial-join + tiling plan must
+    stay broadcast + whole-stage-codegen with zero Python stages and no
+    single-partition exchange (the shape VERDICT r03 verified by hand)."""
+
+    def test_flagship_plan_is_broadcast_codegen_no_python(self, spark):
+        import __spark_entry__ as E
+        df = E.q_flagship_image_tiles(spark, "/root/testdata/sf0.001",
+                                      n_images=2000)
+        # materialize THIS DataFrame's query execution so AQE finalizes the
+        # plan (the initial isFinalPlan=false printout carries no
+        # WholeStageCodegen wrappers — codegen is applied per query stage)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        # whole-stage codegen spans print as "*(n) Operator" in the simple
+        # plan string (the literal word only appears in formatted explain)
+        import re as _re
+        assert _re.search(r"\*\(\d+\)", plan), "no WholeStageCodegen span"
+        # Python stages would appear as ArrowEvalPython / BatchEvalPython /
+        # FlatMapGroupsInPandas / MapInPandas
+        for marker in ("EvalPython", "InPandas"):
+            assert marker not in plan, f"Python stage in flagship plan: {marker}"
+        assert "SinglePartition" not in plan

