@@ -188,6 +188,65 @@ _JS_METHODS = [
                 f"{m.group(1)})")),
 ]
 
+# JS regex literal: /body/flags (flags restricted to the real JS set so a
+# division chain like a/b/c.test(x) can't false-positive as a regex)
+_REGEX_LIT = r"/((?:[^/\\\r\n]|\\.)+)/([gimsuy]*)"
+
+
+def _regex_to_sql_pattern(body: str, flags: str) -> str:
+    """JS regex literal -> single-quoted Java-regex SQL string. i/m/s flags
+    become inline (?i)(?m)(?s); g is positional (handled by the caller)."""
+    body = body.replace("\\/", "/")
+    pre = "".join(f"(?{f})" for f in "ims" if f in flags)
+    return "'" + (pre + body).replace("'", "''") + "'"
+
+
+def _rewrite_regex_methods(expr: str) -> str:
+    """JS regex-method idioms -> SQL regexp functions. Runs on the RAW
+    expression (before string shielding) so regex bodies containing quote
+    characters survive; the generated single-quoted patterns are then
+    shielded like any literal. Covered: X.match(/re/)[n], X.match(/re/),
+    /re/.test(X), X.search(/re/), X.split(/re/)[n], X.split(/re/),
+    X.replace(/re/g, r) global and X.replace(/re/, r) first-occurrence
+    (via regexp_instr + the matched text's true position/length)."""
+
+    def _p(m):  # pattern string from (body, flags) at groups 2,3
+        return _regex_to_sql_pattern(m.group(2), m.group(3))
+
+    def _replace_fn(m):
+        recv, rep = m.group(1), m.group(4)
+        p = _regex_to_sql_pattern(m.group(2), m.group(3))
+        if "g" in m.group(3):
+            return f"regexp_replace({recv}, {p}, {rep})"
+        return (f"IF(regexp_instr({recv}, {p}) > 0, "
+                f"concat(substr({recv}, 1, regexp_instr({recv}, {p}) - 1), "
+                f"{rep}, substr({recv}, regexp_instr({recv}, {p}) + "
+                f"length(regexp_extract({recv}, {p}, 0)))), {recv})")
+
+    subs = [
+        (re.compile(_RECV + r"\.match\(" + _REGEX_LIT + r"\)\[(\d+)\]"),
+         lambda m: f"regexp_extract({m.group(1)}, {_p(m)}, {int(m.group(4))})"),
+        # bare .match() is almost always a truthiness test in the corpus
+        (re.compile(_RECV + r"\.match\(" + _REGEX_LIT + r"\)"),
+         lambda m: f"regexp_like({m.group(1)}, {_p(m)})"),
+        (re.compile(_REGEX_LIT + r"\.test\(" + _ARG + r"\)"),
+         lambda m: (f"regexp_like({m.group(3)}, "
+                    f"{_regex_to_sql_pattern(m.group(1), m.group(2))})")),
+        # JS search: -1 when absent, 0-based position otherwise;
+        # regexp_instr: 0 when absent, 1-based position otherwise
+        (re.compile(_RECV + r"\.search\(" + _REGEX_LIT + r"\)"),
+         lambda m: f"(regexp_instr({m.group(1)}, {_p(m)}) - 1)"),
+        # Spark SQL's split() is regex-based and [] is 0-based, same as JS
+        (re.compile(_RECV + r"\.split\(" + _REGEX_LIT + r"\)"),
+         lambda m: f"split({m.group(1)}, {_p(m)})"),
+        (re.compile(_RECV + r"\.replace\(" + _REGEX_LIT +
+                    r"\s*,\s*" + _ARG + r"\)"), _replace_fn),
+    ]
+    for pat, fn in subs:
+        expr = pat.sub(fn, expr)
+    return expr
+
+
 _MATH_MAP = {
     "Math.round": "round", "Math.floor": "floor", "Math.ceil": "ceil",
     "Math.abs": "abs", "Math.sqrt": "sqrt", "Math.pow": "power",
@@ -315,9 +374,13 @@ def translate_proxy_expression(expr: str) -> str:
 
     Known semantic edges (documented, not silently wrong): JS
     String.replace maps to a first-occurrence instr/substr form for
-    string-LITERAL find/replacement only (regex or computed finds stay
+    string-LITERAL find/replacement (regex literals map to regexp_replace
+    when /g, else a regexp_instr first-occurrence form; COMPUTED finds stay
     untranslated); Math.round(-0.5) differs (JS rounds toward +inf, SQL
-    half-away-from-zero)."""
+    half-away-from-zero); a quoted string that itself contains regex-method
+    syntax like '.match(/x/)' would be rewritten (the inverse trade keeps
+    quotes inside real regex bodies working)."""
+    expr = _rewrite_regex_methods(expr)
     expr, _strs = _shield_strings(expr)
     for pat, repl in _PROXY_MAP.items():
         expr = re.sub(pat, repl, expr)

@@ -393,8 +393,9 @@ class TestPrjSidecar:
         (tmp_path / "pts.dbf").write_bytes(SH.write_dbf([{"fid": 1}]))
         shutil.copy("/root/reference/test/test_data/two_states_mercator.prj",
                     tmp_path / "pts.prj")
-        cat = run_commands(spark, f"-i {tmp_path}/pts.shp -proj wgs84 -o out.json")
+        out = tmp_path / "out.json"
+        cat = run_commands(spark, f"-i {tmp_path}/pts.shp -proj wgs84 -o {out}")
         import json as _json
-        geo = _json.loads(cat.outputs["out.json"])
+        geo = _json.loads(out.read_text())
         cc = geo["features"][0]["geometry"]["coordinates"]
         assert abs(cc[0] - (-90.0)) < 1e-6 and abs(cc[1] - 40.0) < 1e-6

@@ -94,3 +94,48 @@ class TestJsReplace:
 
     def test_non_literal_find_untouched(self):
         assert t("s.replace(f, 'x')") == "s.replace(f, 'x')"
+
+
+class TestJsRegexMethods:
+    """Regex-literal method idioms -> SQL regexp functions (round 4:
+    narrows the documented JS-engine gap)."""
+
+    def test_match_truthiness_and_group(self):
+        assert t("name.match(/^A/i)") == "regexp_like(name, '(?i)^A')"
+        assert t("code.match(/(\\d+)-(\\d+)/)[2]") == \
+            "regexp_extract(code, '(\\d+)-(\\d+)', 2)"
+        assert t("code.match(/\\d+/)[0]") == "regexp_extract(code, '\\d+', 0)"
+
+    def test_regex_test_and_search(self):
+        assert t("/^\\w+$/.test(name)") == "regexp_like(name, '^\\w+$')"
+        assert t("s.search(/b.n/)") == "(regexp_instr(s, 'b.n') - 1)"
+
+    def test_split_regex(self):
+        assert t("s.split(/[,;]/)[1]") == "split(s, '[,;]')[1]"
+
+    def test_replace_global_vs_first(self):
+        assert t("s.replace(/a+/g, 'X')") == "regexp_replace(s, 'a+', 'X')"
+        out = t("s.replace(/a+/, 'X')")
+        assert out.startswith("IF(regexp_instr(s, 'a+') > 0,")
+        assert "regexp_extract(s, 'a+', 0)" in out
+
+    def test_division_not_mangled(self):
+        assert t("a / b / c") == "a / b / c"
+        # [gimsuy]-restricted flags: 'c.test' after a division chain is not
+        # a regex literal
+        assert ".test(" in t("a/b/c.test(y)") or "c.test" in t("a/b/c.test(y)")
+
+    def test_spark_semantics(self, spark=None):
+        """End-to-end through Spark SQL: JS-equivalent results."""
+        from mapshaper_spark.session import get_spark
+        s = get_spark()
+        row = s.sql(
+            "SELECT " + t("s.replace(/an/, 'X')") + " AS first_only, " +
+            t("s.replace(/an/g, 'X')") + " AS all_of_them, " +
+            t("s.match(/b.n/)") + " AS matched, " +
+            t("s.search(/zzz/)") + " AS missing " +
+            "FROM (SELECT 'banana' AS s)").collect()[0]
+        assert row.first_only == "bXana"      # JS 'banana'.replace(/an/,'X')
+        assert row.all_of_them == "bXXa"      # /an/g
+        assert row.matched is True
+        assert row.missing == -1
