@@ -384,6 +384,10 @@ def translate_proxy_expression(expr: str) -> str:
     expr, _strs = _shield_strings(expr)
     for pat, repl in _PROXY_MAP.items():
         expr = re.sub(pat, repl, expr)
+        # `this` is the same feature proxy as `$` (the reference invokes
+        # the compiled function with func.call(ctx.$, ...),
+        # mapshaper-expressions.js:156), so this.area == $.area
+        expr = re.sub(pat.replace(r"\$", r"\bthis"), repl, expr)
     # method rewrites to a fixpoint (chained calls resolve inside-out)
     changed = True
     while changed:
