@@ -1092,6 +1092,28 @@ def q_simhash_dups(spark, sf_dir):
     return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_each_regex(spark, sf_dir):
+    """Round-4 expression surface: JS regex-method idioms in -each compile
+    to SQL regexp functions (match->regexp_extract/regexp_like,
+    search->regexp_instr, replace /g vs first-occurrence). The DuckDB
+    oracle recomputes every column with DuckDB's own regexp functions
+    (whose regexp_replace is first-occurrence by default, matching the JS
+    semantics the non-/g translation reproduces on Spark)."""
+    from mapshaper_spark.functions.expressions import \
+        translate_proxy_expression as T
+    cu = _t(spark, sf_dir, "customer")
+    out = A.each(cu, {
+        "digits": T(r"c_name.match(/(\d+)/)[1]"),
+        "short_name": T("c_name.replace(/Customer#0+/, '')"),
+        "is_b_seg": T("c_mktsegment.match(/^B/)"),
+        "hash_pos": T("c_name.search(/#/)"),
+        "ohs": T("c_name.replace(/0/g, 'O')"),
+    })
+    return out.select("c_custkey", "digits", "short_name", "is_b_seg",
+                      F.col("hash_pos").cast("long").alias("hash_pos"),
+                      "ohs")
+
+
 def q_events_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day"),
@@ -1386,7 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out — driver-green since r1, still covered by check_oracle)
         "innerlines": q_innerlines,
         "lines": q_lines,
-        "neighbors": q_neighbors,
+        "each_regex": q_each_regex,  # new r4: rotated in (neighbors out —
+        # driver-green since r1, still covered by check_oracle)
         # path / ring ops (+ CLI end-to-end, late r3)
         "cli_pipeline": q_cli_pipeline,
         "filter_islands": q_filter_islands,
@@ -1443,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
         "dissolve_states": q_dissolve_states,
+        "neighbors": q_neighbors,
         "explode_parts": q_explode_parts,
         "area_expr": q_area_expr,
         "spherical_area": q_spherical_area,
@@ -1661,6 +1685,15 @@ def oracle_sql() -> dict[str, str]:
                round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
                l_quantity >= 25 AS is_big
         FROM lineitem
+    """
+    sqls["each_regex"] = r"""
+        SELECT c_custkey,
+               regexp_extract(c_name, '(\d+)', 1) AS digits,
+               regexp_replace(c_name, 'Customer#0+', '') AS short_name,
+               regexp_matches(c_mktsegment, '^B') AS is_b_seg,
+               CAST(instr(c_name, '#') - 1 AS BIGINT) AS hash_pos,
+               regexp_replace(c_name, '0', 'O', 'g') AS ohs
+        FROM customer
     """
     sqls["each_where"] = """
         SELECT l_orderkey, l_linenumber,

@@ -195,8 +195,11 @@ _REGEX_LIT = r"/((?:[^/\\\r\n]|\\.)+)/([gimsuy]*)"
 
 def _regex_to_sql_pattern(body: str, flags: str) -> str:
     """JS regex literal -> single-quoted Java-regex SQL string. i/m/s flags
-    become inline (?i)(?m)(?s); g is positional (handled by the caller)."""
-    body = body.replace("\\/", "/")
+    become inline (?i)(?m)(?s); g is positional (handled by the caller).
+    Backslashes are doubled because Spark's SQL parser processes escape
+    sequences inside string literals ('\\d' would otherwise reach the
+    regex engine as plain 'd')."""
+    body = body.replace("\\/", "/").replace("\\", "\\\\")
     pre = "".join(f"(?{f})" for f in "ims" if f in flags)
     return "'" + (pre + body).replace("'", "''") + "'"
 

@@ -102,13 +102,22 @@ class TestJsRegexMethods:
 
     def test_match_truthiness_and_group(self):
         assert t("name.match(/^A/i)") == "regexp_like(name, '(?i)^A')"
-        assert t("code.match(/(\\d+)-(\\d+)/)[2]") == \
-            "regexp_extract(code, '(\\d+)-(\\d+)', 2)"
-        assert t("code.match(/\\d+/)[0]") == "regexp_extract(code, '\\d+', 0)"
+        # backslashes double in the emitted SQL literal: Spark's parser
+        # processes escapes inside strings, so '\d' must ship as '\\d'
+        assert t(r"code.match(/(\d+)-(\d+)/)[2]") == \
+            r"regexp_extract(code, '(\\d+)-(\\d+)', 2)"
+        assert t(r"code.match(/\d+/)[0]") == r"regexp_extract(code, '\\d+', 0)"
 
     def test_regex_test_and_search(self):
-        assert t("/^\\w+$/.test(name)") == "regexp_like(name, '^\\w+$')"
+        assert t(r"/^\w+$/.test(name)") == r"regexp_like(name, '^\\w+$')"
         assert t("s.search(/b.n/)") == "(regexp_instr(s, 'b.n') - 1)"
+
+    def test_backslash_pattern_through_spark(self):
+        from mapshaper_spark.session import get_spark
+        s = get_spark()
+        row = s.sql("SELECT " + t(r"s.match(/(\d+)/)[1]") +
+                    " AS d FROM (SELECT 'ab123cd' AS s)").collect()[0]
+        assert row.d == "123"
 
     def test_split_regex(self):
         assert t("s.split(/[,;]/)[1]") == "split(s, '[,;]')[1]"
