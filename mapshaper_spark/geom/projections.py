@@ -1502,6 +1502,82 @@ class ObliqueStereographic(Projection):
         return lam / D2R + self.lon0, phi / D2R
 
 
+class HotineObliqueMercator(Projection):
+    """omerc (azimuth form), ellipsoidal (Snyder eq. 9-11..9-47,
+    pp. 70-75): conformal along a central geodesic at azimuth alpha
+    through (lonc, lat_0). Output axes are rectified by alpha (Snyder
+    9-35/36); u is offset so the center maps to the origin (+ x_0/y_0),
+    the common national-grid convention."""
+
+    def __init__(self, a, es, lat0, lonc, alpha, k0=1.0, x0=0.0, y0=0.0,
+                 no_off=False):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.x0, self.y0 = x0, y0
+        phi0 = lat0 * D2R
+        alc = alpha * D2R
+        sphi0, cphi0 = math.sin(phi0), math.cos(phi0)
+        one_es = 1.0 - es
+        con = 1.0 - es * sphi0 * sphi0
+        self.B = math.sqrt(1.0 + es * cphi0 ** 4 / one_es)
+        self.A = a * self.B * k0 * math.sqrt(one_es) / con
+        t0 = float(_tsfn(np.float64(phi0), np.float64(sphi0), self.e))
+        D = self.B * math.sqrt(one_es) / (cphi0 * math.sqrt(con))
+        D2 = max(D * D, 1.0)
+        F = D + math.copysign(math.sqrt(D2 - 1.0), phi0)
+        self.E = F * t0 ** self.B
+        G = (F - 1.0 / F) / 2.0
+        self.g0 = math.asin(min(1.0, max(-1.0, math.sin(alc) / D)))
+        self.lam0 = lonc * D2R - math.asin(
+            min(1.0, max(-1.0, G * math.tan(self.g0)))) / self.B
+        self.singam, self.cosgam = math.sin(self.g0), math.cos(self.g0)
+        self.sinrot, self.cosrot = math.sin(alc), math.cos(alc)
+        # u at the projection center (Snyder 9-38's uc), subtracted so the
+        # center maps to the origin unless no_off
+        if no_off or abs(alpha) < 1e-12:
+            self.u0 = 0.0
+        else:
+            self.u0 = math.copysign(
+                (self.A / self.B) * math.atan2(math.sqrt(D2 - 1.0),
+                                               math.cos(alc)), phi0)
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R - self.lam0
+        # wrap into (-pi, pi] so features across the antimeridian from the
+        # central line don't explode
+        lam = np.arctan2(np.sin(lam), np.cos(lam))
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        t = _tsfn(phi, np.sin(phi), self.e)
+        Q = self.E / np.power(t, self.B)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(self.B * lam)
+        U = (-V * self.cosgam + S * self.singam) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+        u = (self.A / self.B) * np.arctan2(
+            S * self.cosgam + V * self.singam, np.cos(self.B * lam)) - \
+            self.u0
+        x = v * self.cosrot + u * self.sinrot
+        y = u * self.cosrot - v * self.sinrot
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.x0
+        yr = np.asarray(y, dtype=np.float64) - self.y0
+        v = xr * self.cosrot - yr * self.sinrot
+        u = yr * self.cosrot + xr * self.sinrot + self.u0
+        Qp = np.exp(-self.B * v / self.A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(self.B * u / self.A)
+        Up = np.clip((Vp * self.cosgam + Sp * self.singam) / Tp, -1.0, 1.0)
+        t = np.power(self.E / np.sqrt((1.0 + Up) / (1.0 - Up)), 1.0 / self.B)
+        phi = _phi2(t, self.e)
+        lam = self.lam0 - np.arctan2(
+            Sp * self.cosgam - Vp * self.singam,
+            np.cos(self.B * u / self.A)) / self.B
+        return lam / D2R, phi / D2R
+
+
 ALIASES = {
     # mapshaper-projections.js:163-168
     "webmercator": "+proj=merc +a=6378137 +b=6378137",
@@ -1520,7 +1596,7 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "gnom", "cea", "mill", "eqdc", "hammer", "wintri", "eck4",
               "natearth", "eqearth", "vandg", "gall", "cass", "bonne",
               "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
-              "somerc", "sterea")
+              "somerc", "sterea", "omerc")
 
 
 def get_projection(defn: str) -> Projection:
@@ -1651,6 +1727,11 @@ def get_projection(defn: str) -> Projection:
     if name == "sterea":
         return ObliqueStereographic(a, es, lat0=lat0, lon0=lon0, k0=k0,
                                     x0=x0, y0=y0)
+    if name == "omerc":
+        return HotineObliqueMercator(
+            a, es, lat0=lat0, lonc=float(p.get("lonc", lon0)),
+            alpha=float(p.get("alpha", 0.0)), k0=k0, x0=x0, y0=y0,
+            no_off="no_off" in p)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

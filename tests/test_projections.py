@@ -655,3 +655,61 @@ class TestRound4TailB:
                         for i in range(4)) / 2.0)
             true = (math.radians(d) * R) ** 2 * math.cos(math.radians(la + d / 2))
             assert abs(a / true - 1.0) < 5e-3, (name, la, a / true)
+
+
+class TestOmerc:
+    """omerc azimuth form (Snyder eq. 9-11..9-47): Alaska-zone-1-style
+    parameters — center maps to origin, conformal isotropy, central-line
+    scale == k_0, exact round-trips."""
+
+    PARAMS = ("+proj=omerc +lat_0=57 +lonc=-133.6666666 "
+              "+alpha=-36.86989764583333 +k_0=0.9999")
+
+    def test_center_roundtrip_conformal(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(self.PARAMS)
+        x, y = p.fwd(np.array([-133.6666666]), np.array([57.0]))
+        assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6
+        lons = np.linspace(-141, -128, 9); lats = np.linspace(54, 61, 9)
+        LO, LA = np.meshgrid(lons, lats)
+        xs, ys = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(xs, ys)
+        assert np.abs(lo - LO.ravel()).max() < 1e-9
+        assert np.abs(la - LA.ravel()).max() < 1e-9
+        a, es = 6378137.0, 0.0066943799901413165
+        d = 1e-6
+        for lon, lat in [(-134.0, 57.5), (-130.0, 55.0)]:
+            x0, y0 = p.fwd(np.array([lon]), np.array([lat]))
+            xe, ye = p.fwd(np.array([lon + d]), np.array([lat]))
+            xn, yn = p.fwd(np.array([lon]), np.array([lat + d]))
+            s, c = math.sin(math.radians(lat)), math.cos(math.radians(lat))
+            nu = a / math.sqrt(1 - es * s * s)
+            rho = a * (1 - es) / (1 - es * s * s) ** 1.5
+            ke = math.hypot(float(xe[0] - x0[0]), float(ye[0] - y0[0])) / \
+                (nu * c * math.radians(d))
+            kn = math.hypot(float(xn[0] - x0[0]), float(yn[0] - y0[0])) / \
+                (rho * math.radians(d))
+            assert abs(ke / kn - 1.0) < 1e-6
+
+    def test_central_line_scale_is_k0(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(self.PARAMS)
+        a, es = 6378137.0, 0.0066943799901413165
+        az = math.radians(-36.86989764583333)
+        h = 1e-6
+        dlat = math.cos(az) * h
+        dlon = math.sin(az) * h / math.cos(math.radians(57))
+        x0, y0 = p.fwd(np.array([-133.6666666]), np.array([57.0]))
+        x1, y1 = p.fwd(np.array([-133.6666666 + dlon]),
+                       np.array([57.0 + dlat]))
+        s = math.sin(math.radians(57))
+        rho = a * (1 - es) / (1 - es * s * s) ** 1.5
+        nu = a / math.sqrt(1 - es * s * s)
+        ground = math.hypot(rho * math.radians(dlat),
+                            nu * math.cos(math.radians(57)) * math.radians(dlon))
+        k = math.hypot(float(x1[0] - x0[0]), float(y1[0] - y0[0])) / ground
+        assert abs(k - 0.9999) < 1e-6
