@@ -947,6 +947,18 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                     f.write(cat.prj_text[cat.target])
         cat.outputs[path or cat.target] = shp
         return
+    elif fmt == "dbf":
+        # attribute table only (the reference's -o format=dbf path,
+        # io/mapshaper-file-types.js:47-48)
+        geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys"}
+        recs = [{k: v for k, v in r.asDict().items() if k not in geom_cols}
+                for r in df.collect()]
+        blob = SH.write_dbf(recs)
+        if path:
+            with open(path, "wb") as f:
+                f.write(blob)
+        cat.outputs[path or f"{cat.target}.dbf"] = blob
+        return
     elif fmt == "parquet":
         if path is None:
             raise ValueError("-o parquet requires a file path")

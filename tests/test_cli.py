@@ -470,3 +470,16 @@ class TestMetaCommands:
                            layers={"s": states})
         assert "quiet" in cat.flags
         assert cat.df().count() == 3
+
+
+class TestDbfOutput:
+    def test_o_format_dbf_roundtrip(self, spark, states, tmp_path):
+        """-o format=dbf writes the attribute table alone (the reference's
+        dbf output type); re-importable by the dbf reader."""
+        from mapshaper_spark.sources.shapefile import read_dbf
+        out = tmp_path / "attrs.dbf"
+        cat = run_commands(spark, f"-o {out}", layers={"s": states})
+        recs = read_dbf(out.read_bytes())
+        assert len(recs) == 4
+        assert set(recs[0]) == {"fid", "state", "pop"}  # geometry dropped
+        assert sorted(r["pop"] for r in recs) == [10, 20, 30, 40]
