@@ -389,3 +389,47 @@ class TestFlagshipPlanShape:
         for marker in ("EvalPython", "InPandas"):
             assert marker not in plan, f"Python stage in flagship plan: {marker}"
         assert "SinglePartition" not in plan
+
+
+class TestHotPathPlanShapes:
+    """100x-posture regression net beyond the flagship: the other hot
+    operators keep the plan properties their BENCH/SURVEY write-ups claim
+    (no Python stages where the implementation is pure Catalyst, no
+    cartesian products in dedup, no single-partition exchanges)."""
+
+    @staticmethod
+    def _final_plan(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_text_metrics_is_pure_sql(self, spark):
+        import __spark_entry__ as E
+        df = E.q_text_metrics(spark, "/root/testdata/sf0.001")
+        plan = self._final_plan(df)
+        for marker in ("EvalPython", "InPandas"):
+            assert marker not in plan, f"Python stage in text_metrics: {marker}"
+        assert "SinglePartition" not in plan
+
+    def test_cluster_no_exchange_no_python(self, spark):
+        import __spark_entry__ as E
+        df = E.q_cluster(spark, "/root/testdata/sf0.001")
+        plan = self._final_plan(df)
+        for marker in ("EvalPython", "InPandas"):
+            assert marker not in plan, f"Python stage in cluster: {marker}"
+        # the r02 crossJoin/Window anti-pattern must stay gone
+        assert "CartesianProduct" not in plan
+
+    def test_word_jaccard_no_cartesian(self, spark):
+        import __spark_entry__ as E
+        df = E.q_word_jaccard(spark, "/root/testdata/sf0.001")
+        plan = self._final_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_dedup_exact_no_cartesian_no_python(self, spark):
+        import __spark_entry__ as E
+        df = E.q_dedup_exact(spark, "/root/testdata/sf0.001")
+        plan = self._final_plan(df)
+        assert "CartesianProduct" not in plan
+        for marker in ("EvalPython", "InPandas"):
+            assert marker not in plan
