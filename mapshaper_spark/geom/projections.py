@@ -903,6 +903,47 @@ class WinkelTripel(Projection):
         return lam / D2R + self.lon0, phi / D2R
 
 
+class Aitoff(WinkelTripel):
+    """aitoff, spherical (the azimuthal-equidistant-stretched hemisphere
+    map Winkel Tripel averages with equirectangular): x = 2 cos(phi)
+    sin(lam/2) / sinc(alpha), y = sin(phi) / sinc(alpha). Shares the
+    2-variable Newton inverse with WinkelTripel via _fwd_rad."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lat1=None, lon0=lon0, x0=x0, y0=y0)
+        self.cosphi1 = 1.0  # only used by the inverse's lam seed
+
+    def _fwd_rad(self, lam, phi):
+        alpha = np.arccos(np.clip(np.cos(phi) * np.cos(lam / 2.0), -1.0, 1.0))
+        sinc = np.where(np.abs(alpha) < 1e-12, 1.0,
+                        np.sin(alpha) / np.where(np.abs(alpha) < 1e-12, 1.0,
+                                                 alpha))
+        return (2.0 * np.cos(phi) * np.sin(lam / 2.0) / sinc,
+                np.sin(phi) / sinc)
+
+
+class NearSidedPerspective(_SphericalAzimuthal):
+    """nsper, spherical general vertical perspective (Snyder eq.
+    25-5..25-12, pp. 173-176): the view from a satellite at height h above
+    the surface; k' = (P-1)/(P - cos c), visible cap cos c > 1/P. The h ->
+    infinity limit is orthographic (tested)."""
+
+    def __init__(self, a, h, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+        self.P = 1.0 + h / a
+
+    def _k(self, cosc):
+        return (self.P - 1.0) / (self.P - cosc)
+
+    def _c(self, rho):
+        # rho/R (P - cos c) = (P-1) sin c  ->  harmonic-addition closed form
+        # (Snyder 25-12's arcsin form)
+        r = np.asarray(rho, dtype=np.float64) / self.a
+        t = np.arctan2(r, self.P - 1.0)
+        amp = np.sqrt((self.P - 1.0) ** 2 + r * r)
+        return np.arcsin(np.clip(r * self.P / amp, -1.0, 1.0)) - t
+
+
 class EckertIV(Projection):
     """eck4, spherical (Snyder pp. 253-258): Newton solve of
     theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi).
@@ -1596,7 +1637,7 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "gnom", "cea", "mill", "eqdc", "hammer", "wintri", "eck4",
               "natearth", "eqearth", "vandg", "gall", "cass", "bonne",
               "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
-              "somerc", "sterea", "omerc")
+              "somerc", "sterea", "omerc", "aitoff", "nsper")
 
 
 def get_projection(defn: str) -> Projection:
@@ -1732,6 +1773,11 @@ def get_projection(defn: str) -> Projection:
             a, es, lat0=lat0, lonc=float(p.get("lonc", lon0)),
             alpha=float(p.get("alpha", 0.0)), k0=k0, x0=x0, y0=y0,
             no_off="no_off" in p)
+    if name == "aitoff":
+        return Aitoff(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "nsper":
+        return NearSidedPerspective(a, h=float(p.get("h", 35785831.0)),
+                                    lat0=lat0, lon0=lon0, x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

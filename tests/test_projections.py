@@ -713,3 +713,42 @@ class TestOmerc:
                             nu * math.cos(math.radians(57)) * math.radians(dlon))
         k = math.hypot(float(x1[0] - x0[0]), float(y1[0] - y0[0])) / ground
         assert abs(k - 0.9999) < 1e-6
+
+
+class TestAitoffNsper:
+    def test_aitoff_roundtrip_and_equator(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=aitoff")
+        lons = np.linspace(-170, 170, 13); lats = np.linspace(-85, 85, 13)
+        LO, LA = np.meshgrid(lons, lats)
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-9
+        assert np.abs(la - LA.ravel()).max() < 1e-9
+        # the equator maps to x = R*lam exactly (defining property)
+        x, y = p.fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) / 6378137.0 - math.pi / 2) < 1e-12
+        assert abs(float(y[0])) < 1e-12
+
+    def test_nsper_roundtrip_and_ortho_limit(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=nsper +h=35785831 +lat_0=20 +lon_0=10")
+        P = 1 + 35785831 / 6378137.0
+        cap = math.degrees(math.acos(1 / P)) * 0.7
+        LO, LA = np.meshgrid(np.linspace(10 - cap, 10 + cap, 9),
+                             np.clip(np.linspace(20 - cap, 20 + cap, 9),
+                                     -85, 85))
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-9
+        assert np.abs(la - LA.ravel()).max() < 1e-9
+        big = get_projection("+proj=nsper +h=1e15 +lat_0=20 +lon_0=10")
+        ortho = get_projection("+proj=ortho +lat_0=20 +lon_0=10")
+        xb, yb = big.fwd(np.array([15.0, 5.0]), np.array([25.0, 18.0]))
+        xo, yo = ortho.fwd(np.array([15.0, 5.0]), np.array([25.0, 18.0]))
+        assert np.abs(xb - xo).max() < 1e-3
+        assert np.abs(yb - yo).max() < 1e-3
