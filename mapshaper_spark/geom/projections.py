@@ -1619,6 +1619,87 @@ class HotineObliqueMercator(Projection):
         return lam / D2R, phi / D2R
 
 
+class Krovak(Projection):
+    """krovak, ellipsoidal oblique conformal conic (EPSG method 9819, the
+    Czech/Slovak S-JTSK grid): Gauss conformal sphere -> rotation to the
+    oblique pole -> conic at the pseudo standard parallel 78.5deg. Default
+    parameters are the S-JTSK constants on Bessel; output follows the
+    PROJ/GIS orientation (x = -westing, y = -southing, both negative in
+    Bohemia)."""
+
+    PHI_P = 78.5 * D2R  # pseudo standard parallel
+
+    def __init__(self, a, es, lat0=49.5, lon0=24.833333333333332,
+                 alpha=30.288139752777778, k0=0.9999, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        phiC = lat0 * D2R
+        sC = math.sin(phiC)
+        one_es = 1.0 - es
+        self.A_ = a * math.sqrt(one_es) / (1.0 - es * sC * sC)
+        self.B = math.sqrt(1.0 + es * math.cos(phiC) ** 4 / one_es)
+        g0 = math.asin(sC / self.B)
+        self.t0 = (math.tan(math.pi / 4 + g0 / 2) *
+                   ((1.0 + self.e * sC) / (1.0 - self.e * sC)) **
+                   (self.e * self.B / 2) /
+                   math.tan(math.pi / 4 + phiC / 2) ** self.B)
+        self.alC = alpha * D2R
+        self.sin_al, self.cos_al = math.sin(self.alC), math.cos(self.alC)
+        self.n = math.sin(self.PHI_P)
+        self.r0 = k0 * self.A_ / math.tan(self.PHI_P)
+        self.tanTP = math.tan(math.pi / 4 + self.PHI_P / 2)
+
+    def _gauss_u(self, phi):
+        esp = self.e * np.sin(phi)
+        return 2.0 * (np.arctan(
+            self.t0 * np.power(np.tan(phi / 2 + math.pi / 4), self.B) /
+            np.power((1.0 + esp) / (1.0 - esp), self.e * self.B / 2)) -
+            math.pi / 4)
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        U = self._gauss_u(phi)
+        V = self.B * (self.lon0 * D2R - lam)
+        T = np.arcsin(np.clip(self.cos_al * np.sin(U) +
+                              self.sin_al * np.cos(U) * np.cos(V),
+                              -1.0, 1.0))
+        D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(T), -1.0, 1.0))
+        theta = self.n * D
+        r = self.r0 * self.tanTP ** self.n / \
+            np.power(np.tan(T / 2 + math.pi / 4), self.n)
+        southing = r * np.cos(theta)
+        westing = r * np.sin(theta)
+        return -westing + self.x0, -southing + self.y0
+
+    def inv(self, x, y):
+        westing = -(np.asarray(x, dtype=np.float64) - self.x0)
+        southing = -(np.asarray(y, dtype=np.float64) - self.y0)
+        r = np.hypot(westing, southing)
+        theta = np.arctan2(westing, southing)
+        D = theta / self.n
+        T = 2.0 * (np.arctan(np.power(self.r0 / r, 1.0 / self.n) *
+                             self.tanTP) - math.pi / 4)
+        U = np.arcsin(np.clip(self.cos_al * np.sin(T) -
+                              self.sin_al * np.cos(T) * np.cos(D),
+                              -1.0, 1.0))
+        V = np.arcsin(np.clip(np.cos(T) * np.sin(D) / np.cos(U), -1.0, 1.0))
+        # invert the conformal-sphere latitude by fixed point
+        phi = U.copy()
+        base = np.power(np.tan(U / 2 + math.pi / 4) / self.t0, 1.0 / self.B)
+        for _ in range(20):
+            esp = self.e * np.sin(phi)
+            phi_new = 2.0 * (np.arctan(
+                base * np.power((1.0 + esp) / (1.0 - esp), self.e / 2)) -
+                math.pi / 4)
+            if np.all(np.abs(phi_new - phi) < 1e-14):
+                phi = phi_new
+                break
+            phi = phi_new
+        lam = self.lon0 * D2R - V / self.B
+        return lam / D2R, phi / D2R
+
+
 ALIASES = {
     # mapshaper-projections.js:163-168
     "webmercator": "+proj=merc +a=6378137 +b=6378137",
@@ -1637,7 +1718,7 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "gnom", "cea", "mill", "eqdc", "hammer", "wintri", "eck4",
               "natearth", "eqearth", "vandg", "gall", "cass", "bonne",
               "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
-              "somerc", "sterea", "omerc", "aitoff", "nsper")
+              "somerc", "sterea", "omerc", "aitoff", "nsper", "krovak")
 
 
 def get_projection(defn: str) -> Projection:
@@ -1775,6 +1856,16 @@ def get_projection(defn: str) -> Projection:
             no_off="no_off" in p)
     if name == "aitoff":
         return Aitoff(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "krovak":
+        # S-JTSK defaults like proj's pj_krovak (Bessel unless overridden)
+        if "datum" not in p and "ellps" not in p and "a" not in p:
+            a, es = ELLIPSOIDS["bessel"]
+        return Krovak(a, es,
+                      lat0=float(p.get("lat_0", 49.5)),
+                      lon0=float(p.get("lon_0", 24.833333333333332)),
+                      alpha=float(p.get("alpha", 30.288139752777778)),
+                      k0=float(p.get("k", p.get("k_0", 0.9999))),
+                      x0=x0, y0=y0)
     if name == "nsper":
         return NearSidedPerspective(a, h=float(p.get("h", 35785831.0)),
                                     lat0=lat0, lon0=lon0, x0=x0, y0=y0)

@@ -752,3 +752,49 @@ class TestAitoffNsper:
         xo, yo = ortho.fwd(np.array([15.0, 5.0]), np.array([25.0, 18.0]))
         assert np.abs(xb - xo).max() < 1e-3
         assert np.abs(yb - yo).max() < 1e-3
+
+
+class TestKrovak:
+    """krovak / S-JTSK (EPSG method 9819): the EPSG Guidance Note worked
+    example, conformality, and round-trips over CZ/SK."""
+
+    def test_epsg_worked_example(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=krovak")
+        lat = 50 + 12 / 60 + 32.442 / 3600
+        lon = 16 + 50 / 60 + 59.179 / 3600
+        x, y = p.fwd(np.array([lon]), np.array([lat]))
+        # EPSG example: Southing 1050538.63, Westing 568991.00 (GIS axes
+        # negate both, the PROJ default orientation)
+        assert abs(-float(y[0]) - 1050538.63) < 0.05
+        assert abs(-float(x[0]) - 568991.00) < 0.05
+        lo, la = p.inv(x, y)
+        assert abs(float(lo[0]) - lon) < 1e-12
+        assert abs(float(la[0]) - lat) < 1e-12
+
+    def test_conformal_and_roundtrip(self):
+        import math
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=krovak")
+        a_, es = 6377397.155, 0.006674372230614254
+        d = 1e-6
+        for LO_, LA_ in [(14.4, 50.1), (21.0, 48.7)]:
+            x0, y0 = p.fwd(np.array([LO_]), np.array([LA_]))
+            xe, ye = p.fwd(np.array([LO_ + d]), np.array([LA_]))
+            xn, yn = p.fwd(np.array([LO_]), np.array([LA_ + d]))
+            s, c = math.sin(math.radians(LA_)), math.cos(math.radians(LA_))
+            nu = a_ / math.sqrt(1 - es * s * s)
+            rho = a_ * (1 - es) / (1 - es * s * s) ** 1.5
+            ke = math.hypot(float(xe[0] - x0[0]), float(ye[0] - y0[0])) / \
+                (nu * c * math.radians(d))
+            kn = math.hypot(float(xn[0] - x0[0]), float(yn[0] - y0[0])) / \
+                (rho * math.radians(d))
+            assert abs(ke / kn - 1.0) < 1e-6
+        LO, LA = np.meshgrid(np.linspace(12, 23, 9),
+                             np.linspace(47.5, 51.5, 9))
+        x, y = p.fwd(LO.ravel(), LA.ravel())
+        lo, la = p.inv(x, y)
+        assert np.abs(lo - LO.ravel()).max() < 1e-9
+        assert np.abs(la - LA.ravel()).max() < 1e-9
