@@ -100,6 +100,26 @@ _PROJECTION_NAMES = {
     "natural_earth": "natearth",
     "equal_earth": "eqearth",
     "hammer_aitoff": "hammer",
+    # national grids added round 4
+    "bonne": "bonne",
+    "polyconic": "poly",
+    "aitoff": "aitoff",
+    "eckert_i": "eck1",
+    "eckert_ii": "eck2",
+    "eckert_iii": "eck3",
+    "eckert_v": "eck5",
+    "eckert_vi": "eck6",
+    "goode_homolosine": "goode",
+    "krovak": "krovak",
+    "hotine_oblique_mercator_azimuth_natural_origin": "omerc",
+    "hotine_oblique_mercator_azimuth_center": "omerc",
+    "rectified_skew_orthomorphic_natural_origin": "omerc",
+    # Swiss CH1903 (ESRI spells it as a Hotine variant with azimuth 90 +
+    # center lat; the swisstopo formulas are the somerc method)
+    "hotine_oblique_mercator_two_point_center": "somerc",
+    "swiss_oblique_cylindrical": "somerc",
+    "double_stereographic": "sterea",
+    "oblique_stereographic": "sterea",
 }
 
 _PARAM_NAMES = {
@@ -112,6 +132,7 @@ _PARAM_NAMES = {
     "false_easting": "x_0",
     "false_northing": "y_0",
     "scale_factor": "k_0",
+    "azimuth": "alpha",
 }
 
 

@@ -399,3 +399,55 @@ class TestPrjSidecar:
         geo = _json.loads(out.read_text())
         cc = geo["features"][0]["geometry"]["coordinates"]
         assert abs(cc[0] - (-90.0)) < 1e-6 and abs(cc[1] - 40.0) < 1e-6
+
+
+class TestPrjNationalGrids:
+    """Round-4 .prj tail: real-world national-grid WKT spellings resolve to
+    the matching projection families and reproduce published constants."""
+
+    def test_dutch_rd_double_stereographic(self):
+        import numpy as np
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        from mapshaper_spark.geom.projections import get_projection
+        rd = ('PROJCS["RD_New",GEOGCS["GCS_Amersfoort",DATUM["D_Amersfoort",'
+              'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+              'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+              'PROJECTION["Double_Stereographic"],'
+              'PARAMETER["False_Easting",155000.0],'
+              'PARAMETER["False_Northing",463000.0],'
+              'PARAMETER["Central_Meridian",5.38763888888889],'
+              'PARAMETER["Scale_Factor",0.9999079],'
+              'PARAMETER["Latitude_Of_Origin",52.15616055555555],'
+              'UNIT["Meter",1.0]]')
+        p4 = wkt_to_proj4(rd)
+        assert p4.startswith("+proj=sterea")
+        p = get_projection(p4)
+        x, y = p.fwd(np.array([5.38763888888889]),
+                     np.array([52.15616055555555]))
+        assert abs(float(x[0]) - 155000.0) < 1e-6
+        assert abs(float(y[0]) - 463000.0) < 1e-6
+
+    def test_krovak_east_north(self):
+        import numpy as np
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        from mapshaper_spark.geom.projections import get_projection
+        kr = ('PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",'
+              'DATUM["D_S_JTSK",SPHEROID["Bessel_1841",6377397.155,'
+              '299.1528128]],PRIMEM["Greenwich",0.0],'
+              'UNIT["Degree",0.0174532925199433]],PROJECTION["Krovak"],'
+              'PARAMETER["False_Easting",0.0],'
+              'PARAMETER["False_Northing",0.0],'
+              'PARAMETER["Pseudo_Standard_Parallel_1",78.5],'
+              'PARAMETER["Scale_Factor",0.9999],'
+              'PARAMETER["Azimuth",30.28813975277778],'
+              'PARAMETER["Longitude_Of_Center",24.83333333333333],'
+              'PARAMETER["Latitude_Of_Center",49.5],'
+              'PARAMETER["X_Scale",-1.0],PARAMETER["Y_Scale",1.0],'
+              'PARAMETER["XY_Plane_Rotation",90.0],UNIT["Meter",1.0]]')
+        p = get_projection(wkt_to_proj4(kr))
+        lat = 50 + 12 / 60 + 32.442 / 3600
+        lon = 16 + 50 / 60 + 59.179 / 3600
+        x, y = p.fwd(np.array([lon]), np.array([lat]))
+        # EPSG worked example in East-North axes (both negative)
+        assert abs(float(x[0]) - (-568991.00)) < 0.05
+        assert abs(float(y[0]) - (-1050538.63)) < 0.05
