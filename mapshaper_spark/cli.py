@@ -148,6 +148,7 @@ class Catalog:
     crs: dict[str, str] = field(default_factory=dict)  # proj4 per layer (.prj)
     prj_text: dict[str, str] = field(default_factory=dict)  # original .prj WKT
     flags: set = field(default_factory=set)  # -quiet/-verbose/-debug
+    auto_fid: set = field(default_factory=set)  # layers whose fid is ours
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -217,6 +218,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
 
     dfs = []
     prj_pending: dict[str, tuple] = {}
+    auto_fid_paths: set[str] = set()
     for path in c.values:
         ext = os.path.splitext(path)[1].lower()
         kind_hint = None
@@ -231,9 +233,20 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             else:
                 df = _flatten_props(cat.spark, GJ.import_geojson(cat.spark, obj),
                                     obj)
+                auto_fid_paths.add(path)
+                if obj.get("type") == "Feature":
+                    feats = [obj]
+                elif obj.get("type") == "FeatureCollection":
+                    feats = obj.get("features", [])
+                else:
+                    feats = []
                 gtypes = {(f.get("geometry") or {}).get("type")
-                          for f in obj.get("features", [])} or \
-                    {g.get("type") for g in obj.get("geometries", [])}
+                          for f in feats} or \
+                    {g.get("type") for g in obj.get("geometries", [])} or \
+                    ({obj.get("type")} if obj.get("type") not in
+                     ("Feature", "FeatureCollection", "Topology", None)
+                     else set())
+                gtypes.discard(None)  # null geometries don't pick the kind
                 if gtypes and gtypes <= {"LineString", "MultiLineString"}:
                     kind_hint = "polyline"
                 elif gtypes and gtypes <= {"Point"}:
@@ -280,7 +293,14 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     if c.flag("merge-files") and len(dfs) > 1:
         from mapshaper_spark.operators.attributes import merge_layers
         merged = merge_layers([d for _, d, _k in dfs], force=True)
-        cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
+        name = cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
+        for path, _df, _k in dfs:  # first input .prj rides along (#166)
+            if path in prj_pending:
+                wkt, p4 = prj_pending[path]
+                cat.prj_text[name] = wkt
+                if p4:
+                    cat.crs[name] = p4
+                break
     else:
         for path, df, kind_hint in dfs:
             name = cat.add(str(c.opt("name", _layer_name(path))), df)
@@ -296,6 +316,8 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             ext2 = os.path.splitext(path)[1].lstrip(".").lower()
             if ext2 in ("json", "geojson", "csv", "tsv"):
                 cat.formats[name] = ext2
+            if path in auto_fid_paths:
+                cat.auto_fid.add(name)  # our import id, not a data field
 
 
 def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
@@ -304,6 +326,8 @@ def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
     expressions. Typed via pandas inference on the parsed features."""
     import pandas as _pd
     feats = obj.get("features") if isinstance(obj, dict) else None
+    if not feats and isinstance(obj, dict) and obj.get("type") == "Feature":
+        feats = [obj]  # single-Feature documents flatten too (Issue #171)
     if not feats:
         return df
     records = [f.get("properties") or {} for f in feats]
@@ -602,7 +626,9 @@ def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
         x, y = _point_cols(df)
         cat.replace(P.clip_points(df, x, y, clip_layer,
                                   clip_layer.columns[0], erase=erase))
-    elif kind == "path":
+    elif kind == "path" or cat.kinds.get(cat.target) == "polyline":
+        # a rings-frame flagged polyline clips with midpoint-enclosure
+        # semantics, not ring overlay (Issue #192)
         cat.replace(clip_polylines(df, clip_layer, erase=erase))
     else:
         cat.replace(clip_polygons(_ensure_bbox(df), clip_layer, erase=erase,
@@ -800,7 +826,23 @@ def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
     names = c.csv("name") or cat.order
     merged = merge_layers([cat.layers[n] for n in names if n in cat.layers],
                           force=c.flag("force"))
-    cat.add(str(c.opt("target-name", "merged")), merged)
+    out = cat.add(str(c.opt("target-name", "merged")), merged)
+    srcs = [n for n in names if n in cat.layers and n != out]
+    if srcs and all(n in cat.auto_fid for n in srcs):
+        cat.auto_fid.add(out)
+    # the merged layer keeps the first source CRS (Issue #166: .prj
+    # preserved through combine-files + -merge-layers, whichever input
+    # carried it); mixing projected with unprojected inputs is an error
+    # like the reference's
+    crss = {cat.crs[n] for n in names if n in cat.crs}
+    if len(crss) > 1:
+        raise ValueError(f"-merge-layers: layers have different CRS: {crss}")
+    for n in names:
+        if n in cat.prj_text:
+            cat.prj_text[out] = cat.prj_text[n]
+            if n in cat.crs:
+                cat.crs[out] = cat.crs[n]
+            break
 
 
 def _cmd_split(cat: Catalog, c: Command) -> None:
@@ -892,7 +934,12 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         cat.outputs[f"{cat.target}.csv"] = payload
         return
     if fmt in ("json", "geojson"):
-        geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n"}
+        geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
+                     # import artifacts are not data fields (the reference
+                     # exports only the layer's data table; Issue #174)
+                     "geometry_type", "properties", "shp_type"}
+        if cat.target in cat.auto_fid:
+            geom_cols.add("fid")
         kind = _geometry_kind(df)
         props = [col for col in df.columns if col not in geom_cols
                  and col not in _point_cols(df) + ("lon", "lat", "x", "y")] \
@@ -927,6 +974,13 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                                   object_name=cat.target or "layer")
         payload = json.dumps(topo)
     elif fmt == "svg":
+        if "bbox" not in df.columns and "rings_x" in df.columns:
+            # derive the per-feature bbox struct the SVG exporter frames by
+            df = df.withColumn("bbox", F.struct(
+                F.array_min(F.transform("rings_x", F.array_min)).alias("xmin"),
+                F.array_min(F.transform("rings_y", F.array_min)).alias("ymin"),
+                F.array_max(F.transform("rings_x", F.array_max)).alias("xmax"),
+                F.array_max(F.transform("rings_y", F.array_max)).alias("ymax")))
         payload = SVG.export_svg(df)
     elif fmt in ("csv", "tsv"):
         if path is None:
@@ -945,6 +999,15 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                 # pass the imported WKT through untouched (shp-export.js:21)
                 with open(base + ".prj", "w") as f:
                     f.write(cat.prj_text[cat.target])
+            elif cat.target in cat.crs:
+                # a -proj'd layer writes a fresh .prj for its new CRS
+                # (Issue #193: -proj wgs84 -o emits a WGS84 .prj)
+                from mapshaper_spark.sources.prj import proj4_to_wkt
+                try:
+                    with open(base + ".prj", "w") as f:
+                        f.write(proj4_to_wkt(cat.crs[cat.target]))
+                except ValueError:
+                    pass  # family without a WKT spelling: skip the sidecar
         cat.outputs[path or cat.target] = shp
         return
     elif fmt == "dbf":
@@ -1292,6 +1355,9 @@ def _cmd_polygons(cat: Catalog, c: Command) -> None:
         F.array("xs").alias("rings_x"), F.array("ys").alias("rings_y"),
         "area")
     cat.replace(out)
+    if cat.target:
+        cat.kinds.pop(cat.target, None)  # the layer is polygons now
+        cat.auto_fid.add(cat.target)  # face ids are synthetic too
 
 
 def _cmd_slice(cat: Catalog, c: Command) -> None:
@@ -1533,11 +1599,12 @@ def apply_commands(spark: SparkSession, command_str: str,
                     results[name] = f.read()
                 if ext == ".shp":
                     base = os.path.splitext(path)[0]
-                    for side in (".shx", ".dbf"):
+                    for side, m in ((".shx", "rb"), (".dbf", "rb"),
+                                    (".prj", "r")):
                         sp = base + side
                         if os.path.exists(sp):
                             results[os.path.splitext(name)[0] + side] = \
-                                open(sp, "rb").read()
+                                open(sp, m).read()
         # pathless -o outputs (e.g. '-o format=json') live in cat.outputs
         # keyed '<layer>.<ext>', the reference's derived output names
         for k, v in cat.outputs.items():

@@ -1472,11 +1472,18 @@ def clip_polylines(lines: DataFrame, clip: DataFrame,
     clip = _ensure_bbox(clip)
 
     def _kernel(rec, clip_feats):
+        if rec.get("rings_x") is None or rec.get("rings_y") is None:
+            # null geometry: nothing to clip or keep (Issue #192 — the
+            # reference drops null shapes from clip output)
+            return None
         if has_bbox:
             tb = rec["bbox"]
-            cands = [(rings, cb) for rings, cb in clip_feats
-                     if (cb[0] <= tb["xmax"] and cb[2] >= tb["xmin"] and
-                         cb[1] <= tb["ymax"] and cb[3] >= tb["ymin"])]
+            if tb is None or tb.get("xmax") is None:
+                cands = list(clip_feats)
+            else:
+                cands = [(rings, cb) for rings, cb in clip_feats
+                         if (cb[0] <= tb["xmax"] and cb[2] >= tb["xmin"] and
+                             cb[1] <= tb["ymax"] and cb[3] >= tb["ymin"])]
         else:
             cands = list(clip_feats)
         cands.sort(key=lambda rc: (rc[1],

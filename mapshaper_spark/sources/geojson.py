@@ -115,7 +115,8 @@ def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
 def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
                         x: str | None = None, y: str | None = None,
                         precision: float | None = None,
-                        property_cols: Sequence[str] = ()) -> DataFrame:
+                        property_cols: Sequence[str] = (),
+                        bare_geometry: bool = False) -> DataFrame:
     """One GeoJSON Feature string per row (pure JVM). For ``Point`` pass
     x/y column names; otherwise rings_x/rings_y are rendered as Polygon /
     LineString coordinates. Precision rounds coordinates like -o precision=
@@ -130,6 +131,9 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
         if property_cols else F.struct(F.lit(None).alias("__empty"))
 
     def feat(gtype: str, coords):
+        if bare_geometry:
+            return F.to_json(F.struct(F.lit(gtype).alias("type"),
+                                      coords.alias("coordinates")))
         return F.to_json(F.struct(
             F.lit("Feature").alias("type"),
             F.struct(F.lit(gtype).alias("type"),
@@ -157,8 +161,14 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
 
 
 def export_geojson(df: DataFrame, **kwargs) -> str:
-    """Driver-side FeatureCollection assembly (fixture-scale; at scale use
-    to_geojson_features + write.text as GeoJSONSeq)."""
+    """Driver-side collection assembly (fixture-scale; at scale use
+    to_geojson_features + write.text as GeoJSONSeq). A layer with NO
+    attribute data exports as a GeometryCollection, matching the
+    reference (geojson-export.js exportDatasetAsGeoJSON; Issue #174)."""
+    if not kwargs.get("property_cols"):
+        rows = to_geojson_features(df, bare_geometry=True, **kwargs).collect()
+        geoms = ",".join(r.feature_json for r in rows)
+        return '{"type":"GeometryCollection","geometries":[' + geoms + "]}"
     rows = to_geojson_features(df, **kwargs).collect()
     feats = ",".join(r.feature_json for r in rows)
     return '{"type":"FeatureCollection","features":[' + feats + "]}"

@@ -136,6 +136,64 @@ _PARAM_NAMES = {
 }
 
 
+# canonical ESRI spelling per +proj= family (first hit wins for writing)
+_PROJ_TO_ESRI = {}
+for _wkt_name, _p in _PROJECTION_NAMES.items():
+    _PROJ_TO_ESRI.setdefault(_p, _wkt_name.title())
+
+_PARAM_TO_ESRI = {
+    "lon_0": "Central_Meridian",
+    "lat_0": "Latitude_Of_Origin",
+    "lat_1": "Standard_Parallel_1",
+    "lat_2": "Standard_Parallel_2",
+    "x_0": "False_Easting",
+    "y_0": "False_Northing",
+    "k_0": "Scale_Factor",
+    "k": "Scale_Factor",
+    "alpha": "Azimuth",
+    "lat_ts": "Standard_Parallel_1",
+}
+
+_WGS84_GEOGCS = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+                 'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+                 'PRIMEM["Greenwich",0.0],'
+                 'UNIT["Degree",0.0174532925199433]]')
+
+
+def proj4_to_wkt(p4: str) -> str:
+    """'+proj=...' -> minimal ESRI WKT for .prj export (the reference
+    delegates to mproj's wkt_from_proj4, shp-export.js:21-28; this covers
+    the families geom/projections.py implements). Raises ValueError for
+    families with no ESRI spelling here."""
+    params = {}
+    for tok in p4.split():
+        if tok.startswith("+"):
+            k, _, v = tok[1:].partition("=")
+            params[k] = v
+    name = params.get("proj", "")
+    if name in ("longlat", "latlong", "lonlat") or p4 in ("wgs84",):
+        return _WGS84_GEOGCS
+    esri = _PROJ_TO_ESRI.get(name)
+    if esri is None:
+        raise ValueError(f"no WKT spelling for +proj={name}")
+    if "a" in params:
+        a = float(params["a"])
+        rf = float(params["rf"]) if "rf" in params else (
+            0.0 if params.get("b") == params.get("a") else 298.257223563)
+        geogcs = ('GEOGCS["GCS_Custom",DATUM["D_Custom",'
+                  f'SPHEROID["Custom",{a},{rf}]],'
+                  'PRIMEM["Greenwich",0.0],'
+                  'UNIT["Degree",0.0174532925199433]]')
+    else:
+        geogcs = _WGS84_GEOGCS
+    parts = [f'PROJCS["{esri}",{geogcs},PROJECTION["{esri}"]']
+    for k, v in params.items():
+        if k in _PARAM_TO_ESRI:
+            parts.append(f',PARAMETER["{_PARAM_TO_ESRI[k]}",{float(v)}]')
+    parts.append(',UNIT["Meter",1.0]]')
+    return "".join(parts)
+
+
 def _find(items, name):
     for it in items:
         if isinstance(it, tuple) and it[0].upper() == name:

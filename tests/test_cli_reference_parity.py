@@ -473,3 +473,109 @@ class TestKeepShapesParity:
         got = _first_geom(out["poly.json"])
         assert _norm_ring(got["coordinates"][0]) == \
             _norm_ring(poly["coordinates"][0])
+
+
+class TestIssueRegressions:
+    """Transcribed reference issue regression tests (test/issue-*.js)."""
+
+    def test_issue_161_simplify_shrinks_svg(self, spark):
+        # issue-161-test.js:7-12: -o a.svg -simplify 10% -o b.svg
+        shp = open("/root/reference/test/test_data/two_states.shp", "rb").read()
+        dbf = open("/root/reference/test/test_data/two_states.dbf", "rb").read()
+        out = apply_commands(
+            spark, "-i two_states.shp -o a.svg -simplify 10% -o b.svg",
+            {"two_states.shp": shp, "two_states.dbf": dbf})
+        assert len(out["a.svg"]) > len(out["b.svg"])
+
+    def test_issue_171_dollar_amp_in_attribute(self, spark):
+        # issue-171-test.js: '$&' inside a property must not corrupt output
+        geojson = json.dumps({"type": "Feature", "properties": {"foo": " $& "},
+                              "geometry": {"type": "Point",
+                                           "coordinates": [1.0, 2.0]}})
+        out = apply_commands(spark, "-i input.json -o output.json",
+                             {"input.json": geojson})
+        parsed = json.loads(out["output.json"])  # throws if invalid
+        feats = parsed.get("features", [])
+        assert feats and feats[0]["properties"]["foo"] == " $& "
+
+    def test_issue_174_merge_layers_no_attributes(self, spark):
+        # issue-174-test.js: geometry-only layers export a GeometryCollection
+        a = json.dumps({"type": "Point", "coordinates": [0.0, 0.0]})
+        out = apply_commands(spark, "-i 1.json -merge-layers -o out.json",
+                             {"1.json": a})
+        parsed = json.loads(out["out.json"])
+        assert parsed["type"] == "GeometryCollection"
+        assert parsed["geometries"] == [
+            {"type": "Point", "coordinates": [0.0, 0.0]}]
+
+    def test_issue_192_clip_polyline_with_null_geometry(self, spark):
+        # issue-192-test.js: clipping a polyline layer containing a null
+        # geometry doesn't error; the line clips to the polygon
+        a = json.dumps({
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "properties": {},
+                 "geometry": {"type": "LineString",
+                              "coordinates": [[0, 1], [10, 1]]}},
+                {"type": "Feature", "properties": {}, "geometry": None}]})
+        b = json.dumps({"type": "Polygon",
+                        "coordinates": [[[1, 0], [1, 2], [2, 2], [2, 0],
+                                         [1, 0]]]})
+        out = apply_commands(spark, "-i b.json -i a.json -clip b -o a.json",
+                             {"a.json": a, "b.json": b})
+        geom = json.loads(out["a.json"])
+        coords = (geom["geometries"][0]["coordinates"]
+                  if geom["type"] == "GeometryCollection"
+                  else geom["features"][0]["geometry"]["coordinates"])
+        assert coords == [[1, 1], [2, 1]]
+
+    def test_issue_269_field_order_preserved(self, spark):
+        # issue-269-field-order.js: joined fields follow local fields;
+        # created fields follow original fields
+        from mapshaper_spark.sources.shapefile import read_dbf
+        out = apply_commands(
+            spark, "-i a.csv -join b.csv keys=id,id -o format=dbf",
+            {"a.csv": "id,N,M\n1,n,m",
+             "b.csv": "id,Z,Y,X,A,B,C\n1,z,y,x,a,b,c"})
+        recs = read_dbf(out["a.dbf"])
+        assert list(recs[0].keys()) == list("id,N,M,Z,Y,X,A,B,C".split(","))
+        out2 = apply_commands(
+            spark, "-i a.csv -each 'C = \"c\", X = \"x\"' -o format=dbf",
+            {"a.csv": "A,Z,B,Y\na,z,b,y"})
+        recs2 = read_dbf(out2["a.dbf"])
+        assert list(recs2[0].keys()) == list("A,Z,B,Y,C,X".split(","))
+
+    def test_issue_193_proj_writes_new_prj(self, spark, tmp_path):
+        # issue-193-test.js: -proj wgs84 emits a WGS84 .prj on export
+        import shutil
+        for ext in (".shp", ".dbf", ".prj"):
+            shutil.copy("/root/reference/test/test_data/two_states_mercator" + ext,
+                        tmp_path / ("m" + ext))
+        from mapshaper_spark.cli import run_commands
+        out_shp = tmp_path / "out.shp"
+        run_commands(spark, f"-i {tmp_path}/m.shp -proj wgs84 -o {out_shp}")
+        prj = (tmp_path / "out.prj").read_text()
+        assert "WGS" in prj and prj.startswith("GEOGCS")
+
+    def test_issue_166_prj_preserved_through_merge(self, spark):
+        # issue-166-test.js: .prj preserved after combine-files +
+        # -merge-layers, whichever input carries it
+        d = "/root/reference/test/test_data/issues/166/"
+        prj = open(d + "a_utm.prj").read()
+        files = {}
+        for stem in ("a_utm", "b_utm", "c_utm"):
+            for ext in (".shp", ".dbf", ".prj"):
+                import os as _os
+                if _os.path.exists(d + stem + ext):
+                    files[stem + ext] = open(d + stem + ext, "rb").read()
+        files = {k: v for k, v in files.items()}
+        # text prj for writing convenience
+        files["a_utm.prj"] = prj
+        out = apply_commands(
+            spark, "-i a_utm.shp c_utm.shp combine-files -merge-layers "
+                   "-o out.shp", files)
+        assert out["out.prj"].strip() == prj.strip()
+        out2 = apply_commands(
+            spark, "-i c_utm.shp a_utm.shp combine-files -merge-layers "
+                   "-o out.shp", files)
+        assert out2["out.prj"].strip() == prj.strip()

@@ -74,8 +74,16 @@ class TestReferenceUserWorkflow:
             "arc_id", "xs", "ys", "n", "bbox"), key="rid")
         gj = export_geojson(assembled.select("rid", "rings_x", "rings_y"))
         obj = gj if isinstance(gj, dict) else json.loads(gj)
-        assert obj["type"] == "FeatureCollection"
-        assert len(obj["features"]) == 6
+        # no property_cols requested -> attribute-less export -> the
+        # reference emits a GeometryCollection (geojson-export.js)
+        assert obj["type"] == "GeometryCollection"
+        assert len(obj["geometries"]) == 6
+        # with rid exported as a property it stays a FeatureCollection
+        gj2 = export_geojson(assembled.select("rid", "rings_x", "rings_y"),
+                             property_cols=["rid"])
+        obj2 = json.loads(gj2)
+        assert obj2["type"] == "FeatureCollection"
+        assert len(obj2["features"]) == 6
 
 
 class TestSixCounties:
