@@ -1114,6 +1114,25 @@ def q_each_regex(spark, sf_dir):
                       "ohs")
 
 
+def q_each_js(spark, sf_dir):
+    """Round-4 expression-engine fallback: -each/-filter running ORIGINAL
+    JS per row (arrow functions, method chains the SQL translator cannot
+    express) through functions/jsengine.py inside mapInPandas
+    (operators/jseach.py). The reference executes arbitrary JS per record
+    (mapshaper-expressions.js:140-162); this query proves the fallback
+    engine end-to-end: split -> map(arrow) -> join, string length
+    arithmetic, and a filter_js predicate. The DuckDB oracle recomputes
+    with list_transform lambdas."""
+    from mapshaper_spark.operators.jseach import each_js, filter_js
+    cu = _t(spark, sf_dir, "customer")
+    out = each_js(
+        cu,
+        "initials = c_name.split('#').map(w => w.charAt(0)).join('');"
+        " nlen = c_name.length + c_acctbal / 1000")
+    out = filter_js(out, "c_mktsegment.toLowerCase().startsWith('b')")
+    return out.select("c_custkey", "initials", "nlen")
+
+
 def q_events_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.col("user_id"), F.to_date("ts").alias("day"),
@@ -1410,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines": q_lines,
         "each_regex": q_each_regex,  # new r4: rotated in (neighbors out —
         # driver-green since r1, still covered by check_oracle)
+        "each_js": q_each_js,  # new r4: JS-interpreter fallback engine
         # path / ring ops (+ CLI end-to-end, late r3)
         "cli_pipeline": q_cli_pipeline,
         "filter_islands": q_filter_islands,
@@ -1694,6 +1714,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(instr(c_name, '#') - 1 AS BIGINT) AS hash_pos,
                regexp_replace(c_name, '0', 'O', 'g') AS ohs
         FROM customer
+    """
+    sqls["each_js"] = """
+        SELECT c_custkey,
+               array_to_string(list_transform(string_split(c_name, '#'),
+                                              w -> w[1]), '') AS initials,
+               CAST(length(c_name) AS DOUBLE) + c_acctbal / 1000 AS nlen
+        FROM customer
+        WHERE lower(c_mktsegment) LIKE 'b%'
     """
     sqls["each_where"] = """
         SELECT l_orderkey, l_linenumber,

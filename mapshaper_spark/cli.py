@@ -344,7 +344,12 @@ def _cmd_filter(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import attributes as AT
     df = cat.df()
     if c.values:
-        df = AT.filter_features(df, _sql(c.values[0], cat.calc_env))
+        try:
+            df = AT.filter_features(df, _sql(c.values[0], cat.calc_env))
+            df.schema  # force analysis so translation failures surface here
+        except Exception:
+            from mapshaper_spark.operators.jseach import filter_js
+            df = filter_js(cat.df(), c.values[0], env=cat.calc_env)
     if c.flag("remove-empty"):
         df = AT.filter_remove_empty(df)
     cat.replace(df)
@@ -388,8 +393,16 @@ def _cmd_each(cat: Catalog, c: Command) -> None:
             col = F.when(F.expr(_sql(str(where), cat.calc_env)), col).otherwise(prev)
         cat.replace(cat.df().withColumn(m.group(1), col))
         return
-    cat.replace(each_expr(cat.df(), _sql(c.values[0], cat.calc_env),
-                          _sql(str(where), cat.calc_env) if where else None))
+    try:
+        cat.replace(each_expr(cat.df(), _sql(c.values[0], cat.calc_env),
+                              _sql(str(where), cat.calc_env) if where else None))
+    except Exception:
+        # expression outside the SQL-translatable surface -> interpret the
+        # original JS per row (operators/jseach.py, the documented slow path)
+        from mapshaper_spark.operators.jseach import each_js
+        cat.replace(each_js(cat.df(), c.values[0],
+                            where=str(where) if where else None,
+                            env=cat.calc_env))
 
 
 def _cmd_uniq(cat: Catalog, c: Command) -> None:

@@ -1700,6 +1700,211 @@ class Krovak(Projection):
         return lam / D2R, phi / D2R
 
 
+class _SimplePseudoCylindrical(Projection):
+    """Shared frame for spherical pseudocylindricals with closed forward
+    and inverse forms (the +proj= long tail the reference reaches through
+    mproj's pj_list, mapshaper-projections.js:4-66; equations from Snyder,
+    "Map Projections — A Working Manual" / "An Album of Map Projections").
+    Subclasses implement _fwd/_inv on radians over the unit sphere."""
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        x, y = self._fwd(lam, phi)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        lam, phi = self._inv(xr, yr)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class KavrayskiyVII(_SimplePseudoCylindrical):
+    """kav7: x = (3/2) lam sqrt(1/3 - (phi/pi)^2), y = phi."""
+
+    def _fwd(self, lam, phi):
+        s = np.sqrt(np.clip(1.0 / 3.0 - (phi / math.pi) ** 2, 0.0, None))
+        return 1.5 * lam * s, phi
+
+    def _inv(self, x, y):
+        phi = y
+        s = np.sqrt(np.clip(1.0 / 3.0 - (phi / math.pi) ** 2, 1e-12, None))
+        return x / (1.5 * s), phi
+
+
+class WagnerVI(_SimplePseudoCylindrical):
+    """wag6: x = lam sqrt(1 - 3 (phi/pi)^2), y = phi."""
+
+    def _fwd(self, lam, phi):
+        s = np.sqrt(np.clip(1.0 - 3.0 * (phi / math.pi) ** 2, 0.0, None))
+        return lam * s, phi
+
+    def _inv(self, x, y):
+        phi = y
+        s = np.sqrt(np.clip(1.0 - 3.0 * (phi / math.pi) ** 2, 1e-12, None))
+        return x / s, phi
+
+
+class Collignon(_SimplePseudoCylindrical):
+    """collg (equal-area, triangular): x = 2/sqrt(pi) lam sqrt(1-sin phi),
+    y = sqrt(pi) (1 - sqrt(1 - sin phi))."""
+
+    def _fwd(self, lam, phi):
+        s = np.sqrt(np.clip(1.0 - np.sin(phi), 0.0, None))
+        return 2.0 / SQRT_PI * lam * s, SQRT_PI * (1.0 - s)
+
+    def _inv(self, x, y):
+        s = 1.0 - y / SQRT_PI
+        phi = np.arcsin(np.clip(1.0 - s * s, -1.0, 1.0))
+        lam = x * SQRT_PI / (2.0 * np.maximum(s, 1e-12))
+        return lam, phi
+
+
+class CrasterParabolic(_SimplePseudoCylindrical):
+    """crast (equal-area, parabolic meridians):
+    x = sqrt(3/pi) lam (2 cos(2 phi / 3) - 1), y = sqrt(3 pi) sin(phi/3)."""
+
+    C = math.sqrt(3.0 / math.pi)
+
+    def _fwd(self, lam, phi):
+        return (self.C * lam * (2.0 * np.cos(2.0 * phi / 3.0) - 1.0),
+                math.sqrt(3.0 * math.pi) * np.sin(phi / 3.0))
+
+    def _inv(self, x, y):
+        phi = 3.0 * np.arcsin(np.clip(y / math.sqrt(3.0 * math.pi),
+                                      -1.0, 1.0))
+        lam = x / (self.C * (2.0 * np.cos(2.0 * phi / 3.0) - 1.0))
+        return lam, phi
+
+
+class QuarticAuthalic(_SimplePseudoCylindrical):
+    """qua_aut (equal-area): x = lam cos phi / cos(phi/2),
+    y = 2 sin(phi/2)."""
+
+    def _fwd(self, lam, phi):
+        h = 0.5 * phi
+        return lam * np.cos(phi) / np.cos(h), 2.0 * np.sin(h)
+
+    def _inv(self, x, y):
+        h = np.arcsin(np.clip(0.5 * y, -1.0, 1.0))
+        phi = 2.0 * h
+        lam = x * np.cos(h) / np.where(np.abs(np.cos(phi)) < 1e-12,
+                                       1e-12, np.cos(phi))
+        return lam, phi
+
+
+class WinkelI(_SimplePseudoCylindrical):
+    """wink1: x = lam (cos lat_ts + cos phi)/2, y = phi (arithmetic mean
+    of equirectangular and sinusoidal)."""
+
+    def __init__(self, a, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0, x0, y0)
+        self.cosphi1 = math.cos(lat_ts * D2R)
+
+    def _fwd(self, lam, phi):
+        return 0.5 * lam * (self.cosphi1 + np.cos(phi)), phi
+
+    def _inv(self, x, y):
+        phi = y
+        return 2.0 * x / (self.cosphi1 + np.cos(phi)), phi
+
+
+class Loximuthal(_SimplePseudoCylindrical):
+    """loxim: straight loxodromes from the central point (lat_1).
+    y = phi - phi1; x = lam (phi - phi1) / ln(tan(pi/4 + phi/2) /
+    tan(pi/4 + phi1/2)), degenerating to lam cos(phi1) on the parallel."""
+
+    EPS = 1e-8
+
+    def __init__(self, a, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0, x0, y0)
+        self.phi1 = lat1 * D2R
+        self.cosphi1 = math.cos(self.phi1)
+        self.tanphi1 = math.tan(0.25 * math.pi + 0.5 * self.phi1)
+
+    def _fwd(self, lam, phi):
+        d = phi - self.phi1
+        t = np.tan(0.25 * math.pi + 0.5 * phi)
+        ln = np.log(np.maximum(t, 1e-12) / self.tanphi1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(np.abs(d) < self.EPS, lam * self.cosphi1,
+                         np.where(np.abs(ln) < self.EPS, 0.0, lam * d / ln))
+        return x, d
+
+    def _inv(self, x, y):
+        phi = y + self.phi1
+        d = y
+        t = np.tan(0.25 * math.pi + 0.5 * phi)
+        ln = np.log(np.maximum(t, 1e-12) / self.tanphi1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(np.abs(d) < self.EPS, x / self.cosphi1,
+                           np.where(np.abs(ln) < self.EPS, 0.0, x * ln / d))
+        return lam, phi
+
+
+class TransverseCylindricalEqualArea(Projection):
+    """tcea, spherical (Snyder eq. 10-1..10-7): x = cos phi sin lam / k0,
+    y = k0 (atan2(tan phi, cos lam) - lat_0). Equal-area."""
+
+    def __init__(self, a, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.phi0, self.k0 = lat0 * D2R, k0
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        x = self.a * np.cos(phi) * np.sin(lam) / self.k0
+        y = self.a * self.k0 * (np.arctan2(np.tan(phi), np.cos(lam)) -
+                                self.phi0)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        t = (np.asarray(x, dtype=np.float64) - self.x0) * self.k0 / self.a
+        d = (np.asarray(y, dtype=np.float64) - self.y0) / (self.a * self.k0) \
+            + self.phi0
+        s = np.sqrt(np.clip(1.0 - t * t, 0.0, 1.0))
+        phi = np.arcsin(np.clip(s * np.sin(d), -1.0, 1.0))
+        lam = np.arctan2(t, s * np.cos(d))
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class CentralCylindrical(_SimplePseudoCylindrical):
+    """cc: x = lam, y = tan phi (perspective from the axis)."""
+
+    def _fwd(self, lam, phi):
+        return lam, np.tan(np.clip(phi, -1.5607, 1.5607))
+
+    def _inv(self, x, y):
+        return x, np.arctan(y)
+
+
+class NellHammer(_SimplePseudoCylindrical):
+    """nell_h (equal-area): x = lam (1 + cos phi)/2,
+    y = 2 (phi - tan(phi/2)); inverse iterates phi (Newton)."""
+
+    def _fwd(self, lam, phi):
+        return 0.5 * lam * (1.0 + np.cos(phi)), 2.0 * (phi - np.tan(0.5 * phi))
+
+    def _inv(self, x, y):
+        phi = np.clip(y, -HALFPI, HALFPI).copy()
+        for _ in range(30):
+            f = 2.0 * (phi - np.tan(0.5 * phi)) - y
+            fp = 2.0 - 1.0 / np.cos(0.5 * phi) ** 2
+            step = np.where(np.abs(fp) < 1e-12, 0.0, f / fp)
+            phi = phi - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        lam = 2.0 * x / (1.0 + np.cos(phi))
+        return lam, phi
+
+
+SQRT_PI = math.sqrt(math.pi)
+
+
 ALIASES = {
     # mapshaper-projections.js:163-168
     "webmercator": "+proj=merc +a=6378137 +b=6378137",
@@ -1718,7 +1923,9 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "gnom", "cea", "mill", "eqdc", "hammer", "wintri", "eck4",
               "natearth", "eqearth", "vandg", "gall", "cass", "bonne",
               "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
-              "somerc", "sterea", "omerc", "aitoff", "nsper", "krovak")
+              "somerc", "sterea", "omerc", "aitoff", "nsper", "krovak",
+              "kav7", "wag6", "collg", "crast", "qua_aut", "wink1",
+              "loxim", "tcea", "cc", "nell_h")
 
 
 def get_projection(defn: str) -> Projection:
@@ -1869,6 +2076,30 @@ def get_projection(defn: str) -> Projection:
     if name == "nsper":
         return NearSidedPerspective(a, h=float(p.get("h", 35785831.0)),
                                     lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    # the round-4 pseudocylindrical tail (spherical closed forms)
+    if name == "kav7":
+        return KavrayskiyVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wag6":
+        return WagnerVI(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "collg":
+        return Collignon(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "crast":
+        return CrasterParabolic(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "qua_aut":
+        return QuarticAuthalic(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wink1":
+        return WinkelI(a, lat_ts=float(p.get("lat_ts", 0.0)),
+                       lon0=lon0, x0=x0, y0=y0)
+    if name == "loxim":
+        return Loximuthal(a, lat1=float(p.get("lat_1", 0.0)),
+                          lon0=lon0, x0=x0, y0=y0)
+    if name == "tcea":
+        return TransverseCylindricalEqualArea(a, lat0=lat0, lon0=lon0,
+                                              k0=k0, x0=x0, y0=y0)
+    if name == "cc":
+        return CentralCylindrical(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "nell_h":
+        return NellHammer(a, lon0=lon0, x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

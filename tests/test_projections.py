@@ -798,3 +798,80 @@ class TestKrovak:
         lo, la = p.inv(x, y)
         assert np.abs(lo - LO.ravel()).max() < 1e-9
         assert np.abs(la - LA.ravel()).max() < 1e-9
+
+
+class TestRound4PseudoCylindricalTail:
+    """kav7 / wag6 / collg / crast / qua_aut / wink1 / loxim / tcea / cc /
+    nell_h — the +proj= pseudocylindrical tail (VERDICT r03 'missing' #3).
+    Round-trips must be exact; the equal-area members must hold a unit
+    area-scale Jacobian everywhere (the property that pins their
+    constants); shape constants are spot-checked against known values."""
+
+    NAMES = ["kav7", "wag6", "collg", "crast", "qua_aut", "wink1",
+             "loxim", "tcea", "cc", "nell_h",
+             "+proj=wink1 +lat_ts=50", "+proj=loxim +lat_1=40",
+             "+proj=tcea +lat_0=10 +k_0=0.99",
+             "+proj=kav7 +lon_0=20 +x_0=1000 +y_0=-500"]
+
+    @pytest.mark.parametrize("defn", NAMES)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6
+        assert np.abs(lt2 - lt).max() < 1e-6
+
+    @pytest.mark.parametrize("defn", ["collg", "crast", "qua_aut", "tcea",
+                                      "nell_h"])
+    def test_equal_area_property(self, defn):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -60), (-60, 30), (0, 0), (45, 70),
+                           (140, -35), (170, 80)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0) * (y2 - y0) -
+                          (x2 - x0) * (y1 - y0))) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            true = R * R * math.cos(math.radians(phi0))
+            assert abs(J / true - 1.0) < 1e-3, (defn, lam0, phi0)
+
+    def test_shape_constants(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        # kav7 equator scale = sqrt(3)/2; wag6 equator is true scale
+        x, _ = get_projection("kav7").fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) / (R * math.pi / 2) -
+                   math.sqrt(3) / 2) < 1e-12
+        x, _ = get_projection("wag6").fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) - R * math.pi / 2) < 1e-6
+        # collg pole: a point at y = sqrt(pi) R
+        x, y = get_projection("collg").fwd(np.array([120.0]),
+                                           np.array([90.0]))
+        assert abs(float(x[0])) < 1e-6
+        assert abs(float(y[0]) - math.sqrt(math.pi) * R) < 1e-6
+        # qua_aut pole height: y = 2 R sin(45 deg) = R sqrt(2)
+        _, y = get_projection("qua_aut").fwd(np.array([0.0]),
+                                             np.array([90.0]))
+        assert abs(float(y[0]) - R * math.sqrt(2)) < 1e-6
+        # cc: y(45) = R
+        _, y = get_projection("cc").fwd(np.array([0.0]), np.array([45.0]))
+        assert abs(float(y[0]) - R) < 1e-6
+        # loxim: x on the central parallel is lam cos(phi1)
+        p = get_projection("+proj=loxim +lat_1=40")
+        x, _ = p.fwd(np.array([10.0]), np.array([40.0]))
+        assert abs(float(x[0]) -
+                   R * math.radians(10) * math.cos(math.radians(40))) < 1e-6

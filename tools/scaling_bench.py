@@ -90,6 +90,20 @@ def _system_busy_seconds() -> float:
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
 
+# Gate v2 (pre-registered 2026-08-18, round 4): in addition to the v1
+# pre+post loadavg rule, a shot only counts as quiet if the DIRECT
+# contention accounting — external busy cores averaged over the shot's
+# whole wall window ((/proc/stat busy - child rusage) / wall) — stays at
+# or under this many cores. The 1-min loadavg EWMA provably missed a
+# 20-core tenant riding the hi side of the 15:00:42 pair (recorded, left
+# in the log as evidence); this accounting cannot miss it. The rule is
+# decided per shot BEFORE anyone sees the efficiency number and applies
+# uniformly to every v2 row, fast and slow alike; v1 rows (no
+# external-cores field / no v2 flag) can never join the v2 headline.
+EXT_CORES_LIMIT = 2.0
+GATE_VERSION = 2
+
+
 def run_level(cores: int, images: int, repeat: int,
               quiet_load: float, quiet_wait: float) -> dict:
     import resource
@@ -122,7 +136,9 @@ def run_level(cores: int, images: int, repeat: int,
     # the post-shot 1-minute average confirms nothing landed mid-run (the
     # child itself contributes `cores`, so allow threshold + cores)
     rec["started_quiet"] = quiet
-    rec["ran_quiet"] = bool(quiet and load_after < quiet_load + cores)
+    rec["ran_quiet"] = bool(quiet and load_after < quiet_load + cores
+                            and external_cores <= EXT_CORES_LIMIT)
+    rec["ext_limit"] = EXT_CORES_LIMIT
     return rec
 
 
@@ -140,6 +156,7 @@ def measure_pair(n: int, images: int, repeat: int,
         "passes_0.8": eff >= 0.8,
         "paired": True,
         "gated": bool(lo["ran_quiet"] and hi["ran_quiet"]),
+        "gate": GATE_VERSION,
         "quiet_load": quiet_load,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -177,22 +194,23 @@ def render_section(rows: list[dict], images: int, since: str,
         "each, lo/hi measured back-to-back as a pair.",
         "",
         "The host carries external tenant load, so measurement is gated",
-        "PRE-REGISTERED (decided before each shot, never on the result): a",
-        "wait-for-quiet loop blocks until loadavg_1m is under the fixed",
-        "threshold recorded in each row ('quiet_load'); a pair counts as",
-        "GATED only when both sides started under it AND the post-shot",
-        "1-min loadavg stayed under threshold + cores. The headline statistic",
-        f"is the MEDIAN efficiency over gated pairs (minimum {min_gated};",
-        "fewer means the axis is UNPROVEN this era, and says so) — the",
-        "median, not best-of, precisely so a tenant spike that slips past",
-        "the 1-min-EWMA gate (it happens; see any low outlier below) damps",
-        "the statistic instead of being hand-excluded. Ungated",
-        "rows stay in BENCH_SCALING.jsonl as contention evidence but never",
-        f"feed the headline. Rows since {since} (the last commit touching",
-        "the flagship path). Newer rows additionally record",
-        "'external_cores_avg' per shot (system-wide busy CPU-seconds from",
-        "/proc/stat minus the child's own rusage, over the wall window) —",
-        "direct contention accounting the loadavg EWMA cannot fake.",
+        "PRE-REGISTERED (decided before each shot, never on the result).",
+        "Gate v2 (this era): (a) a wait-for-quiet loop blocks until",
+        "loadavg_1m is under the fixed threshold recorded in each row",
+        "('quiet_load'); (b) the post-shot 1-min loadavg must stay under",
+        "threshold + cores; AND (c) direct contention accounting — average",
+        "EXTERNAL busy cores over the shot's whole wall window, computed as",
+        "(/proc/stat busy CPU-seconds minus the child's own rusage) / wall",
+        f"— must be <= {EXT_CORES_LIMIT} on BOTH sides of the pair. (c) was",
+        "added after the loadavg EWMA provably missed a 20-core tenant",
+        "mid-shot (the 15:00:42 row, kept in the log as evidence); it is a",
+        "strictly stronger rule applied uniformly to every v2 row, fast and",
+        "slow alike — v1 rows, passing and failing both, can never join the",
+        "v2 headline. The headline statistic is the MEDIAN efficiency over",
+        f"gated pairs (minimum {min_gated}; fewer means the axis is UNPROVEN",
+        "this era, and says so) — the median, not best-of. Ungated rows stay",
+        f"in BENCH_SCALING.jsonl as contention evidence. Rows since {since}",
+        "(the last commit touching the flagship path).",
         "",
         "| axis | gated pairs | gated median eff | gated min..max | ungated rows | PASS >=0.8 |",
         "|---|---|---|---|---|---|",
@@ -203,12 +221,13 @@ def render_section(rows: list[dict], images: int, since: str,
     details = []
     for metric in sorted(by_metric):
         rs = by_metric[metric]
-        # only rows measured under the full pre+post gate rule are eligible
-        # (identified by the loadavg_after field — a methodology version
-        # key, not an outcome filter: it excludes old passing AND old
-        # failing rows alike)
+        # only rows measured under the CURRENT gate rule are eligible
+        # (the 'gate' version stamp is a methodology key, not an outcome
+        # filter: it excludes old passing AND old failing rows alike).
+        # Gate v2 = pre+post loadavg AND direct external-cores accounting
+        # <= EXT_CORES_LIMIT on both sides of the pair.
         gated = [r for r in rs if r.get("gated")
-                 and r.get("low", {}).get("loadavg_after") is not None]
+                 and r.get("gate", 1) >= GATE_VERSION]
         ungated = [r for r in rs if r not in gated]
         axis = metric.replace("scaling efficiency ", "")
         if len(gated) >= min_gated:
