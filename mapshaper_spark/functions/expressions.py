@@ -168,10 +168,14 @@ _JS_METHODS = [
      lambda m: f"startswith({m.group(1)}, {m.group(2)})"),
     (re.compile(_RECV + r"\.endsWith\(" + _ARG + r"\)"),
      lambda m: f"endswith({m.group(1)}, {m.group(2)})"),
+    # JS padStart/padEnd never TRUNCATE a string already >= the target
+    # width (lpad/rpad do) — guard with IF
     (re.compile(_RECV + r"\.padStart\(" + _ARG + r"\)"),
-     lambda m: f"lpad({m.group(1)}, {m.group(2)})"),
+     lambda m: (f"IF(length({m.group(1)}) >= ({m.group(2).split(',')[0]}), "
+                f"{m.group(1)}, lpad({m.group(1)}, {m.group(2)}))")),
     (re.compile(_RECV + r"\.padEnd\(" + _ARG + r"\)"),
-     lambda m: f"rpad({m.group(1)}, {m.group(2)})"),
+     lambda m: (f"IF(length({m.group(1)}) >= ({m.group(2).split(',')[0]}), "
+                f"{m.group(1)}, rpad({m.group(1)}, {m.group(2)}))")),
     (re.compile(_RECV + r"\.concat\(" + _ARG + r"\)"),
      lambda m: f"concat({m.group(1)}, {m.group(2)})"),
     # toFixed returns a STRING in JS -> printf-style formatting

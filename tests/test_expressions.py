@@ -54,7 +54,10 @@ class TestParenAwareArgs:
         assert t("bar.split('-')[2]") == "split_part(bar, '-', 3)"
 
     def test_pad_with_two_args(self):
-        assert t("s.padStart(5, '0')") == "lpad(s, 5, '0')"
+        # JS padStart never truncates a string already >= the width,
+        # unlike lpad — the translation guards with IF
+        assert t("s.padStart(5, '0')") == \
+            "IF(length(s) >= (5), s, lpad(s, 5, '0'))"
 
 
 class TestParseAssignments:
