@@ -1450,7 +1450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geometry expressions / proj / simplify
         "proj_lcc": q_proj_lcc,
         "proj_albersusa": q_proj_albersusa,
-        "proj_sinu": q_proj_sinu,
         # LLM-data-pipeline family
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
@@ -1472,7 +1471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rotated out r3 after two green rounds: area_expr, spherical_area,
         # calc_aggs, events_rollup, dissolve_customers_by_nation, and —
         # late r3, for the media codec slots — word_jaccard, ngram_jaccard;
+        # r4: proj_sinu rotates out (green r2+r3; proj family keeps two
+        # in-window representatives) so intersection_cuts fits at #50;
         # all still oracle-checked by tools/check_oracle.py)
+        "proj_sinu": q_proj_sinu,
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "join_calc": q_join_calc,

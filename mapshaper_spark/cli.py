@@ -47,7 +47,7 @@ _FLAG_WORDS = {
     "combine-files", "merge-files", "erase", "centroid", "inner",
     "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
-    "postprocess", "debug",
+    "postprocess", "debug", "final",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -75,7 +75,8 @@ _CMD_OPTS = {
     "style": _STYLE_OPTS,
     "svg-style": _STYLE_OPTS,
     "drop": {"target"},
-    "o": {"target"},
+    "o": {"target", "width", "height", "margin", "svg-scale", "id-prefix",
+          "id-field", "point-symbol"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
     "include": {"file"},
     "polygons": {"gap-tolerance"},
@@ -252,6 +253,9 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 elif gtypes and gtypes <= {"Point"}:
                     kind_hint = "point"
                     df = df.drop("rings_x", "rings_y")
+                elif gtypes and gtypes <= {"Point", "MultiPoint"}:
+                    # MultiPoint coords live in the rings arrays; keep them
+                    kind_hint = "point"
         elif ext == ".shp":
             shp = open(path, "rb").read()
             stem = os.path.splitext(path)[0]
@@ -688,18 +692,30 @@ def _cmd_points(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import paths as P
     df = cat.df()
     if c.opt("x") and c.opt("y"):
-        cat.replace(P.points_from_columns(df, str(c.opt("x")), str(c.opt("y"))))
+        out = P.points_from_columns(df, str(c.opt("x")), str(c.opt("y")))
     elif c.flag("vertices"):
-        cat.replace(P.points_vertices(df, df.columns[0]))
+        out = P.points_vertices(df, df.columns[0])
     elif c.flag("endpoints"):
-        cat.replace(P.points_endpoints(df, df.columns[0]))
+        out = P.points_endpoints(df, df.columns[0])
     elif c.opt("interval"):
-        cat.replace(P.points_interpolated(df, df.columns[0],
-                                          c.num("interval")))
+        out = P.points_interpolated(df, df.columns[0], c.num("interval"))
     elif c.flag("inner"):
-        cat.replace(P.points_inner(df))
+        out = P.points_inner(df)
     else:  # centroid default, matching -points with no options
-        cat.replace(P.points_from_centroids(df))
+        out = P.points_from_centroids(df)
+    if "+" in c.values:
+        # '+': add as a NEW layer (keep the source), reference no_replace
+        name = cat.add(str(c.opt("name")) if c.opt("name") else "points", out)
+        cat.kinds[name] = "point"
+    else:
+        cat.replace(out)
+        cat.kinds[cat.target] = "point"
+        if c.opt("name") and str(c.opt("name")) != cat.target:
+            new, old = str(c.opt("name")), cat.target
+            cat.layers[new] = cat.layers.pop(old)
+            cat.order[cat.order.index(old)] = new
+            cat.kinds[new] = cat.kinds.pop(old, "point")
+            cat.target = new
 
 
 def _cmd_proj(cat: Catalog, c: Command) -> None:
@@ -890,16 +906,93 @@ def _cmd_rename_layers(cat: Catalog, c: Command) -> None:
         cat.order[cat.order.index(old)] = new
         if cat.target == old:
             cat.target = new
+        # per-layer metadata follows the rename
+        for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+            if old in meta:
+                meta[new] = meta.pop(old)
+        if old in cat.auto_fid:
+            cat.auto_fid.discard(old)
+            cat.auto_fid.add(new)
+
+
+def _svg_payload(cat: Catalog, names: list[str], c: Command) -> str:
+    """Render one SVG document holding the named layers (the reference's
+    exportSVG maps every target layer to a <g> in a single file)."""
+    from mapshaper_spark.sources import svg as SVG
+    layers = []
+    for name in names:
+        df = cat.layers[name]
+        if _ORDER_COL in df.columns:
+            df = df.orderBy(_ORDER_COL).drop(_ORDER_COL)
+        kind = cat.kinds.get(name, _geometry_kind(df))
+        if kind == "point":
+            px, py = _point_cols(df)
+            if "rings_x" in df.columns:
+                # MultiPoint shapes carry their points in the rings arrays;
+                # Point rows fall back to the scalar x/y columns
+                has_rings = (F.col("rings_x").isNotNull()
+                             & (F.size("rings_x") > 0))
+                df = df.withColumn(
+                    "__pxs", F.when(has_rings, F.flatten("rings_x"))
+                    .otherwise(F.when(F.col(px).isNotNull(), F.array(px)))
+                ).withColumn(
+                    "__pys", F.when(has_rings, F.flatten("rings_y"))
+                    .otherwise(F.when(F.col(py).isNotNull(), F.array(py))))
+                px, py = "__pxs", "__pys"
+            layers.append((name, df, "point", px, py))
+            continue
+        if kind == "path":
+            df = (df.withColumn("rings_x", F.array("xs"))
+                    .withColumn("rings_y", F.array("ys")))
+            gt = "polyline"
+        else:
+            gt = "polyline" if cat.kinds.get(name) == "polyline" else "polygon"
+        layers.append((name, df, gt))
+    opts = {}
+    if c.opt("width"):
+        opts["width"] = c.num("width")
+    if c.opt("height"):
+        opts["height"] = c.num("height")
+    if c.opt("margin") is not None:
+        opts["margin"] = c.opt("margin")
+    if c.opt("svg-scale"):
+        opts["svg_scale"] = c.num("svg-scale")
+    if c.opt("precision"):
+        opts["precision"] = c.num("precision")
+    if c.opt("id-prefix"):
+        opts["id_prefix"] = str(c.opt("id-prefix"))
+    if c.opt("id-field"):
+        opts["id_field"] = str(c.opt("id-field"))
+    if c.opt("point-symbol"):
+        opts["point_symbol"] = str(c.opt("point-symbol"))
+    return SVG.export_svg_document(layers, **opts)
 
 
 def _cmd_o(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import delim as DL
     from mapshaper_spark.sources import geojson as GJ
     from mapshaper_spark.sources import shapefile as SH
-    from mapshaper_spark.sources import svg as SVG
     # target= selects which layer(s) to write; '*' = every layer, each to
     # its own derived '<layer>.<ext>' output (the reference's -o target=*)
+    # — EXCEPT svg, where all target layers land in ONE document as <g>
+    # groups (exportSVG; reference test issue-247)
     tgt = c.opt("target")
+    path0 = c.values[0] if c.values else None
+    fmt0 = str(c.opt("format", "")) or (
+        os.path.splitext(path0)[1].lstrip(".").lower() if path0 else "")
+    if tgt and fmt0 == "svg":
+        names = list(cat.order) if str(tgt) == "*" \
+            else [s.strip() for s in str(tgt).split(",")]
+        for name in names:
+            if name not in cat.layers:
+                raise ValueError(f"-o: no layer '{name}' (have {cat.order})")
+        payload = _svg_payload(cat, names, c)
+        key = path0 or f"{names[0]}.svg"
+        if path0:
+            with open(path0, "w") as f:
+                f.write(payload)
+        cat.outputs[key] = payload
+        return
     if tgt:
         names = list(cat.order) if str(tgt) == "*" \
             else [s.strip() for s in str(tgt).split(",")]
@@ -987,14 +1080,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                                   object_name=cat.target or "layer")
         payload = json.dumps(topo)
     elif fmt == "svg":
-        if "bbox" not in df.columns and "rings_x" in df.columns:
-            # derive the per-feature bbox struct the SVG exporter frames by
-            df = df.withColumn("bbox", F.struct(
-                F.array_min(F.transform("rings_x", F.array_min)).alias("xmin"),
-                F.array_min(F.transform("rings_y", F.array_min)).alias("ymin"),
-                F.array_max(F.transform("rings_x", F.array_max)).alias("xmax"),
-                F.array_max(F.transform("rings_y", F.array_max)).alias("ymax")))
-        payload = SVG.export_svg(df)
+        payload = _svg_payload(cat, [cat.target], c)
     elif fmt in ("csv", "tsv"):
         if path is None:
             raise ValueError("-o csv requires a file path")
@@ -1046,7 +1132,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     if path:
         with open(path, "w") as f:
             f.write(payload)
-    cat.outputs[path or f"{cat.target}.json"] = payload
+    ext = {"svg": "svg", "topojson": "json"}.get(fmt, "json")
+    cat.outputs[path or f"{cat.target}.{ext}"] = payload
 
 
 def _cmd_info(cat: Catalog, c: Command) -> None:

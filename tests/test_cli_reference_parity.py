@@ -478,6 +478,54 @@ class TestKeepShapesParity:
 class TestIssueRegressions:
     """Transcribed reference issue regression tests (test/issue-*.js)."""
 
+    def test_issue_160_svg_after_simplify(self, spark):
+        # issue-160-test.js:21-26: '-i two_states_mercator.shp -simplify 10%
+        # -o precision=100 format=svg final' must produce SVG (the reference
+        # crashed when SVG precision-rounding ran after -simplify dropped
+        # the threshold data)
+        base = "/root/reference/test/test_data/two_states_mercator"
+        files = {f"two_states_mercator{ext}": open(base + ext, "rb").read()
+                 for ext in (".shp", ".shx", ".dbf", ".prj")}
+        out = apply_commands(
+            spark, "-i two_states_mercator.shp -simplify 10% "
+            "-o precision=100 format=svg final", files)
+        svg = out["two_states_mercator.svg"]
+        assert svg.startswith('<?xml version="1.0"?>')
+        assert "<path d=" in svg
+        # precision=100 snaps every pixel coordinate to a multiple of 100
+        import re as _re
+        for tok in _re.findall(r'<path d="([^"]+)"', svg):
+            nums = [float(v) for v in tok.replace("M", " ").replace("Z", " ")
+                    .split()]
+            assert all(abs(v / 100 - round(v / 100)) < 1e-9 for v in nums)
+
+    def test_issue_236_geojson_crs_member(self, spark):
+        # issue-236-test.js: FeatureCollection carrying a top-level 'crs'
+        # member (after 'features') must import its features intact
+        raw = open("/root/reference/test/test_data/issues/236/point.geojson"
+                   ).read()
+        out = apply_commands(spark, "-i point.geojson -o out.json",
+                             {"point.geojson": raw})
+        fc = json.loads(out["out.json"])
+        feats = fc["features"]
+        assert len(feats) == 1
+        assert feats[0]["properties"] == {"name": "Niagara Falls"}
+        x, y = feats[0]["geometry"]["coordinates"]
+        assert (round(x, 6), round(y, 6)) == (-79.044118, 43.087714)
+
+    def test_issue_247_svg_layer_ids(self, spark):
+        # issue-247-test.js:8-19: '-points vertices + name=vertices
+        # -o target=vertices,line graphic.svg' -> one SVG, one <g> per layer
+        line = json.dumps({"type": "LineString",
+                           "coordinates": [[0, 0], [2, 1]]})
+        out = apply_commands(
+            spark, "-i line.json -points vertices + name=vertices "
+            "-o target=vertices,line graphic.svg", {"line.json": line})
+        svg = out["graphic.svg"]
+        import re as _re
+        assert _re.search(r'<g[^>]* id="vertices"', svg)
+        assert _re.search(r'<g[^>]* id="line"', svg)
+
     def test_issue_161_simplify_shrinks_svg(self, spark):
         # issue-161-test.js:7-12: -o a.svg -simplify 10% -o b.svg
         shp = open("/root/reference/test/test_data/two_states.shp", "rb").read()

@@ -198,13 +198,17 @@ class TestStreaming:
 
 class TestSvg:
     def test_svg_paths_and_document(self, spark):
+        # reference-shaped document (exportSVG template + pixel transform):
+        # deeper structural assertions live in tests/test_svg_export.py
         from mapshaper_spark.sources import svg as SVG
         polys = L.region_mosaic_rings_local(spark, 2, 1, (0.0, 0.0, 2.0, 1.0))
         doc = SVG.export_svg(polys)
-        assert doc.startswith("<svg")
+        assert doc.startswith('<?xml version="1.0"?>')
         assert doc.count("<path") == 2
-        assert 'M 0.0 0.0 L 0.0 -1.0 L 1.0 -1.0 L 1.0 0.0 L 0.0 0.0 Z' in doc
-        assert 'viewBox="0.0 -1.0 2.0 1.0"' in doc
+        # 2:1 content at default width 800 / margin 1 -> 401px tall
+        assert 'viewBox="0 0 800 401"' in doc
+        # pixel corners: (0,0)->1,400  (1,1)->400,1 (margin = 1px)
+        assert "1 400" in doc and "400 1" in doc
 
 
 class TestTopoPresimplify:

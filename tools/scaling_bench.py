@@ -62,6 +62,40 @@ for _ in range({repeat}):  # best-of within the child: absorbs one GC/JIT hiccup
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     best = min(best, time.time() - t0)
+
+
+def _tree_cpu_seconds():
+    # CPU-seconds burned by THIS child and its whole live process tree —
+    # crucially the py4j JVM, which is a grandchild the parent can never
+    # see through RUSAGE_CHILDREN (py4j kills it without reaping, so its
+    # rusage is dropped at exit). Sampled HERE, while the JVM is alive.
+    import resource
+    rs = resource.getrusage(resource.RUSAGE_SELF)
+    rc = resource.getrusage(resource.RUSAGE_CHILDREN)
+    total = rs.ru_utime + rs.ru_stime + rc.ru_utime + rc.ru_stime
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs = {{}}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open("/proc/" + pid + "/stat") as f:
+                rest = f.read().rsplit(") ", 1)[1].split()
+            procs[int(pid)] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / hz)
+        except (OSError, IndexError, ValueError):
+            continue
+    desc, changed = set(), True
+    while changed:
+        changed = False
+        for pid, (ppid, _) in procs.items():
+            if pid not in desc and pid != me and (ppid == me or ppid in desc):
+                desc.add(pid)
+                changed = True
+    return total + sum(procs[p][1] for p in desc)
+
+
+print("CPUSECS " + repr(_tree_cpu_seconds()))
 print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(best, 3),
                                "images_per_sec": round({images} / best, 1)}}))
 """
@@ -93,15 +127,26 @@ def _system_busy_seconds() -> float:
 # Gate v2 (pre-registered 2026-08-18, round 4): in addition to the v1
 # pre+post loadavg rule, a shot only counts as quiet if the DIRECT
 # contention accounting — external busy cores averaged over the shot's
-# whole wall window ((/proc/stat busy - child rusage) / wall) — stays at
-# or under this many cores. The 1-min loadavg EWMA provably missed a
-# 20-core tenant riding the hi side of the 15:00:42 pair (recorded, left
-# in the log as evidence); this accounting cannot miss it. The rule is
-# decided per shot BEFORE anyone sees the efficiency number and applies
-# uniformly to every v2 row, fast and slow alike; v1 rows (no
-# external-cores field / no v2 flag) can never join the v2 headline.
+# whole wall window ((/proc/stat busy - child CPU) / wall) — stays at
+# or under this many cores. The rule is decided per shot BEFORE anyone
+# sees the efficiency number and applies uniformly to every gated row,
+# fast and slow alike; rows measured under an older gate can never join
+# the current headline.
+#
+# Gate v3 (same rule, FIXED accounting): v2 measured child CPU with the
+# parent's RUSAGE_CHILDREN, which never sees the py4j JVM — a GRANDCHILD
+# that py4j kills without reaping, so its rusage is dropped at exit. The
+# benchmark's own JVM was therefore booked as "external tenant" cores
+# (a quiet-host local[16] shot recorded ext 11.6 ~= its own JVM), and v2
+# could never gate anything; the "20-core tenant" in the 15:00:42 row was
+# at least partly the shot's own local[32] JVM. v3 samples the live
+# process tree from INSIDE the child (see _tree_cpu_seconds in CHILD)
+# while the JVM is still running; only the few CPU-seconds of post-sample
+# JVM teardown can still leak into the external figure (~0.05 cores over
+# a 60 s shot). v2 rows — passing and failing alike — are excluded from
+# the v3 headline by the gate-version stamp.
 EXT_CORES_LIMIT = 2.0
-GATE_VERSION = 2
+GATE_VERSION = 3
 
 
 def run_level(cores: int, images: int, repeat: int,
@@ -116,13 +161,17 @@ def run_level(cores: int, images: int, repeat: int,
                          text=True, cwd=REPO, timeout=1800)
     wall = time.time() - wall0
     cpu1 = resource.getrusage(resource.RUSAGE_CHILDREN)
-    child_cpu = (cpu1.ru_utime - cpu0.ru_utime) + (cpu1.ru_stime - cpu0.ru_stime)
-    # EVIDENCE (recorded, not gating — the gate rule this era is the
-    # pre-registered pre+post loadavg check): average external cores busy
-    # over the shot's whole wall window = (system busy CPU-seconds minus the
-    # child's own) / wall. The 1-min loadavg EWMA can miss a mid-run tenant
-    # spike; this accounting cannot. Reviewers see exactly how contended
-    # each shot really was.
+    waited_cpu = (cpu1.ru_utime - cpu0.ru_utime) + (cpu1.ru_stime - cpu0.ru_stime)
+    # Gate-v3 accounting: the child samples its own full process tree
+    # (python + live py4j JVM) right before exiting and reports CPUSECS;
+    # the parent's RUSAGE_CHILDREN misses the JVM entirely (see the
+    # GATE_VERSION comment above). Take the larger of the two so a child
+    # that died before printing still gets its python-side CPU counted.
+    mc = re.search(r"CPUSECS ([0-9.]+)", out.stdout)
+    child_cpu = max(waited_cpu, float(mc.group(1)) if mc else 0.0)
+    # external cores busy averaged over the shot's whole wall window =
+    # (system busy CPU-seconds minus the shot's own tree) / wall. The
+    # 1-min loadavg EWMA can miss a mid-run tenant spike; this cannot.
     external_cores = max(0.0, (_system_busy_seconds() - busy0) - child_cpu) / wall
     m = re.search(r"RESULT (\{.*\})", out.stdout)
     if not m:
@@ -130,6 +179,7 @@ def run_level(cores: int, images: int, repeat: int,
     rec = json.loads(m.group(1))
     rec["loadavg_1m"] = load
     rec["external_cores_avg"] = round(external_cores, 2)
+    rec["tree_cpu_secs"] = round(child_cpu, 1)
     load_after = round(os.getloadavg()[0], 2)
     rec["loadavg_after"] = load_after
     # quiet means quiet THROUGHOUT: the pre-shot sample passes the gate and
@@ -195,18 +245,20 @@ def render_section(rows: list[dict], images: int, since: str,
         "",
         "The host carries external tenant load, so measurement is gated",
         "PRE-REGISTERED (decided before each shot, never on the result).",
-        "Gate v2 (this era): (a) a wait-for-quiet loop blocks until",
+        "Gate v3 (this era): (a) a wait-for-quiet loop blocks until",
         "loadavg_1m is under the fixed threshold recorded in each row",
         "('quiet_load'); (b) the post-shot 1-min loadavg must stay under",
         "threshold + cores; AND (c) direct contention accounting — average",
         "EXTERNAL busy cores over the shot's whole wall window, computed as",
-        "(/proc/stat busy CPU-seconds minus the child's own rusage) / wall",
-        f"— must be <= {EXT_CORES_LIMIT} on BOTH sides of the pair. (c) was",
-        "added after the loadavg EWMA provably missed a 20-core tenant",
-        "mid-shot (the 15:00:42 row, kept in the log as evidence); it is a",
-        "strictly stronger rule applied uniformly to every v2 row, fast and",
-        "slow alike — v1 rows, passing and failing both, can never join the",
-        "v2 headline. The headline statistic is the MEDIAN efficiency over",
+        "(/proc/stat busy CPU-seconds minus the shot's own process-tree",
+        f"CPU) / wall — must be <= {EXT_CORES_LIMIT} on BOTH sides of the",
+        "pair. The tree CPU is sampled from INSIDE the child while its py4j",
+        "JVM is still alive: gate v2 used the parent's RUSAGE_CHILDREN,",
+        "which never sees the JVM (py4j kills it without reaping), so it",
+        "booked the benchmark's own JVM as a phantom tenant and could gate",
+        "nothing — v2 rows, passing and failing both, are excluded from the",
+        "v3 headline by the gate-version stamp, as are v1 rows (no direct",
+        "accounting at all). The headline statistic is the MEDIAN over",
         f"gated pairs (minimum {min_gated}; fewer means the axis is UNPROVEN",
         "this era, and says so) — the median, not best-of. Ungated rows stay",
         f"in BENCH_SCALING.jsonl as contention evidence. Rows since {since}",
