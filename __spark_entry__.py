@@ -506,6 +506,24 @@ def q_proj_webmercator(spark, sf_dir):
                       F.round("lat", 4).alias("my"))
 
 
+def q_svg_export(spark, sf_dir):
+    """End-to-end -o svg document golden (reference svg-test.js:97-111,
+    'multipolygon exported as single path'): pixel transform with margin=0
+    width=900, layer <g id>, implicit-lineto path with per-ring Z. The
+    oracle is the reference's own expected byte string, so the driver hash
+    pins the entire export path."""
+    import json as _json
+    from mapshaper_spark.cli import apply_commands
+    geo = _json.dumps({
+        "type": "Feature", "properties": None,
+        "geometry": {"type": "MultiPolygon", "coordinates": [
+            [[[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]]],
+            [[[3, 2], [4, 2], [4, 1], [3, 1], [3, 2]]]]}})
+    out = apply_commands(spark, "-i path.json -o path.svg margin=0 width=900",
+                         {"path.json": geo})
+    return spark.createDataFrame([(out["path.svg"],)], "doc string")
+
+
 def q_cli_pipeline(spark, sf_dir):
     """End-to-end CLI command-string pipeline (mapshaper_spark/cli.py —
     the api.runCommands analog a reference user drives): import -> filter
@@ -1405,7 +1423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_all_pairs": q_pip_all_pairs,
         "pip_first_match": q_pip_first_match,
         "region_point_stats": q_region_point_stats,
-        "knn_nearest": q_knn_nearest,
+        # r4: knn_nearest rotates below the window after three green rounds
+        # (knn_k3/knn_unbounded keep the family in-window); svg_export takes
+        # the slot — a byte-exact reference-golden document oracle
+        "svg_export": q_svg_export,
         "knn_k3": q_knn_k3,
         "knn_unbounded": q_knn_unbounded,
         "split_on_grid": q_split_on_grid,
@@ -1473,8 +1494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late r3, for the media codec slots — word_jaccard, ngram_jaccard;
         # r4: proj_sinu rotates out (green r2+r3; proj family keeps two
         # in-window representatives) so intersection_cuts fits at #50;
+        # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
         "proj_sinu": q_proj_sinu,
+        "knn_nearest": q_knn_nearest,
         "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "join_calc": q_join_calc,
@@ -2241,6 +2264,18 @@ def oracle_sql() -> dict[str, str]:
             (3, 3, 1.0, 2.0, 2.0, 1.0))
             t(arc_id, n, x0, y0, x1, y1)
     """
+    # the reference's own expected document (svg-test.js:105-106) as a SQL
+    # literal: the driver's value hash pins the export byte-for-byte
+    _svg_golden = (
+        '<?xml version="1.0"?>\n'
+        '<svg xmlns="http://www.w3.org/2000/svg" version="1.2" '
+        'baseProfile="tiny" width="900" height="300" viewBox="0 0 900 300" '
+        'stroke-linecap="round" stroke-linejoin="round">\n<g id="path">\n'
+        '<path d="M 0 300 0 0 300 0 300 300 0 300 Z '
+        'M 600 0 900 0 900 300 600 300 600 0 Z"/>\n</g>\n</svg>')
+    sqls["svg_export"] = (
+        "SELECT '" + _svg_golden.replace("'", "''").replace("\n", "' || chr(10) || '")
+        + "' AS doc")
     sqls["cli_pipeline"] = """
         SELECT upper(c_mktsegment) AS seg,
                CAST(sum(c_nationkey) AS BIGINT) AS sum_nk,

@@ -78,6 +78,7 @@ _CMD_OPTS = {
     "o": {"target", "width", "height", "margin", "svg-scale", "id-prefix",
           "id-field", "point-symbol"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
+    "target": {"type"},
     "include": {"file"},
     "polygons": {"gap-tolerance"},
 }
@@ -248,14 +249,38 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                      ("Feature", "FeatureCollection", "Topology", None)
                      else set())
                 gtypes.discard(None)  # null geometries don't pick the kind
+                _K = {"Point": "point", "MultiPoint": "point",
+                      "LineString": "polyline",
+                      "MultiLineString": "polyline",
+                      "Polygon": "polygon", "MultiPolygon": "polygon"}
+                kinds_present = {_K[t] for t in gtypes if t in _K}
+                if len(kinds_present) > 1:
+                    # mixed-type collection: one layer per geometry kind
+                    # (the reference's divideFeaturesByType,
+                    # src/geojson/geojson-import.js; target-test.js:57-73)
+                    for kname in ("point", "polyline", "polygon"):
+                        if kname not in kinds_present:
+                            continue
+                        types = [t for t, k in _K.items() if k == kname]
+                        sub = df.filter(F.col("geometry_type").isin(types))
+                        if kname == "point" and gtypes & {"Point"} and \
+                                not gtypes & {"MultiPoint"}:
+                            sub = sub.drop("rings_x", "rings_y")
+                        elif kname != "point":
+                            sub = sub.drop("x", "y")
+                        dfs.append((path, sub, kname))
+                    continue
                 if gtypes and gtypes <= {"LineString", "MultiLineString"}:
                     kind_hint = "polyline"
+                    df = df.drop("x", "y")  # point-import artifacts
                 elif gtypes and gtypes <= {"Point"}:
                     kind_hint = "point"
                     df = df.drop("rings_x", "rings_y")
                 elif gtypes and gtypes <= {"Point", "MultiPoint"}:
                     # MultiPoint coords live in the rings arrays; keep them
                     kind_hint = "point"
+                elif gtypes and gtypes <= {"Polygon", "MultiPolygon"}:
+                    df = df.drop("x", "y")  # point-import artifacts
         elif ext == ".shp":
             shp = open(path, "rb").read()
             stem = os.path.splitext(path)[0]
@@ -318,7 +343,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             # pathless -o mirrors the INPUT format (the reference derives
             # output format from the imported file)
             ext2 = os.path.splitext(path)[1].lstrip(".").lower()
-            if ext2 in ("json", "geojson", "csv", "tsv"):
+            if ext2 in ("json", "geojson", "csv", "tsv", "shp"):
                 cat.formats[name] = ext2
             if path in auto_fid_paths:
                 cat.auto_fid.add(name)  # our import id, not a data field
@@ -347,16 +372,24 @@ def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
 def _cmd_filter(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import attributes as AT
     df = cat.df()
-    if c.values:
+    plus = "+" in c.values  # '+' = keep source, add result as a new layer
+    vals = [v for v in c.values if v != "+"]
+    if vals:
         try:
-            df = AT.filter_features(df, _sql(c.values[0], cat.calc_env))
+            df = AT.filter_features(df, _sql(vals[0], cat.calc_env))
             df.schema  # force analysis so translation failures surface here
         except Exception:
             from mapshaper_spark.operators.jseach import filter_js
-            df = filter_js(cat.df(), c.values[0], env=cat.calc_env)
+            df = filter_js(cat.df(), vals[0], env=cat.calc_env)
     if c.flag("remove-empty"):
         df = AT.filter_remove_empty(df)
-    cat.replace(df)
+    if plus:
+        src_kind = cat.kinds.get(cat.target)
+        name = cat.add(str(c.opt("name", "filter")), df)
+        if src_kind:
+            cat.kinds[name] = src_kind
+    else:
+        cat.replace(df)
 
 
 def _cmd_filter_fields(cat: Catalog, c: Command) -> None:
@@ -373,8 +406,9 @@ def _cmd_rename_fields(cat: Catalog, c: Command) -> None:
     mapping = {}
     for v in c.values:
         for pair in v.split(","):
+            # rename_fields takes {new: old} pairs, the reference's new=old
             new, old = pair.split("=")
-            mapping[old] = new
+            mapping[new] = old
     cat.replace(AT.rename_fields(cat.df(), mapping))
 
 
@@ -528,7 +562,9 @@ def _drop_exact(df: DataFrame, name: str) -> DataFrame:
 def _cmd_dissolve(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import dissolve as DS
     df = cat.df()
-    fields = [s for v in c.values for s in v.split(",")] or ["__all__"]
+    plus = "+" in c.values  # '+' = add as a new layer (reference no_replace)
+    fields = [s for v in c.values if v != "+" for s in v.split(",")] \
+        or ["__all__"]
     if fields == ["__all__"]:
         df = df.withColumn("__all__", F.lit(1))
     calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
@@ -542,16 +578,24 @@ def _cmd_dissolve(cat: Catalog, c: Command) -> None:
         paths, fid = _rings_to_paths(df, field)
         arcs, refs = build_topology(paths, "path_id")
         feats = _features_with_parts(refs, paths, fid)
-        geo = DS.dissolve_polygons(feats, arcs, fid).withColumnRenamed(
+        out = DS.dissolve_polygons(feats, arcs, fid).withColumnRenamed(
             fid, field)
         if set(attrs.columns) - set(fields):
-            geo = geo.join(attrs, field, "left")
-        cat.replace(geo)
+            out = out.join(attrs, field, "left")
     elif kind == "point":
         x, y = _point_cols(df)
-        cat.replace(DS.dissolve_points(df, fields, x, y))
+        out = DS.dissolve_points(df, fields, x, y)
     else:
-        cat.replace(attrs)
+        out = attrs
+    if "__all__" in out.columns:  # synthetic whole-layer key, not a field
+        out = out.drop("__all__")
+    if plus:
+        src_kind = cat.kinds.get(cat.target, kind)
+        name = cat.add(str(c.opt("name", "dissolve")), out)
+        if kind != "table":
+            cat.kinds[name] = src_kind
+    else:
+        cat.replace(out)
 
 
 def _rings_to_paths(df: DataFrame, key: str):
@@ -691,6 +735,7 @@ def _cmd_lines(cat: Catalog, c: Command, inner_only: bool = False) -> None:
 def _cmd_points(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import paths as P
     df = cat.df()
+    xy = None  # operator-specific coordinate column names
     if c.opt("x") and c.opt("y"):
         out = P.points_from_columns(df, str(c.opt("x")), str(c.opt("y")))
     elif c.flag("vertices"):
@@ -701,8 +746,18 @@ def _cmd_points(cat: Catalog, c: Command) -> None:
         out = P.points_interpolated(df, df.columns[0], c.num("interval"))
     elif c.flag("inner"):
         out = P.points_inner(df)
+        xy = ("ix", "iy")
     else:  # centroid default, matching -points with no options
         out = P.points_from_centroids(df)
+        xy = ("cx", "cy")
+    # -points REPLACES the geometry with points (points.js): the source
+    # rings must not ride along, and coords normalize to x/y
+    if xy is not None:
+        out = out.withColumnRenamed(xy[0], "x").withColumnRenamed(xy[1], "y")
+    drop = [g for g in ("rings_x", "rings_y", "bbox", "xs", "ys", "n")
+            if g in out.columns]
+    if drop:
+        out = out.drop(*drop)
     if "+" in c.values:
         # '+': add as a NEW layer (keep the source), reference no_replace
         name = cat.add(str(c.opt("name")) if c.opt("name") else "points", out)
@@ -710,12 +765,8 @@ def _cmd_points(cat: Catalog, c: Command) -> None:
     else:
         cat.replace(out)
         cat.kinds[cat.target] = "point"
-        if c.opt("name") and str(c.opt("name")) != cat.target:
-            new, old = str(c.opt("name")), cat.target
-            cat.layers[new] = cat.layers.pop(old)
-            cat.order[cat.order.index(old)] = new
-            cat.kinds[new] = cat.kinds.pop(old, "point")
-            cat.target = new
+        if c.opt("name"):
+            _rename_layer(cat, cat.target, str(c.opt("name")))
 
 
 def _cmd_proj(cat: Catalog, c: Command) -> None:
@@ -892,27 +943,69 @@ def _cmd_split_on_grid(cat: Catalog, c: Command) -> None:
         cat.replace(split_on_grid(df, cols, rows))
 
 
+def _rename_layer(cat: Catalog, old: str, new: str) -> None:
+    """Rename a layer and migrate its per-layer metadata."""
+    if new == old:
+        return
+    cat.layers[new] = cat.layers.pop(old)
+    cat.order[cat.order.index(old)] = new
+    if cat.target == old:
+        cat.target = new
+    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+        if old in meta:
+            meta[new] = meta.pop(old)
+    if old in cat.auto_fid:
+        cat.auto_fid.discard(old)
+        cat.auto_fid.add(new)
+
+
 def _cmd_target(cat: Catalog, c: Command) -> None:
-    name = c.values[0]
-    if name not in cat.layers:
-        raise ValueError(f"-target: no layer '{name}' (have {cat.order})")
-    cat.target = name
+    """-target (src/commands/mapshaper-target.js): select by layer name,
+    1-based layer number, or type=point|polyline|polygon (reference
+    findMatchingLayers); name= renames the selection. No match or an
+    ambiguous match is an error (target-test.js:41-55)."""
+    val = c.values[0] if c.values else None
+    want = str(c.opt("type")) if c.opt("type") else None
+    cands = list(cat.order)
+    if want:
+        def _kind(n):
+            k = cat.kinds.get(n) or _geometry_kind(cat.layers[n])
+            return "polyline" if k == "path" else k
+        cands = [n for n in cands if _kind(n) == want]
+    if val is not None:
+        if val in cat.layers:
+            cands = [n for n in cands if n == val]
+        elif str(val).isdigit():
+            idx = int(val) - 1
+            if not 0 <= idx < len(cat.order):
+                raise ValueError(f"-target: no layer number {val}")
+            cands = [n for n in cands if n == cat.order[idx]]
+        else:
+            cands = []
+    if not cands:
+        raise ValueError(f"-target: no layer matched (have {cat.order})")
+    if len(cands) > 1:
+        raise ValueError(f"-target: multiple layers matched: {cands}")
+    cat.target = cands[0]
+    if c.opt("name"):
+        _rename_layer(cat, cat.target, str(c.opt("name")))
 
 
 def _cmd_rename_layers(cat: Catalog, c: Command) -> None:
+    """renameLayers (src/commands/mapshaper-rename-layers.js): when there
+    are more layers than names, the LAST name fans out with a 1-based
+    counter (names=['layer'] over 2 layers -> layer1, layer2); no names at
+    all defaults to the 'layer' stem; excess names are ignored."""
     new_names = [s for v in c.values for s in v.split(",")]
+    n_layers = len(cat.order)
+    if not new_names:  # no names: layer1, layer2, ... (even for one layer)
+        new_names = [f"layer{i + 1}" for i in range(n_layers)]
+    elif n_layers > len(new_names):
+        stem = new_names.pop()
+        new_names += [f"{stem}{i + 1}"
+                      for i in range(n_layers - len(new_names))]
     for old, new in zip(list(cat.order), new_names):
-        cat.layers[new] = cat.layers.pop(old)
-        cat.order[cat.order.index(old)] = new
-        if cat.target == old:
-            cat.target = new
-        # per-layer metadata follows the rename
-        for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
-            if old in meta:
-                meta[new] = meta.pop(old)
-        if old in cat.auto_fid:
-            cat.auto_fid.discard(old)
-            cat.auto_fid.add(new)
+        _rename_layer(cat, old, new)
 
 
 def _svg_payload(cat: Catalog, names: list[str], c: Command) -> str:
@@ -1041,12 +1134,12 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         return
     if fmt in ("json", "geojson"):
         geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
-                     # import artifacts are not data fields (the reference
-                     # exports only the layer's data table; Issue #174)
-                     "geometry_type", "properties", "shp_type"}
+                     # import/assembly artifacts are not data fields (the
+                     # reference exports only the layer's data table; #174)
+                     "geometry_type", "properties", "shp_type", "parts"}
         if cat.target in cat.auto_fid:
             geom_cols.add("fid")
-        kind = _geometry_kind(df)
+        kind = cat.kinds.get(cat.target, _geometry_kind(df))
         props = [col for col in df.columns if col not in geom_cols
                  and col not in _point_cols(df) + ("lon", "lat", "x", "y")] \
             if kind == "point" else \
@@ -1054,7 +1147,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         kwargs = {"property_cols": props}
         if kind == "point":
             px, py = _point_cols(df)
-            kwargs.update(geometry_type="Point", x=px, y=py)
+            gt = "MultiPoint" if "rings_x" in df.columns else "Point"
+            kwargs.update(geometry_type=gt, x=px, y=py)
         elif cat.kinds.get(cat.target) == "polyline":
             kwargs.update(geometry_type="LineString")
         elif kind == "path":
@@ -1107,7 +1201,15 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                         f.write(proj4_to_wkt(cat.crs[cat.target]))
                 except ValueError:
                     pass  # family without a WKT spelling: skip the sidecar
-        cat.outputs[path or cat.target] = shp
+            cat.outputs[path] = shp
+        else:
+            # pathless: derived '<layer>.shp' (+ sidecars) like the
+            # reference's output-file naming (target-test.js:14-21)
+            cat.outputs[f"{cat.target}.shp"] = shp
+            cat.outputs[f"{cat.target}.shx"] = shx
+            cat.outputs[f"{cat.target}.dbf"] = dbf
+            if cat.target in cat.prj_text:
+                cat.outputs[f"{cat.target}.prj"] = cat.prj_text[cat.target]
         return
     elif fmt == "dbf":
         # attribute table only (the reference's -o format=dbf path,

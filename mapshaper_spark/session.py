@@ -35,6 +35,11 @@ def get_spark(
         # heap for the thread count or allocation-heavy stages GC-thrash
         # (observed: 32 threads in 8g ran 2x SLOWER than 8 threads)
         .config("spark.driver.memory", os.environ.get("MS_DRIVER_MEM", "48g"))
+        # GC knob for the local-mode JVM (MS_DRIVER_JAVA_OPTS, e.g.
+        # "-XX:+UseParallelGC"): at high thread counts the allocation rate
+        # of scan-heavy stages makes collector choice measurable
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("MS_DRIVER_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

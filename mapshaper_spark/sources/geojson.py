@@ -142,6 +142,19 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
 
     if geometry_type == "Point":
         feature = feat("Point", F.array(r(F.col(x)), r(F.col(y))))
+    elif geometry_type == "MultiPoint":
+        # point layers that carry MultiPoint shapes in the rings arrays
+        # (mixed with scalar-x/y Point rows): multi-point shapes export as
+        # MultiPoint, single-point shapes as Point — the reference's
+        # per-shape type choice (geojson-export.js exportPointGeom)
+        pts = F.zip_with(F.flatten("rings_x"), F.flatten("rings_y"),
+                         lambda a, b: F.array(r(a), r(b)))
+        from_rings = F.when(F.size(pts) > 1, feat("MultiPoint", pts)) \
+            .otherwise(feat("Point", F.element_at(pts, 1)))
+        scalar = feat("Point", F.array(r(F.col(x)), r(F.col(y))))
+        feature = F.when(F.col("rings_x").isNotNull()
+                         & (F.size("rings_x") > 0), from_rings) \
+            .otherwise(scalar)
     elif geometry_type == "LineString":
         # multi-part path features serialize as MultiLineString (one
         # coordinates array per part), single-part as LineString — the

@@ -173,7 +173,9 @@ class TestGeometryChains:
     def test_points_centroid(self, spark, states):
         cat = run_commands(spark, "-points", layers={"states": states})
         df = cat.df()
-        assert {"cx", "cy"} <= set(df.columns)
+        # -points REPLACES geometry: x/y coords, source rings dropped
+        assert {"x", "y"} <= set(df.columns)
+        assert "rings_x" not in df.columns
         assert df.count() == 4
 
 

@@ -166,8 +166,8 @@ class TestSortParity:
 
 class TestClipBboxParity:
     # /root/reference/test/clip-erase-test.js:38-58: LineString clipped to
-    # bbox=1,0,2,2 -> [[1,1],[2,1]]. (Adapted: bare GeometryCollection
-    # input/output becomes a FeatureCollection here — geometry identical.)
+    # bbox=1,0,2,2 -> [[1,1],[2,1]]. A field-less layer exports as a
+    # GeometryCollection, exactly like the reference's own expected output.
     def test_clip_line_to_bbox(self, spark):
         gj = {"type": "FeatureCollection", "features": [
             {"type": "Feature", "properties": {},
@@ -177,8 +177,8 @@ class TestClipBboxParity:
             spark, "-i in.json -clip bbox=1,0,2,2 -o out.json",
             {"in.json": json.dumps(gj)})
         obj = json.loads(out["out.json"])
-        assert len(obj["features"]) == 1
-        g = obj["features"][0]["geometry"]
+        assert len(obj["geometries"]) == 1
+        g = obj["geometries"][0]
         assert g["type"] == "LineString"
         assert g["coordinates"] == [[1, 1], [2, 1]]
 
@@ -473,6 +473,145 @@ class TestKeepShapesParity:
         got = _first_geom(out["poly.json"])
         assert _norm_ring(got["coordinates"][0]) == \
             _norm_ring(poly["coordinates"][0])
+
+
+class TestRenameLayersParity:
+    """rename-layers-test.js: quoted field names, multi-layer targeting,
+    and the last-name + counter fan-out rule."""
+
+    # rename-layers-test.js:6-13 field names with spaces, in quotes
+    def test_rename_fields_spaces_quoted(self, spark):
+        csv = 'County FIPS,"State FIPS"\n10001,10'
+        out = apply_commands(
+            spark, '-i csv.csv -rename-fields '
+            '"CFIPS=County FIPS,SFIPS=State FIPS" -o format=json',
+            {"csv.csv": csv})
+        assert json.loads(out["csv.json"]) == [{"CFIPS": 10001, "SFIPS": 10}]
+
+    # rename-layers-test.js:15-21 alternate quoting
+    def test_rename_fields_spaces_alt_quotes(self, spark):
+        csv = 'County FIPS,"State FIPS"\n10001,10'
+        out = apply_commands(
+            spark, '-i csv.csv -rename-fields CFIPS="County FIPS",'
+            'SFIPS="State FIPS" -o format=json', {"csv.csv": csv})
+        assert json.loads(out["csv.json"]) == [{"CFIPS": 10001, "SFIPS": 10}]
+
+    # rename-layers-test.js:23-37 all layers targeted by default
+    def test_all_layers_targeted(self, spark):
+        a = {"type": "Polygon",
+             "coordinates": [[[0, 0], [0, 1], [1, 0], [0, 0]]]}
+        b = {"type": "Point", "coordinates": [3, 3]}
+        out = apply_commands(
+            spark, "-i a.json -i b.json -rename-layers c,d -o target=*",
+            {"a.json": json.dumps(a), "b.json": json.dumps(b)})
+        ga = json.loads(out["c.json"])["geometries"][0]
+        gb = json.loads(out["d.json"])["geometries"][0]
+        assert ga["type"] == "Polygon" and gb == b
+
+    # rename-layers-test.js:39-50 '+' layer from -dissolve is renamed too
+    def test_matches_unnamed_layer(self, spark):
+        a = {"type": "Polygon",
+             "coordinates": [[[0, 0], [0, 1], [1, 0], [0, 0]]]}
+        out = apply_commands(
+            spark, "-i a.json -dissolve + -rename-layers c,d -o target=*",
+            {"a.json": json.dumps(a)})
+        for key in ("c.json", "d.json"):
+            geoms = json.loads(out[key])["geometries"]
+            assert len(geoms) == 1
+            assert geoms[0]["type"] == "Polygon"
+            ring = geoms[0]["coordinates"][0]
+            assert sorted(map(tuple, ring[:-1])) == [(0, 0), (0, 1), (1, 0)]
+
+    # rename-layers-test.js:59-73 last name + count when more layers
+    def test_counter_fanout(self, spark):
+        a = {"type": "Point", "coordinates": [0, 0]}
+        b = {"type": "Point", "coordinates": [1, 1]}
+        out = apply_commands(
+            spark, "-i a.json -i b.json -rename-layers only -o target=*",
+            {"a.json": json.dumps(a), "b.json": json.dumps(b)})
+        assert "only1.json" in out and "only2.json" in out
+
+    # rename-layers-test.js:82-94 layer1, layer2 defaults with no names
+    def test_default_names(self, spark):
+        a = {"type": "Point", "coordinates": [0, 0]}
+        b = {"type": "Point", "coordinates": [1, 1]}
+        out = apply_commands(
+            spark, "-i a.json -i b.json -rename-layers -o target=*",
+            {"a.json": json.dumps(a), "b.json": json.dumps(b)})
+        assert "layer1.json" in out and "layer2.json" in out
+
+
+class TestTargetParity:
+    """target-test.js: -target by name / layer number / type=, name= rename,
+    and error semantics."""
+
+    def _fixtures(self):
+        base = "/root/reference/test/test_data"
+        files = {f"three_points{ext}": open(f"{base}/three_points{ext}",
+                                            "rb").read()
+                 for ext in (".shp", ".shx", ".dbf", ".prj")}
+        files["states.csv"] = open(f"{base}/text/states.csv").read()
+        return files
+
+    # target-test.js:6-12
+    def test_target_second_dataset_by_name(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -i states.csv -target states -o",
+            self._fixtures())
+        assert "states.csv" in out
+
+    # target-test.js:14-21
+    def test_target_by_layer_number(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -i states.csv -target 1 -o",
+            self._fixtures())
+        assert "three_points.shp" in out
+        assert "three_points.dbf" in out
+        assert "three_points.prj" in out
+
+    # target-test.js:23-29
+    def test_target_third_layer_by_number(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -filter true + -i states.csv "
+            "-target 3 -o", self._fixtures())
+        assert list(out) == ["states.csv"]
+
+    # target-test.js:31-38
+    def test_target_name_option_renames(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -target 1 name=a -o format=geojson",
+            self._fixtures())
+        assert json.loads(out["a.json"])["type"] == "FeatureCollection"
+
+    # target-test.js:40-46 / 48-54
+    def test_target_errors(self, spark):
+        with pytest.raises(ValueError):
+            apply_commands(spark, "-i three_points.shp -target states",
+                           self._fixtures())
+
+    # target-test.js:57-73 select target by type
+    def test_target_by_type(self, spark):
+        raw = open("/root/reference/test/test_data/issues/177/"
+                   "mixed_feature.json").read()
+        out = apply_commands(
+            spark, "-i mixed_feature.json -target type=point -o point.json",
+            {"mixed_feature.json": raw})
+        fc = json.loads(out["point.json"])
+        assert fc == {
+            "type": "FeatureCollection",
+            "features": [{"type": "Feature", "properties": {"name": "A"},
+                          "geometry": {"type": "MultiPoint",
+                                       "coordinates": [[0, 1], [2, 3]]}}]}
+
+    # target-test.js:75-82 select by name AND type
+    def test_target_by_name_and_type(self, spark):
+        raw = open("/root/reference/test/test_data/issues/177/"
+                   "mixed_feature.json").read()
+        out = apply_commands(
+            spark, "-i mixed_feature.json name=features "
+            "-target features type=point -o point.json",
+            {"mixed_feature.json": raw})
+        assert out["point.json"]
 
 
 class TestIssueRegressions:
