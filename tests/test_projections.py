@@ -521,8 +521,8 @@ class TestRound4TailB:
             x0, y0 = p.fwd(np.array([lon]), np.array([lat]))
             xe, ye = p.fwd(np.array([lon + d]), np.array([lat]))
             xn, yn = p.fwd(np.array([lon]), np.array([lat + d]))
-            se = float(np.hypot(xe - x0, ye - y0))
-            sn = float(np.hypot(xn - x0, yn - y0)) * \
+            se = float(np.hypot(xe - x0, ye - y0)[0])
+            sn = float(np.hypot(xn - x0, yn - y0)[0]) * \
                 np.cos(np.radians(lat))  # compare per true ground distance
             # ground: E-W arc ~ nu cos(lat) dlam, N-S ~ rho dphi; on the
             # conformal sphere both scale equally -> ratio of projected
