@@ -59,6 +59,15 @@ def _system_busy_seconds() -> float:
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
 
+def _steal_seconds() -> float:
+    """Hypervisor steal CPU-seconds since boot (/proc/stat cpu field 8) —
+    the only visible trace of the HOST running other tenants' VMs while
+    this one had runnable work (invisible to loadavg and rusage)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    return (int(parts[7]) if len(parts) > 7 else 0) / os.sysconf("SC_CLK_TCK")
+
+
 def _tree_cpu_seconds() -> float:
     """CPU-seconds of this process and its whole live tree (the py4j JVM is
     a live child; RUSAGE alone would miss it until reaped)."""
@@ -180,24 +189,29 @@ def main():
         quiet_budget -= wait_for_quiet(quiet_budget)
         la0 = os.getloadavg()[0]
         busy0, tree0 = _system_busy_seconds(), _tree_cpu_seconds()
+        steal0 = _steal_seconds()
         t0 = time.time()
         materialize(flagship)
         wall = time.time() - t0
-        # direct contention accounting (same rule as tools/scaling_bench.py
-        # gate v3): external busy cores averaged over the shot = (system
-        # busy CPU minus our own process tree's CPU) / wall. Unlike the
-        # loadavg EWMA this can neither be inflated by our OWN prior work
-        # nor miss a tenant that lands mid-run.
+        # direct contention accounting (same rules as tools/scaling_bench.py
+        # gate v4): external busy cores averaged over the shot = (system
+        # busy CPU minus our own process tree's CPU) / wall, plus the
+        # hypervisor steal rate — cycles the host gave other tenants' VMs
+        # mid-shot, which no in-VM accounting can see.
         ext = max(0.0, (_system_busy_seconds() - busy0)
                   - (_tree_cpu_seconds() - tree0)) / wall
+        steal = (_steal_seconds() - steal0) / wall
         runs.append({"sec": round(wall, 3),
                      "loadavg_1m": round(la0, 2),
-                     "external_cores_avg": round(ext, 2)})
+                     "external_cores_avg": round(ext, 2),
+                     "steal_cores_avg": round(steal, 3)})
     best_run = min(runs, key=lambda r: r["sec"])
     flagship_s = best_run["sec"]
     # contended when even the best shot shared the machine with >2 external
-    # cores (direct accounting), or — fallback — started over the load gate
+    # cores or >0.5 stolen cores (direct accounting), or — fallback —
+    # started over the load gate
     contended = (best_run["external_cores_avg"] > 2.0
+                 or best_run["steal_cores_avg"] > 0.5
                  or best_run["loadavg_1m"] >= QUIET_LOAD)
     timings["flagship_image_tiles"] = flagship_s
 

@@ -47,7 +47,7 @@ _FLAG_WORDS = {
     "combine-files", "merge-files", "erase", "centroid", "inner",
     "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
-    "postprocess", "debug", "final",
+    "postprocess", "debug", "final", "bbox",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -75,6 +75,7 @@ _CMD_OPTS = {
     "style": _STYLE_OPTS,
     "svg-style": _STYLE_OPTS,
     "drop": {"target"},
+    "merge-layers": {"target"},
     "o": {"target", "width", "height", "margin", "svg-scale", "id-prefix",
           "id-field", "point-symbol"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
@@ -230,6 +231,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             if isinstance(obj, list):  # JSON array of records = table
                 import pandas as _pd
                 df = cat.spark.createDataFrame(_pd.DataFrame(obj))
+                kind_hint = "table"
             elif obj.get("type") == "Topology":
                 df = TJ.import_topojson(cat.spark, obj)
             else:
@@ -343,6 +345,10 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             # pathless -o mirrors the INPUT format (the reference derives
             # output format from the imported file)
             ext2 = os.path.splitext(path)[1].lstrip(".").lower()
+            if ext2 == "json" and kind_hint != "table":
+                # geojson/topojson CONTENT in a .json file round-trips as
+                # geojson; only a JSON array of records is format=json
+                ext2 = "geojson"
             if ext2 in ("json", "geojson", "csv", "tsv", "shp"):
                 cat.formats[name] = ext2
             if path in auto_fid_paths:
@@ -890,26 +896,57 @@ def _assemble_paths(refs: DataFrame, arcs: DataFrame) -> DataFrame:
 
 
 def _cmd_affine(cat: Catalog, c: Command) -> None:
-    from mapshaper_spark.operators.attributes import affine
+    """-affine (mapshaper-affine.js): rotate/scale about anchor + shift,
+    on points or ring geometry; where= limits the targets; the default
+    anchor is the CENTER of the (selected) features' bounds
+    (getAffineAnchor, affine-test.js:55-67)."""
+    from mapshaper_spark.operators.attributes import affine, affine_rings
     df = cat.df()
-    x, y = _point_cols(df)
+    kind = _geometry_kind(df)
     shift = [float(v) for v in c.csv("shift")] or [0.0, 0.0]
-    anchor = [float(v) for v in c.csv("anchor")] or (0.0, 0.0)
-    cat.replace(affine(df, x, y, shift=tuple(shift),
-                       scale=c.num("scale", 1.0),
-                       rotate_deg=c.num("rotate", 0.0),
-                       anchor=tuple(anchor)))
+    where = None
+    if c.opt("where"):
+        where = F.expr(_sql(str(c.opt("where")), cat.calc_env))
+    if c.opt("anchor"):
+        anchor = tuple(float(v) for v in c.csv("anchor"))
+    else:
+        sel = df.filter(where) if where is not None else df
+        if kind == "point":
+            x, y = _point_cols(df)
+            b = sel.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
+        else:
+            b = sel.agg(
+                F.min(F.array_min(F.transform("rings_x", F.array_min))),
+                F.min(F.array_min(F.transform("rings_y", F.array_min))),
+                F.max(F.array_max(F.transform("rings_x", F.array_max))),
+                F.max(F.array_max(F.transform("rings_y", F.array_max)))
+            ).collect()[0]
+        anchor = ((float(b[0]) + float(b[2])) / 2,
+                  (float(b[1]) + float(b[3])) / 2) if b[0] is not None \
+            else (0.0, 0.0)
+    kw = dict(shift=tuple(shift), scale=c.num("scale", 1.0),
+              rotate_deg=c.num("rotate", 0.0), anchor=anchor, where=where)
+    if kind == "point":
+        x, y = _point_cols(df)
+        cat.replace(affine(df, x, y, **kw))
+    else:
+        cat.replace(affine_rings(df, **kw))
 
 
 def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
+    """-merge-layers (src/commands/mapshaper-merge-layers.js): target=
+    selects the source layers (default: every layer), the merged layer
+    REPLACES them in the catalog (merge-layers-test.js:35-48), name= names
+    it (default: first source's name)."""
     from mapshaper_spark.operators.attributes import merge_layers
-    names = c.csv("name") or cat.order
-    merged = merge_layers([cat.layers[n] for n in names if n in cat.layers],
+    tgt = c.opt("target")
+    names = list(cat.order) if tgt is None or str(tgt) == "*" \
+        else [s.strip() for s in str(tgt).split(",")]
+    missing = [n for n in names if n not in cat.layers]
+    if missing:
+        raise ValueError(f"-merge-layers: no layer {missing} (have {cat.order})")
+    merged = merge_layers([cat.layers[n] for n in names],
                           force=c.flag("force"))
-    out = cat.add(str(c.opt("target-name", "merged")), merged)
-    srcs = [n for n in names if n in cat.layers and n != out]
-    if srcs and all(n in cat.auto_fid for n in srcs):
-        cat.auto_fid.add(out)
     # the merged layer keeps the first source CRS (Issue #166: .prj
     # preserved through combine-files + -merge-layers, whichever input
     # carried it); mixing projected with unprojected inputs is an error
@@ -917,19 +954,67 @@ def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
     crss = {cat.crs[n] for n in names if n in cat.crs}
     if len(crss) > 1:
         raise ValueError(f"-merge-layers: layers have different CRS: {crss}")
-    for n in names:
-        if n in cat.prj_text:
-            cat.prj_text[out] = cat.prj_text[n]
-            if n in cat.crs:
-                cat.crs[out] = cat.crs[n]
-            break
+    prj = next(((cat.prj_text[n], cat.crs.get(n)) for n in names
+                if n in cat.prj_text), None)
+    kinds = {cat.kinds[n] for n in names if n in cat.kinds}
+    fmts = {cat.formats[n] for n in names if n in cat.formats}
+    all_auto = all(n in cat.auto_fid for n in names)
+    pos = cat.order.index(names[0])
+    for n in names:  # sources are consumed by the merge
+        del cat.layers[n]
+        cat.order.remove(n)
+        for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+            meta.pop(n, None)
+        cat.auto_fid.discard(n)
+    new = str(c.opt("name") or c.opt("target-name") or names[0])
+    base, k = new, 2
+    while new in cat.layers:
+        new = f"{base}{k}"
+        k += 1
+    cat.layers[new] = merged
+    cat.order.insert(pos, new)
+    cat.target = new
+    if len(kinds) == 1:
+        cat.kinds[new] = kinds.pop()
+    if len(fmts) == 1:
+        cat.formats[new] = fmts.pop()
+    if all_auto:
+        cat.auto_fid.add(new)
+    if prj:
+        cat.prj_text[new] = prj[0]
+        if prj[1]:
+            cat.crs[new] = prj[1]
 
 
 def _cmd_split(cat: Catalog, c: Command) -> None:
+    """-split field (src/commands/mapshaper-split.js): one layer per
+    distinct value, named '<layer>-<value>' (bare '<value>' when the
+    source is the anonymous import layer — Issue #123); the source layer
+    is CONSUMED and the first split layer becomes the target
+    (split-test.js:19-37)."""
     from mapshaper_spark.operators.grid import split_by_field
     field_name = c.values[0]
+    src = cat.target
+    src_kind = cat.kinds.get(src)
+    # the reference only prefixes when the layer has a user-visible name;
+    # our catalog always names layers, so prefix unless it's the default
+    prefix = "" if src in (None, "layer1") else f"{src}-"
+    first = None
     for val, df in split_by_field(cat.df(), field_name).items():
-        cat.add(f"{cat.target}_{val}", df, make_target=False)
+        name = cat.add(f"{prefix}{val}", df, make_target=False)
+        if src_kind:
+            cat.kinds[name] = src_kind
+        if src in cat.formats:
+            cat.formats[name] = cat.formats[src]
+        if src in cat.auto_fid:
+            cat.auto_fid.add(name)
+        first = first or name
+    del cat.layers[src]
+    cat.order.remove(src)
+    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+        meta.pop(src, None)
+    cat.auto_fid.discard(src)
+    cat.target = first
 
 
 def _cmd_split_on_grid(cat: Catalog, c: Command) -> None:
@@ -1118,10 +1203,21 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         os.path.splitext(path)[1].lstrip(".").lower() if path
         else cat.formats.get(cat.target,
                              "csv" if kind0 == "table" else "geojson"))
-    if fmt == "json" and kind0 == "table":
-        # records-json (the reference's format=json on attribute tables)
+    if fmt == "json" and (str(c.opt("format", "")) == "json"
+                          or kind0 == "table"):
+        # records-json: an EXPLICIT format=json exports the data table of
+        # ANY layer (the reference drops geometry — json-table-test.js:
+        # 28-50 exports a point layer's records without coordinates); a
+        # bare .json path extension on a geometry layer means geojson.
         from mapshaper_spark.operators.attributes import to_json_records
-        payload = to_json_records(df)
+        skip = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
+                "geometry_type", "properties", "shp_type", "parts"}
+        if kind0 == "point":
+            skip |= set(_point_cols(df) + ("lon", "lat", "x", "y"))
+        if cat.target in cat.auto_fid:
+            skip.add("fid")
+        payload = to_json_records(df.select(
+            *[col for col in df.columns if col not in skip]))
         key = path or f"{cat.target}.json"
         if path:
             with open(path, "w") as f:
@@ -1129,7 +1225,12 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         cat.outputs[key] = payload
         return
     if fmt == "csv" and path is None:
-        payload = df.toPandas().to_csv(index=False).rstrip("\n")
+        from mapshaper_spark.sources.delim import delim_payload
+        payload = delim_payload(df)
+        # exactly one trailing newline comes off; all-null rows are EMPTY
+        # LINES and must survive (reference formatDelimRow output)
+        if payload.endswith("\n"):
+            payload = payload[:-1]
         cat.outputs[f"{cat.target}.csv"] = payload
         return
     if fmt in ("json", "geojson"):
@@ -1158,6 +1259,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
             kwargs.update(geometry_type="LineString")
         if c.opt("precision"):
             kwargs["precision"] = c.num("precision")
+        if c.opt("bbox") is True:  # -o bbox flag (geojson-export.js:161)
+            kwargs["bbox"] = True
         out = GJ.export_geojson(df, **kwargs)
         payload = out if isinstance(out, str) else json.dumps(out)
     elif fmt == "topojson":
@@ -1341,7 +1444,8 @@ def _cmd_rectangle(cat: Catalog, c: Command) -> None:
     if c.opt("offset"):
         off = c.num("offset")
         bbox = [bbox[0] - off, bbox[1] - off, bbox[2] + off, bbox[3] + off]
-    cat.add(str(c.opt("name", "rectangle")), rectangle(cat.spark, bbox))
+    name = cat.add(str(c.opt("name", "rectangle")), rectangle(cat.spark, bbox))
+    cat.auto_fid.add(name)  # synthetic id, not a data field
 
 
 def _cmd_shape(cat: Catalog, c: Command) -> None:

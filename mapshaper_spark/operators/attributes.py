@@ -116,10 +116,31 @@ def calc(df: DataFrame, aggs: Mapping[str, tuple[str, str | Column]],
 
 def merge_layers(dfs: Sequence[DataFrame], force: bool = False) -> DataFrame:
     """-merge-layers: UNION ALL. ``force`` pads missing columns with nulls
-    (merge-layers.js force option); without it, schemas must match."""
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d, allowMissingColumns=force)
+    (merge-layers.js force option); without it, schemas must match.
+    Columns are matched CASE-SENSITIVELY like the reference's field names
+    ('id' and 'ID' stay distinct fields, merge-layers-test.js force case) —
+    Spark's unionByName is case-insensitive under the default resolver, so
+    the alignment is done by exact name here."""
+    cols: list[str] = []
+    types: dict[str, str] = {}
+    for d in dfs:
+        for c, t in zip(d.columns, [f.dataType for f in d.schema.fields]):
+            if c not in cols:
+                cols.append(c)
+                types[c] = t
+    if not force:
+        for d in dfs:
+            if set(d.columns) != set(cols):
+                raise ValueError(
+                    "-merge-layers: layers have different fields "
+                    f"({sorted(set(cols) ^ set(d.columns))}); use force")
+    aligned = [
+        d.select(*[d[c].alias(c) if c in d.columns
+                   else F.lit(None).cast(types[c]).alias(c) for c in cols])
+        for d in dfs]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
     return out
 
 
@@ -129,22 +150,61 @@ def round_coords(col: Column, precision: float) -> Column:
     return F.round(col / F.lit(precision)) * F.lit(precision)
 
 
-def affine(df: DataFrame, x: str, y: str, shift: tuple[float, float] = (0.0, 0.0),
-           scale: float = 1.0, rotate_deg: float = 0.0,
-           anchor: tuple[float, float] = (0.0, 0.0)) -> DataFrame:
-    """-affine (mapshaper-affine.js:5-45): rotate/scale about anchor then
-    translate: x' = a*(x-cx) + b*(y-cy) + cx + dx (matrix2d compose)."""
+def _affine_coeffs(shift, scale, rotate_deg, anchor):
+    """getAffineTransform (mapshaper-affine.js:84-95):
+    x' = a*(x-ax) - b*(y-ay) + dx + ax ; y' = b*(x-ax) + a*(y-ay) + dy + ay
+    with a = s*cos(angle), b = -s*sin(angle) — i.e. positive rotate= turns
+    CLOCKWISE (affine-test.js:41-52: rotate=90 about (2,1) maps (2,2)->(3,1))."""
     import math
     rad = rotate_deg * math.pi / 180.0
-    a = math.cos(rad) * scale
-    b = -math.sin(rad) * scale
-    cx, cy = anchor
-    dx, dy = shift
+    return (math.cos(rad) * scale, -math.sin(rad) * scale,
+            anchor[0], anchor[1], shift[0], shift[1])
+
+
+def affine(df: DataFrame, x: str, y: str, shift: tuple[float, float] = (0.0, 0.0),
+           scale: float = 1.0, rotate_deg: float = 0.0,
+           anchor: tuple[float, float] = (0.0, 0.0),
+           where=None) -> DataFrame:
+    """-affine on point coordinates; ``where`` (a Column) limits the
+    transform to matching rows, like the reference's where= option."""
+    a, b, cx, cy, dx, dy = _affine_coeffs(shift, scale, rotate_deg, anchor)
     xc = F.col(x) - F.lit(cx)
     yc = F.col(y) - F.lit(cy)
-    nx = F.lit(a) * xc + F.lit(b) * yc + F.lit(cx) + F.lit(dx)
-    ny = F.lit(-b) * xc + F.lit(a) * yc + F.lit(cy) + F.lit(dy)
-    return df.withColumn(x, nx).withColumn(y, ny)
+    nx = F.lit(a) * xc - F.lit(b) * yc + F.lit(dx) + F.lit(cx)
+    ny = F.lit(b) * xc + F.lit(a) * yc + F.lit(dy) + F.lit(cy)
+    if where is not None:
+        nx = F.when(where, nx).otherwise(F.col(x))
+        ny = F.when(where, ny).otherwise(F.col(y))
+    # one projection: chained withColumn would feed the transformed x
+    # into the y expression
+    return df.withColumns({x: nx, y: ny})
+
+
+def affine_rings(df: DataFrame, shift: tuple[float, float] = (0.0, 0.0),
+                 scale: float = 1.0, rotate_deg: float = 0.0,
+                 anchor: tuple[float, float] = (0.0, 0.0),
+                 where=None) -> DataFrame:
+    """-affine on ring-carried geometry (polygons/polylines): the same
+    matrix applied inside rings_x/rings_y, pure Catalyst."""
+    a, b, cx, cy, dx, dy = _affine_coeffs(shift, scale, rotate_deg, anchor)
+    pairs = F.zip_with(
+        "rings_x", "rings_y",
+        lambda rx, ry: F.struct(
+            F.zip_with(rx, ry, lambda px, py:
+                       F.lit(a) * (px - F.lit(cx)) - F.lit(b) * (py - F.lit(cy))
+                       + F.lit(dx) + F.lit(cx)).alias("xs"),
+            F.zip_with(rx, ry, lambda px, py:
+                       F.lit(b) * (px - F.lit(cx)) + F.lit(a) * (py - F.lit(cy))
+                       + F.lit(dy) + F.lit(cy)).alias("ys")))
+    nx = F.transform(pairs, lambda p: p["xs"])
+    ny = F.transform(pairs, lambda p: p["ys"])
+    if where is not None:
+        nx = F.when(where, nx).otherwise(F.col("rings_x"))
+        ny = F.when(where, ny).otherwise(F.col("rings_y"))
+    out = df.withColumns({"rings_x": nx, "rings_y": ny})
+    if "bbox" in out.columns:
+        out = out.drop("bbox")
+    return out
 
 
 def filter_remove_empty(df: DataFrame) -> DataFrame:

@@ -541,6 +541,192 @@ class TestRenameLayersParity:
         assert "layer1.json" in out and "layer2.json" in out
 
 
+class TestExportParity:
+    # export-test.js:8-21: multi-dataset svg output must not mutate the
+    # original layers (box + -rectangle source=box -> one merged.svg,
+    # then each layer re-exported unchanged)
+    def test_svg_merge_does_not_modify_sources(self, spark):
+        box = {"type": "Polygon",
+               "coordinates": [[[1, 0], [0, 1], [1, 2], [2, 1], [1, 0]]]}
+        out = apply_commands(
+            spark, "-i box.json -rectangle source=box "
+            "-o target=box,rectangle merged.svg "
+            "-o format=geojson target=rectangle -o format=geojson target=box",
+            {"box.json": json.dumps(box)})
+        assert len(out["merged.svg"]) > 0
+        got_box = json.loads(out["box.json"])["geometries"][0]
+        got_rect = json.loads(out["rectangle.json"])["geometries"][0]
+        assert got_box["coordinates"] == [[[1, 0], [0, 1], [1, 2], [2, 1],
+                                           [1, 0]]]
+        assert got_rect["coordinates"] == [[[0, 0], [0, 2], [2, 2], [2, 0],
+                                            [0, 0]]]
+
+
+class TestAffineParity:
+    """affine-test.js: where= targeting, clockwise rotate about anchor,
+    scale about the default bounds-center anchor."""
+
+    # affine-test.js:9-39 'separates two connected polygons'
+    def test_shift_with_where(self, spark):
+        geo = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"name": "a"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 1], [1, 0], [0, 0], [0, 1]]]}},
+            {"type": "Feature", "properties": {"name": "b"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 1], [1, 1], [1, 0], [0, 1]]]}}]}
+        out = apply_commands(
+            spark, "-i polygons.json -affine shift=2,1 'where=name==\"b\"' "
+            "-o out.json", {"polygons.json": json.dumps(geo)})
+        feats = json.loads(out["out.json"])["features"]
+        by = {f["properties"]["name"]: f["geometry"]["coordinates"]
+              for f in feats}
+        assert by["a"] == [[[0, 1], [1, 0], [0, 0], [0, 1]]]
+        assert by["b"] == [[[2, 2], [3, 2], [3, 1], [2, 2]]]
+
+    # affine-test.js:41-52 'rotates a point around an origin'
+    def test_rotate_about_anchor(self, spark):
+        geo = {"type": "Point", "coordinates": [2, 2]}
+        out = apply_commands(
+            spark, "-i point.json -affine rotate=90 anchor=2,1 -o out.json",
+            {"point.json": json.dumps(geo)})
+        g = json.loads(out["out.json"])["geometries"][0]
+        assert [round(v, 9) for v in g["coordinates"]] == [3, 1]
+
+    # affine-test.js:55-67 'apply scale to two points' (default anchor =
+    # bounds center)
+    def test_scale_default_anchor(self, spark):
+        geo = {"type": "MultiPoint", "coordinates": [[2, 2], [4, 4]]}
+        out = apply_commands(
+            spark, "-i point.json -affine scale=2 -o out.json",
+            {"point.json": json.dumps(geo)})
+        g = json.loads(out["out.json"])["geometries"][0]
+        assert g["coordinates"] == [[1, 1], [5, 5]]
+
+
+class TestSplitParity:
+    # split-test.js:7-15: -split STATE on two_states -> two one-shape
+    # layers, source consumed; names '<layer>-<value>' (splitLayer naming,
+    # split-test.js:19-37)
+    def test_split_two_states(self, spark):
+        base = "/root/reference/test/test_data/two_states"
+        files = {f"two_states{ext}": open(base + ext, "rb").read()
+                 for ext in (".shp", ".shx", ".dbf")}
+        out = apply_commands(
+            spark, "-i two_states.shp -split STATE -o format=geojson target=*",
+            files)
+        assert len(out) == 2
+        for name, payload in out.items():
+            assert name.startswith("two_states-")
+            obj = json.loads(payload)
+            feats = obj.get("features") or obj.get("geometries")
+            assert len(feats) == 1
+
+
+class TestGeojsonBboxExport:
+    """geojson-test.js:550-599: -o bbox adds the collection bbox member."""
+
+    def test_points_with_bbox(self, spark):
+        geo = {"type": "GeometryCollection", "geometries": [
+            {"type": "Point", "coordinates": [0, 1]},
+            {"type": "MultiPoint", "coordinates": [[2, 3], [1, 4]]}]}
+        out = apply_commands(spark, "-i g.json -o bbox out.json",
+                             {"g.json": json.dumps(geo)})
+        obj = json.loads(out["out.json"])
+        assert obj["bbox"] == [0, 1, 2, 4]
+        types = sorted(g["type"] for g in obj["geometries"])
+        assert types == ["MultiPoint", "Point"]
+
+    def test_polygons_with_bbox(self, spark):
+        geo = {"type": "GeometryCollection", "geometries": [
+            {"type": "Polygon",
+             "coordinates": [[[1, 1], [1, 3], [2, 3], [1, 1]]]},
+            {"type": "Polygon",
+             "coordinates": [[[-1, 1], [0, 1], [0, 0], [-1, 1]]]}]}
+        out = apply_commands(spark, "-i g.json -o bbox out.json",
+                             {"g.json": json.dumps(geo)})
+        obj = json.loads(out["out.json"])
+        assert obj["bbox"] == [-1, 0, 2, 3]
+        assert len(obj["geometries"]) == 2
+
+
+class TestJsonTableParity:
+    """json-table-test.js: JSON record arrays as tables; format=json drops
+    geometry and exports the data table of any layer."""
+
+    # json-table-test.js:20-26 'json -> csv'
+    def test_json_to_csv(self, spark):
+        out = apply_commands(spark, "-i t.json -o format=csv",
+                             {"t.json": json.dumps([{"id": 0}, {"id": 1}])})
+        assert _csv_lines(out["t.csv"]) == ("id", ["0", "1"])
+
+    # json-table-test.js:28-50 'geojson -> json'
+    def test_geojson_to_json_records(self, spark):
+        geo = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": None, "properties": {"id": "a"}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [0, 0]},
+             "properties": {"id": "b"}}]}
+        out = apply_commands(spark, "-i g.json -o format=json",
+                             {"g.json": json.dumps(geo)})
+        recs = json.loads(out["g.json"])
+        assert sorted(recs, key=lambda r: r["id"]) == [{"id": "a"},
+                                                       {"id": "b"}]
+
+
+class TestMergeLayersParity:
+    """merge-layers-test.js: target= selects sources, the merged layer
+    replaces them; force aligns mismatched fields; empty layers merge."""
+
+    # merge-layers-test.js:9-21 'handles empty layers'
+    def test_handles_empty_layers(self, spark):
+        data = {"a.csv": "id\n1", "b.csv": "id\n2", "c.csv": "id\n3",
+                "d.csv": "id\n4"}
+        out = apply_commands(
+            spark, "-i a.csv -filter false -i b.csv c.csv combine-files "
+            "-i d.csv -merge-layers target=* -o out.csv", data)
+        assert _csv_lines(out["out.csv"]) == ("id", ["2", "3", "4"])
+
+    # merge-layers-test.js:24-32 'force flag works'
+    def test_force_flag(self, spark):
+        out = apply_commands(
+            spark, "a.csv b.csv combine-files -merge-layers target=* force "
+            "-o c.csv", {"a.csv": "id\na", "b.csv": "ID\nb"})
+        assert _csv_lines(out["c.csv"]) == ("id,ID", [",b", "a,"])
+
+    # merge-layers-test.js:35-48 'merging layers from multiple datasets'
+    def test_merge_subset_replaces_sources(self, spark):
+        data = {"a.csv": "FIPS\n36", "b.csv": "FIPS\n34", "c.csv": "FIPS\n52"}
+        out = apply_commands(
+            spark, "-i a.csv -i b.csv -i c.csv "
+            "-merge-layers target=b,c name=bc -o target=*", data)
+        assert sorted(out) == ["a.csv", "bc.csv"]
+        assert _csv_lines(out["a.csv"]) == ("FIPS", ["36"])
+        assert _csv_lines(out["bc.csv"]) == ("FIPS", ["34", "52"])
+
+    # merge-layers-test.js:50-65 'default target after merge is the merge'
+    def test_merged_layer_is_default_target(self, spark):
+        data = {"a.csv": "FIPS\n36", "b.csv": "FIPS\n34", "c.csv": "FIPS\n52"}
+        out = apply_commands(
+            spark, "-i a.csv b.csv combine-files -i c.csv "
+            "-merge-layers target=b,c name=bc -each 'FIPS=null' "
+            "-o target=*", data)
+        assert sorted(out) == ["a.csv", "bc.csv"]
+        assert _csv_lines(out["a.csv"]) == ("FIPS", ["36"])
+        # raw compare: _csv_lines strip()s trailing empty lines away; two
+        # all-null records are two empty lines after the header
+        assert out["bc.csv"] == "FIPS\n\n"
+
+    # merge-layers-test.js:67-80 'merge all datasets'
+    def test_merge_all(self, spark):
+        data = {"a.csv": "FIPS\n36", "b.csv": "FIPS\n34", "c.csv": "FIPS\n52"}
+        out = apply_commands(
+            spark, "-i a.csv -i b.csv -i c.csv "
+            "-merge-layers target=* name=abc -o target=*", data)
+        assert list(out) == ["abc.csv"]
+        assert _csv_lines(out["abc.csv"]) == ("FIPS", ["34", "36", "52"])
+
+
 class TestTargetParity:
     """target-test.js: -target by name / layer number / type=, name= rename,
     and error semantics."""

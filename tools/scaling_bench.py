@@ -102,14 +102,21 @@ print("RESULT " + json.dumps({{"cores": {cores}, "sec": round(best, 3),
 
 
 def wait_for_quiet(threshold: float, budget: float) -> tuple[float, bool]:
-    """Block until loadavg_1m < threshold or budget (seconds) runs out.
-    Returns (loadavg at exit, started_quiet). The gate is decided HERE,
-    before the measurement — never on the result."""
+    """Block until loadavg_1m < threshold AND the hypervisor is not
+    currently stealing cycles (3 s steal-rate sample < STEAL_CORES_LIMIT),
+    or the budget (seconds) runs out. Returns (loadavg at exit,
+    started_quiet). The gate is decided HERE, before the measurement —
+    never on the result; the post-shot steal check in run_level still
+    catches a burst that starts mid-shot."""
     t0 = time.time()
     while True:
         load = os.getloadavg()[0]
         if load < threshold:
-            return round(load, 2), True
+            s0 = _steal_seconds()
+            time.sleep(3.0)
+            steal_rate = (_steal_seconds() - s0) / 3.0
+            if steal_rate < STEAL_CORES_LIMIT:
+                return round(load, 2), True
         if time.time() - t0 >= budget:
             return round(load, 2), False
         time.sleep(10.0)
@@ -122,6 +129,17 @@ def _system_busy_seconds() -> float:
     vals = [int(v) for v in parts]
     idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
+def _steal_seconds() -> float:
+    """Hypervisor steal CPU-seconds since boot (/proc/stat cpu field 8):
+    cycles the HOST gave to other tenant VMs while this VM had runnable
+    work. Invisible to loadavg AND to any in-VM process accounting — the
+    only direct signal that a noisy neighbor slowed a shot down."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    steal = int(parts[7]) if len(parts) > 7 else 0
+    return steal / os.sysconf("SC_CLK_TCK")
 
 
 # Gate v2 (pre-registered 2026-08-18, round 4): in addition to the v1
@@ -145,8 +163,19 @@ def _system_busy_seconds() -> float:
 # JVM teardown can still leak into the external figure (~0.05 cores over
 # a 60 s shot). v2 rows — passing and failing alike — are excluded from
 # the v3 headline by the gate-version stamp.
+#
+# Gate v4 (adds HYPERVISOR STEAL): v3-gated pairs still swung 0.49..1.09
+# with in-VM external cores ~0 — identical warm jobs measured 37 s and
+# 99 s back-to-back. The missing signal is CPU steal (/proc/stat field 8):
+# this VM has thousands of cumulative steal CPU-seconds, in bursts, when
+# the HOST runs other tenants' VMs — invisible to loadavg and to every
+# in-VM process accounting. v4 records steal_cores_avg per shot (steal
+# jiffies delta / wall) and a shot is quiet only if it also stays <=
+# STEAL_CORES_LIMIT. v3 rows — passing and failing both — are excluded
+# from the v4 headline by the gate-version stamp.
 EXT_CORES_LIMIT = 2.0
-GATE_VERSION = 3
+STEAL_CORES_LIMIT = 0.5
+GATE_VERSION = 4
 
 
 def run_level(cores: int, images: int, repeat: int,
@@ -155,6 +184,7 @@ def run_level(cores: int, images: int, repeat: int,
     load, quiet = wait_for_quiet(quiet_load, quiet_wait)
     script = CHILD.format(repo=REPO, cores=cores, images=images, repeat=repeat)
     busy0 = _system_busy_seconds()
+    steal0 = _steal_seconds()
     cpu0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     wall0 = time.time()
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
@@ -180,15 +210,21 @@ def run_level(cores: int, images: int, repeat: int,
     rec["loadavg_1m"] = load
     rec["external_cores_avg"] = round(external_cores, 2)
     rec["tree_cpu_secs"] = round(child_cpu, 1)
+    steal_cores = (_steal_seconds() - steal0) / wall
+    rec["steal_cores_avg"] = round(steal_cores, 3)
     load_after = round(os.getloadavg()[0], 2)
     rec["loadavg_after"] = load_after
-    # quiet means quiet THROUGHOUT: the pre-shot sample passes the gate and
+    # quiet means quiet THROUGHOUT: the pre-shot sample passes the gate,
     # the post-shot 1-minute average confirms nothing landed mid-run (the
-    # child itself contributes `cores`, so allow threshold + cores)
+    # child itself contributes `cores`, so allow threshold + cores), no
+    # in-VM tenant burned external cores, and the HYPERVISOR did not steal
+    # this VM's cycles for other tenants (gate v4)
     rec["started_quiet"] = quiet
     rec["ran_quiet"] = bool(quiet and load_after < quiet_load + cores
-                            and external_cores <= EXT_CORES_LIMIT)
+                            and external_cores <= EXT_CORES_LIMIT
+                            and steal_cores <= STEAL_CORES_LIMIT)
     rec["ext_limit"] = EXT_CORES_LIMIT
+    rec["steal_limit"] = STEAL_CORES_LIMIT
     return rec
 
 
@@ -245,20 +281,24 @@ def render_section(rows: list[dict], images: int, since: str,
         "",
         "The host carries external tenant load, so measurement is gated",
         "PRE-REGISTERED (decided before each shot, never on the result).",
-        "Gate v3 (this era): (a) a wait-for-quiet loop blocks until",
+        "Gate v4 (this era): (a) a wait-for-quiet loop blocks until",
         "loadavg_1m is under the fixed threshold recorded in each row",
         "('quiet_load'); (b) the post-shot 1-min loadavg must stay under",
-        "threshold + cores; AND (c) direct contention accounting — average",
-        "EXTERNAL busy cores over the shot's whole wall window, computed as",
+        "threshold + cores; (c) direct in-VM contention accounting —",
+        "average EXTERNAL busy cores over the shot's whole wall window,",
         "(/proc/stat busy CPU-seconds minus the shot's own process-tree",
-        f"CPU) / wall — must be <= {EXT_CORES_LIMIT} on BOTH sides of the",
-        "pair. The tree CPU is sampled from INSIDE the child while its py4j",
-        "JVM is still alive: gate v2 used the parent's RUSAGE_CHILDREN,",
-        "which never sees the JVM (py4j kills it without reaping), so it",
-        "booked the benchmark's own JVM as a phantom tenant and could gate",
-        "nothing — v2 rows, passing and failing both, are excluded from the",
-        "v3 headline by the gate-version stamp, as are v1 rows (no direct",
-        "accounting at all). The headline statistic is the MEDIAN over",
+        f"CPU) / wall — must be <= {EXT_CORES_LIMIT}; AND (d) HYPERVISOR",
+        "STEAL (/proc/stat cpu field 8 delta / wall) must be <=",
+        f"{STEAL_CORES_LIMIT} cores, on BOTH sides of the pair. Each rule",
+        "exists because its predecessor provably missed a contention mode:",
+        "v2's RUSAGE_CHILDREN never saw the py4j JVM (a killed-not-reaped",
+        "grandchild) and booked the shot's own JVM as a phantom tenant;",
+        "v3's in-VM accounting cannot see the hypervisor giving this VM's",
+        "cycles to OTHER tenants' VMs (identical warm jobs measured 37 s",
+        "and 99 s with in-VM external cores ~0 — steal bursts are the only",
+        "remaining channel). Older-gate rows, passing and failing both, are",
+        "excluded from the current headline by the gate-version stamp.",
+        "The headline statistic is the MEDIAN over",
         f"gated pairs (minimum {min_gated}; fewer means the axis is UNPROVEN",
         "this era, and says so) — the median, not best-of. Ungated rows stay",
         f"in BENCH_SCALING.jsonl as contention evidence. Rows since {since}",
@@ -305,6 +345,9 @@ def render_section(rows: list[dict], images: int, since: str,
             if lo.get("external_cores_avg") is not None:
                 ext = (f" [ext cores {lo['external_cores_avg']}"
                        f"/{hi['external_cores_avg']}]")
+            if lo.get("steal_cores_avg") is not None:
+                ext += (f" [steal {lo['steal_cores_avg']}"
+                        f"/{hi['steal_cores_avg']}]")
             lines.append(
                 f"- {r['ts']}  local[{lo['cores']}] {lo['sec']} s "
                 f"(load {lo['loadavg_1m']}) / local[{hi['cores']}] {hi['sec']} s "
