@@ -77,7 +77,7 @@ _CMD_OPTS = {
     "drop": {"target"},
     "merge-layers": {"target"},
     "o": {"target", "width", "height", "margin", "svg-scale", "id-prefix",
-          "id-field", "point-symbol"},
+          "id-field", "point-symbol", "field-order"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
     "target": {"type"},
     "include": {"file"},
@@ -148,6 +148,7 @@ class Catalog:
     calc_env: dict[str, object] = field(default_factory=dict)
     kinds: dict[str, str] = field(default_factory=dict)  # layer kind hints
     formats: dict[str, str] = field(default_factory=dict)  # input format per layer
+    delims: dict[str, str] = field(default_factory=dict)  # input_delimiter per layer
     crs: dict[str, str] = field(default_factory=dict)  # proj4 per layer (.prj)
     prj_text: dict[str, str] = field(default_factory=dict)  # original .prj WKT
     flags: set = field(default_factory=set)  # -quiet/-verbose/-debug
@@ -221,6 +222,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
 
     dfs = []
     prj_pending: dict[str, tuple] = {}
+    delim_pending: dict[str, str] = {}  # sniffed input_delimiter per path
     auto_fid_paths: set[str] = set()
     for path in c.values:
         ext = os.path.splitext(path)[1].lower()
@@ -300,8 +302,13 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             if base_type == SH.SHP_POINT:
                 df = df.drop("rings_x", "rings_y")
                 kind_hint = "point"
-            elif base_type == SH.SHP_POLYLINE:
-                kind_hint = "polyline"
+            else:
+                if base_type == SH.SHP_POLYLINE:
+                    kind_hint = "polyline"
+                df = df.drop(*[col for col in ("x", "y")
+                               if col in df.columns])
+            if dbf is None or "fid" not in SH.dbf_field_names(dbf):
+                auto_fid_paths.add(path)  # record number, not a dbf field
             prj_path = stem + ".prj"
             if os.path.exists(prj_path):
                 from mapshaper_spark.sources import prj as PJ
@@ -311,7 +318,12 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 except ValueError:
                     prj_pending[path] = (wkt, None)  # keep for re-export
         elif ext in (".csv", ".tsv"):
-            df = DL.import_delim(cat.spark, path)
+            enc = str(c.opt("encoding")) if c.opt("encoding") else "UTF-8"
+            delim = str(c.opt("delimiter")) if c.opt("delimiter") \
+                else DL.detect_delimiter(path, enc)
+            df = DL.import_delim(cat.spark, path, delimiter=delim,
+                                 encoding=enc)
+            delim_pending[path] = delim
         elif ext == ".parquet":
             df = cat.spark.read.parquet(path)
         else:
@@ -335,6 +347,8 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     else:
         for path, df, kind_hint in dfs:
             name = cat.add(str(c.opt("name", _layer_name(path))), df)
+            if path in delim_pending:
+                cat.delims[name] = delim_pending[path]
             if path in prj_pending:
                 wkt, p4 = prj_pending[path]
                 cat.prj_text[name] = wkt
@@ -526,11 +540,15 @@ def _cmd_join(cat: Catalog, c: Command) -> None:
     if calc:  # calc= outputs supersede same-named fields= copies
         copy = [f for f in copy if f not in calc]
     where = c.opt("where")
-    if where and re.match(r"^is(Max|Min)\(", str(where)):
-        m = re.match(r"^is(Max|Min)\(\s*([\w.]+)\s*\)$", str(where))
-        out = J.join_where_is_max(target, source, tuple(keys), m.group(2),
-                                  is_min=(m.group(1) == "Min"),
-                                  copy_fields=copy)
+    if where and re.match(r"^is(Max|Min|Mode)\(", str(where)):
+        m = re.match(r"^is(Max|Min|Mode)\(\s*([\w.]+)\s*\)$", str(where))
+        if m.group(1) == "Mode":
+            out = J.join_where_is_mode(target, source, tuple(keys),
+                                       m.group(2), copy_fields=copy)
+        else:
+            out = J.join_where_is_max(target, source, tuple(keys), m.group(2),
+                                      is_min=(m.group(1) == "Min"),
+                                      copy_fields=copy)
     else:
         out = J.join_attributes(target, source, tuple(keys),
                                 copy_fields=copy,
@@ -703,8 +721,38 @@ def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
 
 
 def _cmd_explode(cat: Catalog, c: Command) -> None:
+    """-explode (mapshaper-explode.js): one feature per part. Point layers
+    split each MultiPoint into one Point per coordinate, copying the record
+    (explode.test.js:6-20); ring layers go through the hole-preserving
+    part grouping in paths.explode."""
     from mapshaper_spark.operators.paths import explode
-    cat.replace(explode(cat.df()))
+    df = cat.df()
+    kind = cat.kinds.get(cat.target, _geometry_kind(df))
+    if kind == "point" and "rings_x" in df.columns:
+        # multipoint coords ride in the rings arrays; single points may mix
+        # in as scalar x/y rows — normalize both to one row per coordinate
+        has_rings = F.col("rings_x").isNotNull() & (F.size("rings_x") > 0)
+        x, y = _point_cols(df)
+        pts = F.when(has_rings, F.arrays_zip(
+            F.flatten("rings_x").alias("px"),
+            F.flatten("rings_y").alias("py"))) \
+            .otherwise(F.array(F.struct(F.col(x).alias("px"),
+                                        F.col(y).alias("py"))))
+        out = (df.withColumn("__pt", F.explode(pts))
+               .withColumn(x, F.col("__pt.px"))
+               .withColumn(y, F.col("__pt.py"))
+               .drop("__pt", "rings_x", "rings_y"))
+        if "geometry_type" in out.columns:
+            out = out.withColumn("geometry_type", F.lit("Point"))
+        if "bbox" in out.columns:
+            out = out.withColumn("bbox", F.struct(
+                F.col(x).alias("xmin"), F.col(y).alias("ymin"),
+                F.col(x).alias("xmax"), F.col(y).alias("ymax")))
+        cat.replace(out)
+        return
+    # the reference adds no field to exploded records; part_idx is the
+    # operator's programmatic handle only
+    cat.replace(explode(df).drop("part_idx"))
 
 
 def _cmd_filter_islands(cat: Catalog, c: Command) -> None:
@@ -958,12 +1006,14 @@ def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
                 if n in cat.prj_text), None)
     kinds = {cat.kinds[n] for n in names if n in cat.kinds}
     fmts = {cat.formats[n] for n in names if n in cat.formats}
+    dlms = {cat.delims[n] for n in names if n in cat.delims}
     all_auto = all(n in cat.auto_fid for n in names)
     pos = cat.order.index(names[0])
     for n in names:  # sources are consumed by the merge
         del cat.layers[n]
         cat.order.remove(n)
-        for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+        for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text,
+                     cat.delims):
             meta.pop(n, None)
         cat.auto_fid.discard(n)
     new = str(c.opt("name") or c.opt("target-name") or names[0])
@@ -978,6 +1028,8 @@ def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
         cat.kinds[new] = kinds.pop()
     if len(fmts) == 1:
         cat.formats[new] = fmts.pop()
+    if len(dlms) == 1:
+        cat.delims[new] = dlms.pop()
     if all_auto:
         cat.auto_fid.add(new)
     if prj:
@@ -1006,12 +1058,14 @@ def _cmd_split(cat: Catalog, c: Command) -> None:
             cat.kinds[name] = src_kind
         if src in cat.formats:
             cat.formats[name] = cat.formats[src]
+        if src in cat.delims:
+            cat.delims[name] = cat.delims[src]
         if src in cat.auto_fid:
             cat.auto_fid.add(name)
         first = first or name
     del cat.layers[src]
     cat.order.remove(src)
-    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text, cat.delims):
         meta.pop(src, None)
     cat.auto_fid.discard(src)
     cat.target = first
@@ -1146,6 +1200,60 @@ def _svg_payload(cat: Catalog, names: list[str], c: Command) -> str:
     return SVG.export_svg_document(layers, **opts)
 
 
+def _data_fields(cat: Catalog, df: DataFrame) -> list[str]:
+    """The layer's DATA TABLE columns: geometry carriers and import
+    artifacts are not data fields (the reference keeps geometry separate
+    from the table; Issue #174), nor are synthetic point coordinates or a
+    fid this importer minted."""
+    skip = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
+            "geometry_type", "properties", "shp_type", "parts"}
+    if cat.kinds.get(cat.target, _geometry_kind(df)) == "point":
+        skip |= set(_point_cols(df) + ("lon", "lat", "x", "y"))
+    if cat.target in cat.auto_fid:
+        skip.add("fid")
+    return [col for col in df.columns if col not in skip]
+
+
+def _delim_out(cat: Catalog, c: Command, df: DataFrame, fmt: str,
+               path: str | None) -> None:
+    """-o csv/tsv: the export delimiter follows delimiter= > the .tsv
+    extension > the layer's sniffed input delimiter (info.input_delimiter,
+    mapshaper-delim-export.js:84-96); field-order=ascending sorts columns
+    case-insensitively (delim-export-test.js field_order case); encoding=
+    re-encodes the payload with '?' replacement like the reference's
+    iconv-lite output (delim-export-test.js encoding cases)."""
+    from mapshaper_spark.sources.delim import delim_payload
+    keep = _data_fields(cat, df)
+    if keep != df.columns:
+        # (no-op when nothing is dropped: selecting by name would be
+        # ambiguous on case-duplicate fields like id/ID after a force merge)
+        df = df.select(*keep)
+    if c.opt("field-order") == "ascending":
+        df = df.select(*sorted(df.columns, key=lambda s: (s.lower(), s)))
+    delim = str(c.opt("delimiter")) if c.opt("delimiter") else (
+        "\t" if fmt == "tsv" else cat.delims.get(cat.target, ","))
+    payload = delim_payload(df, delim)
+    enc = str(c.opt("encoding")) if c.opt("encoding") else None
+    if path is not None:
+        if enc:
+            with open(path, "wb") as f:
+                f.write(payload.encode(enc, errors="replace"))
+        else:
+            with open(path, "w") as f:
+                f.write(payload)
+        cat.outputs[path] = path
+        return
+    # exactly one trailing newline comes off; all-null rows are EMPTY
+    # LINES and must survive (reference formatDelimRow output)
+    if payload.endswith("\n"):
+        payload = payload[:-1]
+    # pathless name takes its extension from the delimiter (the reference
+    # picks .tsv for tab output, mapshaper-delim-export.js:96-101)
+    key = f"{cat.target}." + ("tsv" if delim == "\t" else "csv")
+    cat.outputs[key] = (payload.encode(enc, errors="replace")
+                        if enc else payload)
+
+
 def _cmd_o(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.sources import delim as DL
     from mapshaper_spark.sources import geojson as GJ
@@ -1210,28 +1318,15 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         # 28-50 exports a point layer's records without coordinates); a
         # bare .json path extension on a geometry layer means geojson.
         from mapshaper_spark.operators.attributes import to_json_records
-        skip = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
-                "geometry_type", "properties", "shp_type", "parts"}
-        if kind0 == "point":
-            skip |= set(_point_cols(df) + ("lon", "lat", "x", "y"))
-        if cat.target in cat.auto_fid:
-            skip.add("fid")
-        payload = to_json_records(df.select(
-            *[col for col in df.columns if col not in skip]))
+        payload = to_json_records(df.select(*_data_fields(cat, df)))
         key = path or f"{cat.target}.json"
         if path:
             with open(path, "w") as f:
                 f.write(payload)
         cat.outputs[key] = payload
         return
-    if fmt == "csv" and path is None:
-        from mapshaper_spark.sources.delim import delim_payload
-        payload = delim_payload(df)
-        # exactly one trailing newline comes off; all-null rows are EMPTY
-        # LINES and must survive (reference formatDelimRow output)
-        if payload.endswith("\n"):
-            payload = payload[:-1]
-        cat.outputs[f"{cat.target}.csv"] = payload
+    if fmt in ("csv", "tsv") and path is None:
+        _delim_out(cat, c, df, fmt, None)
         return
     if fmt in ("json", "geojson"):
         geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
@@ -1279,10 +1374,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     elif fmt == "svg":
         payload = _svg_payload(cat, [cat.target], c)
     elif fmt in ("csv", "tsv"):
-        if path is None:
-            raise ValueError("-o csv requires a file path")
-        DL.export_delim(df, path, delimiter="\t" if fmt == "tsv" else ",")
-        cat.outputs[path] = path
+        _delim_out(cat, c, df, fmt, path)
         return
     elif fmt == "shp":
         shp, shx, dbf = SH.export_shapefile(df)
@@ -1901,8 +1993,14 @@ def apply_commands(spark: SparkSession, command_str: str,
             elif os.path.exists(path):
                 ext = os.path.splitext(name)[1].lower()
                 mode = "rb" if ext in (".shp", ".shx", ".dbf") else "r"
-                with open(path, mode) as f:
-                    results[name] = f.read()
+                try:
+                    with open(path, mode) as f:
+                        results[name] = f.read()
+                except UnicodeDecodeError:
+                    # e.g. -o encoding=utf-16be csv: return raw bytes like
+                    # the reference's Buffer outputs
+                    with open(path, "rb") as f:
+                        results[name] = f.read()
                 if ext == ".shp":
                     base = os.path.splitext(path)[0]
                     for side, m in ((".shx", "rb"), (".dbf", "rb"),

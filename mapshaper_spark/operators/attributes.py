@@ -47,10 +47,15 @@ def filter_fields(df: DataFrame, fields: Sequence[str]) -> DataFrame:
 
 
 def rename_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
-    """mapping: {new_name: old_name} pairs (the reference's ``new=old``)."""
-    for new, old in mapping.items():
-        df = df.withColumnRenamed(old, new)
-    return df
+    """mapping: {new_name: old_name} pairs (the reference's ``new=old``).
+    Renamed fields move to the FRONT in mapping order, remaining columns
+    keep their relative order — renameFields builds the record mapper from
+    {renames, then defaults} key order (mapshaper-filter-rename-fields.js:
+    10-15, filter-rename-fields-test.js:21-30)."""
+    renamed_old = list(mapping.values())
+    front = [df[old].alias(new) for new, old in mapping.items()]
+    rest = [df[c] for c in df.columns if c not in renamed_old]
+    return df.select(*front, *rest)
 
 
 def each(df: DataFrame, assignments: Mapping[str, str | Column],

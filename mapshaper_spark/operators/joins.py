@@ -101,3 +101,24 @@ def join_where_is_max(target: DataFrame, source: DataFrame, keys: tuple[str, str
     filtered = source.withColumn("__ext", extreme).filter(F.col(value_field) == F.col("__ext")).drop("__ext")
     return join_attributes(target, filtered, keys, copy_fields=copy_fields,
                            source_order=source_order)
+
+
+def join_where_is_mode(target: DataFrame, source: DataFrame,
+                       keys: tuple[str, str], value_field: str,
+                       copy_fields: Sequence[str],
+                       source_order: str | None = None) -> DataFrame:
+    """-join where='isMode(v)' — candidate source rows are filtered to
+    those carrying a MODAL value of ``value_field`` within the key group
+    (ties keep every tied mode), before the first-match copy
+    (mapshaper-join-filter.js:24-30 getModeValues). Both windows partition
+    on the join key, so this is one shuffle and no Python."""
+    dest_key, src_key = keys
+    wv = Window.partitionBy(src_key, value_field)
+    wk = Window.partitionBy(src_key)
+    filtered = (source
+                .withColumn("__vc", F.count(F.lit(1)).over(wv))
+                .withColumn("__mx", F.max("__vc").over(wk))
+                .filter(F.col("__vc") == F.col("__mx"))
+                .drop("__vc", "__mx"))
+    return join_attributes(target, filtered, keys, copy_fields=copy_fields,
+                           source_order=source_order)

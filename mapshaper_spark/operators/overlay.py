@@ -1407,9 +1407,12 @@ def _dissolve2_cells(labeled: DataFrame, group: str,
 def _sutherland_hodgman_exact(rx, ry, bbox):
     """paths._sutherland_hodgman over a grid-pre-cut ring: identical
     algorithm — after _cut_ring_at_gridlines the interpolation is exact
-    (t degenerates to 0/1), see that docstring."""
+    (t degenerates to 0/1), see that docstring. dedup=False: the two-level
+    edge-cancel needs BOTH neighbouring cells to emit the seam with the
+    same vertex multiplicity; collapsing on-edge duplicates in one cell's
+    output but not the other leaves uncancelled seam edges."""
     from mapshaper_spark.operators.paths import _sutherland_hodgman
-    return _sutherland_hodgman(rx, ry, bbox)
+    return _sutherland_hodgman(rx, ry, bbox, dedup=False)
 
 
 def clip_polylines_rings(paths, rings_c, erase: bool = False):

@@ -523,11 +523,13 @@ def repair_ring_nesting(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=df.schema)
 
 
-def _sutherland_hodgman(rx, ry, bbox):
+def _sutherland_hodgman(rx, ry, bbox, dedup=True):
     """Clip one ring against an axis-aligned rect (exact for rect clips; the
     convex-clip core of -clip's bbox fast path,
     /root/reference/src/clipping/mapshaper-bbox-clipping.js). Returns the
-    clipped closed ring (possibly empty)."""
+    clipped closed ring (possibly empty). ``dedup=False`` keeps the
+    on-edge duplicate vertices S-H emits — required by the two-level
+    mosaic's seam edge-cancel (overlay._sutherland_hodgman_exact)."""
     xmin, ymin, xmax, ymax = bbox
     pts = list(zip(rx, ry))
     if pts and pts[0] == pts[-1]:
@@ -563,6 +565,17 @@ def _sutherland_hodgman(rx, ry, bbox):
         pts = clip_edge(pts, lambda p: p[1] >= ymin, lambda p, q: iy(p, q, ymin))
     if pts:
         pts = clip_edge(pts, lambda p: p[1] <= ymax, lambda p, q: iy(p, q, ymax))
+    if dedup:
+        # a vertex exactly ON a clip edge makes intersect(prev, cur) == cur,
+        # so S-H emits it twice — collapse consecutive duplicates
+        # (incl. wraparound)
+        out: list = []
+        for p in pts:
+            if not out or p != out[-1]:
+                out.append(p)
+        while len(out) > 1 and out[0] == out[-1]:
+            out.pop()
+        pts = out
     if len(pts) < 3:
         return [], []
     pts.append(pts[0])

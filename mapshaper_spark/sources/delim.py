@@ -88,7 +88,11 @@ def delim_payload(df: DataFrame, delimiter: str = ",") -> str:
     def _cell(v) -> str:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return ""
-        s = str(v)
+        if isinstance(v, float) and v.is_integer() and abs(v) < 1e16:
+            # JS String(n) has no int/float split: 3.0 prints '3'
+            s = str(int(v))
+        else:
+            s = str(v)
         if delimiter in s or '"' in s or "\n" in s or "\r" in s:
             s = '"' + s.replace('"', '""') + '"'
         return s

@@ -30,6 +30,23 @@ def _ring_to_xy(ring):
     return xs, ys
 
 
+def _rewind_ring(xs, ys, is_hole):
+    """PathImporter.importRing (mapshaper-path-import.js:105-113): outer
+    rings are stored CW (positive area), holes CCW — rings wound the wrong
+    way are reversed on import, so GeoJSON's spec order (exterior CCW) and
+    shapefile order (exterior CW) both normalize to the same layout."""
+    # offset shoelace, CW => positive (same convention as
+    # geom.kernels.planar_path_area)
+    s = 0.0
+    x0, y0 = xs[0], ys[0]
+    for i in range(len(xs) - 1):
+        s += (xs[i + 1] - x0) * (ys[i] - y0) - (xs[i] - x0) * (ys[i + 1] - y0)
+    area = s / 2
+    if (is_hole and area > 0) or (not is_hole and area < 0):
+        return xs[::-1], ys[::-1]
+    return xs, ys
+
+
 def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
     """FeatureCollection / GeometryCollection / single feature -> features
     DataFrame: (fid, geometry_type, rings_x, rings_y, x, y, properties(json
@@ -70,14 +87,14 @@ def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
                 rx.append(xs)
                 ry.append(ys)
         elif t == "Polygon":
-            for ring in c:
-                xs, ys = _ring_to_xy(ring)
+            for k, ring in enumerate(c):
+                xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
                 rx.append(xs)
                 ry.append(ys)
         elif t == "MultiPolygon":
             for poly in c:
-                for ring in poly:
-                    xs, ys = _ring_to_xy(ring)
+                for k, ring in enumerate(poly):
+                    xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
                     rx.append(xs)
                     ry.append(ys)
         elif t is None:

@@ -164,6 +164,17 @@ def _uniq_record_names(names: list[str]) -> list[str]:
     return out
 
 
+def dbf_field_names(data: bytes) -> list[str]:
+    """Field names from a .dbf header (descriptor scan only)."""
+    names = []
+    pos = 32
+    while data[pos] != 0x0D:
+        names.append(data[pos:pos + 11].split(b"\x00")[0]
+                     .decode("ascii", "replace"))
+        pos += 32
+    return names
+
+
 def read_dbf(data: bytes, encoding: str | None = None):
     """Parse .dbf bytes -> list of dict records (types C/N/F/L/D, matching
     dbf-reader.js getNumberReader/readInt/readBool/readDate). With no

@@ -952,3 +952,180 @@ class TestIssueRegressions:
             spark, "-i c_utm.shp a_utm.shp combine-files -merge-layers "
                    "-o out.shp", files)
         assert out2["out.prj"].strip() == prj.strip()
+
+
+class TestDelimExportParity:
+    """delim-export-test.js: output encoding=, delimiter preservation,
+    field-order=ascending, and import/export round-trips."""
+
+    # delim-export-test.js:11-21 (latin-1: é survives, CJK -> ???)
+    def test_output_encoding_latin1(self, spark):
+        out = apply_commands(
+            spark, "-i input.csv -o output.csv encoding=latin-1",
+            {"input.csv": "foo,bar\nétranger,外国人"})
+        assert out["output.csv"].decode("latin-1") == "foo,bar\nétranger,???\n"
+
+    # delim-export-test.js:22-30
+    def test_output_encoding_ascii(self, spark):
+        out = apply_commands(
+            spark, "-i input.csv -o output.csv encoding=ascii",
+            {"input.csv": "foo,bar\nétranger,外国人"})
+        payload = out["output.csv"]
+        if isinstance(payload, bytes):  # pure-ascii bytes read back as str
+            payload = payload.decode("ascii")
+        assert payload == "foo,bar\n?tranger,???\n"
+
+    # delim-export-test.js:31-39
+    def test_output_encoding_utf16be(self, spark):
+        out = apply_commands(
+            spark, "-i input.csv -o output.csv encoding=utf-16be",
+            {"input.csv": "foo,bar\nétranger,外国人"})
+        assert out["output.csv"].decode("utf-16-be") == \
+            "foo,bar\nétranger,外国人\n"
+
+    # delim-export-test.js:78-85 field-order=ascending is case-insensitive
+    def test_field_order_ascending(self, spark):
+        out = apply_commands(
+            spark, "-i input.csv -o field-order=ascending",
+            {"input.csv": "Z,A,b,D,c\nfoo,foo,foo,foo,bar"})
+        assert out["input.csv"] == "A,b,c,D,Z\nfoo,foo,bar,foo,foo"
+
+    # delim-export-test.js:92-96 strings and numbers are preserved
+    def test_roundtrip_numbers(self, spark):
+        out = apply_commands(spark, "-i input.csv -o",
+                             {"input.csv": "a,b,c\nfoo,0,3"})
+        assert out["input.csv"] == "a,b,c\nfoo,0,3"
+
+    # delim-export-test.js:98-101 semicolons are preserved through the
+    # sniffed input_delimiter
+    def test_roundtrip_semicolons(self, spark):
+        out = apply_commands(spark, "-i input.csv -o",
+                             {"input.csv": "a;b;c\nfoo;0.3;0"})
+        assert out["input.csv"] == "a;b;c\nfoo;0.3;0"
+
+    def test_roundtrip_pipes_and_tabs(self, spark):
+        out = apply_commands(spark, "-i input.csv -o",
+                             {"input.csv": "a|b|c\nfoo|0.3|0"})
+        assert out["input.csv"] == "a|b|c\nfoo|0.3|0"
+        # tab delimiter names the pathless output .tsv
+        out = apply_commands(spark, "-i input.csv -o",
+                             {"input.csv": "a\tb\nfoo\t1"})
+        assert out["input.tsv"] == "a\tb\nfoo\t1"
+
+    # delim-export-test.js:103-106 empty strings are preserved
+    def test_roundtrip_empty_strings(self, spark):
+        out = apply_commands(spark, "-i input.csv -o",
+                             {"input.csv": "a,b,c\nfoo,3,\n,,"})
+        assert out["input.csv"] == "a,b,c\nfoo,3,\n,,"
+
+
+class TestJoinIsModeParity:
+    # join-filter-test.js:28-31: isMode(fips) keeps candidates carrying the
+    # modal value of the group ('51' appears 3x vs '41' 1x)
+    def test_is_mode(self, spark):
+        a = "id\n1"
+        b = ("id,fips,area\n"
+             "1,41,300\n1,51,500\n1,51,450\n1,51,150")
+        out = apply_commands(
+            spark, '-i a.csv -join b.csv keys=id,id where="isMode(fips)" '
+                   "fields=fips,area -o format=json",
+            {"a.csv": a, "b.csv": b})
+        rows = _rows(out["a.json"])
+        # first-match copy out of the three modal-51 candidates
+        assert rows[0]["fips"] == 51
+        assert rows[0]["area"] in (500, 450, 150)
+
+
+class TestClippingBugParity:
+    # x_clipping_bug.js:11-25: polygon vanished after bbox clipping along
+    # an almost-parallel segment (y = -1.7e-18 vs bbox edge y = 0)
+    def test_almost_parallel_bbox_clip(self, spark):
+        polygon = {"type": "Polygon", "coordinates": [[
+            [-0.9, 0.4], [-0.4, 0.4], [-0.4, 0],
+            [-0.9, -1.734723475976807e-18], [-0.9, 0.4]]]}
+        out = apply_commands(
+            spark, "-i in.json -clip bbox=-1,0,0,1 -o out.json",
+            {"in.json": json.dumps(polygon)})
+        obj = json.loads(out["out.json"])
+        coords = obj["geometries"][0]["coordinates"][0]
+        # ring-rotation-invariant compare (documented deviation: our rings
+        # start at clip intersections, the reference keeps arc order)
+        expect = [[-0.9, 0.4], [-0.4, 0.4], [-0.4, 0], [-0.9, 0]]
+        got = coords[:-1]
+        assert len(got) == len(expect) and coords[0] == coords[-1]
+        k = got.index(expect[0])
+        assert got[k:] + got[:k] == expect
+
+
+class TestFilterRenameFieldsParity:
+    # filter-rename-fields-test.js:12-18: bare -filter-fields drops ALL
+    # data fields
+    def test_filter_fields_drops_all(self, spark):
+        base = "/root/reference/test/test_data/two_states"
+        files = {f"two_states{ext}": open(base + ext, "rb").read()
+                 for ext in (".shp", ".shx", ".dbf")}
+        out = apply_commands(
+            spark, "-i two_states.shp -filter-fields -o format=geojson",
+            files)
+        obj = json.loads(out["two_states.json"])
+        feats = obj.get("features") or obj.get("geometries")
+        assert len(feats) == 2
+        for f in feats:
+            assert f.get("properties") in (None, {})
+
+    # filter-rename-fields-test.js:21-30: renamed fields keep positions
+    def test_rename_fields_order(self, spark):
+        base = "/root/reference/test/test_data/two_states"
+        files = {f"two_states{ext}": open(base + ext, "rb").read()
+                 for ext in (".shp", ".shx", ".dbf")}
+        out = apply_commands(
+            spark, "-i two_states.shp -rename-fields lat=LAT,lng=LONG "
+                   "-o format=csv", files)
+        header = out["two_states.csv"].split("\n")[0].split(",")
+        assert header == ["lat", "lng", "STATE_NAME", "FIPS", "STATE"]
+
+
+class TestExplodeParity:
+    # explode.test.js:6-20: a MultiPoint feature explodes into one point
+    # per coordinate, each copying the record
+    def test_explode_multipoint(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"a": "foo", "b": "bar"},
+             "geometry": {"type": "MultiPoint",
+                          "coordinates": [[2, 3], [4, 5], [6, 7]]}}]}
+        out = apply_commands(spark, "-i in.json -explode -o out.json",
+                             {"in.json": json.dumps(gj)})
+        feats = json.loads(out["out.json"])["features"]
+        assert len(feats) == 3
+        assert all(f["properties"] == {"a": "foo", "b": "bar"}
+                   for f in feats)
+        coords = sorted(f["geometry"]["coordinates"] for f in feats)
+        assert coords == [[2, 3], [4, 5], [6, 7]]
+
+    # explode.test.js:52-83: rings with holes are NOT separated — the hole
+    # stays attached to its enclosing ring
+    def test_explode_keeps_holes(self, spark):
+        outer = [[3, 5], [5, 3], [3, 1], [1, 3], [3, 5]]
+        hole = [[3, 4], [2, 3], [3, 2], [4, 3], [3, 4]]  # CCW inside
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"a": "bar"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [outer, hole]}}]}
+        out = apply_commands(spark, "-i in.json -explode -o out.json",
+                             {"in.json": json.dumps(gj)})
+        feats = json.loads(out["out.json"])["features"]
+        assert len(feats) == 1
+        assert len(feats[0]["geometry"]["coordinates"]) == 2
+
+    # explode.test.js:22-50: a multipolygon explodes per part
+    def test_explode_multipolygon(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"id": 9},
+             "geometry": {"type": "MultiPolygon", "coordinates": [
+                 [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                 [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]]]]}}]}
+        out = apply_commands(spark, "-i in.json -explode -o out.json",
+                             {"in.json": json.dumps(gj)})
+        feats = json.loads(out["out.json"])["features"]
+        assert len(feats) == 2
+        assert all(f["properties"] == {"id": 9} for f in feats)

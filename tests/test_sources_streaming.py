@@ -284,10 +284,10 @@ class TestGeoJSONReferenceFixtures:
         assert all(r.rings_x == [] for r in nulls)
 
     def test_ccw_polygon_winding_repair(self, spark):
-        """ccw_polygon.json: a counter-clockwise outer ring (negative signed
-        area in the reference's CW-positive convention) imports verbatim;
-        repair_ring_nesting reverses it to positive (to within the 1-ulp
-        reversed-shoelace rounding difference)."""
+        """ccw_polygon.json: a counter-clockwise outer ring is REWOUND to
+        CW (positive signed area) at import, like the reference's
+        PathImporter.importRing (mapshaper-path-import.js:105-113);
+        repair_ring_nesting then has nothing to fix and leaves it alone."""
         from mapshaper_spark.operators import paths as P2
         import numpy as np
         from mapshaper_spark.geom import kernels as K2
@@ -295,11 +295,11 @@ class TestGeoJSONReferenceFixtures:
             df = GJ.import_geojson(spark, f.read())
         r = df.collect()[0]
         a = K2.planar_path_area(np.asarray(r.rings_x[0]), np.asarray(r.rings_y[0]))
-        assert a < 0
+        assert a > 0
         fixed = P2.repair_ring_nesting(df.select("fid", "rings_x", "rings_y", "bbox"))
         r2 = fixed.collect()[0]
         a2 = K2.planar_path_area(np.asarray(r2.rings_x[0]), np.asarray(r2.rings_y[0]))
-        assert a2 == pytest.approx(-a, rel=1e-12)
+        assert a2 == pytest.approx(a, rel=1e-12)
         assert a2 > 0
 
 
