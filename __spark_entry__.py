@@ -1921,7 +1921,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["round_precision"] = f"""
         WITH pts AS ({pts})
-        SELECT c_custkey, round(lon / 0.5) * 0.5 AS rlon, round(lat / 0.5) * 0.5 AS rlat
+        SELECT c_custkey, floor(lon * 2.0 + 0.5) / 2.0 AS rlon,
+               floor(lat * 2.0 + 0.5) / 2.0 AS rlat
         FROM pts
     """
     sqls["dissolve_states"] = """

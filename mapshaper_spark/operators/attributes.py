@@ -150,9 +150,15 @@ def merge_layers(dfs: Sequence[DataFrame], force: bool = False) -> DataFrame:
 
 
 def round_coords(col: Column, precision: float) -> Column:
-    """-o precision= rounding (mapshaper-rounding.js): round to a multiple
-    of ``precision`` — round(x / p) * p."""
-    return F.round(col / F.lit(precision)) * F.lit(precision)
+    """-o precision= rounding (mapshaper-rounding.js:33-46
+    getRoundingFunction): round(x * inv) / inv with inv = round(1/p) —
+    dividing by the integer inverse is the form whose JSON.stringify shows
+    no rounding artifacts (33.3, not 33.300000000000004); floor(x + 0.5)
+    reproduces JS Math.round on negative halves (-1.5 -> -1)."""
+    inv = 1.0 / precision
+    if inv > 1:
+        inv = float(round(inv))
+    return F.floor(col * F.lit(inv) + F.lit(0.5)) / F.lit(inv)
 
 
 def _affine_coeffs(shift, scale, rotate_deg, anchor):

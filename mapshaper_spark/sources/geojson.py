@@ -142,7 +142,8 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
     def r(c):
         if precision is None:
             return c
-        return F.round(c / F.lit(precision)) * F.lit(precision)
+        from mapshaper_spark.operators.attributes import round_coords
+        return round_coords(c, precision)
 
     props = F.struct(*[F.col(c).alias(c) for c in property_cols]) \
         if property_cols else F.struct(F.lit(None).alias("__empty"))

@@ -1129,3 +1129,31 @@ class TestExplodeParity:
         feats = json.loads(out["out.json"])["features"]
         assert len(feats) == 2
         assert all(f["properties"] == {"id": 9} for f in feats)
+
+
+class TestRoundingParity:
+    # rounding-test.js:87-98: the rounded coordinate STRINGIFIES clean
+    # (round via the integer inverse, not multiply-by-increment)
+    def test_rounding_stringify_clean(self, spark):
+        gj = {"type": "GeometryCollection", "geometries": [
+            {"type": "MultiPoint", "coordinates":
+             [[0.1000000001, -77.2000000001], [33.2999999999, -33330.4],
+              [77.5, 899222.5999999999], [1000000.7000001, -1000000.8]]}]}
+        out = apply_commands(spark, "-i g.json -o precision=0.1 out.json",
+                             {"g.json": json.dumps(gj)})
+        txt = out["out.json"]
+        for s in ("0.1", "-77.2", "33.3", "-33330.4", "77.5",
+                  "899222.6", "1000000.7", "-1000000.8"):
+            assert s in txt, s
+        assert "0000000" not in txt and "9999999" not in txt
+
+    # rounding-test.js:102-107: integer rounding, JS Math.round semantics
+    # (-1.5 rounds toward +inf, to -1)
+    def test_round_points_to_integer(self, spark):
+        gj = {"type": "GeometryCollection", "geometries": [
+            {"type": "MultiPoint",
+             "coordinates": [[-0.1, 0.1], [0.5, -1.5]]}]}
+        out = apply_commands(spark, "-i g.json -o precision=1 out.json",
+                             {"g.json": json.dumps(gj)})
+        pts = json.loads(out["out.json"])["geometries"][0]["coordinates"]
+        assert pts == [[0, 0], [1, -1]]
