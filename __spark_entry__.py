@@ -643,9 +643,17 @@ def q_topology_build(spark, sf_dir):
                          F.element_at("rings_x", 1).alias("xs"),
                          F.element_at("rings_y", 1).alias("ys"))
     arcs, _refs = TP.build_topology(paths, "path_id")
+    # arcs store the reference's FIRST-USE traversal (topology-test.js
+    # parity); normalize endpoint order here so the oracle's left->right /
+    # bottom->top edge enumeration stays direction-independent
+    a = F.struct(F.element_at("xs", 1).alias("x"),
+                 F.element_at("ys", 1).alias("y"))
+    b = F.struct(F.element_at("xs", -1).alias("x"),
+                 F.element_at("ys", -1).alias("y"))
+    lo, hi = F.least(a, b), F.greatest(a, b)
     return arcs.select(
-        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
-        F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"), "n")
+        lo.x.alias("x0"), lo.y.alias("y0"),
+        hi.x.alias("x1"), hi.y.alias("y1"), "n")
 
 
 def q_polygons_from_lines(spark, sf_dir):
@@ -2257,12 +2265,16 @@ def oracle_sql() -> dict[str, str]:
     """
     sqls["intersection_cuts"] = """
         -- hand-derived arc split of two overlapping unit-2 squares: four
-        -- arcs, all running between the intersection points (1,2) and (2,1)
+        -- arcs between the intersection points (1,2) and (2,1), each
+        -- running in its source ring's traversal direction after rotation
+        -- to the first cut (the reference keeps original arc direction;
+        -- ring 0 = [0,0 0,2 2,2 2,0], ring 1 = [1,1 1,3 3,3 3,1], both CW
+        -- in screen coords, first cut encountered = (1,2))
         SELECT * FROM (VALUES
             (0, 3, 1.0, 2.0, 2.0, 1.0),
-            (1, 5, 1.0, 2.0, 2.0, 1.0),
+            (1, 5, 2.0, 1.0, 1.0, 2.0),
             (2, 5, 1.0, 2.0, 2.0, 1.0),
-            (3, 3, 1.0, 2.0, 2.0, 1.0))
+            (3, 3, 2.0, 1.0, 1.0, 2.0))
             t(arc_id, n, x0, y0, x1, y1)
     """
     # the reference's own expected document (svg-test.js:105-106) as a SQL

@@ -47,7 +47,7 @@ _FLAG_WORDS = {
     "combine-files", "merge-files", "erase", "centroid", "inner",
     "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
-    "postprocess", "debug", "final", "bbox",
+    "postprocess", "debug", "final", "bbox", "snap", "auto-snap",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -58,6 +58,7 @@ _KNOWN_OPTS = {
     "max-count", "format", "bbox", "min-area", "min-vertices", "interval",
     "precision", "source", "scale", "rotate", "shift", "anchor", "x", "y",
     "percentage", "target-name", "key", "names", "encoding", "delimiter",
+    "snap-interval",
 }
 
 # per-command option names — the reference's parser is context-sensitive
@@ -329,6 +330,14 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
         else:
             raise ValueError(f"-i: unsupported input format '{ext}'")
         dfs.append((path, df, kind_hint))
+    # -i snap / auto-snap / snap-interval= (path-import.js:16-22): snap
+    # path vertices on import, then dedup the consecutive duplicates
+    if c.flag("snap") or c.flag("auto-snap") or \
+            c.opt("snap-interval") is not None:
+        from mapshaper_spark.operators.topology import snap_paths
+        si = c.opt("snap-interval")
+        dfs = [(p, snap_paths(d, float(si) if si is not None else None), k)
+               for p, d, k in dfs]
     # reference semantics (mapshaper-file-import.js:22-28): merge-files
     # unions everything into ONE layer; combine-files imports each file as
     # its own layer of one dataset — which is this catalog's default

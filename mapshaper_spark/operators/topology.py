@@ -203,9 +203,10 @@ def build_topology(paths: DataFrame, path_id: str):
 
     # Dedup key: node-split arcs direction-normalize; node-free rings use
     # the rotation+direction canonical arrays from the split stage. Stored
-    # geometry: node-split arcs store the canonical direction (reference's
-    # first-seen arc, modulo the fwd/reverse sign on refs); node-free rings
-    # store the first-use ORIGINAL traversal. Orientation bookkeeping:
+    # geometry: ALWAYS the first use's ORIGINAL traversal — the reference's
+    # append-order arcs store the first-seen direction (topology-test.js
+    # 'two rings, one shared segment' asserts it), and later opposite uses
+    # reference it reversed. Orientation bookkeeping:
     #   oflip — this occurrence's traversal winds opposite to the key
     #   gflip — the stored geometry winds opposite to the key
     # so an occurrence references the stored arc forward iff oflip == gflip.
@@ -219,9 +220,9 @@ def build_topology(paths: DataFrame, path_id: str):
         path_id, "arc_seq",
         F.when(is_ring, F.col("key_xs")).otherwise(norm_xs).alias("cxs"),
         F.when(is_ring, F.col("key_ys")).otherwise(norm_ys).alias("cys"),
-        F.when(is_ring, F.col("sub_xs")).otherwise(norm_xs).alias("gxs"),
-        F.when(is_ring, F.col("sub_ys")).otherwise(norm_ys).alias("gys"),
-        F.when(is_ring, F.col("pre_flipped")).otherwise(F.lit(False)).alias("gflip"),
+        F.col("sub_xs").alias("gxs"),
+        F.col("sub_ys").alias("gys"),
+        F.when(is_ring, F.col("pre_flipped")).otherwise(~dirn).alias("gflip"),
         F.when(is_ring, F.col("pre_flipped")).otherwise(~dirn).alias("oflip"),
     )
     # deterministic arc ids: first use order, ranked without a global
@@ -320,9 +321,9 @@ def find_segment_intersections(arcs: DataFrame, n_stripes: int = 32,
                 if aid[i] == aid[j]:
                     if not same_arc or abs(seg_i[i] - seg_i[j]) <= 1:
                         continue
-                p = _seg_intersection(ax[i], ay[i], bx[i], by[i],
-                                      ax[j], ay[j], bx[j], by[j])
-                if p is not None:
+                pts = _seg_intersections(ax[i], ay[i], bx[i], by[i],
+                                         ax[j], ay[j], bx[j], by[j])
+                for p in pts:
                     first = (aid[i], seg_i[i]) <= (aid[j], seg_i[j])
                     ii, jj = (i, j) if first else (j, i)
                     xs_out.append(p[0]); ys_out.append(p[1])
@@ -355,6 +356,48 @@ def _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):
             return None  # endpoint-to-endpoint touch: excluded
         return (p0x + t * d1x, p0y + t * d1y)
     return None
+
+
+def _collinear_overlap_points(ax, ay, bx, by, cx, cy, dx, dy):
+    """Collinear-overlap intersections (the reference's
+    segmentIntersection collinear branch, mapshaper-segment-geom.js:17-29 +
+    collinearIntersection :196-226): two collinear segments that partially
+    overlap intersect at each endpoint strictly inside the combined range
+    (one or two points). Segments that merely meet end-to-end don't count.
+    Gated by segmentHit's orient2D product test (:181-188), which also
+    rejects parallel-but-not-collinear pairs."""
+    def orient(px, py, qx, qy, rx, ry):
+        return (px - rx) * (qy - ry) - (py - ry) * (qx - rx)
+    if not (orient(ax, ay, bx, by, cx, cy) * orient(ax, ay, bx, by, dx, dy)
+            <= 0 and
+            orient(cx, cy, dx, dy, ax, ay) * orient(cx, cy, dx, dy, bx, by)
+            <= 0):
+        return []
+    min_x, max_x = min(ax, bx, cx, dx), max(ax, bx, cx, dx)
+    min_y, max_y = min(ay, by, cy, dy), max(ay, by, cy, dy)
+    use_y = (max_y - min_y) > (max_x - min_x)
+    pts = []
+    for px, py in ((ax, ay), (bx, by), (cx, cy), (dx, dy)):
+        v, lo, hi = (py, min_y, max_y) if use_y else (px, min_x, max_x)
+        if lo < v < hi:
+            pts.append((px, py))
+    if len(pts) not in (1, 2):
+        return []
+    if len(pts) == 2 and pts[0] == pts[1]:
+        return []  # collinear segs that meet in the middle don't count
+    return pts
+
+
+def _seg_intersections(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y):
+    """Full reference segmentIntersection semantics: 0, 1 or 2 points —
+    the proper/T-touch core plus the collinear-overlap branch."""
+    d1x, d1y = p1x - p0x, p1y - p0y
+    d2x, d2y = p3x - p2x, p3y - p2y
+    if d1x * d2y - d1y * d2x == 0:
+        return _collinear_overlap_points(p0x, p0y, p1x, p1y,
+                                         p2x, p2y, p3x, p3y)
+    p = _seg_intersection(p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y)
+    return [p] if p is not None else []
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +562,82 @@ def dedup_arc_coords(arcs: DataFrame) -> DataFrame:
             .withColumn("ys", F.transform("__keep", lambda i: F.element_at("ys", i)))
             .withColumn("n", F.size("xs"))
             .drop("__keep"))
+
+
+def snap_paths(df: DataFrame, interval: float = None) -> DataFrame:
+    """``-i snap`` / ``snap-interval=`` on a path layer
+    (mapshaper-path-import.js:16-22 -> snapCoords, snapping.js:15-27):
+    pull every vertex within ``interval`` of an earlier (x-sorted) vertex
+    onto it — the exact sorted-sweep rule, run over the whole layer's
+    vertex table by snap_coords_sweep — then drop the consecutive
+    duplicate vertices the snap created (arcs.dedupCoords).
+    ``interval=None`` = the reference's auto threshold: average segment
+    length * 0.0025 (snapping.js:16-18). Point layers pass through —
+    the reference snaps path data only."""
+    if "rings_x" not in df.columns:
+        return df
+    if interval is None:
+        seg = (df.filter(F.col("rings_x").isNotNull())
+               .select(F.explode(F.arrays_zip(
+                   F.col("rings_x").alias("rx"),
+                   F.col("rings_y").alias("ry"))).alias("r"))
+               .select(F.aggregate(
+                   F.sequence(F.lit(1), F.size("r.rx") - 1), F.lit(0.0),
+                   lambda acc, i: acc + F.sqrt(
+                       (F.element_at("r.rx", i + 1) - F.element_at("r.rx", i)) ** 2 +
+                       (F.element_at("r.ry", i + 1) - F.element_at("r.ry", i)) ** 2))
+                   .alias("len"),
+                   (F.size("r.rx") - 1).alias("cnt")))
+        tot = seg.agg(F.sum("len").alias("s"), F.sum("cnt").alias("c")).collect()[0]
+        avg = (float(tot.s) / float(tot.c)) if tot.c else 0.0
+        interval = avg * 0.0025
+    if not interval or interval <= 0:
+        return df
+    work = df.withColumn("__sid", F.monotonically_increasing_id())
+    work = work.localCheckpoint()  # pin ids: referenced twice below
+    verts = (work.filter(F.col("rings_x").isNotNull())
+             .select("__sid", F.posexplode(F.arrays_zip(
+                 F.col("rings_x").alias("rx"),
+                 F.col("rings_y").alias("ry"))).alias("ri", "r"))
+             .select("__sid", "ri", F.posexplode(F.arrays_zip(
+                 F.col("r.rx").alias("px"),
+                 F.col("r.ry").alias("py"))).alias("vi", "p"))
+             .select("__sid", "ri", "vi",
+                     F.col("p.px").alias("x"), F.col("p.py").alias("y")))
+    snapped = snap_coords_sweep(verts, float(interval))
+    rings = (snapped.groupBy("__sid", "ri")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("vi", "x", "y"))).alias("vs"))
+             .select("__sid", "ri",
+                     F.transform("vs", lambda v: v.x).alias("rx"),
+                     F.transform("vs", lambda v: v.y).alias("ry")))
+    keep = F.filter(F.sequence(F.lit(1), F.size("rx")), lambda i:
+                    (i == 1) |
+                    (F.element_at("rx", i) != F.element_at("rx", i - 1)) |
+                    (F.element_at("ry", i) != F.element_at("ry", i - 1)))
+    rings = (rings.withColumn("__keep", keep)
+             .withColumn("rx", F.transform(
+                 "__keep", lambda i: F.element_at("rx", i)))
+             .withColumn("ry", F.transform(
+                 "__keep", lambda i: F.element_at("ry", i)))
+             .drop("__keep"))
+    feats = (rings.groupBy("__sid")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("ri", "rx", "ry"))).alias("rs"))
+             .select("__sid",
+                     F.transform("rs", lambda r: r.rx).alias("__nrx"),
+                     F.transform("rs", lambda r: r.ry).alias("__nry")))
+    out = (work.join(feats, "__sid", "left")
+           .withColumn("rings_x", F.coalesce("__nrx", "rings_x"))
+           .withColumn("rings_y", F.coalesce("__nry", "rings_y"))
+           .drop("__sid", "__nrx", "__nry"))
+    if "bbox" in df.columns:
+        out = out.withColumn("bbox", F.struct(
+            F.array_min(F.flatten("rings_x")).alias("xmin"),
+            F.array_min(F.flatten("rings_y")).alias("ymin"),
+            F.array_max(F.flatten("rings_x")).alias("xmax"),
+            F.array_max(F.flatten("rings_y")).alias("ymax")))
+    return out.select(*df.columns)
 
 
 # ---------------------------------------------------------------------------
