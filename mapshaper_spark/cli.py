@@ -48,6 +48,7 @@ _FLAG_WORDS = {
     "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
     "postprocess", "debug", "final", "bbox", "snap", "auto-snap",
+    "no-quantization", "singles", "no-point-quantization", "cut-table",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -78,7 +79,8 @@ _CMD_OPTS = {
     "drop": {"target"},
     "merge-layers": {"target"},
     "o": {"target", "width", "height", "margin", "svg-scale", "id-prefix",
-          "id-field", "point-symbol", "field-order"},
+          "id-field", "point-symbol", "field-order", "quantization",
+          "extension", "topojson-precision"},
     "colorizer": {"colors", "breaks", "categories", "other", "nodata"},
     "target": {"type"},
     "include": {"file"},
@@ -152,6 +154,7 @@ class Catalog:
     delims: dict[str, str] = field(default_factory=dict)  # input_delimiter per layer
     crs: dict[str, str] = field(default_factory=dict)  # proj4 per layer (.prj)
     prj_text: dict[str, str] = field(default_factory=dict)  # original .prj WKT
+    json_crs: dict[str, object] = field(default_factory=dict)  # *JSON crs obj
     flags: set = field(default_factory=set)  # -quiet/-verbose/-debug
     auto_fid: set = field(default_factory=set)  # layers whose fid is ours
 
@@ -225,6 +228,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     prj_pending: dict[str, tuple] = {}
     delim_pending: dict[str, str] = {}  # sniffed input_delimiter per path
     auto_fid_paths: set[str] = set()
+    topo_paths: set[str] = set()  # inputs whose content was a Topology
     for path in c.values:
         ext = os.path.splitext(path)[1].lower()
         kind_hint = None
@@ -236,7 +240,16 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 df = cat.spark.createDataFrame(_pd.DataFrame(obj))
                 kind_hint = "table"
             elif obj.get("type") == "Topology":
-                df = TJ.import_topojson(cat.spark, obj)
+                # one catalog layer per named object (importTopoJSON);
+                # feature ids land in FID; crs rides along for re-export
+                for obj_name, tdf, tkind, _ids in \
+                        TJ.import_topojson_layers(cat.spark, obj):
+                    dfs.append((path, tdf, tkind, obj_name))
+                    if "crs" in obj:
+                        cat.json_crs[obj_name] = obj["crs"]
+                auto_fid_paths.add(path)
+                topo_paths.add(path)
+                continue
             else:
                 df = _flatten_props(cat.spark, GJ.import_geojson(cat.spark, obj),
                                     obj)
@@ -273,7 +286,7 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                             sub = sub.drop("rings_x", "rings_y")
                         elif kname != "point":
                             sub = sub.drop("x", "y")
-                        dfs.append((path, sub, kname))
+                        dfs.append((path, sub, kname, None))
                     continue
                 if gtypes and gtypes <= {"LineString", "MultiLineString"}:
                     kind_hint = "polyline"
@@ -329,24 +342,24 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             df = cat.spark.read.parquet(path)
         else:
             raise ValueError(f"-i: unsupported input format '{ext}'")
-        dfs.append((path, df, kind_hint))
+        dfs.append((path, df, kind_hint, None))
     # -i snap / auto-snap / snap-interval= (path-import.js:16-22): snap
     # path vertices on import, then dedup the consecutive duplicates
     if c.flag("snap") or c.flag("auto-snap") or \
             c.opt("snap-interval") is not None:
         from mapshaper_spark.operators.topology import snap_paths
         si = c.opt("snap-interval")
-        dfs = [(p, snap_paths(d, float(si) if si is not None else None), k)
-               for p, d, k in dfs]
+        dfs = [(p, snap_paths(d, float(si) if si is not None else None),
+                k, nm) for p, d, k, nm in dfs]
     # reference semantics (mapshaper-file-import.js:22-28): merge-files
     # unions everything into ONE layer; combine-files imports each file as
     # its own layer of one dataset — which is this catalog's default
     # multi-file behavior
     if c.flag("merge-files") and len(dfs) > 1:
         from mapshaper_spark.operators.attributes import merge_layers
-        merged = merge_layers([d for _, d, _k in dfs], force=True)
+        merged = merge_layers([d for _, d, _k, _nm in dfs], force=True)
         name = cat.add(str(c.opt("name", _layer_name(dfs[0][0]))), merged)
-        for path, _df, _k in dfs:  # first input .prj rides along (#166)
+        for path, _df, _k, _nm in dfs:  # first input .prj rides along (#166)
             if path in prj_pending:
                 wkt, p4 = prj_pending[path]
                 cat.prj_text[name] = wkt
@@ -354,8 +367,12 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                     cat.crs[name] = p4
                 break
     else:
-        for path, df, kind_hint in dfs:
-            name = cat.add(str(c.opt("name", _layer_name(path))), df)
+        for path, df, kind_hint, obj_name in dfs:
+            name = cat.add(str(c.opt("name", obj_name or _layer_name(path))),
+                           df)
+            if obj_name is not None and obj_name in cat.json_crs and \
+                    name != obj_name:
+                cat.json_crs[name] = cat.json_crs.pop(obj_name)
             if path in delim_pending:
                 cat.delims[name] = delim_pending[path]
             if path in prj_pending:
@@ -368,11 +385,13 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             # pathless -o mirrors the INPUT format (the reference derives
             # output format from the imported file)
             ext2 = os.path.splitext(path)[1].lstrip(".").lower()
-            if ext2 == "json" and kind_hint != "table":
-                # geojson/topojson CONTENT in a .json file round-trips as
+            if path in topo_paths:
+                ext2 = "topojson"  # Topology content round-trips as topojson
+            elif ext2 == "json" and kind_hint != "table":
+                # geojson CONTENT in a .json file round-trips as
                 # geojson; only a JSON array of records is format=json
                 ext2 = "geojson"
-            if ext2 in ("json", "geojson", "csv", "tsv", "shp"):
+            if ext2 in ("json", "geojson", "csv", "tsv", "shp", "topojson"):
                 cat.formats[name] = ext2
             if path in auto_fid_paths:
                 cat.auto_fid.add(name)  # our import id, not a data field
@@ -394,7 +413,8 @@ def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
         return df
     pdf = _pd.DataFrame(records)
     pdf.insert(0, "fid", range(len(records)))
-    props = spark.createDataFrame(pdf)
+    from mapshaper_spark.sources.topojson import typed_df
+    props = typed_df(spark, pdf)
     return df.drop("properties").join(props, "fid", "left")
 
 
@@ -1209,6 +1229,58 @@ def _svg_payload(cat: Catalog, names: list[str], c: Command) -> str:
     return SVG.export_svg_document(layers, **opts)
 
 
+def _topojson_payload(cat: Catalog, names: list[str], c: Command) -> str:
+    """Render one TopoJSON Topology holding the named layers (the
+    reference's exportTopoJSON serializes a whole dataset into a single
+    Topology with one named object per layer and ONE shared arc table)."""
+    from mapshaper_spark.sources import topojson as TJ
+    layers = []
+    saved = cat.target
+    try:
+        for name in names:
+            cat.target = name
+            df = cat.layers[name]
+            if _ORDER_COL in df.columns:
+                df = df.orderBy(_ORDER_COL).drop(_ORDER_COL)
+            kind = cat.kinds.get(name, _geometry_kind(df))
+            if kind == "path":  # arc frames: xs/ys -> single-ring polyline
+                df = (df.withColumn("rings_x", F.array("xs"))
+                        .withColumn("rings_y", F.array("ys")))
+                kind = "polyline"
+            props = _data_fields(cat, df)
+            layers.append({"name": name, "df": df, "kind": kind,
+                           "props": props})
+    finally:
+        cat.target = saved
+    opts: dict = {}
+    if c.opt("quantization") is not None:
+        opts["quantization"] = int(c.num("quantization"))
+    if c.flag("no-quantization"):
+        opts["no_quantization"] = True
+    if c.opt("precision") is not None:
+        opts["precision"] = c.num("precision")
+    if c.opt("topojson-precision") is not None:
+        opts["topojson_precision"] = c.num("topojson-precision")
+    if c.opt("bbox") is True:
+        opts["bbox"] = True
+    if c.opt("id-field"):
+        opts["id_field"] = str(c.opt("id-field"))
+    if c.flag("no-point-quantization"):
+        opts["no_point_quantization"] = True
+    if c.flag("cut-table"):
+        opts["cut_table"] = True
+    for k in ("width", "height"):
+        if c.opt(k) is not None:
+            opts[k] = c.num(k)
+    if c.opt("margin") is not None:  # raw: parse_margin_option handles it
+        opts["margin"] = c.opt("margin")
+    for name in names:  # imported *JSON crs rides through to re-export
+        if name in cat.json_crs:
+            opts["crs"] = cat.json_crs[name]
+            break
+    return json.dumps(TJ.export_topology_doc(layers, opts))
+
+
 def _data_fields(cat: Catalog, df: DataFrame) -> list[str]:
     """The layer's DATA TABLE columns: geometry carriers and import
     artifacts are not data fields (the reference keeps geometry separate
@@ -1288,6 +1360,30 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                 f.write(payload)
         cat.outputs[key] = payload
         return
+    if fmt0 == "topojson" and c.flag("singles") and not tgt and \
+            len(cat.order) > 1:
+        # -o singles: each layer of the dataset to its own file
+        # (splitDataset, topojson-export.js:35-41)
+        sub = Command("o", values=list(c.values),
+                      options={**c.options, "target": "*"})
+        _cmd_o(cat, sub)
+        return
+    if tgt and fmt0 == "topojson" and not c.flag("singles"):
+        # all target layers in ONE Topology (exportTopoJSON groups a
+        # dataset's layers as named objects over one shared arc table);
+        # -o singles falls through to the per-layer loop below
+        names = list(cat.order) if str(tgt) == "*" \
+            else [s.strip() for s in str(tgt).split(",")]
+        for name in names:
+            if name not in cat.layers:
+                raise ValueError(f"-o: no layer '{name}' (have {cat.order})")
+        payload = _topojson_payload(cat, names, c)
+        key = path0 or f"{names[0]}.json"
+        if path0:
+            with open(path0, "w") as f:
+                f.write(payload)
+        cat.outputs[key] = payload
+        return
     if tgt:
         names = list(cat.order) if str(tgt) == "*" \
             else [s.strip() for s in str(tgt).split(",")]
@@ -1307,7 +1403,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                 vals[0] = base + (str(i + 1) if i else "") + ext
             sub = Command("o", values=vals,
                           options={k: v for k, v in c.options.items()
-                                   if k != "target"})
+                                   if k not in ("target", "singles")})
             _cmd_o(cat, sub)
         cat.target = saved
         return
@@ -1368,18 +1464,9 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         out = GJ.export_geojson(df, **kwargs)
         payload = out if isinstance(out, str) else json.dumps(out)
     elif fmt == "topojson":
-        # shared-arc export: rebuild arc topology from the ring layer so
-        # shared borders serialize once (the reference's TopoJSON contract)
-        from mapshaper_spark.operators.topology import build_topology
-        from mapshaper_spark.sources import topojson as TJ
-        key = df.columns[0]
-        paths, fid = _rings_to_paths(df, key)
-        arcs, refs = build_topology(paths, "path_id")
-        feats = _features_with_parts(refs, paths, fid).withColumnRenamed(
-            fid, key)
-        topo = TJ.export_topojson(arcs, feats, key,
-                                  object_name=cat.target or "layer")
-        payload = json.dumps(topo)
+        # full-fidelity Topology export: shared arc table, quantization
+        # ladder, ids/properties (TopoJSON.exportTopology)
+        payload = _topojson_payload(cat, [cat.target], c)
     elif fmt == "svg":
         payload = _svg_payload(cat, [cat.target], c)
     elif fmt in ("csv", "tsv"):
@@ -1439,6 +1526,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         with open(path, "w") as f:
             f.write(payload)
     ext = {"svg": "svg", "topojson": "json"}.get(fmt, "json")
+    if c.opt("extension"):  # -o extension= overrides the derived name
+        ext = str(c.opt("extension")).lstrip(".")
     cat.outputs[path or f"{cat.target}.{ext}"] = payload
 
 
