@@ -1362,6 +1362,56 @@ def q_intersection_cuts(spark, sf_dir):
                      F.element_at("ys", -1).alias("y1"))
 
 
+def q_repair_self(spark, sf_dir):
+    """repairSelfIntersections (polygon-repair.js:77-116): one twisted quad
+    per nation row — ring A(0,0) B(0,2) C(1,2) D(-u,0) with u=(k+1)/50,
+    which self-crosses segment AB at X=(0, 2u/(1+u)). The repair keeps the
+    larger piece (X,B,C): 4 vertices, area 1/(1+u) — closed-form, so the
+    oracle is exact arithmetic over the nation table."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("fid"),
+        ((F.col("n_nationkey") + 1) / F.lit(50.0)).alias("u"),
+        (F.col("n_nationkey").cast("double") * 10).alias("ox"))
+    ox, u = F.col("ox"), F.col("u")
+    arcs = n.select(
+        F.col("fid").cast("long").alias("arc_id"),
+        F.array(ox, ox, ox + 1, ox - u, ox).alias("xs"),
+        F.array(F.lit(0.0), F.lit(2.0), F.lit(2.0), F.lit(0.0),
+                F.lit(0.0)).alias("ys"),
+        F.lit(5).alias("n"),
+        F.struct((ox - u).alias("xmin"), F.lit(0.0).alias("ymin"),
+                 (ox + 1).alias("xmax"), F.lit(2.0).alias("ymax"))
+        .alias("bbox"))
+    feats = n.select("fid", F.array(F.array(F.col("fid"))).alias("parts"))
+    feats2, arcs2 = TP.repair_self_intersections(feats, arcs, "fid")
+    # reassemble kept-part stats: vertex count = sum(arc n) - (n_arcs - 1)
+    # shared joints; area = |sum of signed shoelace contributions| / 2
+    contrib = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1), F.lit(0.0),
+        lambda acc, i: acc + F.element_at("xs", i) * F.element_at("ys", i + 1)
+        - F.element_at("xs", i + 1) * F.element_at("ys", i))
+    info = arcs2.select(F.col("arc_id").alias("aid"), F.col("n").alias("an"),
+                        contrib.alias("C"))
+    ex = (feats2.select("fid", F.size("parts").alias("n_parts"),
+                        F.posexplode("parts").alias("pi", "refs"))
+          .filter(F.col("pi") == 0)
+          .select("fid", "n_parts", F.size("refs").alias("n_arcs"),
+                  F.explode("refs").alias("signed"))
+          .withColumn("aid", F.when(F.col("signed") >= 0, F.col("signed"))
+                      .otherwise(-F.col("signed") - 1).cast("long"))
+          .withColumn("sgn", F.when(F.col("signed") >= 0, F.lit(1.0))
+                      .otherwise(F.lit(-1.0))))
+    out = (ex.join(info, "aid")
+           .groupBy("fid", "n_parts", "n_arcs")
+           .agg((F.sum("an") - (F.first("n_arcs") - 1)).alias("n_vertices"),
+                F.round(F.abs(F.sum(F.col("sgn") * F.col("C"))) / 2, 5)
+                .alias("kept_area")))
+    return (out.select("fid", "n_parts",
+                       F.col("n_vertices").cast("long").alias("n_vertices"),
+                       "kept_area")
+            .orderBy("fid"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIP join of synthetic image footprints against the region
     mosaic + split-on-grid tile assignment + per-(region, tile) counts."""
@@ -1504,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives) so intersection_cuts fits at #50;
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
+        "repair_self": q_repair_self,
         "proj_sinu": q_proj_sinu,
         "knn_nearest": q_knn_nearest,
         "word_jaccard": q_word_jaccard,
@@ -2262,6 +2313,18 @@ def oracle_sql() -> dict[str, str]:
         -- ring (seam removed); the non-edge square is untouched
         SELECT * FROM (VALUES (1, 1, 7), (2, 1, 5))
             t(fid, n_rings, n_vertices)
+    """
+    sqls["repair_self"] = """
+        -- closed-form repair result of the twisted quad A(0,0) B(0,2)
+        -- C(1,2) D(-u,0), u=(k+1)/50: self-crossing at X=(0, 2u/(1+u));
+        -- the kept (larger) piece is the 4-vertex ring X,B,C,X with
+        -- area 1/(1+u) (the twist triangle X,D,A has area u^2/(1+u))
+        SELECT CAST(n_nationkey AS INT) AS fid,
+               1 AS n_parts,
+               CAST(4 AS BIGINT) AS n_vertices,
+               round(1.0 / (1.0 + (n_nationkey + 1) / 50.0), 5) AS kept_area
+        FROM nation
+        ORDER BY fid
     """
     sqls["intersection_cuts"] = """
         -- hand-derived arc split of two overlapping unit-2 squares: four

@@ -1334,14 +1334,17 @@ def insert_cut_points(arcs: DataFrame, hits: DataFrame) -> DataFrame:
     return joined.mapInPandas(gen, schema=arcs.schema)
 
 
-def add_intersection_cuts(features: DataFrame, arcs: DataFrame, key: str):
+def add_intersection_cuts(features: DataFrame, arcs: DataFrame, key: str,
+                          same_arc: bool = False):
     """Standalone addIntersectionCuts pre-pass (the flatten -> cut ->
     rebuild the reference runs before dissolve2/mosaic on dirty layers,
     mapshaper-path-division.js:20-54): find all arc x arc segment
     intersections, insert them as vertices, then rebuild shared-arc
     topology so every intersection point is an arc endpoint (node).
+    ``same_arc=True`` also cuts where an arc crosses ITSELF (non-adjacent
+    segments) — required by repair_self_intersections.
     Returns (new_features(key, parts), new_arcs)."""
-    hits = find_segment_intersections(arcs)
+    hits = find_segment_intersections(arcs, same_arc=same_arc)
     arcs_cut = insert_cut_points(arcs, hits)
 
     # expand features to per-ring coordinate paths over the cut arcs, then
@@ -1395,3 +1398,156 @@ def add_intersection_cuts(features: DataFrame, arcs: DataFrame, key: str):
     key_type = features.schema[key].dataType
     new_features = parts.select(F.col("__k").cast(key_type).alias(key), "parts")
     return new_features, new_arcs
+
+
+# ---------------------------------------------------------------------------
+# self-intersection repair
+# ---------------------------------------------------------------------------
+
+def remove_spikes_in_path(ids: list[int]) -> list[int]:
+    """removeSpikesInPath (/root/reference/src/paths/mapshaper-polygon-repair.js
+    :41-59): repeatedly drop adjacent [..., id, ~id, ...] pairs — including
+    the wrap-around pair ids[0] == ~ids[-1] — until none remain."""
+    ids = list(ids)
+    while len(ids) >= 2:
+        n = len(ids)
+        if ids[0] == ~ids[-1]:
+            ids = ids[1:-1]
+        else:
+            for i in range(1, n):
+                if ids[i - 1] == ~ids[i]:
+                    del ids[i - 1:i + 1]
+                    break
+        if len(ids) == n:
+            break
+    return ids
+
+
+def _split_path_by_ids(path: list[int], ids: list[int]) -> list[list[int]]:
+    """splitPathByIds (/root/reference/src/paths/mapshaper-self-intersection.js
+    :63-87): cut @path before each arc in @ids; a leading fragment (ring
+    start not on the split node) is rejoined with the trailing slice —
+    the same cycle, rotated."""
+    idxs = sorted(path.index(i) for i in ids)
+    subs: list[list[int]] = []
+    if idxs[0] > 0:
+        subs.append(path[:idxs[0]])
+    for j, i0 in enumerate(idxs):
+        i1 = idxs[j + 1] if j + 1 < len(idxs) else len(path)
+        subs.append(path[i0:i1])
+    if len(subs) > len(ids):
+        subs[0] = subs[0] + subs.pop()
+    return subs
+
+
+def repair_self_intersections(features: DataFrame, arcs: DataFrame, key: str,
+                              cut: bool = True):
+    """repairPolygonGeometry (/root/reference/src/paths/mapshaper-polygon-
+    repair.js:63-116 + mapshaper-self-intersection.js:8-57): after
+    addIntersectionCuts has turned every self-crossing into a node, split
+    each ring at nodes where the ring forks (more than one of the ring's
+    own arcs exits the node) and keep only the piece with the largest
+    area x sign-of-whole-ring — removing the small "twist" rings a
+    self-intersecting polygon pinches off. Indivisible paths get spikes
+    removed (remove_spikes_in_path) and are dropped when zero-area.
+
+    Distribution: the reference's exit test only considers arcs within the
+    SAME path (self-intersection.js:35 `contains(path, outId)`), so the
+    kernel is per-feature — an applyInPandas over (refs + per-arc endpoint
+    /shoelace info joined by arc id). No broadcast of the arc table, no
+    driver collect; per-task memory is bounded by one feature's arcs.
+
+    Returns (new_features(key, parts), new_arcs); features whose rings all
+    collapse keep their row with parts = [] (the reference nulls the shape
+    but keeps the record)."""
+    if cut:
+        features, arcs = add_intersection_cuts(features, arcs, key,
+                                               same_arc=True)
+    # per-arc endpoints + open shoelace contribution C = sum(x_i*y_{i+1} -
+    # x_{i+1}*y_i): a closed cycle's shoelace area is 0.5 * sum(+-C) over
+    # its signed arcs because consecutive arcs share endpoints (JVM HOF,
+    # no Python)
+    contrib = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1), F.lit(0.0),
+        lambda acc, i: acc + F.element_at("xs", i) * F.element_at("ys", i + 1)
+        - F.element_at("xs", i + 1) * F.element_at("ys", i))
+    info = arcs.select(
+        F.col("arc_id").alias("aid"),
+        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+        F.element_at("xs", -1).alias("x1"), F.element_at("ys", -1).alias("y1"),
+        contrib.alias("C"))
+    ex = (features.select(key, F.explode(F.flatten("parts")).alias("signed"))
+          .select(key, F.when(F.col("signed") >= 0, F.col("signed"))
+                  .otherwise(-F.col("signed") - 1).cast("long").alias("aid"))
+          .distinct())
+    ainfo = (ex.join(info, "aid")
+             .groupBy(key)
+             .agg(F.collect_list(F.struct("aid", "x0", "y0", "x1", "y1", "C"))
+                  .alias("__ainfo")))
+    joined = features.join(ainfo, key, "left")
+
+    out_schema = T.StructType([features.schema[key],
+                               features.schema["parts"]])
+
+    def fix(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_parts = [], []
+        for k, parts, ainfo_ in zip(pdf[key], pdf["parts"], pdf["__ainfo"]):
+            if ainfo_ is None or parts is None:
+                out_k.append(k); out_parts.append([])
+                continue
+            amap = {int(s["aid"]): (float(s["x0"]), float(s["y0"]),
+                                    float(s["x1"]), float(s["y1"]),
+                                    float(s["C"])) for s in ainfo_}
+
+            def absid(s):
+                return s if s >= 0 else ~s
+
+            def start(s):
+                x0, y0, x1, y1, _ = amap[absid(s)]
+                return (x0, y0) if s >= 0 else (x1, y1)
+
+            def end(s):
+                x0, y0, x1, y1, _ = amap[absid(s)]
+                return (x1, y1) if s >= 0 else (x0, y0)
+
+            def area2(path):
+                return sum(amap[absid(s)][4] * (1.0 if s >= 0 else -1.0)
+                           for s in path)
+
+            def divide(path):
+                # getSelfIntersectionSplitter.dividePath: first node (in
+                # path order, skipping the last arc) with >1 exits splits
+                for i in range(len(path) - 1):
+                    node = end(path[i])
+                    exits = [s for s in path if start(s) == node]
+                    if len(exits) > 1:
+                        out = []
+                        for sp in _split_path_by_ids(path, exits):
+                            out.extend(divide(sp))
+                        return out
+                p = remove_spikes_in_path(path)
+                return [p] if p else []
+
+            new_parts = []
+            for part in parts:
+                part = [int(s) for s in part]
+                subs = divide(part)
+                if not subs:
+                    continue
+                if len(subs) == 1:
+                    new_parts.append(subs[0])
+                    continue
+                sign = 1.0 if area2(part) > 0 else -1.0
+                best, best_a = None, 0.0
+                for sp in subs:
+                    pa = area2(sp) * sign
+                    if pa > best_a:
+                        best, best_a = sp, pa
+                if best is not None:
+                    new_parts.append(best)
+            out_k.append(k)
+            out_parts.append(new_parts)
+        return pd.DataFrame({key: out_k, "parts": out_parts})
+
+    repaired = joined.groupBy(key).applyInPandas(fix, schema=out_schema)
+    return repaired, arcs
