@@ -60,6 +60,9 @@ _KNOWN_OPTS = {
     "precision", "source", "scale", "rotate", "shift", "anchor", "x", "y",
     "percentage", "target-name", "key", "names", "encoding", "delimiter",
     "snap-interval",
+    # the reference gives (nearly) every command a targets option
+    # (src/cli/mapshaper-options.js targetOpt); dispatch_command retargets
+    "target",
 }
 
 # per-command option names — the reference's parser is context-sensitive
@@ -112,7 +115,49 @@ class Command:
 
     def csv(self, key: str) -> list[str]:
         v = self.opt(key)
-        return [s.strip() for s in str(v).split(",")] if v else []
+        return parse_string_list(str(v)) if v else []
+
+    def colors(self, key: str) -> list[str]:
+        v = self.opt(key)
+        return parse_color_list(str(v)) if v else []
+
+
+def _trim_quotes(s: str) -> str:
+    """utils.trimQuotes (mapshaper-chunker.js:20-30)."""
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'":
+        return s[1:-1]
+    return s
+
+
+def split_tokens(s: str, delim_chars: str) -> list[str]:
+    """internal.splitTokens (/root/reference/src/cli/mapshaper-chunker.js
+    :7-18): delimiter-separated chunks, quoted runs kept whole, each chunk
+    quote-trimmed."""
+    rxp = re.compile(r'(?:[^%s\'"]|"(?:\\"|[^"])*"|\'(?:\\\'|[^\'])*\')+'
+                     % re.escape(delim_chars))
+    return [_trim_quotes(c) for c in rxp.findall(s) if c and c != "\\"]
+
+
+def parse_string_list(token: str) -> list[str]:
+    """internal.parseStringList (option-parser.js:425-432): comma list,
+    quotes trimmed from the whole list and from members — so both
+    '\"County FIPS,State FIPS\"' and '\"County FIPS\",\"State FIPS\"'
+    yield two members."""
+    lst = split_tokens(token, ",")
+    if len(lst) == 1:
+        lst = split_tokens(lst[0], ",")
+    return [s.strip() for s in lst]
+
+
+def parse_color_list(token: str) -> list[str]:
+    """internal.parseColorList (option-parser.js:435-446): spaces and/or
+    commas delimit, but commas inside rgb()/rgba()/hsl() calls don't
+    split (the reference's lookahead kludge, ported verbatim)."""
+    token2 = re.sub(r", *(?=[^(]*\))", "~~~", token)
+    lst = split_tokens(token2, ", ")
+    if len(lst) == 1:
+        lst = split_tokens(lst[0], ", ")
+    return [s.replace("~~~", ",") for s in lst]
 
 
 def parse_commands(command_str: str) -> list[Command]:
@@ -1905,7 +1950,7 @@ def _cmd_style(cat: Catalog, c: Command) -> None:
 def _cmd_colorizer(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators.styling import colorizer
     colorizer(str(c.opt("name")),
-              c.csv("colors"),
+              c.colors("colors"),
               breaks=[float(b) for b in c.csv("breaks")] or None,
               categories=c.csv("categories") or None,
               other=str(c.opt("other")) if c.opt("other") else None,
@@ -2076,10 +2121,7 @@ def apply_commands(spark: SparkSession, command_str: str,
                 cmd.values = [os.path.join(td, v) for v in cmd.values]
         cat = Catalog(spark)
         for cmd in cmds:
-            fn = COMMANDS.get(cmd.name)
-            if fn is None:
-                raise ValueError(f"unknown command -{cmd.name}")
-            fn(cat, cmd)
+            dispatch_command(cat, cmd)
         results: dict[str, str | bytes] = {}
         for name in out_names:
             path = os.path.join(td, name)
@@ -2115,6 +2157,37 @@ def apply_commands(spark: SparkSession, command_str: str,
         return results
 
 
+# commands that consume target= themselves (layer selection is part of
+# their own semantics rather than "retarget, then run")
+_SELF_TARGETING = {"o", "merge-layers", "drop", "target", "i"}
+
+
+def dispatch_command(cat: Catalog, cmd: Command) -> None:
+    """Run one command honoring the reference's SHARED target= option
+    (src/cli/mapshaper-options.js gives every command a targets option;
+    runParsedCommands retargets the catalog before dispatch). A command
+    with target=name runs against that layer (comma list / '*' = each in
+    turn); the last command output stays the current target, matching the
+    reference's convention that a command's output becomes the target."""
+    fn = COMMANDS.get(cmd.name)
+    if fn is None:
+        raise ValueError(f"unknown command -{cmd.name} "
+                         f"(supported: {sorted(COMMANDS)})")
+    tgt = cmd.options.get("target")
+    if tgt is None or cmd.name in _SELF_TARGETING:
+        fn(cat, cmd)
+        return
+    names = list(cat.order) if str(tgt) == "*" \
+        else [s.strip() for s in str(tgt).split(",")]
+    missing = [n for n in names if n not in cat.layers]
+    if missing:
+        raise ValueError(
+            f"-{cmd.name}: no layer {missing} (have {cat.order})")
+    for n in names:
+        cat.target = n
+        fn(cat, cmd)
+
+
 def run_commands(spark: SparkSession, command_str: str,
                  layers: dict[str, DataFrame] | None = None) -> Catalog:
     """Execute a mapshaper-style command string against a fresh Catalog.
@@ -2129,9 +2202,5 @@ def run_commands(spark: SparkSession, command_str: str,
             cat.add(name, df)
         cat.target = next(iter(layers))
     for cmd in parse_commands(command_str):
-        fn = COMMANDS.get(cmd.name)
-        if fn is None:
-            raise ValueError(f"unknown command -{cmd.name} "
-                             f"(supported: {sorted(COMMANDS)})")
-        fn(cat, cmd)
+        dispatch_command(cat, cmd)
     return cat

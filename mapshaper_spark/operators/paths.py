@@ -589,6 +589,9 @@ def clip_polygons_bbox(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
     to nothing are dropped. Features wholly inside pass through untouched
     via a pure-JVM bbox predicate, so the Python stage only sees boundary
     features — the same interior-shortcut shape as the PIP join."""
+    from mapshaper_spark.operators.overlay import _ensure_bbox
+    had_bbox = "bbox" in df.columns
+    df = _ensure_bbox(df)
     xmin, ymin, xmax, ymax = bbox
     b = F.col("bbox")
     touches = ((b["xmin"] <= xmax) & (b["xmax"] >= xmin) &
@@ -600,6 +603,22 @@ def clip_polygons_bbox(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
 
     out_cols = [f.name for f in df.schema.fields]
 
+    def _restart(rx, ry, cx, cy):
+        """Rotate the clipped ring to begin at the earliest surviving
+        input vertex — the reference's clip keeps original arc traversal
+        order, so rings that lose only a corner keep their start point
+        (clip-issues-test.js 'almost-parallel' expected coords)."""
+        pts = list(zip(cx[:-1], cy[:-1]))
+        where = {p: i for i, p in reversed(list(enumerate(pts)))}
+        for p in zip(rx, ry):
+            k = where.get(p)
+            if k is not None:
+                if k:
+                    pts = pts[k:] + pts[:k]
+                break
+        pts.append(pts[0])
+        return [p[0] for p in pts], [p[1] for p in pts]
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -608,6 +627,7 @@ def clip_polygons_bbox(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
                 for rx, ry in zip(rec["rings_x"], rec["rings_y"]):
                     cx, cy = _sutherland_hodgman(rx, ry, bbox)
                     if cx:
+                        cx, cy = _restart(rx, ry, cx, cy)
                         new_x.append(cx)
                         new_y.append(cy)
                 if new_x:
@@ -622,7 +642,8 @@ def clip_polygons_bbox(df: DataFrame, bbox: Sequence[float]) -> DataFrame:
             if rows:
                 yield pd.DataFrame(rows, columns=out_cols)
 
-    return untouched.unionByName(boundary.mapInPandas(gen, schema=df.schema))
+    out = untouched.unionByName(boundary.mapInPandas(gen, schema=df.schema))
+    return out if had_bbox else out.drop("bbox")
 
 
 def slice_by_grid(df: DataFrame, cols: int, rows: int,

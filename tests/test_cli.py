@@ -485,3 +485,37 @@ class TestDbfOutput:
         assert len(recs) == 4
         assert set(recs[0]) == {"fid", "state", "pop"}  # geometry dropped
         assert sorted(r["pop"] for r in recs) == [10, 20, 30, 40]
+
+
+class TestOptionListParsing:
+    """option-parser-test.js + chunker-test.js splitTokens transcriptions."""
+
+    def test_parse_string_list_single_quoted(self):
+        # option-parser-test.js:8-17
+        from mapshaper_spark.cli import parse_string_list
+        assert parse_string_list('"County FIPS,State FIPS"') == \
+            ["County FIPS", "State FIPS"]
+        assert parse_string_list('"County FIPS","State FIPS"') == \
+            ["County FIPS", "State FIPS"]
+
+    def test_parse_color_list(self):
+        # option-parser-test.js:20-45
+        from mapshaper_spark.cli import parse_color_list
+        for t in ('"white black"', '"white","black"', '"white, black"',
+                  '"white", "black"'):
+            assert parse_color_list(t) == ["white", "black"], t
+        assert parse_color_list(
+            'rgba(0, 0, 0, 0), rgb(22,32,0),aliceblue') == \
+            ['rgba(0,0,0,0)', 'rgb(22,32,0)', 'aliceblue']
+
+    def test_split_tokens_quoted(self):
+        # chunker-test.js:13-16
+        from mapshaper_spark.cli import split_tokens
+        assert split_tokens('foo, "foo bar",baz ', ', ') == \
+            ['foo', 'foo bar', 'baz']
+
+    def test_shared_target_option_parses(self):
+        from mapshaper_spark.cli import parse_commands
+        cmds = parse_commands("-clip target=a bbox=0,0,1,1")
+        assert cmds[0].options["target"] == "a"
+        assert cmds[0].values == []

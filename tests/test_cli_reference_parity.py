@@ -1157,3 +1157,104 @@ class TestRoundingParity:
                              {"g.json": json.dumps(gj)})
         pts = json.loads(out["out.json"])["geometries"][0]["coordinates"]
         assert pts == [[0, 0], [1, -1]]
+
+
+class TestClipIssuesParity:
+    """clip-issues-test.js — misc clipping regressions."""
+
+    @staticmethod
+    def _coords(payload):
+        obj = json.loads(payload)
+        if "features" in obj:
+            return obj["features"][0]["geometry"]["coordinates"]
+        return obj["geometries"][0]["coordinates"]
+
+    # clip-issues-test.js:9-39: clipping layer `a` must not delete arcs of
+    # the non-clipped layer `b` in the same dataset
+    def test_non_clipped_layer_arcs_survive(self, spark):
+        boxes = {
+            "type": "Topology",
+            "arcs": [
+                [[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]],
+                [[2, 0], [2, 1], [3, 1], [3, 0], [2, 0]]],
+            "objects": {
+                "a": {"type": "Polygon", "arcs": [[0]],
+                      "properties": {"name": "a"}},
+                "b": {"type": "Polygon", "arcs": [[1]],
+                      "properties": {"name": "b"}},
+            },
+        }
+        out = apply_commands(
+            spark,
+            "-i data.json -clip target=a bbox=-1,-1,1.5,1.5 "
+            "-o format=geojson target=*",
+            {"data.json": json.dumps(boxes)})
+        a = self._coords(out["a.json"])
+        b = self._coords(out["b.json"])
+        assert a == [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
+        assert b == [[[2, 0], [2, 1], [3, 1], [3, 0], [2, 0]]]
+
+    # clip-issues-test.js:41-61: the clipping layer's own arcs must come
+    # through -o unmodified
+    def test_clipping_layer_not_modified(self, spark):
+        clipper = {"type": "Polygon",
+                   "coordinates": [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]}
+        clipped = {"type": "Polygon",
+                   "coordinates": [[[0, 0], [0, 1], [2, 1], [2, 0], [0, 0]]]}
+        out = apply_commands(
+            spark, "-i clipper.json -i clipped.json -clip clipper "
+            "-o target=*",
+            {"clipper.json": json.dumps(clipper),
+             "clipped.json": json.dumps(clipped)})
+        assert self._coords(out["clipper.json"]) == \
+            [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
+        assert self._coords(out["clipped.json"]) == \
+            [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
+
+    # clip-issues-test.js:64-80: polygon with a ~1e-19 vertex ordinate must
+    # survive bbox clipping unchanged (all vertices inside the box)
+    def test_almost_parallel_segments_1(self, spark):
+        polygon = {"type": "Polygon", "coordinates": [[
+            [-5, 0.4], [-4, 0.4], [-4, 8.673617379884035e-19],
+            [-5, 0], [-5, 0.4]]]}
+        out = apply_commands(spark, "-i p.json -clip bbox=-10,0,0,10 "
+                             "-o out.json", {"p.json": json.dumps(polygon)})
+        assert self._coords(out["out.json"]) == [[
+            [-5, 0.4], [-4, 0.4], [-4, 8.673617379884035e-19],
+            [-5, 0], [-5, 0.4]]]
+
+    # clip-issues-test.js:82-94: a vertex dipping -1.7e-18 below the box
+    # clamps to the boundary instead of deleting the polygon
+    def test_almost_parallel_segments_2(self, spark):
+        polygon = {"type": "Polygon", "coordinates": [[
+            [-0.9, 0.4], [-0.4, 0.4], [-0.4, 0],
+            [-0.9, -1.734723475976807e-18], [-0.9, 0.4]]]}
+        out = apply_commands(spark, "-i p.json -clip bbox=-1,0,0,1 "
+                             "-o out.json", {"p.json": json.dumps(polygon)})
+        assert self._coords(out["out.json"]) == [[
+            [-0.9, 0.4], [-0.4, 0.4], [-0.4, 0], [-0.9, 0], [-0.9, 0.4]]]
+
+    # clip-issues-test.js:96-111: two simplified counties that had been
+    # disappearing after bbox clipping both keep geometry
+    def test_almost_parallel_segments_3(self, spark):
+        gj = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": {"type": "Polygon",
+             "coordinates": [[[-0.07743991381154576, -7.903170760234177],
+                              [0.13322915296487942, -8.237697197954503],
+                              [-0.27135433200713655, -8.532257229768865],
+                              [-0.5600689007971446, -8.250514088134027],
+                              [-0.07743991381154576, -7.903170760234177]]]},
+             "properties": {"GEOID": "48481"}},
+            {"type": "Feature", "geometry": {"type": "Polygon",
+             "coordinates": [[[-0.07743991381154576, -7.903170760234177],
+                              [0.1510172129721194, -7.718678964010099],
+                              [0.5017038816766441, -7.922859553851434],
+                              [0.13322915296487942, -8.237697197954503],
+                              [-0.07743991381154576, -7.903170760234177]]]},
+             "properties": {"GEOID": "48157"}}]}
+        out = apply_commands(spark, "-i p.json -clip bbox=0,-90,90,90 "
+                             "-o out.json", {"p.json": json.dumps(gj)})
+        feats = json.loads(out["out.json"])["features"]
+        assert len(feats) == 2
+        assert all(f["geometry"] and f["geometry"]["coordinates"]
+                   for f in feats)

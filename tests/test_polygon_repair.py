@@ -118,3 +118,27 @@ class TestRepairSelfIntersections:
         rings = _repair_one_ring(spark, coords)
         assert rings == [_canon([(0.0, 0.0), (0.0, 1.0), (1.0, 1.0),
                                  (1.0, 0.0)])]
+
+
+class TestSplitPathByIds:
+    # self-intersection-test.js:6-31 — pure arc-id function, verbatim
+    def test1(self):
+        from mapshaper_spark.operators.topology import _split_path_by_ids
+        assert _split_path_by_ids([5, 6, 7, 8], [5, 7]) == [[5, 6], [7, 8]]
+
+    def test2_unsorted_ids(self):
+        from mapshaper_spark.operators.topology import _split_path_by_ids
+        assert _split_path_by_ids([5, 6, 7, 8], [7, 5]) == [[5, 6], [7, 8]]
+
+    def test3_wraparound_merge(self):
+        from mapshaper_spark.operators.topology import _split_path_by_ids
+        assert _split_path_by_ids([5, 6, 7, 8], [8, 7, 6]) == \
+            [[5, 8], [6], [7]]
+
+    def test4(self):
+        from mapshaper_spark.operators.topology import _split_path_by_ids
+        assert _split_path_by_ids([5, 6, 7, 8], [8, 5]) == [[5, 6, 7], [8]]
+
+    def test5(self):
+        from mapshaper_spark.operators.topology import _split_path_by_ids
+        assert _split_path_by_ids([5, 6, 7, 8], [6, 7]) == [[5, 7, 8], [6]]
