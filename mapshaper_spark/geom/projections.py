@@ -1902,6 +1902,183 @@ class NellHammer(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class _MollweideFamily(_SimplePseudoCylindrical):
+    """Generalized Mollweide frame (Snyder pp. 249-252 generalization used
+    by proj's moll/wag4/wag5 group): solve t + sin t = C_p sin(phi) by
+    Newton (t = 2*theta), then x = C_x lam cos(theta), y = C_y sin(theta).
+    Subclasses pin (C_x, C_y, C_p)."""
+
+    C_x = C_y = C_p = 1.0
+    MAX_ITER = 12
+    TOL = 1e-12
+
+    def _fwd(self, lam, phi):
+        k = self.C_p * np.sin(phi)
+        t = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(self.MAX_ITER):
+            step = (t + np.sin(t) - k) / (1.0 + np.cos(t))
+            t = t - step
+            if np.all(np.abs(step) < self.TOL):
+                break
+        th = 0.5 * t
+        return self.C_x * lam * np.cos(th), self.C_y * np.sin(th)
+
+    def _inv(self, x, y):
+        th = np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        lam = x / (self.C_x * np.maximum(np.cos(th), 1e-12))
+        t = 2.0 * th
+        phi = np.arcsin(np.clip((t + np.sin(t)) / self.C_p, -1.0, 1.0))
+        return lam, phi
+
+
+def _moll_constants(p: float) -> tuple[float, float, float]:
+    """(C_x, C_y, C_p) for the generalized Mollweide whose pole maps to
+    parametric angle theta = p (proj pj_moll.c setup): moll is p = pi/2,
+    Wagner IV p = pi/3."""
+    sp = math.sin(p)
+    p2 = 2.0 * p
+    r = math.sqrt(2.0 * math.pi * sp / (p2 + math.sin(p2)))
+    return 2.0 * r / math.pi, r / sp, p2 + math.sin(p2)
+
+
+class WagnerIV(_MollweideFamily):
+    """wag4 (equal-area): Mollweide family bounded at theta = 60 deg
+    (C_x 0.86310, C_y 1.56548, C_p 2.96042 follow from the construction)."""
+
+    C_x, C_y, C_p = _moll_constants(math.pi / 3.0)
+
+
+class WagnerV(_MollweideFamily):
+    """wag5 (Wagner 1949): Mollweide-family compromise with the published
+    constants x = 0.90977 lam cos(theta), y = 1.65014 sin(theta),
+    2 theta + sin(2 theta) = 3.00896 sin(phi) (Snyder, "An Album of Map
+    Projections" p. 44)."""
+
+    C_x, C_y, C_p = 0.90977, 1.65014, 3.00896
+
+
+class WagnerII(_SimplePseudoCylindrical):
+    """wag2 (Wagner 1932 compromise, Album p. 40):
+    theta = asin(0.88022 sin(0.8855 phi)); x = 0.92483 lam cos(theta),
+    y = 1.38725 theta. Closed inverse."""
+
+    C_x, C_y, C_p1, C_p2 = 0.92483, 1.38725, 0.88022, 0.8855
+
+    def _fwd(self, lam, phi):
+        th = np.arcsin(self.C_p1 * np.sin(self.C_p2 * phi))
+        return self.C_x * lam * np.cos(th), self.C_y * th
+
+    def _inv(self, x, y):
+        th = y / self.C_y
+        lam = x / (self.C_x * np.cos(th))
+        phi = np.arcsin(np.clip(np.sin(th) / self.C_p1, -1.0, 1.0)) / self.C_p2
+        return lam, phi
+
+
+class WagnerIII(_SimplePseudoCylindrical):
+    """wag3 (Wagner 1932): x = C lam cos(2 phi / 3), y = phi, with
+    C = cos(lat_ts) / cos(2 lat_ts / 3) making lat_ts true to scale."""
+
+    def __init__(self, a, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0, x0, y0)
+        ts = lat_ts * D2R
+        self.C = math.cos(ts) / math.cos(2.0 * ts / 3.0)
+
+    def _fwd(self, lam, phi):
+        return self.C * lam * np.cos(2.0 * phi / 3.0), phi
+
+    def _inv(self, x, y):
+        phi = y
+        return x / (self.C * np.cos(2.0 * phi / 3.0)), phi
+
+
+class _STSProjection(_SimplePseudoCylindrical):
+    """Shared sine/tangent-series frame (proj PJ_sts.c; Snyder's Album for
+    the member formulas): with phi' = phi / Q_p,
+      sine mode: x = (Q_q/Q_p) lam cos(phi) / cos(phi'), y = Q_p sin(phi')
+      tan mode:  x = (Q_q/Q_p) lam cos(phi) cos(phi')^2, y = Q_p tan(phi')
+    Members pin (Q_p, Q_q, tan_mode): Kavraisky V (1.50488, 1.35439, sine),
+    McBryde-Thomas sine I (1.48875, 1.36509, sine), Foucaut (2, 2, tan).
+    All equal-area (verified by the Jacobian property test)."""
+
+    Q_p = Q_q = 1.0
+    TAN_MODE = False
+
+    def _fwd(self, lam, phi):
+        cx = self.Q_q / self.Q_p
+        ph = phi / self.Q_q
+        c = np.cos(ph)
+        if self.TAN_MODE:
+            return cx * lam * np.cos(phi) * c * c, self.Q_p * np.tan(ph)
+        return cx * lam * np.cos(phi) / c, self.Q_p * np.sin(ph)
+
+    def _inv(self, x, y):
+        cx = self.Q_q / self.Q_p
+        if self.TAN_MODE:
+            ph = np.arctan(y / self.Q_p)
+            phi = ph * self.Q_q
+            c = np.cos(ph)
+            lam = x / (cx * np.maximum(np.cos(phi), 1e-12) * c * c)
+        else:
+            ph = np.arcsin(np.clip(y / self.Q_p, -1.0, 1.0))
+            phi = ph * self.Q_q
+            lam = x * np.cos(ph) / (cx * np.maximum(np.cos(phi), 1e-12))
+        return lam, phi
+
+
+class KavrayskiyV(_STSProjection):
+    """kav5: x = 0.9 lam cos(phi)/cos(phi/1.35439),
+    y = 1.50488 sin(phi/1.35439) (equal-area)."""
+
+    Q_p, Q_q, TAN_MODE = 1.50488, 1.35439, False
+
+
+class McBrydeThomasSine(_STSProjection):
+    """mbt_s (McBryde-Thomas flat-pole sine no. 1 constants, Album p. 48)."""
+
+    Q_p, Q_q, TAN_MODE = 1.48875, 1.36509, False
+
+
+class Foucaut(_STSProjection):
+    """fouc (Foucaut 1862 stereographic-equivalent, equal-area):
+    x = lam cos(phi) cos(phi/2)^2, y = 2 tan(phi/2)."""
+
+    Q_p, Q_q, TAN_MODE = 2.0, 2.0, True
+
+
+class Times(_SimplePseudoCylindrical):
+    """times (Moir 1965, The Times Atlas): t = tan(phi/2),
+    x = lam (0.74482 - 0.34588 sin^2(pi/4 t)), y = 1.70711 t.
+    Closed inverse."""
+
+    def _fwd(self, lam, phi):
+        t = np.tan(0.5 * phi)
+        s = np.sin(0.25 * math.pi * t)
+        return lam * (0.74482 - 0.34588 * s * s), 1.70711 * t
+
+    def _inv(self, x, y):
+        t = y / 1.70711
+        s = np.sin(0.25 * math.pi * t)
+        return x / (0.74482 - 0.34588 * s * s), 2.0 * np.arctan(t)
+
+
+class Fahey(_SimplePseudoCylindrical):
+    """fahey (Fahey 1975, standard parallels 35deg): t = tan(phi/2),
+    x = cos(35deg) lam sqrt(1 - t^2), y = (1 + cos(35deg)) t."""
+
+    C = math.cos(35.0 * math.pi / 180.0)
+
+    def _fwd(self, lam, phi):
+        t = np.tan(0.5 * phi)
+        return (self.C * lam * np.sqrt(np.clip(1.0 - t * t, 0.0, None)),
+                (1.0 + self.C) * t)
+
+    def _inv(self, x, y):
+        t = y / (1.0 + self.C)
+        s = np.clip(1.0 - t * t, 1e-12, None)
+        return x / (self.C * np.sqrt(s)), 2.0 * np.arctan(t)
+
+
 SQRT_PI = math.sqrt(math.pi)
 
 
@@ -1925,7 +2102,9 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "poly", "goode", "eck1", "eck2", "eck3", "eck5", "eck6",
               "somerc", "sterea", "omerc", "aitoff", "nsper", "krovak",
               "kav7", "wag6", "collg", "crast", "qua_aut", "wink1",
-              "loxim", "tcea", "cc", "nell_h")
+              "loxim", "tcea", "cc", "nell_h",
+              "wag2", "wag3", "wag4", "wag5", "kav5", "mbt_s", "fouc",
+              "times", "fahey")
 
 
 def get_projection(defn: str) -> Projection:
@@ -2100,6 +2279,25 @@ def get_projection(defn: str) -> Projection:
         return CentralCylindrical(a, lon0=lon0, x0=x0, y0=y0)
     if name == "nell_h":
         return NellHammer(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wag2":
+        return WagnerII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wag3":
+        return WagnerIII(a, lat_ts=float(p.get("lat_ts", 0.0)),
+                         lon0=lon0, x0=x0, y0=y0)
+    if name == "wag4":
+        return WagnerIV(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "wag5":
+        return WagnerV(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "kav5":
+        return KavrayskiyV(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "mbt_s":
+        return McBrydeThomasSine(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "fouc":
+        return Foucaut(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "times":
+        return Times(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "fahey":
+        return Fahey(a, lon0=lon0, x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

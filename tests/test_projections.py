@@ -875,3 +875,86 @@ class TestRound4PseudoCylindricalTail:
         x, _ = p.fwd(np.array([10.0]), np.array([40.0]))
         assert abs(float(x[0]) -
                    R * math.radians(10) * math.cos(math.radians(40))) < 1e-6
+
+
+class TestRound4bPseudoCylindricalTail:
+    """wag2/3/4/5, kav5, mbt_s, fouc, times, fahey — the second
+    pseudocylindrical batch. Same contract as the first: exact round-trips
+    everywhere, unit area-scale Jacobian for the equal-area members
+    (wag4, kav5, mbt_s, fouc), and shape constants pinned against the
+    published values (Snyder's Album / the generalized-Mollweide
+    construction)."""
+
+    NAMES = ["wag2", "wag3", "wag4", "wag5", "kav5", "mbt_s", "fouc",
+             "times", "fahey",
+             "+proj=wag3 +lat_ts=30",
+             "+proj=wag4 +lon_0=-90 +x_0=500 +y_0=250"]
+
+    @pytest.mark.parametrize("defn", NAMES)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    @pytest.mark.parametrize("defn", ["wag4", "kav5", "mbt_s", "fouc"])
+    def test_equal_area_property(self, defn):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -60), (-60, 30), (0, 0), (45, 70),
+                           (140, -35), (170, 80)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0) * (y2 - y0) -
+                          (x2 - x0) * (y1 - y0))) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            true = R * R * math.cos(math.radians(phi0))
+            assert abs(J / true - 1.0) < 1e-3, (defn, lam0, phi0)
+
+    def test_shape_constants(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import (WagnerIV, WagnerV,
+                                                      get_projection)
+        R = 6378137.0
+        # the generalized-Mollweide construction reproduces the published
+        # Wagner IV constants (Album p. 42: 0.86310 / 1.56548)
+        assert abs(WagnerIV.C_x - 0.86310) < 5e-6
+        assert abs(WagnerIV.C_y - 1.56548) < 5e-6
+        assert WagnerV.C_x == 0.90977 and WagnerV.C_y == 1.65014
+        # wag4 pole parametric angle is 60 deg: y(pole) = C_y sin(60) R
+        _, y = get_projection("wag4").fwd(np.array([0.0]), np.array([90.0]))
+        assert abs(float(y[0]) - WagnerIV.C_y * math.sin(math.pi / 3) * R) \
+            < 1e-3
+        # wag3 equator is true scale at lat_ts=0; lat_ts parallel true scale
+        x, _ = get_projection("wag3").fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) - R * math.pi / 2) < 1e-6
+        p = get_projection("+proj=wag3 +lat_ts=30")
+        x, _ = p.fwd(np.array([10.0]), np.array([30.0]))
+        assert abs(float(x[0]) -
+                   R * math.radians(10) * math.cos(math.radians(30))) < 1e-6
+        # kav5 equator scale is 0.9 (= Q_q / Q_p)
+        x, _ = get_projection("kav5").fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) / (R * math.pi / 2) - 0.9) < 1e-5
+        # fouc: y(pole) = 2 R tan(45 deg) = 2 R, x = lam cos(phi) cos(phi/2)^2
+        _, y = get_projection("fouc").fwd(np.array([0.0]), np.array([90.0]))
+        assert abs(float(y[0]) - 2.0 * R) < 1e-6
+        # times: y(90) = 1.70711 R tan(45) = 1.70711 R
+        _, y = get_projection("times").fwd(np.array([0.0]), np.array([90.0]))
+        assert abs(float(y[0]) - 1.70711 * R) < 1e-6
+        # fahey: equator x-scale is cos(35 deg)
+        x, _ = get_projection("fahey").fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) / (R * math.pi / 2) -
+                   math.cos(math.radians(35))) < 1e-12
