@@ -840,8 +840,8 @@ class TestRound4PseudoCylindricalTail:
             x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
             x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
             x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
-            J = abs(float((x1 - x0) * (y2 - y0) -
-                          (x2 - x0) * (y1 - y0))) / \
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
                 (h * h * (math.pi / 180.0) ** 2)
             true = R * R * math.cos(math.radians(phi0))
             assert abs(J / true - 1.0) < 1e-3, (defn, lam0, phi0)
@@ -916,8 +916,8 @@ class TestRound4bPseudoCylindricalTail:
             x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
             x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
             x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
-            J = abs(float((x1 - x0) * (y2 - y0) -
-                          (x2 - x0) * (y1 - y0))) / \
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
                 (h * h * (math.pi / 180.0) ** 2)
             true = R * R * math.cos(math.radians(phi0))
             assert abs(J / true - 1.0) < 1e-3, (defn, lam0, phi0)
