@@ -49,6 +49,7 @@ _FLAG_WORDS = {
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
     "postprocess", "debug", "final", "bbox", "snap", "auto-snap",
     "no-quantization", "singles", "no-point-quantization", "cut-table",
+    "naive",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -59,7 +60,7 @@ _KNOWN_OPTS = {
     "max-count", "format", "bbox", "min-area", "min-vertices", "interval",
     "precision", "source", "scale", "rotate", "shift", "anchor", "x", "y",
     "percentage", "target-name", "key", "names", "encoding", "delimiter",
-    "snap-interval",
+    "snap-interval", "min-gap-area",
     # the reference gives (nearly) every command a targets option
     # (src/cli/mapshaper-options.js targetOpt); dispatch_command retargets
     "target",
@@ -75,6 +76,8 @@ _CMD_OPTS = {
     "rectangle": {"offset"},
     "shape": {"coordinates", "offsets"},
     "cluster": {"id-field", "pct", "count"},
+    "dissolve": {"field"},
+    "dissolve2": {"field"},
     "data-fill": {"field"},
     "slice": {"id-field"},
     "style": _STYLE_OPTS,
@@ -602,14 +605,23 @@ def _cmd_join(cat: Catalog, c: Command) -> None:
     # except the key; '*' -> all INCLUDING the key; '' -> none
     fields_opt = c.opt("fields")
     if fields_opt is None:
-        copy = [col for col in source.columns
-                if col != keys[1] and col not in target.columns]
+        copy = [col for col in source.columns if col != keys[1]]
     elif str(fields_opt) == "":
         copy = []
     elif str(fields_opt) == "*":
-        copy = [col for col in source.columns if col not in target.columns]
+        copy = list(source.columns)
     else:
         copy = c.csv("fields")
+    if c.flag("force"):
+        # force: join fields REPLACE same-named target columns — matched
+        # rows take the source value, unmatched go null
+        # (mapshaper-join.js:255-258 + updateUnmatchedRecords)
+        clobber = [f for f in copy if f in target.columns and f != keys[0]]
+        if clobber:
+            target = target.drop(*clobber)
+    else:
+        # only overwrite existing fields if "force" is set (join.js:255)
+        copy = [f for f in copy if f not in target.columns]
     calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
     if calc:  # calc= outputs supersede same-named fields= copies
         copy = [f for f in copy if f not in calc]
@@ -662,6 +674,7 @@ def _cmd_dissolve(cat: Catalog, c: Command) -> None:
     df = cat.df()
     plus = "+" in c.values  # '+' = add as a new layer (reference no_replace)
     fields = [s for v in c.values if v != "+" for s in v.split(",")] \
+        or ([str(c.opt("field"))] if c.opt("field") else c.csv("fields")) \
         or ["__all__"]
     if fields == ["__all__"]:
         df = df.withColumn("__all__", F.lit(1))
@@ -724,25 +737,54 @@ def _features_with_parts(refs: DataFrame, paths: DataFrame, fid: str):
             .groupBy(fid).agg(F.collect_list("__ring").alias("parts")))
 
 
+def _min_gap_area(cat: Catalog, c: Command) -> float | None:
+    """min-gap-area= with units (the reference parses '10km2' etc. through
+    convertAreaParam, mapshaper-units.js) against the target layer's CRS."""
+    v = c.opt("min-gap-area")
+    if v is None:
+        return None
+    from mapshaper_spark.geom.units import convert_area_param
+    return convert_area_param(str(v), cat.crs.get(cat.target))
+
+
 def _cmd_dissolve2(cat: Catalog, c: Command) -> None:
+    from mapshaper_spark.operators import dissolve as DS
     from mapshaper_spark.operators.overlay import dissolve2
     df = cat.df()
-    fields = [s for v in c.values for s in v.split(",")]
+    fields = [s for v in c.values if v != "+" for s in v.split(",")] \
+        or ([str(c.opt("field"))] if c.opt("field") else c.csv("fields"))
     if not fields:
         df = df.withColumn("__all__", F.lit("all"))
         fields = ["__all__"]
     out = dissolve2(df.select(fields[0], "rings_x", "rings_y"), fields[0],
-                    gap_fill=not c.flag("no-gap-fill"))
+                    gap_fill=not c.flag("no-gap-fill"),
+                    min_gap_area=_min_gap_area(cat, c))
+    # calc= / sum-fields= / copy-fields= aggregate the attribute table per
+    # group exactly like -dissolve (mapshaper-dissolve2.js reuses
+    # aggregateDataRecords)
+    calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
+    if calc or c.csv("sum-fields") or c.csv("copy-fields"):
+        attrs = DS.dissolve_attributes(
+            df, [fields[0]], sum_fields=c.csv("sum-fields"),
+            copy_fields=c.csv("copy-fields"), calc=calc)
+        if set(attrs.columns) - {fields[0]}:
+            out = out.join(attrs, fields[0], "left")
     if fields == ["__all__"]:
         out = out.drop("__all__")
-    cat.replace(out)
+    if "+" in c.values:
+        cat.add(str(c.opt("name")) if c.opt("name") else "dissolve2", out)
+    else:
+        cat.replace(out)
+        if c.opt("name"):
+            _rename_layer(cat, cat.target, str(c.opt("name")))
 
 
 def _cmd_clean(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators.overlay import clean
     df = cat.df()
     key = c.opt("key") or df.columns[0]
-    cat.replace(clean(df, str(key), gap_fill=not c.flag("no-gap-fill")))
+    cat.replace(clean(df, str(key), gap_fill=not c.flag("no-gap-fill"),
+                      min_gap_area=_min_gap_area(cat, c)))
 
 
 def _cmd_clip(cat: Catalog, c: Command, erase: bool = False) -> None:
@@ -826,7 +868,7 @@ def _cmd_explode(cat: Catalog, c: Command) -> None:
         return
     # the reference adds no field to exploded records; part_idx is the
     # operator's programmatic handle only
-    cat.replace(explode(df).drop("part_idx"))
+    cat.replace(explode(df, naive=c.flag("naive")).drop("part_idx"))
 
 
 def _cmd_filter_islands(cat: Catalog, c: Command) -> None:

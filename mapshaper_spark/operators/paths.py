@@ -48,13 +48,16 @@ def ring_areas_col(df: DataFrame, out: str = "ring_areas") -> DataFrame:
     return df.mapInPandas(gen, schema=schema)
 
 
-def explode(df: DataFrame, part_index: str = "part_idx") -> DataFrame:
+def explode(df: DataFrame, part_index: str = "part_idx",
+            naive: bool = False) -> DataFrame:
     """-explode for assembled polygon features: one output feature per
     positive-area ring, with each hole (negative ring) assigned to the
     nearest preceding positive ring (the reference groups holes with their
     enclosing ring via getPartGroups, explode.js:25-45; for datasets in
     ring/hole order — the order produced by our assembly and by shapefile
-    convention — that is the previous positive ring)."""
+    convention — that is the previous positive ring). ``naive`` skips the
+    hole grouping and emits every ring as its own feature
+    (explodePolygonNaive, explode.js:15-17)."""
     with_area = ring_areas_col(df)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -63,7 +66,7 @@ def explode(df: DataFrame, part_index: str = "part_idx") -> DataFrame:
             for rec in pdf.to_dict("records"):
                 groups: list[tuple[list, list]] = []
                 for rx, ry, a in zip(rec["rings_x"], rec["rings_y"], rec["ring_areas"]):
-                    if a > 0 or not groups:
+                    if naive or a > 0 or not groups:
                         groups.append(([rx], [ry]))
                     else:
                         groups[-1][0].append(rx)

@@ -430,6 +430,69 @@ class TestRound3Commands:
         assert len(r.xs) < 11 and r.xs[0] == 0.0 and r.xs[-1] == 10.0
 
 
+class TestRound4OptionParity:
+    """Option surfaces added late round 4: -explode naive, -join force,
+    -dissolve2 min-gap-area/calc/sum-fields, -clean min-gap-area,
+    -dissolve field= (reference option table, mapshaper-options.js)."""
+
+    def _donut(self, spark):
+        # CW outer 3x3 + CCW 1x1 hole (mapshaper winding convention)
+        return spark.createDataFrame(
+            [(1, "g",
+              [[0.0, 0.0, 3.0, 3.0, 0.0], [1.0, 2.0, 2.0, 1.0, 1.0]],
+              [[0.0, 3.0, 3.0, 0.0, 0.0], [1.0, 1.0, 2.0, 2.0, 1.0]])],
+            "fid int, grp string, rings_x array<array<double>>, "
+            "rings_y array<array<double>>")
+
+    def test_explode_naive_vs_grouped(self, spark):
+        donut = self._donut(spark)
+        grouped = run_commands(spark, "-explode", layers={"d": donut})
+        assert grouped.df().count() == 1  # hole stays with its ring
+        naive = run_commands(spark, "-explode naive", layers={"d": donut})
+        assert naive.df().count() == 2  # explodePolygonNaive: ring-per-part
+
+    def test_join_force_overwrites_and_nulls_unmatched(self, spark, states):
+        tgt = states.drop("rings_x", "rings_y")
+        src = spark.createDataFrame([("A", 99)], "st string, pop int")
+        # without force: same-named source field is skipped (join.js:255)
+        cat = run_commands(spark, "-join src keys=state,st",
+                           layers={"states": tgt, "src": src})
+        assert {r.pop for r in cat.df().collect()} == {10, 20, 30, 40}
+        # with force: matched rows take the source value, unmatched go null
+        cat = run_commands(spark, "-join src keys=state,st force",
+                           layers={"states": tgt, "src": src})
+        got = {r.state: r.pop for r in cat.df().collect()}
+        assert got == {"A": 99, "B": None}
+
+    def test_dissolve2_min_gap_area_gates_fill(self, spark):
+        donut = self._donut(spark)
+        filled = run_commands(spark, "-dissolve2 grp min-gap-area=1.1",
+                              layers={"d": donut})
+        assert filled.df().select(F.size("rings_x")).first()[0] == 1
+        kept = run_commands(spark, "-dissolve2 grp min-gap-area=0.5",
+                            layers={"d": donut})
+        assert kept.df().select(F.size("rings_x")).first()[0] == 2
+
+    def test_dissolve2_aggregates_attributes(self, spark, states):
+        cat = run_commands(
+            spark, "-dissolve2 state sum-fields=pop calc='n = count()'",
+            layers={"states": states})
+        got = {r.state: (r.pop, r.n) for r in cat.df().collect()}
+        assert got == {"A": (30, 2), "B": (70, 2)}
+
+    def test_dissolve_field_option_spelling(self, spark, states):
+        cat = run_commands(spark, "-dissolve field=state sum-fields=pop",
+                           layers={"states": states})
+        got = {r.state: r.pop for r in cat.df().collect()}
+        assert got == {"A": 30, "B": 70}
+
+    def test_clean_min_gap_area_parses(self, spark):
+        donut = self._donut(spark)
+        cat = run_commands(spark, "-clean min-gap-area=1.1",
+                           layers={"d": donut})
+        assert cat.df().count() == 1
+
+
 class TestMetaCommands:
     """-inspect/-projections/-encodings/-version/-help/-quiet/-verbose/-debug
     (cli/mapshaper-commands.js dispatch; commands/mapshaper-inspect.js)."""
