@@ -2079,6 +2079,259 @@ class Fahey(_SimplePseudoCylindrical):
         return x / (self.C * np.sqrt(s)), 2.0 * np.arctan(t)
 
 
+class URMFPS(_SimplePseudoCylindrical):
+    """urmfps (Urmaev flat-polar sinusoidal, +n= required): with
+    sin(theta) = n sin(phi), x = C_x lam cos(theta), y = C_y theta / n,
+    C_x = 0.8773826753 and C_y = 1/C_x — the pseudocylindrical equal-area
+    closure f(phi) g'(phi) = cos(phi) forces C_x C_y = 1 for any n.
+    wag1 (Wagner I = Kavrayskiy VI) is the n = sqrt(3)/2 member (its pole
+    line is half the equator: cos(asin(n)) = 1/2)."""
+
+    C_x = 0.8773826753
+    C_y = 1.0 / C_x
+
+    def __init__(self, a, n, lon0=0.0, x0=0.0, y0=0.0):
+        if not 0.0 < n <= 1.0:
+            raise ValueError("urmfps: +n= must be in (0, 1]")
+        super().__init__(a, lon0, x0, y0)
+        self.n = n
+
+    def _fwd(self, lam, phi):
+        th = np.arcsin(self.n * np.sin(phi))
+        return self.C_x * lam * np.cos(th), self.C_y * th / self.n
+
+    def _inv(self, x, y):
+        th = y * self.n / self.C_y
+        phi = np.arcsin(np.clip(np.sin(th) / self.n, -1.0, 1.0))
+        return x / (self.C_x * np.maximum(np.cos(th), 1e-12)), phi
+
+
+class Boggs(_SimplePseudoCylindrical):
+    """boggs (Boggs eumorphic, equal-area): the parallel spacing is the
+    arithmetic mean of the sinusoidal's and Mollweide's, and x is the
+    harmonic mean the equal-area closure then forces. With the Mollweide
+    parametric angle t (2t + sin 2t = pi sin phi):
+        x = 2.00276 lam / (sec phi + 1.11072 sec t)
+        y = 0.49931 (phi + sqrt(2) sin t)
+    (1.11072 = pi/(2 sqrt 2); 2.00276 = 1/0.49931; with those the closure
+    f g' = cos phi holds exactly — verified by the Jacobian property test.)
+    Forward solves t by Newton; the inverse recovers phi from the monotone
+    y(phi) by bisection, then lam closed-form."""
+
+    C_y = 0.49931
+    C_x = 1.0 / C_y
+    C_s = math.pi / (2.0 * math.sqrt(2.0))
+
+    @staticmethod
+    def _moll_t(phi):
+        k = math.pi * np.sin(phi)
+        t2 = np.asarray(phi, dtype=np.float64).copy() * 2.0
+        for _ in range(14):
+            step = (t2 + np.sin(t2) - k) / np.maximum(1.0 + np.cos(t2), 1e-9)
+            t2 = t2 - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        return 0.5 * t2
+
+    def _fwd(self, lam, phi):
+        t = self._moll_t(phi)
+        sec_phi = 1.0 / np.maximum(np.cos(phi), 1e-9)
+        sec_t = 1.0 / np.maximum(np.cos(t), 1e-9)
+        x = self.C_x * lam / (sec_phi + self.C_s * sec_t)
+        y = self.C_y * (phi + math.sqrt(2.0) * np.sin(t))
+        return x, y
+
+    def _inv(self, x, y):
+        lo = np.full_like(np.asarray(y, dtype=np.float64), -HALFPI)
+        hi = np.full_like(lo, HALFPI)
+        for _ in range(55):
+            mid = 0.5 * (lo + hi)
+            t = self._moll_t(mid)
+            f = self.C_y * (mid + math.sqrt(2.0) * np.sin(t))
+            lo = np.where(f < y, mid, lo)
+            hi = np.where(f < y, hi, mid)
+        phi = 0.5 * (lo + hi)
+        t = self._moll_t(phi)
+        sec_phi = 1.0 / np.maximum(np.cos(phi), 1e-9)
+        sec_t = 1.0 / np.maximum(np.cos(t), 1e-9)
+        lam = x * (sec_phi + self.C_s * sec_t) / self.C_x
+        return lam, phi
+
+
+class Nell(_SimplePseudoCylindrical):
+    """nell (Nell 1890 modified sinusoidal): theta + sin theta = 2 sin phi
+    (Newton), x = lam (1 + cos theta) / 2, y = theta. Closed inverse."""
+
+    def _fwd(self, lam, phi):
+        k = 2.0 * np.sin(phi)
+        th = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(14):
+            step = (th + np.sin(th) - k) / (1.0 + np.cos(th))
+            th = th - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        return 0.5 * lam * (1.0 + np.cos(th)), th
+
+    def _inv(self, x, y):
+        th = y
+        phi = np.arcsin(np.clip(0.5 * (th + np.sin(th)), -1.0, 1.0))
+        return 2.0 * x / (1.0 + np.cos(th)), phi
+
+
+class PutninsP2(_SimplePseudoCylindrical):
+    """putp2 (Putnins P2, equal-area): theta solves
+        theta + sin theta cos theta - sin theta = C_p sin phi
+    with C_p = 0.6141848493043784 (which makes the pole land exactly at
+    theta = 60 deg, where the lhs derivative cos t (2 cos t - 1) vanishes —
+    so the forward solves by bisection, not Newton);
+    x = 1.89490 lam (cos theta - 1/2), y = 1.71848 sin theta.
+    The closure C_x C_y C_p = 2 pins the constants (1.89490 * 1.71848 *
+    0.61418 = 2.0000), verified by the Jacobian property test."""
+
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+    TH_MAX = math.pi / 3.0
+
+    @classmethod
+    def _theta(cls, phi):
+        k = cls.C_p * np.sin(phi)
+        lo = np.full_like(np.asarray(phi, dtype=np.float64), -cls.TH_MAX)
+        hi = np.full_like(lo, cls.TH_MAX)
+        for _ in range(55):
+            mid = 0.5 * (lo + hi)
+            f = mid + np.sin(mid) * np.cos(mid) - np.sin(mid)
+            lo = np.where(f < k, mid, lo)
+            hi = np.where(f < k, hi, mid)
+        th = 0.5 * (lo + hi)
+        # The root is quadratically degenerate at the poles (f' -> 0 at
+        # theta = +-pi/3), so bisection can only locate it to ~sqrt(eps);
+        # snap exact-pole inputs to the exact pole angle.
+        return np.where(np.abs(k) >= cls.C_p * (1.0 - 1e-14),
+                        np.sign(k) * cls.TH_MAX, th)
+
+    def _fwd(self, lam, phi):
+        th = self._theta(phi)
+        return (self.C_x * lam * (np.cos(th) - 0.5),
+                self.C_y * np.sin(th))
+
+    def _inv(self, x, y):
+        th = np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        phi = np.arcsin(np.clip(
+            (th + np.sin(th) * np.cos(th) - np.sin(th)) / self.C_p,
+            -1.0, 1.0))
+        lam = x / (self.C_x * np.maximum(np.cos(th) - 0.5, 1e-9))
+        return lam, phi
+
+
+class Hatano(_SimplePseudoCylindrical):
+    """hatano (Hatano 1972 asymmetrical equal-area): per hemisphere,
+    2 theta + sin 2 theta = C_p sin phi (Mollweide-type Newton) with
+    C_p = 2.67595 north / 2.43763 south; x = 0.85 lam cos theta,
+    y = C_y sin theta with C_y = 1.75859 north / 1.93052 south. Both
+    hemispheres satisfy the closure 0.85 C_y C_p = 4 (north:
+    1.75859 * 2.67595 = 4.7059 = 4/0.85; south: 1.93052 * 2.43763 =
+    4.7059), so the projection is equal-area across the equator seam."""
+
+    C_x = 0.85
+    CP_N, CY_N = 2.67595, 1.75859
+    CP_S, CY_S = 2.43763, 1.93052
+
+    def _fwd(self, lam, phi):
+        c_p = np.where(phi >= 0.0, self.CP_N, self.CP_S)
+        c_y = np.where(phi >= 0.0, self.CY_N, self.CY_S)
+        k = c_p * np.sin(phi)
+        # seed t2 = phi (the Mollweide-family seed): the 2*phi seed lands in
+        # the flat 1+cos(t2) ~ 0 region near the poles and Newton blows up
+        t2 = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(20):
+            step = (t2 + np.sin(t2) - k) / np.maximum(1.0 + np.cos(t2), 1e-9)
+            t2 = t2 - np.clip(step, -0.75, 0.75)
+            if np.all(np.abs(step) < 1e-13):
+                break
+        th = 0.5 * t2
+        return self.C_x * lam * np.cos(th), c_y * np.sin(th)
+
+    def _inv(self, x, y):
+        c_p = np.where(y >= 0.0, self.CP_N, self.CP_S)
+        c_y = np.where(y >= 0.0, self.CY_N, self.CY_S)
+        th = np.arcsin(np.clip(y / c_y, -1.0, 1.0))
+        t2 = 2.0 * th
+        phi = np.arcsin(np.clip((t2 + np.sin(t2)) / c_p, -1.0, 1.0))
+        lam = x / (self.C_x * np.maximum(np.cos(th), 1e-12))
+        return lam, phi
+
+
+class GeneralSinusoidal(_SimplePseudoCylindrical):
+    """gn_sinu (+m= +n= required): the general sinusoidal series
+        m theta + sin theta = n sin phi  (Newton; derivative m + cos theta)
+        x = C_x lam (m + cos theta),  y = C_y theta
+    with C_y = sqrt((m+1)/n) and C_x = C_y/(m+1) — the equal-area closure
+    C_x C_y n = 1. sinu is the (m=0, n=1) member and eck6 the
+    (m=1, n=1+pi/2) member (both verified by the family-consistency
+    test)."""
+
+    def __init__(self, a, m, n, lon0=0.0, x0=0.0, y0=0.0):
+        if n <= 0.0 or m < 0.0:
+            raise ValueError("gn_sinu: needs +n= > 0 and +m= >= 0")
+        super().__init__(a, lon0, x0, y0)
+        self.m, self.n = m, n
+        self.C_y = math.sqrt((m + 1.0) / n)
+        self.C_x = self.C_y / (m + 1.0)
+
+    def _fwd(self, lam, phi):
+        k = self.n * np.sin(phi)
+        th = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(16):
+            step = (self.m * th + np.sin(th) - k) / \
+                np.maximum(self.m + np.cos(th), 1e-9)
+            th = th - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        return self.C_x * lam * (self.m + np.cos(th)), self.C_y * th
+
+    def _inv(self, x, y):
+        th = y / self.C_y
+        phi = np.arcsin(np.clip((self.m * th + np.sin(th)) / self.n,
+                                -1.0, 1.0))
+        lam = x / (self.C_x * np.maximum(self.m + np.cos(th), 1e-9))
+        return lam, phi
+
+
+class WagnerVII(WinkelTripel):
+    """wag7 (Wagner VII / Hammer-Wagner, equal-area modified azimuthal,
+    Snyder & Voxland Album p. 62): with sin psi = 0.90630779 sin phi and
+    D = sqrt(2 / (1 + cos psi cos(lam/3))),
+        x = 2.66723 D cos psi sin(lam/3),  y = 1.24104 D sin psi.
+    Equal-area (checked numerically by the Jacobian property test).
+    Inverse: CLOSED (Hammer-type algebra): with u = x/C_x, v = y/C_y the
+    forward gives u^2 + v^2 = D^2 (1 - (cos psi cos(lam/3))^2) and
+    cos psi cos(lam/3) = 2/D^2 - 1, so D^2 = 4 / (4 - u^2 - v^2); then
+    sin psi = v/D and lam/3 = atan2(u/D, 2/D^2 - 1)."""
+
+    C_x, C_y, C_n = 2.66723, 1.24104, 0.90630779
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lat1=None, lon0=lon0, x0=x0, y0=y0)
+
+    def _fwd_rad(self, lam, phi):
+        sp = self.C_n * np.sin(phi)
+        cp = np.sqrt(np.clip(1.0 - sp * sp, 0.0, None))
+        cl = np.cos(lam / 3.0)
+        d = np.sqrt(2.0 / np.maximum(1.0 + cp * cl, 1e-12))
+        return (self.C_x * d * cp * np.sin(lam / 3.0),
+                self.C_y * d * sp)
+
+    def inv(self, x, y):
+        u = ((np.asarray(x, dtype=np.float64) - self.x0) / self.a) / self.C_x
+        v = ((np.asarray(y, dtype=np.float64) - self.y0) / self.a) / self.C_y
+        r2 = np.clip(u * u + v * v, 0.0, 4.0 - 1e-12)
+        d2 = 4.0 / (4.0 - r2)
+        d = np.sqrt(d2)
+        sp = np.clip(v / d, -1.0, 1.0)
+        lam = 3.0 * np.arctan2(u / d, 2.0 / d2 - 1.0)
+        phi = np.arcsin(np.clip(sp / self.C_n, -1.0, 1.0))
+        return lam / D2R + self.lon0, phi / D2R
+
+
 SQRT_PI = math.sqrt(math.pi)
 
 
@@ -2104,7 +2357,9 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "kav7", "wag6", "collg", "crast", "qua_aut", "wink1",
               "loxim", "tcea", "cc", "nell_h",
               "wag2", "wag3", "wag4", "wag5", "kav5", "mbt_s", "fouc",
-              "times", "fahey")
+              "times", "fahey",
+              "wag1", "urmfps", "boggs", "nell", "putp2", "hatano",
+              "gn_sinu", "wag7")
 
 
 def get_projection(defn: str) -> Projection:
@@ -2298,6 +2553,27 @@ def get_projection(defn: str) -> Projection:
         return Times(a, lon0=lon0, x0=x0, y0=y0)
     if name == "fahey":
         return Fahey(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "urmfps":
+        if "n" not in p:
+            raise ValueError("urmfps requires +n=")
+        return URMFPS(a, n=float(p["n"]), lon0=lon0, x0=x0, y0=y0)
+    if name == "wag1":
+        return URMFPS(a, n=math.sqrt(3.0) / 2.0, lon0=lon0, x0=x0, y0=y0)
+    if name == "boggs":
+        return Boggs(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "nell":
+        return Nell(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "putp2":
+        return PutninsP2(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "hatano":
+        return Hatano(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "gn_sinu":
+        if "m" not in p or "n" not in p:
+            raise ValueError("gn_sinu requires +m= and +n=")
+        return GeneralSinusoidal(a, m=float(p["m"]), n=float(p["n"]),
+                                 lon0=lon0, x0=x0, y0=y0)
+    if name == "wag7":
+        return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

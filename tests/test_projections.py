@@ -958,3 +958,111 @@ class TestRound4bPseudoCylindricalTail:
         x, _ = get_projection("fahey").fwd(np.array([90.0]), np.array([0.0]))
         assert abs(float(x[0]) / (R * math.pi / 2) -
                    math.cos(math.radians(35))) < 1e-12
+
+
+class TestRound4cPseudoCylindricalTail:
+    """wag1/urmfps, boggs, nell, putp2, hatano, gn_sinu, wag7 — the third
+    +proj= tail batch. The equal-area members' constants are pinned by the
+    closure identities noted in their docstrings (e.g. putp2's
+    C_x C_y C_p = 2, hatano's 0.85 C_y C_p = 4 per hemisphere) and
+    verified here by the numeric Jacobian; gn_sinu must reproduce eck6 at
+    (m=1, n=1+pi/2) exactly."""
+
+    NAMES = ["wag1", "boggs", "nell", "putp2", "hatano", "wag7",
+             "+proj=urmfps +n=0.5", "+proj=urmfps +n=1.0",
+             "+proj=gn_sinu +m=0.5 +n=1.785",
+             "+proj=gn_sinu +m=2 +n=3",
+             "+proj=wag7 +lon_0=30 +x_0=100 +y_0=-50",
+             "+proj=hatano +lon_0=-45",
+             "+proj=boggs +lon_0=120"]
+
+    @pytest.mark.parametrize("defn", NAMES)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    @pytest.mark.parametrize("defn", ["wag1", "boggs", "putp2", "hatano",
+                                      "wag7", "+proj=urmfps +n=0.75",
+                                      "+proj=gn_sinu +m=2 +n=3"])
+    def test_equal_area_property(self, defn):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -60), (-60, 30), (0, 0), (45, 70),
+                           (140, -35), (170, 80)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            true = R * R * math.cos(math.radians(phi0))
+            assert abs(J / true - 1.0) < 1e-3, (defn, lam0, phi0)
+
+    def test_family_identities_and_constants(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 12),
+                             np.linspace(-80, 80, 9))
+        lg, lt = LG.ravel(), LT.ravel()
+        # gn_sinu at (m=1, n=1+pi/2) IS Eckert VI
+        g = get_projection(f"+proj=gn_sinu +m=1 +n={1 + math.pi / 2}")
+        e = get_projection("eck6")
+        xa, ya = g.fwd(lg, lt)
+        xb, yb = e.fwd(lg, lt)
+        assert np.abs(xa - xb).max() < 1e-6
+        assert np.abs(ya - yb).max() < 1e-6
+        # wag1 pole line is half the equator (cos(asin(sqrt(3)/2)) = 1/2)
+        p = get_projection("wag1")
+        xe, _ = p.fwd(np.array([180.0]), np.array([0.0]))
+        xp, _ = p.fwd(np.array([180.0]), np.array([90.0]))
+        assert abs(float(xp[0]) / float(xe[0]) - 0.5) < 1e-12
+        # boggs pole: y = 0.49931 (pi/2 + sqrt 2) R (t = pi/2 at the pole)
+        _, y = get_projection("boggs").fwd(np.array([0.0]),
+                                           np.array([90.0]))
+        assert abs(float(y[0]) / R -
+                   0.49931 * (math.pi / 2 + math.sqrt(2))) < 1e-9
+        # nell: equator true scale, pole line from theta + sin theta = 2
+        p = get_projection("nell")
+        x, _ = p.fwd(np.array([90.0]), np.array([0.0]))
+        assert abs(float(x[0]) - R * math.pi / 2) < 1e-6
+        # putp2 pole lands exactly at theta = 60 deg: y = C_y sin(60) R,
+        # x-width there = C_x (cos 60 - 1/2) = 0
+        x, y = get_projection("putp2").fwd(np.array([120.0]),
+                                           np.array([90.0]))
+        assert abs(float(y[0]) - 1.71848 * math.sin(math.pi / 3) * R) < 1e-3
+        assert abs(float(x[0])) < 1.0
+        # wag7 equator scale: x(180, 0) = C_x sqrt(2/(1+cos 60)) sin(60) R
+        x, _ = get_projection("wag7").fwd(np.array([180.0]),
+                                          np.array([0.0]))
+        want = 2.66723 * math.sqrt(2.0 / 1.5) * math.sin(math.pi / 3)
+        assert abs(float(x[0]) / R - want) < 1e-9
+        # hatano is asymmetric: |y(+60)| != |y(-60)|
+        p = get_projection("hatano")
+        _, yn = p.fwd(np.array([0.0]), np.array([60.0]))
+        _, ys = p.fwd(np.array([0.0]), np.array([-60.0]))
+        assert abs(float(yn[0])) != abs(float(ys[0]))
+
+    def test_param_validation(self):
+        import pytest as _pytest
+        from mapshaper_spark.geom.projections import get_projection
+        with _pytest.raises(ValueError):
+            get_projection("urmfps")  # +n= required
+        with _pytest.raises(ValueError):
+            get_projection("+proj=urmfps +n=1.5")  # n > 1 undefined
+        with _pytest.raises(ValueError):
+            get_projection("gn_sinu")  # +m= +n= required
