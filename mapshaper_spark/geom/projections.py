@@ -2332,6 +2332,132 @@ class WagnerVII(WinkelTripel):
         return lam / D2R + self.lon0, phi / D2R
 
 
+class SimpleConic(Projection):
+    """tissot / murd1 / murd2 / murd3 / euler / pconic / vitk1 — the
+    one-cone 'simple conics' family mproj exposes through pj_list (the
+    reference reaches them via mapshaper-projections.js:4-66). Spherical,
+    from the classical defining conditions (Snyder & Voxland, "An Album of
+    Map Projections" pp. 92-97; Maling, "Coordinate Systems and Map
+    Projections" ch. 8):
+
+    all share x = rho sin(n lam), y = rho0 - rho cos(n lam) with
+    sig = (lat1+lat2)/2, del = (lat2-lat1)/2 and
+
+      murd1  (equidistant) rho = rho_c - phi,
+             n = sin sig, rho_c = sin del / (del tan sig) + sig
+      murd2  rho = rho_c + tan(sig - phi),
+             n = sin sig sqrt(cos del), rho_c = sqrt(cos del)/tan sig
+      murd3  (equidistant) rho = rho_c - phi,
+             n = sin sig sin del tan del / del^2,
+             rho_c = del / (tan sig tan del) + sig
+      euler  (equidistant) rho = rho_c - phi, n = sin sig sin del / del,
+             rho_c = (del/2) / (tan(del/2) tan sig) + sig
+      vitk1  (equidistant) rho = rho_c - phi, n = sin sig tan del / del,
+             rho_c = del / (tan del tan sig) + sig
+      tissot (equal-area)  rho = sqrt((rho_c - 2 sin phi) / n),
+             n = sin sig, rho_c = n / cos del + cos del / n
+      pconic (perspective) rho = cos del (cot sig - tan(phi - sig)),
+             n = sin sig
+
+    The self-verifying members pin the constants: tissot holds a unit
+    area Jacobian AND equal parallel scale k(lat1) = k(lat2); murd3 and
+    vitk1 hold k(lat1) = k(lat2) with unit meridian scale; pconic holds
+    k(lat1) = k(lat2) = 1 exactly (true perspective standard parallels).
+    rho0 evaluates rho at +lat_0 (default 0)."""
+
+    _EQUIDISTANT = {"murd1", "murd3", "euler", "vitk1"}
+
+    def __init__(self, kind, a, lat1, lat2, lat0=0.0, lon0=0.0,
+                 x0=0.0, y0=0.0):
+        self.kind, self.a = kind, a
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        # a southern cone is the equatorial mirror of the northern one:
+        # build with |lat| and flip phi / y at the fwd/inv boundary
+        self.south = (lat1 + lat2) < 0
+        if self.south:
+            lat1, lat2, lat0 = -lat1, -lat2, -lat0
+        p1, p2 = lat1 * D2R, lat2 * D2R
+        if p2 < p1:
+            p1, p2 = p2, p1
+        sig, dl = 0.5 * (p1 + p2), 0.5 * (p2 - p1)
+        if sig <= 0 or sig >= HALFPI:
+            raise ValueError(f"{kind}: standard parallels must mean a "
+                             "non-degenerate cone (0 < |lat_1+lat_2|/2 < 90)")
+        dl = max(dl, 1e-10)
+        self.sig = sig
+        if kind == "murd1":
+            self.n = math.sin(sig)
+            self.rho_c = math.sin(dl) / (dl * math.tan(sig)) + sig
+        elif kind == "murd2":
+            cs = math.sqrt(math.cos(dl))
+            self.n = math.sin(sig) * cs
+            self.rho_c = cs / math.tan(sig)
+        elif kind == "murd3":
+            self.n = math.sin(sig) * math.sin(dl) * math.tan(dl) / (dl * dl)
+            self.rho_c = dl / (math.tan(sig) * math.tan(dl)) + sig
+        elif kind == "euler":
+            self.n = math.sin(sig) * math.sin(dl) / dl
+            self.rho_c = (0.5 * dl) / (math.tan(0.5 * dl) *
+                                       math.tan(sig)) + sig
+        elif kind == "vitk1":
+            self.n = math.sin(sig) * math.tan(dl) / dl
+            self.rho_c = dl / (math.tan(dl) * math.tan(sig)) + sig
+        elif kind == "tissot":
+            self.n = math.sin(sig)
+            cs = math.cos(dl)
+            self.rho_c = self.n / cs + cs / self.n
+        elif kind == "pconic":
+            self.n = math.sin(sig)
+            self.c1 = 1.0 / math.tan(sig)
+            self.c2 = math.cos(dl)
+        else:
+            raise ValueError(f"unknown simple conic: {kind}")
+        self.rho_0 = float(self._rho(np.float64(lat0 * D2R)))
+
+    def _rho(self, phi):
+        if self.kind in self._EQUIDISTANT:
+            return self.rho_c - phi
+        if self.kind == "murd2":
+            return self.rho_c + np.tan(self.sig - phi)
+        if self.kind == "tissot":
+            return np.sqrt(np.clip((self.rho_c - 2.0 * np.sin(phi)) /
+                                   self.n, 0.0, None))
+        return self.c2 * (self.c1 - np.tan(phi - self.sig))
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        if self.south:
+            phi = -phi
+        rho = self._rho(phi)
+        e = self.n * lam
+        yr = self.rho_0 - rho * np.cos(e)
+        if self.south:
+            yr = -yr
+        return self.a * rho * np.sin(e) + self.x0, self.a * yr + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        if self.south:
+            yr = -yr
+        yr = self.rho_0 - yr
+        rho = np.hypot(xr, yr)
+        lam = np.arctan2(xr, yr) / self.n
+        if self.kind in self._EQUIDISTANT:
+            phi = self.rho_c - rho
+        elif self.kind == "murd2":
+            phi = self.sig - np.arctan(rho - self.rho_c)
+        elif self.kind == "tissot":
+            phi = np.arcsin(np.clip(0.5 * (self.rho_c - self.n * rho * rho),
+                                    -1.0, 1.0))
+        else:
+            phi = self.sig + np.arctan(self.c1 - rho / self.c2)
+        if self.south:
+            phi = -phi
+        return lam / D2R + self.lon0, phi / D2R
+
+
 SQRT_PI = math.sqrt(math.pi)
 
 
@@ -2359,7 +2485,9 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "wag2", "wag3", "wag4", "wag5", "kav5", "mbt_s", "fouc",
               "times", "fahey",
               "wag1", "urmfps", "boggs", "nell", "putp2", "hatano",
-              "gn_sinu", "wag7")
+              "gn_sinu", "wag7",
+              "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
+              "vitk1")
 
 
 def get_projection(defn: str) -> Projection:
@@ -2574,6 +2702,12 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name in ("tissot", "murd1", "murd2", "murd3", "euler", "pconic",
+                "vitk1"):
+        if "lat_1" not in p or "lat_2" not in p:
+            raise ValueError(f"{name} requires +lat_1= and +lat_2=")
+        return SimpleConic(name, a, float(p["lat_1"]), float(p["lat_2"]),
+                           lat0=lat0, lon0=lon0, x0=x0, y0=y0)
     raise ValueError(f"unknown projection definition: {defn}")
 
 

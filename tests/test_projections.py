@@ -1066,3 +1066,104 @@ class TestRound4cPseudoCylindricalTail:
             get_projection("+proj=urmfps +n=1.5")  # n > 1 undefined
         with _pytest.raises(ValueError):
             get_projection("gn_sinu")  # +m= +n= required
+
+
+class TestSimpleConics:
+    """tissot / murd1-3 / euler / pconic / vitk1 (mproj pj_list simple
+    conics). Constants are pinned by each member's defining property:
+    tissot = equal-area + equal parallel scales; murd3/vitk1 = unit
+    meridian scale + equal parallel scales; pconic = k(lat1)=k(lat2)=1."""
+
+    NAMES = ["tissot", "murd1", "murd2", "murd3", "euler", "pconic",
+             "vitk1"]
+
+    @pytest.mark.parametrize("kind", NAMES)
+    def test_roundtrip(self, kind):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(f"+proj={kind} +lat_1=30 +lat_2=50")
+        LG, LT = np.meshgrid(np.linspace(-150, 150, 21),
+                             np.linspace(-35, 82, 18))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, kind
+        assert np.abs(lt2 - lt).max() < 1e-6, kind
+
+    def test_tissot_equal_area(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=tissot +lat_1=30 +lat_2=50")
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -20), (0, 0), (45, 40), (140, 75)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            assert abs(J / (R * R * math.cos(math.radians(phi0)))
+                       - 1.0) < 1e-3, (lam0, phi0)
+
+    @pytest.mark.parametrize("kind,expect_k1", [
+        ("tissot", None), ("murd3", None), ("vitk1", None),
+        ("pconic", 1.0)])
+    def test_equal_parallel_scales(self, kind, expect_k1):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R, h = 6378137.0, 1e-6
+        p = get_projection(f"+proj={kind} +lat_1=30 +lat_2=50")
+
+        def kscale(phi):
+            x0, y0 = p.fwd(np.array([20.0]), np.array([phi]))
+            x1, y1 = p.fwd(np.array([20.0 + h]), np.array([phi]))
+            dist = math.hypot(float((x1 - x0)[0]), float((y1 - y0)[0]))
+            return dist / (math.radians(h) * R * math.cos(math.radians(phi)))
+
+        k1, k2 = kscale(30.0), kscale(50.0)
+        assert abs(k1 - k2) < 1e-6, kind
+        if expect_k1 is not None:
+            assert abs(k1 - expect_k1) < 1e-6, kind
+
+    @pytest.mark.parametrize("kind", ["murd1", "murd3", "euler", "vitk1"])
+    def test_unit_meridian_scale(self, kind):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R, h = 6378137.0, 1e-6
+        p = get_projection(f"+proj={kind} +lat_1=30 +lat_2=50")
+        for phi in (-20.0, 10.0, 40.0, 70.0):
+            x0, y0 = p.fwd(np.array([25.0]), np.array([phi]))
+            x1, y1 = p.fwd(np.array([25.0]), np.array([phi + h]))
+            dist = math.hypot(float((x1 - x0)[0]), float((y1 - y0)[0]))
+            assert abs(dist / (math.radians(h) * R) - 1.0) < 1e-5, (kind, phi)
+
+    def test_param_validation(self):
+        import pytest as _pt
+        from mapshaper_spark.geom.projections import get_projection
+        with _pt.raises(ValueError):
+            get_projection("+proj=murd1 +lat_1=30")  # lat_2 missing
+        with _pt.raises(ValueError):
+            get_projection("+proj=tissot +lat_1=-40 +lat_2=40")  # flat cone
+
+    @pytest.mark.parametrize("kind", NAMES)
+    def test_southern_cone_mirror(self, kind):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(f"+proj={kind} +lat_1=-50 +lat_2=-30")
+        q = get_projection(f"+proj={kind} +lat_1=30 +lat_2=50")
+        LG, LT = np.meshgrid(np.linspace(-150, 150, 11),
+                             np.linspace(-80, 35, 10))
+        lg, lt = LG.ravel(), LT.ravel()
+        xs, ys = p.fwd(lg, lt)
+        xn, yn = q.fwd(lg, -lt)
+        assert np.abs(xs - xn).max() < 1e-6, kind
+        assert np.abs(ys + yn).max() < 1e-6, kind
+        lg2, lt2 = p.inv(xs, ys)
+        assert np.abs(lg2 - lg).max() < 1e-6, kind
+        assert np.abs(lt2 - lt).max() < 1e-6, kind
