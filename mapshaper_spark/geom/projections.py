@@ -2332,6 +2332,107 @@ class WagnerVII(WinkelTripel):
         return lam / D2R + self.lon0, phi / D2R
 
 
+class McBrydeThomasFlatPolarSine2(_SimplePseudoCylindrical):
+    """mbtfps (McBryde-Thomas flat-polar sinusoidal No. 2, equal-area;
+    Snyder & Voxland Album p. 48): theta solves
+        (C2/3) sin(theta/C2) + sin theta = C3 sin phi   (Newton)
+    with C2 = 1.36509, C3 = 1.41546; then
+        x = 0.22248 lam (1 + 3 cos theta / cos(theta/C2))
+        y = 1.44492 sin(theta/C2).
+    Equal-area closure 3 C_x C_y C3 / C2 = 1 and C1 = C2/3 pin the
+    constants (verified by the Jacobian property test). Closed inverse."""
+
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C_x, C_y = 0.22248, 1.44492
+
+    def _theta(self, phi):
+        k = self.C3 * np.sin(phi)
+        th = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(16):
+            t = th / self.C2
+            step = (self.C1 * np.sin(t) + np.sin(th) - k) / \
+                (self.C1 / self.C2 * np.cos(t) + np.cos(th))
+            th = th - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        return th
+
+    def _fwd(self, lam, phi):
+        th = self._theta(phi)
+        t = th / self.C2
+        x = self.C_x * lam * (1.0 + 3.0 * np.cos(th) / np.cos(t))
+        return x, self.C_y * np.sin(t)
+
+    def _inv(self, x, y):
+        t = np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        th = self.C2 * t
+        lam = x / (self.C_x * (1.0 + 3.0 * np.cos(th) / np.cos(t)))
+        phi = np.arcsin(np.clip(
+            (self.C1 * np.sin(t) + np.sin(th)) / self.C3, -1.0, 1.0))
+        return lam, phi
+
+
+class McBrydeThomasFlatPolarQuartic(_SimplePseudoCylindrical):
+    """mbtfpq (McBryde-Thomas flat-polar quartic, equal-area; Snyder &
+    Voxland Album p. 52): theta solves
+        sin(theta/2) + sin theta = (1 + sqrt(2)/2) sin phi   (Newton)
+    then x = 0.31246 lam (1 + 2 cos theta / cos(theta/2)),
+         y = 1.87476 sin(theta/2).
+    Closure C_x C_y C = 1 pins the constants. Closed inverse."""
+
+    C = 1.0 + math.sqrt(2.0) / 2.0
+    C_x, C_y = 0.31246, 1.87476
+
+    def _theta(self, phi):
+        k = self.C * np.sin(phi)
+        th = np.asarray(phi, dtype=np.float64).copy()
+        for _ in range(16):
+            step = (np.sin(0.5 * th) + np.sin(th) - k) / \
+                (0.5 * np.cos(0.5 * th) + np.cos(th))
+            th = th - step
+            if np.all(np.abs(step) < 1e-13):
+                break
+        return th
+
+    def _fwd(self, lam, phi):
+        th = self._theta(phi)
+        x = self.C_x * lam * (1.0 + 2.0 * np.cos(th) / np.cos(0.5 * th))
+        return x, self.C_y * np.sin(0.5 * th)
+
+    def _inv(self, x, y):
+        t = np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        th = 2.0 * t
+        lam = x / (self.C_x * (1.0 + 2.0 * np.cos(th) / np.cos(0.5 * th)))
+        phi = np.arcsin(np.clip((np.sin(0.5 * th) + np.sin(th)) / self.C,
+                                -1.0, 1.0))
+        return lam, phi
+
+
+class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
+    """mbtfpp (McBryde-Thomas flat-polar parabolic, equal-area; Snyder &
+    Voxland Album p. 44): DIRECT relation sin theta = C sin phi with
+    C = 0.95257934441568, then
+        x = 0.92582 lam (2 cos(2 theta / 3) - 1)
+        y = 3.40168 sin(theta / 3).
+    The triple-angle identity cos theta = cos(theta/3)(2 cos(2theta/3)-1)
+    makes the closure C_x C_y C / 3 = 1 exact (Jacobian-verified).
+    Fully closed forward AND inverse."""
+
+    CS = 0.95257934441568
+    C_x, C_y = 0.92582, 3.40168
+
+    def _fwd(self, lam, phi):
+        th = np.arcsin(np.clip(self.CS * np.sin(phi), -1.0, 1.0))
+        x = self.C_x * lam * (2.0 * np.cos(2.0 * th / 3.0) - 1.0)
+        return x, self.C_y * np.sin(th / 3.0)
+
+    def _inv(self, x, y):
+        th = 3.0 * np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        lam = x / (self.C_x * (2.0 * np.cos(2.0 * th / 3.0) - 1.0))
+        phi = np.arcsin(np.clip(np.sin(th) / self.CS, -1.0, 1.0))
+        return lam, phi
+
+
 class SimpleConic(Projection):
     """tissot / murd1 / murd2 / murd3 / euler / pconic / vitk1 — the
     one-cone 'simple conics' family mproj exposes through pj_list (the
@@ -2487,7 +2588,7 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "wag1", "urmfps", "boggs", "nell", "putp2", "hatano",
               "gn_sinu", "wag7",
               "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
-              "vitk1")
+              "vitk1", "mbtfps", "mbtfpq", "mbtfpp")
 
 
 def get_projection(defn: str) -> Projection:
@@ -2702,6 +2803,12 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "mbtfps":
+        return McBrydeThomasFlatPolarSine2(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "mbtfpq":
+        return McBrydeThomasFlatPolarQuartic(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "mbtfpp":
+        return McBrydeThomasFlatPolarParabolic(a, lon0=lon0, x0=x0, y0=y0)
     if name in ("tissot", "murd1", "murd2", "murd3", "euler", "pconic",
                 "vitk1"):
         if "lat_1" not in p or "lat_2" not in p:

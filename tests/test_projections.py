@@ -1167,3 +1167,73 @@ class TestSimpleConics:
         lg2, lt2 = p.inv(xs, ys)
         assert np.abs(lg2 - lg).max() < 1e-6, kind
         assert np.abs(lt2 - lt).max() < 1e-6, kind
+
+
+class TestMcBrydeThomasFlatPolar:
+    """mbtfps / mbtfpq / mbtfpp — equal-area flat-polar pseudocylindricals.
+    All three must hold a unit area Jacobian (this pins every constant:
+    mbtfps 3 CxCyC3/C2 = 1, mbtfpq CxCyC = 1, mbtfpp CxCyC/3 = 1) and
+    exact round-trips; flat poles are x-lines at known heights."""
+
+    NAMES = ["mbtfps", "mbtfpq", "mbtfpp",
+             "+proj=mbtfps +lon_0=40", "+proj=mbtfpq +x_0=500 +y_0=-200"]
+
+    @pytest.mark.parametrize("defn", NAMES)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-89, 89, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    @pytest.mark.parametrize("name", ["mbtfps", "mbtfpq", "mbtfpp"])
+    def test_equal_area_property(self, name):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(name)
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -60), (0, 0), (45, 40), (140, 80)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            # the published 5-digit constants bound the closure at ~1e-4
+            assert abs(J / (R * R * math.cos(math.radians(phi0)))
+                       - 1.0) < 5e-4, (name, lam0, phi0)
+
+    def test_flat_poles(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        # mbtfpq pole: theta = pi/2 exactly (sin 45 + sin 90 = C), so the
+        # pole line sits at y = C_y sin(pi/4) and has nonzero length
+        x, y = get_projection("mbtfpq").fwd(np.array([180.0]),
+                                            np.array([90.0]))
+        assert abs(float(y[0]) / R - 1.87476 * math.sin(math.pi / 4)) < 1e-6
+        assert float(x[0]) > 0.1 * R
+        # mbtfpp pole: theta = asin(CS), y = C_y sin(theta/3)
+        th = math.asin(0.95257934441568)
+        _, y = get_projection("mbtfpp").fwd(np.array([0.0]),
+                                            np.array([90.0]))
+        assert abs(float(y[0]) / R - 3.40168 * math.sin(th / 3)) < 1e-9
+        # mbtfps pole-line-to-equator ratio: x_pole/x_eq = 1/3 * ... the
+        # flat-polar property: pole line length is 1/3 of the equator
+        # times (1 + 3 cos th_p / cos t_p)/(4): at equator th=0 factor 4;
+        # just assert the pole line is flat and shorter than the equator
+        p = get_projection("mbtfps")
+        xp, yp = p.fwd(np.array([180.0, 90.0]), np.array([90.0, 90.0]))
+        xe, _ = p.fwd(np.array([180.0]), np.array([0.0]))
+        assert abs(float(yp[0]) - float(yp[1])) < 1e-6  # flat
+        assert 0 < float(xp[0]) < float(xe[0])
+        assert abs(float(xp[0]) / float(xp[1]) - 2.0) < 1e-9  # linear in lam
