@@ -2433,6 +2433,278 @@ class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class Globular(_SimplePseudoCylindrical):
+    """apian / ortel / bacon / nicol — the classical globulars, built from
+    their geometric definitions (the construction mproj's pj_list members
+    encode in closed form; Snyder & Voxland Album pp. 14-15, 234):
+
+    Every meridian lam is the circular arc through both poles (0, +-pi/2)
+    and the equally-divided equator point (lam, 0): center (lam - f, 0),
+    radius f = (HLFPI2/|lam| + |lam|) / 2 with HLFPI2 = (pi/2)^2.
+      apian  parallels are horizontal lines y = phi
+      bacon  parallels are horizontal lines y = (pi/2) sin phi
+      ortel  apian inside |lam| <= pi/2; outside, meridians translate the
+             lam = pi/2 semicircle: x = sqrt(HLFPI2 - phi^2) + |lam| - pi/2
+      nicol  parallels are ALSO circular arcs, through (0, phi) and the
+             boundary-circle points (+-(pi/2) cos phi, (pi/2) sin phi):
+             center (0, yc), yc = (HLFPI2 - phi^2)/(pi sin phi - 2 phi);
+             the projected point is the meridian-arc x parallel-arc
+             intersection (the root on the map side).
+
+    Inverses are closed for apian/bacon/ortel (the meridian circle through
+    (x, y) and the poles has center x_c = (x^2 + y^2 - HLFPI2)/(2x), so
+    |lam| = x_c + sqrt(x_c^2 + HLFPI2)); nicol bisects phi from the
+    parallel-circle relation then Newton-polishes on the closed form.
+
+    nicol inverse contract: the closed-form continuation past |lam| =
+    pi/2 FOLDS back over the hemisphere (e.g. (170E, 85N) and (64E, 83N)
+    project to the same point — the classical construction is a
+    hemisphere map, and mproj/PROJ ship no nicol inverse at all), so a
+    two-sided inverse cannot exist there. inv() returns the hemisphere
+    preimage: inv(fwd) == id for |lam| <= 90 and fwd(inv) == id
+    everywhere; unreachable coordinates come back NaN."""
+
+    HLFPI2 = (math.pi / 2.0) ** 2
+
+    def __init__(self, kind, a, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0, x0, y0)
+        self.kind = kind
+
+    # --- shared circle helpers (all on |lam|, |phi| >= 0, signs restored
+    # at the end: both families are symmetric about both axes) ---
+
+    @classmethod
+    def _meridian_x(cls, ax, y):
+        """x >= 0 on the meridian arc for |lam| = ax at height y."""
+        f = 0.5 * (cls.HLFPI2 / np.maximum(ax, 1e-12) + ax)
+        return ax - f + np.sqrt(np.maximum(f * f - y * y, 0.0))
+
+    @classmethod
+    def _meridian_lam(cls, x, y):
+        """|lam| of the meridian arc through (x > 0, y)."""
+        xc = (x * x + y * y - cls.HLFPI2) / (2.0 * np.maximum(x, 1e-12))
+        return xc + np.sqrt(xc * xc + cls.HLFPI2)
+
+    @classmethod
+    def _parallel_yc(cls, aphi):
+        den = math.pi * np.sin(aphi) - 2.0 * aphi
+        return (cls.HLFPI2 - aphi * aphi) / np.where(np.abs(den) < 1e-12,
+                                                     1e-12, den)
+
+    def _fwd(self, lam, phi):
+        sx, sy = np.sign(lam), np.sign(phi)
+        ax, aphi = np.abs(lam), np.abs(phi)
+        if self.kind == "bacon":
+            y = HALFPI * np.sin(aphi)
+        else:
+            y = aphi
+        if self.kind == "nicol":
+            x, y = self._nicol_xy(ax, aphi)
+        elif self.kind == "ortel":
+            inner = self._meridian_x(ax, y)
+            outer = np.sqrt(np.maximum(self.HLFPI2 - aphi * aphi, 0.0)) \
+                + ax - HALFPI
+            x = np.where(ax <= HALFPI, inner, outer)
+        else:
+            x = self._meridian_x(ax, y)
+        x = np.where(ax < 1e-12, 0.0, x)
+        return sx * x, sy * y
+
+    def _nicol_xy(self, ax, aphi):
+        """Closed Nicolosi form on the first quadrant. Inside the
+        hemisphere (ax <= pi/2) it equals the meridian-arc x parallel-arc
+        circle intersection exactly (the test asserts this); past pi/2 it
+        continues the same algebra smoothly where the finite parallel
+        arcs no longer reach the meridian circle."""
+        on_cm = ax < 1e-9
+        on_eq = aphi < 1e-9
+        on_edge = np.abs(ax - HALFPI) < 1e-9
+        at_pole = np.abs(aphi - HALFPI) < 1e-9
+        special = on_cm | on_eq | on_edge | at_pole
+        axs = np.where(on_cm | on_edge, 0.7, ax)
+        aps = np.where(on_eq | at_pole, 0.7, aphi)
+        sp = np.sin(aps)
+        tb = HALFPI / axs - axs / HALFPI
+        c = aps / HALFPI
+        d = (1.0 - c * c) / (sp - c)
+        r2 = (tb / d) ** 2
+        m = (tb * sp / d - 0.5 * tb) / (1.0 + r2)
+        n = (sp / r2 + 0.5 * d) / (1.0 + 1.0 / r2)
+        xr = np.sqrt(np.maximum(
+            m * m + np.cos(aps) ** 2 / (1.0 + r2), 0.0))
+        x = HALFPI * (m + xr)
+        yr = np.sqrt(np.maximum(
+            n * n - (sp * sp / r2 + d * sp - 1.0) / (1.0 + 1.0 / r2), 0.0))
+        y = HALFPI * (n - yr)
+        x = np.where(special, 0.0, x)
+        y = np.where(special, 0.0, y)
+        x = np.where(on_eq & ~on_cm, ax, x)
+        y = np.where(on_cm | at_pole, aphi, y)
+        edge = on_edge & ~on_eq & ~on_cm & ~at_pole
+        x = np.where(edge, ax * np.cos(aphi), x)
+        y = np.where(edge, HALFPI * np.sin(aphi), y)
+        return x, y
+
+    def _inv(self, x, y):
+        sx, sy = np.sign(x), np.sign(y)
+        axx, ay = np.abs(x), np.abs(y)
+        if self.kind == "nicol":
+            ax, aphi = self._nicol_inv(axx, ay)
+            return sx * ax, sy * aphi
+        if self.kind == "bacon":
+            aphi = np.arcsin(np.clip(ay / HALFPI, -1.0, 1.0))
+        else:
+            aphi = ay
+        lam_in = self._meridian_lam(np.maximum(axx, 1e-12), ay)
+        if self.kind == "ortel":
+            lam_out = axx - np.sqrt(np.maximum(
+                self.HLFPI2 - aphi * aphi, 0.0)) + HALFPI
+            lam = np.where(lam_in <= HALFPI + 1e-9, lam_in, lam_out)
+        else:
+            lam = lam_in
+        lam = np.where(axx < 1e-12, 0.0, lam)
+        return sx * lam, sy * aphi
+
+    def _nicol_inv(self, axx, ay):
+        # seed from the hemisphere circle construction: |phi| bisected
+        # from the parallel-circle relation x^2 + (y-yc)^2 = (yc-phi)^2
+        # (resid rises with phi), |lam| from the meridian circle through
+        # (x, y) and the poles; then Newton-polish on the closed forward
+        # so points past the hemisphere converge too
+        lo = np.zeros_like(ay)
+        hi = np.full_like(ay, HALFPI - 1e-12)
+
+        def resid(aphi):
+            yc = self._parallel_yc(np.maximum(aphi, 1e-9))
+            return (axx * axx + (ay - yc) ** 2) - (yc - aphi) ** 2
+
+        for _ in range(50):
+            mid = 0.5 * (lo + hi)
+            r = resid(mid)
+            hi = np.where(r > 0, mid, hi)
+            lo = np.where(r > 0, lo, mid)
+        aphi0 = np.clip(0.5 * (lo + hi), 1e-9, HALFPI - 1e-9)
+        lam0 = np.clip(self._meridian_lam(np.maximum(axx, 1e-12), ay),
+                       1e-9, math.pi)
+
+        def polish(lam, aphi):
+            h = 1e-7
+            for _ in range(18):
+                fx, fy = self._nicol_xy(lam, aphi)
+                fxl, fyl = self._nicol_xy(lam + h, aphi)
+                fxp, fyp = self._nicol_xy(lam, aphi + h)
+                j11, j12 = (fxl - fx) / h, (fxp - fx) / h
+                j21, j22 = (fyl - fy) / h, (fyp - fy) / h
+                det = j11 * j22 - j12 * j21
+                det = np.where(np.abs(det) < 1e-15, 1e-15, det)
+                ex, ey = fx - axx, fy - ay
+                dl = (ex * j22 - ey * j12) / det
+                dp = (ey * j11 - ex * j21) / det
+                # damp: the Jacobian degenerates near the pole fold
+                step = np.maximum(np.hypot(dl, dp) / 0.5, 1.0)
+                lam = np.clip(lam - dl / step, 1e-9, math.pi)
+                aphi = np.clip(aphi - dp / step, 1e-9, HALFPI - 1e-9)
+            fx, fy = self._nicol_xy(lam, aphi)
+            return lam, aphi, np.hypot(fx - axx, fy - ay)
+
+        lam, aphi, err = polish(lam0, aphi0)
+        # re-seed non-converged points (beyond-hemisphere region where the
+        # circle seed is out of range) from outer-longitude starts
+        for lseed in (0.75 * math.pi, 0.95 * math.pi, 0.6 * math.pi):
+            bad = err > 1e-9
+            if not bad.any():
+                break
+            l2, p2, e2 = polish(np.where(bad, lseed, lam),
+                                np.where(bad, aphi0, aphi))
+            take = bad & (e2 < err)
+            lam = np.where(take, l2, lam)
+            aphi = np.where(take, p2, aphi)
+            err = np.where(take, e2, err)
+        # the classical construction is a hemisphere map; where even the
+        # continuation's Newton cannot reproduce (x, y) there is no
+        # preimage — return NaN rather than a silently wrong coordinate
+        nanbad = err > 1e-6
+        lam = np.where(nanbad, np.nan, lam)
+        aphi = np.where(nanbad, np.nan, aphi)
+        aphi = np.where(ay < 1e-12, 0.0, aphi)
+        aphi = np.where(axx < 1e-12, ay, aphi)
+        lam = np.where(axx < 1e-12, 0.0, lam)
+        return lam, aphi
+
+
+class August(_SimplePseudoCylindrical):
+    """august (August epicycloidal, conformal world in a two-cusped
+    epicycloid; Snyder & Voxland Album p. 74): with the conformal disk
+    point s = (c1 sin(lam/2) + i tan(phi/2)) / (1 + c1 cos(lam/2)),
+    c1 = sqrt(1 - tan^2(phi/2)), the map is the complex cubic
+        w = (4/3)(3 s + s^3).
+    CLOSED inverse: s^3 + 3 s = 3 w / 4 = 2 sinh(3 theta) at s = 2 sinh
+    theta, so s = 2 sinh(asinh(3 w / 8) / 3); the disk map itself is
+    s = tan(Z/2) with Z = lam/2 + i asinh(tan(phi/2) / c1), so
+    Z = 2 atan(s), lam = 2 Re Z, phi = 2 atan(tanh(Im Z))."""
+
+    M = 4.0 / 3.0
+
+    def _fwd(self, lam, phi):
+        # the epicycloid cubic is NOT 2pi-periodic in lam: normalize to
+        # [-pi, pi] like pj_fwd's adjlon so +lon_0 shifts stay on-branch
+        lam = lam - 2.0 * math.pi * np.round(lam / (2.0 * math.pi))
+        t = np.tan(0.5 * phi)
+        c1 = np.sqrt(np.maximum(1.0 - t * t, 0.0))
+        u = 0.5 * lam
+        c = 1.0 + c1 * np.cos(u)
+        x1 = c1 * np.sin(u) / c
+        y1 = t / c
+        x12, y12 = x1 * x1, y1 * y1
+        return (self.M * x1 * (3.0 + x12 - 3.0 * y12),
+                self.M * y1 * (3.0 + 3.0 * x12 - y12))
+
+    def _inv(self, x, y):
+        w = np.asarray(x, dtype=np.complex128) + 1j * y
+        s = 2.0 * np.sinh(np.arcsinh(0.375 * w) / 3.0)
+        z = 2.0 * np.arctan(s)
+        lam = 2.0 * np.real(z)
+        phi = 2.0 * np.arctan(np.tanh(np.imag(z)))
+        return lam, phi
+
+
+class Lagrange(_SimplePseudoCylindrical):
+    """lagrng (Lagrange conformal circular, +W= lobe divisor default 2,
+    +lat_1= the parallel mapped to the x axis): with v = a1 ((1 + sin phi)
+    / (1 - sin phi))^(1/(2W)), a1 the same power at -lat_1, and
+    u = lam / W:
+        c = (v + 1/v)/2 + cos u,  x = 2 sin u / c,  y = (v - 1/v) / c.
+    Conformal except at the poles. CLOSED inverse: (x + i y)/2 =
+    tan(Z/2) with Z = u + i log v, so Z = 2 atan((x + i y)/2)."""
+
+    def __init__(self, a, W=2.0, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        if W <= 0:
+            raise ValueError("lagrng: +W= must be positive")
+        super().__init__(a, lon0, x0, y0)
+        self.W = W
+        self.hrw = 0.5 / W
+        s1 = math.sin(lat1 * D2R)
+        self.a1 = ((1.0 - s1) / (1.0 + s1)) ** self.hrw
+
+    def _fwd(self, lam, phi):
+        at_pole = np.abs(phi) >= HALFPI - 1e-12
+        sp = np.clip(np.sin(phi), -1.0 + 1e-15, 1.0 - 1e-15)
+        v = self.a1 * ((1.0 + sp) / (1.0 - sp)) ** self.hrw
+        u = lam / self.W
+        c = 0.5 * (v + 1.0 / v) + np.cos(u)
+        return (np.where(at_pole, 0.0, 2.0 * np.sin(u) / c),
+                np.where(at_pole, 2.0 * np.sign(phi), (v - 1.0 / v) / c))
+
+    def _inv(self, x, y):
+        w = 0.5 * (np.asarray(x, dtype=np.complex128) + 1j * y)
+        z = 2.0 * np.arctan(w)
+        u = np.real(z)
+        v = np.exp(np.imag(z))
+        g = (v / self.a1) ** (1.0 / self.hrw)
+        phi = np.arcsin(np.clip((g - 1.0) / (g + 1.0), -1.0, 1.0))
+        return u * self.W, phi
+
+
 class SimpleConic(Projection):
     """tissot / murd1 / murd2 / murd3 / euler / pconic / vitk1 — the
     one-cone 'simple conics' family mproj exposes through pj_list (the
@@ -2588,7 +2860,8 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "wag1", "urmfps", "boggs", "nell", "putp2", "hatano",
               "gn_sinu", "wag7",
               "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
-              "vitk1", "mbtfps", "mbtfpq", "mbtfpp")
+              "vitk1", "mbtfps", "mbtfpq", "mbtfpp",
+              "apian", "ortel", "bacon", "nicol", "august", "lagrng")
 
 
 def get_projection(defn: str) -> Projection:
@@ -2803,6 +3076,14 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name in ("apian", "ortel", "bacon", "nicol"):
+        return Globular(name, a, lon0=lon0, x0=x0, y0=y0)
+    if name == "august":
+        return August(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "lagrng":
+        return Lagrange(a, W=float(p.get("W", 2.0)),
+                        lat1=float(p.get("lat_1", 0.0)),
+                        lon0=lon0, x0=x0, y0=y0)
     if name == "mbtfps":
         return McBrydeThomasFlatPolarSine2(a, lon0=lon0, x0=x0, y0=y0)
     if name == "mbtfpq":

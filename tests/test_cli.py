@@ -522,7 +522,13 @@ class TestMetaCommands:
         # eqdc with lat_1 = lat_2 = 0, and utm needs a zone)
         needs = {"utm": "+proj=utm +zone=15",
                  "lcc": "+proj=lcc +lat_1=33 +lat_2=45",
-                 "eqdc": "+proj=eqdc +lat_1=20 +lat_2=60"}
+                 "eqdc": "+proj=eqdc +lat_1=20 +lat_2=60",
+                 "urmfps": "+proj=urmfps +n=0.8",
+                 "gn_sinu": "+proj=gn_sinu +m=0.5 +n=1.785"}
+        conic = "+proj={} +lat_1=30 +lat_2=50"
+        for name in ("tissot", "murd1", "murd2", "murd3", "euler",
+                     "pconic", "vitk1"):
+            needs[name] = conic.format(name)
         for name in projs:
             get_projection(needs.get(name, f"+proj={name}"))
         assert "albersusa" in cat.info[0]["aliases"]

@@ -1237,3 +1237,152 @@ class TestMcBrydeThomasFlatPolar:
         assert abs(float(yp[0]) - float(yp[1])) < 1e-6  # flat
         assert 0 < float(xp[0]) < float(xe[0])
         assert abs(float(xp[0]) / float(xp[1]) - 2.0) < 1e-9  # linear in lam
+
+
+class TestGlobularsAugustLagrange:
+    """apian / ortel / bacon / nicol (geometric globulars), august
+    (conformal epicycloid, closed complex-cubic inverse), lagrng
+    (Lagrange conformal circle, closed complex-atan inverse)."""
+
+    FULL_RT = ["apian", "ortel", "bacon", "august", "lagrng",
+               "+proj=lagrng +W=3 +lat_1=30", "+proj=august +lon_0=45",
+               "+proj=apian +x_0=100 +y_0=-50"]
+
+    @pytest.mark.parametrize("defn", FULL_RT)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        # august normalizes lam to [-pi, pi] (its cubic is non-periodic),
+        # so a +lon_0 shift can come back a full turn over: compare mod 360
+        dlon = (lg2 - lg + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    def test_nicol_hemisphere_roundtrip_and_section(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("nicol")
+        LG, LT = np.meshgrid(np.linspace(-89, 89, 15),
+                             np.linspace(-85, 85, 15))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6
+        assert np.abs(lt2 - lt).max() < 1e-6
+        # past the hemisphere the continuation folds (no two-sided
+        # inverse exists) but inv must stay a SECTION: fwd(inv) == id
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        ok = ~np.isnan(lg2)
+        assert ok.mean() > 0.99
+        x2, y2 = p.fwd(lg2[ok], lt2[ok])
+        assert np.abs(x2 - x[ok]).max() < 1e-3   # metres
+        assert np.abs(y2 - y[ok]).max() < 1e-3
+
+    def test_nicol_equals_circle_construction_in_hemisphere(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import Globular, get_projection
+        p = get_projection("nicol")
+        D2R = math.pi / 180.0
+        LG, LT = np.meshgrid(np.linspace(5, 88, 12), np.linspace(5, 85, 12))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        ax, aphi = lg * D2R, lt * D2R
+        f = 0.5 * (Globular.HLFPI2 / ax + ax)
+        xc = ax - f
+        yc = Globular._parallel_yc(aphi)
+        rp = yc - aphi
+        alpha = (xc * xc - f * f + rp * rp - yc * yc) / (2.0 * xc)
+        beta = yc / xc
+        A = 1.0 + beta * beta
+        B = 2.0 * (alpha * beta - yc)
+        Cq = alpha * alpha - rp * rp + yc * yc
+        disc = np.sqrt(np.maximum(B * B - 4.0 * A * Cq, 0.0))
+        ygeo = (-B - disc) / (2.0 * A)
+        xgeo = alpha + beta * ygeo
+        assert np.abs(x / p.a - xgeo).max() < 1e-9
+        assert np.abs(y / p.a - ygeo).max() < 1e-9
+
+    def test_globular_shapes(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        hp = math.pi / 2.0
+        for name in ("apian", "ortel", "bacon", "nicol"):
+            p = get_projection(name)
+            # equator equally divided: x = lam (up to pi/2 for ortel)
+            x, y = p.fwd(np.array([60.0]), np.array([0.0]))
+            assert abs(float(x[0]) / R - math.radians(60)) < 1e-9, name
+            assert abs(float(y[0])) < 1e-9, name
+            # the lam = 90 meridian is the radius-pi/2 circle about the
+            # origin: x = sqrt((pi/2)^2 - y^2) with each member's own y
+            x, y = p.fwd(np.array([90.0]), np.array([50.0]))
+            if name in ("nicol", "bacon"):
+                assert abs(float(y[0]) / R -
+                           hp * math.sin(math.radians(50))) < 1e-9, name
+            else:
+                assert abs(float(y[0]) / R - math.radians(50)) < 1e-9, name
+            yv = float(y[0]) / R
+            assert abs(float(x[0]) / R -
+                       math.sqrt(hp * hp - yv * yv)) < 1e-9, name
+        # ortel joins the inner/outer branches continuously at lam = 90
+        p = get_projection("ortel")
+        # both branches move at dx/dlam = 1 through the joint, so the
+        # 2e-4 deg probe gap itself spans ~22 m; allow that plus slack
+        xa, _ = p.fwd(np.array([89.9999]), np.array([30.0]))
+        xb, _ = p.fwd(np.array([90.0001]), np.array([30.0]))
+        assert abs(float(xa[0]) - float(xb[0])) < 30.0  # metres
+
+    def test_august_extents_and_conformality(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("august")
+        R = 6378137.0
+        x, y = p.fwd(np.array([180.0, 0.0]), np.array([0.0, 90.0]))
+        assert abs(float(x[0]) / R - 16.0 / 3.0) < 1e-9   # equator tip
+        assert abs(float(y[1]) / R - 8.0 / 3.0) < 1e-9    # pole cusp
+        # Cauchy-Riemann in (lam, conformal latitude) at sample points
+        h = 1e-6
+        for lg, lt in [(20, 30), (-60, -45), (100, 10)]:
+            x0, y0 = p.fwd(np.array([float(lg)]), np.array([float(lt)]))
+            x1, y1 = p.fwd(np.array([lg + h]), np.array([float(lt)]))
+            x2, y2 = p.fwd(np.array([float(lg)]), np.array([lt + h]))
+            # d/dpsi = cos(phi) d/dphi for the conformal ordinate
+            c = math.cos(math.radians(lt))
+            dxl, dyl = float((x1 - x0)[0]), float((y1 - y0)[0])
+            dxp, dyp = float((x2 - x0)[0]) * c, float((y2 - y0)[0]) * c
+            assert abs(dxl - dyp) / max(abs(dxl), 1.0) < 1e-3, (lg, lt)
+            assert abs(dyl + dxp) / max(abs(dxl), 1.0) < 1e-3, (lg, lt)
+
+    def test_lagrange_properties(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection("lagrng")
+        # world in a circle of radius 2R: poles at (0, +-2R), lam=+-180
+        # at (+-2R, 0)
+        x, y = p.fwd(np.array([0.0, 0.0, 180.0]), np.array([90.0, -90.0, 0.0]))
+        assert abs(float(y[0]) / R - 2.0) < 1e-9
+        assert abs(float(y[1]) / R + 2.0) < 1e-9
+        assert abs(float(x[2]) / R - 2.0) < 1e-9
+        # +lat_1 parallel maps to the x axis
+        p31 = get_projection("+proj=lagrng +lat_1=31")
+        _, y = p31.fwd(np.array([77.0]), np.array([31.0]))
+        assert abs(float(y[0])) < 1e-6
