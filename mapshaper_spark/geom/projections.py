@@ -2433,6 +2433,194 @@ class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class TiltedPerspective(_SphericalAzimuthal):
+    """tpers (tilted near-side perspective; Snyder WM pp. 173-178, the
+    generalization mproj exposes as +proj=tpers +h= +tilt= +azi=): a
+    camera at height h above (lat_0, lon_0) looking at the nadir, with
+    the image plane tilted omega from the vertical toward azimuth gamma
+    (east of north) and the image frame rotated by gamma.
+
+    Derived from the 3D pinhole model rather than transcribed: camera
+    C = (0, 0, P) in the local east/north/up frame (P = 1 + h/a), image
+    plane through the principal point O = C - (P-1) n with unit normal
+    n = (sin w sin g, sin w cos g, cos w) and in-plane axes
+    u = (cos g, -sin g, 0), v = (cos w sin g, cos w cos g, -sin w);
+    a sphere point S projects to ((R(t*)-O).u, (R(t*)-O).v) where
+    R(t) = C + t (S - C) and t* = (P-1)/(n.(C-S)). tilt = azi = 0
+    reduces EXACTLY to nsper (tested). Inverse = ray-sphere
+    intersection, near root."""
+
+    def __init__(self, a, h, tilt=0.0, azi=0.0, lat0=0.0, lon0=0.0,
+                 x0=0.0, y0=0.0):
+        super().__init__(a, lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+        self.P = 1.0 + h / a
+        w, g = tilt * D2R, azi * D2R
+        sw, cw, sg, cg = math.sin(w), math.cos(w), math.sin(g), math.cos(g)
+        self.n = np.array([sw * sg, sw * cg, cw])
+        self.u = np.array([cg, -sg, 0.0])
+        self.v = np.array([cw * sg, cw * cg, -sw])
+
+    def _local(self, lam, phi):
+        sp, cp = np.sin(phi), np.cos(phi)
+        X = cp * np.sin(lam)
+        Y = self.c0 * sp - self.s0 * cp * np.cos(lam)
+        Z = self.s0 * sp + self.c0 * cp * np.cos(lam)
+        return X, Y, Z
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        X, Y, Z = self._local(lam, phi)
+        P = self.P
+        # n.(C - S) with C = (0, 0, P)
+        denom = (self.n[2] * P - (self.n[0] * X + self.n[1] * Y +
+                                  self.n[2] * Z))
+        t = (P - 1.0) / np.where(np.abs(denom) < 1e-15, 1e-15, denom)
+        # R(t) - O where O = C - (P-1) n
+        px = t * X + (P - 1.0) * self.n[0]
+        py = t * Y + (P - 1.0) * self.n[1]
+        pz = t * (Z - P) + (P - 1.0) * self.n[2]
+        xi = px * self.u[0] + py * self.u[1] + pz * self.u[2]
+        yi = px * self.v[0] + py * self.v[1] + pz * self.v[2]
+        return self.a * xi + self.x0, self.a * yi + self.y0
+
+    def inv(self, x, y):
+        xi = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yi = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        P = self.P
+        # plane point O + xi u + yi v, then the ray from C through it
+        ox = xi * self.u[0] + yi * self.v[0] - (P - 1.0) * self.n[0]
+        oy = xi * self.u[1] + yi * self.v[1] - (P - 1.0) * self.n[1]
+        oz = P + xi * self.u[2] + yi * self.v[2] - (P - 1.0) * self.n[2]
+        dx, dy, dz = ox, oy, oz - P
+        dn = np.sqrt(dx * dx + dy * dy + dz * dz)
+        dx, dy, dz = dx / dn, dy / dn, dz / dn
+        # |C + s d| = 1: s^2 + 2 P dz s + P^2 - 1 = 0, near root
+        b = P * dz
+        disc = np.sqrt(np.maximum(b * b - (P * P - 1.0), 0.0))
+        s = -b - disc
+        X, Y, Z = s * dx, s * dy, P + s * dz
+        phi = np.arcsin(np.clip(self.s0 * Z + self.c0 * Y, -1.0, 1.0))
+        lam = np.arctan2(X, self.c0 * Z - self.s0 * Y)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class Geostationary(Projection):
+    """geos (geostationary satellite view, spherical; the CGMS LRIT/HRIT
+    normalized geostationary projection): satellite at distance
+    rg = 1 + h/a over (0, lon_0); coordinates are scan angles times h.
+    With V the unit sphere point and tmp = rg - Vx:
+      sweep=y (default): x = h atan(Vy / tmp), y = h atan(Vz / hypot(Vy, tmp))
+      sweep=x:           x = h atan(Vy / hypot(Vz, tmp)), y = h atan(Vz / tmp)
+    Inverse reconstructs the scan ray and takes the near ray-sphere root.
+    Like ortho/nsper, no horizon clipping — the caller owns visibility."""
+
+    def __init__(self, a, h, lon0=0.0, sweep="y", x0=0.0, y0=0.0):
+        if sweep not in ("x", "y"):
+            raise ValueError("geos: +sweep= must be x or y")
+        self.a, self.h, self.lon0 = a, h, lon0
+        self.sweep, self.x0, self.y0 = sweep, x0, y0
+        self.rg = 1.0 + h / a
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        cp = np.cos(phi)
+        Vx, Vy, Vz = cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)
+        tmp = self.rg - Vx
+        if self.sweep == "y":
+            xa = np.arctan2(Vy, tmp)
+            ya = np.arctan2(Vz, np.hypot(Vy, tmp))
+        else:
+            xa = np.arctan2(Vy, np.hypot(Vz, tmp))
+            ya = np.arctan2(Vz, tmp)
+        return self.h * xa + self.x0, self.h * ya + self.y0
+
+    def inv(self, x, y):
+        xa = (np.asarray(x, dtype=np.float64) - self.x0) / self.h
+        ya = (np.asarray(y, dtype=np.float64) - self.y0) / self.h
+        if self.sweep == "y":
+            dx = -np.cos(ya) * np.cos(xa)
+            dy = np.cos(ya) * np.sin(xa)
+            dz = np.sin(ya)
+        else:
+            dx = -np.cos(xa) * np.cos(ya)
+            dz = np.sin(ya) * np.cos(xa)
+            dy = np.sin(xa)
+        # |(rg, 0, 0) + t d| = 1, d unit: t^2 + 2 rg dx t + rg^2 - 1 = 0
+        b = self.rg * dx
+        disc = np.sqrt(np.maximum(b * b - (self.rg ** 2 - 1.0), 0.0))
+        t = -b - disc
+        Px, Py, Pz = self.rg + t * dx, t * dy, t * dz
+        phi = np.arcsin(np.clip(Pz, -1.0, 1.0))
+        lam = np.arctan2(Py, Px)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class RectangularPolyconic(Projection):
+    """rpoly (rectangular polyconic / War Office projection; fwd-only in
+    PROJ, Newton inverse here): each parallel is the polyconic circle of
+    radius cot(phi), with the meridian crossing chosen so meridians cut
+    parallels at right angles: E = 2 atan(fa sin phi) where fa = lam/2,
+    or with +lat_ts the true-scale form fa = tan(lam fxb) fxa using
+    fxb = sin(lat_ts)/2 and fxa = 1/(2 fxb);
+    x = cot phi sin E, y = phi - phi0 + cot phi (1 - cos E)."""
+
+    def __init__(self, a, lat_ts=0.0, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lat0, self.lon0 = a, lat0, lon0
+        self.x0, self.y0 = x0, y0
+        self.phi0 = lat0 * D2R
+        if abs(lat_ts) > 1e-12:
+            self.fxb = 0.5 * math.sin(lat_ts * D2R)
+            self.fxa = 0.5 / self.fxb
+        else:
+            self.fxb = self.fxa = 0.0
+
+    def _fwd_rad(self, lam, phi):
+        if self.fxb:
+            fa = np.tan(lam * self.fxb) * self.fxa
+        else:
+            fa = 0.5 * lam
+        flat = np.abs(phi) < 1e-9
+        phis = np.where(flat, 0.5, phi)
+        cot = 1.0 / np.tan(phis)
+        e = 2.0 * np.arctan(fa * np.sin(phis))
+        x = np.where(flat, 2.0 * fa, cot * np.sin(e))
+        y = np.where(flat, -self.phi0,
+                     phis - self.phi0 + cot * (1.0 - np.cos(e)))
+        return x, y
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        x, y = self._fwd_rad(lam, phi)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        lam = np.clip(xr, -math.pi, math.pi)
+        phi = np.clip(yr + self.phi0, -HALFPI + 1e-9, HALFPI - 1e-9)
+        h = 1e-7
+        for it in range(50):
+            fx, fy = self._fwd_rad(lam, phi)
+            fxl, fyl = self._fwd_rad(lam + h, phi)
+            fxp, fyp = self._fwd_rad(lam, phi + h)
+            j11, j12 = (fxl - fx) / h, (fxp - fx) / h
+            j21, j22 = (fyl - fy) / h, (fyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-15, 1e-15, det)
+            ex, ey = fx - xr, fy - yr
+            dl = (ex * j22 - ey * j12) / det
+            dp = (ey * j11 - ex * j21) / det
+            # damp early steps; full Newton once the iterate is close
+            cap = 0.3 if it < 10 else 1.5
+            step = np.maximum(np.hypot(dl, dp) / cap, 1.0)
+            lam = lam - dl / step
+            phi = np.clip(phi - dp / step, -HALFPI + 1e-9, HALFPI - 1e-9)
+        return lam / D2R + self.lon0, phi / D2R
+
+
 class Globular(_SimplePseudoCylindrical):
     """apian / ortel / bacon / nicol — the classical globulars, built from
     their geometric definitions (the construction mproj's pj_list members
@@ -2861,7 +3049,8 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "gn_sinu", "wag7",
               "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
               "vitk1", "mbtfps", "mbtfpq", "mbtfpp",
-              "apian", "ortel", "bacon", "nicol", "august", "lagrng")
+              "apian", "ortel", "bacon", "nicol", "august", "lagrng",
+              "ups", "tpers", "geos", "rpoly", "etmerc")
 
 
 def get_projection(defn: str) -> Projection:
@@ -3076,6 +3265,31 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "ups":
+        # universal polar stereographic: polar stere with fixed
+        # k0 = 0.994 and a 2,000 km false easting/northing
+        return Stereographic(a, es, lat0=-90.0 if "south" in p else 90.0,
+                             lon0=lon0, k0=0.994,
+                             x0=2000000.0, y0=2000000.0)
+    if name == "tpers":
+        return TiltedPerspective(a, h=float(p.get("h", 35785831.0)),
+                                 tilt=float(p.get("tilt", 0.0)),
+                                 azi=float(p.get("azi", 0.0)),
+                                 lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "geos":
+        return Geostationary(a, h=float(p.get("h", 35785831.0)),
+                             lon0=lon0, sweep=str(p.get("sweep", "y")),
+                             x0=x0, y0=y0)
+    if name == "rpoly":
+        return RectangularPolyconic(a, lat_ts=float(p.get("lat_ts", 0.0)),
+                                    lat0=lat0, lon0=lon0, x0=x0, y0=y0)
+    if name == "etmerc":
+        # served by the Snyder-series tmerc kernel (documented
+        # approximation: mproj's etmerc uses the Poder/Engsager
+        # exact series; they agree to mm inside the usual +-4 deg band)
+        return TransverseMercator(a, es, lat0, lon0,
+                                  k0 if ("k_0" in p or "k" in p) else 1.0,
+                                  x0, y0)
     if name in ("apian", "ortel", "bacon", "nicol"):
         return Globular(name, a, lon0=lon0, x0=x0, y0=y0)
     if name == "august":

@@ -1386,3 +1386,120 @@ class TestGlobularsAugustLagrange:
         p31 = get_projection("+proj=lagrng +lat_1=31")
         _, y = p31.fwd(np.array([77.0]), np.array([31.0]))
         assert abs(float(y[0])) < 1e-6
+
+
+class TestPerspectiveSatelliteTail:
+    """ups / tpers / geos / rpoly / etmerc — the perspective + satellite
+    +proj= batch. tpers is a from-scratch 3D pinhole model whose
+    (tilt=0, azi=0) case must equal nsper exactly; geos nadir behavior
+    and the UPS published grid values pin the rest."""
+
+    def test_tpers_reduces_to_nsper(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        n = get_projection("+proj=nsper +h=5000000 +lat_0=40 +lon_0=-100")
+        t = get_projection("+proj=tpers +h=5000000 +lat_0=40 +lon_0=-100")
+        LG, LT = np.meshgrid(np.linspace(-140, -60, 9),
+                             np.linspace(10, 70, 9))
+        lg, lt = LG.ravel(), LT.ravel()
+        xa, ya = n.fwd(lg, lt)
+        xb, yb = t.fwd(lg, lt)
+        assert np.abs(xa - xb).max() < 1e-6
+        assert np.abs(ya - yb).max() < 1e-6
+
+    @pytest.mark.parametrize("defn,clg,clt,span", [
+        ("+proj=tpers +h=5000000 +lat_0=40 +lon_0=-100 +tilt=25 +azi=40",
+         -100, 40, 35),
+        ("+proj=tpers +h=8000000 +lat_0=-30 +tilt=-15 +azi=200", 0, -30, 40),
+        ("+proj=geos +h=35785831", 0, 0, 55),
+        ("+proj=geos +h=35785831 +sweep=x +lon_0=135", 135, 0, 55),
+    ])
+    def test_visible_cap_roundtrip(self, defn, clg, clt, span):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(clg - span, clg + span, 9),
+                             np.linspace(clt - span, clt + span, 9))
+        lg, lt = LG.ravel(), np.clip(LT.ravel(), -85, 85)
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    def test_geos_nadir_and_scan_geometry(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        h = 35785831.0
+        g = get_projection(f"+proj=geos +h={h}")
+        x, y = g.fwd(np.array([0.0]), np.array([0.0]))
+        assert abs(float(x[0])) < 1e-9 and abs(float(y[0])) < 1e-9
+        # a point on the equator at lon L: scan angle = atan(sin L /
+        # (rg - cos L)); coordinates are h * angle
+        R = 6378137.0
+        rg = 1.0 + h / R
+        for L in (10.0, 45.0, 80.0):
+            x, _ = g.fwd(np.array([L]), np.array([0.0]))
+            lam = math.radians(L)
+            expect = h * math.atan2(math.sin(lam), rg - math.cos(lam))
+            assert abs(float(x[0]) - expect) < 1e-6, L
+        # sweep=x swaps the axis nesting: x(0, phi) must be 0 on the
+        # central meridian for both sweeps, y symmetric
+        gx = get_projection(f"+proj=geos +h={h} +sweep=x")
+        x, y = gx.fwd(np.array([0.0]), np.array([30.0]))
+        assert abs(float(x[0])) < 1e-9
+        assert float(y[0]) > 0
+
+    def test_ups_published_values(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        u = get_projection("+proj=ups")
+        x, y = u.fwd(np.array([0.0, 0.0]), np.array([90.0, 80.0]))
+        # pole = false origin (2,000,000, 2,000,000); 80N 0E northing
+        # = 2e6 - rho with the published UPS rho(80) = 1,112,951.1 m
+        assert abs(float(x[0]) - 2000000.0) < 1e-6
+        assert abs(float(y[0]) - 2000000.0) < 1e-6
+        assert abs(float(x[1]) - 2000000.0) < 1e-6
+        assert abs(float(y[1]) - (2000000.0 - 1112951.1)) < 0.5
+        s = get_projection("+proj=ups +south")
+        _, y = s.fwd(np.array([0.0]), np.array([-80.0]))
+        assert abs(float(y[0]) - (2000000.0 + 1112951.1)) < 0.5
+
+    def test_rpoly_roundtrip_and_right_angles(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        for defn in ("rpoly", "+proj=rpoly +lat_ts=35 +lon_0=20",
+                     "+proj=rpoly +lat_0=10"):
+            p = get_projection(defn)
+            LG, LT = np.meshgrid(np.linspace(-120, 120, 13),
+                                 np.linspace(-78, 78, 13))
+            lg, lt = LG.ravel(), LT.ravel()
+            x, y = p.fwd(lg, lt)
+            lg2, lt2 = p.inv(x, y)
+            assert np.abs(lg2 - lg).max() < 1e-6, defn
+            assert np.abs(lt2 - lt).max() < 1e-6, defn
+        # defining property: meridians cross parallels at right angles
+        p = get_projection("rpoly")
+        h = 1e-6
+        for lg, lt in [(40.0, 30.0), (-80.0, -50.0), (100.0, 60.0)]:
+            x0, y0 = p.fwd(np.array([lg]), np.array([lt]))
+            x1, y1 = p.fwd(np.array([lg + h]), np.array([lt]))
+            x2, y2 = p.fwd(np.array([lg]), np.array([lt + h]))
+            dot = (float((x1 - x0)[0]) * float((x2 - x0)[0]) +
+                   float((y1 - y0)[0]) * float((y2 - y0)[0]))
+            n1 = np.hypot(float((x1 - x0)[0]), float((y1 - y0)[0]))
+            n2 = np.hypot(float((x2 - x0)[0]), float((y2 - y0)[0]))
+            assert abs(dot / (n1 * n2)) < 1e-4, (lg, lt)
+
+    def test_etmerc_serves_tmerc_kernel(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        e = get_projection("+proj=etmerc +lon_0=9 +k_0=0.9996 +x_0=500000")
+        t = get_projection("+proj=tmerc +lon_0=9 +k_0=0.9996 +x_0=500000")
+        lg = np.linspace(6.0, 12.0, 7)
+        lt = np.linspace(-80.0, 80.0, 7)
+        xa, ya = e.fwd(lg, lt)
+        xb, yb = t.fwd(lg, lt)
+        assert np.abs(xa - xb).max() < 1e-9
+        assert np.abs(ya - yb).max() < 1e-9
