@@ -1311,6 +1311,66 @@ class Goode(Projection):
         return np.where(hi, lm, ls), np.where(hi, pm, ps)
 
 
+class InterruptedGoode(Projection):
+    """igh (interrupted Goode homolosine, the classic 6-lobe land layout):
+    two northern lobes split at lam = -40 (central meridians -100, 30)
+    and four southern lobes split at -100 / -20 / 80 (central meridians
+    -160, -60, 20, 140); each lobe is the uninterrupted Goode placed at
+    x = R * cm + goode(lam - cm). Equal-area like its pieces; the lobe
+    x-splits (-40 north, -100/-20/80 south, applied to x/R in radians)
+    are unambiguous because every lobe's x-extent shrinks toward its
+    central meridian poleward of the equator."""
+
+    N_SPLIT = -40.0
+    S_SPLIT = (-100.0, -20.0, 80.0)
+    N_CM = (-100.0, 30.0)
+    S_CM = (-160.0, -60.0, 20.0, 140.0)
+
+    def __init__(self, a, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        cms = sorted(set(self.N_CM) | set(self.S_CM))
+        self.goode = {cm: Goode(a, lon0=cm) for cm in cms}
+
+    def _cm(self, lam_deg, south):
+        cm_s = np.full_like(np.asarray(lam_deg, dtype=np.float64),
+                            self.S_CM[0])
+        for s, c in zip(self.S_SPLIT, self.S_CM[1:]):
+            cm_s = np.where(lam_deg >= s, c, cm_s)
+        cm_n = np.where(lam_deg < self.N_SPLIT, self.N_CM[0], self.N_CM[1])
+        return np.where(south, cm_s, cm_n)
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) - self.lon0
+        lam = lam - 360.0 * np.round(lam / 360.0)
+        lat = np.asarray(lat, dtype=np.float64)
+        cm = self._cm(lam, lat < 0)
+        x = np.empty_like(lam)
+        y = np.empty_like(lam)
+        for c, g in self.goode.items():
+            m = cm == c
+            if m.any():
+                # g carries lon0 = c, so the absolute lobe longitude goes
+                # in and the lobe-centred x comes out
+                gx, gy = g.fwd(lam[m], lat[m])
+                x[m] = gx + self.a * c * D2R
+                y[m] = gy
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a / D2R
+        yv = np.asarray(y, dtype=np.float64) - self.y0
+        cm = self._cm(xr, yv < 0)
+        lam = np.empty_like(xr)
+        phi = np.empty_like(xr)
+        for c, g in self.goode.items():
+            m = cm == c
+            if m.any():
+                gl, gp = g.inv((xr[m] - c) * D2R * self.a, yv[m])
+                lam[m] = gl
+                phi[m] = gp
+        return lam + self.lon0, phi
+
+
 class Eckert(Projection):
     """eck1/eck2/eck3/eck5/eck6, spherical closed forms (Snyder Appendix A
     pp. 253-258 table; the same equations proj's PJ_eck*.c implement).
@@ -2433,6 +2493,76 @@ class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class TwoPointEquidistant(Projection):
+    """tpeqd (two-point equidistant, spherical; Snyder WM pp. 192-194):
+    distances from BOTH foci (lat_1, lon_1) and (lat_2, lon_2) are true.
+    Derived from the defining property rather than transcribed: the foci
+    map to (-d, 0) and (+d, 0) where 2d is their angular distance, and a
+    point with focal distances zA, zB lands at
+        x = (zA^2 - zB^2) / (4 d),   y = +-sqrt(zA^2 - (x + d)^2)
+    with y's sign from the side of the oriented great circle A->B
+    (sign((A x B) . P)). Inverse: recover (zA, zB) from the plane, open
+    the angle at A with the spherical law of cosines, and shoot the
+    direct geodesic from A at bearing (bearing(A->B) - sign(y) alpha).
+    The true-distance property and exact global round-trip are tested."""
+
+    def __init__(self, a, lat1, lon1, lat2, lon2, x0=0.0, y0=0.0):
+        self.a, self.x0, self.y0 = a, x0, y0
+        p1, l1 = lat1 * D2R, lon1 * D2R
+        p2, l2 = lat2 * D2R, lon2 * D2R
+        self.l1 = l1
+        self.sp1, self.cp1 = math.sin(p1), math.cos(p1)
+        sp2, cp2 = math.sin(p2), math.cos(p2)
+        cos2d = self.sp1 * sp2 + self.cp1 * cp2 * math.cos(l2 - l1)
+        self.d2 = math.acos(max(-1.0, min(1.0, cos2d)))
+        if self.d2 < 1e-9 or self.d2 > math.pi - 1e-6:
+            raise ValueError("tpeqd: the two points must be distinct and "
+                             "not antipodal")
+        self.d = 0.5 * self.d2
+        self.thAB = math.atan2(cp2 * math.sin(l2 - l1),
+                               self.cp1 * sp2 -
+                               self.sp1 * cp2 * math.cos(l2 - l1))
+        self.A = np.array([self.cp1 * math.cos(l1),
+                           self.cp1 * math.sin(l1), self.sp1])
+        self.B = np.array([cp2 * math.cos(l2), cp2 * math.sin(l2), sp2])
+        self.N = np.cross(self.A, self.B)
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sp, cp = np.sin(phi), np.cos(phi)
+        px, py, pz = cp * np.cos(lam), cp * np.sin(lam), sp
+        zA = np.arccos(np.clip(
+            px * self.A[0] + py * self.A[1] + pz * self.A[2], -1.0, 1.0))
+        zB = np.arccos(np.clip(
+            px * self.B[0] + py * self.B[1] + pz * self.B[2], -1.0, 1.0))
+        x = (zA * zA - zB * zB) / (4.0 * self.d)
+        y2 = np.maximum(zA * zA - (x + self.d) ** 2, 0.0)
+        side = np.sign(px * self.N[0] + py * self.N[1] + pz * self.N[2])
+        y = np.where(side == 0, 1.0, side) * np.sqrt(y2)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        zA = np.hypot(xr + self.d, yr)
+        zB = np.hypot(xr - self.d, yr)
+        szA = np.maximum(np.sin(zA), 1e-12)
+        ca = (np.cos(zB) - math.cos(self.d2) * np.cos(zA)) / \
+            (math.sin(self.d2) * szA)
+        alpha = np.arccos(np.clip(ca, -1.0, 1.0))
+        th = self.thAB - np.sign(yr) * alpha
+        sp = self.sp1 * np.cos(zA) + self.cp1 * np.sin(zA) * np.cos(th)
+        phi = np.arcsin(np.clip(sp, -1.0, 1.0))
+        dl = np.arctan2(np.sin(th) * np.sin(zA),
+                        self.cp1 * np.cos(zA) -
+                        self.sp1 * np.sin(zA) * np.cos(th))
+        at_A = zA < 1e-9
+        phi = np.where(at_A, math.asin(self.sp1), phi)
+        dl = np.where(at_A, 0.0, dl)
+        return (self.l1 + dl) / D2R, phi / D2R
+
+
 class TiltedPerspective(_SphericalAzimuthal):
     """tpers (tilted near-side perspective; Snyder WM pp. 173-178, the
     generalization mproj exposes as +proj=tpers +h= +tilt= +azi=): a
@@ -3050,7 +3180,7 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
               "vitk1", "mbtfps", "mbtfpq", "mbtfpp",
               "apian", "ortel", "bacon", "nicol", "august", "lagrng",
-              "ups", "tpers", "geos", "rpoly", "etmerc")
+              "ups", "tpers", "geos", "rpoly", "etmerc", "tpeqd", "igh")
 
 
 def get_projection(defn: str) -> Projection:
@@ -3265,6 +3395,15 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "tpeqd":
+        for req in ("lat_1", "lon_1", "lat_2", "lon_2"):
+            if req not in p:
+                raise ValueError("tpeqd requires +lat_1/+lon_1/+lat_2/+lon_2")
+        return TwoPointEquidistant(a, float(p["lat_1"]), float(p["lon_1"]),
+                                   float(p["lat_2"]), float(p["lon_2"]),
+                                   x0=x0, y0=y0)
+    if name == "igh":
+        return InterruptedGoode(a, lon0=lon0, x0=x0, y0=y0)
     if name == "ups":
         # universal polar stereographic: polar stere with fixed
         # k0 = 0.994 and a 2,000 km false easting/northing

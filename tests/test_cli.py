@@ -524,7 +524,9 @@ class TestMetaCommands:
                  "lcc": "+proj=lcc +lat_1=33 +lat_2=45",
                  "eqdc": "+proj=eqdc +lat_1=20 +lat_2=60",
                  "urmfps": "+proj=urmfps +n=0.8",
-                 "gn_sinu": "+proj=gn_sinu +m=0.5 +n=1.785"}
+                 "gn_sinu": "+proj=gn_sinu +m=0.5 +n=1.785",
+                 "tpeqd": "+proj=tpeqd +lat_1=35 +lon_1=-10 "
+                          "+lat_2=45 +lon_2=60"}
         conic = "+proj={} +lat_1=30 +lat_2=50"
         for name in ("tissot", "murd1", "murd2", "murd3", "euler",
                      "pconic", "vitk1"):

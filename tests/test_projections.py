@@ -1503,3 +1503,112 @@ class TestPerspectiveSatelliteTail:
         xb, yb = t.fwd(lg, lt)
         assert np.abs(xa - xb).max() < 1e-9
         assert np.abs(ya - yb).max() < 1e-9
+
+
+class TestTpeqdIgh:
+    """tpeqd (two-point equidistant) and igh (interrupted Goode)."""
+
+    def test_tpeqd_roundtrip_global(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=tpeqd +lat_1=35 +lon_1=-10 "
+                           "+lat_2=45 +lon_2=60")
+        LG, LT = np.meshgrid(np.linspace(-150, 150, 19),
+                             np.linspace(-80, 80, 15))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        dl = (lg2 - lg + 180.0) % 360.0 - 180.0
+        assert np.abs(dl).max() < 1e-6
+        assert np.abs(lt2 - lt).max() < 1e-6
+
+    def test_tpeqd_distances_true(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        la1, lo1, la2, lo2 = 35.0, -10.0, 45.0, 60.0
+        p = get_projection(f"+proj=tpeqd +lat_1={la1} +lon_1={lo1} "
+                           f"+lat_2={la2} +lon_2={lo2}")
+
+        def ang(g1, t1, g2, t2):
+            a = (math.sin(math.radians(t1)) * math.sin(math.radians(t2)) +
+                 math.cos(math.radians(t1)) * math.cos(math.radians(t2)) *
+                 math.cos(math.radians(g2 - g1)))
+            return math.acos(max(-1.0, min(1.0, a)))
+
+        xa, ya = p.fwd(np.array([lo1]), np.array([la1]))
+        xb, yb = p.fwd(np.array([lo2]), np.array([la2]))
+        # foci land symmetric about the origin on the x axis, 2d apart
+        # (arccos noise at a zero distance is ~sqrt(eps) rad, sub-metre)
+        assert abs(float(ya[0])) < 0.5 and abs(float(yb[0])) < 0.5
+        assert abs(float(xa[0]) + float(xb[0])) < 0.5
+        assert abs((float(xb[0]) - float(xa[0])) / R -
+                   ang(lo1, la1, lo2, la2)) < 1e-9
+        # the DEFINING property: planar distance from each focus is the
+        # true angular distance, for arbitrary points
+        for lg, lt in [(100.0, -20.0), (-60.0, 55.0), (179.0, 5.0)]:
+            xp, yp = p.fwd(np.array([lg]), np.array([lt]))
+            dA = math.hypot(float((xp - xa)[0]), float((yp - ya)[0])) / R
+            dB = math.hypot(float((xp - xb)[0]), float((yp - yb)[0])) / R
+            assert abs(dA - ang(lo1, la1, lg, lt)) < 1e-7, (lg, lt)
+            assert abs(dB - ang(lo2, la2, lg, lt)) < 1e-7, (lg, lt)
+
+    def test_tpeqd_param_validation(self):
+        import pytest as _pt
+        from mapshaper_spark.geom.projections import get_projection
+        with _pt.raises(ValueError):
+            get_projection("+proj=tpeqd +lat_1=10 +lon_1=20")
+        with _pt.raises(ValueError):  # antipodal foci
+            get_projection("+proj=tpeqd +lat_1=10 +lon_1=20 "
+                           "+lat_2=-10 +lon_2=-160")
+
+    def test_igh_roundtrip_and_lobes(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("igh")
+        g = get_projection("goode")
+        R = 6378137.0
+        LG, LT = np.meshgrid(np.linspace(-175, 175, 36),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6
+        assert np.abs(lt2 - lt).max() < 1e-6
+        # every lobe equals the uninterrupted Goode recentred at its cm
+        for cm, lgd, ltd in [(-100.0, -120.0, 50.0), (30.0, 80.0, 70.0),
+                             (-160.0, -150.0, -30.0), (-60.0, -40.0, -50.0),
+                             (20.0, 60.0, -70.0), (140.0, 120.0, -10.0)]:
+            xi, yi = p.fwd(np.array([lgd]), np.array([ltd]))
+            xg, yg = g.fwd(np.array([lgd - cm]), np.array([ltd]))
+            assert abs(float(xi[0]) -
+                       (float(xg[0]) + R * math.radians(cm))) < 1e-6, cm
+            assert abs(float(yi[0]) - float(yg[0])) < 1e-6, cm
+        # y is continuous across the northern lobe boundary, x jumps
+        # (the interruption)
+        xl, yl = p.fwd(np.array([-40.001]), np.array([60.0]))
+        xr, yr = p.fwd(np.array([-39.999]), np.array([60.0]))
+        assert abs(float(yl[0]) - float(yr[0])) < 1.0
+        assert float(xr[0]) - float(xl[0]) > 0.1 * R
+
+    def test_igh_equal_area(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("igh")
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, 50), (80, 70), (-150, -30), (60, -70),
+                           (120, -10), (0, 20)]:
+            x0, y0 = p.fwd(np.array([float(lam0)]), np.array([float(phi0)]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([float(phi0)]))
+            x2, y2 = p.fwd(np.array([float(lam0)]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            assert abs(J / (R * R * math.cos(math.radians(phi0)))
+                       - 1.0) < 1e-3, (lam0, phi0)
