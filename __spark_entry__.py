@@ -594,6 +594,24 @@ def q_proj_wintri(spark, sf_dir):
                                   F.round("lat", 4).alias("y"))))
 
 
+def q_proj_tpeqd(spark, sf_dir):
+    """Late round-4 projection tail: two-point equidistant forward over
+    deterministic nation-derived points (foci (35N, 10W) and (45N, 60E)).
+    The forward is closed (spherical law of cosines + the planar two-focus
+    triangle), so the DuckDB oracle recomputes it from the same defining
+    equations, including the great-circle side sign (A x B) . P."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 17 % 340) - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 11 % 160) - 80).cast("double").alias("lat"))
+    t = PR.project_points(
+        n, "lon", "lat",
+        crs="+proj=tpeqd +lat_1=35 +lon_1=-10 +lat_2=45 +lon_2=60")
+    return t.select("n_nationkey",
+                    F.round("lon", 3).alias("x"),
+                    F.round("lat", 3).alias("y"))
+
+
 def q_proj_lcc(spark, sf_dir):
     """Full -proj surface beyond webmercator: LCC / AEA / TM forward
     projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
@@ -1554,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives) so intersection_cuts fits at #50;
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
+        "proj_tpeqd": q_proj_tpeqd,
         "repair_self": q_repair_self,
         "proj_sinu": q_proj_sinu,
         "knn_nearest": q_knn_nearest,
@@ -2425,6 +2444,56 @@ def oracle_sql() -> dict[str, str]:
                round(6378137.0 * t * (1.340264 + (-0.081106) * t * t +
                      pow(t, 6) * (0.000893 + 0.003796 * t * t)), 4)
         FROM ee
+    """
+    sqls["proj_tpeqd"] = """
+        WITH c AS (
+            SELECT radians(35.0) AS p1, radians(-10.0) AS l1,
+                   radians(45.0) AS p2, radians(60.0) AS l2
+        ), k AS (
+            SELECT p1, l1,
+                   acos(sin(p1) * sin(p2) +
+                        cos(p1) * cos(p2) * cos(l2 - l1)) AS d2,
+                   -- N = A x B, A/B the unit vectors of the two foci
+                   cos(p1) * sin(l1) * sin(p2) -
+                       sin(p1) * cos(p2) * sin(l2) AS nx,
+                   sin(p1) * cos(p2) * cos(l2) -
+                       cos(p1) * cos(l1) * sin(p2) AS ny,
+                   cos(p1) * cos(l1) * cos(p2) * sin(l2) -
+                       cos(p1) * sin(l1) * cos(p2) * cos(l2) AS nz
+            FROM c
+        ), pts AS (
+            SELECT n_nationkey,
+                   radians(CAST((n_nationkey * 17 % 340) - 170 AS DOUBLE))
+                       AS lam,
+                   radians(CAST((n_nationkey * 11 % 160) - 80 AS DOUBLE))
+                       AS phi
+            FROM nation
+        ), z AS (
+            SELECT n_nationkey, d2 / 2 AS d,
+                   acos(least(1.0, greatest(-1.0,
+                       sin(phi) * sin(p1) +
+                       cos(phi) * cos(p1) * cos(lam - l1)))) AS za,
+                   acos(least(1.0, greatest(-1.0,
+                       sin(phi) * sin(radians(45.0)) +
+                       cos(phi) * cos(radians(45.0)) *
+                       cos(lam - radians(60.0))))) AS zb,
+                   CASE WHEN cos(phi) * cos(lam) * nx +
+                             cos(phi) * sin(lam) * ny +
+                             sin(phi) * nz >= 0
+                        THEN 1.0 ELSE -1.0 END AS side
+            FROM pts, k
+        ), xy AS (
+            SELECT n_nationkey, side,
+                   (za * za - zb * zb) / (4 * d) AS xr,
+                   za, d
+            FROM z
+        )
+        SELECT n_nationkey,
+               round(6378137.0 * xr, 3) AS x,
+               round(6378137.0 * side *
+                     sqrt(greatest(za * za - (xr + d) * (xr + d), 0.0)),
+                     3) AS y
+        FROM xy
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):
