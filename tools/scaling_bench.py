@@ -178,6 +178,56 @@ STEAL_CORES_LIMIT = 0.5
 GATE_VERSION = 4
 
 
+class _CoreSpeedCanary:
+    """In-shot effective per-core speed probe (pre-registered with the
+    canary-era rows; INSTRUMENTATION ONLY — the gate and the headline
+    efficiency stay raw). A virtualized host reports a static cpu MHz,
+    yet identical 4-core shots measure 43 s and 67 s of wall with 403 vs
+    574 process-tree CPU-seconds for the SAME work — per-core effective
+    speed (turbo bins, package power limits, hypervisor timeslicing)
+    varies with how many cores the box has busy. The canary times a
+    small CACHE-RESIDENT numpy kernel (256 KB working set — no main-
+    memory bandwidth component) on one spare vCPU continuously while the
+    measured shot runs; the median per-rep time is that side's effective
+    core speed. canary-normalized efficiency (eff_raw * canary_hi /
+    canary_lo) estimates what the same pair would score at EQUAL core
+    speed — i.e. on a real cluster where N and 4N executors clock alike."""
+
+    def __init__(self):
+        import threading
+        self.times: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        import numpy as _np
+        a = _np.arange(32768, dtype=_np.float64)  # 256 KB, L2-resident
+        b = a * 1.5
+        # warm the cache before timing
+        for _ in range(20):
+            b = a * 1.000001 + b * 0.999999
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            for _ in range(40):
+                b = a * 1.000001 + b * 0.999999
+            self.times.append(time.perf_counter() - t0)
+            time.sleep(0.05)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop_median_ms(self) -> float | None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        # drop the first few reps (thread start / residual cache misses)
+        ts = sorted(self.times[3:]) if len(self.times) > 8 else \
+            sorted(self.times)
+        if not ts:
+            return None
+        return round(1000.0 * ts[len(ts) // 2], 3)
+
+
 def run_level(cores: int, images: int, repeat: int,
               quiet_load: float, quiet_wait: float) -> dict:
     import resource
@@ -186,10 +236,12 @@ def run_level(cores: int, images: int, repeat: int,
     busy0 = _system_busy_seconds()
     steal0 = _steal_seconds()
     cpu0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    canary = _CoreSpeedCanary().start()
     wall0 = time.time()
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
                          text=True, cwd=REPO, timeout=1800)
     wall = time.time() - wall0
+    canary_ms = canary.stop_median_ms()
     cpu1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     waited_cpu = (cpu1.ru_utime - cpu0.ru_utime) + (cpu1.ru_stime - cpu0.ru_stime)
     # Gate-v3 accounting: the child samples its own full process tree
@@ -212,6 +264,7 @@ def run_level(cores: int, images: int, repeat: int,
     rec["tree_cpu_secs"] = round(child_cpu, 1)
     steal_cores = (_steal_seconds() - steal0) / wall
     rec["steal_cores_avg"] = round(steal_cores, 3)
+    rec["canary_ms"] = canary_ms
     load_after = round(os.getloadavg()[0], 2)
     rec["loadavg_after"] = load_after
     # quiet means quiet THROUGHOUT: the pre-shot sample passes the gate,
@@ -233,6 +286,12 @@ def measure_pair(n: int, images: int, repeat: int,
     lo = run_level(n, images, repeat, quiet_load, quiet_wait)
     hi = run_level(4 * n, images, repeat, quiet_load, quiet_wait)
     eff = hi["images_per_sec"] / (4.0 * lo["images_per_sec"])
+    # secondary statistic: core-speed-normalized efficiency (see
+    # _CoreSpeedCanary) — what the pair would score with both sides at
+    # equal per-core speed; NOT the gate, NOT the headline
+    eff_norm = None
+    if lo.get("canary_ms") and hi.get("canary_ms"):
+        eff_norm = round(eff * hi["canary_ms"] / lo["canary_ms"], 3)
     return {
         "metric": f"scaling efficiency local[{n}] -> local[{4 * n}]",
         "images": images,
@@ -240,6 +299,7 @@ def measure_pair(n: int, images: int, repeat: int,
         "high": hi,
         "efficiency": round(eff, 3),
         "passes_0.8": eff >= 0.8,
+        "efficiency_corespeed_norm": eff_norm,
         "paired": True,
         "gated": bool(lo["ran_quiet"] and hi["ran_quiet"]),
         "gate": GATE_VERSION,
