@@ -49,7 +49,7 @@ _FLAG_WORDS = {
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
     "postprocess", "debug", "final", "bbox", "snap", "auto-snap",
     "no-quantization", "singles", "no-point-quantization", "cut-table",
-    "naive",
+    "naive", "no-topology",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -91,6 +91,7 @@ _CMD_OPTS = {
     "target": {"type"},
     "include": {"file"},
     "polygons": {"gap-tolerance"},
+    "i": {"files"},
 }
 
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
@@ -164,11 +165,22 @@ def parse_color_list(token: str) -> list[str]:
 
 
 def parse_commands(command_str: str) -> list[Command]:
-    """Command string -> list of Command (name, positional values, options)."""
+    """Command string -> list of Command (name, positional values, options).
+
+    For -i / -o the reference's space-separated option form is accepted
+    too ('-i file.shp precision 0.1 name states', options-test.js import/
+    output blocks): a bare known value-option name consumes the next
+    token as its value (an empty value in that form is an error, matching
+    the reference's whitespace-token rejection). Expression-carrying
+    commands keep bare words positional so '-each ...' text is never
+    eaten."""
     tokens = shlex.split(command_str)
     cmds: list[Command] = []
     cur: Command | None = None
-    for tok in tokens:
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
         if _CMD_RE.match(tok):
             cur = Command(tok[1:])
             cmds.append(cur)
@@ -182,6 +194,15 @@ def parse_commands(command_str: str) -> list[Command]:
             cur.options[m.group(1).replace("-", "_")] = m.group(2)
         elif tok in _FLAG_WORDS:
             cur.options[tok.replace("-", "_")] = True
+        elif cur.name in ("i", "o") and tok not in _FLAG_WORDS and \
+                (tok in _KNOWN_OPTS or tok in _CMD_OPTS.get(cur.name, ())):
+            if i >= len(tokens) or _CMD_RE.match(tokens[i]) or \
+                    not tokens[i]:
+                raise ValueError(
+                    f"-{cur.name} {tok}: missing a value for option "
+                    f"'{tok}'")
+            cur.options[tok.replace("-", "_")] = tokens[i]
+            i += 1
         else:
             cur.values.append(tok)
     return cmds
@@ -277,11 +298,16 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     delim_pending: dict[str, str] = {}  # sniffed input_delimiter per path
     auto_fid_paths: set[str] = set()
     topo_paths: set[str] = set()  # inputs whose content was a Topology
-    for path in c.values:
+    paths = list(c.values)
+    if c.opt("files"):  # '-i files=a.json,b.json' (options-test.js)
+        paths += parse_string_list(str(c.opt("files")))
+    for path in paths:
         ext = os.path.splitext(path)[1].lower()
         kind_hint = None
         if ext in (".json", ".geojson", ".topojson"):
-            with open(path) as f:
+            # utf-8-sig: the reference's readFile trims a BOM before
+            # parsing (test/encodings-test.js 'trims BOM')
+            with open(path, encoding="utf-8-sig") as f:
                 obj = json.load(f)
             if isinstance(obj, list):  # JSON array of records = table
                 import pandas as _pd

@@ -2493,6 +2493,65 @@ class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class ObliqueTransform(Projection):
+    """ob_tran (general oblique transformation): project through a
+    rotated sphere — the new north pole sits at (+o_lat_p, +o_lon_p) and
+    the inner +o_proj= runs in the rotated frame. Rotation (spherical
+    triangle about the new pole P):
+        sin phi' = sin latp sin phi + cos latp cos phi cos(lam - lonp)
+        lam'     = atan2(cos phi sin(lam - lonp),
+                         sin latp cos phi cos(lam - lonp) - cos latp sin phi)
+    and the exact inverse with (phi', lam') swapped in. Frame convention:
+    +o_lat_p=90 +o_lon_p=0 reduces to the inner projection EXACTLY (the
+    rotation is then the identity); for an oblique pole the original
+    north pole sits at lam' = +-180. Verified by the identity test, the
+    distance-preservation property of the rotation, and the
+    transverse-eqc == cassini identity."""
+
+    def __init__(self, inner: Projection, a, lat_p=90.0, lon_p=0.0,
+                 lon0=0.0, x0=0.0, y0=0.0):
+        self.inner = inner
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        self.sp = math.sin(lat_p * D2R)
+        self.cp = math.cos(lat_p * D2R)
+        self.lonp = lon_p * D2R
+
+    def _rot_fwd(self, lam, phi):
+        dl = lam - self.lonp
+        sphi = np.clip(self.sp * np.sin(phi) +
+                       self.cp * np.cos(phi) * np.cos(dl), -1.0, 1.0)
+        lam2 = np.arctan2(np.cos(phi) * np.sin(dl),
+                          self.sp * np.cos(phi) * np.cos(dl) -
+                          self.cp * np.sin(phi))
+        return lam2, np.arcsin(sphi)
+
+    def _rot_inv(self, lam2, phi2):
+        # the transpose of the forward rotation matrix
+        # [[sp, 0, -cp], [0, 1, 0], [cp, 0, sp]]
+        sphi = np.clip(self.sp * np.sin(phi2) -
+                       self.cp * np.cos(phi2) * np.cos(lam2), -1.0, 1.0)
+        lam = np.arctan2(np.cos(phi2) * np.sin(lam2),
+                         self.sp * np.cos(phi2) * np.cos(lam2) +
+                         self.cp * np.sin(phi2))
+        return lam + self.lonp, np.arcsin(sphi)
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        lam = lam - 2.0 * math.pi * np.round(lam / (2.0 * math.pi))
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        lam2, phi2 = self._rot_fwd(lam, phi)
+        x, y = self.inner.fwd(lam2 / D2R, phi2 / D2R)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        lng2, lat2 = self.inner.inv(
+            np.asarray(x, dtype=np.float64) - self.x0,
+            np.asarray(y, dtype=np.float64) - self.y0)
+        lam, phi = self._rot_inv(np.asarray(lng2) * D2R,
+                                 np.asarray(lat2) * D2R)
+        return lam / D2R + self.lon0, phi / D2R
+
+
 class TwoPointEquidistant(Projection):
     """tpeqd (two-point equidistant, spherical; Snyder WM pp. 192-194):
     distances from BOTH foci (lat_1, lon_1) and (lat_2, lon_2) are true.
@@ -3180,7 +3239,8 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "tissot", "murd1", "murd2", "murd3", "euler", "pconic",
               "vitk1", "mbtfps", "mbtfpq", "mbtfpp",
               "apian", "ortel", "bacon", "nicol", "august", "lagrng",
-              "ups", "tpers", "geos", "rpoly", "etmerc", "tpeqd", "igh")
+              "ups", "tpers", "geos", "rpoly", "etmerc", "tpeqd", "igh",
+              "ob_tran")
 
 
 def get_projection(defn: str) -> Projection:
@@ -3395,6 +3455,20 @@ def get_projection(defn: str) -> Projection:
                                  lon0=lon0, x0=x0, y0=y0)
     if name == "wag7":
         return WagnerVII(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "ob_tran":
+        if "o_proj" not in p:
+            raise ValueError("ob_tran requires +o_proj=")
+        skip = {"proj", "o_proj", "o_lat_p", "o_lon_p", "lon_0",
+                "x_0", "y_0", "datum", "ellps", "a", "b", "rf"}
+        fwd_params = " ".join(
+            f"+{k}" if v is True else f"+{k}={v}"
+            for k, v in p.items() if k not in skip)
+        inner = get_projection(
+            f"+proj={p['o_proj']} +a={a} +b={a} {fwd_params}".strip())
+        return ObliqueTransform(inner, a,
+                                lat_p=float(p.get("o_lat_p", 90.0)),
+                                lon_p=float(p.get("o_lon_p", 0.0)),
+                                lon0=lon0, x0=x0, y0=y0)
     if name == "tpeqd":
         for req in ("lat_1", "lon_1", "lat_2", "lon_2"):
             if req not in p:

@@ -251,11 +251,12 @@ def import_files(spark, paths, combine: bool = True):
         stem, ext = os.path.splitext(os.path.basename(path))
         ext = ext.lower()
         if ext in (".json", ".geojson"):
-            with open(path) as fh:
+            with open(path, encoding="utf-8-sig") as fh:
                 df = import_geojson(spark, fh.read())
         elif ext == ".topojson":
             from mapshaper_spark.sources.topojson import import_topojson
-            _arcs, df = import_topojson(spark, open(path).read())
+            _arcs, df = import_topojson(
+                spark, open(path, encoding="utf-8-sig").read())
         elif ext == ".shp":
             from mapshaper_spark.sources.shapefile import import_shapefile
             dbf = os.path.splitext(path)[0] + ".dbf"

@@ -526,7 +526,9 @@ class TestMetaCommands:
                  "urmfps": "+proj=urmfps +n=0.8",
                  "gn_sinu": "+proj=gn_sinu +m=0.5 +n=1.785",
                  "tpeqd": "+proj=tpeqd +lat_1=35 +lon_1=-10 "
-                          "+lat_2=45 +lon_2=60"}
+                          "+lat_2=45 +lon_2=60",
+                 "ob_tran": "+proj=ob_tran +o_proj=moll +o_lat_p=45 "
+                            "+o_lon_p=-90"}
         conic = "+proj={} +lat_1=30 +lat_2=50"
         for name in ("tissot", "murd1", "murd2", "murd3", "euler",
                      "pconic", "vitk1"):

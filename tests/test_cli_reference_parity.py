@@ -1258,3 +1258,93 @@ class TestClipIssuesParity:
         assert len(feats) == 2
         assert all(f["geometry"] and f["geometry"]["coordinates"]
                    for f in feats)
+
+
+class TestOptionParsingParity:
+    """Transcribed from the reference's options-test.js import/output
+    blocks: space-separated option values on -i/-o, files=, flag
+    spellings, and whitespace-value rejection."""
+
+    def test_space_separated_values(self):
+        from mapshaper_spark.cli import parse_commands
+        c = parse_commands("-i no-topology x.shp auto-snap precision 0.1")[0]
+        assert c.values == ["x.shp"]
+        assert c.flag("no-topology") and c.flag("auto-snap")
+        assert c.opt("precision") == "0.1"
+        c = parse_commands("-i f.shp snap-interval 1ft")[0]
+        assert c.opt("snap-interval") == "1ft"
+        c = parse_commands("file.shp name 'a b'")[0]
+        assert c.name == "i" and c.values == ["file.shp"]
+        assert c.opt("name") == "a b"
+
+    def test_files_option(self):
+        from mapshaper_spark.cli import parse_commands
+        c = parse_commands("-i files=states.json,counties.json")[0]
+        assert c.opt("files") == "states.json,counties.json"
+        assert c.values == []
+
+    def test_name_equals_forms(self):
+        from mapshaper_spark.cli import parse_commands
+        c = parse_commands("file.shp name=states")[0]
+        assert c.opt("name") == "states"
+        c = parse_commands("file.shp name=''")[0]
+        assert c.opt("name") == ""
+        c = parse_commands("file.shp name='a b'")[0]
+        assert c.opt("name") == "a b"
+
+    def test_missing_space_value_raises(self):
+        import pytest as _pt
+        from mapshaper_spark.cli import parse_commands
+        with _pt.raises(ValueError):
+            parse_commands("-i precision")  # options-test.js bad()
+        with _pt.raises(ValueError):
+            parse_commands("-i precision -o out.json")
+
+    def test_o_space_values_and_flags(self):
+        from mapshaper_spark.cli import parse_commands
+        c = parse_commands("-o output.shp target points")[0]
+        assert c.values == ["output.shp"] and c.opt("target") == "points"
+        c = parse_commands("-o quantization 10000")[0]
+        assert c.opt("quantization") == "10000"
+        # bare 'bbox' stays a FLAG on -o (never eats the next token)
+        c = parse_commands("-o bbox out.json")[0]
+        assert c.flag("bbox") and c.values == ["out.json"]
+
+    def test_expression_commands_not_eaten(self):
+        from mapshaper_spark.cli import parse_commands
+        # '-each' keeps bare words positional (the expression itself)
+        c = parse_commands("-each 'precision = 3'")[0]
+        assert c.values == ["precision = 3"]
+        assert c.opt("precision") is None
+
+    def test_files_option_imports_both(self, spark, tmp_path):
+        import json as _json
+
+        from mapshaper_spark.cli import run_commands
+        for nm in ("a", "b"):
+            fc = {"type": "FeatureCollection", "features": [
+                {"type": "Feature", "properties": {"src": nm},
+                 "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}]}
+            (tmp_path / f"{nm}.json").write_text(_json.dumps(fc))
+        cat = run_commands(
+            spark, f"-i combine-files files={tmp_path}/a.json,"
+                   f"{tmp_path}/b.json")
+        assert len(cat.order) == 2
+
+
+class TestBomTolerantImport:
+    """The reference trims a UTF-8 BOM before parsing any text input
+    (mapshaper-encodings.js readFile; encodings-test.js 'trims BOM');
+    python's json module rejects a BOM, so imports go through utf-8-sig."""
+
+    def test_geojson_with_bom(self, spark, tmp_path):
+        import json as _json
+
+        from mapshaper_spark.cli import run_commands
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"name": "x"},
+             "geometry": {"type": "Point", "coordinates": [3.0, 4.0]}}]}
+        p = tmp_path / "bom.json"
+        p.write_bytes(b"\xef\xbb\xbf" + _json.dumps(fc).encode())
+        cat = run_commands(spark, f"-i {p}")
+        assert cat.df().count() == 1

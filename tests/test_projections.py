@@ -1612,3 +1612,90 @@ class TestTpeqdIgh:
                 (h * h * (math.pi / 180.0) ** 2)
             assert abs(J / (R * R * math.cos(math.radians(phi0)))
                        - 1.0) < 1e-3, (lam0, phi0)
+
+
+class TestObTran:
+    """ob_tran — general oblique transformation. The rotation is pinned
+    by three independent properties: it preserves spherical distances,
+    the geographic-pole case is the identity, and eqc through a pole on
+    the equator reproduces Cassini exactly."""
+
+    @pytest.mark.parametrize("defn", [
+        "+proj=ob_tran +o_proj=moll +o_lat_p=45 +o_lon_p=-90 +lon_0=10",
+        "+proj=ob_tran +o_proj=eqc +o_lat_p=0 +o_lon_p=90",
+        "+proj=ob_tran +o_proj=merc +o_lat_p=30 +o_lon_p=120",
+    ])
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-84, 84, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        dl = (lg2 - lg + 180.0) % 360.0 - 180.0
+        assert np.abs(dl).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    def test_identity_pole_reduces_to_inner(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        a = get_projection("+proj=ob_tran +o_proj=moll +o_lat_p=90 "
+                           "+o_lon_p=0")
+        b = get_projection("moll")
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 12),
+                             np.linspace(-80, 80, 9))
+        lg, lt = LG.ravel(), LT.ravel()
+        xa, ya = a.fwd(lg, lt)
+        xb, yb = b.fwd(lg, lt)
+        assert np.abs(xa - xb).max() < 1e-6
+        assert np.abs(ya - yb).max() < 1e-6
+
+    def test_rotation_preserves_distances(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=ob_tran +o_proj=moll +o_lat_p=37 "
+                           "+o_lon_p=55")
+        rng = [(10.0, 20.0), (-60.0, -35.0), (120.0, 70.0), (-150.0, 5.0)]
+
+        def ang(l1, p1, l2, p2):
+            import math
+            return math.acos(max(-1.0, min(1.0,
+                math.sin(p1) * math.sin(p2) +
+                math.cos(p1) * math.cos(p2) * math.cos(l2 - l1))))
+
+        import math
+        for (g1, t1), (g2, t2) in zip(rng, rng[1:]):
+            l2a, p2a = p._rot_fwd(np.radians(np.array([g1, g2])),
+                                  np.radians(np.array([t1, t2])))
+            d0 = ang(math.radians(g1), math.radians(t1),
+                     math.radians(g2), math.radians(t2))
+            d1 = ang(float(l2a[0]), float(p2a[0]),
+                     float(l2a[1]), float(p2a[1]))
+            assert abs(d0 - d1) < 1e-12
+
+    def test_transverse_eqc_is_cassini(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        ot = get_projection("+proj=ob_tran +o_proj=eqc +o_lat_p=0 "
+                            "+o_lon_p=90")
+        cass = get_projection("cass")
+        LG, LT = np.meshgrid(np.linspace(-75, 75, 11),
+                             np.linspace(-75, 75, 11))
+        lg, lt = LG.ravel(), LT.ravel()
+        l2, p2 = ot._rot_fwd(np.radians(lg), np.radians(lt))
+        xc, yc = cass.fwd(lg, lt)
+        assert np.abs(xc / R - p2).max() < 1e-12
+        lamw = -(l2 + math.pi / 2)
+        lamw = (lamw + math.pi) % (2.0 * math.pi) - math.pi
+        assert np.abs(yc / R - lamw).max() < 1e-12
+
+    def test_requires_o_proj(self):
+        import pytest as _pt
+        from mapshaper_spark.geom.projections import get_projection
+        with _pt.raises(ValueError):
+            get_projection("+proj=ob_tran +o_lat_p=45")
