@@ -2493,6 +2493,283 @@ class McBrydeThomasFlatPolarParabolic(_SimplePseudoCylindrical):
         return lam, phi
 
 
+class _Eck3Family(_SimplePseudoCylindrical):
+    """Shared frame for the Eckert-III-like pseudocylindricals the
+    reference reaches via mproj's pj_eck3_init (putp1 among them):
+        x = C_x lam (A + sqrt(1 - B phi^2)),  y = C_y phi
+    with closed inverse (phi = y / C_y)."""
+
+    C_x = C_y = 1.0
+    A = 0.0
+    B = 0.0
+
+    def _fwd(self, lam, phi):
+        s = np.sqrt(np.clip(1.0 - self.B * phi * phi, 0.0, None))
+        return self.C_x * lam * (self.A + s), self.C_y * phi
+
+    def _inv(self, x, y):
+        phi = y / self.C_y
+        s = np.sqrt(np.clip(1.0 - self.B * phi * phi, 0.0, None))
+        return x / (self.C_x * (self.A + s)), phi
+
+
+class PutninsP1(_Eck3Family):
+    """putp1 (Putnins P1; mproj pj_putp1 via the eck3 frame):
+    C_x = 1.89490, C_y = 0.94745 = C_x/2, A = -0.5,
+    B = 0.30396355092701331433 = (4 - sqrt(12)) / (pi^2 ... ) — the
+    published PROJ constant; x spans +-~pi at the equator."""
+
+    C_x, C_y = 1.89490, 0.94745
+    A, B = -0.5, 0.30396355092701331433
+
+
+class PutninsP3(_SimplePseudoCylindrical):
+    """putp3 / putp3p (Putnins P3 and P3'; mproj pj_putp3):
+        x = C lam (1 - A phi^2),  y = C phi
+    with C = sqrt(2/pi) = 0.79788456 and A = (4 or 2) / pi^2 —
+    4/pi^2 for putp3, halved for the prime variant."""
+
+    C = 0.79788456
+    RPISQ = 0.1013211836  # 1 / pi^2
+
+    def __init__(self, a, prime=False, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.A = (2.0 if prime else 4.0) * self.RPISQ
+
+    def _fwd(self, lam, phi):
+        return self.C * lam * (1.0 - self.A * phi * phi), self.C * phi
+
+    def _inv(self, x, y):
+        phi = y / self.C
+        return x / (self.C * (1.0 - self.A * phi * phi)), phi
+
+
+class PutninsP4P(_SimplePseudoCylindrical):
+    """putp4p / weren (Putnins P4' and Werenskiold I; mproj pj_putp4p):
+        phi' = asin(0.883883476 sin phi)
+        x = C_x lam cos phi' / cos(phi'/3),  y = C_y sin(phi'/3)
+    putp4p: C_x = 0.874038744, C_y = 3.883251825 (equal-area);
+    weren:  C_x = 1,           C_y = 4.442882938 (same graticule,
+    rescaled). Closed inverse (the reference's s_inv)."""
+
+    K = 0.883883476
+
+    def __init__(self, a, c_x, c_y, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.C_x, self.C_y = c_x, c_y
+
+    def _fwd(self, lam, phi):
+        ph = np.arcsin(np.clip(self.K * np.sin(phi), -1.0, 1.0))
+        x = self.C_x * lam * np.cos(ph) / np.cos(ph / 3.0)
+        return x, self.C_y * np.sin(ph / 3.0)
+
+    def _inv(self, x, y):
+        t = np.arcsin(np.clip(y / self.C_y, -1.0, 1.0))
+        lam = x * np.cos(t) / self.C_x
+        ph = 3.0 * t
+        lam = lam / np.cos(ph)
+        phi = np.arcsin(np.clip(np.sin(ph) / self.K, -1.0, 1.0))
+        return lam, phi
+
+
+class PutninsP5(_SimplePseudoCylindrical):
+    """putp5 / putp5p (Putnins P5 and P5'; mproj pj_putp5):
+        x = C lam (A - B sqrt(1 + D phi^2)),  y = C phi
+    C = 1.01346, D = 1.2158542; A,B = 2,1 (P5) or 1.5,0.5 (P5')."""
+
+    C, D = 1.01346, 1.2158542
+
+    def __init__(self, a, prime=False, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.A, self.B = (1.5, 0.5) if prime else (2.0, 1.0)
+
+    def _fwd(self, lam, phi):
+        s = np.sqrt(1.0 + self.D * phi * phi)
+        return self.C * lam * (self.A - self.B * s), self.C * phi
+
+    def _inv(self, x, y):
+        phi = y / self.C
+        s = np.sqrt(1.0 + self.D * phi * phi)
+        return x / (self.C * (self.A - self.B * s)), phi
+
+
+class PutninsP6(_SimplePseudoCylindrical):
+    """putp6 / putp6p (Putnins P6 and P6'; mproj pj_putp6): theta solves
+        (A - r) theta - ln(theta + r) = B sin phi,  r = sqrt(1 + theta^2)
+    by Newton from theta0 = 1.10265779 phi (derivative A - 2r); then
+        x = C_x lam (D - r),  y = C_y theta.
+    P6: C_x 1.01346, C_y 0.91910, A 4, B 2.1471437182129378784, D 2;
+    P6': C_x 0.44329, C_y 0.80404, A 6, B 5.61125, D 3."""
+
+    CON_POLE = 1.732050807568877
+
+    def __init__(self, a, prime=False, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        if prime:
+            self.C_x, self.C_y, self.A, self.B, self.D = \
+                0.44329, 0.80404, 6.0, 5.61125, 3.0
+        else:
+            self.C_x, self.C_y, self.A, self.B, self.D = \
+                1.01346, 0.91910, 4.0, 2.1471437182129378784, 2.0
+
+    def _theta(self, phi):
+        p = self.B * np.sin(phi)
+        th = 1.10265779 * np.asarray(phi, dtype=np.float64)
+        ok = np.zeros_like(th, dtype=bool)
+        for _ in range(10):
+            r = np.sqrt(1.0 + th * th)
+            v = ((self.A - r) * th - np.log(th + r) - p) / (self.A - 2.0 * r)
+            th = th - v
+            ok = ok | (np.abs(v) < 1e-10)
+            if np.all(ok):
+                break
+        # non-converged points are pinned at the pole, like the reference
+        return np.where(ok, th, np.where(p < 0, -self.CON_POLE,
+                                         self.CON_POLE))
+
+    def _fwd(self, lam, phi):
+        th = self._theta(phi)
+        r = np.sqrt(1.0 + th * th)
+        return self.C_x * lam * (self.D - r), self.C_y * th
+
+    def _inv(self, x, y):
+        th = y / self.C_y
+        r = np.sqrt(1.0 + th * th)
+        lam = x / (self.C_x * (self.D - r))
+        phi = np.arcsin(np.clip(
+            ((self.A - r) * th - np.log(th + r)) / self.B, -1.0, 1.0))
+        return lam, phi
+
+
+class UrmaevV(_SimplePseudoCylindrical):
+    """urm5 (Urmaev V; mproj pj_urm5 — forward only, like the reference):
+    requires n (0 < n <= 1), q and alpha parameters;
+        phi' = asin(n sin phi),  m = cos(alpha)/sqrt(1 - n^2 sin^2 alpha)
+        x = m lam cos phi',  y = phi' (1 + phi'^2 q/3) / (m n)."""
+
+    has_inverse = False
+
+    def __init__(self, a, n, q, alpha, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        if not 0.0 < n <= 1.0:
+            raise ValueError("urm5 requires 0 < n <= 1")
+        self.n, self.q3 = n, q / 3.0
+        t = n * math.sin(alpha)
+        self.m = math.cos(alpha) / math.sqrt(1.0 - t * t)
+        self.rmn = 1.0 / (self.m * self.n)
+
+    def _fwd(self, lam, phi):
+        ph = np.arcsin(np.clip(self.n * np.sin(phi), -1.0, 1.0))
+        x = self.m * lam * np.cos(ph)
+        y = ph * (1.0 + ph * ph * self.q3) * self.rmn
+        return x, y
+
+
+class WinkelII(_SimplePseudoCylindrical):
+    """wink2 (Winkel II; mproj pj_wink2 — forward only): the x-average of
+    equirectangular(lat_1) and a Mollweide-like ordinate; theta solves
+    theta + sin theta = pi sin phi by Newton from 1.8 phi, halved."""
+
+    has_inverse = False
+
+    def __init__(self, a, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.cosphi1 = math.cos(lat1 * D2R)
+
+    def _fwd(self, lam, phi):
+        y0 = phi * (2.0 / math.pi)
+        k = math.pi * np.sin(phi)
+        th = 1.8 * np.asarray(phi, dtype=np.float64)
+        ok = np.zeros_like(th, dtype=bool)
+        for _ in range(10):
+            v = (th + np.sin(th) - k) / (1.0 + np.cos(th))
+            th = th - v
+            ok = ok | (np.abs(v) < 1e-7)
+            if np.all(ok):
+                break
+        th = np.where(ok, 0.5 * th,
+                      np.where(th < 0, -HALFPI, HALFPI))
+        x = 0.5 * lam * (np.cos(th) + self.cosphi1)
+        y = (math.pi / 4.0) * (np.sin(th) + y0)
+        return x, y
+
+
+class Denoyer(_SimplePseudoCylindrical):
+    """denoy (Denoyer semi-elliptical; mproj pj_denoy — forward only):
+        x = lam cos((C0 + |lam|(C1 + lam^2 C3)) phi (D1 + D5 phi^4))
+        y = phi."""
+
+    has_inverse = False
+    C0, C1, C3 = 0.95, -1.0 / 12.0, 1.0 / 600.0
+    D1, D5 = 0.9, 0.03
+
+    def _fwd(self, lam, phi):
+        al = np.abs(lam)
+        scale = ((self.C0 + al * (self.C1 + al * al * self.C3)) *
+                 (phi * (self.D1 + self.D5 * phi ** 4)))
+        return lam * np.cos(scale), phi
+
+
+class NaturalEarth2(_SimplePseudoCylindrical):
+    """natearth2 (Natural Earth II; mproj pj_natearth2, Savric & Jenny
+    polynomial): x = lam (A0 + A1 p2 + p12 (A2 + A3 p2 + A4 p4 + A5 p6)),
+    y = phi (B0 + p8 (B1 + B2 p2 + B3 p4)); inverse by Newton on y."""
+
+    A = (0.84719, -0.13063, -0.04515, 0.05494, -0.02326, 0.00331)
+    B = (1.01183, -0.02625, 0.01926, -0.00396)
+    MAX_Y = 0.84719 * 0.535117535153096 * math.pi
+
+    def _xscale(self, phi2, phi4, phi6):
+        A0, A1, A2, A3, A4, A5 = self.A
+        return (A0 + A1 * phi2 +
+                phi6 * phi6 * (A2 + A3 * phi2 + A4 * phi4 + A5 * phi6))
+
+    def _fwd(self, lam, phi):
+        p2 = phi * phi
+        p4 = p2 * p2
+        p6 = p2 * p4
+        B0, B1, B2, B3 = self.B
+        y = phi * (B0 + p4 * p4 * (B1 + B2 * p2 + B3 * p4))
+        return lam * self._xscale(p2, p4, p6), y
+
+    def _inv(self, x, y):
+        B0, B1, B2, B3 = self.B
+        C0, C1, C2, C3 = B0, 9.0 * B1, 11.0 * B2, 13.0 * B3
+        y = np.clip(y, -self.MAX_Y, self.MAX_Y)
+        yc = np.asarray(y, dtype=np.float64).copy()
+        for _ in range(30):
+            y2 = yc * yc
+            y4 = y2 * y2
+            f = yc * (B0 + y4 * y4 * (B1 + B2 * y2 + B3 * y4)) - y
+            fder = C0 + y4 * y4 * (C1 + C2 * y2 + C3 * y4)
+            tol = f / fder
+            yc = yc - tol
+            if np.all(np.abs(tol) < 1e-11):
+                break
+        p2 = yc * yc
+        p4 = p2 * p2
+        p6 = p2 * p4
+        return x / self._xscale(p2, p4, p6), yc
+
+
+class Geocentric(Projection):
+    """geocent (mproj pj_geocent): in the reference's 2D pipeline the
+    forward/inverse are the identity on (lam, phi) radians — the
+    is_geocent flag only matters for 3D datum shifts it never performs —
+    so projected coordinates come out as a*lam, a*phi."""
+
+    def __init__(self, a=6378137.0, x0=0.0, y0=0.0):
+        self.a, self.x0, self.y0 = a, x0, y0
+
+    def fwd(self, lng, lat):
+        return (np.asarray(lng, dtype=np.float64) * D2R * self.a + self.x0,
+                np.asarray(lat, dtype=np.float64) * D2R * self.a + self.y0)
+
+    def inv(self, x, y):
+        return ((np.asarray(x, dtype=np.float64) - self.x0) / self.a / D2R,
+                (np.asarray(y, dtype=np.float64) - self.y0) / self.a / D2R)
+
+
 class ObliqueTransform(Projection):
     """ob_tran (general oblique transformation): project through a
     rotated sphere — the new north pole sits at (+o_lat_p, +o_lon_p) and
@@ -3240,7 +3517,11 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "vitk1", "mbtfps", "mbtfpq", "mbtfpp",
               "apian", "ortel", "bacon", "nicol", "august", "lagrng",
               "ups", "tpers", "geos", "rpoly", "etmerc", "tpeqd", "igh",
-              "ob_tran")
+              "ob_tran",
+              "latlon", "latlong", "lonlat", "geocent",
+              "putp1", "putp3", "putp3p", "putp4p", "weren", "putp5",
+              "putp5p", "putp6", "putp6p", "urm5", "wink2", "denoy",
+              "natearth2", "mbt_fps", "mbt_fpq", "mbt_fpp")
 
 
 def get_projection(defn: str) -> Projection:
@@ -3270,7 +3551,7 @@ def get_projection(defn: str) -> Projection:
     x0 = float(p.get("x_0", 0.0))
     y0 = float(p.get("y_0", 0.0))
     k0 = float(p.get("k_0", p.get("k", 1.0)))
-    if name in ("longlat", "latlong", "lonlat"):
+    if name in ("longlat", "latlong", "lonlat", "latlon"):
         return LongLat()
     if name == "merc":
         if "lat_ts" in p and "k_0" not in p and "k" not in p:
@@ -3511,12 +3792,45 @@ def get_projection(defn: str) -> Projection:
         return Lagrange(a, W=float(p.get("W", 2.0)),
                         lat1=float(p.get("lat_1", 0.0)),
                         lon0=lon0, x0=x0, y0=y0)
-    if name == "mbtfps":
+    if name in ("mbtfps", "mbt_fps"):
+        # the reference's bundled mproj registers this family under the
+        # underscore spellings (pj_add 'mbt_fps' etc.); same constants
         return McBrydeThomasFlatPolarSine2(a, lon0=lon0, x0=x0, y0=y0)
-    if name == "mbtfpq":
+    if name in ("mbtfpq", "mbt_fpq"):
         return McBrydeThomasFlatPolarQuartic(a, lon0=lon0, x0=x0, y0=y0)
-    if name == "mbtfpp":
+    if name in ("mbtfpp", "mbt_fpp"):
         return McBrydeThomasFlatPolarParabolic(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "putp1":
+        return PutninsP1(a, lon0=lon0, x0=x0, y0=y0)
+    if name in ("putp3", "putp3p"):
+        return PutninsP3(a, prime=name.endswith("p"), lon0=lon0,
+                         x0=x0, y0=y0)
+    if name == "putp4p":
+        return PutninsP4P(a, 0.874038744, 3.883251825, lon0=lon0,
+                          x0=x0, y0=y0)
+    if name == "weren":
+        return PutninsP4P(a, 1.0, 4.442882938, lon0=lon0, x0=x0, y0=y0)
+    if name in ("putp5", "putp5p"):
+        return PutninsP5(a, prime=name.endswith("p"), lon0=lon0,
+                         x0=x0, y0=y0)
+    if name in ("putp6", "putp6p"):
+        return PutninsP6(a, prime=name.endswith("p"), lon0=lon0,
+                         x0=x0, y0=y0)
+    if name == "urm5":
+        if "n" not in p:
+            raise ValueError("urm5 requires +n=")
+        return UrmaevV(a, n=float(p["n"]), q=float(p.get("q", 0.0)),
+                       alpha=float(p.get("alpha", 0.0)) * D2R,
+                       lon0=lon0, x0=x0, y0=y0)
+    if name == "wink2":
+        return WinkelII(a, lat1=float(p.get("lat_1", 0.0)), lon0=lon0,
+                        x0=x0, y0=y0)
+    if name == "denoy":
+        return Denoyer(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "natearth2":
+        return NaturalEarth2(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "geocent":
+        return Geocentric(a, x0=x0, y0=y0)
     if name in ("tissot", "murd1", "murd2", "murd3", "euler", "pconic",
                 "vitk1"):
         if "lat_1" not in p or "lat_2" not in p:

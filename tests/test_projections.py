@@ -1699,3 +1699,156 @@ class TestObTran:
         from mapshaper_spark.geom.projections import get_projection
         with _pt.raises(ValueError):
             get_projection("+proj=ob_tran +o_lat_p=45")
+
+
+class TestPutninsUrmaevMiscTail:
+    """Round-4 fourth tail wave — the remaining mproj pj_list names the
+    reference bundles (www/modules.js pj_add entries): the Putnins series
+    (putp1/3/3p/4p/5/5p/6/6p + weren), urm5, wink2, denoy, natearth2,
+    the longlat/geocent aliases, and the underscore spellings of the
+    McBryde-Thomas flat-polar family."""
+
+    INVERTIBLE = ["putp1", "putp3", "putp3p", "putp4p", "weren", "putp5",
+                  "putp5p", "putp6", "putp6p", "natearth2",
+                  "mbt_fps", "mbt_fpq", "mbt_fpp",
+                  "+proj=putp4p +lon_0=40", "+proj=putp6 +x_0=100 +y_0=-7"]
+
+    @pytest.mark.parametrize("defn", INVERTIBLE)
+    def test_roundtrip(self, defn):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(defn)
+        LG, LT = np.meshgrid(np.linspace(-170, 170, 23),
+                             np.linspace(-85, 85, 19))
+        lg, lt = LG.ravel(), LT.ravel()
+        x, y = p.fwd(lg, lt)
+        lg2, lt2 = p.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-6, defn
+        assert np.abs(lt2 - lt).max() < 1e-6, defn
+
+    @pytest.mark.parametrize("name", ["putp4p", "weren", "putp6", "putp6p"])
+    def test_equal_area_property(self, name):
+        # putp4p/putp6/putp6p hold a UNIT area Jacobian; weren is
+        # Werenskiold I = putp4p rescaled by C_y 4.442882938/3.883251825
+        # with C_x 1/0.874038744, so its Jacobian is the constant product
+        # of those two factors — equal-area up to uniform scale.
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection(name)
+        expect = 1.0
+        if name == "weren":
+            expect = (1.0 / 0.874038744) * (4.442882938 / 3.883251825)
+        R, h = 6378137.0, 1e-5
+        for lam0, phi0 in [(-120, -60), (0, 0), (45, 40), (140, 80)]:
+            x0, y0 = p.fwd(np.array([lam0]), np.array([phi0]))
+            x1, y1 = p.fwd(np.array([lam0 + h]), np.array([phi0]))
+            x2, y2 = p.fwd(np.array([lam0]), np.array([phi0 + h]))
+            J = abs(float((x1 - x0)[0] * (y2 - y0)[0] -
+                          (x2 - x0)[0] * (y1 - y0)[0])) / \
+                (h * h * (math.pi / 180.0) ** 2)
+            assert abs(J / (R * R * math.cos(math.radians(phi0)))
+                       - expect) < 5e-4 * expect, (name, lam0, phi0)
+
+    def test_putp3_parabolas_and_prime_half_pole_shrink(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        # putp3: meridian x shrinks quadratically in phi; at the pole the
+        # parallel is 1 - 4/pi^2 (pi/2)^2 = 0 of the equator => pointed.
+        p = get_projection("putp3")
+        xe, _ = p.fwd(np.array([180.0]), np.array([0.0]))
+        xp, _ = p.fwd(np.array([180.0]), np.array([90.0]))
+        assert abs(float(xp[0])) < 2e-3 * R
+        # putp3p (prime): pole line is HALF the equator (A halved)
+        pp = get_projection("putp3p")
+        xp2, _ = pp.fwd(np.array([180.0]), np.array([90.0]))
+        xe2, _ = pp.fwd(np.array([180.0]), np.array([0.0]))
+        assert abs(float(xp2[0]) / float(xe2[0]) - 0.5) < 1e-3
+
+    def test_putp1_pole_line(self):
+        # putp1 pole: sqrt(1 - B (pi/2)^2) = 0.5 exactly with the
+        # published B, so x_pole = C_x lam (A + 0.5) = 0 — pointed pole?
+        # No: A = -0.5 makes x_pole = 0; the published B is picked so the
+        # POLE collapses and the map is pointed-polar.
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        B = 0.30396355092701331433
+        s = math.sqrt(1 - B * (math.pi / 2) ** 2)
+        assert abs(s - 0.5) < 1e-12  # the constant's defining identity
+        p = get_projection("putp1")
+        x, _ = p.fwd(np.array([180.0]), np.array([90.0]))
+        assert abs(float(x[0])) < 1e-6 * 6378137.0
+
+    def test_forward_only_members(self):
+        import numpy as np
+        import pytest as _pt
+        from mapshaper_spark.geom.projections import get_projection
+        for defn in ["+proj=urm5 +n=0.8 +q=0.414524 +alpha=0",
+                     "+proj=wink2 +lat_1=50.467", "denoy"]:
+            p = get_projection(defn)
+            assert not p.has_inverse
+            x, y = p.fwd(np.array([45.0]), np.array([20.0]))
+            assert np.isfinite(float(x[0])) and np.isfinite(float(y[0]))
+        with _pt.raises(ValueError):
+            get_projection("+proj=urm5 +q=0.4")  # n required
+        with _pt.raises(ValueError):
+            get_projection("+proj=urm5 +n=1.5 +q=0.4")  # 0 < n <= 1
+
+    def test_wink2_is_mean_of_eqc_and_mollweide_like_x(self):
+        # x = (lam/2)(cos theta + cos phi_1): at the equator theta = 0 so
+        # x = (lam/2)(1 + cos phi_1); y = (pi/4)(sin theta + 2 phi/pi)
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection("+proj=wink2 +lat_1=60")
+        x, y = p.fwd(np.array([90.0]), np.array([0.0]))
+        lam = math.pi / 2
+        assert abs(float(x[0]) / R - 0.5 * lam * (1 + 0.5)) < 1e-9
+        assert abs(float(y[0])) < 1e-9
+
+    def test_denoy_equator_and_meridian_straightness(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("denoy")
+        # equator: x = lam exactly (cos(0) = 1), y = 0
+        x, y = p.fwd(np.array([120.0]), np.array([0.0]))
+        assert abs(float(x[0]) / 6378137.0 - np.radians(120.0)) < 1e-12
+        assert float(y[0]) == 0.0
+        # y = phi always (parallels are horizontal lines)
+        _, y2 = p.fwd(np.array([-170.0, 0.0, 170.0]),
+                      np.array([40.0, 40.0, 40.0]))
+        assert np.ptp(y2) < 1e-9
+
+    def test_natearth2_matches_published_shape(self):
+        import math
+
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        R = 6378137.0
+        p = get_projection("natearth2")
+        # equator scale: x = A0 lam
+        x, _ = p.fwd(np.array([180.0]), np.array([0.0]))
+        assert abs(float(x[0]) / R - 0.84719 * math.pi) < 1e-9
+        # pole: y = MAX_Y = A0 * 0.535117535153096 * pi (published ratio)
+        _, y = p.fwd(np.array([0.0]), np.array([90.0]))
+        assert abs(float(y[0]) / R - 0.84719 * 0.535117535153096 * math.pi) \
+            < 1e-4
+
+    def test_longlat_alias_spellings_and_geocent(self):
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        for alias in ["latlon", "latlong", "lonlat"]:
+            p = get_projection(alias)
+            assert p.is_latlong
+        g = get_projection("geocent")
+        x, y = g.fwd(np.array([90.0]), np.array([45.0]))
+        # identity on radians scaled by a (the reference's 2D behavior)
+        assert abs(float(x[0]) - 6378137.0 * np.pi / 2) < 1e-6
+        lg, lt = g.inv(x, y)
+        assert abs(float(lg[0]) - 90.0) < 1e-12
