@@ -205,7 +205,14 @@ class AlbersEqualArea(Projection):
         xp = np.asarray(x, dtype=np.float64) - self.x0
         yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
         rho = np.hypot(xp, yp)
-        theta = np.arctan2(xp, yp)
+        if self.n < 0:
+            # southern cone: rho is negative in the forward, so the polar
+            # angle comes from the reflected point (Snyder p. 101 note:
+            # "if n is negative, reverse the signs of x, y and rho0")
+            rho = -rho
+            theta = np.arctan2(-xp, -yp)
+        else:
+            theta = np.arctan2(xp, yp)
         q = (self.C - (rho * self.n / self.a) ** 2) / self.n
         if self.es == 0.0:
             phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
@@ -2752,6 +2759,945 @@ class NaturalEarth2(_SimplePseudoCylindrical):
         return x / self._xscale(p2, p4, p6), yc
 
 
+class Airy(_SimplePseudoCylindrical):
+    """airy (Airy minimum-error azimuthal; mproj pj_airy — forward only):
+    K_rho = -ln((1+cos z)/2)/(1-cos z) - C_b (1+cos z)/2 with
+    C_b from lat_b (beta = (pi/2 - lat_b)/2; C_b = ln(cos beta)/tan^2 beta,
+    or -1/2 when beta ~ 0); polar/equatorial/oblique aspects like the
+    azimuthal family. Points past the horizon raise unless +no_cut."""
+
+    has_inverse = False
+
+    def __init__(self, a, lat0=0.0, lat_b=90.0, no_cut=False,
+                 lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.no_cut = no_cut
+        beta = 0.5 * (HALFPI - lat_b * D2R)
+        if abs(beta) < 1e-10:
+            self.Cb = -0.5
+        else:
+            t = 1.0 / math.tan(beta)
+            self.Cb = t * t * math.log(math.cos(beta))
+        phi0 = lat0 * D2R
+        if abs(abs(phi0) - HALFPI) < 1e-10:
+            self.mode = "s_pole" if phi0 < 0 else "n_pole"
+        elif abs(phi0) < 1e-10:
+            self.mode = "equit"
+        else:
+            self.mode = "obliq"
+            self.sinph0, self.cosph0 = math.sin(phi0), math.cos(phi0)
+
+    def _fwd(self, lam, phi):
+        EPS = 1e-10
+        sinlam, coslam = np.sin(lam), np.cos(lam)
+        if self.mode in ("equit", "obliq"):
+            sinphi, cosphi = np.sin(phi), np.cos(phi)
+            cosz = cosphi * coslam
+            if self.mode == "obliq":
+                cosz = self.sinph0 * sinphi + self.cosph0 * cosz
+            if not self.no_cut and np.any(cosz < -EPS):
+                raise ValueError("airy: point past the horizon (+no_cut "
+                                 "to allow)")
+            s = 1.0 - cosz
+            t = 0.5 * (1.0 + cosz)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                krho = np.where(np.abs(s) > EPS,
+                                -np.log(t) / np.where(s == 0, 1.0, s)
+                                - self.Cb / np.where(t == 0, 1.0, t),
+                                0.5 - self.Cb)
+            x = krho * cosphi * sinlam
+            if self.mode == "obliq":
+                y = krho * (self.cosph0 * sinphi -
+                            self.sinph0 * cosphi * coslam)
+            else:
+                y = krho * sinphi
+            return x, y
+        # polar aspects
+        ph = np.abs((HALFPI if self.mode == "n_pole" else -HALFPI) - phi)
+        if not self.no_cut and np.any(ph - EPS > HALFPI):
+            raise ValueError("airy: point past the horizon (+no_cut to "
+                             "allow)")
+        half = 0.5 * ph
+        t = np.tan(half)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            krho = np.where(half > EPS,
+                            -2.0 * (np.log(np.cos(half)) /
+                                    np.where(t == 0, 1.0, t)
+                                    + t * self.Cb),
+                            0.0)
+        x = krho * sinlam
+        y = krho * coslam
+        if self.mode == "n_pole":
+            y = -y
+        return x, y
+
+
+class Gilbert(Projection):
+    """gilbert (Gilbert two-world globe; mproj pj_gilbert — forward only,
+    spherical): phi' = asin(tan(phi/2)), lam' = lam/2, then orthographic
+    onto the hemisphere centred at (0, lat_1')."""
+
+    has_inverse = False
+
+    def __init__(self, a, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        p1 = math.asin(max(-1.0, min(1.0, math.tan(0.5 * lat1 * D2R))))
+        self.sp1, self.cp1 = math.sin(p1), math.cos(p1)
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R * 0.5
+        phi = np.arcsin(np.clip(
+            np.tan(0.5 * np.asarray(lat, dtype=np.float64) * D2R),
+            -1.0, 1.0))
+        sp, cp = np.sin(phi), np.cos(phi)
+        cl = np.cos(lam)
+        if np.any(self.sp1 * sp + self.cp1 * cp * cl < 0):
+            raise ValueError("gilbert: point on the far hemisphere")
+        x = cp * np.sin(lam)
+        y = self.cp1 * sp - self.sp1 * cp * cl
+        return self.a * x + self.x0, self.a * y + self.y0
+
+
+class VanDerGrinten2(_SimplePseudoCylindrical):
+    """vandg2 / vandg3 (Van der Grinten II and III; mproj pj_vandg2 —
+    forward only): circular-arc constructions on the vandg frame,
+        b = |2 phi / pi|, c = sqrt(1 - b^2), A = |pi/lam - lam/pi| / 2;
+    II: x1 = (c sqrt(1+A^2) - A c^2)/(1 + A^2 b^2), y = sqrt(1 - x1(x1+2A));
+    III: x1 = b/(1+c), x = sqrt(A^2 + 1 - x1^2) - A, y = pi x1."""
+
+    has_inverse = False
+
+    def __init__(self, a, vdg3=False, lon0=0.0, x0=0.0, y0=0.0):
+        super().__init__(a, lon0=lon0, x0=x0, y0=y0)
+        self.vdg3 = vdg3
+
+    def _fwd(self, lam, phi):
+        TOL = 1e-10
+        bt = np.abs((2.0 / math.pi) * phi)
+        ct = np.sqrt(np.clip(1.0 - bt * bt, 0.0, None))
+        small_lam = np.abs(lam) < TOL
+        safe_lam = np.where(small_lam, 1.0, lam)
+        at = 0.5 * np.abs(math.pi / safe_lam - safe_lam / math.pi)
+        if self.vdg3:
+            x1 = bt / (1.0 + ct)
+            x = math.pi * (np.sqrt(np.clip(at * at + 1.0 - x1 * x1,
+                                           0.0, None)) - at)
+            y = math.pi * x1
+        else:
+            x1 = (ct * np.sqrt(1.0 + at * at) - at * ct * ct) / \
+                (1.0 + at * at * bt * bt)
+            x = math.pi * x1
+            y = math.pi * np.sqrt(np.clip(1.0 - x1 * (x1 + 2.0 * at),
+                                          0.0, None) + TOL)
+        # the lam ~ 0 central-meridian limit
+        x = np.where(small_lam, 0.0, x)
+        y = np.where(small_lam,
+                     math.pi * np.where(phi < 0, -bt, bt) / (1.0 + ct), y)
+        x = np.where(lam < 0, -np.abs(x), np.abs(x))
+        y = np.where(phi < 0, -np.abs(y), np.abs(y))
+        return x, y
+
+
+class VanDerGrinten4(_SimplePseudoCylindrical):
+    """vandg4 (Van der Grinten IV; mproj pj_vandg4 — forward only):
+    the two-circle-arc construction (Snyder Album p. 205)."""
+
+    has_inverse = False
+
+    def _fwd(self, lam, phi):
+        TOL = 1e-10
+        lam = np.asarray(lam, dtype=np.float64)
+        phi = np.asarray(phi, dtype=np.float64)
+        x = np.zeros_like(lam)
+        y = np.zeros_like(lam)
+        eq = np.abs(phi) < TOL
+        cm = (~eq) & ((np.abs(lam) < TOL) |
+                      (np.abs(np.abs(phi) - HALFPI) < TOL))
+        gen = ~(eq | cm)
+        x[eq] = lam[eq]
+        y[cm] = phi[cm]
+        if np.any(gen):
+            lm, ph = lam[gen], phi[gen]
+            bt = np.abs((2.0 / math.pi) * ph)
+            bt2 = bt * bt
+            ct = 0.5 * (bt * (8.0 - bt * (2.0 + bt2)) - 5.0) / \
+                (bt2 * (bt - 1.0))
+            ct2 = ct * ct
+            dt = (2.0 / math.pi) * lm
+            dt = dt + 1.0 / dt
+            dt = np.sqrt(np.clip(dt * dt - 4.0, 0.0, None))
+            dt = np.where(np.abs(lm) - HALFPI < 0, -dt, dt)
+            dt2 = dt * dt
+            x1 = (bt + ct) ** 2
+            t = bt + 3.0 * ct
+            ft = x1 * (bt2 + ct2 * dt2 - 1.0) + (1.0 - bt2) * (
+                bt2 * (t * t + 4.0 * ct2) + ct2 * (12.0 * bt * ct +
+                                                   4.0 * ct2))
+            x1 = (dt * (x1 + ct2 - 1.0) +
+                  2.0 * np.sqrt(np.clip(ft, 0.0, None))) / \
+                (4.0 * x1 + dt2)
+            xg = HALFPI * x1
+            yg = HALFPI * np.sqrt(np.clip(
+                1.0 + dt * np.abs(x1) - x1 * x1, 0.0, None))
+            xg = np.where(lm < 0, -xg, xg)
+            yg = np.where(ph < 0, -yg, yg)
+            x[gen], y[gen] = xg, yg
+        return x, y
+
+
+class ObliqueCylindricalEqualArea(Projection):
+    """ocea (Oblique Cylindrical Equal Area; mproj pj_ocea, Snyder
+    pp. 76-80): pole of rotation from two points (lat_1,lon_1),
+    (lat_2,lon_2) (eqs. 9-1, 9-2) or one point + azimuth (+lonc +alpha,
+    eqs. 9-7, 9-8); then x = k0 atan2-like arc, y = (1/k0)(sin-distance
+    from the oblique equator). Spherical, closed inverse."""
+
+    def __init__(self, a, k0=1.0, lat1=None, lat2=None, lon1=None,
+                 lon2=None, lonc=None, alpha=None, lon0=0.0,
+                 x0=0.0, y0=0.0):
+        self.a, self.x0, self.y0 = a, x0, y0
+        self.rok, self.rtk = 1.0 / k0, k0
+        phi_0 = 0.0
+        if alpha is not None:
+            al, lz = alpha * D2R, (lonc or 0.0) * D2R
+            num = -math.cos(al)
+            den = -math.sin(phi_0) * math.sin(al)
+            if den == 0.0:
+                # phi_0 is pinned to 0 (like the reference), so this is
+                # the usual branch: IEEE x/±0 = ±inf, atan(±inf) = ±pi/2
+                # (the reference's JS evaluates exactly this way)
+                singam = math.copysign(HALFPI,
+                                       num * math.copysign(1.0, den)) + lz
+            else:
+                singam = math.atan(num / den) + lz
+            sinphi = math.asin(math.cos(phi_0) * math.sin(al))
+        else:
+            p1, p2 = lat1 * D2R, lat2 * D2R
+            l1, l2 = lon1 * D2R, lon2 * D2R
+            singam = math.atan2(
+                math.cos(p1) * math.sin(p2) * math.cos(l1) -
+                math.sin(p1) * math.cos(p2) * math.cos(l2),
+                math.sin(p1) * math.cos(p2) * math.sin(l2) -
+                math.cos(p1) * math.sin(p2) * math.sin(l1))
+            if l1 == -HALFPI:
+                singam = -singam
+            sinphi = math.atan(-math.cos(singam - l1) / math.tan(p1))
+        self.lam0 = singam + HALFPI
+        self.cosphi, self.sinphi = math.cos(sinphi), math.sin(sinphi)
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R - self.lam0
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        s = np.sin(lam)
+        t = np.cos(lam)
+        x = np.arctan((np.tan(phi) * self.cosphi + self.sinphi * s) / t)
+        x = np.where(t < 0, x + math.pi, x) * self.rtk
+        y = self.rok * (self.sinphi * np.sin(phi) -
+                        self.cosphi * np.cos(phi) * s)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a / \
+            self.rtk
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a / \
+            self.rok
+        t = np.sqrt(np.clip(1.0 - yr * yr, 0.0, None))
+        s = np.sin(xr)
+        phi = np.arcsin(np.clip(yr * self.sinphi + t * self.cosphi * s,
+                                -1.0, 1.0))
+        lam = np.arctan2(t * self.sinphi * s - yr * self.cosphi,
+                         t * np.cos(xr))
+        lng = (lam + self.lam0) / D2R
+        # normalize into [-180, 180) — lam0 = gamma + pi/2 routinely
+        # pushes the sum past the antimeridian
+        return (lng + 180.0) % 360.0 - 180.0, phi / D2R
+
+
+class ModifiedStereographic(Projection):
+    """mil_os / lee_os / gs48 / alsk / gs50 (mproj pj_mod_ster family):
+    oblique stereographic of the conformal sphere followed by the complex
+    polynomial w = z (C0 + C1 z + ... + Cn z^n) whose published
+    coefficients minimize regional distortion (Miller Oblated, Lee
+    Oblated, and the USGS 48-/Alaska-/50-state variants). Forward is a
+    closed complex Horner; inverse is complex Newton on f(z) = w then the
+    inverse conformal-latitude iteration — both Arrow-vectorizable as
+    numpy complex kernels."""
+
+    def __init__(self, a, es, coefs, lam0_deg, phi0_deg, x0=0.0, y0=0.0):
+        self.a, self.es, self.e = a, es, math.sqrt(es)
+        self.lam0, self.phi0 = lam0_deg * D2R, phi0_deg * D2R
+        self.x0, self.y0 = x0, y0
+        self.C = np.array([complex(r, i) for r, i in coefs])
+        chio = self._chi(np.float64(self.phi0)) if es != 0.0 else self.phi0
+        self.schio, self.cchio = math.sin(float(chio)), math.cos(float(chio))
+
+    def _chi(self, phi):
+        # conformal latitude
+        if self.es == 0.0:
+            return phi
+        esphi = self.e * np.sin(phi)
+        return 2.0 * np.arctan(
+            np.tan((HALFPI + phi) * 0.5) *
+            ((1.0 - esphi) / (1.0 + esphi)) ** (self.e * 0.5)) - HALFPI
+
+    def _poly(self, z):
+        # P(z) and P'(z) by complex Horner
+        p = np.full_like(z, self.C[-1])
+        dp = np.zeros_like(z)
+        for c in self.C[-2::-1]:
+            dp = dp * z + p
+            p = p * z + c
+        return p, dp
+
+    def _f(self, z):
+        # f(z) = z P(z); f'(z) = P(z) + z P'(z)
+        p, dp = self._poly(z)
+        return z * p, p + z * dp
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R - self.lam0
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        chi = self._chi(phi)
+        schi, cchi = np.sin(chi), np.cos(chi)
+        coslon, sinlon = np.cos(lam), np.sin(lam)
+        s = 2.0 / (1.0 + self.schio * schi + self.cchio * cchi * coslon)
+        z = (s * cchi * sinlon +
+             1j * s * (self.cchio * schi - self.schio * cchi * coslon))
+        w, _ = self._f(z)
+        return self.a * w.real + self.x0, self.a * w.imag + self.y0
+
+    def inv(self, x, y):
+        w = ((np.asarray(x, dtype=np.float64) - self.x0) +
+             1j * (np.asarray(y, dtype=np.float64) - self.y0)) / self.a
+        z = w.copy()
+        for _ in range(20):
+            f, fp = self._f(z)
+            dz = (f - w) / fp
+            z = z - dz
+            if np.all(np.abs(dz.real) + np.abs(dz.imag) <= 1e-12):
+                break
+        rh = np.abs(z)
+        zz = 2.0 * np.arctan(0.5 * rh)
+        sinz, cosz = np.sin(zz), np.cos(zz)
+        rh_safe = np.where(rh <= 1e-12, 1.0, rh)
+        chi = np.arcsin(np.clip(
+            cosz * self.schio + z.imag * sinz * self.cchio / rh_safe,
+            -1.0, 1.0))
+        phi = chi.copy()
+        if self.es != 0.0:
+            for _ in range(20):
+                esphi = self.e * np.sin(phi)
+                dphi = (2.0 * np.arctan(
+                    np.tan((HALFPI + chi) * 0.5) *
+                    ((1.0 + esphi) / (1.0 - esphi)) ** (self.e * 0.5))
+                    - HALFPI - phi)
+                phi = phi + dphi
+                if np.all(np.abs(dphi) <= 1e-12):
+                    break
+        lam = np.arctan2(z.real * sinz,
+                         rh_safe * self.cchio * cosz -
+                         z.imag * self.schio * sinz)
+        # the (0,0) center maps back to the projection origin exactly
+        lam = np.where(rh <= 1e-12, 0.0, lam)
+        phi = np.where(rh <= 1e-12, self.phi0, phi)
+        return (lam + self.lam0) / D2R, phi / D2R
+
+
+# published pj_mod_ster coefficient tables (PROJ / mproj):
+#   (coefs, lam0 deg, phi0 deg, spherical-only?)
+_MOD_STER = {
+    "mil_os": ([(0.924500, 0.0), (0.0, 0.0), (0.019430, 0.0)], 20.0, 18.0),
+    "lee_os": ([(0.721316, 0.0), (0.0, 0.0),
+                (-0.0088162, -0.00617325)], -165.0, -10.0),
+    "gs48": ([(0.98879, 0.0), (0.0, 0.0), (-0.050909, 0.0), (0.0, 0.0),
+              (0.075528, 0.0)], -96.0, 39.0),
+}
+_ALSK_ELL = [(0.9945303, 0.0), (0.0052083, -0.0027404),
+             (0.0072721, 0.0048181), (-0.0151089, -0.1932526),
+             (0.0642675, -0.1381226), (0.3582802, -0.2884586)]
+_ALSK_SPH = [(0.9972523, 0.0), (0.0052513, -0.0041175),
+             (0.0074606, 0.0048125), (-0.0153783, -0.1968253),
+             (0.0636871, -0.1408027), (0.3660976, -0.2937382)]
+_GS50_ELL = [(0.9827497, 0.0), (0.0210669, 0.0053804),
+             (-0.1031415, -0.0571664), (-0.0323337, -0.0322847),
+             (0.0502303, 0.1211983), (0.0251805, 0.0895678),
+             (-0.0012315, -0.1416121), (0.0072202, -0.1317091),
+             (-0.0194029, 0.0759677), (-0.0210072, 0.0834037)]
+_GS50_SPH = [(0.9842990, 0.0), (0.0211642, 0.0037608),
+             (-0.1036018, -0.0575102), (-0.0329095, -0.0320119),
+             (0.0499471, 0.1223335), (0.0260460, 0.0899805),
+             (0.0007388, -0.1435792), (0.0075848, -0.1334108),
+             (-0.0216473, 0.0776645), (-0.0225161, 0.0853673)]
+
+
+class Ginsburg8(_SimplePseudoCylindrical):
+    """gins8 (Ginsburg VIII / TsNIIGAiK 1944; mproj pj_gins8 — forward
+    only): x = lam (1 - 0.162388 phi^2)(0.87 - 0.000952426 lam^4),
+    y = phi (1 + phi^2/12)."""
+
+    has_inverse = False
+
+    def _fwd(self, lam, phi):
+        t = phi * phi
+        y = phi * (1.0 + t / 12.0)
+        x = lam * (1.0 - 0.162388 * t)
+        x = x * (0.87 - 0.000952426 * lam ** 4)
+        return x, y
+
+
+def _authset(es):
+    # PROJ pj_authset: series coefficients for the inverse authalic lat
+    P00, P01, P02 = 1.0 / 3.0, 31.0 / 180.0, 517.0 / 5040.0
+    P10, P11 = 23.0 / 360.0, 251.0 / 3780.0
+    P20 = 761.0 / 45360.0
+    t = es * es
+    return (es * P00 + t * P01 + t * es * P02,
+            t * P10 + t * es * P11,
+            t * es * P20)
+
+
+class Healpix(Projection):
+    """healpix / rhealpix (mproj pj_healpix, after Calabretta & Roukema
+    2007 and Gibb et al.): equatorial Lambert-cylindrical band with four
+    polar triangles (interrupted Collignon); rHEALPix reassembles the
+    polar caps into two squares selected by +north_square/+south_square.
+    Ellipsoids go through the authalic latitude (equal-area exact)."""
+
+    FORTPI = math.pi / 4.0
+
+    def __init__(self, a, es, rhealpix=False, north_square=0,
+                 south_square=0, lon0=0.0, x0=0.0, y0=0.0):
+        self.es, self.e = es, math.sqrt(es)
+        self.rhealpix = rhealpix
+        self.ns, self.ss = north_square, south_square
+        if rhealpix and not (0 <= north_square <= 3 and
+                             0 <= south_square <= 3):
+            raise ValueError("rhealpix: north_square/south_square in 0..3")
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        if es != 0.0:
+            self.apa = _authset(es)
+            self.qp = float(_qsfn(np.float64(1.0), self.e, es))
+            self.a = a * math.sqrt(0.5 * self.qp)  # authalic radius
+        else:
+            self.a = a
+
+    # --- authalic latitude ---------------------------------------------
+    def _auth_fwd(self, phi):
+        q = _qsfn(np.sin(phi), self.e, self.es)
+        return np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+
+    def _auth_inv(self, beta):
+        a0, a1, a2 = self.apa
+        return (beta + a0 * np.sin(2.0 * beta) + a1 * np.sin(4.0 * beta) +
+                a2 * np.sin(6.0 * beta))
+
+    # --- spherical HEALPix kernel --------------------------------------
+    def _sphere_fwd(self, lam, phi):
+        phi0 = math.asin(2.0 / 3.0)
+        sig = np.sqrt(3.0 * (1.0 - np.abs(np.sin(phi))))
+        cn = np.clip(np.floor(2.0 * lam / math.pi + 2.0), None, 3.0)
+        lamc = -3.0 * self.FORTPI + HALFPI * cn
+        xp = lamc + (lam - lamc) * sig
+        yp = np.sign(phi) * self.FORTPI * (2.0 - sig)
+        eq = np.abs(phi) <= phi0
+        x = np.where(eq, lam, xp)
+        y = np.where(eq, 3.0 * math.pi / 8.0 * np.sin(phi), yp)
+        return x, y
+
+    def _sphere_inv(self, x, y):
+        y0 = self.FORTPI
+        cn = np.clip(np.floor(2.0 * x / math.pi + 2.0), None, 3.0)
+        xc = -3.0 * self.FORTPI + HALFPI * cn
+        tau = 2.0 - 4.0 * np.abs(y) / math.pi
+        tau_safe = np.where(tau == 0.0, 1.0, tau)
+        lam_p = xc + (x - xc) / tau_safe
+        phi_p = np.sign(y) * np.arcsin(np.clip(1.0 - tau * tau / 3.0,
+                                               -1.0, 1.0))
+        eq = np.abs(y) <= y0
+        pole = np.abs(y) >= HALFPI
+        lam = np.where(eq, x, np.where(pole, -math.pi, lam_p))
+        phi = np.where(eq, np.arcsin(np.clip(8.0 * y / (3.0 * math.pi),
+                                             -1.0, 1.0)),
+                       np.where(pole, np.sign(y) * HALFPI, phi_p))
+        return lam, phi
+
+    # --- rHEALPix cap reassembly ----------------------------------------
+    _ROT = [np.array([[1.0, 0.0], [0.0, 1.0]]),    # 0
+            np.array([[0.0, -1.0], [1.0, 0.0]]),   # 1  (R1)
+            np.array([[-1.0, 0.0], [0.0, -1.0]]),  # 2  (R2)
+            np.array([[0.0, 1.0], [-1.0, 0.0]])]   # 3  (R3); -k uses [4-k]
+
+    def _combine_caps(self, x, y, inverse):
+        # PROJ-correct cap reassembly: out = R (v - c) + a with
+        # a = (-3pi/4 + (pole if fwd else cn) pi/2, +-pi/2 by region).
+        # DEVIATION from the bundled mproj, whose transcription drops the
+        # `pole` term and the south sign (modules.js:17270 adds
+        # +M_HALFPI unconditionally, sending south caps to the north
+        # square) — an upstream bug, not semantics worth reproducing.
+        FP, HP = self.FORTPI, HALFPI
+        EPS = 1e-15
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        north = y > FP
+        south = y < -FP
+        for region, mask, square in (("north", north, self.ns),
+                                     ("south", south, self.ss)):
+            if not np.any(mask):
+                continue
+            xs, ys = x[mask], y[mask]
+            c_pole = HP if region == "north" else -HP
+            if not inverse:
+                cn = np.select([xs < -HP, xs < 0.0, xs < HP],
+                               [0.0, 1.0, 2.0], default=3.0)
+                cx = -3.0 * FP + cn * HP
+                k = (cn - square) if region == "north" else -(cn - square)
+                ax = np.full_like(xs, -3.0 * FP + square * HP)
+            else:
+                cx = np.full_like(xs, -3.0 * FP + square * HP)
+                xs_sh = xs - square * HP
+                if region == "north":
+                    cn = np.select(
+                        [(ys >= -xs_sh - FP - EPS) &
+                         (ys < xs_sh + 5 * FP - EPS),
+                         (ys > -xs_sh - FP + EPS) &
+                         (ys >= xs_sh + 5 * FP - EPS),
+                         (ys <= -xs_sh - FP + EPS) &
+                         (ys > xs_sh + 5 * FP + EPS)],
+                        [(square + 1) % 4, (square + 2) % 4,
+                         (square + 3) % 4],
+                        default=square).astype(np.float64)
+                    k = -(cn - square)
+                else:
+                    cn = np.select(
+                        [(ys <= xs_sh + FP + EPS) &
+                         (ys > -xs_sh - 5 * FP + EPS),
+                         (ys < xs_sh + FP - EPS) &
+                         (ys <= -xs_sh - 5 * FP + EPS),
+                         (ys >= xs_sh + FP - EPS) &
+                         (ys < -xs_sh - 5 * FP - EPS)],
+                        [(square + 1) % 4, (square + 2) % 4,
+                         (square + 3) % 4],
+                        default=square).astype(np.float64)
+                    k = cn - square
+                ax = -3.0 * FP + cn * HP
+            vx, vy = xs - cx, ys - c_pole
+            rx = np.empty_like(vx)
+            ry = np.empty_like(vy)
+            kmod = np.mod(k, 4).astype(int) if not isinstance(k, float) \
+                else np.full_like(vx, k % 4, dtype=int)
+            for kk in range(4):
+                m = kmod == kk
+                if not np.any(m):
+                    continue
+                R = self._ROT[kk]
+                rx[m] = R[0, 0] * vx[m] + R[0, 1] * vy[m]
+                ry[m] = R[1, 0] * vx[m] + R[1, 1] * vy[m]
+            x[mask] = rx + ax
+            y[mask] = ry + c_pole
+        return x, y
+
+    def fwd(self, lng, lat):
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        if self.es != 0.0:
+            phi = self._auth_fwd(phi)
+        x, y = self._sphere_fwd(lam, phi)
+        if self.rhealpix:
+            x, y = self._combine_caps(x, y, inverse=False)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        if self.rhealpix:
+            xr, yr = self._combine_caps(xr, yr, inverse=True)
+        lam, phi = self._sphere_inv(xr, yr)
+        if self.es != 0.0:
+            phi = self._auth_inv(phi)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class QuadrilateralizedSphericalCube(Projection):
+    """qsc (Quadrilateralized Spherical Cube; mproj pj_qsc after O'Neill &
+    Laubscher 1976, ellipsoid shift per Lambers & Kolb 2012): one cube
+    face per projection instance, chosen from (lat_0, lon_0); each face
+    splits into four areas handled with vectorized selects."""
+
+    FORTPI = math.pi / 4.0
+    (FRONT, RIGHT, BACK, LEFT, TOP, BOTTOM) = range(6)
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.es = a, es
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        phi0, lam0 = lat0 * D2R, lon0 * D2R
+        if phi0 >= HALFPI - self.FORTPI / 2.0:
+            self.face = self.TOP
+        elif phi0 <= -(HALFPI - self.FORTPI / 2.0):
+            self.face = self.BOTTOM
+        elif abs(lam0) <= self.FORTPI:
+            self.face = self.FRONT
+        elif abs(lam0) <= HALFPI + self.FORTPI:
+            self.face = self.RIGHT if lam0 > 0.0 else self.LEFT
+        else:
+            self.face = self.BACK
+        if es != 0.0:
+            b = a * math.sqrt(1.0 - es)
+            self.one_minus_f = 1.0 - (a - b) / a
+            self.one_minus_f_sq = self.one_minus_f ** 2
+            self.b = b
+
+    @staticmethod
+    def _shift_lon(lon, offset):
+        s = lon + offset
+        return np.where(s < -math.pi, s + 2.0 * math.pi,
+                        np.where(s > math.pi, s - 2.0 * math.pi, s))
+
+    def _equat_theta_area(self, phi_c, yy, xx):
+        # qsc_fwd_equat_face_theta, vectorized
+        FP = self.FORTPI
+        th = np.arctan2(yy, xx)
+        area = np.select(
+            [np.abs(th) <= FP,
+             (th > FP) & (th <= HALFPI + FP),
+             (th > HALFPI + FP) | (th <= -(HALFPI + FP))],
+            [0, 1, 2], default=3)
+        th = np.select(
+            [area == 0, area == 1, area == 2],
+            [th, th - HALFPI,
+             np.where(th >= 0.0, th - math.pi, th + math.pi)],
+            default=th + HALFPI)
+        zero = phi_c < 1e-10
+        return np.where(zero, 0.0, th), np.where(zero, 0, area)
+
+    def fwd(self, lng, lat):
+        FP = self.FORTPI
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        lam = (lam + math.pi) % (2.0 * math.pi) - math.pi
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        if self.es != 0.0:
+            phi = np.arctan(self.one_minus_f_sq * np.tan(phi))
+        if self.face == self.TOP:
+            phi_c = HALFPI - phi
+            area = np.select(
+                [(lam >= FP) & (lam <= HALFPI + FP),
+                 (lam > HALFPI + FP) | (lam <= -(HALFPI + FP)),
+                 (lam > -(HALFPI + FP)) & (lam <= -FP)],
+                [0, 1, 2], default=3)
+            theta = np.select(
+                [area == 0, area == 1, area == 2],
+                [lam - HALFPI,
+                 np.where(lam > 0.0, lam - math.pi, lam + math.pi),
+                 lam + HALFPI], default=lam)
+        elif self.face == self.BOTTOM:
+            phi_c = HALFPI + phi
+            area = np.select(
+                [(lam >= FP) & (lam <= HALFPI + FP),
+                 (lam < FP) & (lam >= -FP),
+                 (lam < -FP) & (lam >= -(HALFPI + FP))],
+                [0, 1, 2], default=3)
+            theta = np.select(
+                [area == 0, area == 1, area == 2],
+                [-lam + HALFPI, -lam, -lam - HALFPI],
+                default=np.where(lam > 0.0, -lam + math.pi,
+                                 -lam - math.pi))
+        else:
+            if self.face == self.RIGHT:
+                lam = self._shift_lon(lam, HALFPI)
+            elif self.face == self.BACK:
+                lam = self._shift_lon(lam, math.pi)
+            elif self.face == self.LEFT:
+                lam = self._shift_lon(lam, -HALFPI)
+            sinlat, coslat = np.sin(phi), np.cos(phi)
+            sinlon, coslon = np.sin(lam), np.cos(lam)
+            q = coslat * coslon
+            r = coslat * sinlon
+            s = sinlat
+            if self.face == self.FRONT:
+                phi_c = np.arccos(np.clip(q, -1.0, 1.0))
+                theta, area = self._equat_theta_area(phi_c, s, r)
+            elif self.face == self.RIGHT:
+                phi_c = np.arccos(np.clip(r, -1.0, 1.0))
+                theta, area = self._equat_theta_area(phi_c, s, -q)
+            elif self.face == self.BACK:
+                phi_c = np.arccos(np.clip(-q, -1.0, 1.0))
+                theta, area = self._equat_theta_area(phi_c, s, -r)
+            else:  # LEFT
+                phi_c = np.arccos(np.clip(-r, -1.0, 1.0))
+                theta, area = self._equat_theta_area(phi_c, s, q)
+        # O'Neill-Laubscher eq. 3-21 / 3-38
+        mu = np.arctan((12.0 / math.pi) *
+                       (theta + np.arccos(np.clip(
+                           np.sin(theta) * math.cos(FP), -1.0, 1.0))
+                        - HALFPI))
+        denom = (np.cos(mu) ** 2 *
+                 (1.0 - np.cos(np.arctan(1.0 / np.cos(theta)))))
+        t = np.sqrt(np.clip((1.0 - np.cos(phi_c)) /
+                            np.where(denom == 0.0, 1.0, denom), 0.0, None))
+        mu = mu + np.select([area == 1, area == 2, area == 3],
+                            [HALFPI, math.pi, 3.0 * HALFPI], default=0.0)
+        return (self.a * t * np.cos(mu) + self.x0,
+                self.a * t * np.sin(mu) + self.y0)
+
+    def inv(self, x, y):
+        xr = (np.asarray(x, dtype=np.float64) - self.x0) / self.a
+        yr = (np.asarray(y, dtype=np.float64) - self.y0) / self.a
+        nu = np.arctan(np.hypot(xr, yr))
+        mu = np.arctan2(yr, xr)
+        area = np.select(
+            [(xr >= 0.0) & (xr >= np.abs(yr)),
+             (yr >= 0.0) & (yr >= np.abs(xr)),
+             (xr < 0.0) & (-xr >= np.abs(yr))],
+            [0, 1, 2], default=3)
+        mu = np.select(
+            [area == 0, area == 1, area == 2],
+            [mu, mu - HALFPI,
+             np.where(mu < 0.0, mu + math.pi, mu - math.pi)],
+            default=mu + HALFPI)
+        t = (math.pi / 12.0) * np.tan(mu)
+        theta = np.arctan(np.sin(t) / (np.cos(t) - 1.0 / math.sqrt(2.0)))
+        cosphi = 1.0 - (np.cos(mu) ** 2 * np.tan(nu) ** 2 *
+                        (1.0 - np.cos(np.arctan(1.0 / np.cos(theta)))))
+        cosphi = np.clip(cosphi, -1.0, 1.0)
+        if self.face == self.TOP:
+            phi_c = np.arccos(cosphi)
+            phi = HALFPI - phi_c
+            lam = np.select(
+                [area == 0, area == 1, area == 2],
+                [theta + HALFPI,
+                 np.where(theta < 0.0, theta + math.pi, theta - math.pi),
+                 theta - HALFPI], default=theta)
+        elif self.face == self.BOTTOM:
+            phi_c = np.arccos(cosphi)
+            phi = phi_c - HALFPI
+            lam = np.select(
+                [area == 0, area == 1, area == 2],
+                [-theta + HALFPI, -theta, -theta - HALFPI],
+                default=np.where(theta < 0.0, -theta - math.pi,
+                                 -theta + math.pi))
+        else:
+            q = cosphi
+            tt = q * q
+            s = np.where(tt >= 1.0, 0.0,
+                         np.sqrt(np.clip(1.0 - tt, 0.0, None)) *
+                         np.sin(theta))
+            tt = tt + s * s
+            r = np.where(tt >= 1.0, 0.0,
+                         np.sqrt(np.clip(1.0 - tt, 0.0, None)))
+            # rotate (q, r, s) into the correct area
+            r, s = (np.select([area == 1, area == 2, area == 3],
+                              [-s, -r, s], default=r),
+                    np.select([area == 1, area == 2, area == 3],
+                              [r, -s, -r], default=s))
+            # rotate into the correct cube face
+            if self.face == self.RIGHT:
+                q, r = -r, q
+            elif self.face == self.BACK:
+                q, r = -q, -r
+            elif self.face == self.LEFT:
+                q, r = r, -q
+            phi = np.arccos(np.clip(-s, -1.0, 1.0)) - HALFPI
+            lam = np.arctan2(r, q)
+            if self.face == self.RIGHT:
+                lam = self._shift_lon(lam, -HALFPI)
+            elif self.face == self.BACK:
+                lam = self._shift_lon(lam, -math.pi)
+            elif self.face == self.LEFT:
+                lam = self._shift_lon(lam, HALFPI)
+        if self.es != 0.0:
+            neg = phi < 0.0
+            tanphi = np.tan(phi)
+            xa = self.b / np.sqrt(tanphi * tanphi + self.one_minus_f_sq)
+            phi = np.arctan(np.sqrt(np.clip(self.a * self.a - xa * xa,
+                                            0.0, None)) /
+                            (self.one_minus_f * xa))
+            phi = np.where(neg, -phi, phi)
+        return lam / D2R + self.lon0, phi / D2R
+
+
+class NewZealandMapGrid(Projection):
+    """nzmg (New Zealand Map Grid; mproj pj_nzmg after Reilly 1973):
+    dpsi = series(tpsi) in units of 1e-5 arcsec of (phi - phi0), then the
+    complex sixth-order polynomial z = bf(dpsi + i lam); fixed
+    International 1924 ellipsoid, lam0 173E, phi0 41S, false origin
+    (2510000, 6023150). Inverse by complex Newton + the tphi series."""
+
+    SEC5_TO_RAD = 0.4848136811095359935899141023e0
+    RAD_TO_SEC5 = 2.062648062470963551564733573e0
+    BF = [(0.7557853228, 0.0), (0.249204646, 0.003371507),
+          (-0.001541739, 0.041058560), (-0.10162907, 0.01727609),
+          (-0.26623489, -0.36249218), (-0.6870983, -1.1651967)]
+    TPHI = [1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+            -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013]
+    TPSI = [0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+            0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067,
+            -0.00034]
+
+    def __init__(self, x0=None, y0=None):
+        # the reference forces every parameter; only x_0/y_0 may override
+        self.a = 6378388.0
+        self.lam0 = 173.0 * D2R
+        self.phi0 = -41.0 * D2R
+        self.x0 = 2510000.0 if x0 is None else x0
+        self.y0 = 6023150.0 if y0 is None else y0
+        self.C = np.array([complex(r, i) for r, i in self.BF])
+
+    def _poly(self, z):
+        p = np.full_like(z, self.C[-1])
+        dp = np.zeros_like(z)
+        for c in self.C[-2::-1]:
+            dp = dp * z + p
+            p = p * z + c
+        return p, dp
+
+    def _f(self, z):
+        p, dp = self._poly(z)
+        return z * p, p + z * dp
+
+    def fwd(self, lng, lat):
+        lam = np.asarray(lng, dtype=np.float64) * D2R - self.lam0
+        phi = (np.asarray(lat, dtype=np.float64) * D2R - self.phi0) * \
+            self.RAD_TO_SEC5
+        psi = np.full_like(phi, self.TPSI[-1])
+        for c in self.TPSI[-2::-1]:
+            psi = c + phi * psi
+        psi = psi * phi
+        w, _ = self._f(psi + 1j * lam)
+        # the reference swaps components: x <- imag, y <- real
+        return self.a * w.imag + self.x0, self.a * w.real + self.y0
+
+    def inv(self, x, y):
+        w = ((np.asarray(y, dtype=np.float64) - self.y0) +
+             1j * (np.asarray(x, dtype=np.float64) - self.x0)) / self.a
+        z = w.copy()
+        for _ in range(20):
+            f, fp = self._f(z)
+            dz = (f - w) / fp
+            z = z - dz
+            if np.all(np.abs(dz.real) + np.abs(dz.imag) <= 1e-10):
+                break
+        psi = z.real
+        lam = z.imag
+        phi = np.full_like(psi, self.TPHI[-1])
+        for c in self.TPHI[-2::-1]:
+            phi = c + psi * phi
+        phi = self.phi0 + psi * phi * self.SEC5_TO_RAD
+        return (lam + self.lam0) / D2R, phi / D2R
+
+
+class ChamberlinTrimetric(Projection):
+    """chamb (Chamberlin Trimetric; mproj pj_chamb — forward only,
+    spherical): requires three control points +lat_1/+lon_1 ...
+    +lat_3/+lon_3; a point maps to the mean of the three circle-arc
+    intercepts from the control triangle."""
+
+    has_inverse = False
+    TOL = 1e-9
+
+    def __init__(self, a, pts, lon0=0.0, x0=0.0, y0=0.0):
+        self.a, self.lon0, self.x0, self.y0 = a, lon0, x0, y0
+        c = []
+        for lat_d, lon_d in pts:
+            phi = lat_d * D2R
+            lam = (lon_d - lon0) * D2R
+            lam = (lam + math.pi) % (2.0 * math.pi) - math.pi
+            c.append({"phi": phi, "lam": lam, "cosphi": math.cos(phi),
+                      "sinphi": math.sin(phi)})
+        for i in range(3):
+            j = (i + 1) % 3
+            r, az = self._vect(c[j]["phi"] - c[i]["phi"], c[i]["cosphi"],
+                               c[i]["sinphi"], c[j]["cosphi"],
+                               c[j]["sinphi"], c[j]["lam"] - c[i]["lam"])
+            if r == 0.0:
+                raise ValueError("chamb: coincident control points")
+            c[i]["vr"], c[i]["vaz"] = r, az
+        self.beta0 = self._lc(c[0]["vr"], c[2]["vr"], c[1]["vr"])
+        self.beta1 = self._lc(c[0]["vr"], c[1]["vr"], c[2]["vr"])
+        self.beta2 = math.pi - self.beta0
+        py01 = c[2]["vr"] * math.sin(self.beta0)
+        self.p_y0 = 2.0 * py01
+        c[0]["px"], c[1]["px"] = -0.5 * c[0]["vr"], 0.5 * c[0]["vr"]
+        c[0]["py"] = c[1]["py"] = py01
+        c[2]["px"] = c[0]["px"] + c[2]["vr"] * math.cos(self.beta0)
+        c[2]["py"] = 0.0
+        self.p_x0 = c[2]["px"]
+        self.c = c
+
+    @staticmethod
+    def _vect(dphi, c1, s1, c2, s2, dlam):
+        cdl = np.cos(dlam)
+        big = (np.abs(dphi) > 1.0) | (np.abs(dlam) > 1.0)
+        # (the bundle's large-distance branch reads cs1*s2 — an obvious
+        # typo for s1*s2; the correct spherical law of cosines is used)
+        r_big = np.arccos(np.clip(s1 * s2 + c1 * c2 * cdl, -1.0, 1.0))
+        dp = np.sin(0.5 * dphi)
+        dl = np.sin(0.5 * dlam)
+        r_small = 2.0 * np.arcsin(np.clip(
+            np.sqrt(dp * dp + c1 * c2 * dl * dl), -1.0, 1.0))
+        r = np.where(big, r_big, r_small)
+        az = np.where(np.abs(r) > ChamberlinTrimetric.TOL,
+                      np.arctan2(c2 * np.sin(dlam),
+                                 c1 * s2 - s1 * c2 * cdl), 0.0)
+        r = np.where(np.abs(r) > ChamberlinTrimetric.TOL, r, 0.0)
+        if np.isscalar(dphi) or r.ndim == 0:
+            return float(r), float(az)
+        return r, az
+
+    @staticmethod
+    def _lc(b, c, a):
+        den = b * c
+        den = np.where(den == 0.0, 1.0, den)  # guarded; r==0 rows are
+        return np.arccos(np.clip(                 # overwritten below
+            0.5 * (b * b + c * c - a * a) / den, -1.0, 1.0))
+
+    @staticmethod
+    def _adjlon(lam):
+        return (lam + math.pi) % (2.0 * math.pi) - math.pi
+
+    def fwd(self, lng, lat):
+        lam = self._adjlon((np.asarray(lng, dtype=np.float64) - self.lon0)
+                           * D2R)
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        sinphi, cosphi = np.sin(phi), np.cos(phi)
+        vr, vaz = [], []
+        at_ctl = None
+        for i in range(3):
+            ci = self.c[i]
+            r, az = self._vect(phi - ci["phi"], ci["cosphi"], ci["sinphi"],
+                               cosphi, sinphi, lam - ci["lam"])
+            r = np.asarray(r, dtype=np.float64)
+            az = self._adjlon(np.asarray(az, dtype=np.float64) - ci["vaz"])
+            vr.append(r)
+            vaz.append(az)
+            hit = r == 0.0
+            at_ctl = hit if at_ctl is None else (at_ctl | hit)
+        x = np.full_like(vr[0], self.p_x0)
+        y = np.full_like(vr[0], self.p_y0)
+        for i in range(3):
+            j = (i + 1) % 3
+            aa = self._lc(self.c[i]["vr"], vr[i], vr[j])
+            aa = np.where(vaz[i] < 0.0, -aa, aa)
+            if i == 0:
+                x = x + vr[i] * np.cos(aa)
+                y = y - vr[i] * np.sin(aa)
+            elif i == 1:
+                aa = self.beta1 - aa
+                x = x - vr[i] * np.cos(aa)
+                y = y - vr[i] * np.sin(aa)
+            else:
+                aa = self.beta2 - aa
+                x = x + vr[i] * np.cos(aa)
+                y = y + vr[i] * np.sin(aa)
+        x = x / 3.0
+        y = y / 3.0
+        # points exactly on a control point take that control's position
+        for i in range(3):
+            hit = vr[i] == 0.0
+            if np.any(hit):
+                x = np.where(hit, self.c[i]["px"], x)
+                y = np.where(hit, self.c[i]["py"], y)
+        return self.a * x + self.x0, self.a * y + self.y0
+
+
 class Geocentric(Projection):
     """geocent (mproj pj_geocent): in the reference's 2D pipeline the
     forward/inverse are the identity on (lam, phi) radians — the
@@ -3521,7 +4467,11 @@ PROJ_NAMES = ("longlat", "merc", "lcc", "aea", "tmerc", "utm", "robin",
               "latlon", "latlong", "lonlat", "geocent",
               "putp1", "putp3", "putp3p", "putp4p", "weren", "putp5",
               "putp5p", "putp6", "putp6p", "urm5", "wink2", "denoy",
-              "natearth2", "mbt_fps", "mbt_fpq", "mbt_fpp")
+              "natearth2", "mbt_fps", "mbt_fpq", "mbt_fpp",
+              "airy", "gilbert", "vandg2", "vandg3", "vandg4", "leac",
+              "ocea",
+              "mil_os", "lee_os", "gs48", "alsk", "gs50", "gins8",
+              "healpix", "rhealpix", "qsc", "nzmg", "chamb")
 
 
 def get_projection(defn: str) -> Projection:
@@ -3831,6 +4781,72 @@ def get_projection(defn: str) -> Projection:
         return NaturalEarth2(a, lon0=lon0, x0=x0, y0=y0)
     if name == "geocent":
         return Geocentric(a, x0=x0, y0=y0)
+    if name == "airy":
+        return Airy(a, lat0=lat0, lat_b=float(p.get("lat_b", 90.0)),
+                    no_cut="no_cut" in p, lon0=lon0, x0=x0, y0=y0)
+    if name == "gilbert":
+        return Gilbert(a, lat1=float(p.get("lat_1", 0.0)), lon0=lon0,
+                       x0=x0, y0=y0)
+    if name in ("vandg2", "vandg3"):
+        return VanDerGrinten2(a, vdg3=(name == "vandg3"), lon0=lon0,
+                              x0=x0, y0=y0)
+    if name == "vandg4":
+        return VanDerGrinten4(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "leac":
+        # Lambert Equal Area Conic = aea with the second standard
+        # parallel at the pole (mproj pj_leac)
+        lat1 = float(p.get("lat_1", 45.0))
+        lat2 = -90.0 if "south" in p else 90.0
+        return AlbersEqualArea(a, es, lat1, lat2, lat0, lon0, x0, y0)
+    if name in ("mil_os", "lee_os"):
+        # spherical-only variants (the reference forces es = 0)
+        coefs, lm0, ph0 = _MOD_STER[name]
+        return ModifiedStereographic(a, 0.0, coefs, lm0, ph0, x0=x0, y0=y0)
+    if name == "gs48":
+        coefs, lm0, ph0 = _MOD_STER[name]
+        # fixed sphere radius, like the reference (P.a = 6370997)
+        return ModifiedStereographic(6370997.0, 0.0, coefs, lm0, ph0,
+                                     x0=x0, y0=y0)
+    if name in ("alsk", "gs50"):
+        ell = _ALSK_ELL if name == "alsk" else _GS50_ELL
+        sph = _ALSK_SPH if name == "alsk" else _GS50_SPH
+        lm0, ph0 = (-152.0, 64.0) if name == "alsk" else (-120.0, 45.0)
+        if es != 0.0:  # fixed Clarke 1866, like the reference
+            return ModifiedStereographic(6378206.4, 0.00676866, ell,
+                                         lm0, ph0, x0=x0, y0=y0)
+        return ModifiedStereographic(6370997.0, 0.0, sph, lm0, ph0,
+                                     x0=x0, y0=y0)
+    if name == "gins8":
+        return Ginsburg8(a, lon0=lon0, x0=x0, y0=y0)
+    if name == "nzmg":
+        return NewZealandMapGrid(x0=float(p["x_0"]) if "x_0" in p else None,
+                                 y0=float(p["y_0"]) if "y_0" in p else None)
+    if name == "chamb":
+        if not all(f"lat_{i}" in p and f"lon_{i}" in p for i in (1, 2, 3)):
+            raise ValueError("chamb requires +lat_1/+lon_1 .. "
+                             "+lat_3/+lon_3")
+        pts = [(float(p[f"lat_{i}"]), float(p[f"lon_{i}"]))
+               for i in (1, 2, 3)]
+        return ChamberlinTrimetric(a, pts, lon0=lon0, x0=x0, y0=y0)
+    if name == "qsc":
+        return QuadrilateralizedSphericalCube(a, es, lat0=lat0, lon0=lon0,
+                                              x0=x0, y0=y0)
+    if name in ("healpix", "rhealpix"):
+        return Healpix(a, es, rhealpix=(name == "rhealpix"),
+                       north_square=int(p.get("north_square", 0)),
+                       south_square=int(p.get("south_square", 0)),
+                       lon0=lon0, x0=x0, y0=y0)
+    if name == "ocea":
+        if "alpha" in p:
+            return ObliqueCylindricalEqualArea(
+                a, k0=k0, alpha=float(p["alpha"]),
+                lonc=float(p.get("lonc", 0.0)), x0=x0, y0=y0)
+        if not all(k in p for k in ("lat_1", "lat_2", "lon_1", "lon_2")):
+            raise ValueError("ocea requires +alpha= (+lonc=) or "
+                             "+lat_1/+lat_2/+lon_1/+lon_2")
+        return ObliqueCylindricalEqualArea(
+            a, k0=k0, lat1=float(p["lat_1"]), lat2=float(p["lat_2"]),
+            lon1=float(p["lon_1"]), lon2=float(p["lon_2"]), x0=x0, y0=y0)
     if name in ("tissot", "murd1", "murd2", "murd3", "euler", "pconic",
                 "vitk1"):
         if "lat_1" not in p or "lat_2" not in p:

@@ -551,8 +551,21 @@ def render_section(rows: list[dict], images: int, since: str,
         f"in BENCH_SCALING.jsonl as contention evidence. Rows since {since}",
         "(the last commit touching the flagship path).",
         "",
-        "| axis | gated pairs | gated median eff | gated min..max | ungated rows | PASS >=0.8 |",
-        "|---|---|---|---|---|---|",
+        "",
+        "Two statistics per axis, BOTH pre-registered: the RAW gated",
+        "median (headline), and the CORE-SPEED-NORMALIZED gated median",
+        "(eff_raw x canary_hi/canary_lo — the same pair at equal per-core",
+        "speed). The canary (cache-resident numpy kernel timed on a spare",
+        "vCPU during every shot) shows this host's effective core speed",
+        "DROPS 10-30% when 16+ vCPUs are busy vs 4 (hypervisor-level",
+        "turbo/occupancy effects invisible to loadavg, steal, and external-cores",
+        "accounting). On a real cluster, N -> 4N adds MACHINES and per-core",
+        "speed stays flat, so the normalized figure is the better estimate",
+        "of the north rule's criterion; the raw figure stays the headline",
+        "for honesty about what this single box measured.",
+        "",
+        "| axis | gated pairs | raw median eff | corespeed-norm median | gated min..max (raw) | ungated rows | raw PASS >=0.8 | norm PASS >=0.8 |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     by_metric: dict[str, list[dict]] = {}
     for r in rows:
@@ -576,16 +589,21 @@ def render_section(rows: list[dict], images: int, since: str,
         if len(gated) >= min_gated:
             effs = [r["efficiency"] for r in gated]
             med = median(effs)
+            norms = [r["efficiency_corespeed_norm"] for r in gated
+                     if r.get("efficiency_corespeed_norm")]
+            nmed = median(norms) if norms else None
             verdict = "PASS" if med >= 0.8 else "FAIL"
+            nverdict = ("PASS" if nmed >= 0.8 else "FAIL") if nmed else "—"
             lines.append(
                 f"| {axis} | {len(gated)} | **{med:.3f}** "
+                f"| {'%.3f' % nmed if nmed else '—'} "
                 f"| {min(effs):.3f}..{max(effs):.3f} | {len(ungated)} "
-                f"| {verdict} |")
+                f"| {verdict} | {nverdict} |")
             details.append((axis, gated, med))
         else:
             lines.append(
-                f"| {axis} | {len(gated)} (<{min_gated}) | UNPROVEN | — "
-                f"| {len(ungated)} | n/a |")
+                f"| {axis} | {len(gated)} (<{min_gated}) | UNPROVEN | — | — "
+                f"| {len(ungated)} | n/a | n/a |")
     lines.append("")
     for axis, gated, med in details:
         lines.append(f"Gated pairs, {axis} (loadavg_1m lo/hi before each shot):")
