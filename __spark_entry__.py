@@ -612,6 +612,23 @@ def q_proj_tpeqd(spark, sf_dir):
                     F.round("lat", 3).alias("y"))
 
 
+def q_proj_healpix(spark, sf_dir):
+    """Round-4 pj_list completion wave: spherical HEALPix forward
+    (Calabretta & Roukema 2007; reference mproj pj_healpix) over
+    deterministic nation-derived points spanning both the equatorial
+    Lambert band and the polar Collignon triangles. The forward is a
+    closed piecewise form, so the DuckDB oracle recomputes it verbatim."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 17 % 340) - 170).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 23 % 178) - 89).cast("double").alias("lat"))
+    t = PR.project_points(n, "lon", "lat",
+                          crs="+proj=healpix +a=6378137 +b=6378137")
+    return t.select("n_nationkey",
+                    F.round("lon", 3).alias("x"),
+                    F.round("lat", 3).alias("y"))
+
+
 def q_proj_lcc(spark, sf_dir):
     """Full -proj surface beyond webmercator: LCC / AEA / TM forward
     projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
@@ -1547,9 +1564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geometry expressions / proj / simplify
         "proj_lcc": q_proj_lcc,
         "proj_albersusa": q_proj_albersusa,
+        # late-r4 projection tail: the two newest exact proj oracles sit
+        # inside the window (text_metrics/dedup_exact rotate out after
+        # multiple green rounds; check_oracle.py still covers them)
+        "proj_tpeqd": q_proj_tpeqd,
+        "proj_healpix": q_proj_healpix,
         # LLM-data-pipeline family
-        "text_metrics": q_text_metrics,
-        "dedup_exact": q_dedup_exact,
         "ann_topk": q_ann_topk,
         # media codec queries (operators/media.py, late r3)
         "audio_features_wav": q_audio_features_wav,
@@ -1572,7 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives) so intersection_cuts fits at #50;
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
-        "proj_tpeqd": q_proj_tpeqd,
+        "text_metrics": q_text_metrics,
+        "dedup_exact": q_dedup_exact,
         "repair_self": q_repair_self,
         "proj_sinu": q_proj_sinu,
         "knn_nearest": q_knn_nearest,
@@ -2494,6 +2515,34 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(greatest(za * za - (xr + d) * (xr + d), 0.0)),
                      3) AS y
         FROM xy
+    """
+    sqls["proj_healpix"] = """
+        WITH pts AS (
+            SELECT n_nationkey,
+                   radians(CAST((n_nationkey * 17 % 340) - 170 AS DOUBLE))
+                       AS lam,
+                   radians(CAST((n_nationkey * 23 % 178) - 89 AS DOUBLE))
+                       AS phi
+            FROM nation
+        ), pol AS (
+            SELECT n_nationkey, lam, phi,
+                   sqrt(3 * (1 - abs(sin(phi)))) AS sig,
+                   least(floor(2 * lam / pi() + 2), 3) AS cn
+            FROM pts
+        ), f AS (
+            SELECT n_nationkey, lam, phi, sig,
+                   -3 * pi() / 4 + (pi() / 2) * cn AS lamc
+            FROM pol
+        )
+        SELECT n_nationkey,
+               round(6378137.0 * CASE
+                   WHEN abs(phi) <= asin(2.0 / 3.0) THEN lam
+                   ELSE lamc + (lam - lamc) * sig END, 3) AS x,
+               round(6378137.0 * CASE
+                   WHEN abs(phi) <= asin(2.0 / 3.0)
+                       THEN 3 * pi() / 8 * sin(phi)
+                   ELSE sign(phi) * (pi() / 4) * (2 - sig) END, 3) AS y
+        FROM f
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):
