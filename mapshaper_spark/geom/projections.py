@@ -4862,6 +4862,11 @@ def get_transform(src: str | Projection, dest: str | Projection):
     latlong clamp of source longitudes)."""
     sp = get_projection(src) if isinstance(src, str) else src
     dp = get_projection(dest) if isinstance(dest, str) else dest
+    if not sp.is_latlong and not sp.has_inverse:
+        # mproj raises the same way for its inverse-less pj_list members
+        raise ValueError(
+            "source projection has no inverse (forward-only, like the "
+            "reference's mproj entry) — cannot reproject FROM it")
 
     def tf(x, y):
         x = np.asarray(x, dtype=np.float64)

@@ -2297,3 +2297,15 @@ class TestHealpixQscNzmgChamb:
         allowed_absent = {"labrd", "larr", "lask", "lsat", "oea",
                           "fouc_s", "eck3"}
         assert set(missing) <= allowed_absent, missing
+
+
+def test_forward_only_source_raises_cleanly():
+    import pytest as _pt
+    from mapshaper_spark.geom.projections import get_transform
+    with _pt.raises(ValueError, match="no inverse"):
+        get_transform("+proj=airy +no_cut", "longlat")
+    # forward-only is fine as the DESTINATION
+    tf = get_transform("longlat", "+proj=airy +no_cut")
+    import numpy as np
+    x, y = tf(np.array([10.0]), np.array([20.0]))
+    assert np.isfinite(float(x[0]))
