@@ -629,6 +629,22 @@ def q_proj_healpix(spark, sf_dir):
                     F.round("lat", 3).alias("y"))
 
 
+def q_proj_qsc(spark, sf_dir):
+    """qsc (quadrilateralized spherical cube) forward on the FRONT face
+    over deterministic nation-derived points inside |lon|,|lat| < 45 —
+    the O'Neill-Laubscher closed form (reference mproj pj_qsc), which the
+    DuckDB oracle recomputes verbatim (sphere, so no LK12 datum shift)."""
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 7 % 80) - 40).cast("double").alias("lon"),
+        ((F.col("n_nationkey") * 13 % 80) - 40).cast("double").alias("lat"))
+    t = PR.project_points(n, "lon", "lat",
+                          crs="+proj=qsc +a=6378137 +b=6378137")
+    return t.select("n_nationkey",
+                    F.round("lon", 3).alias("x"),
+                    F.round("lat", 3).alias("y"))
+
+
 def q_proj_lcc(spark, sf_dir):
     """Full -proj surface beyond webmercator: LCC / AEA / TM forward
     projections of Snyder's worked-example points (USGS PP 1395 pp. 269,
@@ -1556,7 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean": q_clean,
         # joins / calc / fill (join variants rotated out r4 after three
         # green rounds; join_first_match stays as the family representative)
-        "join_first_match": q_join_first_match,
         "data_fill": q_data_fill,
         # round-3 operators with NEW exact oracles sit inside the window
         "cluster": q_cluster,
@@ -1569,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multiple green rounds; check_oracle.py still covers them)
         "proj_tpeqd": q_proj_tpeqd,
         "proj_healpix": q_proj_healpix,
+        "proj_qsc": q_proj_qsc,
         # LLM-data-pipeline family
         "ann_topk": q_ann_topk,
         # media codec queries (operators/media.py, late r3)
@@ -1592,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives) so intersection_cuts fits at #50;
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
+        "join_first_match": q_join_first_match,
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "repair_self": q_repair_self,
@@ -2543,6 +2560,57 @@ def oracle_sql() -> dict[str, str]:
                        THEN 3 * pi() / 8 * sin(phi)
                    ELSE sign(phi) * (pi() / 4) * (2 - sig) END, 3) AS y
         FROM f
+    """
+    sqls["proj_qsc"] = """
+        WITH pts AS (
+            SELECT n_nationkey,
+                   radians(CAST((n_nationkey * 7 % 80) - 40 AS DOUBLE))
+                       AS lam,
+                   radians(CAST((n_nationkey * 13 % 80) - 40 AS DOUBLE))
+                       AS phi
+            FROM nation
+        ), c AS (
+            SELECT n_nationkey,
+                   cos(phi) * cos(lam) AS q,
+                   cos(phi) * sin(lam) AS r,
+                   sin(phi) AS s
+            FROM pts
+        ), th0 AS (
+            SELECT n_nationkey, acos(least(1.0, greatest(-1.0, q))) AS pc,
+                   CASE WHEN acos(least(1.0, greatest(-1.0, q))) < 1e-10
+                        THEN 0.0 ELSE atan2(s, r) END AS th_raw
+            FROM c
+        ), ar AS (
+            SELECT n_nationkey, pc,
+                   CASE
+                     WHEN abs(th_raw) <= pi()/4 THEN 0
+                     WHEN th_raw > pi()/4 AND th_raw <= 3*pi()/4 THEN 1
+                     WHEN th_raw > 3*pi()/4 OR th_raw <= -3*pi()/4 THEN 2
+                     ELSE 3 END AS area,
+                   CASE
+                     WHEN abs(th_raw) <= pi()/4 THEN th_raw
+                     WHEN th_raw > pi()/4 AND th_raw <= 3*pi()/4
+                         THEN th_raw - pi()/2
+                     WHEN th_raw > 3*pi()/4 THEN th_raw - pi()
+                     WHEN th_raw <= -3*pi()/4 THEN th_raw + pi()
+                     ELSE th_raw + pi()/2 END AS th
+            FROM th0
+        ), mu0 AS (
+            SELECT n_nationkey, pc, area, th,
+                   atan((12.0/pi()) * (th + acos(least(1.0, greatest(-1.0,
+                       sin(th) * cos(pi()/4)))) - pi()/2)) AS mu
+            FROM ar
+        ), t0 AS (
+            SELECT n_nationkey, area, mu,
+                   sqrt(greatest((1 - cos(pc)) /
+                       (cos(mu) * cos(mu) *
+                        (1 - cos(atan(1.0 / cos(th))))), 0.0)) AS t
+            FROM mu0
+        )
+        SELECT n_nationkey,
+               round(6378137.0 * t * cos(mu + area * pi()/2), 3) AS x,
+               round(6378137.0 * t * sin(mu + area * pi()/2), 3) AS y
+        FROM t0
     """
     sqls["proj_lcc"] = """
         -- published Snyder worked-example values (USGS PP 1395):
