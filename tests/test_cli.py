@@ -528,7 +528,13 @@ class TestMetaCommands:
                  "tpeqd": "+proj=tpeqd +lat_1=35 +lon_1=-10 "
                           "+lat_2=45 +lon_2=60",
                  "ob_tran": "+proj=ob_tran +o_proj=moll +o_lat_p=45 "
-                            "+o_lon_p=-90"}
+                            "+o_lon_p=-90",
+                 # round-4 pj_list completion wave
+                 "urm5": "+proj=urm5 +n=0.8 +q=0.414524 +alpha=2",
+                 "ocea": "+proj=ocea +lat_1=40 +lat_2=60 +lon_1=-10 "
+                         "+lon_2=30",
+                 "chamb": "+proj=chamb +lat_1=22 +lon_1=-110 +lat_2=22 "
+                          "+lon_2=-70 +lat_3=60 +lon_3=-90"}
         conic = "+proj={} +lat_1=30 +lat_2=50"
         for name in ("tissot", "murd1", "murd2", "murd3", "euler",
                      "pconic", "vitk1"):
