@@ -361,6 +361,19 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                         elif kname != "point":
                             sub = sub.drop("x", "y")
                         dfs.append((path, sub, kname, None))
+                    # null-geometry features form their own data-only layer
+                    # (divideFeaturesByType keeps geoType=null records with
+                    # no shapes, mapshaper-dataset-utils.js:7-27); isin()
+                    # above is NULL for them, so without this they vanish
+                    if any((f.get("geometry") or {}).get("type") is None
+                           for f in feats):
+                        # import_geojson stores the 'null' sentinel string
+                        nsub = df.filter(
+                            F.col("geometry_type").isNull() |
+                            (F.col("geometry_type") == "null"))
+                        nsub = nsub.drop("x", "y", "rings_x", "rings_y",
+                                         "geometry_type")
+                        dfs.append((path, nsub, "table", None))
                     continue
                 if gtypes and gtypes <= {"LineString", "MultiLineString"}:
                     kind_hint = "polyline"
@@ -1092,7 +1105,9 @@ def _cmd_affine(cat: Catalog, c: Command) -> None:
     (getAffineAnchor, affine-test.js:55-67)."""
     from mapshaper_spark.operators.attributes import affine, affine_rings
     df = cat.df()
-    kind = _geometry_kind(df)
+    # the import hint beats the column heuristic: a point layer with
+    # MultiPoint rows carries rings columns and would read as "polygon"
+    kind = cat.kinds.get(cat.target) or _geometry_kind(df)
     shift = [float(v) for v in c.csv("shift")] or [0.0, 0.0]
     where = None
     if c.opt("where"):
@@ -1101,9 +1116,23 @@ def _cmd_affine(cat: Catalog, c: Command) -> None:
         anchor = tuple(float(v) for v in c.csv("anchor"))
     else:
         sel = df.filter(where) if where is not None else df
-        if kind == "point":
+        if kind == "point" and "rings_x" not in df.columns:
             x, y = _point_cols(df)
             b = sel.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
+        elif kind == "point":
+            # MultiPoint coords ride in the rings arrays alongside scalar
+            # Point rows — bounds must span both
+            x, y = _point_cols(df)
+            b = sel.agg(
+                F.least(F.min(x), F.min(F.array_min(
+                    F.transform("rings_x", F.array_min)))),
+                F.least(F.min(y), F.min(F.array_min(
+                    F.transform("rings_y", F.array_min)))),
+                F.greatest(F.max(x), F.max(F.array_max(
+                    F.transform("rings_x", F.array_max)))),
+                F.greatest(F.max(y), F.max(F.array_max(
+                    F.transform("rings_y", F.array_max))))
+            ).collect()[0]
         else:
             b = sel.agg(
                 F.min(F.array_min(F.transform("rings_x", F.array_min))),
@@ -1118,7 +1147,10 @@ def _cmd_affine(cat: Catalog, c: Command) -> None:
               rotate_deg=c.num("rotate", 0.0), anchor=anchor, where=where)
     if kind == "point":
         x, y = _point_cols(df)
-        cat.replace(affine(df, x, y, **kw))
+        out = affine(df, x, y, **kw)
+        if "rings_x" in out.columns:  # MultiPoint rows carry ring coords
+            out = affine_rings(out, **kw)
+        cat.replace(out)
     else:
         cat.replace(affine_rings(df, **kw))
 
@@ -1144,6 +1176,26 @@ def _cmd_merge_layers(cat: Catalog, c: Command) -> None:
     crss = {cat.crs[n] for n in names if n in cat.crs}
     if len(crss) > 1:
         raise ValueError(f"-merge-layers: layers have different CRS: {crss}")
+    if any(n not in cat.crs for n in names):
+        # some sources carry no declared CRS: fall back to the reference's
+        # bounds heuristic (probablyDecimalDegreeBounds, mapshaper-common.js:
+        # 184-188 via mergeDatasets, mapshaper-merging.js:48-56) — a layer
+        # whose bbox fits [-181,-91,181,91] reads as lat-lng; mixing
+        # lat-lng with projected sources is an error
+        is_ll = set()
+        for n in names:
+            ldf = cat.layers[n]
+            if not ({"x", "rings_x", "xs"} & set(ldf.columns)):
+                continue  # data-only layer: no bounds, no vote
+            try:
+                bb = _layer_bbox(ldf)
+            except (TypeError, ValueError):  # empty layer -> no bounds
+                continue
+            is_ll.add(bb[0] >= -181 and bb[1] >= -91 and
+                      bb[2] <= 181 and bb[3] <= 91)
+        if len(is_ll) > 1:
+            raise ValueError("-merge-layers: unable to combine projected "
+                             "and unprojected layers")
     prj = next(((cat.prj_text[n], cat.crs.get(n)) for n in names
                 if n in cat.prj_text), None)
     kinds = {cat.kinds[n] for n in names if n in cat.kinds}

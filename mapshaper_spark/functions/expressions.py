@@ -143,6 +143,23 @@ _RECV = r"(?<![.\w])((?:\w+\.)*\w+(?:" + _ARGS2 + r")?)"
 # name.indexOf(substr(a, 1, 2)) captures the whole nested call
 _ARG = r"((?:[^()]|" + _ARGS1 + r")+)"
 
+
+def _first_arg(args: str) -> str:
+    """First element of a TOP-LEVEL comma-separated argument list — a bare
+    ``split(',')`` breaks on computed widths like ``padStart(Math.max(2,3),
+    '0')``.  String literals are already \\x00-shielded, so only paren
+    depth matters."""
+    depth = 0
+    for i, ch in enumerate(args):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return args[:i]
+    return args
+
+
 _JS_METHODS = [
     # indexing a split: bar.split(",")[0] -> split_part(bar, ',', 1)
     # (string literals are shielded to \x00k\x00 placeholders by the time
@@ -171,10 +188,10 @@ _JS_METHODS = [
     # JS padStart/padEnd never TRUNCATE a string already >= the target
     # width (lpad/rpad do) — guard with IF
     (re.compile(_RECV + r"\.padStart\(" + _ARG + r"\)"),
-     lambda m: (f"IF(length({m.group(1)}) >= ({m.group(2).split(',')[0]}), "
+     lambda m: (f"IF(length({m.group(1)}) >= ({_first_arg(m.group(2))}), "
                 f"{m.group(1)}, lpad({m.group(1)}, {m.group(2)}))")),
     (re.compile(_RECV + r"\.padEnd\(" + _ARG + r"\)"),
-     lambda m: (f"IF(length({m.group(1)}) >= ({m.group(2).split(',')[0]}), "
+     lambda m: (f"IF(length({m.group(1)}) >= ({_first_arg(m.group(2))}), "
                 f"{m.group(1)}, rpad({m.group(1)}, {m.group(2)}))")),
     (re.compile(_RECV + r"\.concat\(" + _ARG + r"\)"),
      lambda m: f"concat({m.group(1)}, {m.group(2)})"),

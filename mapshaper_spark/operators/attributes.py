@@ -53,9 +53,17 @@ def rename_fields(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     {renames, then defaults} key order (mapshaper-filter-rename-fields.js:
     10-15, filter-rename-fields-test.js:21-30)."""
     renamed_old = list(mapping.values())
-    front = [df[old].alias(new) for new, old in mapping.items()]
-    rest = [df[c] for c in df.columns if c not in renamed_old]
-    return df.select(*front, *rest)
+    # getRecordMapper iterates {renames, then identity defaults} and writes
+    # dest[map[key]] = src[key] into a JS object — so when a rename target
+    # collides with an existing untouched column, the later identity write
+    # WINS on value while the first write fixes the column position
+    # (`-rename-fields a=b` on fields [a,b] yields one column `a` holding
+    # the original a).  A Python dict reproduces both rules.
+    assigns: dict[str, str] = dict(mapping)
+    for c in df.columns:
+        if c not in renamed_old:
+            assigns[c] = c
+    return df.select(*[df[old].alias(new) for new, old in assigns.items()])
 
 
 def each(df: DataFrame, assignments: Mapping[str, str | Column],

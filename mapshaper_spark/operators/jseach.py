@@ -210,8 +210,6 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
         (_referenced_names(where) if where else set())
     data_cols = [c for c in df.columns
                  if c not in _GEOM_COLS or c in refs]
-    geom_needed = [c for c in _GEOM_COLS if c in df.columns] if getters else \
-        [c for c in _GEOM_COLS if c in df.columns and c in refs]
 
     # --- driver-side sample -> output schema for the new columns ---
     sample = df.limit(sample_rows).toPandas()
@@ -255,8 +253,6 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
                 del residual
                 for t in changed:
                     dt = types_bc[t]
-                    if dt is None:  # where= skipped every sample row
-                        continue
                     if t in record:
                         row[t] = _coerce(record[t], dt)
                     elif t not in row:

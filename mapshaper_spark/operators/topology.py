@@ -581,6 +581,10 @@ def snap_paths(df: DataFrame, interval: float = None) -> DataFrame:
                .select(F.explode(F.arrays_zip(
                    F.col("rings_x").alias("rx"),
                    F.col("rings_y").alias("ry"))).alias("r"))
+               # degenerate (<2-vertex) rings contribute no segments; without
+               # this filter sequence(1, size-1) turns DESCENDING and the
+               # lambda hits element_at(_, 0), a runtime error
+               .filter(F.size("r.rx") >= 2)
                .select(F.aggregate(
                    F.sequence(F.lit(1), F.size("r.rx") - 1), F.lit(0.0),
                    lambda acc, i: acc + F.sqrt(

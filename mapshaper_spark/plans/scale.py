@@ -91,7 +91,15 @@ def maybe_broadcast(df: DataFrame, limit: int = 100_000) -> DataFrame:
     Row count is the gate (not bytes) because geometry payloads vary wildly
     per row; limits at call sites are sized so limit rows of that table fit
     comfortably in executor/driver memory.
+
+    The probed frame is persisted first: call sites pass DERIVED tables
+    (node/endpoint aggregations), and a LIMIT above a global aggregate
+    still executes the whole upstream — without the persist, the probe
+    would compute that subtree once and the consuming join a second time.
+    MEMORY_AND_DISK, LRU-evictable, lineage kept (same policy as
+    ranked_ids above).
     """
+    df = df.persist()
     if df.limit(limit + 1).count() <= limit:
         return F.broadcast(df)
     return df

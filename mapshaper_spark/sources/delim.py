@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,6 +89,8 @@ def delim_payload(df: DataFrame, delimiter: str = ",") -> str:
     def _cell(v) -> str:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return ""
+        if isinstance(v, (bool, np.bool_)):
+            return "true" if v else "false"  # JS String(bool)
         if isinstance(v, float) and v.is_integer() and abs(v) < 1e16:
             # JS String(n) has no int/float split: 3.0 prints '3'
             s = str(int(v))

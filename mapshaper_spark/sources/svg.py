@@ -141,11 +141,16 @@ def _num_str(col: Column) -> Column:
 
 
 def _px_round(col: Column, precision: float) -> Column:
-    """setCoordinatePrecision grid rounding (post-transform pixel coords)."""
-    if "." in repr(precision) and precision < 1:
-        dec = len(repr(precision).split(".")[1])
-        return F.round(col, dec)
-    return F.round(col / precision) * precision
+    """setCoordinatePrecision grid rounding (post-transform pixel coords):
+    getRoundingFunction (src/geom/mapshaper-rounding.js:33-41) snaps to the
+    round(1/inc) grid — precision=0.2 means a 1/5 grid (3.14 -> 3.2), NOT
+    1-decimal rounding.  (Tie direction on negative halves follows Spark's
+    HALF_UP vs JS's half-toward-+inf; ties on a float grid are measure-zero.)
+    """
+    inv = 1.0 / precision
+    if inv > 1:
+        inv = math.floor(inv + 0.5)  # JS Math.round
+    return F.round(col * inv) / inv
 
 
 def _style_attrs(df: DataFrame, symbol: str) -> Column:
