@@ -129,9 +129,30 @@ def _tokenize(src: str) -> list:
             while j < n and src[j] != c:
                 if src[j] == "\\" and j + 1 < n:
                     esc = src[j + 1]
-                    buf.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0",
-                                "b": "\b", "f": "\f", "v": "\v"}.get(esc, esc))
-                    j += 2
+                    if esc == "u" and src[j + 2:j + 3] == "{":
+                        k = src.find("}", j + 3)  # \u{1F600}
+                        try:
+                            buf.append(chr(int(src[j + 3:k], 16)))
+                        except ValueError:
+                            raise JSSyntaxError("bad unicode escape")
+                        j = k + 1
+                    elif esc == "u" and j + 6 <= n:  # \uXXXX
+                        try:
+                            buf.append(chr(int(src[j + 2:j + 6], 16)))
+                        except ValueError:
+                            raise JSSyntaxError("bad unicode escape")
+                        j += 6
+                    elif esc == "x" and j + 4 <= n:  # \xNN
+                        try:
+                            buf.append(chr(int(src[j + 2:j + 4], 16)))
+                        except ValueError:
+                            raise JSSyntaxError("bad hex escape")
+                        j += 4
+                    else:
+                        buf.append({"n": "\n", "t": "\t", "r": "\r",
+                                    "0": "\0", "b": "\b", "f": "\f",
+                                    "v": "\v"}.get(esc, esc))
+                        j += 2
                 else:
                     if c == "`" and src.startswith("${", j):
                         raise JSSyntaxError(
@@ -430,13 +451,35 @@ def parse(src: str):
 # ---------------------------------------------------------------------------
 
 def _num_to_str(v: float) -> str:
+    """ECMA-262 Number::toString(10): decimal form while the leading-digit
+    exponent stays in (-7, 21), else 'd.ddde±N' with an UNPADDED exponent —
+    repr() alone pads ('1e-07') and switches to scientific earlier than JS
+    ('1e-05' where JS prints '0.00001')."""
     if math.isnan(v):
         return "NaN"
     if math.isinf(v):
         return "Infinity" if v > 0 else "-Infinity"
     if v == int(v) and abs(v) < 1e21:
         return str(int(v))
-    return repr(v)
+    r = repr(abs(v))
+    if "e" not in r:
+        return r if v > 0 else "-" + r
+    mant, _, exp = r.partition("e")
+    n = int(exp) + 1  # decimal-point position relative to the digit string
+    digits = (mant.replace(".", "").rstrip("0") or "0")
+    k = len(digits)
+    sign = "-" if v < 0 else ""
+    if k <= n <= 21:
+        s = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        s = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        s = "0." + "0" * (-n) + digits
+    else:
+        e10 = n - 1
+        mpart = digits[0] + ("." + digits[1:] if k > 1 else "")
+        s = f"{mpart}e{'+' if e10 >= 0 else '-'}{abs(e10)}"
+    return sign + s
 
 
 def to_number(v) -> float:
@@ -637,15 +680,25 @@ def _js_pow(x: float, y: float) -> float:
         v = x ** y
         return float(v.real) if isinstance(v, complex) else float(v)
     except (OverflowError, ZeroDivisionError):
-        return math.inf if y > 0 else math.inf
+        # sign of the JS result: negative base to an odd integer power
+        # overflows to -Infinity ((-1e200)**3), (-0.0)**-1 is -Infinity
+        neg = (x < 0 and y == int(y) and int(y) % 2 != 0) or \
+            (math.copysign(1.0, x) < 0 and x == 0 and
+             y == int(y) and int(y) % 2 != 0)
+        return -math.inf if neg else math.inf
 
 
 def _parse_int(s, radix=UNDEFINED):
     s = to_string(s).strip()
-    base = 10 if radix is UNDEFINED or to_number(radix) == 0 \
-        else int(to_number(radix))
+    try:
+        base = 10 if radix is UNDEFINED or to_number(radix) == 0 \
+            else int(to_number(radix))
+    except (ValueError, OverflowError):  # parseInt('5', 'x') -> NaN
+        return NAN
+    if base < 2 or base > 36:  # JS: radix outside [2, 36] -> NaN
+        return NAN
     sign = 1
-    if s[:1] in "+-":
+    if s[:1] and s[:1] in "+-":  # '' in "+-" is True; guard the deref
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
     if base == 16 and s[:2].lower() == "0x":
@@ -1047,9 +1100,14 @@ class _Arrow:
 
 
 class _Interp:
-    def __init__(self, record: dict, env: dict | None = None):
+    def __init__(self, record: dict, env: dict | None = None,
+                 globals_: dict | None = None):
         self.record = record          # the feature's data fields (mutable)
-        self.globals = _make_globals()
+        # callers looping over many rows pass a prebuilt ``globals_`` to
+        # share one environment across the loop (the reference builds its
+        # expression context ONCE per -each run, not per feature) — per-row
+        # _make_globals() is ~20 dict builds per record on the slow path
+        self.globals = _make_globals() if globals_ is None else globals_
         if env:
             self.globals.update(env)
 
@@ -1368,9 +1426,17 @@ def assigned_vars(src: str, dot_assignments: bool = False) -> list:
     reference's getAssignedVars (expressions-test.js cases)."""
     out: list = []
     for node in _walk(parse(src)):
-        if node[0] != "assign" or node[1] != "=":
+        # all assignment FORMS count: plain '=', compound '+='/'-='/...,
+        # and '++'/'--' updates. (The reference's regex only sees plain
+        # '=', but its with(record) closure persists every write anyway —
+        # our writeback copies exactly these names, so missing a form
+        # would silently drop the mutation: 'total += x' must stick.)
+        if node[0] == "assign":
+            tgt = node[2]
+        elif node[0] == "update":
+            tgt = node[2]
+        else:
             continue
-        tgt = node[2]
         if not dot_assignments and tgt[0] == "id":
             if tgt[1] not in out:
                 out.append(tgt[1])

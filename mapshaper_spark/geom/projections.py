@@ -3298,6 +3298,12 @@ class Healpix(Projection):
 
     def fwd(self, lng, lat):
         lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        # adjlon: the piecewise polar form indexes facets by
+        # floor(2*lam/pi + 2), which goes negative for un-wrapped lam
+        # (e.g. +lon_0=170 with lon=-170 -> lam=-340 deg); every other
+        # lon_0-shifting entry wraps, healpix must too
+        lam = np.where((lam < -math.pi) | (lam >= math.pi),
+                       ((lam + math.pi) % (2.0 * math.pi)) - math.pi, lam)
         phi = np.asarray(lat, dtype=np.float64) * D2R
         if self.es != 0.0:
             phi = self._auth_fwd(phi)
@@ -4489,13 +4495,17 @@ def get_projection(defn: str) -> Projection:
                            ELLIPSOIDS["WGS84"])
     if "a" in p:
         a = float(p["a"])
-        es = 0.0 if p.get("b") == p.get("a") else es
-        if "b" in p and p["b"] != p["a"]:
+        if "b" in p:
             b = float(p["b"])
-            es = 1.0 - (b * b) / (a * a)
+            es = 1.0 - (b * b) / (a * a)  # b == a -> 0.0 (sphere)
         elif "rf" in p:  # inverse flattening (the .prj SPHEROID spelling)
             f = 1.0 / float(p["rf"])
             es = 2.0 * f - f * f
+        elif "ellps" not in p and "datum" not in p:
+            # PROJ pj_ell_set: +a with no shape parameter (+b/+rf) and no
+            # +ellps/+datum defines a SPHERE of radius a, not a hybrid
+            # ellipsoid with WGS84 eccentricity
+            es = 0.0
     lon0 = float(p.get("lon_0", 0.0))
     lat0 = float(p.get("lat_0", 0.0))
     x0 = float(p.get("x_0", 0.0))
@@ -4710,11 +4720,15 @@ def get_projection(defn: str) -> Projection:
     if name == "igh":
         return InterruptedGoode(a, lon0=lon0, x0=x0, y0=y0)
     if name == "ups":
-        # universal polar stereographic: polar stere with fixed
-        # k0 = 0.994 and a 2,000 km false easting/northing
+        # universal polar stereographic: polar stere whose DEFAULTS are
+        # k0 = 0.994 and a 2,000 km false easting/northing — explicit
+        # +k_0/+x_0/+y_0 still win, as in PROJ (they are defaults, not
+        # constants)
         return Stereographic(a, es, lat0=-90.0 if "south" in p else 90.0,
-                             lon0=lon0, k0=0.994,
-                             x0=2000000.0, y0=2000000.0)
+                             lon0=lon0,
+                             k0=k0 if ("k_0" in p or "k" in p) else 0.994,
+                             x0=x0 if "x_0" in p else 2000000.0,
+                             y0=y0 if "y_0" in p else 2000000.0)
     if name == "tpers":
         return TiltedPerspective(a, h=float(p.get("h", 35785831.0)),
                                  tilt=float(p.get("tilt", 0.0)),
@@ -4871,9 +4885,17 @@ def get_transform(src: str | Projection, dest: str | Projection):
     def tf(x, y):
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
-        if not sp.is_latlong:
+        if sp.is_latlong:
+            # clampSrc: only LAT-LONG source longitudes snap to bounds
+            # (mapshaper-proj.js:113-120)
+            x = np.clip(x, -180.0, 180.0)
+        else:
             x, y = sp.inv(x, y)
-        x = np.clip(x, -180.0, 180.0)
+            # adjlon: PROJ WRAPS inverted longitudes into [-180, 180)
+            # (lon -200 from a +lon_0=-96 source is +160, not -180 — the
+            # old clamp corrupted antimeridian crossings by 20 degrees)
+            x = np.where((x < -180.0) | (x >= 180.0),
+                         ((x + 180.0) % 360.0) - 180.0, x)
         if dp.is_latlong:
             return x, y
         return dp.fwd(x, y)

@@ -128,8 +128,12 @@ def _py_value(v):
 
 
 def _run_row(ast, row: dict, data_cols: list, getters: set,
-             where_ast=None, extra_env: dict | None = None):
-    """Evaluate the program for one row. Returns (residual, record)."""
+             where_ast=None, extra_env: dict | None = None,
+             globals_: dict | None = None):
+    """Evaluate the program for one row. Returns (residual, record).
+    ``globals_``: a shared environment from J._make_globals(), built once
+    per batch by the caller (the reference builds its expression context
+    once per -each run; rebuilding ~20 dicts per row is pure overhead)."""
     record = {c: _py_value(row.get(c)) for c in data_cols}
     env = dict(extra_env) if extra_env else {}
     if getters:
@@ -137,10 +141,11 @@ def _run_row(ast, row: dict, data_cols: list, getters: set,
         env["$"] = proxy
         env["this"] = proxy
     if where_ast is not None:
-        keep = J.truthy(J._Interp(dict(record), env).run(where_ast))
+        keep = J.truthy(J._Interp(dict(record), env,
+                                  globals_=globals_).run(where_ast))
         if not keep:
             return None, record
-    interp = J._Interp(record, env)
+    interp = J._Interp(record, env, globals_=globals_)
     return interp.run(ast), record
 
 
@@ -244,12 +249,14 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
     types_bc = {t: out_types.get(t) for t in targets}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shared_globals = J._make_globals()  # once per task, not per row
         for pdf in batches:
             rows_out = []
             for _, prow in pdf.iterrows():
                 row = prow.to_dict()
                 residual, record = _run_row(ast, row, data_cols, getters,
-                                            where_ast, env)
+                                            where_ast, env,
+                                            globals_=shared_globals)
                 del residual
                 for t in changed:
                     dt = types_bc[t]
@@ -277,6 +284,7 @@ def filter_js(df: DataFrame, expression: str,
     data_cols = [c for c in df.columns if c not in _GEOM_COLS or c in refs]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shared_globals = J._make_globals()  # once per task, not per row
         for pdf in batches:
             keep = []
             for _, prow in pdf.iterrows():
@@ -287,7 +295,8 @@ def filter_js(df: DataFrame, expression: str,
                     proxy = _make_proxy(row, getters)
                     renv["$"] = proxy
                     renv["this"] = proxy
-                keep.append(J.truthy(J._Interp(record, renv).run(ast)))
+                keep.append(J.truthy(J._Interp(
+                    record, renv, globals_=shared_globals).run(ast)))
             yield pdf[pd.Series(keep, index=pdf.index)]
 
     return df.mapInPandas(gen, schema=df.schema)

@@ -155,3 +155,87 @@ class TestMergeLayersCrsMix:
         with pytest.raises(ValueError, match="projected"):
             run_commands(spark,
                          f"-i {pa} {pb} combine-files -merge-layers")
+
+
+class TestJsEngineSecondPass:
+    """Second review pass: JS-engine numeric/string edge parity."""
+
+    def test_parse_int_empty_and_bad_radix(self):
+        from mapshaper_spark.functions import jsengine as J
+        import math
+        assert math.isnan(J._parse_int(""))        # JS parseInt('') -> NaN
+        assert math.isnan(J._parse_int("   "))
+        assert math.isnan(J._parse_int("5", "x"))  # non-numeric radix
+        assert math.isnan(J._parse_int("0", 1))    # radix outside [2,36]
+        assert J._parse_int("ff", 16) == 255.0
+
+    def test_pow_overflow_sign(self):
+        from mapshaper_spark.functions import jsengine as J
+        import math
+        assert J._js_pow(-1e200, 3) == -math.inf
+        assert J._js_pow(-0.0, -1) == -math.inf
+        assert J._js_pow(-0.0, -2) == math.inf
+        assert J._js_pow(1e200, 3) == math.inf
+
+    def test_unicode_and_hex_escapes(self):
+        from mapshaper_spark.functions.jsengine import run_program
+        _, rec = run_program('s = "caf\\u00e9"; h = "\\x41"', {})
+        assert rec["s"] == "café"
+        assert rec["h"] == "A"
+
+    def test_js_number_to_string_exponent_format(self):
+        from mapshaper_spark.functions.jsengine import run_program
+        _, rec = run_program('a = "" + 0.0000001; b = "" + 0.00001', {})
+        assert rec["a"] == "1e-7"      # JS, not Python's '1e-07'
+        assert rec["b"] == "0.00001"   # JS stays decimal to 1e-6
+
+    def test_compound_assignment_persists(self, spark):
+        from mapshaper_spark.operators.jseach import each_js
+        df = spark.createDataFrame([(10.0,), (20.0,)], ["v"])
+        out = each_js(df, "v += 5")
+        assert sorted(r.v for r in out.collect()) == [15.0, 25.0]
+
+    def test_increment_persists(self, spark):
+        from mapshaper_spark.operators.jseach import each_js
+        df = spark.createDataFrame([(1.0,)], ["n"])
+        out = each_js(df, "n++")
+        assert out.collect()[0].n == 2.0
+
+
+class TestProjectionsSecondPass:
+    def test_plus_a_alone_is_a_sphere(self):
+        import math
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=merc +a=6371000")
+        _, y = p.fwd(0.0, 45.0)
+        want = 6371000.0 * math.log(math.tan(math.pi / 4 + math.radians(45) / 2))
+        assert float(y) == pytest.approx(want, rel=1e-12)
+
+    def test_projected_source_antimeridian_wraps_not_clamps(self):
+        from mapshaper_spark.geom.projections import get_projection, get_transform
+        src = get_projection("+proj=merc +lon_0=-96")
+        x, y = src.fwd(160.0, 10.0)      # inverse yields lon -200
+        tf = get_transform(src, get_projection("+proj=longlat"))
+        lon, lat = tf(x, y)
+        assert float(lon) == pytest.approx(160.0, abs=1e-9)
+        assert float(lat) == pytest.approx(10.0, abs=1e-9)
+
+    def test_healpix_lon0_polar_facet_wraps(self):
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=healpix +lon_0=170")
+        x1, y1 = p.fwd(-170.0, 80.0)     # lam would be -340 deg unwrapped
+        x2, y2 = p.fwd(190.0 - 360.0 + 360.0, 80.0)  # same point as +190
+        lon, lat = p.inv(x1, y1)
+        # round-trip comes back to the same place on the sphere
+        assert (float(lon) % 360.0) == pytest.approx(190.0, abs=1e-6)
+        assert float(lat) == pytest.approx(80.0, abs=1e-6)
+        assert float(x1) == pytest.approx(float(x2))
+
+    def test_ups_explicit_offsets_win(self):
+        from mapshaper_spark.geom.projections import get_projection
+        p0 = get_projection("+proj=ups")
+        p1 = get_projection("+proj=ups +x_0=0 +y_0=0")
+        x0, y0 = p0.fwd(10.0, 85.0)
+        x1, y1 = p1.fwd(10.0, 85.0)
+        assert float(x0) - float(x1) == pytest.approx(2000000.0)
+        assert float(y0) - float(y1) == pytest.approx(2000000.0)
