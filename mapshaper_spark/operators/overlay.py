@@ -459,7 +459,23 @@ def _overlay_one(rec, clip_feats, op, out_has_cid=False):
     cands.sort(key=lambda rc: (rc[1],
                                rc[0][0][0][0] if rc[0] else 0.0,
                                rc[0][0][1][0] if rc[0] else 0.0))
-    rings_c = [r for rings, _cb in cands for r in rings]
+    # EXACT-duplicate clip rings (same ring twice, either direction) must
+    # collapse: the reference dissolves the whole clip layer before
+    # clipping (clipPolygons, mapshaper-polygon-clipping.js:22-23), while
+    # the kernel's even-odd test counts a duplicated ring's crossings
+    # twice and would classify the inside as outside
+    rings_c = []
+    seen_c = set()
+    for rings, _cb in cands:
+        for rx, ry in rings:
+            ax = np.asarray(rx, dtype=np.float64)
+            ay = np.asarray(ry, dtype=np.float64)
+            k1 = (ax.tobytes(), ay.tobytes())
+            k2 = (ax[::-1].tobytes(), ay[::-1].tobytes())
+            if k1 in seen_c or k2 in seen_c:
+                continue
+            seen_c.add(k1)
+            rings_c.append((rx, ry))
     if not rings_c:
         # no candidate clip geometry: erase passes through, clip drops
         return dict(rec) if op == "erase" else None
@@ -499,17 +515,23 @@ def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
     the first target column)."""
     spark = target.sparkSession
     op = "erase" if erase else "clip"
-    out_cols = [f.name for f in target.schema.fields]
     if key is None:
         key = target.columns[0]
+    # both sides need bbox: the broadcast path filters on target bbox and
+    # the distributed kernel reads rec['bbox'] (clip_polylines derives it
+    # the same way); a bbox we synthesized is dropped again on output
+    had_bbox = "bbox" in target.columns
+    target = _ensure_bbox(target)
     clip = _ensure_bbox(clip)
+    out_cols = [f.name for f in target.schema.fields]
+    fin = (lambda df: df) if had_bbox else (lambda df: df.drop("bbox"))
 
     n_clip = clip.limit(broadcast_limit + 1).count()
     if n_clip == 0:
         # empty clip source: erase returns the target unchanged; clip
         # returns nothing (the reference errors on a missing clip layer —
         # we take the set-semantics result and leave erroring to callers)
-        return target if erase else target.limit(0)
+        return fin(target if erase else target.limit(0))
 
     if n_clip <= broadcast_limit:
         clip_rows = clip.select("rings_x", "rings_y", "bbox").collect()
@@ -544,7 +566,7 @@ def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
         out = cand.mapInPandas(gen, schema=target.schema)
         if pass_through is not None:
             out = out.unionByName(pass_through)
-        return out
+        return fin(out)
 
     # ---- distributed path: cell-keyed candidate pairs, no driver collect
     gb = _union_bbox(target, clip)
@@ -591,7 +613,7 @@ def clip_polygons(target: DataFrame, clip: DataFrame, clip_key: str = None,
     out = cand.mapInPandas(gen2, schema=target.schema)
     if pass_through is not None:
         out = out.unionByName(pass_through)
-    return out
+    return fin(out)
 
 
 def _ensure_bbox(df: DataFrame) -> DataFrame:
@@ -886,6 +908,7 @@ def mean_segment_len_sq(features: DataFrame) -> float:
     ring = features.select(F.explode(F.arrays_zip(
         F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys"))).alias("r"))
     seg = ring.select(F.col("r.xs").alias("xs"), F.col("r.ys").alias("ys")) \
+        .filter(F.size("xs") >= 2) \
         .select(F.explode(F.sequence(F.lit(2), F.size("xs"))).alias("i"), "xs", "ys")
     dx = F.abs(F.element_at("xs", F.col("i")) - F.element_at("xs", F.col("i") - 1))
     dy = F.abs(F.element_at("ys", F.col("i")) - F.element_at("ys", F.col("i") - 1))

@@ -286,20 +286,28 @@ def points_from_columns(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
 
 def points_vertices(df: DataFrame, key: str) -> DataFrame:
-    """-points vertices: every distinct vertex of the shape, in order, with
-    the duplicated ring-closing vertex dropped (points.js vertices mode).
-    Pure JVM: explode rings, slice off the closing point, posexplode."""
+    """-points vertices (pointsFromVertices, mapshaper-points.js:96-121):
+    every vertex of the shape in traversal order, deduped per shape by
+    EXACT coordinate, first occurrence kept — that drops a ring's closing
+    vertex but keeps the real endpoint of an open polyline (slicing off
+    the last vertex per ring got the latter wrong) and also collapses
+    vertices shared between parts, like the reference's coordinate index.
+    Window partitioned by (shape, x, y): no global exchange."""
+    from pyspark.sql.window import Window
     ring = (df.select(key, F.posexplode(F.arrays_zip(
         F.col("rings_x").alias("xs"), F.col("rings_y").alias("ys")))
         .alias("ring_idx", "r")))
     pts = ring.select(
         key, "ring_idx",
         F.posexplode(F.arrays_zip(
-            F.slice(F.col("r.xs"), 1, F.greatest(F.size("r.xs") - 1, F.lit(0))).alias("x"),
-            F.slice(F.col("r.ys"), 1, F.greatest(F.size("r.ys") - 1, F.lit(0))).alias("y"),
+            F.col("r.xs").alias("x"), F.col("r.ys").alias("y"),
         )).alias("vertex_idx", "p"))
-    return pts.select(key, "ring_idx", "vertex_idx",
-                      F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    w = Window.partitionBy(key, "p.x", "p.y").orderBy("ring_idx",
+                                                      "vertex_idx")
+    return (pts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+            .select(key, "ring_idx", "vertex_idx",
+                    F.col("p.x").alias("x"), F.col("p.y").alias("y")))
 
 
 def points_endpoints(df: DataFrame, key: str) -> DataFrame:
@@ -378,12 +386,17 @@ def clip_points(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
     as inside, matching testPointInPolygon."""
     from mapshaper_spark.operators.spatial import pip_join
     pt_cols = points.columns
-    hits = (pip_join(points, x, y, polys_rings, poly_key, bbox=bbox, res=res,
+    # membership joins go through a synthetic row id: joining on all point
+    # columns is null-UNSAFE (a point with any null attribute never
+    # anti-matches and survives -erase) and collapses genuinely duplicated
+    # input rows via distinct()
+    work = points.withColumn("__ptid", F.monotonically_increasing_id())
+    work = work.localCheckpoint()  # pin ids: referenced twice below
+    hits = (pip_join(work, x, y, polys_rings, poly_key, bbox=bbox, res=res,
                      cache_token=cache_token)
-            .select(*pt_cols).distinct())
-    if not erase:
-        return hits
-    return points.join(hits, pt_cols, "left_anti")
+            .select("__ptid").distinct())
+    how = "left_anti" if erase else "left_semi"
+    return work.join(hits, "__ptid", how).select(*pt_cols)
 
 
 def clip_bbox_points(points: DataFrame, x: str, y: str,
@@ -743,7 +756,10 @@ def calc_max_sliver_area(arcs: DataFrame) -> float:
     dx_max = (float(b[2]) - float(b[0])) / 2.0
     dy_max = (float(b[3]) - float(b[1])) / 2.0
     n = F.size("xs")
-    seg = arcs.select(F.explode(F.sequence(F.lit(2), n)).alias("i"), "xs", "ys")
+    # <2-vertex arcs have no segments; sequence(2, n) turns DESCENDING for
+    # them and element_at(_, 0) is a runtime error
+    seg = arcs.filter(n >= 2) \
+        .select(F.explode(F.sequence(F.lit(2), n)).alias("i"), "xs", "ys")
     dx = F.abs(F.element_at("xs", F.col("i")) - F.element_at("xs", F.col("i") - 1))
     dy = F.abs(F.element_at("ys", F.col("i")) - F.element_at("ys", F.col("i") - 1))
     kept = seg.select(dx.alias("dx"), dy.alias("dy")) \

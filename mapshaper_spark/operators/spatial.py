@@ -343,6 +343,9 @@ def polygon_index(points_spark, polys_rings: DataFrame, poly_key: str,
         hit = _INDEX_CACHE.get(ck)
         if hit is not None:
             return hit
+    if "bbox" not in polys_rings.columns:
+        from mapshaper_spark.operators.overlay import _ensure_bbox
+        polys_rings = _ensure_bbox(polys_rings)
     key_type = polys_rings.schema[poly_key].dataType
     n = polys_rings.limit(local_limit + 1).count()
     if n <= local_limit:
@@ -369,8 +372,29 @@ def pip_join(points: DataFrame, x: str, y: str, polys_rings: DataFrame,
     Returns the points DataFrame columns + ``poly_key``.
     """
     if bbox is None:
-        from mapshaper_spark.layers import DEFAULT_BBOX
-        bbox = DEFAULT_BBOX
+        # derive the grid extent from the polygon layer: assuming a fixed
+        # world bbox silently loses every cover cell for layers outside it
+        # (both grid sides clamp to edge cells, whose rects then intersect
+        # no segment and classify by an out-of-polygon center). The polygon
+        # extent bounds all possible hits, so points are filtered to it —
+        # that also prevents out-of-extent points from clamping into a
+        # full=true interior cell and passing without the exact verify.
+        if "bbox" not in polys_rings.columns:
+            from mapshaper_spark.operators.overlay import _ensure_bbox
+            polys_rings = _ensure_bbox(polys_rings)
+        pb = polys_rings.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                             F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+        if pb[0] is None:  # empty polygon side: no pairs, typed empty out
+            from mapshaper_spark.layers import DEFAULT_BBOX
+            bbox = DEFAULT_BBOX
+        else:
+            xmin, ymin = float(pb[0]), float(pb[1])
+            bbox = (xmin, ymin, max(float(pb[2]), xmin + 1e-9),
+                    max(float(pb[3]), ymin + 1e-9))
+        points = points.filter((F.col(x) >= F.lit(bbox[0])) &
+                               (F.col(x) <= F.lit(bbox[2])) &
+                               (F.col(y) >= F.lit(bbox[1])) &
+                               (F.col(y) <= F.lit(bbox[3])))
     spark = points.sparkSession
 
     if broadcast_polys == "auto":
@@ -430,7 +454,12 @@ def spatial_join_point_to_polygon(points: DataFrame, x: str, y: str,
     for f in sum_fields:
         aggs.append(F.sum(f).alias(f"sum_{f}"))
     agg = pairs.groupBy(point_key).agg(*aggs)
-    return points.join(agg, point_key, "left").fillna({"joins": 0})
+    out = points.join(agg, point_key, "left").fillna({"joins": 0})
+    # updateUnmatchedRecord zeroes SUM fields too (mapshaper-join.js:
+    # 171-174); copy fields stay null
+    if sum_fields:
+        out = out.fillna({f"sum_{f}": 0 for f in sum_fields})
+    return out
 
 
 def polygon_to_points_join(points: DataFrame, x: str, y: str,
@@ -683,6 +712,16 @@ def knn_join_progressive(left: DataFrame, lx: str, ly: str, left_key: str,
 
     results = None
     spark = left.sparkSession
+    if not pending.isEmpty():
+        # no ring beyond the farthest grid corner of any pending cell adds
+        # cells — rows still pending past that have seen EVERY right point
+        # and finalize via the closing top-k, so don't spin empty rounds
+        # (a left row with < k neighbors anywhere used to run all
+        # max_rings rounds)
+        rmax = pending.agg(F.max(F.greatest(
+            F.col("__lix"), F.lit(n - 1) - F.col("__lix"),
+            F.col("__liy"), F.lit(n - 1) - F.col("__liy")))).collect()[0][0]
+        max_rings = min(max_rings, int(rmax))
     for r in range(max_rings + 1):
         if pending.isEmpty():
             break
@@ -715,6 +754,13 @@ def knn_join_progressive(left: DataFrame, lx: str, ly: str, left_key: str,
                .select(left_key))
         pending = pending.join(kth, left_key, "left_anti").localCheckpoint()
 
+    if results is None:  # empty left side: typed empty result, not a crash
+        schema = T.StructType([
+            T.StructField(left_key, left.schema[left_key].dataType),
+            T.StructField(right_key, right.schema[right_key].dataType),
+            T.StructField("dist_sq", T.DoubleType()),
+            T.StructField("knn_rank", T.IntegerType())])
+        return spark.createDataFrame([], schema)
     w = Window.partitionBy(left_key).orderBy("dist_sq", "__rk")
     return (results.withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
