@@ -12,8 +12,10 @@ pixel ops -> re-encode round-trips bit-exactly in tests.
 
 Implemented from the public "WebP Lossless Bitstream Specification"
 (https://developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification).
-Lossy VP8 streams raise NotImplementedError (DCT codec out of scope here;
-JPEG covers the lossy-path PSNR>=40 invariant in operators/jpeg.py).
+Lossy VP8 streams decode through the pure-numpy intra-frame VP8 codec in
+operators/vp8.py (RFC 6386), so `decode_webp` covers the full container:
+VP8 (lossy), VP8L (lossless), and VP8X-wrapped variants with an ALPH
+alpha chunk (raw or lossless-compressed, all four alpha filters).
 
 Like the PNG/PPM/JPEG codecs this runs inside mapInPandas over Arrow
 batches — one numpy decode per row; the bit-serial inner loops are
@@ -431,8 +433,8 @@ def _apply_subtract_green_inverse(argb: np.ndarray) -> np.ndarray:
     return (a << 24) | (r << 16) | (g << 8) | b
 
 
-def decode_vp8l(payload: bytes) -> np.ndarray:
-    """VP8L chunk payload -> RGB8 (h, w, 3) (alpha dropped, as in PNG path)."""
+def decode_vp8l_argb(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload -> uint32 ARGB array (h, w)."""
     if payload[0] != _VP8L_MAGIC:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload)
@@ -442,7 +444,12 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    return _decode_stream(br, w, h)
 
+
+def _decode_stream(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Transform loop + spatially-coded image; also the headless stream
+    layout used by lossless-compressed ALPH chunks."""
     transforms = []
     palette = None
     packed_w = w
@@ -497,29 +504,126 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
                 full = np.where(oob, 0, full)
             argb = pal[full]
 
+    return argb
+
+
+def _argb_to_rgb(argb: np.ndarray) -> np.ndarray:
     r = ((argb >> 16) & 0xFF).astype(np.uint8)
     g = ((argb >> 8) & 0xFF).astype(np.uint8)
     b = (argb & 0xFF).astype(np.uint8)
     return np.stack([r, g, b], axis=2)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF/WEBP container -> RGB8. Only the lossless (VP8L) stream is
-    implemented; lossy VP8/VP8X-wrapped-lossy raises NotImplementedError."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a WebP file")
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload -> RGB8 (h, w, 3) (alpha dropped, as in PNG path)."""
+    return _argb_to_rgb(decode_vp8l_argb(payload))
+
+
+def decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane (container spec "Alpha").
+
+    Byte 0: bits 0-1 compression (0 raw, 1 lossless), bits 2-3 filtering
+    (none/horizontal/vertical/gradient), bits 4-5 preprocessing (no decode
+    action). Lossless payloads are a headless VP8L stream with the alpha
+    values in the green channel.
+    """
+    flags = payload[0]
+    compression = flags & 3
+    filtering = (flags >> 2) & 3
+    data = payload[1:]
+    if compression == 0:
+        a = np.frombuffer(data[:w * h], dtype=np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        br = _BitReader(data)
+        argb = _decode_stream(br, w, h)
+        a = ((argb >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError("bad ALPH compression method %d" % compression)
+    if filtering:
+        a = _unfilter_alpha(a, filtering)
+    return a
+
+
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Alpha prediction filters (libwebp dsp/filters.c semantics)."""
+    h, w = a.shape
+    out = np.zeros_like(a)
+    if method == 1:  # horizontal
+        for y in range(h):
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            row = a[y].astype(np.int32)
+            acc = np.empty(w, dtype=np.int32)
+            run = pred
+            for x in range(w):
+                run = (run + int(row[x])) & 0xFF
+                acc[x] = run
+            out[y] = acc.astype(np.uint8)
+    elif method == 2:  # vertical (first row: horizontal from 0)
+        run = 0
+        first = np.empty(w, dtype=np.uint8)
+        for x in range(w):
+            run = (run + int(a[0, x])) & 0xFF
+            first[x] = run
+        out[0] = first
+        for y in range(1, h):
+            out[y] = out[y - 1] + a[y]  # uint8 wraps mod 256
+    else:  # gradient (first row: horizontal from 0)
+        run = 0
+        for x in range(w):
+            run = (run + int(a[0, x])) & 0xFF
+            out[0, x] = run
+        for y in range(1, h):
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(a[y, x]) + g) & 0xFF
+                out[y, x] = left
+                top_left = top
+    return out
+
+
+def _iter_chunks(data: bytes):
     pos = 12
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
-        payload = data[pos + 8:pos + 8 + ln]
-        if tag == b"VP8L":
-            return decode_vp8l(payload)
-        if tag == b"VP8 ":
-            raise NotImplementedError("lossy VP8 decode not implemented "
-                                      "(lossless VP8L is)")
+        yield tag, data[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
-    raise ValueError("no VP8L chunk in WebP container")
+
+
+def decode_webp_rgba(data: bytes) -> np.ndarray:
+    """RIFF/WEBP container -> RGBA8 (h, w, 4): lossy VP8, lossless VP8L,
+    and VP8X-wrapped variants with an optional ALPH chunk."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    alph = None
+    for tag, payload in _iter_chunks(data):
+        if tag == b"ALPH":
+            alph = payload
+        elif tag == b"VP8L":
+            argb = decode_vp8l_argb(payload)
+            rgb = _argb_to_rgb(argb)
+            a = ((argb >> 24) & 0xFF).astype(np.uint8)
+            return np.dstack([rgb, a])
+        elif tag == b"VP8 ":
+            from mapshaper_spark.operators.vp8 import decode_vp8_rgb
+            rgb = decode_vp8_rgb(payload)
+            h, w = rgb.shape[:2]
+            if alph is not None:
+                a = decode_alpha(alph, w, h)
+            else:
+                a = np.full((h, w), 255, dtype=np.uint8)
+            return np.dstack([rgb, a])
+    raise ValueError("no VP8/VP8L chunk in WebP container")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """RIFF/WEBP container -> RGB8 (alpha dropped, as in PNG path).
+    Handles lossy VP8 (operators/vp8.py), lossless VP8L, and VP8X wrappers."""
+    return decode_webp_rgba(data)[:, :, :3]
 
 
 # ---------------------------------------------------------------------------

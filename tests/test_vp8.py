@@ -1,0 +1,139 @@
+"""Two-way interop tests for the pure-numpy VP8 codec (operators/vp8.py)
+against the system libwebp (via the test-only ctypes bridge webp_ref.py).
+
+The decoder bar is byte-exactness at the YUV level: RFC 6386 specifies the
+decoded signal exactly (bool decoder, dequant, IDCT, prediction, loop
+filter), so any conforming decoder must reproduce libwebp's
+WebPDecodeYUV output bit-for-bit.  RGB comparisons are tolerance-based
+because libwebp applies "fancy" chroma upsampling while we replicate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import mapshaper_spark.operators.vp8 as V
+import mapshaper_spark.operators.webp as W
+import mapshaper_spark.operators.images as IM
+
+import webp_ref
+
+pytestmark = pytest.mark.skipif(
+    not webp_ref.available(), reason="system libwebp not present")
+
+
+def _vp8_payload(blob: bytes) -> bytes:
+    for tag, payload in W._iter_chunks(blob):
+        if tag == b"VP8 ":
+            return payload
+    raise AssertionError("no VP8 chunk")
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _images():
+    rng = np.random.default_rng(7)
+    out = {
+        "synth_64x48": IM.synth_pixels(5, 64, 48),
+        "synth_33x17": IM.synth_pixels(9, 33, 17),  # non-multiple-of-16
+        "flat_16x16": np.full((16, 16, 3), 130, np.uint8),
+        "noise_80x80": rng.integers(0, 256, (80, 80, 3), dtype=np.uint8),
+    }
+    # hard edges + gradients: exercises B_PRED submodes and high filter levels
+    g = np.zeros((96, 128, 3), np.uint8)
+    yy, xx = np.mgrid[0:96, 0:128]
+    g[:, :, 0] = (xx * 2) % 256
+    g[:, :, 1] = np.where((xx // 8 + yy // 8) % 2 == 0, 255, 0)
+    g[:, :, 2] = (yy * 3) % 256
+    out["edges_128x96"] = g
+    return out
+
+
+class TestDecoderVsLibwebp:
+    @pytest.mark.parametrize("quality", [10, 50, 75, 95])
+    def test_yuv_byte_exact(self, quality):
+        for name, rgb in _images().items():
+            blob = webp_ref.encode_rgb(rgb, quality)
+            y, u, v = V.decode_vp8_frame(_vp8_payload(blob))
+            ry, ru, rv = webp_ref.decode_yuv(blob)
+            assert (y == ry).all(), (name, quality, "Y")
+            assert (u == ru).all(), (name, quality, "U")
+            assert (v == rv).all(), (name, quality, "V")
+
+    def test_feature_coverage(self):
+        """The matrix above must actually exercise the hard paths."""
+        saw_bpred = saw_seg = saw_filter = saw_parts = False
+        saw_submodes = set()
+        for rgb in _images().values():
+            for q in (10, 75, 95):
+                h = V.parse_frame_header(_vp8_payload(
+                    webp_ref.encode_rgb(rgb, q)))
+                saw_seg = saw_seg or bool(h.segmentation)
+                saw_filter = saw_filter or h.filter_level > 0
+                saw_parts = saw_parts or h.log2_partitions > 0
+                for _, _, ymode, sub, _ in V.parse_mb_records(h):
+                    if ymode == V.B_PRED:
+                        saw_bpred = True
+                        saw_submodes.update(int(m) for m in sub)
+        assert saw_bpred and saw_seg and saw_filter
+        assert len(saw_submodes) >= 8  # most of the 10 4x4 submodes
+
+    def test_container_rgb_byte_exact(self):
+        # fancy upsampler + fixed-point conversion match libwebp's RGB
+        # output exactly, not just at the YUV level
+        for name, rgb in _images().items():
+            for q in (30, 80):
+                blob = webp_ref.encode_rgb(rgb, q)
+                ours = W.decode_webp(blob)
+                ref = webp_ref.decode_rgba(blob)[:, :, :3]
+                assert ours.shape == ref.shape, name
+                assert (ours == ref).all(), (name, q)
+
+    def test_simple_filter_and_no_filter(self):
+        # libwebp picks the simple filter at low strength / filter_type=1 via
+        # config; WebPEncodeRGB always uses normal, so synthesize coverage by
+        # re-decoding with the filter off and asserting it changes pixels.
+        rgb = _images()["edges_128x96"]
+        payload = _vp8_payload(webp_ref.encode_rgb(rgb, 40))
+        h = V.parse_frame_header(payload)
+        assert h.filter_level > 0
+        y1, _, _ = V.decode_vp8_frame(payload, apply_filter=True)
+        y0, _, _ = V.decode_vp8_frame(payload, apply_filter=False)
+        assert (y1 != y0).any()
+
+
+class TestAlphaChannel:
+    def test_vp8x_alph_roundtrip(self):
+        rng = np.random.default_rng(11)
+        rgba = np.empty((40, 56, 4), np.uint8)
+        rgba[:, :, :3] = IM.synth_pixels(3, 56, 40)
+        # smooth alpha ramp: encoder keeps it losslessly (alpha_quality=100)
+        yy, xx = np.mgrid[0:40, 0:56]
+        rgba[:, :, 3] = ((xx * 4 + yy) % 256).astype(np.uint8)
+        blob = webp_ref.encode_rgba(rgba, 75)
+        assert b"VP8X" in blob[:20] and b"ALPH" in blob
+        ours = W.decode_webp_rgba(blob)
+        ref = webp_ref.decode_rgba(blob)
+        assert (ours == ref).all()  # RGB and alpha both byte-exact
+
+    def test_opaque_lossy_has_full_alpha(self):
+        blob = webp_ref.encode_rgb(_images()["flat_16x16"], 75)
+        ours = W.decode_webp_rgba(blob)
+        assert (ours[:, :, 3] == 255).all()
+
+
+class TestErrors:
+    def test_inter_frame_rejected(self):
+        payload = bytearray(_vp8_payload(
+            webp_ref.encode_rgb(_images()["flat_16x16"], 75)))
+        payload[0] |= 1  # keyframe bit
+        with pytest.raises(NotImplementedError):
+            V.parse_frame_header(bytes(payload))
+
+    def test_bad_start_code(self):
+        with pytest.raises(ValueError):
+            V.parse_frame_header(b"\x00\x00\x00XYZ" + b"\x00" * 16)

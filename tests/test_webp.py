@@ -103,11 +103,15 @@ class TestContainer:
         assert blob[12:16] == b"VP8L"
         assert len(blob) % 2 == 0  # RIFF chunks are even-padded
 
-    def test_lossy_vp8_raises(self):
+    def test_lossy_vp8_dispatches(self):
+        # a garbage VP8 chunk reaches the vp8 decoder (ValueError on the
+        # missing keyframe start code), not a NotImplementedError: lossy
+        # decode is wired in (real-stream interop lives in test_vp8.py)
         import struct
-        blob = (b"RIFF" + struct.pack("<I", 12) + b"WEBP" +
-                b"VP8 " + struct.pack("<I", 0))
-        with pytest.raises(NotImplementedError):
+        payload = b"\x00" * 16
+        blob = (b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP" +
+                b"VP8 " + struct.pack("<I", len(payload)) + payload)
+        with pytest.raises(ValueError):
             W.decode_webp(blob)
 
     def test_distance_map_is_spec_shaped(self):
