@@ -222,9 +222,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         # the PSNR >= 40 dB lossy invariant is exercised on this path
         from mapshaper_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(data)
-    if fmt == "webp":
-        # pure-numpy lossless VP8L codec (operators/webp.py); lossy VP8
-        # streams raise NotImplementedError inside
+    if fmt in ("webp", "webp_lossy"):
+        # pure-numpy WebP (operators/webp.py): lossless VP8L, lossy VP8
+        # intra frames (RFC 6386, operators/vp8.py), VP8X/ALPH wrappers —
+        # one fmt tag, dispatch on the container's own chunk type
         from mapshaper_spark.operators.webp import decode_webp
         return decode_webp(data)
     if fmt == "gif":
@@ -283,6 +284,10 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
                 elif fmt == "webp":
                     from mapshaper_spark.operators.webp import encode_webp
                     blobs.append(encode_webp(px, subtract_green=True))
+                elif fmt == "webp_lossy":
+                    from mapshaper_spark.operators.webp import \
+                        encode_webp_lossy
+                    blobs.append(encode_webp_lossy(px, quality=95))
                 elif fmt == "gif":
                     # synth pixels have exactly 256 distinct colors, so the
                     # GIF palette holds them all — exact round-trip

@@ -1118,3 +1118,372 @@ def decode_vp8_rgb(payload: bytes) -> np.ndarray:
     """VP8 chunk payload -> RGB8 (h, w, 3)."""
     y, u, v = decode_vp8_frame(payload)
     return yuv420_to_rgb(y, u, v)
+
+
+# ---------------------------------------------------------------------------
+# encoder (intra key frame).  The forward transforms are the libvpx pair of
+# the exact inverse transforms above (vp8_short_fdct4x4 / vp8_short_walsh4x4,
+# public libvpx encoder/dct.c); everything else is RFC 6386 written in the
+# encode direction.  Validity does not depend on the forward transform (any
+# conforming decoder reconstructs exactly what the in-loop reconstruction
+# below computed); the libvpx pair just maximizes quality for the idct.
+# ---------------------------------------------------------------------------
+
+def fdct4x4_batch(blocks: np.ndarray) -> np.ndarray:
+    """(n, 4, 4) int residuals -> (n, 16) raster-order DCT coefficients."""
+    ip = blocks.astype(np.int64)
+    # horizontal pass (within each row)
+    a1 = (ip[:, :, 0] + ip[:, :, 3]) * 8
+    b1 = (ip[:, :, 1] + ip[:, :, 2]) * 8
+    c1 = (ip[:, :, 1] - ip[:, :, 2]) * 8
+    d1 = (ip[:, :, 0] - ip[:, :, 3]) * 8
+    tmp = np.stack([a1 + b1,
+                    (c1 * 2217 + d1 * 5352 + 14500) >> 12,
+                    a1 - b1,
+                    (d1 * 2217 - c1 * 5352 + 7500) >> 12], axis=2)
+    # vertical pass (down each column)
+    a1 = tmp[:, 0, :] + tmp[:, 3, :]
+    b1 = tmp[:, 1, :] + tmp[:, 2, :]
+    c1 = tmp[:, 1, :] - tmp[:, 2, :]
+    d1 = tmp[:, 0, :] - tmp[:, 3, :]
+    out = np.stack([(a1 + b1 + 7) >> 4,
+                    ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (d1 != 0),
+                    (a1 - b1 + 7) >> 4,
+                    (d1 * 2217 - c1 * 5352 + 51000) >> 16], axis=1)
+    return out.reshape(-1, 16)
+
+
+#: Hadamard basis of the RFC 6386 inverse WHT (iwht4x4 computes
+#: X = (M F M + rounding) / 8 with this symmetric M, M @ M == 4I).
+_WHT_M = np.array([[1, 1, 1, 1],
+                   [1, 1, -1, -1],
+                   [1, -1, -1, 1],
+                   [1, -1, 1, -1]], dtype=np.int64)
+
+
+def fwht4x4(dcs: np.ndarray) -> np.ndarray:
+    """Forward Walsh-Hadamard for the Y2 block: 16 block DCs -> 16 coeffs.
+
+    Exact algebraic pair of iwht4x4: from X = M F M / 8 and M**2 = 4I,
+    F = M X M / 2 (halves rounded to nearest; the quantizer absorbs the
+    sub-unit error)."""
+    x = dcs.reshape(4, 4).astype(np.int64)
+    w = _WHT_M @ x @ _WHT_M
+    out = np.where(w >= 0, (w + 1) >> 1, -((1 - w) >> 1))  # round half away
+    return out.reshape(16)
+
+
+def _quantize_scan(coeffs16: np.ndarray, dq_dc: int, dq_ac: int,
+                   first: int) -> np.ndarray:
+    """Raster coefficients -> len-16 quantized token values in SCAN order
+    (tokens[n] pairs with decode_coeffs' out[ZIGZAG[n]]).  Positions < first
+    are zeroed (the caller carries DC through the Y2 block)."""
+    t = np.zeros(16, dtype=np.int64)
+    for n in range(first, 16):
+        c = int(coeffs16[ZIGZAG[n]])
+        dq = dq_dc if n == 0 else dq_ac
+        q = (abs(c) + (dq >> 1)) // dq
+        if q > 2047:          # category-6 extra bits hold 11 bits
+            q = 2047
+        t[n] = -q if c < 0 else q
+    return t
+
+
+def _encode_coeffs(be: BoolEncoder, probs_type, ctx: int, first: int,
+                   tokens: np.ndarray) -> int:
+    """Exact mirror of decode_coeffs: emit one block's token stream.
+    Returns the scan position after the last coefficient (nonzero iff
+    > first), for the same above/left nz-context bookkeeping."""
+    last = -1
+    for n in range(first, 16):
+        if tokens[n]:
+            last = n
+    p = probs_type[KBANDS[first]][ctx]
+    n = first
+    while n < 16:
+        if n > last:
+            be.put_bit(int(p[0]), 0)
+            return n
+        be.put_bit(int(p[0]), 1)
+        while tokens[n] == 0:
+            be.put_bit(int(p[1]), 0)
+            n += 1
+            p = probs_type[KBANDS[n]][0]
+        be.put_bit(int(p[1]), 1)
+        v = abs(int(tokens[n]))
+        if v == 1:
+            be.put_bit(int(p[2]), 0)
+            next_ctx = 1
+        else:
+            be.put_bit(int(p[2]), 1)
+            next_ctx = 2
+            if v <= 4:
+                be.put_bit(int(p[3]), 0)
+                if v == 2:
+                    be.put_bit(int(p[4]), 0)
+                else:
+                    be.put_bit(int(p[4]), 1)
+                    be.put_bit(int(p[5]), v - 3)
+            elif v <= 10:
+                be.put_bit(int(p[3]), 1)
+                be.put_bit(int(p[6]), 0)
+                if v <= 6:
+                    be.put_bit(int(p[7]), 0)
+                    be.put_bit(159, v - 5)
+                else:
+                    be.put_bit(int(p[7]), 1)
+                    be.put_bit(165, (v - 7) >> 1)
+                    be.put_bit(145, (v - 7) & 1)
+            else:
+                be.put_bit(int(p[3]), 1)
+                be.put_bit(int(p[6]), 1)
+                if v < 19:
+                    be.put_bit(int(p[8]), 0)
+                    be.put_bit(int(p[9]), 0)
+                    cat = 2
+                elif v < 35:
+                    be.put_bit(int(p[8]), 0)
+                    be.put_bit(int(p[9]), 1)
+                    cat = 3
+                elif v < 67:
+                    be.put_bit(int(p[8]), 1)
+                    be.put_bit(int(p[10]), 0)
+                    cat = 4
+                else:
+                    be.put_bit(int(p[8]), 1)
+                    be.put_bit(int(p[10]), 1)
+                    cat = 5
+                base, tab = _CATS[cat]
+                extra = v - base
+                for k, prob in enumerate(tab):
+                    be.put_bit(prob, (extra >> (len(tab) - 1 - k)) & 1)
+        be.put_bit(128, 1 if tokens[n] < 0 else 0)
+        n += 1
+        if n == 16:
+            return 16
+        p = probs_type[KBANDS[n]][next_ctx]
+    return n
+
+
+_BLK = np.arange(16)  # block raster helpers
+
+
+def _split16(plane16: np.ndarray) -> np.ndarray:
+    """(16, 16) -> (16, 4, 4) raster-ordered 4x4 blocks (decoder layout)."""
+    return plane16.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 4, 4)
+
+
+def _join16(blocks: np.ndarray) -> np.ndarray:
+    """(16, 4, 4) -> (16, 16), inverse of _split16."""
+    return blocks.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+
+
+def _split8(plane8: np.ndarray) -> np.ndarray:
+    return plane8.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3).reshape(4, 4, 4)
+
+
+def _join8(blocks: np.ndarray) -> np.ndarray:
+    return blocks.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+
+
+def encode_vp8_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     qindex: int = 32) -> bytes:
+    """(Y, U, V) uint8 planes (4:2:0) -> VP8 key-frame payload.
+
+    Intra-only, 16x16/chroma DC/V/H/TM modes chosen per macroblock by SSE
+    against the in-loop reconstruction, one token partition, loop filter
+    level 0 (the reconstruction IS the decoded output), default coefficient
+    probabilities.  Decodes in any conforming VP8 decoder (libwebp interop
+    is tested in tests/test_vp8.py)."""
+    hgt, wid = y.shape
+    mb_w, mb_h = (wid + 15) // 16, (hgt + 15) // 16
+    W, H = mb_w * 16, mb_h * 16
+
+    # pad sources to whole macroblocks by edge replication
+    ys = np.pad(y, ((0, H - hgt), (0, W - wid)), mode="edge").astype(np.int32)
+    ch, cw = u.shape
+    us = np.pad(u, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge") \
+        .astype(np.int32)
+    vs = np.pad(v, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge") \
+        .astype(np.int32)
+
+    q = _clamp_q(qindex)
+    y_dc, y_ac = int(DC_QLOOKUP[q]), int(AC_QLOOKUP[q])
+    y2_dc, y2_ac = y_dc * 2, max(8, y_ac * 155 // 100)
+    uv_dc, uv_ac = min(132, y_dc), y_ac
+
+    # reconstruction planes, decoder border layout
+    Y = np.empty((H + 1, W + 5), dtype=np.uint8)
+    U = np.empty((H // 2 + 1, W // 2 + 1), dtype=np.uint8)
+    V = np.empty((H // 2 + 1, W // 2 + 1), dtype=np.uint8)
+    for P in (Y, U, V):
+        P[0, :] = 127
+        P[:, 0] = 129
+        P[0, 0] = 127
+
+    A = BoolEncoder()   # first partition: header + per-MB modes
+    B = BoolEncoder()   # token partition
+
+    # frame header (RFC 6386 section 9), mirroring parse_frame_header
+    A.put_bit(128, 0)          # color space
+    A.put_bit(128, 0)          # clamping type
+    A.put_bit(128, 0)          # segmentation off
+    A.put_bit(128, 0)          # filter type: normal
+    A.put_literal(0, 6)        # filter level 0 (no filtering)
+    A.put_literal(0, 3)        # sharpness
+    A.put_bit(128, 0)          # lf deltas off
+    A.put_literal(0, 2)        # log2 partitions = 0 (one token partition)
+    A.put_literal(q, 7)        # y_ac_qi
+    for _ in range(5):
+        A.put_bit(128, 0)      # no quantizer deltas
+    A.put_bit(128, 0)          # refresh entropy
+    upd = COEFF_UPDATE_PROBS
+    for t in range(4):         # no coefficient-probability updates
+        for b in range(8):
+            for c in range(3):
+                for pi in range(11):
+                    A.put_bit(int(upd[t, b, c, pi]), 0)
+    prob_skip = 128
+    A.put_bit(128, 1)          # mb_no_skip_coeff
+    A.put_literal(prob_skip, 8)
+
+    probs = COEFF_PROBS
+    a_y = np.zeros(mb_w * 4, dtype=np.int32)
+    a_u = np.zeros(mb_w * 2, dtype=np.int32)
+    a_v = np.zeros(mb_w * 2, dtype=np.int32)
+    a_y2 = np.zeros(mb_w, dtype=np.int32)
+
+    for mby in range(mb_h):
+        l_y = np.zeros(4, dtype=np.int32)
+        l_u = np.zeros(2, dtype=np.int32)
+        l_v = np.zeros(2, dtype=np.int32)
+        l_y2 = 0
+        for mbx in range(mb_w):
+            y0, x0 = 1 + mby * 16, 1 + mbx * 16
+            c0, cx0 = 1 + mby * 8, 1 + mbx * 8
+            have_above, have_left = mby > 0, mbx > 0
+            src_y = ys[mby * 16:mby * 16 + 16, mbx * 16:mbx * 16 + 16]
+            src_u = us[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+            src_v = vs[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8]
+
+            # mode decision: min SSE of the raw prediction vs source
+            best, ymode = None, DC_PRED
+            for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pr = _pred_block(Y, y0, x0, 16, m, have_above, have_left)
+                sse = int(((src_y - pr) ** 2).sum())
+                if best is None or sse < best:
+                    best, ymode = sse, m
+            bestc, uvmode = None, DC_PRED
+            for m in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pu = _pred_block(U, c0, cx0, 8, m, have_above, have_left)
+                pv = _pred_block(V, c0, cx0, 8, m, have_above, have_left)
+                sse = int(((src_u - pu) ** 2).sum()) + \
+                    int(((src_v - pv) ** 2).sum())
+                if bestc is None or sse < bestc:
+                    bestc, uvmode = sse, m
+
+            # transform + quantize (luma DC rides the Y2 WHT block)
+            pred_y = _pred_block(Y, y0, x0, 16, ymode, have_above, have_left)
+            res_blocks = _split16(src_y - pred_y)
+            coeffs = fdct4x4_batch(res_blocks)            # (16, 16) raster
+            y2_tok = _quantize_scan(fwht4x4(coeffs[:, 0]), y2_dc, y2_ac, 0)
+            y_toks = [_quantize_scan(coeffs[b], y_dc, y_ac, 1)
+                      for b in range(16)]
+            pred_u = _pred_block(U, c0, cx0, 8, uvmode, have_above, have_left)
+            pred_v = _pred_block(V, c0, cx0, 8, uvmode, have_above, have_left)
+            cu = fdct4x4_batch(_split8(src_u - pred_u))
+            cv = fdct4x4_batch(_split8(src_v - pred_v))
+            u_toks = [_quantize_scan(cu[b], uv_dc, uv_ac, 0) for b in range(4)]
+            v_toks = [_quantize_scan(cv[b], uv_dc, uv_ac, 0) for b in range(4)]
+
+            skip = (not y2_tok.any() and
+                    not any(t.any() for t in y_toks) and
+                    not any(t.any() for t in u_toks) and
+                    not any(t.any() for t in v_toks))
+
+            # per-MB record in the first partition
+            A.put_bit(prob_skip, 1 if skip else 0)
+            A.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            A.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
+
+            # dequantized coefficients for the in-loop reconstruction
+            ycoef = np.zeros((16, 16), dtype=np.int64)
+            y2raw = np.zeros(16, dtype=np.int64)
+            for n in range(16):
+                y2raw[ZIGZAG[n]] = y2_tok[n] * (y2_dc if n == 0 else y2_ac)
+            ycoef[:, 0] = iwht4x4(y2raw)
+            for b in range(16):
+                for n in range(1, 16):
+                    ycoef[b, ZIGZAG[n]] = y_toks[b][n] * y_ac
+            ucoef = np.zeros((4, 16), dtype=np.int64)
+            vcoef = np.zeros((4, 16), dtype=np.int64)
+            for b in range(4):
+                for n in range(16):
+                    ucoef[b, ZIGZAG[n]] = u_toks[b][n] * \
+                        (uv_dc if n == 0 else uv_ac)
+                    vcoef[b, ZIGZAG[n]] = v_toks[b][n] * \
+                        (uv_dc if n == 0 else uv_ac)
+
+            if skip:
+                l_y[:] = 0
+                a_y[mbx * 4:mbx * 4 + 4] = 0
+                l_u[:] = 0
+                a_u[mbx * 2:mbx * 2 + 2] = 0
+                l_v[:] = 0
+                a_v[mbx * 2:mbx * 2 + 2] = 0
+                l_y2 = 0
+                a_y2[mbx] = 0
+                ycoef[:] = 0
+                ucoef[:] = 0
+                vcoef[:] = 0
+            else:
+                ctx = l_y2 + a_y2[mbx]
+                n = _encode_coeffs(B, probs[1], ctx, 0, y2_tok)
+                nz = 1 if n > 0 else 0
+                l_y2 = nz
+                a_y2[mbx] = nz
+                for b in range(16):
+                    r, c = b >> 2, b & 3
+                    ctx = l_y[r] + a_y[mbx * 4 + c]
+                    n = _encode_coeffs(B, probs[0], ctx, 1, y_toks[b])
+                    nz = 1 if n > 1 else 0
+                    l_y[r] = nz
+                    a_y[mbx * 4 + c] = nz
+                for toks, coefs, l_c, a_c in ((u_toks, ucoef, l_u, a_u),
+                                              (v_toks, vcoef, l_v, a_v)):
+                    for b in range(4):
+                        r, c = b >> 1, b & 1
+                        ctx = l_c[r] + a_c[mbx * 2 + c]
+                        n = _encode_coeffs(B, probs[2], ctx, 0, toks[b])
+                        nz = 1 if n > 0 else 0
+                        l_c[r] = nz
+                        a_c[mbx * 2 + c] = nz
+
+            # in-loop reconstruction (identical arithmetic to the decoder)
+            res = idct4x4_batch(ycoef)
+            blk = _split16(pred_y) + res
+            Y[y0:y0 + 16, x0:x0 + 16] = np.clip(
+                _join16(blk), 0, 255).astype(np.uint8)
+            for P, pred_c, coefs in ((U, pred_u, ucoef), (V, pred_v, vcoef)):
+                res = idct4x4_batch(coefs)
+                blk = _split8(pred_c) + res
+                P[c0:c0 + 8, cx0:cx0 + 8] = np.clip(
+                    _join8(blk), 0, 255).astype(np.uint8)
+        Y[y0:y0 + 16, W + 1:W + 5] = Y[y0:y0 + 16, W:W + 1]
+
+    first = A.getvalue()
+    toks = B.getvalue()
+    if len(first) >= (1 << 19):
+        raise ValueError("first partition exceeds the 19-bit size field")
+    tag = (0 << 0) | (0 << 1) | (1 << 4) | (len(first) << 5)
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    head += b"\x9d\x01\x2a" + struct.pack("<H", wid) + struct.pack("<H", hgt)
+    return head + first + toks
+
+
+def encode_vp8_rgb(rgb: np.ndarray, quality: int = 75) -> bytes:
+    """RGB8 (h, w, 3) -> VP8 key-frame payload at roughly libwebp's
+    quality scale (100 = qindex 0, 0 = qindex 127)."""
+    qindex = _clamp_q(int(round((100 - quality) * 127 / 100)))
+    y, u, v = rgb_to_yuv420(rgb)
+    return encode_vp8_frame(y, u, v, qindex=qindex)

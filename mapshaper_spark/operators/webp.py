@@ -723,3 +723,14 @@ def encode_webp(pixels: np.ndarray, subtract_green: bool = False) -> bytes:
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_lossy(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """RGB8 (h, w, 3) -> lossy WebP (RIFF + one VP8 key frame,
+    operators/vp8.py intra encoder; libwebp-interop tested)."""
+    from mapshaper_spark.operators.vp8 import encode_vp8_rgb
+    payload = encode_vp8_rgb(pixels, quality)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -137,3 +137,80 @@ class TestErrors:
     def test_bad_start_code(self):
         with pytest.raises(ValueError):
             V.parse_frame_header(b"\x00\x00\x00XYZ" + b"\x00" * 16)
+
+
+def _wrap_vp8(payload: bytes) -> bytes:
+    import struct
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class TestEncoder:
+    def test_transform_pairs(self):
+        rng = np.random.default_rng(3)
+        res = rng.integers(-255, 256, (64, 4, 4))
+        back = V.idct4x4_batch(V.fdct4x4_batch(res))
+        assert np.abs(back - res).max() <= 1
+        dcs = rng.integers(-2000, 2000, 16)
+        assert (V.iwht4x4(V.fwht4x4(dcs)) == dcs).all()
+
+    @pytest.mark.parametrize("quality", [50, 95])
+    def test_libwebp_decodes_our_stream_byte_exact(self, quality):
+        """Our encoder's in-loop reconstruction IS the decoded signal, so
+        libwebp must reproduce it bit-for-bit (and so must our decoder)."""
+        for name, rgb in _images().items():
+            payload = V.encode_vp8_rgb(rgb, quality)
+            oy, ou, ov = V.decode_vp8_frame(payload)
+            ry, ru, rv = webp_ref.decode_yuv(_wrap_vp8(payload))
+            assert (oy == ry).all(), (name, quality, "Y")
+            assert (ou == ru).all(), (name, quality, "U")
+            assert (ov == rv).all(), (name, quality, "V")
+
+    def test_quality_on_par_with_libwebp(self):
+        """Same-quality YUV PSNR within 3 dB of libwebp on each plane."""
+        rgb = _images()["synth_64x48"]
+        y, u, v = V.rgb_to_yuv420(rgb)
+        payload = V.encode_vp8_rgb(rgb, 95)
+        dy, du, dv = V.decode_vp8_frame(payload)
+        ry, ru, rv = webp_ref.decode_yuv(webp_ref.encode_rgb(rgb, 95))
+        for ours, ref, src in ((dy, ry, y), (du, ru, u), (dv, rv, v)):
+            assert _psnr(src, ours) >= _psnr(src, ref) - 3.0
+
+    def test_psnr40_on_smooth_image(self):
+        """North-rule lossy gate: PSNR >= 40 dB end-to-end in RGB on an
+        image whose chroma survives 4:2:0 subsampling."""
+        yy, xx = np.mgrid[0:48, 0:64]
+        rgb = np.stack([(xx * 2) % 200 + 20,
+                        (yy + xx) % 180 + 40,
+                        (yy * 2) % 200 + 20], axis=2).astype(np.uint8)
+        rgb = rgb.repeat(2, axis=0).repeat(2, axis=1)  # smooth at chroma res
+        from mapshaper_spark.operators.webp import (decode_webp,
+                                                    encode_webp_lossy)
+        out = decode_webp(encode_webp_lossy(rgb, quality=98))
+        assert _psnr(rgb, out) >= 40.0
+
+    def test_skip_macroblocks(self):
+        """A flat frame quantizes to all-zero tokens -> skip path, and the
+        stream stays valid in both decoders."""
+        rgb = np.full((32, 48, 3), 131, np.uint8)
+        payload = V.encode_vp8_rgb(rgb, 75)
+        oy, ou, ov = V.decode_vp8_frame(payload)
+        ry, ru, rv = webp_ref.decode_yuv(_wrap_vp8(payload))
+        assert (oy == ry).all() and (ou == ru).all() and (ov == rv).all()
+        assert np.ptp(oy) == 0  # reconstruction is the flat prediction
+
+    def test_spark_decode_stats_on_lossy_webp(self):
+        """fmt=webp_lossy flows through the mapInPandas decode-stats
+        operator (the Spark-side plumbing, not just the kernel)."""
+        from mapshaper_spark.session import get_spark
+        from mapshaper_spark import layers as L
+        from pyspark.sql import functions as F
+        spark = get_spark()
+        imgs = L.synth_images(spark, 24).withColumn("fmt",
+                                                    F.lit("webp_lossy"))
+        out = IM.decode_stats(IM.encode_synthetic_bytes(imgs))
+        rows = out.collect()
+        assert len(rows) == 24
+        assert all(r.mean_r is not None for r in rows)
