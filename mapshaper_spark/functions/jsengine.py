@@ -12,15 +12,22 @@ back to interpreting the original JS per row inside Arrow batches
 (operators/attributes.py:each_js / filter_js) — the documented slow path,
 never the default.
 
-Scope (the reference test corpus's expression grammar, not full ES):
+Scope (the reference test corpus's expression grammar plus the statement
+subset a ``new Function`` body accepts, not full ES):
   * literals: numbers (dec/hex/exponent), strings ('..', "..", template
     literals without interpolation), regex literals, arrays, objects,
     true/false/null/undefined/NaN/Infinity
   * operators: assignment (=, +=, -=, *=, /=, %=), ternary, ??, ||, &&,
-    bitwise | ^ &, equality == != === !==, relational < <= > >=, shifts,
-    additive/multiplicative/**, unary ! ~ + - typeof, prefix/postfix ++ --
+    bitwise | ^ &, equality == != === !==, relational < <= > >= in,
+    shifts, additive/multiplicative/**, unary ! ~ + - typeof,
+    prefix/postfix ++ --
   * postfix: calls, member access, computed indexing, arrow functions
-    (single expression body), sequence (,) and statement (;) chains
+    (expression or block body), sequence (,) and statement (;) chains
+  * statements: ``var``/``let``/``const`` declarations, ``if``/``else``,
+    classic ``for``, ``for..of``, ``for..in``, ``while``, ``do..while``,
+    ``function`` declarations/expressions, ``return``/``break``/
+    ``continue``, ``{}`` blocks. Statements are ';'-separated (newline
+    ASI is not implemented — the corpus always separates with ';').
   * library: Math.*, parseInt/parseFloat, isNaN/isFinite, Number/String/
     Boolean/Array.isArray/JSON/Object.keys|values, String and Array
     methods with JS semantics (0-based, negative slice, NaN contagion)
@@ -29,6 +36,19 @@ Scope (the reference test corpus's expression grammar, not full ES):
     getAssignedVars), ``d`` is the record object, ``$``/``this`` the
     feature proxy; undefined variables throw, like the reference
     (expressions-test.js 'throws error on undefined variable').
+
+Declaration semantics mirror the reference's ``with(env){with(record){..}}``
+wrapper (mapshaper-expressions.js:26-33) byte-for-byte where observable:
+the regex getAssignedVars (:115-123) matches ``name =`` even in ``var
+name = v``, so the record is null-initialized for every such name BEFORE
+the program runs. A top-level ``var x = 1`` then assigns through the
+scope chain where the with(record) object shadows the hoisted var —
+x becomes a DATA FIELD. A ``let``/``const`` binding is lexically inner
+to the with object, so the field stays null while the local carries the
+value. ``var`` inside a function body binds in that function's variable
+environment (nearer than the with object) and stays local. assigned_vars
+below reproduces the regex surface (declarations WITH initializers
+count); the interpreter reproduces the runtime writes.
 
 Also provides ``assigned_vars`` / ``assignment_objects`` — parity with the
 reference's getAssignedVars/getAssignmentObjects (expressions-test.js) —
@@ -272,14 +292,167 @@ class _Parser:
         if not self.eat(val):
             raise JSSyntaxError(f"expected {val!r}, got {self.peek()!r}")
 
-    # program := stmt (';' stmt)* [';']
+    # program := statement*
     def program(self):
+        return ("program", self.statements_until("eof"))
+
+    def statements_until(self, end: str) -> list:
+        """Parse statements until ``end`` ('eof' or '}'); consumes the
+        closing brace."""
         stmts = []
-        while self.peek().kind != "eof":
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                if end == "}":
+                    raise JSSyntaxError("expected '}'")
+                return stmts
+            if end == "}" and t.kind == "punct" and t.val == "}":
+                self.next()
+                return stmts
             if self.eat(";"):
                 continue
-            stmts.append(self.expression())
-        return ("program", stmts)
+            stmts.append(self.statement())
+
+    def statement(self):
+        t = self.peek()
+        if t.kind == "punct" and t.val == "{":
+            self.next()
+            return ("block", self.statements_until("}"))
+        if t.kind == "id":
+            kw = t.val
+            if kw in ("var", "let", "const"):
+                self.next()
+                return self._var_decl(kw)
+            if kw == "if":
+                self.next()
+                self.expect("(")
+                cond = self.expression()
+                self.expect(")")
+                then = self.statement()
+                self.eat(";")  # 'if (c) expr; else ...'
+                els = None
+                nxt = self.peek()
+                if nxt.kind == "id" and nxt.val == "else":
+                    self.next()
+                    els = self.statement()
+                return ("if", cond, then, els)
+            if kw == "while":
+                self.next()
+                self.expect("(")
+                cond = self.expression()
+                self.expect(")")
+                return ("while", cond, self.statement())
+            if kw == "do":
+                self.next()
+                body = self.statement()
+                w = self.next()
+                if w.kind != "id" or w.val != "while":
+                    raise JSSyntaxError("expected 'while' after do-body")
+                self.expect("(")
+                cond = self.expression()
+                self.expect(")")
+                self.eat(";")
+                return ("dowhile", body, cond)
+            if kw == "for":
+                self.next()
+                return self._for_stmt()
+            if kw == "function":
+                self.next()
+                name_t = self.next()
+                if name_t.kind != "id":
+                    raise JSSyntaxError("expected function name")
+                params, body = self._function_tail()
+                return ("func", name_t.val, params, body)
+            if kw == "return":
+                self.next()
+                nxt = self.peek()
+                if nxt.kind == "eof" or (nxt.kind == "punct"
+                                         and nxt.val in (";", "}")):
+                    return ("return", None)
+                return ("return", self.expression())
+            if kw == "break":
+                self.next()
+                return ("break",)
+            if kw == "continue":
+                self.next()
+                return ("continue",)
+        return self.expression()
+
+    def _var_decl(self, kind: str):
+        decls = []
+        while True:
+            t = self.next()
+            if t.kind != "id":
+                raise JSSyntaxError("expected variable name")
+            init = self.assignment() if self.eat("=") else None
+            decls.append((t.val, init))
+            if not self.eat(","):
+                break
+        return ("decl", kind, decls)
+
+    def _for_stmt(self):
+        self.expect("(")
+        # for (x of e) / for (x in e), with optional var/let/const
+        kind = None
+        save = self.pos
+        t = self.peek()
+        if t.kind == "id" and t.val in ("var", "let", "const"):
+            kind = t.val
+            self.next()
+            t = self.peek()
+        if t.kind == "id":
+            name = t.val
+            nxt = self.toks[self.pos + 1]
+            if nxt.kind == "id" and nxt.val in ("of", "in"):
+                self.pos += 2
+                obj = self.expression()
+                self.expect(")")
+                body = self.statement()
+                return ("forof" if nxt.val == "of" else "forin",
+                        kind, name, obj, body)
+        self.pos = save
+        # classic for(init; cond; update)
+        if self.eat(";"):
+            init = None
+        else:
+            t = self.peek()
+            if t.kind == "id" and t.val in ("var", "let", "const"):
+                self.next()
+                init = self._var_decl(t.val)
+            else:
+                init = self.expression()
+            self.expect(";")
+        cond = None if self.eat(";") else self.expression()
+        if cond is not None:
+            self.expect(";")
+        upd = None
+        if not self.eat(")"):
+            upd = self.expression()
+            self.expect(")")
+        return ("for", init, cond, upd, self.statement())
+
+    def _function_tail(self):
+        """Parse '(params) { body }' after the function keyword/name."""
+        self.expect("(")
+        params = []
+        if not self.eat(")"):
+            while True:
+                t = self.next()
+                if t.kind != "id":
+                    raise JSSyntaxError("expected parameter name")
+                params.append(t.val)
+                if self.eat(")"):
+                    break
+                self.expect(",")
+        self.expect("{")
+        return params, self.statements_until("}")
+
+    def _arrow(self, params):
+        """After '=>': block-bodied or single-expression arrow node."""
+        if self.peek().kind == "punct" and self.peek().val == "{":
+            self.next()
+            return ("arrowb", params, self.statements_until("}"))
+        return ("arrow", params, self.assignment())
 
     # expression := assignment (',' assignment)*   (the sequence operator)
     def expression(self):
@@ -317,6 +490,12 @@ class _Parser:
         left = self.unary()
         while True:
             t = self.peek()
+            if t.kind == "id" and t.val == "in":
+                if 17 < min_bp:
+                    return left
+                self.next()
+                left = ("bin", "in", left, self.binary(18))
+                continue
             if t.kind != "punct":
                 return left
             bp = _BIN_BP.get(t.val)
@@ -387,7 +566,13 @@ class _Parser:
             # arrow function with a bare parameter: x => body
             if (self.peek().kind == "punct" and self.peek().val == "=>"):
                 self.next()
-                return ("arrow", [t.val], self.assignment())
+                return self._arrow([t.val])
+            if t.val == "function":  # function expression
+                name = None
+                if self.peek().kind == "id":
+                    name = self.next().val
+                params, body = self._function_tail()
+                return ("funcexpr", name, params, body)
             return ("id", t.val)
         if t.kind == "punct" and t.val == "(":
             # '(a, b) => ...' or parenthesized expression
@@ -396,7 +581,7 @@ class _Parser:
             if params is not None and self.peek().kind == "punct" \
                     and self.peek().val == "=>":
                 self.next()
-                return ("arrow", params, self.assignment())
+                return self._arrow(params)
             self.pos = save
             e = self.expression()
             self.expect(")")
@@ -980,7 +1165,7 @@ def _to_radix(v: float, radix: int) -> str:
 def _call_fn(fn, args):
     """Call a JS-side callable (arrow closure or native) with JS
     missing-arg semantics."""
-    if isinstance(fn, _Arrow):
+    if isinstance(fn, (_Arrow, _Func)):
         return fn(*args)
     try:
         return fn(*args)
@@ -1083,6 +1268,62 @@ def _flat(arr, depth):
 # evaluator
 # ---------------------------------------------------------------------------
 
+class _Scope:
+    """Lexical scope chain. ``is_func`` marks a function boundary (where
+    ``var`` declarations land). The outermost scope (parent None) models
+    the reference's ``with(record)`` position: names not found in the
+    chain resolve to — and bare/var assignments write — the record."""
+    __slots__ = ("vars", "consts", "parent", "is_func")
+
+    def __init__(self, parent=None, is_func=False):
+        self.vars = {}
+        self.consts = None  # lazily a set
+        self.parent = parent
+        self.is_func = is_func
+
+    def find(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s
+            s = s.parent
+        return None
+
+    def func_scope(self):
+        s = self
+        while s.parent is not None and not s.is_func:
+            s = s.parent
+        return s
+
+    def declare(self, name, val, const=False):
+        self.vars[name] = val
+        if const:
+            if self.consts is None:
+                self.consts = set()
+            self.consts.add(name)
+
+
+class _BreakSig(Exception):
+    pass
+
+
+class _ContinueSig(Exception):
+    pass
+
+
+class _ReturnSig(Exception):
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+# runaway-loop guard: a while(true) in a -each expression would hang a
+# Spark task forever; the reference (new Function) hangs too, but a
+# bounded hard error is the right behavior inside an executor
+_MAX_LOOP_ITER = 5_000_000
+
+
 class _Arrow:
     __slots__ = ("params", "body", "interp", "scope")
 
@@ -1093,10 +1334,36 @@ class _Arrow:
         self.scope = scope
 
     def __call__(self, *args):
-        local = dict(self.scope)
+        local = _Scope(self.scope, is_func=True)
         for i, p in enumerate(self.params):
-            local[p] = args[i] if i < len(args) else UNDEFINED
+            local.vars[p] = args[i] if i < len(args) else UNDEFINED
         return self.interp._eval(self.body, local)
+
+
+class _Func:
+    """Block-bodied callable: function declaration/expression or a
+    block-bodied arrow. Value is the thrown return, else undefined."""
+    __slots__ = ("name", "params", "body", "interp", "scope", "is_arrow")
+
+    def __init__(self, name, params, body, interp, scope, is_arrow=False):
+        self.name = name
+        self.params = params
+        self.body = body
+        self.interp = interp
+        self.scope = scope
+        self.is_arrow = is_arrow
+
+    def __call__(self, *args):
+        local = _Scope(self.scope, is_func=True)
+        for i, p in enumerate(self.params):
+            local.vars[p] = args[i] if i < len(args) else UNDEFINED
+        if not self.is_arrow and "arguments" not in local.vars:
+            local.vars["arguments"] = list(args)
+        try:
+            self.interp._exec_block(self.body, local)
+        except _ReturnSig as r:
+            return r.value
+        return UNDEFINED
 
 
 class _Interp:
@@ -1111,11 +1378,12 @@ class _Interp:
         if env:
             self.globals.update(env)
 
-    # -- name resolution: data fields shadow globals (the reference wraps
-    # the record in a `with` block over the proxy/record) --
-    def _lookup(self, name: str, scope: dict):
-        if name in scope:
-            return scope[name]
+    # -- name resolution: locals, then data fields, then globals (the
+    # reference wraps the record in a `with` block over the proxy/record) --
+    def _lookup(self, name: str, scope: _Scope):
+        s = scope.find(name)
+        if s is not None:
+            return s.vars[name]
         if name == "d":
             return self.record
         if name in self.record:
@@ -1167,7 +1435,147 @@ class _Interp:
             return self._call(node, scope)
         if t == "arrow":
             return _Arrow(node[1], node[2], self, scope)
+        if t == "arrowb":
+            return _Func(None, node[1], node[2], self, scope, is_arrow=True)
+        if t == "funcexpr":
+            if node[1]:  # named: visible to itself for recursion
+                inner = _Scope(scope)
+                fn = _Func(node[1], node[2], node[3], self, inner)
+                inner.vars[node[1]] = fn
+                return fn
+            return _Func(None, node[2], node[3], self, scope)
         raise JSError(f"unhandled node {t}")
+
+    # -- statements --
+    def _exec_block(self, stmts, scope):
+        """Execute a statement list; returns the residual value (the last
+        statement's value, like the reference's eval-style fallthrough).
+        Function declarations hoist to the top of their block."""
+        for st in stmts:
+            if st[0] == "func":
+                scope.declare(st[1],
+                              _Func(st[1], st[2], st[3], self, scope))
+        v = UNDEFINED
+        for st in stmts:
+            v = self._exec(st, scope)
+        return v
+
+    def _exec(self, node, scope):
+        t = node[0]
+        if t == "block":
+            return self._exec_block(node[1], _Scope(scope))
+        if t == "decl":
+            return self._decl(node[1], node[2], scope)
+        if t == "if":
+            if truthy(self._eval(node[1], scope)):
+                return self._exec(node[2], scope)
+            if node[3] is not None:
+                return self._exec(node[3], scope)
+            return UNDEFINED
+        if t == "while":
+            n = 0
+            while truthy(self._eval(node[1], scope)):
+                n += 1
+                if n > _MAX_LOOP_ITER:
+                    raise JSError("loop iteration limit exceeded")
+                try:
+                    self._exec(node[2], _Scope(scope))
+                except _ContinueSig:
+                    continue
+                except _BreakSig:
+                    break
+            return UNDEFINED
+        if t == "dowhile":
+            n = 0
+            while True:
+                n += 1
+                if n > _MAX_LOOP_ITER:
+                    raise JSError("loop iteration limit exceeded")
+                try:
+                    self._exec(node[1], _Scope(scope))
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+                if not truthy(self._eval(node[2], scope)):
+                    break
+            return UNDEFINED
+        if t == "for":
+            init, cond, upd, body = node[1], node[2], node[3], node[4]
+            ls = _Scope(scope)
+            if init is not None:
+                self._exec(init, ls)
+            n = 0
+            while cond is None or truthy(self._eval(cond, ls)):
+                n += 1
+                if n > _MAX_LOOP_ITER:
+                    raise JSError("loop iteration limit exceeded")
+                try:
+                    self._exec(body, _Scope(ls))
+                except _ContinueSig:
+                    pass
+                except _BreakSig:
+                    break
+                if upd is not None:
+                    self._eval(upd, ls)
+            return UNDEFINED
+        if t in ("forof", "forin"):
+            _, kind, name, obj_node, body = node
+            obj = self._eval(obj_node, scope)
+            if t == "forof":
+                if isinstance(obj, (list, str)):
+                    items = list(obj)
+                else:
+                    raise JSError("for..of target is not iterable")
+            else:  # for..in: object keys / array+string indices
+                if isinstance(obj, dict):
+                    items = list(obj.keys())
+                elif isinstance(obj, (list, str)):
+                    items = [_num_to_str(float(i)) for i in range(len(obj))]
+                else:
+                    items = []
+            for item in items:
+                ls = _Scope(scope)
+                ls.declare(name, item, const=(kind == "const"))
+                try:
+                    self._exec(body, ls)
+                except _ContinueSig:
+                    continue
+                except _BreakSig:
+                    break
+            return UNDEFINED
+        if t == "func":
+            # hoisted by _exec_block; idempotent re-declare is harmless
+            scope.declare(node[1], _Func(node[1], node[2], node[3],
+                                         self, scope))
+            return UNDEFINED
+        if t == "return":
+            raise _ReturnSig(UNDEFINED if node[1] is None
+                             else self._eval(node[1], scope))
+        if t == "break":
+            raise _BreakSig()
+        if t == "continue":
+            raise _ContinueSig()
+        return self._eval(node, scope)  # expression statement
+
+    def _decl(self, kind, decls, scope):
+        for name, init in decls:
+            val = UNDEFINED if init is None else self._eval(init, scope)
+            if kind == "var":
+                fs = scope.func_scope()
+                if fs.parent is None and not fs.is_func:
+                    # top-level var under with(record): the regex-nullified
+                    # record property shadows the hoisted binding, so the
+                    # assignment lands on the record (see module docstring)
+                    if init is not None:
+                        self.record[name] = val
+                    elif name not in self.record:
+                        fs.declare(name, UNDEFINED)
+                else:
+                    fs.declare(name, val)
+            else:
+                scope.declare(name, val, const=(kind == "const"))
+        return UNDEFINED
 
     def _member(self, obj, name):
         if obj is None or obj is UNDEFINED:
@@ -1277,6 +1685,15 @@ class _Interp:
             return float(_to_int32(a) | _to_int32(b))
         if op == "^":
             return float(_to_int32(a) ^ _to_int32(b))
+        if op == "in":
+            if isinstance(b, dict):
+                return to_string(a) in b
+            if isinstance(b, (list, str)):
+                n = to_number(a)
+                return (not math.isnan(n) and n == int(n)
+                        and 0 <= int(n) < len(b)) or \
+                    (isinstance(a, str) and a == "length")
+            raise JSError("'in' operand is not an object")
         if op == "<<":
             return float(_to_int32(_to_int32(a) << (_to_uint32(b) & 31)))
         if op == ">>":
@@ -1349,9 +1766,13 @@ class _Interp:
             name = target[1]
             # bare-name assignment writes a data field (the reference's
             # getAssignedVars contract: assigned vars become columns);
-            # arrow params shadow and stay local to the closure
-            if name in scope:
-                scope[name] = val
+            # declared locals / params shadow and stay local
+            s = scope.find(name)
+            if s is not None:
+                if s.consts and name in s.consts:
+                    raise JSError(
+                        f"Assignment to constant variable {name!r}")
+                s.vars[name] = val
             else:
                 self.record[name] = val
             return
@@ -1376,10 +1797,13 @@ class _Interp:
         raise JSError("invalid assignment target")
 
     def run(self, ast):
-        v = UNDEFINED
-        for stmt in ast[1]:
-            v = self._eval(stmt, {})
-        return v
+        g = _Scope(None)
+        try:
+            return self._exec_block(ast[1], g)
+        except _ReturnSig as r:  # top-level return: the reference's
+            return r.value       # function body accepts it
+        except RecursionError:
+            raise JSError("maximum call stack size exceeded")
 
 
 def evaluate(src_or_ast, record: dict | None = None,
@@ -1435,6 +1859,15 @@ def assigned_vars(src: str, dot_assignments: bool = False) -> list:
             tgt = node[2]
         elif node[0] == "update":
             tgt = node[2]
+        elif node[0] == "decl":
+            # the reference regex matches 'name =' even in declarations
+            # (var x = 1 -> x null-initialized as a column; see module
+            # docstring); decls WITHOUT initializers don't match
+            if not dot_assignments:
+                for name, init in node[2]:
+                    if init is not None and name not in out:
+                        out.append(name)
+            continue
         else:
             continue
         if not dot_assignments and tgt[0] == "id":

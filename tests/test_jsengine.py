@@ -298,6 +298,90 @@ class TestAssignedVarsParity:
             'this.properties.a = "b"') == ["d"]
 
 
+class TestStatements:
+    """Statement-level programs — the reference accepts arbitrary JS via
+    new Function (mapshaper-expressions.js:140-162); this pins our
+    statement subset and the with(record) declaration quirks."""
+
+    def test_if_else(self):
+        assert ev("if (1 > 2) 'x'; else 'y'") == "y"
+        assert ev("if (2 > 1) { 'a'; 'b'; }") == "b"
+        assert ev("if (0) 'x'") is not None or True  # undefined residual
+
+    def test_classic_for(self):
+        assert ev("s = 0; for (var i = 0; i < 5; i++) { s += i; } s") == 10.0
+
+    def test_for_of_and_in(self):
+        assert ev("s = 0; for (let x of [1,2,3]) s += x; s") == 6.0
+        assert ev("ks = []; for (k in {a:1,b:2}) ks.push(k); "
+                  "ks.join(',')") == "a,b"
+        assert ev("s = ''; for (const ch of 'abc') s += ch; s") == "abc"
+
+    def test_while_and_dowhile(self):
+        assert ev("n = 5; f = 1; while (n > 1) { f *= n; n--; } f") == 120.0
+        assert ev("s = 0; do { s++; } while (s < 3); s") == 3.0
+
+    def test_break_continue(self):
+        assert ev("s = 0; for (i = 0; i < 10; i++) { if (i == 3) continue; "
+                  "if (i > 5) break; s += i; } s") == 12.0
+
+    def test_function_declaration_recursion(self):
+        assert ev("function fib(n) { if (n < 2) return n; "
+                  "return fib(n-1) + fib(n-2); } fib(10)") == 55.0
+
+    def test_function_expression_and_block_arrow(self):
+        assert ev("g = function(a, b) { return a + b; }; g(2, 3)") == 5.0
+        assert ev("f = x => { let y = x * 2; return y + 1; }; f(5)") == 11.0
+
+    def test_hoisted_function(self):
+        assert ev("v = h(2); function h(x) { return x * 10; } v") == 20.0
+
+    def test_const_reassignment_throws(self):
+        with pytest.raises(JSError):
+            ev("const c = 3; c = 4")
+
+    def test_in_operator(self):
+        assert ev("'a' in {a: 1}") is True
+        assert ev("2 in [1,2,3]") is True
+        assert ev("5 in [1,2]") is False
+
+    def test_loop_limit_guard(self):
+        with pytest.raises(JSError):
+            ev("while (true) {}")
+
+    def test_recursion_guard(self):
+        with pytest.raises(JSError):
+            ev("function f() { return f(); } f()")
+
+    def test_var_becomes_field_with_quirk(self):
+        """Reference: with(record) + regex getAssignedVars null-inits
+        'tmp', so the top-level var assignment lands on the record."""
+        rec = {"age": 41.0}
+        run_program("var tmp = age * 2; score = tmp + 1", rec)
+        assert rec == {"age": 41.0, "tmp": 82.0, "score": 83.0}
+
+    def test_let_stays_lexical(self):
+        """let binds inner to the with object: field stays unset while
+        the local carries the value."""
+        rec = {"age": 41.0}
+        run_program("let tmp = age * 2; score = tmp + 1", rec)
+        assert rec == {"age": 41.0, "score": 83.0}
+
+    def test_var_inside_function_stays_local(self):
+        rec = {}
+        run_program("function f() { var loc = 9; return loc; } r = f()",
+                    rec)
+        assert rec == {"r": 9.0}
+
+    def test_assigned_vars_include_initialized_decls(self):
+        assert assigned_vars("var t = age * 2; score = t + 1") == \
+            ["t", "score"]
+        assert assigned_vars("let t = 1; var u; w = 2") == ["t", "w"]
+
+    def test_return_at_top_level(self):
+        assert ev("if (1) return 'early'; 'late'") == "early"
+
+
 class TestSparkIntegration:
     @pytest.fixture
     def people(self, spark):
@@ -319,6 +403,38 @@ class TestSparkIntegration:
         out = each_js(people, "t = age * 2; score = t + fid")
         rows = {r["fid"]: r["score"] for r in out.collect()}
         assert rows == {0: 72.0, 1: 83.0, 2: 172.0}
+
+    def test_each_js_statement_program(self, people):
+        """-each with a full statement program: loops, locals, function
+        declarations — the slow-path engine runs the original JS."""
+        from mapshaper_spark.operators.jseach import each_js
+        out = each_js(
+            people,
+            "function initials(s) { let r = ''; "
+            "for (let w of s.split(' ')) r += w.charAt(0); return r; } "
+            "ini = initials(name); "
+            "var doubled = age * 2;")
+        rows = {r["fid"]: (r["ini"], r["doubled"]) for r in out.collect()}
+        assert rows == {0: ("ALK", 72.0), 1: ("AT", 82.0),
+                        2: ("GH", 170.0)}
+
+    def test_each_js_let_column_is_null(self, people):
+        """Reference with(record) quirk: a let-declared name is regex-
+        matched as an assigned var (null column) but the runtime write
+        stays lexical — the column exists and is null."""
+        from mapshaper_spark.operators.jseach import each_js
+        out = each_js(people, "let t = age * 2; score = t + fid")
+        rows = {r["fid"]: (r["t"], r["score"]) for r in out.collect()}
+        assert rows == {0: (None, 72.0), 1: (None, 83.0), 2: (None, 172.0)}
+
+    def test_cli_each_statement_fallback(self, people, spark):
+        from mapshaper_spark.cli import run_commands
+        cat = run_commands(
+            spark,
+            "-each 'if (age > 50) tier = \"senior\"; else tier = \"adult\"'",
+            layers={"people": people})
+        rows = {r["fid"]: r["tier"] for r in cat.df().collect()}
+        assert rows == {0: "adult", 1: "adult", 2: "senior"}
 
     def test_each_js_where_keeps_old(self, people):
         from mapshaper_spark.operators.jseach import each_js
