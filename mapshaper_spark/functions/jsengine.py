@@ -146,6 +146,7 @@ def _tokenize(src: str) -> list:
         if c in "'\"`":
             j = i + 1
             buf = []
+            parts = []  # template literal: ('str', s) / ('expr', src)
             while j < n and src[j] != c:
                 if src[j] == "\\" and j + 1 < n:
                     esc = src[j + 1]
@@ -175,13 +176,35 @@ def _tokenize(src: str) -> list:
                         j += 2
                 else:
                     if c == "`" and src.startswith("${", j):
-                        raise JSSyntaxError(
-                            "template interpolation not supported")
+                        # template interpolation: capture the raw
+                        # expression source, brace-nesting aware
+                        if buf:
+                            parts.append(("str", "".join(buf)))
+                            buf = []
+                        depth = 1
+                        k = j + 2
+                        while k < n and depth:
+                            if src[k] == "{":
+                                depth += 1
+                            elif src[k] == "}":
+                                depth -= 1
+                            k += 1
+                        if depth:
+                            raise JSSyntaxError(
+                                "unterminated template expression")
+                        parts.append(("expr", src[j + 2:k - 1]))
+                        j = k
+                        continue
                     buf.append(src[j])
                     j += 1
             if j >= n:
                 raise JSSyntaxError("unterminated string")
-            toks.append(_Tok("str", "".join(buf)))
+            if c == "`" and parts:
+                if buf:
+                    parts.append(("str", "".join(buf)))
+                toks.append(_Tok("template", parts))
+            else:
+                toks.append(_Tok("str", "".join(buf)))
             i = j + 1
             continue
         if c == "/" and _regex_allowed(toks):
@@ -555,6 +578,23 @@ class _Parser:
             return ("num", t.val)
         if t.kind == "str":
             return ("str", t.val)
+        if t.kind == "template":
+            # desugar `a${x}b` into string concatenation with explicit
+            # to-string coercion of each interpolated expression
+            parts = []
+            for kind, val in t.val:
+                if kind == "str":
+                    parts.append(("str", val))
+                else:
+                    sub = _Parser(_tokenize(val))
+                    expr = sub.expression()
+                    if sub.peek().kind != "eof":
+                        raise JSSyntaxError(
+                            "unexpected token in template expression")
+                    parts.append(("tostr", expr))
+            if not parts:
+                return ("str", "")
+            return ("template", parts)
         if t.kind == "regex":
             return ("regex", t.val[0], t.val[1])
         if t.kind == "id":
@@ -1402,6 +1442,10 @@ class _Interp:
             return UNDEFINED
         if t == "regex":
             return JSRegExp(node[1], node[2])
+        if t == "template":
+            return "".join(self._eval(p, scope) for p in node[1])
+        if t == "tostr":
+            return to_string(self._eval(node[1], scope))
         if t == "id":
             return self._lookup(node[1], scope)
         if t == "array":

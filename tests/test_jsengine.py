@@ -255,7 +255,15 @@ class TestProgramsAndRecords:
         with pytest.raises(JSSyntaxError):
             ev("1 +")
         with pytest.raises(JSSyntaxError):
-            ev("`a${b}`")
+            ev("`a${b")  # unterminated template expression
+
+    def test_template_interpolation(self):
+        assert ev("`a${1 + 1}b`") == "a2b"
+        assert ev("`${name}!`", {"name": "x"}) == "x!"
+        assert ev("`${null} ${undefined}`") == "null undefined"
+        assert ev("`outer ${`in${2}ner`}`") == "outer in2ner"
+        with pytest.raises(JSReferenceError):
+            ev("`a${b}`")  # b is not defined
 
     def test_not_a_function(self):
         with pytest.raises(JSError):
