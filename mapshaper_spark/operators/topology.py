@@ -823,6 +823,34 @@ def polygons_from_lines(arcs: DataFrame) -> DataFrame:
 # dissolveArcs (arc healing after clip/split)
 # ---------------------------------------------------------------------------
 
+def _chain_canonical(xs: list, ys: list):
+    """Rotation+direction canonical form of an arc chain, mirroring
+    build_topology's closed-ring dedup key: closed chains canonicalize over
+    rotation AND direction (a ring duplicated in the opposite winding or a
+    different start vertex keys to the same arc); open chains only over
+    direction. Returns (key_xs, key_ys, flip) where ``flip`` is True when
+    the input traversal winds opposite to the canonical direction."""
+    closed = len(xs) > 1 and xs[0] == xs[-1] and ys[0] == ys[-1]
+    if closed:
+        pts = list(zip(xs[:-1], ys[:-1]))
+        k = pts.index(min(pts))
+        fwd = pts[k:] + pts[:k]
+        rpts = pts[::-1]
+        k2 = rpts.index(min(rpts))
+        rev = rpts[k2:] + rpts[:k2]
+        if tuple(fwd) <= tuple(rev):
+            out, flip = fwd, False
+        else:
+            out, flip = rev, True
+        out = out + [out[0]]
+        return [p[0] for p in out], [p[1] for p in out], flip
+    f = tuple(zip(xs, ys))
+    r = f[::-1]
+    if f <= r:
+        return list(xs), list(ys), False
+    return list(xs)[::-1], list(ys)[::-1], True
+
+
 def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
     """internal.dissolveArcs (/root/reference/src/paths/mapshaper-arc-dissolve.js:11-50):
     merge arc chains that can be joined without affecting any layer's
@@ -854,10 +882,42 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
         )).alias("e")).select("arc_id", "e.which", "e.nx", "e.ny")
     node_deg = ends.groupBy("nx", "ny").agg(F.count(F.lit(1)).alias("deg"),
                                             F.count_distinct("arc_id").alias("n_arcs"))
+    # open-path endpoints block dissolving through them (the reference's
+    # getPathEndpointTest in getArcDissolveTest, arc-dissolve-test.js
+    # 'issue #140' cases): a path's first/last node is a topological
+    # boundary even when only two arc-ends meet there
+    bounds = (refs.groupBy(key, "ring_idx")
+              .agg(F.min_by(F.col("signed"), F.col("pos")).alias("s0"),
+                   F.max_by(F.col("signed"), F.col("pos")).alias("s1"))
+              .withColumn("a0", absolute_arc_id_col(F.col("s0")).cast("long"))
+              .withColumn("a1", absolute_arc_id_col(F.col("s1")).cast("long")))
+    geom = live_arcs.select(F.col("arc_id").alias("gid"),
+                            F.element_at("xs", 1).alias("hx"),
+                            F.element_at("ys", 1).alias("hy"),
+                            F.element_at("xs", -1).alias("tx"),
+                            F.element_at("ys", -1).alias("ty"))
+    path_pts = (bounds
+                .join(geom.withColumnRenamed("gid", "a0"), "a0")
+                .select(key, "ring_idx", "s1", "a1",
+                        F.when(F.col("s0") >= 0, F.col("hx")).otherwise(F.col("tx")).alias("p0x"),
+                        F.when(F.col("s0") >= 0, F.col("hy")).otherwise(F.col("ty")).alias("p0y"))
+                .join(geom.withColumnRenamed("gid", "a1"), "a1")
+                .select("p0x", "p0y",
+                        F.when(F.col("s1") >= 0, F.col("tx")).otherwise(F.col("hx")).alias("p1x"),
+                        F.when(F.col("s1") >= 0, F.col("ty")).otherwise(F.col("hy")).alias("p1y")))
+    open_ends = (path_pts.filter((F.col("p0x") != F.col("p1x")) |
+                                 (F.col("p0y") != F.col("p1y")))
+                 .select(F.explode(F.array(
+                     F.struct(F.col("p0x").alias("nx"), F.col("p0y").alias("ny")),
+                     F.struct(F.col("p1x").alias("nx"), F.col("p1y").alias("ny")))).alias("e"))
+                 .select("e.nx", "e.ny").distinct()
+                 .withColumn("__stop", F.lit(True)))
     # mergeable interior node: exactly 2 arc-ends from 2 distinct arcs, and
-    # both arcs are used the same number of times (adjacency consistency is
-    # then guaranteed for rings produced by our pipeline)
+    # not an endpoint of any open path (rings produced by our pipeline then
+    # traverse the two arcs consecutively in every use)
     mergeable = (node_deg.filter((F.col("deg") == 2) & (F.col("n_arcs") == 2))
+                 .join(open_ends, ["nx", "ny"], "left")
+                 .filter(F.col("__stop").isNull())
                  .select("nx", "ny", F.lit(True).alias("__m")))
     # per-arc flags: is the start (m0) / end (m1) endpoint a mergeable node?
     flags = (ends.join(mergeable, ["nx", "ny"], "left")
@@ -877,6 +937,9 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
         T.StructField("parts_xy", T.ArrayType(T.ArrayType(T.StructType([
             T.StructField("xs", T.ArrayType(T.DoubleType())),
             T.StructField("ys", T.ArrayType(T.DoubleType())),
+            T.StructField("cxs", T.ArrayType(T.DoubleType())),
+            T.StructField("cys", T.ArrayType(T.DoubleType())),
+            T.StructField("flip", T.BooleanType()),
         ])))),
     ])
     iter_key = key
@@ -909,40 +972,54 @@ def dissolve_arcs(features: DataFrame, arcs: DataFrame, key: str):
                 if (lx[-1], ly[-1]) == (fx[0], fy[0]):
                     chains[0] = [lx + fx[1:], ly + fy[1:]]
                     chains.pop()
-            new_parts.append([{"xs": c[0], "ys": c[1]} for c in chains])
+            part = []
+            for cx_, cy_ in chains:
+                kx, ky, flip = _chain_canonical(cx_, cy_)
+                part.append({"xs": cx_, "ys": cy_,
+                             "cxs": kx, "cys": ky, "flip": flip})
+            new_parts.append(part)
         return pd.DataFrame({iter_key: [k], "parts_xy": [new_parts]})
 
     healed = payload.groupBy(key).applyInPandas(rewrite, schema=out_schema)
 
-    # re-id merged chains deterministically (canonical direction + first use)
+    # re-id merged chains deterministically. Dedup key: rotation+direction
+    # canonical form (so a ring and its reversed/rotated duplicate share one
+    # arc, like the reference's global arc graph); STORED geometry: the
+    # first use's ORIGINAL traversal — the reference renumbers surviving
+    # arcs in first-use order and direction (arc-dissolve-test.js 'test 2'/
+    # 'issue #140 test 2' assert the traversal direction verbatim).
     exploded = (healed.select(key, F.posexplode("parts_xy").alias("ring_idx", "ring"))
                 .select(key, "ring_idx", F.posexplode("ring").alias("pos", "chain"))
                 .select(key, "ring_idx", "pos",
-                        F.col("chain.xs").alias("xs"), F.col("chain.ys").alias("ys")))
-    fwd = (F.element_at("xs", 1) < F.element_at("xs", -1)) | \
-          ((F.element_at("xs", 1) == F.element_at("xs", -1)) &
-           (F.element_at("ys", 1) <= F.element_at("ys", -1)))
-    canon = exploded.withColumn("__fwd", fwd).select(
-        key, "ring_idx", "pos", "__fwd",
-        F.when(F.col("__fwd"), F.col("xs")).otherwise(F.reverse("xs")).alias("cxs"),
-        F.when(F.col("__fwd"), F.col("ys")).otherwise(F.reverse("ys")).alias("cys"))
-    firsts = (canon.groupBy("cxs", "cys")
+                        F.col("chain.xs").alias("xs"), F.col("chain.ys").alias("ys"),
+                        F.col("chain.cxs").alias("cxs"), F.col("chain.cys").alias("cys"),
+                        F.col("chain.flip").alias("flip")))
+    firsts = (exploded.groupBy("cxs", "cys")
               .agg(F.min(F.struct(F.col(key).alias("k"),
                                   F.col("ring_idx").alias("r"),
-                                  F.col("pos").alias("p"))).alias("__first"))
+                                  F.col("pos").alias("p"))).alias("__first"),
+                   F.min_by(F.struct(F.col("xs"), F.col("ys"),
+                                     F.col("flip").alias("gflip")),
+                            F.struct(F.col(key), F.col("ring_idx"), F.col("pos")))
+                   .alias("__geom"))
               .withColumn("__fk", F.col("__first.k"))
               .withColumn("__fr", F.col("__first.r"))
               .withColumn("__fp", F.col("__first.p")))
     arc_tbl = (ranked_ids(firsts, ["__fk", "__fr", "__fp"], "arc_id")
                .drop("__fk", "__fr", "__fp"))
     new_arcs = arc_tbl.select(
-        "arc_id", F.col("cxs").alias("xs"), F.col("cys").alias("ys"),
-        F.size("cxs").alias("n"),
-        F.struct(F.array_min("cxs").alias("xmin"), F.array_min("cys").alias("ymin"),
-                 F.array_max("cxs").alias("xmax"), F.array_max("cys").alias("ymax")).alias("bbox"))
-    new_refs = (canon.join(arc_tbl.select("cxs", "cys", "arc_id"), ["cxs", "cys"])
+        "arc_id",
+        F.col("__geom.xs").alias("xs"), F.col("__geom.ys").alias("ys"),
+        F.size("__geom.xs").alias("n"),
+        F.struct(F.array_min("__geom.xs").alias("xmin"),
+                 F.array_min("__geom.ys").alias("ymin"),
+                 F.array_max("__geom.xs").alias("xmax"),
+                 F.array_max("__geom.ys").alias("ymax")).alias("bbox"))
+    new_refs = (exploded.join(arc_tbl.select(
+                    "cxs", "cys", "arc_id",
+                    F.col("__geom.gflip").alias("gflip")), ["cxs", "cys"])
                 .select(key, "ring_idx", "pos",
-                        F.when(F.col("__fwd"), F.col("arc_id"))
+                        F.when(F.col("flip") == F.col("gflip"), F.col("arc_id"))
                          .otherwise(-(F.col("arc_id") + 1)).alias("signed")))
     new_features = (new_refs.groupBy(key, "ring_idx")
                     .agg(F.transform(F.sort_array(F.collect_list(

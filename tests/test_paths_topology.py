@@ -237,6 +237,115 @@ class TestPolygonsFromLines:
         assert TP.polygons_from_lines(arcs).count() == 0
 
 
+def _arc_df(spark, coords):
+    """Build an arcs DataFrame from reference-style [[x,y],...] arc lists."""
+    rows = [(i, [float(p[0]) for p in c], [float(p[1]) for p in c])
+            for i, c in enumerate(coords)]
+    return spark.createDataFrame(
+        rows, "arc_id long, xs array<double>, ys array<double>")
+
+
+def _feat_df(spark, shapes):
+    """shapes: list of per-feature part lists with JS-style signed refs
+    (~id encoded as negative int -(id+1), same as the reference)."""
+    rows = [(i, [[int(s) for s in part] for part in parts])
+            for i, parts in enumerate(shapes)]
+    return spark.createDataFrame(rows, "rid long, parts array<array<int>>")
+
+
+def _collect_arcs(new_arcs):
+    return [list(map(list, zip(r.xs, r.ys)))
+            for r in sorted(new_arcs.collect(), key=lambda r: r.arc_id)]
+
+
+def _collect_shapes(new_feats, n):
+    by = {r.rid: [list(p) for p in r.parts] for r in new_feats.collect()}
+    return [by.get(i, []) for i in range(n)]
+
+
+class TestDissolveArcsReferenceParity:
+    """Transcribed from /root/reference/test/arc-dissolve-test.js
+    ('dissolveArcs()' cases): exact target arcs + shapes, including
+    first-use storage direction and shared-arc dedup across features."""
+
+    #      b --- c      e
+    #     / \   /      / \
+    #    /   \ /      /   \
+    #   a --- d      g --- h
+    COORDS = [
+        [[1, 1], [2, 2]],              # ab
+        [[2, 2], [4, 2], [3, 1]],      # bcd
+        [[2, 2], [3, 1]],              # bd
+        [[3, 1], [1, 1]],              # da
+        [[6, 2], [7, 1], [5, 1], [6, 2]]]  # ehge
+
+    def test_1_forward_ring_plus_island(self, spark):
+        feats = _feat_df(spark, [[[0, 1, 3], [4]]])
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, self.COORDS), "rid")
+        assert _collect_arcs(new_arcs) == [
+            [[1, 1], [2, 2], [4, 2], [3, 1], [1, 1]],
+            [[6, 2], [7, 1], [5, 1], [6, 2]]]
+        assert _collect_shapes(new_feats, 1) == [[[0], [1]]]
+
+    def test_2_reversed_ring_keeps_traversal_direction(self, spark):
+        feats = _feat_df(spark, [[[-2, -1, -4]]])  # [~1, ~0, ~3] = dcb,ba,ad
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, self.COORDS), "rid")
+        assert _collect_arcs(new_arcs) == [
+            [[3, 1], [4, 2], [2, 2], [1, 1], [3, 1]]]
+        assert _collect_shapes(new_feats, 1) == [[[0]]]
+
+    def test_3_opposite_windings_share_one_arc(self, spark):
+        feats = _feat_df(spark, [[[-2, -1, -4]],          # dcbad
+                                 [[0, 1, 3], [4]]])       # abcda, eghe
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, self.COORDS), "rid")
+        assert _collect_arcs(new_arcs) == [
+            [[3, 1], [4, 2], [2, 2], [1, 1], [3, 1]],
+            [[6, 2], [7, 1], [5, 1], [6, 2]]]
+        assert _collect_shapes(new_feats, 2) == [[[0]], [[-1], [1]]]
+
+    def test_4_polyline_chain(self, spark):
+        coords = [[[0, 0], [1, 0]],
+                  [[1, 0], [1, 1], [2, 0]],
+                  [[2, 0], [1, 0]],
+                  [[2, 0], [3, 0]],
+                  [[3, 0], [2, -1], [2, 0]]]
+        feats = _feat_df(spark, [[[0, -3, 3]]])  # [0, ~2, 3]
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, coords), "rid")
+        assert _collect_arcs(new_arcs) == [[[0, 0], [1, 0], [2, 0], [3, 0]]]
+        assert _collect_shapes(new_feats, 1) == [[[0]]]
+
+    # issue #140 -- partially overlapping lines
+    #
+    #  b --- c
+    #  |
+    #  a
+    ISSUE140 = [[[1, 1], [1, 2]], [[1, 2], [2, 2]]]
+
+    def test_issue140_1_unequal_use_counts_block_merge(self, spark):
+        feats = _feat_df(spark, [[[0, 1]], [[0]]])
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, self.ISSUE140), "rid")
+        assert _collect_arcs(new_arcs) == [
+            [[1, 1], [1, 2]], [[1, 2], [2, 2]]]
+        assert _collect_shapes(new_feats, 2) == [[[0, 1]], [[0]]]
+
+    def test_issue140_2_first_use_direction_storage(self, spark):
+        # two layers in the reference = two features over one arc table here
+        feats = _feat_df(spark, [[[-2, -1]],   # cba
+                                 [[0]]])       # ab
+        new_feats, new_arcs = TP.dissolve_arcs(
+            feats, _arc_df(spark, self.ISSUE140), "rid")
+        # no merge (ab is used standalone), but arcs renumber AND store in
+        # first-use direction: cb, ba
+        assert _collect_arcs(new_arcs) == [
+            [[2, 2], [1, 2]], [[1, 2], [1, 1]]]
+        assert _collect_shapes(new_feats, 2) == [[[0, 1]], [[-2]]]
+
+
 class TestDissolveArcs:
     def test_corner_chains_merge(self, spark):
         """region_mosaic's 17 edge-arcs heal to 13 (the 4 outer grid corners
