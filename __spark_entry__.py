@@ -758,8 +758,12 @@ def q_dedup_coords(spark, sf_dir):
 
 
 def q_subdivide(spark, sf_dir):
+    """-subdivide 'count() > 300': recursive median halving along the long
+    bbox axis (mapshaper-subdivide.js); exact oracle = recursive CTE
+    replaying the same split rule with the same (axis, custkey) order."""
     pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
-    out = G.subdivide(pts, "lon", "lat", max_count=300)
+    out = G.subdivide(pts, "lon", "lat", max_count=300,
+                      order_col="c_custkey")
     return out.groupBy("split_name").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -2956,6 +2960,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT arc_id, count(*) AS n_kept,
                round(sum(x), 6) AS sx, round(sum(y), 6) AS sy
         FROM allk GROUP BY arc_id
+    """
+    sqls["subdivide"] = f"""
+        WITH RECURSIVE pts AS (
+          SELECT c_custkey AS k, lon AS x, lat AS y
+          FROM ({_CUSTOMER_POINTS_SQL})
+        ),
+        s AS (
+          SELECT k, x, y, '' AS path FROM pts
+          UNION ALL
+          SELECT k, x, y,
+                 path || CASE WHEN rk < (cnt + 1) // 2 THEN 'L' ELSE 'R' END
+          FROM (
+            SELECT k, x, y, path, cnt,
+                   row_number() OVER (PARTITION BY path
+                     ORDER BY CASE WHEN wide THEN x ELSE y END, k) - 1 AS rk
+            FROM (
+              SELECT k, x, y, path,
+                     count(*) OVER w AS cnt,
+                     (max(x) OVER w - min(x) OVER w) >
+                     (max(y) OVER w - min(y) OVER w) AS wide
+              FROM s
+              WINDOW w AS (PARTITION BY path)
+            )
+          )
+          WHERE cnt > 300
+        )
+        SELECT 'split-' || dense_rank() OVER (ORDER BY path) AS split_name,
+               n
+        FROM (
+          SELECT path, count(*) AS n FROM s t
+          WHERE length(path) = (SELECT max(length(path)) FROM s t2
+                                WHERE t2.k = t.k)
+          GROUP BY path
+        )
     """
     sqls["ann_topk"] = f"""
         WITH q(i, qv) AS (VALUES {qvals}),

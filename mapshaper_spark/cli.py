@@ -1815,18 +1815,17 @@ def _cmd_shape(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_subdivide(cat: Catalog, c: Command) -> None:
-    """-subdivide 'count() > N' (the canonical split expression,
-    mapshaper-subdivide.js — arbitrary JS conditions are the documented
-    expression-surface deviation)."""
+    """-subdivide 'sum(foo) > 5' (mapshaper-subdivide.js): any SQL-aggregate
+    calc expression; count()/average()/median() spellings are translated
+    (arbitrary JS conditions are the documented expression-surface
+    deviation)."""
     from mapshaper_spark.operators.grid import subdivide
-    m = re.match(r"^\s*count\(\s*\)\s*>\s*(\d+)\s*$", c.values[0])
-    if not m:
-        raise ValueError("-subdivide supports the canonical 'count() > N'")
     df = cat.df()
     if _geometry_kind(df) != "point":
         raise ValueError("-subdivide CLI v1 supports point layers")
     x, y = _point_cols(df)
-    cat.replace(subdivide(df, x, y, int(m.group(1))))
+    cat.replace(subdivide(df, x, y, expression=c.values[0],
+                          name=cat.target))
 
 
 def _cmd_cluster(cat: Catalog, c: Command) -> None:

@@ -183,39 +183,74 @@ def rectangle(spark: SparkSession, bbox: Sequence[float]) -> DataFrame:
         "bbox struct<xmin:double,ymin:double,xmax:double,ymax:double>")
 
 
-def subdivide(df: DataFrame, x: str, y: str, max_count: int,
-              name_field: str = "split_name") -> DataFrame:
-    """-subdivide (mapshaper-subdivide.js:8-41): recursively halve the layer
-    along the long axis of its bounds at the median feature until the
-    calc-expression is false — here the canonical ``count() > max_count``.
-    Driver-side recursion (depth = log2(n / max_count)); each split is an
-    approxQuantile + two filters, all lazy until the final union."""
-    pieces: list[tuple[str, DataFrame]] = []
+def _calc_expr_sql(expression: str) -> str:
+    """Translate a mapshaper calc expression ('sum(foo) > 5',
+    'count() > 300', 'average(x) < 2') to a SQL aggregate expression."""
+    import re
+    sql = re.sub(r"\bcount\(\s*\)", "count(*)", expression)
+    sql = re.sub(r"\baverage\(", "avg(", sql)
+    sql = re.sub(r"\bmedian\(([^()]*)\)", r"percentile(\1, 0.5)", sql)
+    return sql
 
-    def recurse(part: DataFrame, label: str, n_rows: int):
-        if n_rows <= max_count or n_rows < 2:
-            pieces.append((label, part))
+
+def subdivide(df: DataFrame, x: str, y: str, max_count: int | None = None,
+              expression: str | None = None, name: str | None = None,
+              name_field: str = "split_name",
+              order_col: str | None = None) -> DataFrame:
+    """-subdivide (mapshaper-subdivide.js:8-46): recursively divide the
+    layer in two along the long side of its bounding box — each half gets
+    half of the features (+/- 1), split at the median center like
+    divideLayer's stable sort — while the calc expression stays true.
+    ``max_count`` is sugar for the canonical ``count() > max_count``.
+
+    Parity (subdivide-test.js): halves of size 1, or that fail to shrink,
+    are emitted without re-evaluating the expression; final pieces are
+    named '<layer-name-or-split>-<i>' sequentially in left-to-right leaf
+    order (getSplitLayerName). Driver-side recursion (depth ~ log2 n);
+    the median split uses ranked_ids — no single-task global sort."""
+    from mapshaper_spark.plans.scale import ranked_ids
+
+    if expression is None:
+        if max_count is None:
+            raise ValueError("subdivide needs max_count or expression")
+        expression = f"count() > {max_count}"
+    sql = _calc_expr_sql(expression)
+    base = name or "split"
+    # stable tie-break = input order, like the JS stable sort on centers;
+    # pass order_col (a unique key) for a partitioning-independent order
+    if order_col is None:
+        df = df.withColumn("__ord", F.monotonically_increasing_id())
+    else:
+        df = df.withColumn("__ord", F.col(order_col))
+    pieces: list[DataFrame] = []
+
+    def recurse(part: DataFrame, n_rows: int):
+        divide = part.agg(F.expr(sql).alias("__d")).collect()[0]["__d"]
+        if not isinstance(divide, bool):
+            raise ValueError("Expression must evaluate to true or false")
+        if not divide:
+            pieces.append(part)
             return
         b = part.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
-        wide = (b[1] - b[0]) >= (b[3] - b[2])
+        wide = (b[1] - b[0]) > (b[3] - b[2])
         axis = x if wide else y
-        mid = part.approxQuantile(axis, [0.5], 0.001)[0]
-        left = part.filter(F.col(axis) <= mid)
-        right = part.filter(F.col(axis) > mid)
-        ln = left.count()
-        rn = n_rows - ln
-        if ln == 0 or rn == 0:  # degenerate (all at median) — stop splitting
-            pieces.append((label, part))
-            return
-        recurse(left, label + "1", ln)
-        recurse(right, label + "2", rn)
+        ranked = ranked_ids(part, [axis, "__ord"], "__rk")
+        n_left = (n_rows + 1) // 2  # i < n/2 keeps ceil(n/2) in the first half
+        halves = [(ranked.filter(F.col("__rk") < n_left).drop("__rk"), n_left),
+                  (ranked.filter(F.col("__rk") >= n_left).drop("__rk"),
+                   n_rows - n_left)]
+        for half, hn in halves:
+            if 1 < hn < n_rows:
+                recurse(half, hn)
+            else:
+                pieces.append(half)
 
-    recurse(df, "split", df.count())
+    recurse(df, df.count())
     out = None
-    for label, part in pieces:
-        tagged = part.withColumn(name_field, F.lit(label))
+    for i, part in enumerate(pieces):
+        tagged = part.withColumn(name_field, F.lit(f"{base}-{i + 1}"))
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+    return out.drop("__ord")
 
 
 def split_by_field(df: DataFrame, field: str) -> dict[str, DataFrame]:

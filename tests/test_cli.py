@@ -341,6 +341,28 @@ class TestRound3Commands:
         assert sum(sizes.values()) == 40
         assert all(v <= 12 for v in sizes.values())
 
+    def test_subdivide_reference_parity(self, spark):
+        """subdivide-test.js: 'true' divides to singletons named split-1..n
+        in left-to-right leaf order; 'sum(foo) > 5' groups like the
+        reference's recursion (halves of size 1 emitted without re-eval)."""
+        pts = spark.createDataFrame(
+            [(float(i), 0.0, foo) for i, foo in
+             enumerate([1, 0, 39, 3])], "x double, y double, foo int")
+        cat = run_commands(spark, "-subdivide 'sum(foo) > 5'",
+                           layers={"pts": pts})
+        groups = {r["split_name"]: sorted(rr.foo for rr in g)
+                  for r in cat.df().select("split_name").distinct().collect()
+                  for g in [cat.df().filter(
+                      F.col("split_name") == r["split_name"]).collect()]}
+        assert groups == {"pts-1": [0, 1], "pts-2": [39], "pts-3": [3]}
+
+    def test_subdivide_true_splits_to_singletons(self, spark):
+        pts = spark.createDataFrame(
+            [(float(i), 0.0) for i in range(5)], "x double, y double")
+        cat = run_commands(spark, "-subdivide true", layers={"foo": pts})
+        rows = sorted((r["split_name"], r.x) for r in cat.df().collect())
+        assert rows == [(f"foo-{i + 1}", float(i)) for i in range(5)]
+
     def test_data_fill_string_keys(self, spark):
         rows = []
         for i in range(4):
