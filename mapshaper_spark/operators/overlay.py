@@ -1438,6 +1438,22 @@ def _sutherland_hodgman_exact(rx, ry, bbox):
     return _sutherland_hodgman(rx, ry, bbox, dedup=False)
 
 
+def _pt_on_rings(px: float, py: float, rings_c) -> bool:
+    """True when (px, py) lies exactly on a segment of any ring."""
+    for bxs, bys in rings_c:
+        x0 = np.asarray(bxs[:-1], dtype=np.float64)
+        y0 = np.asarray(bys[:-1], dtype=np.float64)
+        x1 = np.asarray(bxs[1:], dtype=np.float64)
+        y1 = np.asarray(bys[1:], dtype=np.float64)
+        cross = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
+        on = ((cross == 0.0) &
+              (px >= np.minimum(x0, x1)) & (px <= np.maximum(x0, x1)) &
+              (py >= np.minimum(y0, y1)) & (py <= np.maximum(y0, y1)))
+        if bool(on.any()):
+            return True
+    return False
+
+
 def clip_polylines_rings(paths, rings_c, erase: bool = False):
     """Clip open polylines by a polygon ring set: cut each path at every
     boundary crossing, keep the sub-paths whose midpoints are inside
@@ -1460,13 +1476,18 @@ def clip_polylines_rings(paths, rings_c, erase: bool = False):
         for segs in cuts_p.values():
             for _t, px, py in segs:
                 cut_pts.add((px, py))
-        # split at cut points
+        # split at cut points AND at path vertices lying on the clip
+        # boundary: the reference's node-based clipPolylines splits arcs at
+        # every shared node, which includes vertex-only touches that produce
+        # no segment-intersection cut (polyline-clipping-test.js Fig 2)
         bounds = [0]
         for i in range(1, len(cx) - 1):
-            if (cx[i], cy[i]) in cut_pts:
+            if (cx[i], cy[i]) in cut_pts or \
+                    _pt_on_rings(cx[i], cy[i], rings_c):
                 bounds.append(i)
         bounds.append(len(cx) - 1)
-        for a, b in zip(bounds[:-1], bounds[1:]):
+        prev_end = None  # merge contiguous kept spans into one part, like
+        for a, b in zip(bounds[:-1], bounds[1:]):  # the reference's [[5, 2]]
             if b <= a:
                 continue
             sub_x, sub_y = cx[a:b + 1], cy[a:b + 1]
@@ -1476,7 +1497,12 @@ def clip_polylines_rings(paths, rings_c, erase: bool = False):
             inside = bool(K.points_in_polygon(np.array([mx]), np.array([my]),
                                               rings_c)[0])
             if inside != erase:
-                out.append((sub_x.tolist(), sub_y.tolist()))
+                if prev_end == a:
+                    out[-1] = (out[-1][0] + sub_x[1:].tolist(),
+                               out[-1][1] + sub_y[1:].tolist())
+                else:
+                    out.append((sub_x.tolist(), sub_y.tolist()))
+                prev_end = b
     return out
 
 

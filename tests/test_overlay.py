@@ -251,6 +251,118 @@ class TestPolylineClip:
         assert e[0].rings_x == [[-120.0, -110.0]]
 
 
+class TestPointClippingReferenceParity:
+    """Transcribed from /root/reference/test/point-clipping-test.js Fig 1:
+    square abcda with inner square efghe; 'filled donut' = donut feature +
+    filler feature over the hole."""
+
+    SQ_X = [1.0, 4.0, 4.0, 1.0, 1.0]
+    SQ_Y = [4.0, 4.0, 1.0, 1.0, 4.0]
+    IN_X = [2.0, 3.0, 3.0, 2.0, 2.0]
+    IN_Y = [3.0, 3.0, 2.0, 2.0, 3.0]
+
+    def _pts(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, float(px), float(py)) for i, (px, py) in enumerate(pts)],
+            "pid int, x double, y double")
+
+    def _simple(self, spark):
+        return spark.createDataFrame(
+            [(1, [self.SQ_X], [self.SQ_Y])],
+            "clip_id int, rings_x array<array<double>>, "
+            "rings_y array<array<double>>")
+
+    def _filled_donut(self, spark):
+        return spark.createDataFrame(
+            [(1, [self.SQ_X, self.IN_X], [self.SQ_Y, self.IN_Y]),
+             (2, [self.IN_X], [self.IN_Y])],
+            "clip_id int, rings_x array<array<double>>, "
+            "rings_y array<array<double>>")
+
+    def _donut_only(self, spark):
+        return spark.createDataFrame(
+            [(1, [self.SQ_X, self.IN_X], [self.SQ_Y, self.IN_Y])],
+            "clip_id int, rings_x array<array<double>>, "
+            "rings_y array<array<double>>")
+
+    def _run(self, spark, pts, polys, erase=False):
+        from mapshaper_spark.operators.paths import clip_points
+        out = clip_points(self._pts(spark, pts), "x", "y", polys,
+                          "clip_id", erase=erase)
+        return sorted(r.pid for r in out.collect())
+
+    def test_points_on_vertices_kept_by_clip(self, spark):
+        pts = [(1, 1), (1, 4), (4, 4), (4, 1)]
+        assert self._run(spark, pts, self._simple(spark)) == [0, 1, 2, 3]
+
+    def test_points_on_edges_kept_by_clip(self, spark):
+        pts = [(1, 1.2), (1.5, 1), (4, 3.4), (3.4, 4)]
+        assert self._run(spark, pts, self._simple(spark)) == [0, 1, 2, 3]
+
+    def test_points_outside_filled_donut(self, spark):
+        pts = [(0, 0), (5, 5)]
+        assert self._run(spark, pts, self._filled_donut(spark)) == []
+        assert self._run(spark, pts, self._filled_donut(spark),
+                         erase=True) == [0, 1]
+
+    def test_points_inside_filled_donut(self, spark):
+        pts = [(1.5, 1.5), (2.5, 2.5)]
+        assert self._run(spark, pts, self._filled_donut(spark)) == [0, 1]
+        assert self._run(spark, pts, self._filled_donut(spark),
+                         erase=True) == []
+
+    def test_points_on_boundary_of_filled_donut(self, spark):
+        pts = [(1, 1), (2, 1), (2, 2), (2.5, 2)]
+        assert self._run(spark, pts, self._filled_donut(spark)) == \
+            [0, 1, 2, 3]
+        assert self._run(spark, pts, self._filled_donut(spark),
+                         erase=True) == []
+
+    def test_point_inside_donut_hole(self, spark):
+        assert self._run(spark, [(2.5, 2.5)], self._donut_only(spark)) == []
+
+
+class TestPolylineClippingReferenceParity:
+    """Transcribed from /root/reference/test/polyline-clipping-test.js."""
+
+    def test_fig1_enclosed_polyline(self, spark):
+        from mapshaper_spark.operators.overlay import clip_polylines
+        clip = spark.createDataFrame(
+            [(1, [[1.0, 4.0, 4.0, 1.0, 1.0]], [[4.0, 4.0, 1.0, 1.0, 4.0]])],
+            "cid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        line = spark.createDataFrame(
+            [(1, [[2.0, 3.0, 3.0, 2.0]], [[3.0, 3.0, 2.0, 2.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = clip_polylines(line, clip).collect()
+        assert len(out) == 1
+        assert out[0].rings_x == [[2.0, 3.0, 3.0, 2.0]]
+        assert out[0].rings_y == [[3.0, 3.0, 2.0, 2.0]]
+        assert clip_polylines(line, clip, erase=True).count() == 0
+
+    def test_fig2_partly_enclosed_polyline(self, spark):
+        from mapshaper_spark.operators.overlay import clip_polylines
+        # clip = hexagon a-b-c-d-e-f; target = g-b-h-e'-e-i where the
+        # b-h-e' leg dives inside and d-e lies ON the clip boundary
+        clip = spark.createDataFrame(
+            [(1, [[1.0, 2.0, 3.0, 3.0, 3.0, 1.0, 1.0]],
+              [[3.0, 3.0, 3.0, 2.0, 1.0, 1.0, 3.0]])],
+            "cid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        line = spark.createDataFrame(
+            [(1, [[2.0, 2.0, 2.0, 3.0, 3.0, 4.0]],
+              [[4.0, 3.0, 2.0, 2.0, 1.0, 1.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        out = clip_polylines(line, clip).collect()
+        assert len(out) == 1
+        # clip keeps bhe + de (the reference keeps boundary-riding spans)
+        assert out[0].rings_x == [[2.0, 2.0, 3.0, 3.0]]
+        assert out[0].rings_y == [[3.0, 2.0, 2.0, 1.0]]
+        ers = clip_polylines(line, clip, erase=True).collect()
+        assert len(ers) == 1
+        parts = sorted(zip(ers[0].rings_x, ers[0].rings_y))
+        assert parts == [([2.0, 2.0], [4.0, 3.0]),   # gb
+                         ([3.0, 4.0], [1.0, 1.0])]   # ei
+
+
 class TestDistributedClip:
     """The cell-keyed candidate-pair path (no driver collect of the clip
     layer) must agree exactly with the broadcast path."""

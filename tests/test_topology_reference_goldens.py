@@ -228,6 +228,45 @@ class TestFindSegmentIntersectionsParity:
         assert _find(spark, [[[0, 0], [1, 0]], [[0, 1], [1, 1]]]) == set()
 
 
+class TestSegmentGeomParity:
+    """Transcribed from /root/reference/test/segment-geom-test.js —
+    segmentIntersection cases not covered by segment-intersection-test.js,
+    run directly against the kernel (_seg_intersections)."""
+
+    @staticmethod
+    def _si(*args):
+        return TP._seg_intersections(*[float(a) for a in args])
+
+    def test_joined_segs_are_not_intersections(self, spark):
+        for args in [(0, 0, 0, 1, 0, 1, 1, 1), (0, 0, 0, 1, 0, 1, 0, 2),
+                     (0, 0, 0, 1, 1, 0, 0, 0), (0, 0, 0, 1, 0, 0, 1, 0),
+                     (0, 0, 1, 1, 1, 1, 2, 0), (0, 0, 1, 1, 1, 1, 2, 2),
+                     (0, 0, 1, -1, 1, -1, 2, 0)]:
+            assert self._si(*args) == [], args
+
+    def test_congruent_segments_are_nully(self, spark):
+        for args in [(0, 0, 1, 1, 0, 0, 1, 2), (1, 2, 0, 0, 0, 0, 1, 1),
+                     (0, 0, 1, 0, 1, 0, 0, 0), (0, 1, 0, 0, 0, 1, 0, 0)]:
+            assert self._si(*args) == [], args
+
+    def test_partially_congruent_one_or_two_points(self, spark):
+        assert self._si(0, 0, 1, 1, 0, 0, 2, 2) == [(1.0, 1.0)]
+        assert self._si(2, 2, 0, 0, 0, 0, 1, 1) == [(1.0, 1.0)]
+        assert self._si(3, 3, 0, 0, 2, 2, 1, 1) == [(2.0, 2.0), (1.0, 1.0)]
+        assert self._si(0, 0, 2, 2, 1, 1, 3, 3) == [(2.0, 2.0), (1.0, 1.0)]
+        assert self._si(0, 3, 0, 0, 0, 2, 0, 1) == [(0.0, 2.0), (0.0, 1.0)]
+        assert self._si(0, 0, 0, 2, 0, 1, 0, 3) == [(0.0, 2.0), (0.0, 1.0)]
+        assert self._si(3, 0, 0, 0, 2, 0, 1, 0) == [(2.0, 0.0), (1.0, 0.0)]
+        assert self._si(0, 0, 2, 0, 1, 0, 3, 0) == [(2.0, 0.0), (1.0, 0.0)]
+
+    def test_tiny_overlaps_are_detected(self, spark):
+        tiny = 0.00000000001
+        assert self._si(0, 0, 1, 1, tiny, 0, 1 - tiny, 1) != []
+        assert self._si(tiny, 0, 1, 1, 0, 0, 1, tiny) != []
+        assert self._si(0, 0, 1, -1, tiny, 0, 1 - tiny, -1) != []
+        assert self._si(tiny, 0, 1, -1, 0, 0, 1, -tiny) != []
+
+
 class TestSnappingParity:
     # snapping-test.js:31-42 — polyline A, outside threshold: unchanged
     def test_snap_outside_threshold(self, spark):
