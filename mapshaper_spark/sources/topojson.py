@@ -607,10 +607,12 @@ def export_topojson(arcs: DataFrame, features: DataFrame, key: str,
     qy = F.transform("ys", lambda v: F.round((v - F.lit(ymin)) / F.lit(ky)).cast("long"))
     cols = [F.col("arc_id"), qx.alias("qx"), qy.alias("qy")]
     if presimplify:
-        kz = min(kx, ky)
+        # getPresimplifyFunction (topojson-presimplify.js:3-10): z maps to
+        # ceil(z * 10000 / bbox_width) display units, Infinity -> 0
+        kz = 10000.0 / (xmax - xmin) if xmax > xmin else 1.0
         qz = F.transform("zs", lambda v: F.when(
-            v == F.lit(float("inf")), F.lit(-1)
-        ).otherwise(F.round(v / F.lit(kz))).cast("long"))
+            v == F.lit(float("inf")), F.lit(0)
+        ).otherwise(F.ceil(v * F.lit(kz))).cast("long"))
         cols.append(qz.alias("qz"))
     quant = arcs.select(*cols).orderBy("arc_id")
 

@@ -220,8 +220,30 @@ class TestTopoPresimplify:
         topo = TJ.export_topojson(with_z, feats, "rid", presimplify=True)
         for arc in topo["arcs"]:
             assert all(len(p) == 3 for p in arc)
-            # 2-point arcs: both endpoints protected (inf -> -1 sentinel)
-            assert arc[0][2] == -1 and arc[-1][2] == -1
+            # 2-point arcs: both endpoints protected; Infinity -> 0 like
+            # getPresimplifyFunction (topojson-presimplify.js:8)
+            assert arc[0][2] == 0 and arc[-1][2] == 0
+
+    def test_presimplify_function_parity(self, spark):
+        """topojson-presimplify-test.js: width 100000 -> k = 0.1, so
+        Infinity -> 0, 0 -> 0, z=100 -> 10, z=500 -> 50."""
+        from mapshaper_spark.sources import topojson as TJ
+        inf = float("inf")
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 100000.0], [0.0, 1.0], [inf, 0.0]),
+             (1, [0.0, 100000.0], [0.0, 1.0], [100.0, 500.0])],
+            "arc_id long, xs array<double>, ys array<double>, "
+            "zs array<double>").withColumn(
+                "bbox", F.struct(
+                    F.array_min("xs").alias("xmin"),
+                    F.array_min("ys").alias("ymin"),
+                    F.array_max("xs").alias("xmax"),
+                    F.array_max("ys").alias("ymax")))
+        feats = spark.createDataFrame([(0, [[0]]), (1, [[1]])],
+                                      "rid long, parts array<array<int>>")
+        topo = TJ.export_topojson(arcs, feats, "rid", presimplify=True)
+        assert [p[2] for p in topo["arcs"][0]] == [0, 0]
+        assert [p[2] for p in topo["arcs"][1]] == [10, 50]
 
 
 class TestStatefulSessionize:
