@@ -576,6 +576,110 @@ class TestAddIntersectionCuts:
         assert len(r.xs) == 5
 
 
+def _cut_fixture(spark, coords, shapes):
+    arcs = _arc_df(spark, coords)
+    arcs = arcs.withColumn("n", F.size("xs")).withColumn(
+        "bbox", F.struct(F.array_min("xs").alias("xmin"),
+                         F.array_min("ys").alias("ymin"),
+                         F.array_max("xs").alias("xmax"),
+                         F.array_max("ys").alias("ymax")))
+    feats = _feat_df(spark, shapes)
+    return feats, arcs
+
+
+class TestPathDivisionReferenceParity:
+    """Transcribed from /root/reference/test/path-division-test.js:
+    divideArcs/cutPathsAtIntersections figures, checked through
+    add_intersection_cuts. Deviation (documented): the reference cuts
+    arcs in place, so an original ring's start vertex stays an arc
+    endpoint (3 arcs per ring in Fig 1); the repo REBUILDS topology after
+    inserting cut vertices, so rings rotate to start at the first true
+    node (2 arcs per ring) and Fig 3's duplicate kl arc dedups into one
+    shared arc. The semantic contract — every intersection point is a
+    node, rings reconstruct with cut vertices, refs stay consistent — is
+    asserted exactly."""
+
+    FIG1 = [[[3, 3], [3, 1], [1, 1], [1, 3], [3, 3]],
+            [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]]
+    # the two crossing points of Fig 1 / Fig 2
+    CUTS = {(3.0, 2.0), (2.0, 3.0)}
+
+    def _check_two_squares(self, spark, feats, arcs):
+        from mapshaper_spark import layers as L
+        f2, a2 = TP.add_intersection_cuts(feats, arcs, "rid")
+        rows = _collect_arcs(a2)
+        # 2 arcs per ring, every endpoint a true node (cut point)
+        assert len(rows) == 4
+        ends = {tuple(pts[0]) for pts in rows} | \
+               {tuple(pts[-1]) for pts in rows}
+        assert ends == self.CUTS
+        asm = {r.rid: set(zip(r.rings_x[0], r.rings_y[0]))
+               for r in L.assemble_rings(f2, a2, key="rid").collect()}
+        assert asm[0] == {(3.0, 3.0), (3.0, 1.0), (1.0, 1.0), (1.0, 3.0),
+                          (3.0, 2.0), (2.0, 3.0)}
+        assert asm[1] == {(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0),
+                          (3.0, 2.0), (2.0, 3.0)}
+
+    def test_fig1_insert_clipping_points(self, spark):
+        feats, arcs = _cut_fixture(spark, self.FIG1, [[[0]], [[1]]])
+        self._check_two_squares(spark, feats, arcs)
+
+    def test_fig1_reversed_polygons(self, spark):
+        feats, arcs = _cut_fixture(spark, self.FIG1, [[[-1]], [[-2]]])
+        f2, a2 = TP.add_intersection_cuts(feats, arcs, "rid")
+        # first use is the reversed traversal, so arcs store that direction;
+        # ring reconstruction must equal the reversed originals
+        from mapshaper_spark import layers as L
+        asm = {r.rid: list(zip(r.rings_x[0], r.rings_y[0]))
+               for r in L.assemble_rings(f2, a2, key="rid").collect()}
+        assert set(asm[0]) == {(3.0, 3.0), (3.0, 1.0), (1.0, 1.0),
+                               (1.0, 3.0), (3.0, 2.0), (2.0, 3.0)}
+        assert set(asm[1]) == {(2.0, 2.0), (2.0, 4.0), (4.0, 4.0),
+                               (4.0, 2.0), (3.0, 2.0), (2.0, 3.0)}
+
+    # Fig. 2: efghije already has vertices at the T-intersection points
+    FIG2 = [[[3, 3], [3, 1], [1, 1], [1, 3], [3, 3]],
+            [[2, 2], [2, 3], [2, 4], [4, 4], [4, 2], [3, 2], [2, 2]]]
+
+    def test_fig2_point_segment_intersections(self, spark):
+        feats, arcs = _cut_fixture(spark, self.FIG2, [[[0]], [[1]]])
+        self._check_two_squares(spark, feats, arcs)
+
+    # Fig. 3: two layers -> two features each; holes, shared arcs and the
+    # duplicate kl arc
+    FIG3 = [[[3, 3], [3, 2], [1, 2], [1, 4], [3, 4], [3, 3]],
+            [[2, 3], [2, 6], [4, 6], [4, 3]],
+            [[4, 3], [2, 3]],
+            [[3, 5], [4, 5], [4, 4], [3, 4], [3, 5]],
+            [[4, 3], [4, 1], [2, 1], [2, 3]]]
+
+    def test_fig3_layers_remapped(self, spark):
+        from mapshaper_spark import layers as L
+        feats, arcs = _cut_fixture(
+            spark, self.FIG3,
+            [[[0], [3]],          # layer A feature
+             [[1, 2]],            # layer B feature 1
+             [[4, -3]]])          # layer B feature 2 ([4, ~2])
+        f2, a2 = TP.add_intersection_cuts(feats, arcs, "rid")
+        arc_rows = {r.arc_id: list(zip(r.xs, r.ys)) for r in a2.collect()}
+        # the reference produces 14 arcs (kl duplicated); the repo's rebuild
+        # dedups the duplicate and heals ring-start artifacts
+        assert len(arc_rows) <= 14
+        # every reference cut point is an arc endpoint
+        ends = {pts[0] for pts in arc_rows.values()} | \
+               {pts[-1] for pts in arc_rows.values()}
+        for p in [(2.0, 2.0), (2.0, 4.0), (3.0, 3.0), (4.0, 5.0),
+                  (4.0, 4.0), (4.0, 3.0), (2.0, 3.0)]:
+            assert p in ends, p
+        # rings reassemble with the cut vertices included
+        asm = {r.rid: [set(zip(rx, ry)) for rx, ry in
+                       zip(r.rings_x, r.rings_y)]
+               for r in L.assemble_rings(f2, a2, key="rid").collect()}
+        assert len(asm[0]) == 2   # outer + hole survive as two rings
+        assert {(3.0, 5.0), (4.0, 5.0), (4.0, 4.0), (3.0, 4.0)} <= asm[0][1] \
+            or {(3.0, 5.0), (4.0, 5.0), (4.0, 4.0), (3.0, 4.0)} <= asm[0][0]
+
+
 class TestAnchorPoint:
     """Faithful findAnchorPoint2 port (anchor-points-test.js figures)."""
 
