@@ -48,19 +48,30 @@ def colorizer(name: str, colors, breaks=None, categories=None,
     if breaks is not None:
         if len(colors) != len(breaks) + 1:
             raise ValueError("Number of colors should be one more than breaks")
-        srt = sorted(float(b) for b in breaks)
-        if [float(b) for b in breaks] != srt:
+        vals = [float(b) for b in breaks]
+        if any(v != v for v in vals) or \
+                any(a > b for a, b in zip(vals, vals[1:])):
             raise ValueError(f"Invalid class breaks: {breaks}")
 
         def fn(col: Column) -> Column:
+            # classify on a tolerant double view so non-numeric values
+            # never throw under ANSI casts (they become no-data below)
+            v = col.try_cast("double")
             # precision= rounds values to increments before classification
             # (utils.getRoundingFunction, mapshaper-rounding.js)
-            v = col if precision is None else \
-                F.round(col / F.lit(precision)) * F.lit(precision)
+            if precision is not None:
+                v = F.round(v / F.lit(precision)) * F.lit(precision)
             expr = F.lit(colors[-1])
             for b, c in zip(reversed(breaks), reversed(colors[:-1])):
                 expr = F.when(v < F.lit(float(b)), F.lit(c)).otherwise(expr)
-            return F.when(col.isNull(), F.lit(nodata)).otherwise(expr)
+            # null AND NaN are no-data (colorizer-test.js: {pct: NaN} ->
+            # nodata; NaN comparisons would otherwise fall through to the
+            # last color class)
+            # (null, NaN and non-castable values are all no-data — the
+            # reference refuses to coerce non-numeric values)
+            v0 = col.try_cast("double")
+            bad = v0.isNull() | F.isnan(v0)
+            return F.when(bad, F.lit(nodata)).otherwise(expr)
     elif categories is not None:
         if len(colors) != len(categories):
             raise ValueError(
@@ -70,7 +81,10 @@ def colorizer(name: str, colors, breaks=None, categories=None,
             expr = F.lit(other) if other is not None else F.lit(nodata)
             for k, c in zip(reversed(categories), reversed(colors)):
                 expr = F.when(col == F.lit(k), F.lit(c)).otherwise(expr)
-            return F.when(col.isNull(), F.lit(nodata)).otherwise(expr)
+            # null and '' are no-data (colorizer-test.js: f('') -> nodata,
+            # while a non-matching non-empty value gets `other`)
+            bad = col.isNull() | (col.cast("string") == F.lit(""))
+            return F.when(bad, F.lit(nodata)).otherwise(expr)
     else:
         raise ValueError("Missing categories= or breaks= parameter")
 

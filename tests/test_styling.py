@@ -39,6 +39,87 @@ class TestColorizer:
         assert got == {1: "hi", 2: "hi"}
 
 
+class TestColorizerReferenceParity:
+    """Transcribed from /root/reference/test/colorizer-test.js."""
+
+    def test_breaks_scheme_with_nan(self, spark):
+        # '-colorizer breaks=10,20 colors=white,pink,yellow nodata=grey'
+        from mapshaper_spark.operators.styling import colorizer
+        c = colorizer("getColor", ["white", "pink", "yellow"],
+                      breaks=[10, 20], nodata="grey")
+        df = spark.createDataFrame(
+            [(0, 0.0), (1, 10.0), (2, 12.0), (3, 20.0), (4, 99.0),
+             (5, float("nan"))], "id int, pct double")
+        got = [r.col for r in
+               df.withColumn("col", c(F.col("pct"))).orderBy("id").collect()]
+        assert got == ["white", "pink", "pink", "yellow", "yellow", "grey"]
+
+    def test_all_color_classes_reachable(self, spark):
+        from mapshaper_spark.operators.styling import colorizer
+        c = colorizer("t_reach", ["red", "white", "blue"], breaks=[0, 10])
+        df = spark.createDataFrame(
+            [(0, -1.0), (1, 0.0), (2, 5.0), (3, 10.0), (4, 15.0)],
+            "id int, v double")
+        got = [r.c for r in
+               df.withColumn("c", c(F.col("v"))).orderBy("id").collect()]
+        assert got == ["red", "white", "white", "blue", "blue"]
+
+    def test_non_numeric_values_are_nodata(self, spark):
+        # getSequentialColorFunction refuses to coerce strings to numbers
+        from mapshaper_spark.operators.styling import colorizer
+        c = colorizer("t_nocoerce", ["red", "blue"], breaks=[10],
+                      nodata="none")
+        df = spark.createDataFrame(
+            [(0, "0"), (1, ""), (2, None), (3, "abc")], "id int, v string")
+        got = [r.c for r in
+               df.withColumn("c", c(F.col("v"))).orderBy("id").collect()]
+        # "0" is castable in Spark's typed world; the rest are no-data
+        assert got[1:] == ["none", "none", "none"]
+
+    def test_matches_categories(self, spark):
+        from mapshaper_spark.operators.styling import colorizer
+        c = colorizer("t_cat2", ["red", "blue"],
+                      categories=["lepen", "macron"], other="white",
+                      nodata="pink")
+        df = spark.createDataFrame(
+            [(0, "lepen"), (1, "macron"), (2, "fillon"), (3, "")],
+            "id int, v string")
+        got = [r.c for r in
+               df.withColumn("c", c(F.col("v"))).orderBy("id").collect()]
+        assert got == ["red", "blue", "white", "pink"]
+
+    def test_default_nodata_is_white(self, spark):
+        from mapshaper_spark.operators.styling import colorizer
+        c = colorizer("t_cat3", ["red", "blue"],
+                      categories=["lepen", "macron"])
+        df = spark.createDataFrame([(0, "")], "id int, v string")
+        assert df.withColumn("c", c(F.col("v"))).collect()[0].c == "white"
+
+    def test_reserved_svg_names_raise(self):
+        from mapshaper_spark.operators.styling import colorizer
+        colorizer("rgb", ["black"], categories=["foo"])  # not reserved
+        for bad in ["stroke", "r", "stroke-width", "fill", "opacity"]:
+            with pytest.raises(ValueError):
+                colorizer(bad, ["black"], categories=["foo"])
+
+    def test_option_errors(self):
+        from mapshaper_spark.operators.styling import colorizer
+        with pytest.raises(ValueError):
+            colorizer("e1", None, categories=["a", "b"])  # missing colors
+        with pytest.raises(ValueError):
+            colorizer("e2", ["blue"], categories=["a", "b"])
+        with pytest.raises(ValueError):
+            colorizer("e3", ["blue", "red", "green"], categories=["a", "b"])
+        with pytest.raises(ValueError):
+            colorizer("e4", ["a", "b"], breaks=[0, 1])
+        with pytest.raises(ValueError):
+            colorizer("e5", ["a", "b"], breaks=[])
+        with pytest.raises(ValueError):
+            colorizer("e6", ["red", "blue"], breaks=[float("nan")])
+        with pytest.raises(ValueError):
+            colorizer("e7", ["red", "blue"], breaks=[1, 0])
+
+
 class TestSvgStyleIncludeShape:
     def test_svg_style_columns(self, spark):
         from mapshaper_spark.operators.styling import svg_style
