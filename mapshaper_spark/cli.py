@@ -92,6 +92,7 @@ _CMD_OPTS = {
     "include": {"file"},
     "polygons": {"gap-tolerance"},
     "i": {"files"},
+    "proj": {"from", "match"},
 }
 
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
@@ -982,10 +983,37 @@ def _cmd_proj(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import proj as PR
     df = cat.df()
     crs = " ".join(c.values)
+    match_prj: str | None = None  # .prj WKT to copy through on export
+
+    def _resolve_crs_arg(value: str) -> tuple[str, str | None]:
+        """A proj4 string, a layer name, or a .prj file path -> (proj4,
+        original WKT or None) — the reference's getCrsInfo resolution
+        order for -proj from=/match= (proj-test.js)."""
+        from mapshaper_spark.sources.prj import wkt_to_proj4
+        if value in cat.layers:
+            return (cat.crs.get(value, "wgs84"),
+                    cat.prj_text.get(value))
+        if value.endswith(".prj") or os.path.exists(value):
+            wkt = open(value).read().strip()
+            return wkt_to_proj4(wkt), wkt
+        return value, None
+
+    # match=/source= (alias): adopt another layer's / a .prj file's CRS as
+    # the DESTINATION (proj-test.js '-proj match=' cases)
+    match = c.opt("match") or c.opt("source")
+    if match and not crs:
+        crs, match_prj = _resolve_crs_arg(str(match))
     # an imported .prj sets the SOURCE crs (the reference projects from the
-    # dataset CRS); a from= option overrides it
-    src = str(c.opt("from")) if c.opt("from") else \
+    # dataset CRS); a from= option (proj4, layer, or .prj path) overrides it
+    src = _resolve_crs_arg(str(c.opt("from")))[0] if c.opt("from") else \
         cat.crs.get(cat.target or "", "wgs84")
+    if not crs:
+        # '-proj from=X' alone assigns the CRS without reprojecting
+        # (proj-test.js 'from= sets CRS if no dest CRS is given')
+        if c.opt("from") and cat.target:
+            cat.prj_text.pop(cat.target, None)
+            cat.crs[cat.target] = src
+        return
     kind = cat.kinds.get(cat.target, _geometry_kind(df))
     if kind == "point":
         x, y = _point_cols(df)
@@ -1012,6 +1040,10 @@ def _cmd_proj(cat: Catalog, c: Command) -> None:
     if cat.target:
         cat.prj_text.pop(cat.target, None)
         cat.crs[cat.target] = crs
+        if match_prj is not None:
+            # output copies the .prj text from the match= source verbatim
+            # (proj-test.js 'output copies .prj string from match= source')
+            cat.prj_text[cat.target] = match_prj
 
 
 def _cmd_simplify(cat: Catalog, c: Command) -> None:
@@ -1666,6 +1698,14 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
             cat.outputs[f"{cat.target}.dbf"] = dbf
             if cat.target in cat.prj_text:
                 cat.outputs[f"{cat.target}.prj"] = cat.prj_text[cat.target]
+            elif cat.target in cat.crs:
+                # a -proj'd layer emits a fresh .prj here too (Issue #193)
+                from mapshaper_spark.sources.prj import proj4_to_wkt
+                try:
+                    cat.outputs[f"{cat.target}.prj"] = \
+                        proj4_to_wkt(cat.crs[cat.target])
+                except ValueError:
+                    pass  # family without a WKT spelling: skip the sidecar
         return
     elif fmt == "dbf":
         # attribute table only (the reference's -o format=dbf path,

@@ -165,6 +165,11 @@ def proj4_to_wkt(p4: str) -> str:
     delegates to mproj's wkt_from_proj4, shp-export.js:21-28; this covers
     the families geom/projections.py implements). Raises ValueError for
     families with no ESRI spelling here."""
+    if not p4.startswith("+") and p4 not in ("wgs84",):
+        # alias spellings ('webmercator', 'robinson', ...) resolve to their
+        # proj4 definition first (proj-test.js '-proj <alias>' cases)
+        from mapshaper_spark.geom.projections import ALIASES
+        p4 = ALIASES.get(p4, p4)
     params = {}
     for tok in p4.split():
         if tok.startswith("+"):

@@ -1348,3 +1348,87 @@ class TestBomTolerantImport:
         p.write_bytes(b"\xef\xbb\xbf" + _json.dumps(fc).encode())
         cat = run_commands(spark, f"-i {p}")
         assert cat.df().count() == 1
+
+
+class TestProjCrsParity:
+    """proj-test.js: -proj aliases, from=, match=/source= resolution and
+    .prj output plumbing."""
+
+    BASE = "/root/reference/test/test_data"
+
+    def _shp(self, stem, exts=(".shp", ".shx", ".dbf", ".prj")):
+        files = {}
+        for ext in exts:
+            path = f"{self.BASE}/{stem}{ext}"
+            files[f"{stem}{ext}"] = open(path, "rb").read()
+        return files
+
+    # proj-test.js:6-13 / :15-22
+    def test_alias_webmercator_and_robinson(self, spark):
+        for alias, word in (("webmercator", "Mercator"),
+                            ("robinson", "Robinson")):
+            out = apply_commands(
+                spark, f"-i three_points.shp -proj {alias} -o",
+                self._shp("three_points"))
+            assert word in out["three_points.prj"], alias
+
+    # :25-31 — assign a source projection to a bare .shp, then reproject
+    def test_from_proj4_then_reproject(self, spark):
+        files = self._shp("two_states_merc_copy", exts=(".shp",))
+        out = apply_commands(
+            spark,
+            '-i two_states_merc_copy.shp -proj from="+proj=merc" '
+            '+proj=robin -o robin.shp', files)
+        assert "Robinson" in out["robin.prj"]
+
+    # :33-39 — from= alone just sets the CRS
+    def test_from_sets_crs_without_reprojecting(self, spark):
+        files = self._shp("two_states_merc_copy", exts=(".shp",))
+        out = apply_commands(
+            spark,
+            '-i two_states_merc_copy.shp -proj from="+proj=merc" '
+            '-o merc.shp', files)
+        assert "Mercator" in out["merc.prj"]
+
+    # :50-56 — from= can be a .prj file
+    def test_from_prj_file(self, spark):
+        files = self._shp("two_states_merc_copy", exts=(".shp",))
+        out = apply_commands(
+            spark,
+            f'-i two_states_merc_copy.shp -proj '
+            f'from="{self.BASE}/two_states_mercator.prj" +proj=robin '
+            f'-o robin.shp', files)
+        assert "Robinson" in out["robin.prj"]
+
+    # :70-76 / :78-84 — match= / source= can be a .prj file
+    def test_match_and_source_prj_file(self, spark):
+        for opt in ("match", "source"):
+            out = apply_commands(
+                spark,
+                f"-i three_points.shp -proj "
+                f"{opt}={self.BASE}/two_states_mercator.prj -o",
+                self._shp("three_points"))
+            assert "Mercator" in out["three_points.prj"], opt
+
+    # :86-92 — match= can be a layer name
+    def test_match_layer_name(self, spark):
+        files = self._shp("two_states_mercator",
+                          exts=(".shp", ".shx", ".dbf", ".prj"))
+        files.update(self._shp("three_points"))
+        out = apply_commands(
+            spark,
+            "-i two_states_mercator.shp name=states "
+            "-i three_points.shp -proj match=states -o", files)
+        assert "Mercator" in out["three_points.prj"]
+
+    # :104-112 — output copies the .prj text from the match= source
+    def test_output_copies_prj_from_match_source(self, spark):
+        prj = open(f"{self.BASE}/two_states_mercator.prj").read()
+        files = self._shp("two_states_mercator",
+                          exts=(".shp", ".shx", ".dbf", ".prj"))
+        files.update(self._shp("three_points"))
+        out = apply_commands(
+            spark,
+            "-i two_states_mercator.shp name=states "
+            "-i three_points.shp -proj match=states -o", files)
+        assert out["three_points.prj"].strip() == prj.strip()
