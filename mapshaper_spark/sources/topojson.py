@@ -142,6 +142,12 @@ def import_topojson_layers(spark: SparkSession, topo: dict | str):
                 t = leaf.get("type")
                 if not t:
                     continue
+                if kind is not None and _KIND[t] != kind:
+                    # topojson-import-test.js 'error on nested
+                    # GeometryCollection objects of mixed types'
+                    raise ValueError(
+                        "Unable to import mixed geometry types in a "
+                        "nested GeometryCollection")
                 kind = _KIND[t]
                 gtype = t
                 if t == "Point":

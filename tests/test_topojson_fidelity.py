@@ -21,6 +21,7 @@ import os
 import pytest
 
 from mapshaper_spark.cli import run_commands
+from mapshaper_spark.sources import topojson as TJ
 
 TD = "/root/reference/test/test_data"
 
@@ -237,3 +238,105 @@ class TestRoundTripStability:
                 for g in g1] == \
                [(g.get("properties"), g.get("id"), g["type"])
                 for g in g2]
+
+
+class TestTopoJSONImportReferenceParity:
+    """Transcribed from /root/reference/test/topojson-import-test.js
+    (coordinate-level assertions — the repo decodes arc refs to catalog
+    ring geometry on import)."""
+
+    def test_nested_geometrycollection_single_type(self, spark):
+        topo = {"arcs": [], "objects": {"points": {
+            "type": "GeometryCollection",
+            "geometries": [{
+                "type": "GeometryCollection",
+                "properties": {"type": "A"},
+                "geometries": [{"type": "Point",
+                                "properties": {"type": "B"},  # ignored
+                                "coordinates": [1, 2]}]}]}}}
+        layers = TJ.import_topojson_layers(spark, topo)
+        assert len(layers) == 1
+        name, df, kind, _ = layers[0]
+        assert (name, kind) == ("points", "point")
+        row = df.collect()[0]
+        assert (row.x, row.y) == (1.0, 2.0)
+        assert row.type == "A"  # outer properties win
+
+    def test_winding_order_updated(self, spark):
+        # both rings CCW in the file; import rewinds shell CW, hole CCW
+        topo = {"arcs": [
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]]],
+            "objects": {"layer1": {"type": "Polygon", "arcs": [[0], [1]]}}}
+        _, df, kind, _ = TJ.import_topojson_layers(spark, topo)[0]
+        assert kind == "polygon"
+        row = df.collect()[0]
+        shell = list(zip(row.rings_x[0], row.rings_y[0]))
+        hole = list(zip(row.rings_x[1], row.rings_y[1]))
+        # shell reversed to clockwise (math area < 0)
+        assert shell == [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0),
+                         (0.0, 0.0)]
+        # hole reversed to counter-clockwise
+        assert hole == [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0),
+                        (1.0, 1.0)]
+
+    def test_zero_area_rings_dropped(self, spark):
+        topo = {"arcs": [
+            [[0, 0], [4, 0], [4, 4]],
+            [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]]],
+            "objects": {"layer1": {"type": "Polygon",
+                                   "arcs": [[0, -1], [1]]}}}  # [0, ~0]
+        _, df, kind, _ = TJ.import_topojson_layers(spark, topo)[0]
+        row = df.collect()[0]
+        # the spike ring vanishes; the CCW square becomes the (rewound)
+        # shell since ring 0 of the file had zero area
+        assert row.rings_x is None or len(row.rings_x) <= 1
+
+    def test_zero_area_holes_dropped(self, spark):
+        topo = {"arcs": [
+            [[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]],
+            [[1, 1], [1, 2], [2, 2], [2, 1]]],
+            "objects": {"layer1": {"type": "Polygon",
+                                   "arcs": [[0], [1, -2]]}}}  # [1, ~1]
+        _, df, _, _ = TJ.import_topojson_layers(spark, topo)[0]
+        row = df.collect()[0]
+        assert len(row.rings_x) == 1  # only the shell survives
+
+    def test_error_on_nested_mixed_types(self, spark):
+        topo = {"arcs": [[[0, 0], [0, 1]]], "objects": {"points": {
+            "type": "GeometryCollection",
+            "geometries": [{
+                "type": "GeometryCollection",
+                "properties": {"type": "A"},
+                "geometries": [
+                    {"type": "Point", "coordinates": [1, 2]},
+                    {"type": "LineString", "arcs": [0]}]}]}}}
+        with pytest.raises(ValueError, match="mixed"):
+            TJ.import_topojson_layers(spark, topo)
+
+    def test_mixed_types_split_into_layers(self, spark):
+        topo = {"type": "Topology", "arcs": [
+            [[3, 4], [4, 3], [3, 2], [2, 3], [3, 4]],
+            [[3, 5], [5, 3], [3, 1], [1, 3], [3, 5]]],
+            "objects": {"features": {
+                "type": "GeometryCollection",
+                "geometries": [
+                    {"type": "MultiPolygon",
+                     "arcs": [[[0]], [[1], [-1]]]},
+                    {"type": "Point", "coordinates": [0, 0]}]}}}
+        layers = TJ.import_topojson_layers(spark, topo)
+        kinds = {k: (n, df) for n, df, k, _ in layers}
+        assert set(kinds) == {"polygon", "point"}
+        assert kinds["polygon"][0] == "features"
+        poly = kinds["polygon"][1].collect()[0]
+        assert len(poly.rings_x) == 3  # shell + shell + hole
+        pt = kinds["point"][1].collect()[0]
+        assert (pt.x, pt.y) == (0.0, 0.0)
+
+    def test_all_null_geometries_imports_table(self, spark):
+        topo = {"arcs": [], "objects": {"t": {
+            "type": "GeometryCollection",
+            "geometries": [{"type": None, "properties": {"foo": "a"}}]}}}
+        name, df, kind, _ = TJ.import_topojson_layers(spark, topo)[0]
+        assert kind is None
+        assert df.collect()[0].foo == "a"
