@@ -91,8 +91,8 @@ _CMD_OPTS = {
     "target": {"type"},
     "include": {"file"},
     "polygons": {"gap-tolerance"},
-    "i": {"files"},
     "proj": {"from", "match"},
+    "i": {"files", "field-types", "string-fields"},
 }
 
 _CMD_RE = re.compile(r"^-[a-zA-Z][\w-]*$")
@@ -423,8 +423,26 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
             enc = str(c.opt("encoding")) if c.opt("encoding") else "UTF-8"
             delim = str(c.opt("delimiter")) if c.opt("delimiter") \
                 else DL.detect_delimiter(path, enc)
+            # field-types=fips:str,+count / string-fields=a,b hints
+            # (getFieldTypeHints, mapshaper-delim-import.js:
+            # 'a:str' / 'a:s' / 'a:STR' / '+count'; later hints win)
+            ftypes: dict[str, str] = {}
+            if c.opt("field-types"):
+                for hint in str(c.opt("field-types")).split(","):
+                    if hint.startswith("+"):
+                        ftypes[hint[1:]] = "num"
+                    elif ":" in hint:
+                        fname, _, t = hint.partition(":")
+                        t = t.lower()
+                        if t.startswith("n"):
+                            ftypes[fname] = "num"
+                        elif t.startswith("s"):
+                            ftypes[fname] = "str"
+            sfields = str(c.opt("string-fields")).split(",") \
+                if c.opt("string-fields") else ()
             df = DL.import_delim(cat.spark, path, delimiter=delim,
-                                 encoding=enc)
+                                 encoding=enc, string_fields=sfields,
+                                 field_types=ftypes)
             delim_pending[path] = delim
         elif ext == ".parquet":
             df = cat.spark.read.parquet(path)

@@ -42,6 +42,71 @@ def detect_delimiter(path: str, encoding: str = "UTF-8") -> str:
         return guess_delimiter(f.read(2000))
 
 
+def parse_number(raw):
+    """utils.parseNumber (mapshaper-utils.js:209-213): trim, strip comma
+    separators, then JS Number() semantics — decimal/scientific, hex
+    (0x..), Infinity; unparseable/empty -> None (never NaN)."""
+    if raw is None:
+        return None
+    s = str(raw).strip().replace(",", "")
+    if not s:
+        return None
+    try:
+        if _HEX_RE.match(s):
+            return float(int(s, 16))
+        if s in ("Infinity", "+Infinity"):
+            return float("inf")
+        if s == "-Infinity":
+            return float("-inf")
+        v = float(s)
+    except ValueError:
+        return None
+    return None if v != v else v  # NaN -> null like the reference
+
+
+import re as _re
+
+_HEX_RE = _re.compile(r"^0[xX][0-9a-fA-F]+$")
+# JS Number()-parseable decimal/scientific after comma-stripping
+_NUM_SQL_RE = (r"^[+-]?(((\d+\.?\d*)|(\.\d+))([eE][+-]?\d+)?"
+               r"|0[xX][0-9a-fA-F]+|Infinity)$")
+
+
+def _try_numeric_columns(df: DataFrame, skip: set) -> DataFrame:
+    """internal.tryNumericField (mapshaper-delim-import.js:153-171) over
+    the columns Spark's inferSchema left as string: promote a column to
+    double when every value is parseable / empty / 'NA' / 'NaN' and at
+    least one value parses. One aggregation job covers all candidates."""
+    from pyspark.sql.types import StringType
+    cands = [f.name for f in df.schema.fields
+             if isinstance(f.dataType, StringType) and f.name not in skip]
+    if not cands:
+        return df
+    aggs = []
+    cleaned = {}
+    for c in cands:
+        cl = F.regexp_replace(F.trim(F.col(c)), ",", "")
+        cleaned[c] = cl
+        ok = cl.rlike(_NUM_SQL_RE) | cl.isin("", "NA", "NaN") | cl.isNull()
+        aggs.append(F.min(ok.cast("int")).alias(f"__ok_{c}"))
+        aggs.append(F.max((cl.rlike(_NUM_SQL_RE) &
+                           ~cl.isin("NaN", "Infinity", "+Infinity",
+                                    "-Infinity")).cast("int"))
+                    .alias(f"__num_{c}"))
+    stats = df.agg(*aggs).collect()[0]
+    for c in cands:
+        if stats[f"__ok_{c}"] == 1 and stats[f"__num_{c}"] == 1:
+            cl = cleaned[c]
+            hexv = F.conv(F.regexp_replace(cl, "^0[xX]", ""), 16, 10) \
+                .cast("double")
+            val = (F.when(cl.isin("", "NA", "NaN") | cl.isNull(),
+                          F.lit(None).cast("double"))
+                   .when(cl.rlike("^0[xX]"), hexv)
+                   .otherwise(cl.try_cast("double")))
+            df = df.withColumn(c, val)
+    return df
+
+
 def import_delim(spark: SparkSession, path: str, delimiter: str | None = None,
                  string_fields: Sequence[str] = (),
                  field_types: Mapping[str, str] | None = None,
@@ -55,12 +120,42 @@ def import_delim(spark: SparkSession, path: str, delimiter: str | None = None,
           .option("encoding", encoding)
           .option("nanValue", "NaN")
           .option("nullValue", "")
+          # the reference never promotes date-like strings (parseNumber
+          # rejects '1980-01-03'; delim-import-test.js 'rejects dates')
+          .option("preferDate", False)
           .csv(path))
+    # unnamed / whitespace-named columns are ignored on import
+    # (delim-import-test.js 'ignore unnamed columns')
+    with open(path, "r", encoding=encoding, errors="replace") as fh:
+        header = _re.split(r"[\n\r]", fh.read(65536), 1)[0]
+    blanks = [i for i, name in enumerate(header.split(delimiter))
+              if not name.strip()]
+    if blanks:
+        keep = [c for i, c in enumerate(df.columns) if i not in blanks]
+        df = df.select(*keep)
+    # parseNumber never yields NaN — a 'NaN' cell in an inferSchema-
+    # promoted numeric column becomes null like the reference
+    from pyspark.sql.types import DoubleType, FloatType
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, (DoubleType, FloatType)):
+            df = df.withColumn(fld.name, F.when(
+                F.isnan(fld.name), F.lit(None)).otherwise(F.col(fld.name)))
+    # reference promotion rules are looser than inferSchema: commas
+    # stripped, NA/NaN tolerated, whitespace trimmed, hex accepted
+    df = _try_numeric_columns(
+        df, skip=set(string_fields) |
+        {f for f, t in (field_types or {}).items()
+         if str(t).lower().startswith("s")})
     for f in string_fields:  # string-fields= override
         df = df.withColumn(f, F.col(f).cast("string"))
     for f, t in (field_types or {}).items():  # field-types= override
-        df = df.withColumn(f, F.col(f).cast(
-            {"num": "double", "str": "string"}.get(t, t)))
+        tl = str(t).lower()
+        target = "double" if tl.startswith("n") else \
+            "string" if tl.startswith("s") else t
+        # forced numeric conversion nulls unparseable values rather than
+        # erroring (delim-import-test.js 'type hints force numeric
+        # conversion': 'four' -> null)
+        df = df.withColumn(f, F.col(f).try_cast(target))
     return df
 
 

@@ -474,3 +474,91 @@ class TestSliverThresholdParity:
                 F2.array_max("xs").alias("xmax"), F2.array_max("ys").alias("ymax")))
         # dataset bounds come from per-arc bboxes: global (1,0)-(4,3)
         assert calc_max_sliver_area(arcs) == pytest.approx(1.0)
+
+
+class TestParseNumberParity:
+    """utils.parseNumber cases from delim-import-test.js:238-295."""
+
+    def test_parse_number_table(self):
+        pn = DL.parse_number
+        assert pn(None) is None
+        assert pn("") is None
+        assert pn(" ") is None
+        assert pn("1e3") == 1000
+        assert pn("-43.2") == -43.2
+        assert pn("+43.2") == 43.2
+        assert pn("-2.0  ") == -2
+        assert pn("  0") == 0
+        assert pn("3,211") == 3211
+        assert pn("-2,000,000.0  ") == -2e6
+        assert pn("1.3e3") == 1.3e3
+        assert pn("Alphabet") is None
+        assert pn("0xcc") == 0xcc
+        assert pn("312 Orchard St") is None
+        assert pn("2013-12-03") is None
+
+
+class TestDelimImportParity:
+    """importDelim field-typing cases from delim-import-test.js:75-140."""
+
+    def _imp(self, spark, tmp_path, text, **kw):
+        p = tmp_path / "in.csv"
+        p.write_text(text)
+        df = DL.import_delim(spark, str(p), **kw)
+        return df, df.collect()
+
+    def test_empty_fields(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, "number,name\n3,foo\n,\n")
+        assert [(r.number, r.name) for r in rows] == \
+            [(3, "foo"), (None, None)]  # deviation: '' -> null, not ''
+
+    def test_numeric_with_empty_first_record(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, 'a,b,c\n,"",0\n3,4,5')
+        assert [(r.a, r.b, r.c) for r in rows] == \
+            [(None, None, 0), (3, 4, 5)]
+
+    def test_numeric_with_whitespace(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, "a\tb\tc\n 3\t4 \t  5  ")
+        assert [(r.a, r.b, r.c) for r in rows] == [(3.0, 4.0, 5.0)]
+
+    def test_na_and_nan_values(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path,
+                             'a,b,c,d\n  NA,4,NA,NaN\n3,"NA",NA,9')
+        got = {(r.a, r.b, r.c, r.d) for r in rows}
+        # a,b,d promote with NA/NaN -> null; c is all-NA -> stays string
+        assert got == {(None, 4.0, "NA", None), (3.0, None, "NA", 9.0)}
+
+    def test_string_when_first_value_numeric(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, "a,b\n2,0\n4a,8x")
+        assert sorted((r.a, r.b) for r in rows) == [("2", "0"), ("4a", "8x")]
+
+    def test_type_hints_prevent_autodetect(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, "a\tb\tc\n3\t4\t5",
+                             field_types={"a": "str", "b": "string"})
+        r = rows[0]
+        assert (r.a, r.b, r.c) == ("3", "4", 5)
+
+    def test_type_hints_force_numeric(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, "a\tb\tc\nfour\t\t5",
+                             field_types={"a": "num", "b": "number"})
+        r = rows[0]
+        assert (r.a, r.b, r.c) == (None, None, 5)
+
+    def test_ignore_unnamed_columns(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, ",foo,\na,b,c\n")
+        assert df.columns == ["foo"]
+        assert rows[0].foo == "b"
+
+    def test_ignore_whitespace_column_names(self, spark, tmp_path):
+        df, rows = self._imp(spark, tmp_path, " ,  ,foo, \na,b,c,d\n")
+        assert df.columns == ["foo"]
+        assert rows[0].foo == "c"
+
+    def test_cli_field_types_option(self, spark, tmp_path):
+        # delim-import-test.js:227-236 '-i field-types= works with :str'
+        from mapshaper_spark.cli import run_commands
+        p = tmp_path / "d.csv"
+        p.write_text("a,b\n1,2\n")
+        cat = run_commands(spark, f"-i {p} field-types=a:str")
+        r = cat.df().collect()[0]
+        assert (r.a, r.b) == ("1", 2)
