@@ -314,7 +314,10 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 import pandas as _pd
                 df = cat.spark.createDataFrame(_pd.DataFrame(obj))
                 kind_hint = "table"
-            elif obj.get("type") == "Topology":
+            elif obj.get("type") == "Topology" or "objects" in obj:
+                # a TopoJSON doc is recognized by its objects/arcs keys even
+                # without "type": "Topology" (identifyJSONString,
+                # json-import-test.js 'TopoJSON')
                 # one catalog layer per named object (importTopoJSON);
                 # feature ids land in FID; crs rides along for re-export
                 for obj_name, tdf, tkind, _ids in \
@@ -457,6 +460,19 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
         si = c.opt("snap-interval")
         dfs = [(p, snap_paths(d, float(si) if si is not None else None),
                 k, nm) for p, d, k, nm in dfs]
+    # a projected and an unprojected file cannot combine into one dataset
+    # (merge-files-test.js 'importing a projected and an unprojected
+    # polygon file throws')
+    if len({p for p, _d, _k, _nm in dfs}) > 1:
+        seen_crs = set()
+        for path in {p for p, _d, _k, _nm in dfs}:
+            p4 = prj_pending.get(path, (None, None))[1]
+            projected = bool(p4) and "+proj=" in p4 and \
+                "+proj=longlat" not in p4
+            seen_crs.add("projected" if projected else "latlong")
+        if len(seen_crs) > 1:
+            raise ValueError(
+                "Unable to combine projected and unprojected datasets")
     # reference semantics (mapshaper-file-import.js:22-28): merge-files
     # unions everything into ONE layer; combine-files imports each file as
     # its own layer of one dataset — which is this catalog's default

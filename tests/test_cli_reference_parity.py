@@ -1432,3 +1432,39 @@ class TestProjCrsParity:
             "-i two_states_mercator.shp name=states "
             "-i three_points.shp -proj match=states -o", files)
         assert out["three_points.prj"].strip() == prj.strip()
+
+
+class TestMergeFilesParity:
+    """merge-files-test.js cases."""
+
+    BASE = "/root/reference/test/test_data"
+
+    def test_issue_153_combine_files_shares_topology(self, spark):
+        # two adjacent squares from separate files dissolve along the
+        # shared boundary once combined (the reference's shared arc 0)
+        a = open(f"{self.BASE}/issues/153/a.json").read()
+        b = open(f"{self.BASE}/issues/153/b.json").read()
+        out = apply_commands(
+            spark,
+            "-i combine-files a.json b.json -merge-layers -dissolve2 "
+            "-o out.json", {"a.json": a, "b.json": b})
+        feats = json.loads(out["out.json"])["features"]
+        assert len(feats) == 1
+        ring = feats[0]["geometry"]["coordinates"][0]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        # dissolved footprint = the 2x1 rectangle, shared edge gone
+        assert (min(xs), min(ys), max(xs), max(ys)) == (0.0, 0.0, 2.0, 1.0)
+
+    def test_projected_plus_unprojected_throws(self, spark):
+        files = {}
+        for stem, exts in (("two_states_mercator",
+                            (".shp", ".shx", ".dbf", ".prj")),
+                           ("two_states", (".shp", ".shx", ".dbf", ".prj"))):
+            for ext in exts:
+                files[f"{stem}{ext}"] = open(
+                    f"{self.BASE}/{stem}{ext}", "rb").read()
+        with pytest.raises(ValueError, match="projected"):
+            apply_commands(
+                spark, "-i combine-files two_states_mercator.shp "
+                "two_states.shp -o", files)
