@@ -26,24 +26,44 @@ TO_METERS = {
     "miles": 1609.344,     # International Statute Mile
 }
 
-_PARAM_RE = re.compile(r"^([-+0-9.e]+)\s*([a-z]*)$", re.I)
+_UNITS_RE = re.compile(r"(sq|)([a-z]+)(2|)$", re.I)
+
+
+def parse_measure_full(param) -> dict:
+    """internal.parseMeasure (mapshaper-units.js:63-85): '5km' ->
+    {'value': 5, 'units': 'kilometers', 'areal': False}; areal spellings
+    'sqkm' / 'km2' set areal=True; a bare number has no units key."""
+    o: dict = {}
+    s = param if isinstance(param, str) else ""
+    m = _UNITS_RE.search(s)
+    if isinstance(param, (int, float)) and not isinstance(param, bool):
+        o["value"] = float(param)
+    elif s == "":
+        o["value"] = float("nan")
+    elif m:
+        units = UNITS_LOOKUP.get(m.group(2).lower())
+        if units is None:
+            raise ValueError(f"Unknown units: {m.group(0)}")
+        o["units"] = units
+        o["areal"] = bool(m.group(1) or m.group(3))
+        try:
+            o["value"] = float(s[: len(s) - len(m.group(0))])
+        except ValueError:
+            o["value"] = float("nan")
+    else:
+        try:
+            o["value"] = float(s)
+        except ValueError:
+            o["value"] = float("nan")
+    if o["value"] != o["value"]:  # NaN
+        raise ValueError(f"Invalid parameter: {param}")
+    return o
 
 
 def parse_measure(param) -> tuple[float, str | None]:
     """'0.5km' -> (0.5, 'kilometers'); 3 -> (3.0, None)."""
-    if isinstance(param, (int, float)):
-        return float(param), None
-    m = _PARAM_RE.match(param.strip())
-    if not m:
-        raise ValueError(f"invalid measure {param!r}")
-    value = float(m.group(1))
-    suffix = m.group(2).lower()
-    if not suffix:
-        return value, None
-    units = UNITS_LOOKUP.get(suffix)
-    if units is None:
-        raise ValueError(f"unknown units: {suffix}")
-    return value, units
+    o = parse_measure_full(param)
+    return o["value"], o.get("units")
 
 
 def interval_conversion_factor(param_units: str | None, crs: str | None) -> float:
@@ -69,9 +89,12 @@ def interval_conversion_factor(param_units: str | None, crs: str | None) -> floa
 
 
 def convert_distance_param(param, crs: str | None) -> float:
-    """convertDistanceParam (mapshaper-units.js:93): '0.5km' on wgs84 -> 500."""
-    value, units = parse_measure(param)
-    return value * interval_conversion_factor(units, crs)
+    """convertDistanceParam (mapshaper-units.js:93): '0.5km' on wgs84 ->
+    500; an areal spelling ('5km2') is an error."""
+    o = parse_measure_full(param)
+    if o.get("areal"):
+        raise ValueError(f"Expected a distance, received an area: {param}")
+    return o["value"] * interval_conversion_factor(o.get("units"), crs)
 
 
 def convert_area_param(param, crs: str | None) -> float:

@@ -562,3 +562,55 @@ class TestDelimImportParity:
         cat = run_commands(spark, f"-i {p} field-types=a:str")
         r = cat.df().collect()[0]
         assert (r.a, r.b) == ("1", 2)
+
+
+class TestUnitsParity:
+    """units-test.js parseMeasure()/conversion cases."""
+
+    def test_parse_measure_table(self):
+        from mapshaper_spark.geom.units import parse_measure_full as pm
+        assert pm("5km") == {"units": "kilometers", "areal": False,
+                             "value": 5}
+        assert pm("5000 km2") == {"units": "kilometers", "areal": True,
+                                  "value": 5000}
+        assert pm("5.0sqkm") == {"units": "kilometers", "areal": True,
+                                 "value": 5}
+        assert pm("10000ft") == {"units": "feet", "areal": False,
+                                 "value": 10000}
+        assert pm("1e5 feet") == {"units": "feet", "areal": False,
+                                  "value": 100000}
+        assert pm("1e5") == {"value": 100000}
+        assert pm("2.43e3 m2") == {"units": "meters", "areal": True,
+                                   "value": 2430}
+        assert pm("5000 miles") == {"value": 5000, "units": "miles",
+                                    "areal": False}
+        assert pm("5000mi") == {"value": 5000, "units": "miles",
+                                "areal": False}
+        for bad in ("a", "", "30 hectares"):
+            with pytest.raises(ValueError):
+                pm(bad)
+
+    def test_conversion_factors(self):
+        from mapshaper_spark.geom.units import interval_conversion_factor as k
+        assert k(None, None) == 1
+        assert k(None, "wgs84") == 1
+        assert k("kilometers", "wgs84") == 1000
+        assert k("meters", "wgs84") == 1
+        assert k("feet", "wgs84") == 0.3048
+        assert k("miles", "wgs84") == 1609.344
+        with pytest.raises(Exception):
+            k("hectares", "wgs84")
+        with pytest.raises(Exception):
+            k("kilometers", None)
+        with pytest.raises(Exception):
+            k("meters", None)
+
+    def test_convert_area_param(self):
+        from mapshaper_spark.geom.units import convert_area_param
+        assert convert_area_param("20km2", "wgs84") == 20e6
+
+    def test_distance_param_rejects_area(self):
+        from mapshaper_spark.geom.units import convert_distance_param
+        with pytest.raises(ValueError, match="area"):
+            convert_distance_param("5km2", "wgs84")
+        assert convert_distance_param("0.5km", "wgs84") == 500
