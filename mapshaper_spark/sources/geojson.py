@@ -34,7 +34,13 @@ def _rewind_ring(xs, ys, is_hole):
     """PathImporter.importRing (mapshaper-path-import.js:105-113): outer
     rings are stored CW (positive area), holes CCW — rings wound the wrong
     way are reversed on import, so GeoJSON's spec order (exterior CCW) and
-    shapefile order (exterior CW) both normalize to the same layout."""
+    shapefile order (exterior CW) both normalize to the same layout.
+    Open polygon rings are closed first (issue #125,
+    path-import-test.js: the reference's importRing appends the start
+    point when a ring doesn't close)."""
+    if xs and (xs[0] != xs[-1] or ys[0] != ys[-1]):
+        xs = xs + [xs[0]]
+        ys = ys + [ys[0]]
     # offset shoelace, CW => positive (same convention as
     # geom.kernels.planar_path_area)
     s = 0.0

@@ -1468,3 +1468,20 @@ class TestMergeFilesParity:
             apply_commands(
                 spark, "-i combine-files two_states_mercator.shp "
                 "two_states.shp -o", files)
+
+
+class TestPathImportParity:
+    """path-import-test.js issue #125: open polygon rings are closed on
+    import."""
+
+    def test_open_rings_auto_closed(self, spark):
+        src = {"type": "GeometryCollection", "geometries": [{
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [0, 3], [3, 3], [3, 0]],
+                            [[1, 1], [2, 1], [2, 2], [1, 2]]]}]}
+        out = apply_commands(spark, "-i in.json -o out.json",
+                             {"in.json": json.dumps(src)})
+        coords = json.loads(out["out.json"])["geometries"][0]["coordinates"]
+        assert coords == [
+            [[0, 0], [0, 3], [3, 3], [3, 0], [0, 0]],
+            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]
