@@ -249,6 +249,29 @@ class Catalog:
         self.layers[name or self.target] = df
 
 
+def _probably_latlong(df: DataFrame) -> bool:
+    """internal.probablyDecimalDegreeBounds: bounds within the (slightly
+    padded) lat-long envelope -> assume an unprojected dataset."""
+    try:
+        cols = set(df.columns)
+        if "bbox" in cols:
+            r = df.agg(F.min("bbox.xmin"), F.min("bbox.ymin"),
+                       F.max("bbox.xmax"), F.max("bbox.ymax")).collect()[0]
+        elif "rings_x" in cols:
+            fx = F.flatten("rings_x")
+            fy = F.flatten("rings_y")
+            r = df.agg(F.min(F.array_min(fx)), F.min(F.array_min(fy)),
+                       F.max(F.array_max(fx)),
+                       F.max(F.array_max(fy))).collect()[0]
+        else:
+            x, y = _point_cols(df)
+            r = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
+        xmin, ymin, xmax, ymax = (float(v) for v in r)
+        return -200 <= xmin and xmax <= 200 and -91 <= ymin and ymax <= 91
+    except Exception:
+        return False
+
+
 def _geometry_kind(df: DataFrame) -> str:
     cols = set(df.columns)
     if "rings_x" in cols:
@@ -467,9 +490,10 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
         seen_crs = set()
         for path in {p for p, _d, _k, _nm in dfs}:
             p4 = prj_pending.get(path, (None, None))[1]
-            projected = bool(p4) and "+proj=" in p4 and \
-                "+proj=longlat" not in p4
-            seen_crs.add("projected" if projected else "latlong")
+            if not p4:
+                continue  # unknown CRS combines with anything (issue #166)
+            seen_crs.add("latlong" if "+proj=longlat" in p4
+                         else "projected")
         if len(seen_crs) > 1:
             raise ValueError(
                 "Unable to combine projected and unprojected datasets")
@@ -1647,6 +1671,8 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         os.path.splitext(path)[1].lstrip(".").lower() if path
         else cat.formats.get(cat.target,
                              "csv" if kind0 == "table" else "geojson"))
+    if fmt == "shapefile":  # the reference's format name for shp output
+        fmt = "shp"
     if fmt == "json" and (str(c.opt("format", "")) == "json"
                           or kind0 == "table"):
         # records-json: an EXPLICIT format=json exports the data table of
@@ -1723,6 +1749,10 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                         f.write(proj4_to_wkt(cat.crs[cat.target]))
                 except ValueError:
                     pass  # family without a WKT spelling: skip the sidecar
+            elif _probably_latlong(df):
+                from mapshaper_spark.sources.prj import proj4_to_wkt
+                with open(base + ".prj", "w") as f:
+                    f.write(proj4_to_wkt("wgs84"))
             cat.outputs[path] = shp
         else:
             # pathless: derived '<layer>.shp' (+ sidecars) like the
@@ -1740,6 +1770,12 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                         proj4_to_wkt(cat.crs[cat.target])
                 except ValueError:
                     pass  # family without a WKT spelling: skip the sidecar
+            elif _probably_latlong(df):
+                # unprojected input with decimal-degree bounds gets a
+                # WGS84 .prj (shapefile-test.js 'WGS84 prj is generated
+                # if input is unprojected GeoJSON')
+                from mapshaper_spark.sources.prj import proj4_to_wkt
+                cat.outputs[f"{cat.target}.prj"] = proj4_to_wkt("wgs84")
         return
     elif fmt == "dbf":
         # attribute table only (the reference's -o format=dbf path,

@@ -165,6 +165,20 @@ def proj4_to_wkt(p4: str) -> str:
     delegates to mproj's wkt_from_proj4, shp-export.js:21-28; this covers
     the families geom/projections.py implements). Raises ValueError for
     families with no ESRI spelling here."""
+    if p4 == "albersusa":
+        # the composite has no single CRS; the reference exports the
+        # conus Albers component's WKT (shapefile-test.js 'Albers WKT is
+        # exported if data is reprojected to "albersusa"')
+        return ('PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",'
+                + _WGS84_GEOGCS +
+                ',PROJECTION["Albers"],'
+                'PARAMETER["Central_Meridian",-96.0],'
+                'PARAMETER["Latitude_Of_Origin",23.0],'
+                'PARAMETER["Standard_Parallel_1",29.5],'
+                'PARAMETER["Standard_Parallel_2",45.5],'
+                'PARAMETER["False_Easting",0.0],'
+                'PARAMETER["False_Northing",0.0],'
+                'UNIT["Meter",1.0]]')
     if not p4.startswith("+") and p4 not in ("wgs84",):
         # alias spellings ('webmercator', 'robinson', ...) resolve to their
         # proj4 definition first (proj-test.js '-proj <alias>' cases)
@@ -181,6 +195,18 @@ def proj4_to_wkt(p4: str) -> str:
     esri = _PROJ_TO_ESRI.get(name)
     if esri is None:
         raise ValueError(f"no WKT spelling for +proj={name}")
+    if name == "merc" and params.get("a") == params.get("b") and \
+            "a" in params:
+        # spherical web mercator gets its ESRI spelling (shapefile-test.js
+        # greps /Pseudo-Mercator/ for '-proj webmercator')
+        return ('PROJCS["WGS_84_Pseudo-Mercator",' + _WGS84_GEOGCS +
+                ',PROJECTION["Mercator_Auxiliary_Sphere"],'
+                'PARAMETER["Central_Meridian",0.0],'
+                'PARAMETER["Standard_Parallel_1",0.0],'
+                'PARAMETER["Auxiliary_Sphere_Type",0.0],'
+                'PARAMETER["False_Easting",0.0],'
+                'PARAMETER["False_Northing",0.0],'
+                'UNIT["Meter",1.0]]')
     if "a" in params:
         a = float(params["a"])
         rf = float(params["rf"]) if "rf" in params else (

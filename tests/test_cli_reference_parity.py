@@ -1485,3 +1485,42 @@ class TestPathImportParity:
         assert coords == [
             [[0, 0], [0, 3], [3, 3], [3, 0], [0, 0]],
             [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]
+
+
+class TestShapefilePrjParity:
+    """shapefile-test.js .prj cases."""
+
+    BASE = "/root/reference/test/test_data"
+
+    def _three_points(self):
+        return {f"three_points{e}": open(f"{self.BASE}/three_points{e}",
+                                         "rb").read()
+                for e in (".shp", ".shx", ".dbf", ".prj")}
+
+    def test_webmercator_emits_pseudo_mercator(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -proj webmercator -o",
+            self._three_points())
+        assert "Pseudo-Mercator" in out["three_points.prj"]
+
+    def test_albersusa_emits_albers(self, spark):
+        out = apply_commands(
+            spark, "-i three_points.shp -proj albersusa -o",
+            self._three_points())
+        assert "Albers" in out["three_points.prj"]
+
+    def test_unprojected_geojson_gets_wgs84_prj(self, spark):
+        gj = open(f"{self.BASE}/three_points.geojson").read()
+        out = apply_commands(
+            spark, "-i three_points.geojson -o format=shapefile",
+            {"three_points.geojson": gj})
+        assert "WGS" in out["three_points.prj"]
+
+    def test_no_prj_when_no_wkt_equivalent(self, spark):
+        gj = open(f"{self.BASE}/three_points.geojson").read()
+        out = apply_commands(
+            spark,
+            "-i three_points.geojson -proj +proj=boggs -o format=shapefile",
+            {"three_points.geojson": gj})
+        assert "three_points.prj" not in out
+        assert "three_points.shp" in out
