@@ -315,21 +315,74 @@ def import_shapefile(spark, shp_bytes: bytes, dbf_bytes: bytes | None = None,
 MAX_STRING_LEN = 254  # Dbf.MAX_STRING_LEN, dbf-writer.js:3
 
 
+def _adjust_field_name(name, maxlen, i):
+    """internal.adjustFieldName (mapshaper-data-utils.js:118-131):
+    truncate on the first try; later tries append '_1'..'_9' then
+    '10', '11', ... inside the length budget."""
+    if not i:
+        return name[:maxlen]
+    suff = str(i)
+    if len(suff) == 1:
+        suff = "_" + suff
+    return name[: maxlen - len(suff)] + suff
+
+
 def _uniq_field_names(names, maxlen=10):
-    """10-char dBase field names, uniquified like getUniqFieldNames."""
+    """10-char dBase field names, uniquified like getUniqFieldNames
+    (mapshaper-data-utils.js:101-115): a truncated name may not shadow a
+    DIFFERENT field's original name (dbf-writer-test.js 'field name
+    conflicts caused by truncation are resolved' 1-3)."""
     out = []
-    seen = set()
+    used = set()
     for name in names:
-        base = name[:maxlen]
-        cand = base
-        i = 1
-        while cand.upper() in seen:
-            suffix = str(i)
-            cand = base[:maxlen - len(suffix)] + suffix
+        i = 0
+        while True:
+            cand = _adjust_field_name(name, maxlen, i)
             i += 1
-        seen.add(cand.upper())
+            if cand in used:
+                continue
+            if name != cand and cand in names:
+                continue
+            break
+        used.add(cand)
         out.append(cand)
     return out
+
+
+def _numeric_field_info(records, name):
+    """Dbf.getNumericFieldInfo (dbf-writer.js:250-282): (min, max,
+    decimals) with the reference's adaptive-epsilon decimal discovery
+    (dbf-writer-test.js getNumericFieldInfo tests 1-8); non-finite values
+    are skipped."""
+    import math
+
+    mn = mx = 0.0
+    k = 1.0
+    power = 1.0
+    decimals = 0
+    eps = 1e-15
+    for rec in records:
+        val = rec.get(name)
+        if isinstance(val, bool) or not isinstance(val, (int, float)) or \
+                not math.isfinite(val):
+            continue
+        val = float(val)
+        if val < mn or val > mx:
+            if val < mn:
+                mn = val
+            if val > mx:
+                mx = val
+            while abs(val) >= power:
+                power *= 10
+                eps *= 10
+        # JS Math.round = floor(x + 0.5)
+        while abs(math.floor(val * k + 0.5) - val * k) > eps:
+            if decimals == 15:  # dbf limit
+                break
+            decimals += 1
+            eps *= 10
+            k *= 10
+    return mn, mx, decimals
 
 
 def _discover_field_type(records, name):
@@ -346,7 +399,7 @@ def _discover_field_type(records, name):
         if isinstance(v, (int, float)):
             return "N"
         return "C"
-    return "C"
+    return None  # all-null: emitted as a size-0 numeric field
 
 
 def write_dbf(records, encoding: str = "latin-1", field_order=None) -> bytes:
@@ -370,17 +423,15 @@ def write_dbf(records, encoding: str = "latin-1", field_order=None) -> bytes:
     field_specs = []  # (uniq_name, type, size, decimals, formatter)
     for orig, name in zip(field_order, names):
         ftype = _discover_field_type(records, orig)
-        if ftype == "N":
-            decimals = 0
-            for rec in records:
-                v = rec.get(orig)
-                if isinstance(v, float) and not float(v).is_integer():
-                    s = repr(v)
-                    if "." in s and "e" not in s and "E" not in s:
-                        decimals = max(decimals, min(len(s.split(".")[1]), 15))
-                    else:
-                        decimals = max(decimals, 15)
-            size = 1
+        if ftype is None:
+            # all-null column: empty numeric field, re-imports as nulls
+            # (dbf-writer.js getFieldInfo null branch; dbf-writer-test.js
+            # 'null records are preserved')
+            field_specs.append((name, orig, "N", 0, 0))
+        elif ftype == "N":
+            _mn, _mx, decimals = _numeric_field_info(records, orig)
+            size = max(len(_fmt_num(_mx, decimals)),
+                       len(_fmt_num(_mn, decimals)), 1)
             for rec in records:
                 v = rec.get(orig)
                 if v is None:

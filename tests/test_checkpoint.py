@@ -451,3 +451,65 @@ class TestPrjNationalGrids:
         # EPSG worked example in East-North axes (both negative)
         assert abs(float(x[0]) - (-568991.00)) < 0.05
         assert abs(float(y[0]) - (-1050538.63)) < 0.05
+
+
+class TestDbfWriterReferenceParity:
+    """Transcribed from /root/reference/test/dbf-writer-test.js."""
+
+    def test_numeric_field_info_table(self):
+        from mapshaper_spark.sources.shapefile import _numeric_field_info
+
+        def calc(arr):
+            recs = [{"foo": v} for v in arr]
+            return _numeric_field_info(recs, "foo")
+
+        assert calc([0, -100.22, 0.2]) == (-100.22, 0.2, 2)
+        assert calc([-0.000001, 100000000.999999]) == \
+            (-0.000001, 100000000.999999, 6)
+        assert calc([-73.9356]) == (-73.9356, 0, 4)
+        inf = float("inf")
+        assert calc([inf, -inf, 2, None, float("nan")]) == (0, 2, 0)
+        assert calc([]) == (0, 0, 0)
+        assert calc([2.324209002348e-6]) == (0, 2.324209002348e-6, 15)
+        assert calc([100000.00000001]) == (0, 100000.00000001, 8)
+        assert calc([0.0000001, 0.99999, 0.00002, 0.001]) == \
+            (0, 0.99999, 7)
+
+    def _rt(self, recs):
+        from mapshaper_spark.sources import shapefile as SH
+        return SH.read_dbf(SH.write_dbf(recs))
+
+    def test_null_records_preserved(self):
+        assert self._rt([{"foo": None}]) == [{"foo": None}]
+
+    def test_empty_strings_preserved(self):
+        assert self._rt([{"foo": ""}]) == [{"foo": ""}]
+
+    def test_10_letter_names_preserved(self):
+        assert self._rt([{"abcdefghij": "foo"}]) == [{"abcdefghij": "foo"}]
+
+    def test_11_letter_names_truncated(self):
+        assert self._rt([{"abcdefghijk": "foo"}]) == [{"abcdefghij": "foo"}]
+
+    def test_truncation_conflicts_resolved(self):
+        got = self._rt([{"abcdefghijk": "foo", "abcdefghij": "bar"}])
+        assert got == [{"abcdefgh_1": "foo", "abcdefghij": "bar"}]
+        got2 = self._rt([{"abcdefghij": "bar", "abcdefghijk": "foo"}])
+        assert got2 == [{"abcdefgh_1": "foo", "abcdefghij": "bar"}]
+
+    def test_truncation_conflicts_resolved_3(self):
+        got = self._rt([{"abcdefghijk": "a", "abcdefghijkl": "b",
+                         "abcdefghijklm": "c", "abcdefgh_2": "d"}])
+        assert got == [{"abcdefghij": "a", "abcdefgh_1": "b",
+                        "abcdefgh_3": "c", "abcdefgh_2": "d"}]
+
+    def test_numbers_and_ascii_roundtrip(self):
+        recs = [
+            {"a": -1200, "b": 0.3, "c": "Mexico City"},
+            {"a": 0, "b": 0, "c": "Jerusalem"},
+            {"a": 20000, "b": -0.00000000001, "c": ""},
+        ]
+        got = self._rt(recs)
+        assert [(r["a"], r["b"], r["c"]) for r in got] == \
+            [(-1200, 0.3, "Mexico City"), (0, 0, "Jerusalem"),
+             (20000, -0.00000000001, "")]
