@@ -1892,8 +1892,19 @@ def _cmd_polygon_grid(cat: Catalog, c: Command) -> None:
 
 def _cmd_graticule(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators.grid import graticule
-    name = cat.add("graticule", graticule(cat.spark))
+    g = graticule(cat.spark)
+    # a graticule added to a projected dataset is reprojected to match it
+    # (graticule-test.js 'reproject to match dataset with known
+    # projection')
+    crs = cat.crs.get(cat.target) if cat.target else None
+    if crs and crs not in ("wgs84", "latlong") and \
+            "+proj=longlat" not in crs:
+        from mapshaper_spark.operators import proj as PR
+        g = PR.project_arcs(g, crs=crs, src="wgs84")
+    name = cat.add("graticule", g)
     cat.kinds[name] = "polyline"
+    if crs:
+        cat.crs[name] = crs
 
 
 def _cmd_rectangle(cat: Catalog, c: Command) -> None:

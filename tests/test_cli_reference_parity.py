@@ -1524,3 +1524,31 @@ class TestShapefilePrjParity:
             {"three_points.geojson": gj})
         assert "three_points.prj" not in out
         assert "three_points.shp" in out
+
+
+class TestGraticuleParity:
+    """graticule-test.js."""
+
+    def test_default_graticule_layer(self, spark):
+        from mapshaper_spark.cli import run_commands
+        cat = run_commands(spark, "-graticule")
+        assert cat.target == "graticule"
+        xs = cat.df().select("xs").limit(1).collect()[0].xs
+        assert all(-180.0 <= v <= 180.0 for v in xs)
+
+    def test_reprojected_to_dataset_crs(self, spark):
+        from mapshaper_spark.cli import run_commands
+        base = "/root/reference/test/test_data"
+        import shutil, tempfile, os as _os
+        d = tempfile.mkdtemp()
+        for e in (".shp", ".shx", ".dbf", ".prj"):
+            shutil.copy(f"{base}/three_points{e}", d)
+        cat = run_commands(
+            spark, f"-i {d}/three_points.shp -proj +proj=robin -graticule")
+        assert cat.target == "graticule"
+        g = cat.df()
+        from pyspark.sql import functions as FF
+        b = g.agg(FF.max(FF.array_max("xs"))).collect()[0][0]
+        # projected Robinson coordinates are meters-scale, not degrees
+        assert b > 1e6
+        assert cat.crs["graticule"] == "+proj=robin"
