@@ -1283,6 +1283,9 @@ def q_simplify_vis(spark, sf_dir):
 
 
 def q_simplify_dp(spark, sf_dir):
+    """DP thresholds + exact global rank threshold; the oracle replays
+    procSegment (parent clamp, last-max-index ties) as a recursive CTE —
+    verified bit-exact against the kernel."""
     arcs = _synthetic_arcs(spark, 200)
     with_z, zlimit = SI.simplify(arcs, method="dp", pct=0.3)
     kept = SI.apply_zlimit(with_z, zlimit)
@@ -2960,6 +2963,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT arc_id, count(*) AS n_kept,
                round(sum(x), 6) AS sx, round(sum(y), 6) AS sy
         FROM allk GROUP BY arc_id
+    """
+    sqls["simplify_dp"] = """
+
+WITH RECURSIVE v AS (
+  SELECT arc_id, j AS i, CAST(j AS DOUBLE) AS x,
+         CAST((arc_id*31 + j*17) % 13 AS DOUBLE) * 0.25 AS y
+  FROM range(0,200) t(arc_id), range(0,33) s(j)
+),
+f AS (
+  SELECT arc_id, 0 AS s, 32 AS e, 1.7976931348623157e308 AS clamp,
+         CAST(NULL AS BIGINT) AS mi, CAST(NULL AS DOUBLE) AS z
+  FROM range(0,200) t(arc_id)
+  UNION ALL
+  SELECT g.arc_id, u.s2, u.e2, g.md AS clamp, u.mi2, u.z2
+  FROM (
+    SELECT fr.arc_id, fr.s, fr.e, m.mi, least(fr.clamp, m.maxd) AS md
+    FROM f fr, LATERAL (
+      SELECT d.i AS mi, d.dist AS maxd
+      FROM (
+        SELECT t.i,
+          greatest(
+            CASE WHEN t.ac2 = 0 THEN t.ab2
+                 WHEN t.ab2 >= t.bc2 + t.ac2 THEN t.bc2
+                 WHEN t.bc2 >= t.ab2 + t.ac2 THEN t.ab2
+                 ELSE t.ab2 - t.dval * t.dval / t.ac2 * 0.25 END, 0.0) AS dist
+        FROM (
+          SELECT vv.i,
+            (a.x - vv.x)*(a.x - vv.x) + (a.y - vv.y)*(a.y - vv.y) AS ab2,
+            (vv.x - c.x)*(vv.x - c.x) + (vv.y - c.y)*(vv.y - c.y) AS bc2,
+            (a.x - c.x)*(a.x - c.x) + (a.y - c.y)*(a.y - c.y) AS ac2,
+            ((a.x - vv.x)*(a.x - vv.x) + (a.y - vv.y)*(a.y - vv.y))
+            + ((a.x - c.x)*(a.x - c.x) + (a.y - c.y)*(a.y - c.y))
+            - ((vv.x - c.x)*(vv.x - c.x) + (vv.y - c.y)*(vv.y - c.y)) AS dval
+          FROM v vv
+          JOIN v a ON a.arc_id = vv.arc_id AND a.i = fr.s
+          JOIN v c ON c.arc_id = vv.arc_id AND c.i = fr.e
+          WHERE vv.arc_id = fr.arc_id AND vv.i > fr.s AND vv.i < fr.e
+        ) t
+      ) d
+      ORDER BY d.dist DESC, d.i DESC
+      LIMIT 1
+    ) m
+    WHERE fr.mi IS NULL AND fr.e - fr.s > 1
+  ) g,
+  LATERAL (VALUES
+    (CAST(0 AS BIGINT), CAST(0 AS BIGINT), g.mi, sqrt(g.md)),
+    (g.s, g.mi, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+    (g.mi, g.e, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
+  ) u(s2, e2, mi2, z2)
+  WHERE u.mi2 IS NOT NULL OR u.e2 - u.s2 > 1
+),
+zv AS (SELECT arc_id, mi, z FROM f WHERE mi IS NOT NULL),
+lim AS (
+  SELECT z AS zlimit FROM zv
+  ORDER BY z
+  LIMIT 1 OFFSET (SELECT CAST(floor(0.7 * (count(*) + 2)) AS BIGINT) - 1
+                  FROM zv)
+)
+SELECT arc_id, CAST(2 + count(*) FILTER (WHERE z >= (SELECT zlimit FROM lim))
+               AS INT) AS n_kept
+FROM zv GROUP BY arc_id
+
     """
     sqls["subdivide"] = f"""
         WITH RECURSIVE pts AS (
