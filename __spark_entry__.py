@@ -1547,14 +1547,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the slot — a byte-exact reference-golden document oracle
         "svg_export": q_svg_export,
         "knn_k3": q_knn_k3,
-        "knn_unbounded": q_knn_unbounded,
         "split_on_grid": q_split_on_grid,
         # overlay family (newly distributed this round)
         "mosaic_faces": q_mosaic_faces,
         "slice_layer": q_slice_layer,
         "slice_grid": q_slice_grid,
         "clip_diamond": q_clip_diamond,
-        "erase_diamond": q_erase_diamond,
         "clip_polygons": q_clip_polygons,
         "dissolve2": q_dissolve2,
         "dissolve2_gaps": q_dissolve2_gaps,
@@ -1610,6 +1608,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "stitch_antimeridian": q_stitch_antimeridian,
         "intersection_cuts": q_intersection_cuts,
+        # r4 late: subdivide + simplify_dp rotate IN on gaining exact
+        # oracles; knn_unbounded + erase_diamond rotate out after three
+        # green rounds (family representatives knn_k3 / clip_diamond stay)
+        "subdivide": q_subdivide,
+        "simplify_dp": q_simplify_dp,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
         # (rotated out r3 after two green rounds: area_expr, spherical_area,
         # calc_aggs, events_rollup, dissolve_customers_by_nation, and —
@@ -1619,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
         "join_first_match": q_join_first_match,
+        "knn_unbounded": q_knn_unbounded,
+        "erase_diamond": q_erase_diamond,
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
         "repair_self": q_repair_self,
@@ -1656,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_lsh_dups": q_emb_lsh_dups,
         "simplify_vis": q_simplify_vis,
-        "simplify_dp": q_simplify_dp,
         "simplify_spherical": q_simplify_spherical,
         "subdivide": q_subdivide,
         "filter_where": q_filter_where,
