@@ -75,7 +75,8 @@ _CMD_OPTS = {
     "polygon-grid": {"cols", "rows"},
     "rectangle": {"offset"},
     "shape": {"coordinates", "offsets"},
-    "cluster": {"id-field", "pct", "count"},
+    "cluster": {"id-field", "pct", "count", "max-width", "max-height",
+                "max-area", "group-by"},
     "dissolve": {"field"},
     "dissolve2": {"field"},
     "data-fill": {"field"},
@@ -227,6 +228,10 @@ class Catalog:
     json_crs: dict[str, object] = field(default_factory=dict)  # *JSON crs obj
     flags: set = field(default_factory=set)  # -quiet/-verbose/-debug
     auto_fid: set = field(default_factory=set)  # layers whose fid is ours
+    # coordinate-named columns (x/y/lon/lat) that are REAL data fields of a
+    # layer (e.g. after -points x=lat ...), so exports keep them as
+    # properties (commands-test.js 'converts csv to geojson points')
+    coord_data: dict = field(default_factory=dict)
 
     def add(self, name: str, df: DataFrame, make_target: bool = True) -> str:
         base, k = name, 2
@@ -402,7 +407,14 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                                          "geometry_type")
                         dfs.append((path, nsub, "table", None))
                     continue
-                if gtypes and gtypes <= {"LineString", "MultiLineString"}:
+                if not gtypes:
+                    # every feature has null geometry -> a data-only table
+                    # (commands-test.js 'converts geojson to tsv': no x/y
+                    # artifact columns in the output)
+                    kind_hint = "table"
+                    df = df.drop("x", "y", "rings_x", "rings_y",
+                                 "geometry_type")
+                elif gtypes and gtypes <= {"LineString", "MultiLineString"}:
                     kind_hint = "polyline"
                     df = df.drop("x", "y")  # point-import artifacts
                 elif gtypes and gtypes <= {"Point"}:
@@ -500,6 +512,13 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     # reference semantics (mapshaper-file-import.js:22-28): merge-files
     # unions everything into ONE layer; combine-files imports each file as
     # its own layer of one dataset — which is this catalog's default
+    if c.opt("precision"):
+        # -i precision= rounds coordinates ON IMPORT (setCoordinatePrecision,
+        # mapshaper-rounding.js:10-15; commands-test.js 'import GeoJSON
+        # points with rounding on import')
+        _prec = c.num("precision")
+        dfs = [(p, _round_layer_coords(d, _prec), k, nm)
+               for p, d, k, nm in dfs]
     # multi-file behavior
     if c.flag("merge-files") and len(dfs) > 1:
         from mapshaper_spark.operators.attributes import merge_layers
@@ -541,6 +560,25 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 cat.formats[name] = ext2
             if path in auto_fid_paths:
                 cat.auto_fid.add(name)  # our import id, not a data field
+
+
+def _round_layer_coords(df: DataFrame, precision: float) -> DataFrame:
+    """Round every coordinate of a layer (scalar x/y and ring arrays) with
+    the reference rounding function; a stale bbox is dropped so downstream
+    consumers re-derive it from the rounded rings."""
+    from mapshaper_spark.operators.attributes import round_coords
+    for col in ("x", "y"):
+        if col in df.columns:
+            df = df.withColumn(col, round_coords(F.col(col), precision))
+    for col in ("rings_x", "rings_y"):
+        if col in df.columns:
+            df = df.withColumn(col, F.transform(
+                col, lambda r: F.transform(
+                    r, lambda v: round_coords(v, precision))))
+    if "bbox" in df.columns and ("rings_x" in df.columns or
+                                 "x" in df.columns):
+        df = df.drop("bbox")
+    return df
 
 
 def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
@@ -734,9 +772,11 @@ def _cmd_join(cat: Catalog, c: Command) -> None:
                                       is_min=(m.group(1) == "Min"),
                                       copy_fields=copy)
     else:
-        out = J.join_attributes(target, source, tuple(keys),
+        source_o, src_order = _record_order(source)
+        out = J.join_attributes(target, source_o, tuple(keys),
                                 copy_fields=copy,
-                                sum_fields=c.csv("sum-fields"), calc=calc)
+                                sum_fields=c.csv("sum-fields"), calc=calc,
+                                source_order=src_order)
         out = _drop_exact(out, "joins")
         if calc:  # count()-style calcs read 0 on unmatched rows, not null
             zero_fill = {name: 0 for name, (fn, _c) in calc.items()
@@ -778,9 +818,10 @@ def _cmd_dissolve(cat: Catalog, c: Command) -> None:
         df = df.withColumn("__all__", F.lit(1))
     calc = _parse_calc(str(c.opt("calc"))) if c.opt("calc") else None
     kind = _geometry_kind(df)
+    df_o, order_o = _record_order(df)
     attrs = DS.dissolve_attributes(
-        df, fields, sum_fields=c.csv("sum-fields"),
-        copy_fields=c.csv("copy-fields"), calc=calc)
+        df_o, fields, sum_fields=c.csv("sum-fields"),
+        copy_fields=c.csv("copy-fields"), calc=calc, order_col=order_o)
     if kind == "polygon":
         from mapshaper_spark.operators.topology import build_topology
         field = fields[0]
@@ -796,6 +837,13 @@ def _cmd_dissolve(cat: Catalog, c: Command) -> None:
         out = DS.dissolve_points(df, fields, x, y)
     else:
         out = attrs
+    # the reference emits dissolved groups in first-encounter record order
+    # (aggregateDataRecords walks the classifier's insertion order); pin it
+    # with the min original position per group
+    omap = df_o.groupBy(*fields).agg(F.min(order_o).alias("__ms_gorder"))
+    out = (out.join(omap, fields, "left")
+           .drop(_ORDER_COL)
+           .withColumnRenamed("__ms_gorder", _ORDER_COL))
     if "__all__" in out.columns:  # synthetic whole-layer key, not a field
         out = out.drop("__all__")
     if plus:
@@ -1004,8 +1052,12 @@ def _cmd_points(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators import paths as P
     df = cat.df()
     xy = None  # operator-specific coordinate column names
+    keepers = None  # coordinate-named columns that remain data fields
     if c.opt("x") and c.opt("y"):
         out = P.points_from_columns(df, str(c.opt("x")), str(c.opt("y")))
+        # the named source columns stay DATA fields (the reference's
+        # -points x= y= reads coordinates without consuming the fields)
+        keepers = {str(c.opt("x")), str(c.opt("y"))}
     elif c.flag("vertices"):
         out = P.points_vertices(df, df.columns[0])
     elif c.flag("endpoints"):
@@ -1030,9 +1082,15 @@ def _cmd_points(cat: Catalog, c: Command) -> None:
         # '+': add as a NEW layer (keep the source), reference no_replace
         name = cat.add(str(c.opt("name")) if c.opt("name") else "points", out)
         cat.kinds[name] = "point"
+        if keepers:
+            cat.coord_data[name] = keepers
     else:
         cat.replace(out)
         cat.kinds[cat.target] = "point"
+        if keepers:
+            cat.coord_data[cat.target] = keepers
+        elif cat.target in cat.coord_data:
+            del cat.coord_data[cat.target]
         if c.opt("name"):
             _rename_layer(cat, cat.target, str(c.opt("name")))
 
@@ -1374,7 +1432,8 @@ def _rename_layer(cat: Catalog, old: str, new: str) -> None:
     cat.order[cat.order.index(old)] = new
     if cat.target == old:
         cat.target = new
-    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text):
+    for meta in (cat.kinds, cat.formats, cat.crs, cat.prj_text,
+                 cat.coord_data):
         if old in meta:
             meta[new] = meta.pop(old)
     if old in cat.auto_fid:
@@ -1544,7 +1603,8 @@ def _data_fields(cat: Catalog, df: DataFrame) -> list[str]:
     skip = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
             "geometry_type", "properties", "shp_type", "parts"}
     if cat.kinds.get(cat.target, _geometry_kind(df)) == "point":
-        skip |= set(_point_cols(df) + ("lon", "lat", "x", "y"))
+        skip |= (set(_point_cols(df)) | {"lon", "lat", "x", "y"}) \
+            - cat.coord_data.get(cat.target, set())
     if cat.target in cat.auto_fid:
         skip.add("fid")
     return [col for col in df.columns if col not in skip]
@@ -1579,10 +1639,8 @@ def _delim_out(cat: Catalog, c: Command, df: DataFrame, fmt: str,
                 f.write(payload)
         cat.outputs[path] = path
         return
-    # exactly one trailing newline comes off; all-null rows are EMPTY
-    # LINES and must survive (reference formatDelimRow output)
-    if payload.endswith("\n"):
-        payload = payload[:-1]
+    # delim_payload is already d3-formatRows style (no trailing newline;
+    # an all-null LAST row keeps its final "\n" + empty line)
     # pathless name takes its extension from the delimiter (the reference
     # picks .tsv for tab output, mapshaper-delim-export.js:96-101)
     key = f"{cat.target}." + ("tsv" if delim == "\t" else "csv")
@@ -1698,8 +1756,10 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         if cat.target in cat.auto_fid:
             geom_cols.add("fid")
         kind = cat.kinds.get(cat.target, _geometry_kind(df))
+        coord_skip = (set(_point_cols(df)) | {"lon", "lat", "x", "y"}) \
+            - cat.coord_data.get(cat.target, set())
         props = [col for col in df.columns if col not in geom_cols
-                 and col not in _point_cols(df) + ("lon", "lat", "x", "y")] \
+                 and col not in coord_skip] \
             if kind == "point" else \
             [col for col in df.columns if col not in geom_cols]
         kwargs = {"property_cols": props}
@@ -1812,6 +1872,21 @@ def _cmd_info(cat: Catalog, c: Command) -> None:
                      "rows": layer_info(cat.df(), cat.target or "").collect()})
 
 
+def _record_order(df: DataFrame) -> tuple[DataFrame, str]:
+    """A column giving the layer's record order for the reference's
+    order-sensitive aggregates (first/last/mode tie-breaks): the -sort
+    order column or the import fid when present, else a synthesized
+    monotonically-increasing id (per-partition ascending — equals record
+    order for driver-created tables and file-scan order for splits, the
+    same notion of order the reference's single file read has)."""
+    if _ORDER_COL in df.columns:
+        return df, _ORDER_COL
+    if "fid" in df.columns:
+        return df, "fid"
+    return df.withColumn("__ms_tmporder",
+                         F.monotonically_increasing_id()), "__ms_tmporder"
+
+
 def _cmd_calc(cat: Catalog, c: Command) -> None:
     from mapshaper_spark.operators.attributes import calc
     df = cat.df()
@@ -1820,7 +1895,8 @@ def _cmd_calc(cat: Catalog, c: Command) -> None:
         df = df.filter(F.expr(_sql(str(where))))
     aggs = _parse_calc(c.values[0]) if "=" in c.values[0] else \
         {"result": next(iter(_parse_calc("result=" + c.values[0]).values()))}
-    result = calc(df, aggs).collect()[0].asDict()
+    df, order = _record_order(df)
+    result = calc(df, aggs, order_col=order).collect()[0].asDict()
     cat.info.append({"layer": cat.target, "calc": result})
     cat.calc_env.update(result)  # calc results enter later expression scope
 
@@ -1950,28 +2026,42 @@ def _cmd_subdivide(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_cluster(cat: Catalog, c: Command) -> None:
-    """-cluster pct=50% (count = round(n*pct), mapshaper-cluster.js:7-12)
-    or the engine extension count=K; assignment = the documented
-    deterministic sample-seeded Lloyd spec (operators/cluster.py)."""
-    from mapshaper_spark.operators.cluster import cluster_points
-    from mapshaper_spark.operators.paths import points_from_centroids
+    """-cluster: polygon layers run the reference-exact greedy
+    agglomeration (mapshaper-cluster.js:15-42, count = Math.round(n*pct)
+    merges of the closest neighbor centroids under max-width/height/area
+    caps, cluster ids in shapeItems scan order). Point layers keep the
+    engine extension count=K Lloyd spec (operators/cluster.py) — the
+    reference rejects non-polygon layers outright."""
+    from mapshaper_spark.operators.cluster import (agglomerative_cluster,
+                                                   cluster_points)
     df = cat.df()
     id_field = str(c.opt("id-field", "cluster"))
     kind = _geometry_kind(df)
-    if kind == "point":
-        work, x, y, synthetic = df, *_point_cols(df), False
+    pct_raw = c.opt("pct")
+    if pct_raw is None:
+        pct = None
     else:
-        work, x, y, synthetic = points_from_centroids(df, "__cx", "__cy"), \
-            "__cx", "__cy", True
+        s = str(pct_raw)
+        pct = float(s[:-1]) / 100.0 if s.endswith("%") else float(s)
+    if kind != "point":
+        order = _ORDER_COL if _ORDER_COL in df.columns else "fid"
+        out = agglomerative_cluster(
+            df, order, pct=pct, id_field=id_field,
+            max_width=c.num("max-width"), max_height=c.num("max-height"),
+            max_area=c.num("max-area"),
+            group_by=(str(c.opt("group-by")) if c.opt("group-by") else None))
+        if order != _ORDER_COL:
+            # the operator's joins scramble row order; pin the original
+            # record order the way -sort does so exports restore it
+            out = out.withColumn(_ORDER_COL, F.col(order))
+        cat.replace(out)
+        return
+    work, x, y = df, *_point_cols(df)
     if c.opt("count"):
         count = int(c.num("count"))
     else:
-        pct = float(str(c.opt("pct", "100")).rstrip("%"))
-        if pct > 1:
-            pct /= 100.0
-        count = max(1, round(work.count() * pct))
-    out = cluster_points(work, x, y, count, id_field=id_field)
-    cat.replace(out.drop("__cx", "__cy") if synthetic else out)
+        count = max(1, round(work.count() * (pct if pct is not None else 1.0)))
+    cat.replace(cluster_points(work, x, y, count, id_field=id_field))
 
 
 def _cmd_data_fill(cat: Catalog, c: Command) -> None:
@@ -2336,6 +2426,28 @@ COMMANDS = {
 }
 
 
+def _divide_import_runs(cmds: list[Command]) -> list[list[Command]]:
+    """divideImportCommand (reference src/cli/mapshaper-commands.js:152-178):
+    ``-i a b c`` WITHOUT combine-files/merge-files runs the whole command
+    pipeline once per input file against a fresh catalog ('output from
+    sequentially processed files is combined', commands-test.js)."""
+    import copy as _copy
+    if not cmds:
+        return [cmds]
+    first = cmds[0]
+    files = first.values or first.csv("files")
+    if (first.name != "i" or first.flag("combine-files") or
+            first.flag("merge-files") or len(files) < 2):
+        return [cmds]
+    runs = []
+    for f in files:
+        icmd = Command("i", values=[f],
+                       options={k: v for k, v in first.options.items()
+                                if k != "files"})
+        runs.append([icmd] + _copy.deepcopy(cmds[1:]))
+    return runs
+
+
 def apply_commands(spark: SparkSession, command_str: str,
                    inputs: dict[str, str | bytes] | None = None
                    ) -> dict[str, str | bytes]:
@@ -2359,9 +2471,13 @@ def apply_commands(spark: SparkSession, command_str: str,
             elif cmd.name == "o":
                 out_names.extend(cmd.values)
                 cmd.values = [os.path.join(td, v) for v in cmd.values]
-        cat = Catalog(spark)
-        for cmd in cmds:
-            dispatch_command(cat, cmd)
+        pathless_outputs: dict = {}
+        for run in _divide_import_runs(cmds):
+            cat = Catalog(spark)
+            for cmd in run:
+                dispatch_command(cat, cmd)
+            pathless_outputs.update(cat.outputs)
+        cat.outputs = pathless_outputs
         results: dict[str, str | bytes] = {}
         for name in out_names:
             path = os.path.join(td, name)
@@ -2441,6 +2557,11 @@ def run_commands(spark: SparkSession, command_str: str,
         for name, df in layers.items():
             cat.add(name, df)
         cat.target = next(iter(layers))
-    for cmd in parse_commands(command_str):
-        dispatch_command(cat, cmd)
-    return cat
+        for cmd in parse_commands(command_str):
+            dispatch_command(cat, cmd)
+        return cat
+    for run in _divide_import_runs(parse_commands(command_str)):
+        cat = Catalog(spark)
+        for cmd in run:
+            dispatch_command(cat, cmd)
+    return cat  # sequential runs: the LAST file's catalog (testCommands)

@@ -550,3 +550,141 @@ def nearest_point_on_path(px: float, py: float, xs: np.ndarray, ys: np.ndarray):
     d2 = (qx - px) ** 2 + (qy - py) ** 2
     k = int(np.argmin(d2))
     return float(d2[k]), float(qx[k]), float(qy[k])
+
+
+# ---------------------------------------------------------------------------
+# bbox path clipping (viewport style)
+# ---------------------------------------------------------------------------
+
+def _bbox_sector(x: float, y: float, bbox) -> int:
+    """getPointSector (mapshaper-bbox-clipping.js:36-49): 3x3 grid sector
+    of a point relative to the clipping box; 8 = inside, corners even,
+    edges odd, counter-clockwise from bottom-left = 0."""
+    bl, tr = bbox[0], bbox[2]
+    if x > tr[0]:
+        return 4 if y > tr[1] else (5 if y >= bl[1] else 6)
+    if x >= bl[0]:
+        return 3 if y > tr[1] else (8 if y >= bl[1] else 7)
+    return 2 if y > tr[1] else (1 if y >= bl[1] else 0)
+
+
+def _bbox_seg_hits(points: list, a, b, bbox) -> bool:
+    """addSegmentBoundsIntersection: push every segment x bbox-edge
+    intersection (reference edge order), return whether any hit."""
+    from mapshaper_spark.operators.topology import _seg_intersections
+    hits: list = []
+    for c, d in ((bbox[0], bbox[1]), (bbox[0], bbox[3]),
+                 (bbox[1], bbox[2]), (bbox[2], bbox[3])):
+        hits.extend(_seg_intersections(a[0], a[1], b[0], b[1],
+                                       c[0], c[1], d[0], d[1]))
+    if hits:
+        points.extend([list(h) for h in hits])
+        return True
+    return False
+
+
+def clip_iter_by_bounds(path: list, bbox4: tuple) -> list:
+    """clipIterByBounds (mapshaper-bbox-clipping.js:7-27 + sector walk
+    :36-221): clip a point path to a bbox for viewport drawing, deflecting
+    outside excursions along the box edges/corners so the result stays
+    connected (bbox-clipping-test.js goldens). ``path`` = [[x, y], ...],
+    ``bbox4`` = (xmin, ymin, xmax, ymax)."""
+    xmin, ymin, xmax, ymax = bbox4
+    bbox0 = [[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin]]
+
+    def rotate_box(i, bb):
+        a, b, c, d = bb
+        return [bb, [b, c, d, a], [c, d, a, b], [d, a, b, c]][i]
+
+    def rot_sector(i, q):
+        return (q + 8 - i * 2) % 8 if 0 <= q < 8 else q
+
+    def orient2d(ax, ay, bx, by, cx, cy):
+        return (ax - cx) * (by - cy) - (ay - cy) * (bx - cx)
+
+    def corner(points, q, bb):
+        points.append(list(bb[q // 2]))
+
+    def add_clipped(points, p1, p2):
+        bb = bbox0
+        q1 = _bbox_sector(p1[0], p1[1], bb) if p1 is not None else -1
+        q2 = _bbox_sector(p2[0], p2[1], bb)
+        is_corner = lambda q: q in (0, 2, 4, 6)
+        if q1 == 8 and q2 == 8:
+            points.append(list(p2))
+        elif q1 == q2:
+            pass  # fully within one outer sector
+        elif q1 == -1:
+            if q2 == 8:
+                points.append(list(p2))
+            elif is_corner(q2):
+                corner(points, q2, bb)
+        elif q1 == 8:
+            _bbox_seg_hits(points, p1, p2, bb)
+            if is_corner(q2):
+                corner(points, q2, bb)
+        elif q2 == 8:
+            _bbox_seg_hits(points, p1, p2, bb)
+            points.append(list(p2))
+        else:
+            rot = q1 // 2 if 1 < q1 < 8 else 0
+            bb = rotate_box(rot, bb)
+            q1r, q2r = rot_sector(rot, q1), rot_sector(rot, q2)
+            if q1r == 0:
+                if q2r in (0, 1, 7):
+                    pass
+                elif q2r in (2, 6):
+                    corner(points, q2r, bb)
+                elif q2r == 3:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 2, bb)
+                elif q2r == 4:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        if orient2d(p1[0], p1[1], p2[0], p2[1],
+                                    bb[0][0], bb[0][1]) > 1:
+                            corner(points, 6, bb)
+                        else:
+                            corner(points, 2, bb)
+                    corner(points, q2r, bb)
+                elif q2r == 5:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 6, bb)
+            elif q1r == 1:
+                if q2r in (2, 0):
+                    corner(points, q2r, bb)
+                elif q2r == 3:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 2, bb)
+                elif q2r == 4:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 2, bb)
+                    corner(points, 4, bb)
+                elif q2r == 5:
+                    _bbox_seg_hits(points, p1, p2, bb)
+                elif q2r == 6:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 0, bb)
+                    corner(points, 6, bb)
+                elif q2r == 7:
+                    if not _bbox_seg_hits(points, p1, p2, bb):
+                        corner(points, 0, bb)
+            else:
+                raise ValueError("sector error")
+
+    points: list = []
+    prev = None
+    first = None
+    last = None
+    for xy in path:
+        add_clipped(points, prev, xy)
+        prev = xy
+        if first is None:
+            first = xy
+        last = xy
+    is_ring = (first is not None and last is not None and
+               first[0] == last[0] and first[1] == last[1])
+    if is_ring and points and points[0] != points[-1]:
+        points.append(list(points[0]))
+    if (is_ring and len(points) < 4) or len(points) < 2:
+        points = []
+    return points

@@ -114,16 +114,46 @@ def calc_exprs() -> dict[str, callable]:
     }
 
 
+def mode_agg(df: DataFrame, value: Column, out: str, order_col: str,
+             group_cols: Sequence[str | Column] = ()) -> tuple[DataFrame, Column]:
+    """Reference-exact ``mode()``: highest count, ties broken by FIRST
+    OCCURRENCE in record order (getModeData insertion-order modes[0],
+    calc-utils.js:8-43 — calc-utils-test.js 'multiple modes' pins
+    [1,3,4,4,3,0,0] -> 3). Plan: window count + first-position per value
+    (one extra hash exchange on (groups, value)), then ``max_by`` over the
+    (count, -first_pos) struct — no join, no collect. Returns (df-with-
+    helper-column, aggregate expression)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*group_cols, value)
+    helper = f"__mode_{out}"
+    df = df.withColumn(helper, F.struct(
+        F.count(F.lit(1)).over(w).alias("n"),
+        (-F.min(F.col(order_col)).over(w)).alias("o")))
+    return df, F.max_by(value, F.col(helper)).alias(out)
+
+
 def calc(df: DataFrame, aggs: Mapping[str, tuple[str, str | Column]],
-         where: str | Column | None = None) -> DataFrame:
-    """-calc: whole-layer aggregation. aggs = {out_name: (fn_name, column)}."""
+         where: str | Column | None = None,
+         order_col: str | None = None) -> DataFrame:
+    """-calc: whole-layer aggregation. aggs = {out_name: (fn_name, column)}.
+    With ``order_col``, mode() uses the reference's first-occurrence
+    tie-break; without it, Spark's mode (arbitrary tie pick)."""
     if where is not None:
         df = df.filter(where)
     vocab = calc_exprs()
     cols = []
     for out, (fn, c) in aggs.items():
         col = F.col(c) if isinstance(c, str) else c
-        cols.append(vocab[fn](col).alias(out))
+        if fn == "mode" and order_col is not None:
+            df, expr = mode_agg(df, col, out, order_col)
+            cols.append(expr)
+        elif fn in ("first", "last") and order_col is not None:
+            # Spark's first/last are order-undefined aggregates; the
+            # reference captures the first/last RECORD's value (calc.js)
+            fn_ = F.min_by if fn == "first" else F.max_by
+            cols.append(fn_(col, F.col(order_col)).alias(out))
+        else:
+            cols.append(vocab[fn](col).alias(out))
     return df.agg(*cols)
 
 

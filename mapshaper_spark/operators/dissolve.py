@@ -49,9 +49,18 @@ def dissolve_attributes(df: DataFrame, fields: Sequence[str],
                                *[F.col(f).alias(f) for f in copy_fields])).alias("__first")
         aggs.append(first)
     if calc:
+        from mapshaper_spark.operators.attributes import mode_agg
         vocab = calc_exprs()
         for out, (fn, c) in calc.items():
-            aggs.append(vocab[fn](F.col(c)).alias(out))
+            if fn == "mode" and order_col is not None:
+                df, expr = mode_agg(df, F.col(c), out, order_col,
+                                    group_cols=list(fields))
+                aggs.append(expr)
+            elif fn in ("first", "last") and order_col is not None:
+                fn_ = F.min_by if fn == "first" else F.max_by
+                aggs.append(fn_(F.col(c), F.col(order_col)).alias(out))
+            else:
+                aggs.append(vocab[fn](F.col(c)).alias(out))
     if not aggs:  # bare -dissolve: one row per group, key fields only
         return df.select(*fields).distinct()
     out = df.groupBy(*fields).agg(*aggs)

@@ -54,9 +54,18 @@ def join_attributes(target: DataFrame, source: DataFrame, keys: tuple[str, str],
     for f in sum_fields:
         aggs.append(F.sum(F.coalesce(F.col(f), F.lit(0))).alias(f"sum_{f}"))
     if calc:
+        from mapshaper_spark.operators.attributes import mode_agg
         vocab = calc_exprs()
         for out, (fn, c) in calc.items():
-            aggs.append(vocab[fn](F.col(c)).alias(out))
+            if fn == "mode" and source_order is not None:
+                source, expr = mode_agg(source, F.col(c), out, source_order,
+                                        group_cols=[src_key])
+                aggs.append(expr)
+            elif fn in ("first", "last") and source_order is not None:
+                fn_ = F.min_by if fn == "first" else F.max_by
+                aggs.append(fn_(F.col(c), F.col(source_order)).alias(out))
+            else:
+                aggs.append(vocab[fn](F.col(c)).alias(out))
 
     grouped = source.groupBy(F.col(src_key).alias(dest_key)).agg(*aggs)
     if copy_fields:

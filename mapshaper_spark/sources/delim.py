@@ -199,4 +199,6 @@ def delim_payload(df: DataFrame, delimiter: str = ",") -> str:
     lines = [delimiter.join(str(c) for c in pdf.columns)]
     lines.extend(delimiter.join(_cell(v) for v in row)
                  for row in pdf.itertuples(index=False))
-    return "\n".join(lines) + "\n"
+    # d3-dsv formatRows (the reference's serializer) emits NO trailing
+    # newline (commands-test.js 'rename, convert csv')
+    return "\n".join(lines)

@@ -963,7 +963,7 @@ class TestDelimExportParity:
         out = apply_commands(
             spark, "-i input.csv -o output.csv encoding=latin-1",
             {"input.csv": "foo,bar\nétranger,外国人"})
-        assert out["output.csv"].decode("latin-1") == "foo,bar\nétranger,???\n"
+        assert out["output.csv"].decode("latin-1") == "foo,bar\nétranger,???"
 
     # delim-export-test.js:22-30
     def test_output_encoding_ascii(self, spark):
@@ -973,7 +973,7 @@ class TestDelimExportParity:
         payload = out["output.csv"]
         if isinstance(payload, bytes):  # pure-ascii bytes read back as str
             payload = payload.decode("ascii")
-        assert payload == "foo,bar\n?tranger,???\n"
+        assert payload == "foo,bar\n?tranger,???"
 
     # delim-export-test.js:31-39
     def test_output_encoding_utf16be(self, spark):
@@ -981,7 +981,7 @@ class TestDelimExportParity:
             spark, "-i input.csv -o output.csv encoding=utf-16be",
             {"input.csv": "foo,bar\nétranger,外国人"})
         assert out["output.csv"].decode("utf-16-be") == \
-            "foo,bar\nétranger,外国人\n"
+            "foo,bar\nétranger,外国人"
 
     # delim-export-test.js:78-85 field-order=ascending is case-insensitive
     def test_field_order_ascending(self, spark):
@@ -1552,3 +1552,137 @@ class TestGraticuleParity:
         # projected Robinson coordinates are meters-scale, not degrees
         assert b > 1e6
         assert cat.crs["graticule"] == "+proj=robin"
+
+
+class TestCalcModeParity:
+    """calc-test.js evalCalcExpression + calc-utils-test.js getModeData:
+    mode() = highest count, first-occurrence tie-break; first()/last()
+    capture the first/last RECORD's value."""
+
+    def _calc(self, spark, data, expr):
+        out = apply_commands(
+            spark, f'-i d.json -calc "R = {expr}" -each "r = R" '
+            "-o format=json", {"d.json": json.dumps(data)})
+        return _rows(out["d.json"])[0]["r"]
+
+    # calc-test.js:28-31 first() captures value of first record
+    def test_first(self, spark):
+        assert self._calc(spark, [{"foo": -1}, {"foo": 3}, {"foo": 4}],
+                          "first(foo)") == -1
+
+    # calc-test.js:33-36 last()
+    def test_last(self, spark):
+        assert self._calc(spark, [{"foo": -1}, {"foo": 3}, {"foo": 4}],
+                          "last(foo)") == 4
+
+    # calc-test.js:38-41 mode() picks first among equals
+    def test_mode_first_among_equals(self, spark):
+        assert self._calc(spark, [{"foo": -1}, {"foo": 3}, {"foo": 4}],
+                          "mode(foo)") == -1
+
+    # calc-test.js:43-49 most common string value
+    def test_mode_string(self, spark):
+        assert self._calc(spark, [{"bar": "a"}, {"bar": "b"}, {"bar": "a"},
+                                  {"bar": "c"}], "mode(bar)") == "a"
+
+    # calc-test.js:51-57 most common numerical value
+    def test_mode_number(self, spark):
+        assert self._calc(spark, [{"bar": 0}, {"bar": 0}, {"bar": 1},
+                                  {"bar": 2}], "mode(bar)") == 0
+
+    # calc-utils-test.js:7-11 getModeData multiple modes -> modes[0]
+    def test_mode_multi_tie(self, spark):
+        data = [{"v": x} for x in [1, 3, 4, 4, 3, 0, 0]]
+        assert self._calc(spark, data, "mode(v)") == 3
+
+
+class TestCommandsParity:
+    """Transcribed from /root/reference/test/commands-test.js
+    (applyCommands API cases that map onto our apply_commands)."""
+
+    # commands-test.js:104-116 name= option of second dataset
+    def test_second_dataset_name(self, spark):
+        out = apply_commands(
+            spark, "-i a.json name=one -i b.json name=two -o target=*",
+            {"a.json": json.dumps([{"a": 0}]),
+             "b.json": json.dumps([{"b": 1}])})
+        assert _rows(out["one.json"]) == [{"a": 0}]
+        assert _rows(out["two.json"]) == [{"b": 1}]
+
+    # commands-test.js:206-213 pass-through
+    def test_csv_pass_through(self, spark):
+        out = apply_commands(spark, "-i data.csv -o",
+                             {"data.csv": "id\n0\n1"})
+        assert out["data.csv"] == "id\n0\n1"
+
+    # commands-test.js:216-227 sequential files processed separately
+    def test_sequential_files_combined_output(self, spark):
+        out = apply_commands(
+            spark, "-i data.csv data2.csv -rename-fields FID=id -o",
+            {"data.csv": "id\n0\n1", "data2.csv": "id\n2\n3"})
+        assert out["data.csv"] == "FID\n0\n1"
+        assert out["data2.csv"] == "FID\n2\n3"
+
+    # commands-test.js:242-251 combine-files + merge-layers
+    def test_merge_multiple_files(self, spark):
+        out = apply_commands(
+            spark,
+            "-i data.csv data2.csv combine-files -merge-layers -o merged.csv",
+            {"data.csv": "id\n0\n1", "data2.csv": "id\n2\n3"})
+        assert out["merged.csv"] == "id\n0\n1\n2\n3"
+
+    # commands-test.js:253-261 rename + convert to tsv
+    def test_rename_convert_tsv(self, spark):
+        out = apply_commands(spark, "-i data.csv -o data2.tsv",
+                             {"data.csv": "id,count\n0,2\n1,4"})
+        assert out["data2.tsv"] == "id\tcount\n0\t2\n1\t4"
+
+    # commands-test.js:291-309 geojson (null geometry) -> tsv
+    def test_geojson_to_tsv(self, spark):
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": None,
+             "properties": {"id": 0, "name": "foo"}}]}
+        out = apply_commands(spark, "-i feature.json -o format=tsv",
+                             {"feature.json": json.dumps(fc)})
+        assert out["feature.tsv"] == "id\tname\n0\tfoo"
+
+    # commands-test.js:311-334 csv -> geojson points
+    def test_csv_to_geojson_points(self, spark):
+        target = {
+            "type": "FeatureCollection",
+            "features": [{
+                "type": "Feature",
+                "properties": {"lat": 40.724, "lng": -73.925,
+                               "name": "New York City"},
+                "geometry": {"type": "Point",
+                             "coordinates": [-73.925, 40.724]}}]}
+        out = apply_commands(
+            spark, "-i points.csv -points x=lng y=lat -o format=geojson",
+            {"points.csv": "lat,lng,name\n40.724,-73.925,New York City"})
+        assert json.loads(out["points.json"]) == target
+
+    # commands-test.js:371-396 geojson -> topojson with precision
+    # (the reference names a file-less layer 'layer1'; with a named input
+    # file the object takes the file stem, so 'in' here)
+    def test_points_to_topojson_precision(self, spark):
+        gc = {"type": "GeometryCollection",
+              "geometries": [{"type": "Point", "coordinates": [0.1, 0.1]}]}
+        target = {
+            "type": "Topology", "arcs": [],
+            "objects": {"in": {
+                "type": "GeometryCollection",
+                "geometries": [{"type": "Point", "coordinates": [0, 0]}]}}}
+        out = apply_commands(
+            spark, "-i in.json -o out.json format=topojson precision=1",
+            {"in.json": json.dumps(gc)})
+        assert json.loads(out["out.json"]) == target
+
+    # commands-test.js:428-444 -i precision= rounds on import
+    def test_import_precision(self, spark):
+        gc = {"type": "GeometryCollection",
+              "geometries": [{"type": "Point", "coordinates": [0.1, 0.1]}]}
+        target = {"type": "GeometryCollection",
+                  "geometries": [{"type": "Point", "coordinates": [0, 0]}]}
+        out = apply_commands(spark, "-i in.json precision=1 -o out.json",
+                             {"in.json": json.dumps(gc)})
+        assert json.loads(out["out.json"]) == target

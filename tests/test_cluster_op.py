@@ -72,3 +72,95 @@ class TestClusterPoints:
         plan = out._jdf.queryExecution().executedPlan().toString()
         for bad in ("Exchange", "Window", "CartesianProduct", "BroadcastNestedLoop"):
             assert bad not in plan, f"{bad} in plan:\n{plan}"
+
+
+GC_POLYS = {
+    "type": "GeometryCollection",
+    "geometries": [
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]},
+        {"type": "Polygon",
+         "coordinates": [[[1, 0], [1, 1], [3, 1], [3, 0], [1, 0]]]},
+        {"type": "Polygon",
+         "coordinates": [[[0, 1], [0, 4], [1, 4], [1, 1], [0, 1]]]},
+        {"type": "Polygon",
+         "coordinates": [[[1, 1], [1, 5], [3, 5], [3, 1], [1, 1]]]},
+    ],
+}
+
+
+class TestClusterReferenceParity:
+    """Transcribed from /root/reference/test/cluster-test.js — the
+    reference's greedy neighbor agglomeration with exact expected ids."""
+
+    def _run(self, spark, cmd):
+        import json
+        from mapshaper_spark.cli import apply_commands
+        out = apply_commands(spark, f"-i polys.json {cmd} -o out.csv format=csv",
+                             {"polys.json": json.dumps(GC_POLYS)})
+        return out["out.csv"].strip()
+
+    # cluster-test.js:25-33
+    def test_clusters_everything_by_default(self, spark):
+        assert self._run(spark, "-cluster") == "cluster\n0\n0\n0\n0"
+
+    # cluster-test.js:35-41
+    def test_max_height(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId max-height=1") == \
+            "aggId\n2\n2\n0\n1"
+
+    # cluster-test.js:43-49
+    def test_max_width(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId max-width=1") == \
+            "aggId\n2\n0\n2\n1"
+
+    # cluster-test.js:51-57
+    def test_pct_50_percent(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId pct=50%") == \
+            "aggId\n1\n1\n1\n0"
+
+    # cluster-test.js:59-65
+    def test_pct_1_percent(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId pct=1%") == \
+            "aggId\n0\n1\n2\n3"
+
+    # cluster-test.js:67-73
+    def test_pct_1(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId pct=1") == \
+            "aggId\n0\n0\n0\n0"
+
+    # cluster-test.js:75-82
+    def test_with_dissolve(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId -dissolve aggId") \
+            == "aggId\n0"
+
+    # cluster-test.js:84-91
+    def test_with_dissolve_pct(self, spark):
+        assert self._run(spark, "-cluster id-field=aggId pct=0.5 "
+                         "-dissolve aggId") == "aggId\n1\n0"
+
+    # cluster-test.js:93-131
+    def test_group_by_maintains_groups(self, spark):
+        import json
+        from mapshaper_spark.cli import apply_commands
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"group": "a"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]}},
+            {"type": "Feature", "properties": {"group": "a"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[1, 0], [1, 1], [3, 1], [3, 0], [1, 0]]]}},
+            {"type": "Feature", "properties": {"group": "b"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[0, 1], [0, 4], [1, 4], [1, 1], [0, 1]]]}},
+            {"type": "Feature", "properties": {"group": "b"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[1, 1], [1, 4], [3, 4], [3, 1], [1, 1]]]}},
+        ]}
+        out = apply_commands(
+            spark,
+            "-i polys.json -cluster group-by=group id-field=grouping "
+            "-o out.csv format=csv",
+            {"polys.json": json.dumps(fc)})
+        assert out["out.csv"].strip() == \
+            "group,grouping\na,0\na,0\nb,1\nb,1"

@@ -320,3 +320,68 @@ class TestPointSegDistGoldens:
         assert np_on(-2, 0, 0, 2, 2, 0) == (0, 2)
         assert np_on(0, 0, 0, 2, 0, 2) == (0, 2)   # zero-length segment
         assert np_on(2, 0, 0, 2, 2, 0) == (2, 0)   # coincident endpoint
+
+
+class TestClipIterByBounds:
+    """Transcribed from /root/reference/test/bbox-clipping-test.js — exact
+    expected vertex sequences of the viewport bbox clip (corner deflection
+    walk, mapshaper-bbox-clipping.js)."""
+
+    def _t(self, expected, inp, bbox):
+        from mapshaper_spark.geom.kernels import clip_iter_by_bounds
+        got = clip_iter_by_bounds([list(p) for p in inp], tuple(bbox))
+        assert got == [list(p) for p in expected]
+
+    def test_2e_corner_right(self):
+        self._t([[1, 1], [2, 1], [2, 2]], [[0, -10], [10, 3]], [1, 1, 2, 2])
+
+    def test_2f_corner_left(self):
+        self._t([[1, 1], [1, 2], [2, 2]], [[-10, 0], [3, 10]], [1, 1, 2, 2])
+
+    def test_2g_corner_right2(self):
+        self._t([[2, 1], [2, 2], [1, 2]], [[10, 0], [0, 10]], [1, 1, 2, 2])
+
+    def test_2h_corner_left2(self):
+        self._t([[2, 1], [1, 1], [1, 2]], [[3, -10], [0, 3]], [1, 1, 2, 2])
+
+    def test_5a_enclosing_ring(self):
+        self._t([[2, 2], [2, 1], [1, 1], [1, 2], [2, 2]],
+                [[3, 3], [3, 0], [1.5, 0], [0.5, 0], [0, 0], [0, 0.5],
+                 [0, 3], [3, 3]], [1, 1, 2, 2])
+
+    def test_5b_enclosing_ring_reversed(self):
+        inp = [[3, 3], [3, 0], [1.5, 0], [0.5, 0], [0, 0], [0, 0.5],
+               [0, 3], [3, 3]][::-1]
+        self._t([[2, 2], [2, 1], [1, 1], [1, 2], [2, 2]][::-1],
+                inp, [1, 1, 2, 2])
+
+    def test_4b_diamond_cw(self):
+        self._t([[1, 2], [1, 4], [2, 5], [4, 5], [5, 4], [5, 2], [4, 1],
+                 [2, 1], [1, 2]][::-1],
+                [[0, 3], [3, 0], [6, 3], [3, 6], [0, 3]], [1, 1, 5, 5])
+
+    def test_4a_diamond_ccw(self):
+        self._t([[1, 4], [2, 5], [4, 5], [5, 4], [5, 2], [4, 1], [2, 1],
+                 [1, 2], [1, 4]],
+                [[0, 3], [3, 6], [6, 3], [3, 0], [0, 3]], [1, 1, 5, 5])
+
+    def test_3b_cut_corner(self):
+        self._t([[0, 3], [0, 0]], [[1, 5], [-5, -1]], [0, 0, 3, 3])
+
+    def test_3a_miss(self):
+        self._t([], [[1, 5], [-2, 2]], [0, 0, 3, 3])
+
+    def test_1_inside(self):
+        self._t([[1, 1], [2, 2]], [[1, 1], [2, 2]], [0, 0, 3, 3])
+
+    def test_2a_horizontal(self):
+        self._t([[0, 1], [3, 1]], [[-1, 1], [4, 1]], [0, 0, 3, 3])
+
+    def test_2b_vertical_down(self):
+        self._t([[1, 3], [1, 0]], [[1, 4], [1, -1]], [0, 0, 3, 3])
+
+    def test_2c_vertical_up(self):
+        self._t([[1, 0], [1, 3]], [[1, -1], [1, 4]], [0, 0, 3, 3])
+
+    def test_2d_horizontal_back(self):
+        self._t([[3, 1], [0, 1]], [[4, 1], [-1, 1]], [0, 0, 3, 3])

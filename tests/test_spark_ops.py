@@ -279,6 +279,22 @@ class TestFastSimplify:
         assert 1 not in out          # thinned to 3 vertices -> dropped
         assert len(out[2].rings_x[0]) == 5  # big ring untouched
 
+    # /root/reference/test/simplify-fast-test.js:7-13 — fully collapsed
+    # polygon (all vertices identical) -> null shape
+    def test_collapsed_polygon_becomes_null(self, spark):
+        feats = spark.createDataFrame(
+            [(1, [[0.0, 0.0, 0.0, 0.0]], [[0.0, 0.0, 0.0, 0.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        assert SI.simplify_polygons_fast(feats, dist=1.0).count() == 0
+
+    # simplify-fast-test.js:15-21 — small triangle collapses at dist=1
+    def test_small_triangle_becomes_null(self, spark):
+        feats = spark.createDataFrame(
+            [(1, [[0.0, 0.0, 1.0, 0.0]], [[0.0, 1.0, 0.0, 0.0]])],
+            "fid int, rings_x array<array<double>>, rings_y array<array<double>>")
+        assert SI.simplify_polygons_fast(feats, dist=1.0).count() == 0
+
+
 
 class TestAttributes:
     def test_uniq_keeps_first_by_order(self, spark):
