@@ -1173,6 +1173,28 @@ def q_simhash_dups(spark, sf_dir):
     return DD.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
+def q_minhash_sigs(spark, sf_dir):
+    """Exact minhash SIGNATURE gate (r4): the full shingle->affine-perm->min
+    pipeline replayed value-for-value by the DuckDB oracle (codepoint
+    polynomial hash over HUGEINT arithmetic). Exploded to scalar rows so
+    the driver's value hash covers every (doc, perm) lane."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", num_perm=16,
+                                 shingle=3, seed=42)
+    return (sigs.select("doc_id", F.posexplode("signature")
+                        .alias("perm", "sigval"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("perm").cast("int").alias("perm"), "sigval"))
+
+
+def q_simhash_sigs(spark, sf_dir):
+    """Exact 61-bit SimHash gate (r4): per-document hash replayed exactly
+    by the DuckDB oracle (per-bit weighted sums of token hashes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (DD.simhash_col(docs, "doc_id", "text")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "simhash"))
+
+
 def q_each_regex(spark, sf_dir):
     """Round-4 expression surface: JS regex-method idioms in -each compile
     to SQL regexp functions (match->regexp_extract/regexp_like,
@@ -1547,7 +1569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the slot — a byte-exact reference-golden document oracle
         "svg_export": q_svg_export,
         "knn_k3": q_knn_k3,
-        "split_on_grid": q_split_on_grid,
+        # r4 late: minhash_sigs rotates IN (exact signature oracle, new);
+        # split_on_grid rotates out after three green rounds
+        "minhash_sigs": q_minhash_sigs,
         # overlay family (newly distributed this round)
         "mosaic_faces": q_mosaic_faces,
         "slice_layer": q_slice_layer,
@@ -1560,7 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topology_build": q_topology_build,
         "polygons_from_lines": q_polygons_from_lines,
         "segment_intersections": q_segment_intersections,
-        "polyline_dissolve": q_polyline_dissolve,
+        # r4 late: simhash_sigs rotates IN (exact oracle, new);
+        # polyline_dissolve rotates out after three green rounds
+        "simhash_sigs": q_simhash_sigs,
         "proj_wintri": q_proj_wintri,  # new r4: rotated in (dissolve_states
         # out — driver-green since r1, still covered by check_oracle)
         "innerlines": q_innerlines,
@@ -1621,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives) so intersection_cuts fits at #50;
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
+        "split_on_grid": q_split_on_grid,
+        "polyline_dissolve": q_polyline_dissolve,
         "join_first_match": q_join_first_match,
         "knn_unbounded": q_knn_unbounded,
         "erase_diamond": q_erase_diamond,
@@ -1847,6 +1875,69 @@ def oracle_sql() -> dict[str, str]:
     qvals = ", ".join(f"({j}, {v!r}::DOUBLE)" for j, v in enumerate(qvec))
 
     sqls: dict[str, str] = {}
+
+
+    # exact dedup-signature oracles (r4): the minhash/simhash pipelines are
+    # replayed value-for-value in DuckDB — codepoint polynomial token hash
+    # via list_reduce over HUGEINT, shingle fold, affine permutations with
+    # the SAME RandomState(42) constants inlined below
+    _M61 = "2305843009213693951"
+    _rng = np.random.RandomState(42)
+    _A = _rng.randint(1, (1 << 61) - 1, size=16, dtype=np.uint64)
+    _B = _rng.randint(0, (1 << 61) - 1, size=16, dtype=np.uint64)
+    _perms = ", ".join(f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+                       for i, (a, b) in enumerate(zip(_A, _B)))
+    _tok_cte = f"""
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text,''), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ), thash AS (
+          SELECT doc_id, list_transform(tk, t ->
+              list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(range(1, length(t) + 1),
+                                 i -> unicode(substr(t, i, 1))::HUGEINT)),
+                (a, c) -> (a * 131 + c) % {_M61})) AS h
+          FROM toks
+        )"""
+    sqls["minhash_sigs"] = f"""
+        WITH {_tok_cte},
+        padded AS (
+          SELECT doc_id, CASE WHEN len(h) < 3
+                 THEN list_concat(h, list_transform(range(3 - len(h)),
+                                                    i -> 0::HUGEINT))
+                 ELSE h END AS h
+          FROM thash
+        ), sh AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(h) - 1),
+              j -> ((h[j] * 1000003 + h[j+1]) * 1000003 + h[j+2]) % {_M61}
+              )) AS sv
+          FROM padded
+        ), perms(perm, a, b) AS (VALUES {_perms})
+        SELECT sh.doc_id AS doc_id, perms.perm AS perm,
+               CAST(min((perms.a * sh.sv + perms.b) % {_M61}) AS BIGINT)
+                   AS sigval
+        FROM sh, perms GROUP BY sh.doc_id, perms.perm
+    """
+    sqls["simhash_sigs"] = f"""
+        WITH {_tok_cte},
+        tb AS (
+          SELECT doc_id, CAST(unnest(h) AS BIGINT) AS hv FROM thash
+        ), bits AS (
+          SELECT doc_id, r.range AS bit,
+                 sum(CASE WHEN (hv >> r.range) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS v
+          FROM tb, range(61) r GROUP BY doc_id, r.range
+        ), sim AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id, coalesce(sim.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sim USING (doc_id)
+    """
 
     sqls["filter_where"] = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -88,12 +88,15 @@ def word_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
     """Deterministic 61-bit polynomial hash per token (pure python ints to
-    avoid uint64 overflow semantics; tokens are short)."""
+    avoid uint64 overflow semantics; tokens are short). Runs over UNICODE
+    CODEPOINTS so the DuckDB oracle can replay it exactly with
+    list_reduce + unicode() over HUGEINT arithmetic (the driver's
+    minhash_sigs/simhash_sigs exact gates)."""
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = 0
-        for byte in t.encode("utf-8"):
-            h = (h * 131 + byte) % MERSENNE
+        for ch in t:
+            h = (h * 131 + ord(ch)) % MERSENNE
         out[i] = h
     return out
 

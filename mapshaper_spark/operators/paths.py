@@ -259,13 +259,19 @@ def points_from_centroids(df: DataFrame, x: str = "cx", y: str = "cy") -> DataFr
             cxs, cys = [], []
             for rxs, rys in zip(pdf["rings_x"], pdf["rings_y"]):
                 best = None
-                best_area = -1.0
+                best_area = 0.0  # getMaxPath: maxArea starts 0, strict >
                 for rx, ry in zip(rxs, rys):
-                    a = abs(K.planar_path_area(np.asarray(rx), np.asarray(ry)))
+                    rx = np.asarray(rx, dtype=np.float64)
+                    ry = np.asarray(ry, dtype=np.float64)
+                    if len(rx) == 0:
+                        continue
+                    # "largest" ring = largest BOUNDING-BOX area, not ring
+                    # area (shape-geom.js:28-38 getSimpleShapeBounds.area())
+                    a = (float(rx.max()) - float(rx.min())) * \
+                        (float(ry.max()) - float(ry.min()))
                     if a > best_area:
                         best_area = a
-                        best = (np.asarray(rx, dtype=np.float64),
-                                np.asarray(ry, dtype=np.float64))
+                        best = (rx, ry)
                 cx, cy = K.path_centroid(*best) if best is not None else (None, None)
                 cxs.append(cx)
                 cys.append(cy)
@@ -843,12 +849,23 @@ def _find_anchor_point(rings):
     Returns (x, y) or None for collapsed shapes."""
     np_rings = [(np.asarray(rx, dtype=np.float64),
                  np.asarray(ry, dtype=np.float64)) for rx, ry in rings]
-    areas = [K.planar_path_area(rx, ry) for rx, ry in np_rings]
     if not np_rings:
         return None
-    max_i = int(np.argmax([abs(a) for a in areas]))
+    # getMaxPath picks the ring with the largest BBOX area (strict >, so
+    # all-degenerate shapes select nothing; shape-geom.js:28-38)
+    max_i, best_bb = None, 0.0
+    for i, (rx, ry) in enumerate(np_rings):
+        if len(rx) == 0:
+            continue
+        bb = (float(rx.max()) - float(rx.min())) * \
+            (float(ry.max()) - float(ry.min()))
+        if bb > best_bb:
+            best_bb = bb
+            max_i = i
+    if max_i is None:
+        return None
     mrx, mry = np_rings[max_i]
-    area = abs(areas[max_i])
+    area = abs(K.planar_path_area(mrx, mry))
     bx0, bx1 = float(mrx.min()), float(mrx.max())
     by0, by1 = float(mry.min()), float(mry.max())
     width, height = bx1 - bx0, by1 - by0
