@@ -1004,6 +1004,11 @@ def _make_globals():
         "JSON": {"stringify": _json_stringify, "parse": _json_parse},
         "RegExp": lambda body, flags=UNDEFINED: JSRegExp(
             to_string(body), "" if flags is UNDEFINED else to_string(flags)),
+        # expressionUtils: bare round/sprintf plus the `_` namespace
+        # (mapshaper-expression-utils.js; defined at the end of this file)
+        "round": _js_round_util,
+        "sprintf": _js_sprintf,
+        "_": dict(_EXPRESSION_UTILS),
     }
 
 
@@ -1941,3 +1946,112 @@ def assignment_objects(src: str) -> list:
             if base[1] not in out:
                 out.append(base[1])
     return out
+
+
+# ---------------------------------------------------------------------------
+# expressionUtils: round() and sprintf() (the reference injects
+# internal.expressionUtils into every feature-expression scope, both bare
+# and as `_` — src/expressions/mapshaper-expression-utils.js +
+# lib/mbloch-utils.js Utils.formatter/formatValue/addThousandsSep)
+# ---------------------------------------------------------------------------
+
+_FMT_CODE_RXP = __import__("re").compile(
+    r"%([',+0]*)([1-9]?)((?:\.[1-9])?)([sdifxX%])")
+
+
+def _js_round_util(val=UNDEFINED, dig=UNDEFINED):
+    """expressionUtils.round: Math.round(val * 10^dig) / 10^dig with the
+    JS `dig | 0` coercion (undefined/NaN -> 0)."""
+    v = to_number(val)
+    d = to_number(dig) if dig is not UNDEFINED else 0.0
+    d = 0 if math.isnan(d) or math.isinf(d) else int(d)
+    k = 1
+    while d > 0:
+        k *= 10
+        d -= 1
+    return math.floor(v * k + 0.5) / k  # JS Math.round: half toward +inf
+
+
+def _add_thousands_sep(s: str) -> str:
+    """Utils.addThousandsSep (mbloch-utils.js:426-438)."""
+    start = 1 if s[:1] == "-" else 0
+    dec = s.find(".")
+    end = len(s)
+    ins = (end if dec == -1 else dec) - 3
+    fmt = ""
+    while ins > start:
+        fmt = "," + s[ins:end] + fmt
+        end = ins
+        ins -= 3
+    return s[:end] + fmt
+
+
+def _format_value(val, flags: str, padding: str, dec: str, typ: str) -> str:
+    """Utils.formatValue (mbloch-utils.js:1289-1351), including the U+2212
+    minus sign and the documented sign-at-zero behavior."""
+    decimals = int(dec[1:]) if dec else None
+    sign = ""
+    if typ == "s":
+        s = to_string(val)
+    elif typ in ("x", "X"):
+        n = int(to_number(val))
+        s = format(n, "x")
+        if typ == "X":
+            s = s.upper()
+    else:
+        n = to_number(val)
+        if typ in ("d", "i"):
+            s = f"%.0f" % n
+        elif decimals is not None:
+            s = f"%.{decimals}f" % n
+        else:
+            s = to_string(n)
+        neg = s.startswith("-")
+        if neg:
+            s = s[1:]
+        is_zero = float(s) == 0
+        if "'" in flags or "," in flags:
+            s = _add_thousands_sep(s)
+        if not is_zero:
+            if neg:
+                sign = "−"
+            elif "+" in flags:
+                sign = "+"
+    pad_str = ""
+    pad_char = " "
+    if padding:
+        min_width = int(padding)
+        str_len = len(s) + len(sign)
+        if str_len < min_width:
+            pad_char = "0" if "0" in flags else " "
+            pad_str = pad_char * (min_width - str_len)
+    if not pad_str:
+        return sign + s
+    if pad_char == "0":
+        return sign + pad_str + s
+    return pad_str + sign + s
+
+
+def _js_sprintf(fmt=UNDEFINED, *args):
+    """expressionUtils.sprintf = Utils.format (formatter at
+    mbloch-utils.js:1354+): %[flags][width][.dec][sdifxX%] with ','/'''
+    thousands flags; %% is a literal percent."""
+    fmt = to_string(fmt)
+    out = []
+    last = 0
+    ai = 0
+    for m in _FMT_CODE_RXP.finditer(fmt):
+        out.append(fmt[last:m.start()])
+        last = m.end()
+        if m.group(0) == "%%":
+            out.append("%")
+            continue
+        val = args[ai] if ai < len(args) else UNDEFINED
+        ai += 1
+        out.append(_format_value(val, m.group(1), m.group(2),
+                                 m.group(3), m.group(4)))
+    out.append(fmt[last:])
+    return "".join(out)
+
+
+_EXPRESSION_UTILS = {"round": _js_round_util, "sprintf": _js_sprintf}

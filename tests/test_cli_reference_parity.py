@@ -1686,3 +1686,35 @@ class TestCommandsParity:
         out = apply_commands(spark, "-i in.json precision=1 -o out.json",
                              {"in.json": json.dumps(gc)})
         assert json.loads(out["out.json"]) == target
+
+
+class TestExpressionUtilsParity:
+    """expression-utils-test.js: round() and sprintf() in -each scope,
+    plus data-utils-test.js inconsistent-field patching."""
+
+    # expression-utils-test.js:9-17
+    def test_round_and_underscore_round(self, spark):
+        data = [{"a": 100.1}, {"a": 0.5}, {"a": -2.001}]
+        out = apply_commands(
+            spark, '-i a.json -each "b=round(a), c=_.round(a, 1)" -o',
+            {"a.json": json.dumps(data)})
+        assert _rows(out["a.json"]) == [
+            {"a": 100.1, "b": 100, "c": 100.1},
+            {"a": 0.5, "b": 1, "c": 0.5},
+            {"a": -2.001, "b": -2, "c": -2}]
+
+    # expression-utils-test.js:20-28
+    def test_sprintf(self, spark):
+        out = apply_commands(
+            spark,
+            "-i data.csv -each \"c = sprintf('%,d %.1f', a, b)\" -o",
+            {"data.csv": "a,b\n3000,3.001"})
+        assert out["data.csv"] == 'a,b,c\n3000,3.001,"3,000 3.0"'
+
+    # data-utils-test.js:7-13 fixInconsistentFields via csv export
+    def test_inconsistent_json_fields_to_csv(self, spark):
+        out = apply_commands(
+            spark, "-i a.json -o format=csv",
+            {"a.json": json.dumps([{}, {"foo": "a", "bar": 1},
+                                   {"foo": "b"}])})
+        assert out["a.csv"] == "foo,bar\n,\na,1\nb,"
