@@ -307,6 +307,11 @@ def _sql(expr: str, env: dict[str, object] | None = None) -> str:
     out = out.replace("&&", " AND ").replace("||", " OR ")
     for name in sorted(env or {}, key=len, reverse=True):
         val = env[name]
+        if not isinstance(val, (str, int, float, bool, type(None))):
+            # -include can register JS functions/objects: not SQL-
+            # substitutable — leave the name so analysis fails and the
+            # command falls back to the JS interpreter path
+            continue
         lit = "NULL" if val is None else repr(val)
         out = re.sub(rf"\b{re.escape(name)}\b", lit, out)
     return out
@@ -340,7 +345,15 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                 obj = json.load(f)
             if isinstance(obj, list):  # JSON array of records = table
                 import pandas as _pd
-                df = cat.spark.createDataFrame(_pd.DataFrame(obj))
+                pdf_ = _pd.DataFrame(obj)
+                if pdf_.shape[1] == 0:
+                    # records with no fields are still features
+                    # (include-test.js 'values cover existing fields'
+                    # runs -each over [{}]); carry our import id so the
+                    # frame has a column — exports skip auto fids
+                    pdf_.insert(0, "fid", range(len(pdf_)))
+                    auto_fid_paths.add(path)
+                df = cat.spark.createDataFrame(pdf_)
                 kind_hint = "table"
             elif obj.get("type") == "Topology" or "objects" in obj:
                 # a TopoJSON doc is recognized by its objects/arcs keys even
@@ -2289,8 +2302,34 @@ def _cmd_colorizer(cat: Catalog, c: Command) -> None:
 
 
 def _cmd_include(cat: Catalog, c: Command) -> None:
+    """-include: merge an object of definitions into the expression scope
+    (mapshaper-include.js:3-35 evaluates a JS object in an isolated
+    scope). A JS object literal runs through the bundled JS interpreter —
+    values and FUNCTIONS land in cat.calc_env, where the -each/-filter JS
+    fallback resolves them (include-test.js 'imports data and functions').
+    A Python file keeps the engine-native include_defs path. DEVIATION:
+    the cross-record mutable-accumulator idiom (include-test.js
+    'can be used as an accumulator') is not supported — a distributed
+    -each gives each partition its own copy of the include object; use
+    -calc / -join calc= for aggregation."""
     from mapshaper_spark.operators.styling import include_defs
-    include_defs(c.values[0] if c.values else str(c.opt("file")))
+    src = c.values[0] if c.values else str(c.opt("file"))
+    content = None
+    if os.path.exists(src):
+        with open(src) as fh:
+            content = fh.read()
+    if content is not None and content.lstrip()[:1] == "{":
+        import mapshaper_spark.functions.jsengine as J
+        obj = J._Interp({}, {}).run(J.parse("(" + content + ")"))
+        if not isinstance(obj, dict):
+            raise ValueError("-include: expected an object")
+        cat.calc_env.update(obj)
+        # scalar defs also feed the styling/colorizer registry like the
+        # Python path does
+        include_defs({k: v for k, v in obj.items()
+                      if isinstance(v, (str, int, float, bool))})
+        return
+    include_defs(src)
 
 
 def _cmd_inspect(cat: Catalog, c: Command) -> None:
@@ -2465,7 +2504,7 @@ def apply_commands(spark: SparkSession, command_str: str,
         cmds = parse_commands(command_str)
         out_names: list[str] = []
         for cmd in cmds:
-            if cmd.name in ("i", "join", "clip", "erase"):
+            if cmd.name in ("i", "join", "clip", "erase", "include"):
                 cmd.values = [os.path.join(td, v) if v in inputs else v
                               for v in cmd.values]
             elif cmd.name == "o":

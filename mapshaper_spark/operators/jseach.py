@@ -68,6 +68,12 @@ def _make_proxy(row: dict, getters: set) -> dict:
     for g in getters:
         if g == "id":
             proxy[g] = row.get("fid", J.UNDEFINED)
+        elif g == "properties":
+            # this.properties = the feature's data record
+            # (feature-proxy.js exposes the data table row)
+            proxy[g] = {c: _py_value(v) for c, v in row.items()
+                        if c not in _GEOM_COLS and
+                        c not in ("fid", "__ms_order")}
         elif g in ("x", "y"):
             proxy[g] = row.get(g, row.get("lon" if g == "x" else "lat",
                                           J.UNDEFINED))
@@ -81,14 +87,18 @@ def _make_proxy(row: dict, getters: set) -> dict:
         elif g == "isNull":
             proxy[g] = not have_rings
         elif g in ("centroidX", "centroidY") and have_rings:
-            best, best_area = None, -1.0
+            # getMaxPath: largest ring by BBOX area (shape-geom.js:28-38)
+            best, best_bb = None, 0.0
             for x, y in zip(rx, ry):
-                a = abs(K.planar_path_area(np.asarray(x, dtype=np.float64),
-                                           np.asarray(y, dtype=np.float64)))
-                if a > best_area:
-                    best_area, best = a, (np.asarray(x), np.asarray(y))
-            c = K.path_centroid(best[0].astype(np.float64),
-                                best[1].astype(np.float64))
+                x = np.asarray(x, dtype=np.float64)
+                y = np.asarray(y, dtype=np.float64)
+                if len(x) == 0:
+                    continue
+                bb = (float(x.max()) - float(x.min())) * \
+                    (float(y.max()) - float(y.min()))
+                if bb > best_bb:
+                    best_bb, best = bb, (x, y)
+            c = K.path_centroid(*best) if best is not None else None
             proxy[g] = J.UNDEFINED if c is None else float(
                 c[0 if g == "centroidX" else 1])
         elif g in ("width", "height"):
@@ -138,6 +148,10 @@ def _run_row(ast, row: dict, data_cols: list, getters: set,
     env = dict(extra_env) if extra_env else {}
     if getters:
         proxy = _make_proxy(row, getters)
+        if "properties" in getters:
+            # this.properties IS the live data record (feature-proxy.js):
+            # member assignments through it land in the record
+            proxy["properties"] = record
         env["$"] = proxy
         env["this"] = proxy
     if where_ast is not None:
@@ -203,14 +217,35 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
     """-each running the original JS per row (fallback engine). Assigned
     bare variables become/overwrite columns; with ``where=``, non-matching
     rows keep their old values (null for new columns) — each.js:12-19."""
+    import re as _re
+
     ast = J.parse(expression)
     where_ast = J.parse(where) if where else None
     targets = J.assigned_vars(expression)
+    # `this.properties.X = ...` / `$.properties.X = ...` assigns a data
+    # field through the feature proxy (the reference's records are live
+    # objects); treat X as an assigned column
+    targets = list(dict.fromkeys(
+        list(targets) + _re.findall(
+            r"(?:\$|this)\.properties\.([A-Za-z_$][\w$]*)\s*=(?!=)",
+            expression)))
     if not targets:
         # a pure side-effect-free -each is a no-op on the frame
         return df
     getters = _proxy_getters(expression) | \
         (_proxy_getters(where) if where else set())
+    if "id" in getters and "fid" not in df.columns:
+        # this.id = the record index; tables imported without one get a
+        # dense 0-based id in current row order (scale-safe ranking)
+        from pyspark.sql import functions as F
+
+        from mapshaper_spark.plans.scale import ranked_ids
+        df = ranked_ids(df.withColumn("__ms_midx",
+                                      F.monotonically_increasing_id()),
+                        ["__ms_midx"], "fid").drop("__ms_midx")
+        drop_fid = True
+    else:
+        drop_fid = False
     refs = _referenced_names(expression) | \
         (_referenced_names(where) if where else set())
     data_cols = [c for c in df.columns
@@ -271,7 +306,8 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
                                columns=[f.name for f in out_schema.fields])
             yield out
 
-    return df.mapInPandas(gen, schema=out_schema)
+    out_df = df.mapInPandas(gen, schema=out_schema)
+    return out_df.drop("fid") if drop_fid else out_df
 
 
 def filter_js(df: DataFrame, expression: str,

@@ -1718,3 +1718,34 @@ class TestExpressionUtilsParity:
             {"a.json": json.dumps([{}, {"foo": "a", "bar": 1},
                                    {"foo": "b"}])})
         assert out["a.csv"] == "foo,bar\n,\na,1\nb,"
+
+
+class TestIncludeParity:
+    """include-test.js: -include merges a JS object's values and functions
+    into the -each expression scope. (The accumulator idiom is a
+    documented deviation — distributed -each has no cross-record mutable
+    state; require('underscore') is node-only.)"""
+
+    # include-test.js:25-38 imports data and functions from JS string
+    def test_imports_data_and_functions(self, spark):
+        o = ("{ "
+             "foo: 'bar', "
+             "getA: function(rec) {return rec.a} "
+             "}")
+        out = apply_commands(
+            spark,
+            '-i in.json -include in.js -each '
+            '"b = foo + this.id, c = getA(this.properties)" -o out.json',
+            {"in.json": json.dumps([{"a": 1}, {"a": 2}]), "in.js": o})
+        assert sorted(_rows(out["out.json"]), key=lambda r: r["a"]) == [
+            {"a": 1, "b": "bar0", "c": 1},
+            {"a": 2, "b": "bar1", "c": 2}]
+
+    # include-test.js:53-62 include can come first; values cover fields
+    def test_include_first_covers_fields(self, spark):
+        out = apply_commands(
+            spark,
+            '-include in.js -i data.json -each '
+            '"this.properties.a = a" -o',
+            {"in.js": "{a: 'b'}", "data.json": json.dumps([{}])})
+        assert _rows(out["data.json"]) == [{"a": "b"}]
