@@ -164,3 +164,23 @@ class TestClusterReferenceParity:
             {"polys.json": json.dumps(fc)})
         assert out["out.csv"].strip() == \
             "group,grouping\na,0\na,0\nb,1\nb,1"
+
+
+class TestAgglomerativeDeterminism:
+    def test_same_ids_across_partitioning(self, spark):
+        """The distributed plan (per-component kernels + prefix-max
+        interleave) must give identical reference ids regardless of how
+        the input is partitioned."""
+        import json
+        from mapshaper_spark.cli import apply_commands
+        out1 = apply_commands(
+            spark, "-i polys.json -cluster id-field=g pct=50% -o o.csv "
+            "format=csv", {"polys.json": json.dumps(GC_POLYS)})
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            out2 = apply_commands(
+                spark, "-i polys.json -cluster id-field=g pct=50% -o o.csv "
+                "format=csv", {"polys.json": json.dumps(GC_POLYS)})
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        assert out1["o.csv"] == out2["o.csv"] == "g\n1\n1\n1\n0"
