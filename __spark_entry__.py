@@ -1939,6 +1939,265 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN sim USING (doc_id)
     """
 
+
+    # exact Visvalingam oracle (r4 cont.): the min-heap removal loop
+    # (smallest effective area, ties -> smallest index, monotonic clamp,
+    # scaledSimplify sqrt*0.65) replayed per arc as a recursive CTE over a
+    # compact alive-list state; same exact-rank threshold as simplify_dp
+    sqls["simplify_vis"] = """
+        WITH RECURSIVE f AS (
+          SELECT arc_id,
+                 list_transform(range(0, 33), j -> j) AS alive,
+                 list_transform(range(0, 33), j ->
+                     CASE WHEN j = 0 OR j = 32 THEN 'infinity'::DOUBLE
+                          ELSE abs((((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)) * (CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE)) + ((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)) * (CAST((j+1) AS DOUBLE) - CAST((j-1) AS DOUBLE))) / 2.0) END) AS kka,
+                 '-infinity'::DOUBLE AS maxv,
+                 CAST(NULL AS BIGINT) AS rem, CAST(NULL AS DOUBLE) AS z
+          FROM range(0, 200) t(arc_id)
+          UNION ALL
+          SELECT arc_id, new_alive,
+                 list_transform(range(1, len(new_alive) + 1), q ->
+                     CASE WHEN q = 1 OR q = CAST(len(new_alive) AS BIGINT)
+                          THEN 'infinity'::DOUBLE
+                          WHEN q = p - 1 OR q = p THEN
+                            abs((((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)) * (CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)) * (CAST(new_alive[q+1] AS DOUBLE) - CAST(new_alive[q-1] AS DOUBLE))) / 2.0)
+                          ELSE kka[CASE WHEN q < p THEN q ELSE q + 1 END]
+                     END) AS kka,
+                 z AS maxv, rem, z
+          FROM (
+            SELECT arc_id, alive, kka, maxv,
+                   list_position(kka, m) AS p,
+                   alive[list_position(kka, m)] AS rem,
+                   CASE WHEN m < maxv THEN maxv ELSE m END AS z,
+                   list_concat(
+                       list_slice(alive, 1, list_position(kka, m) - 1),
+                       list_slice(alive, list_position(kka, m) + 1,
+                                  len(alive))) AS new_alive
+            FROM (SELECT arc_id, alive, kka, maxv,
+                         list_min(list_slice(kka, 2, len(kka) - 1)) AS m
+                  FROM f WHERE len(alive) > 2) s
+          ) g
+        ),
+        zvals AS (SELECT arc_id, sqrt(z) * 0.65 AS z FROM f
+                  WHERE rem IS NOT NULL),
+        lim AS (
+          SELECT z AS zlimit FROM zvals ORDER BY z
+          LIMIT 1 OFFSET (SELECT CAST(floor(0.5 * (count(*) + 2)) AS BIGINT)
+                          - 1 FROM zvals)
+        )
+        SELECT arc_id,
+               CAST(2 + count(*) FILTER (WHERE z >= (SELECT zlimit FROM lim))
+               AS INT) AS n_kept
+        FROM zvals GROUP BY arc_id
+    """
+
+
+    # hyperplane-LSH exact oracles (r4 cont.): the RandomState(42) plane
+    # matrix is inlined; bucket signs + candidate sets + cosine rerank
+    # replayed fully in SQL. (Sign sums are far from 0 on this
+    # deterministic dataset, so unordered SQL summation cannot flip a
+    # bucket bit — verified value-exact against the Spark path.)
+    _planes = np.random.RandomState(42).normal(size=(6, len(qvec)))
+    _pv = ", ".join(f"({j}, {i}, {_planes[j, i]!r}::DOUBLE)"
+                    for j in range(6) for i in range(len(qvec)))
+    _qsig = int(np.sum(((_planes @ np.asarray(qvec)) > 0) *
+                       (1 << np.arange(6, dtype=np.int64))))
+    _buckets = ", ".join(str(b) for b in
+                         ([_qsig] + [_qsig ^ (1 << b) for b in range(6)])[:5])
+    _lsh_cte = f"""
+        p(j, i, c) AS (VALUES {_pv}),
+        e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS i
+              FROM embeddings),
+        dots AS (SELECT e.vec_id, p.j, sum(e.v * p.c) AS d
+                 FROM e JOIN p ON e.i = p.i GROUP BY e.vec_id, p.j),
+        bk AS (SELECT vec_id,
+                      sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                          AS bucket
+               FROM dots GROUP BY vec_id)"""
+    sqls["ann_lsh_topk"] = f"""
+        WITH {_lsh_cte},
+        q(i, qv) AS (VALUES {qvals}),
+        cand AS (SELECT vec_id FROM bk WHERE bucket IN ({_buckets})),
+        s AS (SELECT e.vec_id,
+                     round(sum(e.v * q.qv) / (sqrt(sum(e.v * e.v)) *
+                           {qnorm!r}), 6) AS score
+              FROM e JOIN q ON e.i = q.i
+              WHERE e.vec_id IN (SELECT vec_id FROM cand)
+              GROUP BY e.vec_id)
+        SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+    """
+    sqls["emb_lsh_dups"] = f"""
+        WITH {_lsh_cte},
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id),
+        dt AS (SELECT pr.id_a, pr.id_b, sum(ea.v * eb.v) AS dot,
+                      sqrt(sum(ea.v * ea.v)) AS na,
+                      sqrt(sum(eb.v * eb.v)) AS nb
+               FROM pr JOIN e ea ON ea.vec_id = pr.id_a
+                       JOIN e eb ON eb.vec_id = pr.id_b AND ea.i = eb.i
+               GROUP BY pr.id_a, pr.id_b)
+        SELECT id_a, id_b, round(dot / (na * nb), 6) AS cosine
+        FROM dt WHERE round(dot / (na * nb), 6) >= 0.3
+    """
+
+
+    # pair-level exact oracles for the minhash/simhash DUP queries
+    # (r4 cont.): banding by exact band tuples (Spark buckets by xxhash64
+    # of the same tuples — equal tuples bucket together either way), then
+    # the same exact-Jaccard / hamming verification in SQL
+    _rng64 = np.random.RandomState(42)
+    _A64 = _rng64.randint(1, (1 << 61) - 1, size=64, dtype=np.uint64)
+    _B64 = _rng64.randint(0, (1 << 61) - 1, size=64, dtype=np.uint64)
+    _perms64 = ", ".join(f"({i}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+                         for i, (a, b) in enumerate(zip(_A64, _B64)))
+    _tok250 = f"""
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(coalesce(text,''), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM documents WHERE doc_id < 250
+        ), thash AS (
+          SELECT doc_id, list_transform(tk, t ->
+              list_reduce(list_prepend(0::HUGEINT,
+                  list_transform(range(1, length(t) + 1),
+                                 i -> unicode(substr(t, i, 1))::HUGEINT)),
+                (a, c) -> (a * 131 + c) % {_M61})) AS h
+          FROM toks
+        )"""
+    sqls["minhash_dups"] = f"""
+        WITH {_tok250},
+        padded AS (
+          SELECT doc_id, CASE WHEN len(h) < 3
+                 THEN list_concat(h, list_transform(range(3 - len(h)),
+                                                    i -> 0::HUGEINT))
+                 ELSE h END AS h
+          FROM thash
+        ), shl AS (
+          SELECT doc_id, list_transform(range(1, len(h) - 1),
+              j -> ((h[j] * 1000003 + h[j+1]) * 1000003 + h[j+2]) % {_M61}
+              ) AS s
+          FROM padded
+        ), shu AS (SELECT doc_id, unnest(list_distinct(s)) AS sv FROM shl),
+        sizes AS (SELECT doc_id, len(list_distinct(s)) AS nsh FROM shl),
+        perms(perm, a, b) AS (VALUES {_perms64}),
+        sig AS (
+          SELECT q.doc_id, perms.perm,
+                 min((perms.a * q.sv2 + perms.b) % {_M61}) AS m
+          FROM (SELECT doc_id, unnest(s) AS sv2 FROM shl) q, perms
+          GROUP BY q.doc_id, perms.perm
+        ), bands AS (
+          SELECT doc_id, band, list(m ORDER BY perm) AS tup
+          FROM (SELECT doc_id, perm, m, perm // 4 AS band FROM sig) t
+          GROUP BY doc_id, band
+        ), sized AS (
+          SELECT doc_id, band, tup,
+                 count(*) OVER (PARTITION BY band, tup) AS bsz
+          FROM bands
+        ), keptb AS (SELECT * FROM sized WHERE bsz <= 1000),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM keptb a JOIN keptb b ON a.band = b.band AND a.tup = b.tup
+                                    AND a.doc_id < b.doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c JOIN shu x ON x.doc_id = c.id_a
+                      JOIN shu y ON y.doc_id = c.id_b AND y.sv = x.sv
+          GROUP BY c.id_a, c.id_b
+        ), jac AS (
+          SELECT c.id_a, c.id_b,
+                 round(coalesce(i.ni, 0)::DOUBLE /
+                       (sa.nsh + sb.nsh - coalesce(i.ni, 0)), 6) AS jaccard
+          FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a
+                                       AND i.id_b = c.id_b
+               JOIN sizes sa ON sa.doc_id = c.id_a
+               JOIN sizes sb ON sb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """
+    sqls["simhash_dups"] = f"""
+        WITH {_tok250},
+        th AS (SELECT doc_id, CAST(unnest(h) AS BIGINT) AS hv FROM thash),
+        bits AS (
+          SELECT doc_id, r.range AS bit,
+                 sum(CASE WHEN (hv >> r.range) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS v
+          FROM th, range(61) r GROUP BY doc_id, r.range
+        ), sim0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit)
+                          ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id
+        ), sim AS (
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 250) d
+          LEFT JOIN sim0 s USING (doc_id)
+        ), ch AS (
+          SELECT doc_id, simhash, b.range AS band,
+                 (simhash >> (b.range * 16)) & 65535 AS chunk
+          FROM sim, range(4) b
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS sa, b.simhash AS sb
+          FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
+                              AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+    """
+
+
+    # exact SPHERICAL Visvalingam oracle (r4 cont.): same recursive removal
+    # loop as simplify_vis with the 3D triangle-area metric over
+    # lngLatToXYZ coordinates (triangleArea3D det-sum form); DuckDB's
+    # cos/sin agree with numpy's on this deterministic grid, verified
+    # value-exact
+    sqls["simplify_spherical"] = """
+WITH RECURSIVE base AS (
+  SELECT arc_id,
+         list_transform(range(0, 33), j -> cos(radians(CAST(j AS DOUBLE))) * cos(radians((CAST((arc_id*31 + j*17) % 13 AS DOUBLE) * 0.25))) * 6378137.0) AS xx,
+         list_transform(range(0, 33), j -> sin(radians(CAST(j AS DOUBLE))) * cos(radians((CAST((arc_id*31 + j*17) % 13 AS DOUBLE) * 0.25))) * 6378137.0) AS yy,
+         list_transform(range(0, 33), j -> sin(radians((CAST((arc_id*31 + j*17) % 13 AS DOUBLE) * 0.25))) * 6378137.0) AS zz
+  FROM range(0, 100) t(arc_id)
+), f AS (
+  SELECT arc_id, xx, yy, zz,
+         list_transform(range(0, 33), j -> j) AS alive,
+         list_transform(range(0, 33), j ->
+             CASE WHEN j = 0 OR j = 32 THEN 'infinity'::DOUBLE
+                  ELSE (0.5 * sqrt(((xx[((j-1))+1]*yy[(j)+1] - xx[((j-1))+1]*yy[((j+1))+1] + xx[(j)+1]*yy[((j+1))+1] - xx[(j)+1]*yy[((j-1))+1] + xx[((j+1))+1]*yy[((j-1))+1] - xx[((j+1))+1]*yy[(j)+1]) * (xx[((j-1))+1]*yy[(j)+1] - xx[((j-1))+1]*yy[((j+1))+1] + xx[(j)+1]*yy[((j+1))+1] - xx[(j)+1]*yy[((j-1))+1] + xx[((j+1))+1]*yy[((j-1))+1] - xx[((j+1))+1]*yy[(j)+1])) + ((xx[((j-1))+1]*zz[(j)+1] - xx[((j-1))+1]*zz[((j+1))+1] + xx[(j)+1]*zz[((j+1))+1] - xx[(j)+1]*zz[((j-1))+1] + xx[((j+1))+1]*zz[((j-1))+1] - xx[((j+1))+1]*zz[(j)+1]) * (xx[((j-1))+1]*zz[(j)+1] - xx[((j-1))+1]*zz[((j+1))+1] + xx[(j)+1]*zz[((j+1))+1] - xx[(j)+1]*zz[((j-1))+1] + xx[((j+1))+1]*zz[((j-1))+1] - xx[((j+1))+1]*zz[(j)+1])) + ((yy[((j-1))+1]*zz[(j)+1] - yy[((j-1))+1]*zz[((j+1))+1] + yy[(j)+1]*zz[((j+1))+1] - yy[(j)+1]*zz[((j-1))+1] + yy[((j+1))+1]*zz[((j-1))+1] - yy[((j+1))+1]*zz[(j)+1]) * (yy[((j-1))+1]*zz[(j)+1] - yy[((j-1))+1]*zz[((j+1))+1] + yy[(j)+1]*zz[((j+1))+1] - yy[(j)+1]*zz[((j-1))+1] + yy[((j+1))+1]*zz[((j-1))+1] - yy[((j+1))+1]*zz[(j)+1])))) END) AS kka,
+         '-infinity'::DOUBLE AS maxv,
+         CAST(NULL AS BIGINT) AS rem, CAST(NULL AS DOUBLE) AS z
+  FROM base
+  UNION ALL
+  SELECT arc_id, xx, yy, zz, new_alive,
+         list_transform(range(1, len(new_alive) + 1), q ->
+             CASE WHEN q = 1 OR q = CAST(len(new_alive) AS BIGINT) THEN 'infinity'::DOUBLE
+                  WHEN q = p - 1 OR q = p THEN
+                    (0.5 * sqrt(((xx[(new_alive[q-1])+1]*yy[(new_alive[q])+1] - xx[(new_alive[q-1])+1]*yy[(new_alive[q+1])+1] + xx[(new_alive[q])+1]*yy[(new_alive[q+1])+1] - xx[(new_alive[q])+1]*yy[(new_alive[q-1])+1] + xx[(new_alive[q+1])+1]*yy[(new_alive[q-1])+1] - xx[(new_alive[q+1])+1]*yy[(new_alive[q])+1]) * (xx[(new_alive[q-1])+1]*yy[(new_alive[q])+1] - xx[(new_alive[q-1])+1]*yy[(new_alive[q+1])+1] + xx[(new_alive[q])+1]*yy[(new_alive[q+1])+1] - xx[(new_alive[q])+1]*yy[(new_alive[q-1])+1] + xx[(new_alive[q+1])+1]*yy[(new_alive[q-1])+1] - xx[(new_alive[q+1])+1]*yy[(new_alive[q])+1])) + ((xx[(new_alive[q-1])+1]*zz[(new_alive[q])+1] - xx[(new_alive[q-1])+1]*zz[(new_alive[q+1])+1] + xx[(new_alive[q])+1]*zz[(new_alive[q+1])+1] - xx[(new_alive[q])+1]*zz[(new_alive[q-1])+1] + xx[(new_alive[q+1])+1]*zz[(new_alive[q-1])+1] - xx[(new_alive[q+1])+1]*zz[(new_alive[q])+1]) * (xx[(new_alive[q-1])+1]*zz[(new_alive[q])+1] - xx[(new_alive[q-1])+1]*zz[(new_alive[q+1])+1] + xx[(new_alive[q])+1]*zz[(new_alive[q+1])+1] - xx[(new_alive[q])+1]*zz[(new_alive[q-1])+1] + xx[(new_alive[q+1])+1]*zz[(new_alive[q-1])+1] - xx[(new_alive[q+1])+1]*zz[(new_alive[q])+1])) + ((yy[(new_alive[q-1])+1]*zz[(new_alive[q])+1] - yy[(new_alive[q-1])+1]*zz[(new_alive[q+1])+1] + yy[(new_alive[q])+1]*zz[(new_alive[q+1])+1] - yy[(new_alive[q])+1]*zz[(new_alive[q-1])+1] + yy[(new_alive[q+1])+1]*zz[(new_alive[q-1])+1] - yy[(new_alive[q+1])+1]*zz[(new_alive[q])+1]) * (yy[(new_alive[q-1])+1]*zz[(new_alive[q])+1] - yy[(new_alive[q-1])+1]*zz[(new_alive[q+1])+1] + yy[(new_alive[q])+1]*zz[(new_alive[q+1])+1] - yy[(new_alive[q])+1]*zz[(new_alive[q-1])+1] + yy[(new_alive[q+1])+1]*zz[(new_alive[q-1])+1] - yy[(new_alive[q+1])+1]*zz[(new_alive[q])+1]))))
+                  ELSE kka[CASE WHEN q < p THEN q ELSE q + 1 END] END) AS kka,
+         z AS maxv, rem, z
+  FROM (
+    SELECT arc_id, xx, yy, zz, alive, kka, maxv,
+           list_position(kka, m) AS p,
+           alive[list_position(kka, m)] AS rem,
+           CASE WHEN m < maxv THEN maxv ELSE m END AS z,
+           list_concat(list_slice(alive, 1, list_position(kka, m) - 1),
+                       list_slice(alive, list_position(kka, m) + 1, len(alive))) AS new_alive
+    FROM (SELECT arc_id, xx, yy, zz, alive, kka, maxv,
+                 list_min(list_slice(kka, 2, len(kka) - 1)) AS m
+          FROM f WHERE len(alive) > 2) s
+  ) g
+),
+zvals AS (SELECT arc_id, sqrt(z) * 0.65 AS z FROM f WHERE rem IS NOT NULL),
+lim AS (
+  SELECT z AS zlimit FROM zvals ORDER BY z
+  LIMIT 1 OFFSET (SELECT CAST(floor(0.5 * (count(*) + 2)) AS BIGINT) - 1 FROM zvals)
+)
+SELECT arc_id, CAST(2 + count(*) FILTER (WHERE z >= (SELECT zlimit FROM lim)) AS INT) AS n_kept
+FROM zvals GROUP BY arc_id ORDER BY arc_id
+"""
+
     sqls["filter_where"] = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
