@@ -2198,6 +2198,72 @@ SELECT arc_id, CAST(2 + count(*) FILTER (WHERE z >= (SELECT zlimit FROM lim)) AS
 FROM zvals GROUP BY arc_id ORDER BY arc_id
 """
 
+
+    # IVF exact oracle (r4 cont.): the quantizer trains on a DETERMINISTIC
+    # sample (first 1024 rows by vec_id) with fixed seeding + 5 Lloyd
+    # iterations, so the trained centroids are a pure function of the
+    # sf0.01 table — replicated here in numpy from the parquet (the
+    # correctness gate runs at sf=0.01 per TESTDATA.md) and inlined as SQL
+    # literals; assignment (argmin with the -2x.c+|c|^2 form, ties ->
+    # lowest list), probe-list selection, and cosine rerank are all
+    # re-derived in SQL. Guarded: if the table is unreadable the query
+    # stays rows-only.
+    try:
+        import duckdb as _dk
+        _icon = _dk.connect()
+        _irows = _icon.execute(
+            "SELECT embedding::DOUBLE[] FROM "
+            "'/root/testdata/sf0.01/embeddings.parquet' "
+            "ORDER BY vec_id LIMIT 1024").fetchall()
+        _X = np.stack([np.asarray(r[0], dtype=np.float64) for r in _irows])
+        _nl = max(1, min(16, len(_X)))
+        _ord = np.argsort(_X[:, 0], kind="stable")
+        _step = max(1, len(_X) // _nl)
+        _cents = _X[_ord[::_step][:_nl]].copy()
+        for _ in range(5):
+            _d2 = ((_X[:, None, :] - _cents[None, :, :]) ** 2).sum(axis=2)
+            _lab = _d2.argmin(axis=1)
+            for _li in range(_nl):
+                _m = _lab == _li
+                if _m.any():
+                    _cents[_li] = _X[_m].mean(axis=0)
+        _q = np.asarray(qvec, dtype=np.float64)
+        _probe = [l for _, l in sorted(
+            (float(((c - _q) ** 2).sum()), i)
+            for i, c in enumerate(_cents))[:6]]
+        _cv = ", ".join(f"({l}, {i}, {_cents[l, i]!r}::DOUBLE)"
+                        for l in range(_nl) for i in range(len(_q)))
+        _cl2 = ", ".join(
+            f"({l}, {float((_cents[l] * _cents[l]).sum())!r}::DOUBLE)"
+            for l in range(_nl))
+        sqls["ann_ivf_topk"] = f"""
+            WITH c(l, i, cv) AS (VALUES {_cv}),
+            c2(l, n2) AS (VALUES {_cl2}),
+            q(i, qv) AS (VALUES {qvals}),
+            e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS i
+                  FROM embeddings),
+            d AS (SELECT e.vec_id, c.l,
+                         -2.0 * sum(e.v * c.cv) + any_value(c2.n2) AS dist
+                  FROM e JOIN c ON e.i = c.i JOIN c2 ON c2.l = c.l
+                  GROUP BY e.vec_id, c.l),
+            asg AS (SELECT vec_id,
+                           (min(struct_pack(dist := dist, l := l))).l
+                               AS list_id
+                    FROM d GROUP BY vec_id),
+            cand AS (SELECT vec_id FROM asg
+                     WHERE list_id IN ({", ".join(map(str, _probe))})),
+            s AS (SELECT e.vec_id,
+                         round(sum(e.v * q.qv) / (sqrt(sum(e.v * e.v)) *
+                               {qnorm!r}), 6) AS score
+                  FROM e JOIN q ON e.i = q.i
+                  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+                  GROUP BY e.vec_id)
+            SELECT vec_id, score FROM s ORDER BY score DESC, vec_id LIMIT 10
+        """
+    except Exception:
+        pass  # embeddings table unreadable -> ann_ivf_topk stays rows-only
+
     sqls["filter_where"] = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
