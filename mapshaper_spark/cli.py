@@ -470,7 +470,9 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
                     prj_pending[path] = (wkt, PJ.wkt_to_proj4(wkt))
                 except ValueError:
                     prj_pending[path] = (wkt, None)  # keep for re-export
-        elif ext in (".csv", ".tsv"):
+        elif ext in (".csv", ".tsv", ".txt"):
+            # .txt = delimited text with a sniffed delimiter
+            # (guessInputType, file-types-test.js 'input.txt' -> 'text')
             enc = str(c.opt("encoding")) if c.opt("encoding") else "UTF-8"
             delim = str(c.opt("delimiter")) if c.opt("delimiter") \
                 else DL.detect_delimiter(path, enc)
@@ -1758,7 +1760,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
                 f.write(payload)
         cat.outputs[key] = payload
         return
-    if fmt in ("csv", "tsv") and path is None:
+    if fmt in ("csv", "tsv", "txt") and path is None:
         _delim_out(cat, c, df, fmt, None)
         return
     if fmt in ("json", "geojson"):
@@ -1799,7 +1801,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
         payload = _topojson_payload(cat, [cat.target], c)
     elif fmt == "svg":
         payload = _svg_payload(cat, [cat.target], c)
-    elif fmt in ("csv", "tsv"):
+    elif fmt in ("csv", "tsv", "txt"):
         _delim_out(cat, c, df, fmt, path)
         return
     elif fmt == "shp":

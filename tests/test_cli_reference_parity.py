@@ -1749,3 +1749,13 @@ class TestIncludeParity:
             '"this.properties.a = a" -o',
             {"in.js": "{a: 'b'}", "data.json": json.dumps([{}])})
         assert _rows(out["data.json"]) == [{"a": "b"}]
+
+
+class TestTxtFormat:
+    # file-types-test.js guessInputType/inferOutputFormat: .txt input is
+    # delimited text (sniffed delimiter), .txt output is dsv preserving
+    # the layer's delimiter
+    def test_txt_round_trip_preserves_delimiter(self, spark):
+        out = apply_commands(spark, "-i d.txt -o out.txt",
+                             {"d.txt": "a|b\n1|2"})
+        assert out["out.txt"] == "a|b\n1|2"
