@@ -184,3 +184,219 @@ class TestAgglomerativeDeterminism:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
         assert out1["o.csv"] == out2["o.csv"] == "g\n1\n1\n1\n0"
+
+
+def _reference_cluster_model(rects, pct=1.0, max_width=None, max_height=None,
+                             max_area=None, groups=None):
+    """Straight serial transcription of mapshaper-cluster.js:15-185 over
+    axis-aligned rectangles (x0, y0, x1, y1) — the single-threaded model
+    the distributed operator must reproduce bit-for-bit. Neighbor pairs
+    come from exact shared segments in forEachArcId order (smaller shape
+    first, first shared segment position within it)."""
+    import math
+
+    mw = float("inf") if max_width is None else max_width
+    mh = float("inf") if max_height is None else max_height
+    ma = float("inf") if max_area is None else max_area
+    n = len(rects)
+
+    def ring(r):
+        x0, y0, x1, y1 = r
+        return [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+
+    def segs(r):
+        pts = ring(r)
+        out = []
+        for i in range(len(pts) - 1):
+            a, b = pts[i], pts[i + 1]
+            out.append((min(a, b), max(a, b)))
+        return out
+
+    items = []
+    for i, r in enumerate(rects):
+        x0, y0, x1, y1 = r
+        area = (x1 - x0) * (y1 - y0)  # CCW ring -> negative in shoelace?
+        # getShapeArea sums signed ring areas; our ring() above is CCW
+        # (counterclockwise -> negative under the reference's CW-positive
+        # convention). The distributed operator reads actual ring data, so
+        # replicate by computing the shoelace over the same ring.
+        pts = ring(r)
+        s = 0.0
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+            s += (ax - pts[0][0]) * (by - pts[0][1]) - \
+                 (ay - pts[0][1]) * (bx - pts[0][0])
+        area = s / 2.0
+        items.append({
+            "ids": [i], "area": area,
+            "bounds": [x0, y0, x1, y1],
+            "cx": (x0 + x1) / 2.0, "cy": (y0 + y1) / 2.0,
+            "group": None if groups is None else groups[i],
+            "friends": [],
+        })
+    # NOTE: centroid of a rectangle ring = center, matching getPathCentroid
+
+    seg_map = {}
+    pair_first = {}
+    order = []
+    for i, r in enumerate(rects):
+        for pos, sgm in enumerate(segs(r)):
+            seg_map.setdefault(sgm, []).append((i, pos))
+    for i, r in enumerate(rects):
+        for pos, sgm in enumerate(segs(r)):
+            for j, _jpos in seg_map[sgm]:
+                if j <= i:
+                    continue
+                key = (i, j)
+                if key not in pair_first:
+                    pair_first[key] = pos
+                    order.append(key)
+    order.sort(key=lambda k: (k[0], pair_first[k]))
+
+    merge_items = []
+    merge_index = {}
+
+    def calc_score(a, b):
+        area = a["area"] + b["area"]
+        dx = a["cx"] - b["cx"]
+        dy = a["cy"] - b["cy"]
+        score = math.sqrt(dx * dx + dy * dy)
+        bx0 = min(a["bounds"][0], b["bounds"][0])
+        by0 = min(a["bounds"][1], b["bounds"][1])
+        bx1 = max(a["bounds"][2], b["bounds"][2])
+        by1 = max(a["bounds"][3], b["bounds"][3])
+        if area > ma or (bx1 - bx0) > mw or (by1 - by0) > mh:
+            return -1.0
+        return score
+
+    for (i, j) in order:
+        a, b = items[i], items[j]
+        if a["group"] != b["group"]:
+            continue
+        item = {"ids": [i, j]}
+        item["score"] = calc_score(a, b)
+        if item["score"] < 0:
+            continue
+        mid = len(merge_items)
+        a["friends"].append(mid)
+        b["friends"].append(mid)
+        merge_items.append(item)
+
+    count = int(math.floor(n * (pct or 1.0) + 0.5))
+    shape_items = list(items)
+
+    def next_item():
+        min_id, mn = -1, math.inf
+        for k, it in enumerate(merge_items):
+            if it is not None and it["score"] < mn:
+                mn = it["score"]
+                min_id = k
+        if min_id == -1:
+            return None
+        it = merge_items[min_id]
+        merge_items[min_id] = None
+        return it
+
+    def cluster_key(it):
+        a, b = it["ids"]
+        return (a, b) if a < b else (b, a)
+
+    while count > 0:
+        count -= 1
+        nxt = next_item()
+        if nxt is None:
+            break
+        ia, ib = nxt["ids"]
+        dest, srcp = shape_items[ia], shape_items[ib]
+        tot = dest["area"] + srcp["area"]
+        k = dest["area"] / tot if tot != 0 else 0.0
+        dest["bounds"] = [min(dest["bounds"][0], srcp["bounds"][0]),
+                          min(dest["bounds"][1], srcp["bounds"][1]),
+                          max(dest["bounds"][2], srcp["bounds"][2]),
+                          max(dest["bounds"][3], srcp["bounds"][3])]
+        dest["area"] = tot
+        dest["ids"] = dest["ids"] + srcp["ids"]
+        dest["cx"] = dest["cx"] * k + srcp["cx"] * (1 - k)
+        dest["cy"] = dest["cy"] * k + srcp["cy"] * (1 - k)
+        merged_id = len(shape_items)
+        shape_items[ia] = None
+        shape_items[ib] = None
+        seen = set()
+        friends = []
+        for f in dest["friends"] + srcp["friends"]:
+            if f not in seen and merge_items[f] is not None:
+                friends.append(f)
+                seen.add(f)
+        dest["friends"] = friends
+        shape_items.append(dest)
+        for f in friends:
+            it = merge_items[f]
+            fa, fb = it["ids"]
+            if fa not in (ia, ib) and fb not in (ia, ib):
+                continue
+            if fa in (ia, ib):
+                fa = merged_id
+            if fb in (ia, ib):
+                fb = merged_id
+            if fa == fb:
+                merge_items[f] = None
+                continue
+            it["ids"] = [fa, fb]
+            key = cluster_key(it)
+            if key in merge_index:
+                merge_items[f] = None
+                continue
+            merge_index[key] = True
+            sc = calc_score(shape_items[fa], shape_items[fb])
+            if sc < 0:
+                merge_items[f] = None
+                continue
+            it["score"] = sc
+
+    out = [None] * n
+    cid = 0
+    for shape in shape_items:
+        if shape is None:
+            continue
+        for i in shape["ids"]:
+            out[i] = cid
+        cid += 1
+    return out
+
+
+class TestClusterDifferential:
+    """Differential fuzz: the distributed agglomeration (components +
+    prefix-max interleave + ranked ids) vs the serial reference model
+    above, over seeded random rectangle mosaics."""
+
+    def _run_case(self, spark, seed):
+        import json
+        import random
+        from mapshaper_spark.cli import apply_commands
+        rnd = random.Random(seed)
+        # random subset of a 5x4 grid of unit cells -> shared edges + gaps
+        rects = []
+        for r in range(4):
+            for c in range(5):
+                if rnd.random() < 0.75:
+                    rects.append((float(c), float(r),
+                                  float(c + 1), float(r + 1)))
+        if len(rects) < 2:
+            return
+        pct = rnd.choice([1.0, 0.5, 0.25])
+        mh = rnd.choice([None, 1.0, 2.0])
+        expected = _reference_cluster_model(rects, pct=pct, max_height=mh)
+        gc = {"type": "GeometryCollection", "geometries": [
+            {"type": "Polygon",
+             "coordinates": [[[x0, y0], [x0, y1], [x1, y1], [x1, y0],
+                              [x0, y0]]]}
+            for (x0, y0, x1, y1) in rects]}
+        cmd = f"-cluster pct={pct}" + \
+            (f" max-height={mh}" if mh is not None else "")
+        out = apply_commands(spark, f"-i p.json {cmd} -o o.csv format=csv",
+                             {"p.json": json.dumps(gc)})
+        got = [int(v) for v in out["o.csv"].strip().split("\n")[1:]]
+        assert got == expected, (seed, pct, mh, got, expected)
+
+    def test_seeded_cases(self, spark):
+        for seed in range(6):
+            self._run_case(spark, seed)
