@@ -1304,6 +1304,16 @@ def q_simplify_vis(spark, sf_dir):
     return kept.select("arc_id", F.col("n").alias("n_kept"))
 
 
+def q_simplify_wvis(spark, sf_dir):
+    """The DEFAULT simplify method (weighted Visvalingam, inverse-cosine
+    weighting 0.7) with an exact recursive-CTE oracle (r4 cont.)."""
+    arcs = _synthetic_arcs(spark, 150)
+    with_z, zlimit = SI.simplify(arcs, method="weighted_visvalingam",
+                                 pct=0.4)
+    kept = SI.apply_zlimit(with_z, zlimit)
+    return kept.select("arc_id", F.col("n").alias("n_kept"))
+
+
 def q_simplify_dp(spark, sf_dir):
     """DP thresholds + exact global rank threshold; the oracle replays
     procSegment (parent clamp, last-max-index ties) as a recursive CTE —
@@ -1690,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_dups": q_emb_lsh_dups,
         "simplify_vis": q_simplify_vis,
         "simplify_spherical": q_simplify_spherical,
+        "simplify_wvis": q_simplify_wvis,
         "subdivide": q_subdivide,
         "filter_where": q_filter_where,
         "project_fields": q_project_fields,
@@ -2263,6 +2274,49 @@ FROM zvals GROUP BY arc_id ORDER BY arc_id
         """
     except Exception:
         pass  # embeddings table unreadable -> ann_ivf_topk stays rows-only
+
+
+    # exact WEIGHTED Visvalingam oracle (r4 cont.): the engine's DEFAULT
+    # simplify method — inverse-cosine weighting (-cos*0.7 + 1) * area in
+    # the same recursive removal replay
+    sqls["simplify_wvis"] = """
+WITH RECURSIVE f AS (
+  SELECT arc_id,
+         list_transform(range(0, 33), j -> j) AS alive,
+         list_transform(range(0, 33), j ->
+             CASE WHEN j = 0 OR j = 32 THEN 'infinity'::DOUBLE
+                  ELSE (((-(CASE WHEN (sqrt((CAST((j-1) AS DOUBLE) - CAST(j AS DOUBLE))*(CAST((j-1) AS DOUBLE) - CAST(j AS DOUBLE)) + ((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))) * sqrt((CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE))*(CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE)) + ((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)))) > 0 THEN least(1.0, greatest(-1.0, ((CAST((j-1) AS DOUBLE) - CAST(j AS DOUBLE))*(CAST((j+1) AS DOUBLE) - CAST(j AS DOUBLE)) + ((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))) / (sqrt((CAST((j-1) AS DOUBLE) - CAST(j AS DOUBLE))*(CAST((j-1) AS DOUBLE) - CAST(j AS DOUBLE)) + ((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25))) * sqrt((CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE))*(CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE)) + ((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)))))) ELSE 0.0 END)) * 0.7 + 1.0) * abs((((CAST((arc_id*31 + ((j-1))*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)) * (CAST(j AS DOUBLE) - CAST((j+1) AS DOUBLE)) + ((CAST((arc_id*31 + (j)*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + ((j+1))*17) % 13 AS DOUBLE) * 0.25)) * (CAST((j+1) AS DOUBLE) - CAST((j-1) AS DOUBLE))) / 2.0)) END) AS kka,
+         '-infinity'::DOUBLE AS maxv,
+         CAST(NULL AS BIGINT) AS rem, CAST(NULL AS DOUBLE) AS z
+  FROM range(0, 150) t(arc_id)
+  UNION ALL
+  SELECT arc_id, new_alive,
+         list_transform(range(1, len(new_alive) + 1), q ->
+             CASE WHEN q = 1 OR q = CAST(len(new_alive) AS BIGINT) THEN 'infinity'::DOUBLE
+                  WHEN q = p - 1 OR q = p THEN
+                    (((-(CASE WHEN (sqrt((CAST(new_alive[q-1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE))*(CAST(new_alive[q-1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))) * sqrt((CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE))*(CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)))) > 0 THEN least(1.0, greatest(-1.0, ((CAST(new_alive[q-1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE))*(CAST(new_alive[q+1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))) / (sqrt((CAST(new_alive[q-1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE))*(CAST(new_alive[q-1] AS DOUBLE) - CAST(new_alive[q] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25))) * sqrt((CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE))*(CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25))*((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)))))) ELSE 0.0 END)) * 0.7 + 1.0) * abs((((CAST((arc_id*31 + (new_alive[q-1])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)) * (CAST(new_alive[q] AS DOUBLE) - CAST(new_alive[q+1] AS DOUBLE)) + ((CAST((arc_id*31 + (new_alive[q])*17) % 13 AS DOUBLE) * 0.25) - (CAST((arc_id*31 + (new_alive[q+1])*17) % 13 AS DOUBLE) * 0.25)) * (CAST(new_alive[q+1] AS DOUBLE) - CAST(new_alive[q-1] AS DOUBLE))) / 2.0))
+                  ELSE kka[CASE WHEN q < p THEN q ELSE q + 1 END] END) AS kka,
+         z AS maxv, rem, z
+  FROM (
+    SELECT arc_id, alive, kka, maxv,
+           list_position(kka, m) AS p,
+           alive[list_position(kka, m)] AS rem,
+           CASE WHEN m < maxv THEN maxv ELSE m END AS z,
+           list_concat(list_slice(alive, 1, list_position(kka, m) - 1),
+                       list_slice(alive, list_position(kka, m) + 1, len(alive))) AS new_alive
+    FROM (SELECT arc_id, alive, kka, maxv,
+                 list_min(list_slice(kka, 2, len(kka) - 1)) AS m
+          FROM f WHERE len(alive) > 2) s
+  ) g
+),
+zvals AS (SELECT arc_id, sqrt(z) * 0.65 AS z FROM f WHERE rem IS NOT NULL),
+lim AS (
+  SELECT z AS zlimit FROM zvals ORDER BY z
+  LIMIT 1 OFFSET (SELECT CAST(floor(0.6 * (count(*) + 2)) AS BIGINT) - 1 FROM zvals)
+)
+SELECT arc_id, CAST(2 + count(*) FILTER (WHERE z >= (SELECT zlimit FROM lim)) AS INT) AS n_kept
+FROM zvals GROUP BY arc_id ORDER BY arc_id
+"""
 
     sqls["filter_where"] = """
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
