@@ -68,23 +68,90 @@ def compute_thresholds(arcs: DataFrame, method: str = "weighted_visvalingam",
     return arcs.mapInPandas(gen, schema=arcs.schema)
 
 
-def keep_shapes(features: DataFrame, arcs_with_zs: DataFrame,
-                key: str) -> DataFrame:
-    """-simplify keep-shapes: for each feature, pick its largest ring (by
-    bounding-box area, protectShape, mapshaper-keep-shapes.js:22-41) and
-    iteratively lock the highest-threshold removable vertices until the
-    ring's area at retained-interval=Infinity exceeds 1e-10
-    (protectPolygonRing + lockMaxThreshold, keep-shapes.js:45-94: each pass
-    locks EVERY occurrence of the target z within the winning arc).
+def _protect_shape_serial(shape_rows: list, arc_zz: dict,
+                          out_aid: list, out_vidx: list) -> None:
+    """protectShape for ONE shape against the LIVE zz state (keep-shapes.js
+    :22-94): pick the largest ring by bbox area, then iteratively lock the
+    highest-threshold removable vertices (every occurrence of the target z
+    within the winning arc) until the ring's area at
+    retained-interval=Infinity exceeds 1e-10. Mutates ``arc_zz`` in place
+    like the reference's shared zz array."""
+    by_ring: dict = {}
+    for r in shape_rows:
+        by_ring.setdefault(r["ring_idx"], []).append(r)
+    best_ring, best_area = None, -1.0
+    for ring_idx, rows in by_ring.items():
+        xa = np.concatenate([np.asarray(r["xs"]) for r in rows])
+        ya = np.concatenate([np.asarray(r["ys"]) for r in rows])
+        area = float((xa.max() - xa.min()) * (ya.max() - ya.min()))
+        if area > best_area:
+            best_area = area
+            best_ring = ring_idx
+    rows = sorted(by_ring[best_ring], key=lambda r: r["seq"])
+    recs = []
+    for r in rows:
+        aid = int(r["aid"])
+        if aid not in arc_zz:
+            arc_zz[aid] = np.asarray(r["zs"], dtype=np.float64).copy()
+        recs.append([aid,
+                     np.asarray(r["xs"], dtype=np.float64),
+                     np.asarray(r["ys"], dtype=np.float64),
+                     arc_zz[aid],          # LIVE shared array
+                     r["signed"] < 0])
 
-    Returns a new arcs DataFrame with the protected zs. Plan: explode
-    feature->ring->arc refs, join arc data (size-gated broadcast),
-    per-feature iterative lock loop, then update the arcs via a left join +
-    JVM array transform. Deviation: features sharing a collapsed arc each
-    lock against the pristine zs (the reference mutates zz serially, so a
-    later shape may lock fewer vertices); the union applied here retains a
-    superset — shapes are still preserved."""
+    def ring_area_at_inf() -> float:
+        xs_cat, ys_cat = [], []
+        for _, xa, ya, zz, rev in recs:
+            keep = zz == math.inf
+            kx, ky = xa[keep], ya[keep]
+            if rev:
+                kx, ky = kx[::-1], ky[::-1]
+            xs_cat.append(kx)
+            ys_cat.append(ky)
+        xa = np.concatenate(xs_cat)
+        ya = np.concatenate(ys_cat)
+        return abs(K.planar_path_area(xa, ya))
+
+    # protectPolygonRing: minArea epsilon guards f.p.-positive collapsed
+    # rings (keep-shapes.js:48-62)
+    while ring_area_at_inf() <= 1e-10:
+        targ_z, targ_i = 0.0, None
+        for i, (_, _, _, zz, _) in enumerate(recs):
+            finite = zz[zz != math.inf]
+            if len(finite) == 0:
+                continue
+            z = float(finite.max())
+            if z > targ_z:
+                targ_z, targ_i = z, i
+        if targ_i is None:
+            break  # nothing left to lock
+        aid, _, _, zz, _ = recs[targ_i]
+        hits = np.nonzero(zz == targ_z)[0]
+        zz[hits] = math.inf
+        out_aid.extend([aid] * len(hits))
+        out_vidx.extend(int(h) for h in hits)
+
+
+def keep_shapes(features: DataFrame, arcs_with_zs: DataFrame,
+                key: str, max_component_shapes: int = 4096) -> DataFrame:
+    """-simplify keep-shapes with the reference's SERIAL shared-arc
+    semantics: protectShape mutates the global zz in shape order
+    (mapshaper-keep-shapes.js:22-94), so a later shape that shares a
+    collapsed arc with an earlier one sees the earlier locks. Shapes only
+    interact through shared arcs, so connected components of the
+    shape-shares-arc graph replay independently — one applyInPandas kernel
+    per component, shapes processed in ``key`` order (= record order from
+    the CLI), exactly reproducing the reference's global sequence.
+
+    Scale bound: a component larger than ``max_component_shapes`` falls
+    back to the round-3 per-shape approximation (each shape locks against
+    the pristine thresholds; the union is a SUPERSET of the reference's
+    locks — documented in DEVIATIONS.md) rather than serializing a
+    continent-sized mesh through one task.
+
+    Returns a new arcs DataFrame with the protected zs."""
     from mapshaper_spark.layers import absolute_arc_id_col
+    from mapshaper_spark.operators.dedup import dup_clusters
 
     exploded = (features.select(key, F.posexplode("parts").alias("ring_idx", "refs"))
                 .select(key, "ring_idx", F.posexplode("refs").alias("seq", "signed"))
@@ -92,66 +159,39 @@ def keep_shapes(features: DataFrame, arcs_with_zs: DataFrame,
     joined = exploded.join(maybe_broadcast(arcs_with_zs.select(
         F.col("arc_id").alias("aid"), "xs", "ys", "zs")), "aid")
 
+    # connected components over "shapes sharing an arc"
+    sa = exploded.select(key, "aid").distinct()
+    e1 = sa.select(F.col(key).alias("ka"), "aid")
+    e2 = sa.select(F.col(key).alias("kb"), F.col("aid").alias("aid2"))
+    edges = (e1.join(e2, (e1.aid == e2.aid2) & (e1.ka < e2.kb))
+             .select(F.col("ka").alias("id_a"), F.col("kb").alias("id_b"))
+             .distinct())
+    members = sa.select(F.col(key).alias("id")).distinct()
+    comp = (dup_clusters(edges, members, "id")
+            .select(F.col("id").alias(key), F.col("cluster").alias("__kcomp")))
+    joined_c = joined.join(comp, key)
+
     prot_schema = T.StructType([T.StructField("aid", T.LongType()),
                                 T.StructField("vidx", T.IntegerType())])
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        # largest ring by bounding-box area (protectShape uses
-        # getSimpleShapeBounds().area(), keep-shapes.js:27-33)
-        best_ring, best_area = None, -1.0
-        for ring_idx, grp in pdf.groupby("ring_idx"):
-            xa = np.concatenate([np.asarray(r.xs) for r in grp.itertuples()])
-            ya = np.concatenate([np.asarray(r.ys) for r in grp.itertuples()])
-            area = float((xa.max() - xa.min()) * (ya.max() - ya.min()))
-            if area > best_area:
-                best_area = area
-                best_ring = ring_idx
-        grp = pdf[pdf["ring_idx"] == best_ring].sort_values("seq")
-        # arcs oriented by ref sign; zz copies we can mutate like the
-        # reference's replaceInArray does
-        recs = []
-        for r in grp.itertuples():
-            xa = np.asarray(r.xs, dtype=np.float64)
-            ya = np.asarray(r.ys, dtype=np.float64)
-            zz = np.asarray(r.zs, dtype=np.float64).copy()
-            recs.append([int(r.aid), xa, ya, zz, r.signed < 0])
+    def run_comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_aid: list = []
+        out_vidx: list = []
+        arc_zz: dict = {}
+        keys_order = sorted(pdf[key].unique())
+        serial = len(keys_order) <= max_component_shapes
+        for kv in keys_order:
+            rows = pdf[pdf[key] == kv].to_dict("records")
+            if serial:
+                _protect_shape_serial(rows, arc_zz, out_aid, out_vidx)
+            else:
+                # oversized component: pristine-threshold approximation
+                _protect_shape_serial(rows, {}, out_aid, out_vidx)
+        return pd.DataFrame({"aid": pd.Series(out_aid, dtype="int64"),
+                             "vidx": pd.Series(out_vidx, dtype="int32")})
 
-        def ring_area_at_inf() -> float:
-            xs_cat, ys_cat = [], []
-            for _, xa, ya, zz, rev in recs:
-                keep = zz == math.inf
-                kx, ky = xa[keep], ya[keep]
-                if rev:
-                    kx, ky = kx[::-1], ky[::-1]
-                xs_cat.append(kx)
-                ys_cat.append(ky)
-            xa = np.concatenate(xs_cat)
-            ya = np.concatenate(ys_cat)
-            return abs(K.planar_path_area(xa, ya))
-
-        out_aid, out_vidx = [], []
-        # protectPolygonRing: minArea epsilon guards f.p.-positive collapsed
-        # rings (keep-shapes.js:48-62)
-        while ring_area_at_inf() <= 1e-10:
-            targ_z, targ_i = 0.0, None
-            for i, (_, _, _, zz, _) in enumerate(recs):
-                finite = zz[zz != math.inf]
-                if len(finite) == 0:
-                    continue
-                z = float(finite.max())
-                if z > targ_z:
-                    targ_z, targ_i = z, i
-            if targ_i is None:
-                break  # nothing left to lock
-            aid, _, _, zz, _ = recs[targ_i]
-            hits = np.nonzero(zz == targ_z)[0]
-            zz[hits] = math.inf
-            out_aid.extend([aid] * len(hits))
-            out_vidx.extend(int(h) for h in hits)
-        return pd.DataFrame({"aid": out_aid, "vidx": out_vidx})
-
-    protect = (joined.groupBy(key).applyInPandas(lambda pdf: pick(pdf),
-                                                 schema=prot_schema)
+    protect = (joined_c.groupBy("__kcomp").applyInPandas(run_comp,
+                                                         schema=prot_schema)
                .groupBy("aid").agg(F.collect_set("vidx").alias("protect_idx")))
 
     out = arcs_with_zs.join(protect, arcs_with_zs.arc_id == protect.aid, "left") \

@@ -208,3 +208,56 @@ class TestDupClusters:
         ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id int")
         out = DD.dup_clusters(pairs, ids, "doc_id")
         assert out.select("cluster").distinct().count() == 1
+
+
+class TestKeepShapesSerialSharedArcs:
+    def test_shared_arc_locks_are_serial(self, spark):
+        """The reference's protectShape mutates a GLOBAL zz in shape order
+        (keep-shapes.js:45-62), so a later shape sharing a collapsed arc
+        sees the earlier shape's locks and may lock FEWER vertices. Fixture:
+        shape 0 = [0, 1], shape 1 = [~1, 2]; both rings collapse at
+        interval=inf. Shape 0 locks P (arc 1, z=5). Serially, shape 1 then
+        starts already inflated by P and locks NOTHING; the old per-shape
+        pristine approximation would also lock Q (arc 2, z=9)."""
+        import math
+
+        inf = float("inf")
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.5, 1.0], [0.0, 0.000001, 0.0], [inf, 0.1, inf], 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}),
+             (1, [1.0, 0.5, 0.0], [0.0, 1.0, 0.0], [inf, 5.0, inf], 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}),
+             (2, [1.0, 0.5, 0.0], [0.0, -1.0, 0.0], [inf, 9.0, inf], 3,
+              {"xmin": 0.0, "ymin": -1.0, "xmax": 1.0, "ymax": 0.0})],
+            L.ARCS_SCHEMA)
+        feats = spark.createDataFrame(
+            [(0, [[0, 1]]), (1, [[-2, 2]])],
+            "rid int, parts array<array<int>>")
+        out = {r.arc_id: list(r.zs)
+               for r in SI.keep_shapes(feats, arcs, "rid").collect()}
+        # serial reference: P locked by shape 0; shape 1 locks nothing
+        assert out[0] == [inf, 0.1, inf]
+        assert out[1] == [inf, inf, inf]
+        assert out[2] == [inf, 9.0, inf]        # Q NOT locked (z unchanged)
+
+    def test_oversized_component_falls_back_to_pristine(self, spark):
+        """Same fixture with max_component_shapes=1: the component is
+        oversized, so each shape locks against pristine thresholds — the
+        documented superset fallback locks Q too."""
+        inf = float("inf")
+        arcs = spark.createDataFrame(
+            [(0, [0.0, 0.5, 1.0], [0.0, 0.000001, 0.0], [inf, 0.1, inf], 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}),
+             (1, [1.0, 0.5, 0.0], [0.0, 1.0, 0.0], [inf, 5.0, inf], 3,
+              {"xmin": 0.0, "ymin": 0.0, "xmax": 1.0, "ymax": 1.0}),
+             (2, [1.0, 0.5, 0.0], [0.0, -1.0, 0.0], [inf, 9.0, inf], 3,
+              {"xmin": 0.0, "ymin": -1.0, "xmax": 1.0, "ymax": 0.0})],
+            L.ARCS_SCHEMA)
+        feats = spark.createDataFrame(
+            [(0, [[0, 1]]), (1, [[-2, 2]])],
+            "rid int, parts array<array<int>>")
+        out = {r.arc_id: list(r.zs)
+               for r in SI.keep_shapes(feats, arcs, "rid",
+                                       max_component_shapes=1).collect()}
+        assert out[1] == [inf, inf, inf]
+        assert out[2] == [inf, inf, inf]        # Q locked by the fallback
