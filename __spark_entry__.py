@@ -1648,7 +1648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracles; knn_unbounded + erase_diamond rotate out after three
         # green rounds (family representatives knn_k3 / clip_diamond stay)
         "subdivide": q_subdivide,
-        "simplify_dp": q_simplify_dp,
+        # r4 cont.: simplify_wvis (the DEFAULT simplify method, brand-new
+        # exact oracle) takes the #50 slot; simplify_dp (driver-green this
+        # round) rotates just below, still check_oracle-covered
+        "simplify_wvis": q_simplify_wvis,
         # ---- entry #50 boundary: below here = not driver-hash-checked ----
         # (rotated out r3 after two green rounds: area_expr, spherical_area,
         # calc_aggs, events_rollup, dissolve_customers_by_nation, and —
@@ -1659,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all still oracle-checked by tools/check_oracle.py)
         "split_on_grid": q_split_on_grid,
         "polyline_dissolve": q_polyline_dissolve,
+        "simplify_dp": q_simplify_dp,
         "join_first_match": q_join_first_match,
         "knn_unbounded": q_knn_unbounded,
         "erase_diamond": q_erase_diamond,
@@ -1700,7 +1704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_dups": q_emb_lsh_dups,
         "simplify_vis": q_simplify_vis,
         "simplify_spherical": q_simplify_spherical,
-        "simplify_wvis": q_simplify_wvis,
         "subdivide": q_subdivide,
         "filter_where": q_filter_where,
         "project_fields": q_project_fields,
