@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 # boolean flag words per command (reference option definitions,
 # src/cli/mapshaper-options.js)
 _FLAG_WORDS = {
-    "remove-empty", "keep-shapes", "descending", "unjoined", "unmatched",
+    "remove-empty", "keep-shapes", "lock-box", "descending", "unjoined",
+    "unmatched",
     "combine-files", "merge-files", "erase", "centroid", "inner",
     "vertices", "endpoints",
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
@@ -1197,17 +1198,36 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
         pct = float(str(c.opt("percentage")).rstrip("%")) / 100.0
         if pct > 1:
             pct /= 100.0
+    def _threshold(arcs):
+        """thresholds -> edge protection -> retained interval (the
+        reference's simplifyPaths order: protection modifies zz BEFORE
+        setRetainedPct reads the quantile, mapshaper-simplify.js:57-68).
+        Spherical auto-detection: decimal-degree-looking bounds simplify
+        on the 3D sphere unless 'planar' (useSphericalSimplify :51-53)."""
+        b = arcs.agg(F.min(F.array_min("xs")), F.min(F.array_min("ys")),
+                     F.max(F.array_max("xs")),
+                     F.max(F.array_max("ys"))).collect()[0]
+        spherical = (not c.flag("planar") and b[0] is not None and
+                     -181 <= b[0] and -91 <= b[1] and
+                     b[2] <= 181 and b[3] <= 91)
+        with_z = SI.compute_thresholds(arcs, method=method,
+                                       spherical=spherical)
+        if spherical:
+            with_z = SI.protect_world_edges(with_z)
+        if c.flag("lock-box"):
+            with_z = SI.protect_content_edges(with_z)
+        if c.opt("interval"):
+            return with_z, c.num("interval")
+        p = 1.0 if pct is None else pct
+        with_z = with_z.cache()
+        return with_z, SI.threshold_for_pct(with_z, p)
+
     if _geometry_kind(df) == "path":
         # polyline layers: each row IS an arc — threshold directly, no
         # shared-arc topology needed (the reference's polyline path)
         arcs = df.withColumn(
             "zs", F.expr("array_repeat(CAST(0.0 AS DOUBLE), size(xs))"))
-        if c.opt("interval"):
-            with_z = SI.compute_thresholds(arcs, method=method)
-            zlimit = c.num("interval")
-        else:
-            with_z, zlimit = SI.simplify(arcs, method=method,
-                                         pct=1.0 if pct is None else pct)
+        with_z, zlimit = _threshold(arcs)
         cat.replace(SI.apply_zlimit(with_z, zlimit).drop("zs"))
         return
     if _geometry_kind(df) != "polygon":
@@ -1218,12 +1238,7 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
     # compute_thresholds fills zs in place (schema = input schema)
     arcs = arcs.withColumn(
         "zs", F.expr("array_repeat(CAST(0.0 AS DOUBLE), size(xs))"))
-    if c.opt("interval"):
-        with_z = SI.compute_thresholds(arcs, method=method)
-        zlimit = c.num("interval")
-    else:
-        with_z, zlimit = SI.simplify(arcs, method=method,
-                                         pct=1.0 if pct is None else pct)
+    with_z, zlimit = _threshold(arcs)
     if c.flag("keep-shapes"):
         feats = _features_with_parts(refs, paths, fid)
         with_z = SI.keep_shapes(feats, with_z, fid)

@@ -465,3 +465,65 @@ def simplify_polygons_fast(features: DataFrame, dist: float) -> DataFrame:
             yield out
 
     return features.mapInPandas(gen, schema=features.schema)
+
+
+# ---------------------------------------------------------------------------
+# simplification extent protection (world edges / lock-box)
+# ---------------------------------------------------------------------------
+
+def limit_simplification_extent(arcs_with_zs: DataFrame, bb, hard_limit: bool
+                                ) -> DataFrame:
+    """limitSimplificationExtent (mapshaper-simplify.js:123-143): vertices
+    at or beyond the ``bb`` edges get their threshold raised — to Infinity
+    with ``hard_limit`` (never removed), else to the ARC's max finite
+    threshold (never removed before the arc's other vertices). Existing
+    Infinity locks are never overridden; a no-op when the content stays
+    strictly inside ``bb`` (containsBounds early exit)."""
+    xmin, ymin, xmax, ymax = bb
+    b = arcs_with_zs.agg(F.min(F.array_min("xs")), F.min(F.array_min("ys")),
+                         F.max(F.array_max("xs")),
+                         F.max(F.array_max("ys"))).collect()[0]
+    if b[0] is None or (xmin <= b[0] and ymin <= b[1] and
+                        xmax >= b[2] and ymax >= b[3]):
+        return arcs_with_zs
+    inf = float("inf")
+    if hard_limit:
+        lock = F.lit(inf)
+    else:
+        # findMaxThreshold: the arc's largest non-Infinity z, 0 if none
+        lock = F.coalesce(
+            F.array_max(F.filter("zs", lambda z: z != F.lit(inf))),
+            F.lit(0.0))
+    zipped = F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"),
+                          F.col("zs").alias("z"))
+    new_zs = F.transform(zipped, lambda s: F.when(
+        (s["z"] != F.lit(inf)) &
+        ((s["x"] >= F.lit(float(xmax))) | (s["x"] <= F.lit(float(xmin))) |
+         (s["y"] <= F.lit(float(ymin))) | (s["y"] >= F.lit(float(ymax)))),
+        lock).otherwise(s["z"]))
+    return arcs_with_zs.withColumn("zs", new_zs)
+
+
+def protect_world_edges(arcs_with_zs: DataFrame) -> DataFrame:
+    """protectWorldEdges (mapshaper-simplify.js:149-154): on spherical
+    simplify, polar / antimeridian coordinates (within 1e-12 of the world
+    bounds) are never removed before an arc's other vertices
+    (simplify-test.js #protectWorldEdges goldens)."""
+    e = 1e-12
+    return limit_simplification_extent(
+        arcs_with_zs, (-180 + e, -90 + e, 180 - e, 90 - e), hard_limit=False)
+
+
+def protect_content_edges(arcs_with_zs: DataFrame) -> DataFrame:
+    """protectContentEdges (-simplify lock-box, mapshaper-simplify.js:
+    113-118): vertices on the dataset's own bounding box are never removed
+    (simplify-test.js 'protects a square shape')."""
+    e = 1e-14
+    b = arcs_with_zs.agg(F.min(F.array_min("xs")), F.min(F.array_min("ys")),
+                         F.max(F.array_max("xs")),
+                         F.max(F.array_max("ys"))).collect()[0]
+    if b[0] is None:
+        return arcs_with_zs
+    return limit_simplification_extent(
+        arcs_with_zs, (b[0] + e, b[1] + e, b[2] - e, b[3] - e),
+        hard_limit=True)

@@ -1759,3 +1759,64 @@ class TestTxtFormat:
         out = apply_commands(spark, "-i d.txt -o out.txt",
                              {"d.txt": "a|b\n1|2"})
         assert out["out.txt"] == "a|b\n1|2"
+
+
+class TestSimplifyEdgeProtection:
+    """simplify-test.js: lock-box + #protectWorldEdges goldens."""
+
+    # simplify-test.js:87-99 lock-box protects a square at 0%
+    def test_lock_box_protects_square(self, spark):
+        square = {"type": "Polygon",
+                  "coordinates": [[[0, 0], [0, 1], [2, 1], [2, 0], [0, 0]]]}
+        out = apply_commands(spark, "-i sq.json -simplify 0% lock-box -o",
+                             {"sq.json": json.dumps(square)})
+        got = json.loads(out["sq.json"])
+        geom = got["geometries"][0] if "geometries" in got else \
+            got["features"][0]["geometry"]
+        assert geom == square
+
+    # simplify-test.js:206-221 world edges get the arc's max threshold
+    def test_protect_world_edges_golden(self, spark):
+        import mapshaper_spark.operators.simplify as SI
+        inf = float("inf")
+        arcs = spark.createDataFrame(
+            [(0, [178.0, 179.0, 180.0, 180.0], [30.0, 31.0, 32.0, 33.0],
+              [inf, 6.0, 4.0, inf], 4, None),
+             (1, [-170.0, -180.0, -160.0, -160.0], [1.0, 2.0, 2.0, 1.0],
+              [inf, 5.0, 8.0, inf], 4, None),
+             (2, [2.0, 3.0, 3.0, 2.0], [90.0, 90.0, 89.0, 88.0],
+              [inf, 1.0, 4.0, inf], 4, None),
+             (3, [3.0, 4.0, 3.0, 4.0], [-79.0, -84.0, -90.0, -80.0],
+              [inf, 5.0, 8.0, inf], 4, None)],
+            "arc_id long, xs array<double>, ys array<double>, "
+            "zs array<double>, n int, bbox struct<xmin:double,ymin:double,"
+            "xmax:double,ymax:double>")
+        out = {r.arc_id: list(r.zs)
+               for r in SI.protect_world_edges(arcs).collect()}
+        assert out[0] == [inf, 6.0, 6.0, inf]
+        assert out[1] == [inf, 8.0, 8.0, inf]
+        assert out[2] == [inf, 4.0, 4.0, inf]
+        assert out[3] == [inf, 5.0, 8.0, inf]
+
+    # simplify-test.js:223-235 no interior vertex at the edge -> unchanged
+    def test_world_edges_no_interior_hits(self, spark):
+        import mapshaper_spark.operators.simplify as SI
+        inf = float("inf")
+        arcs = spark.createDataFrame(
+            [(0, [178.0, 179.0, 179.9, 180.0], [30.0, 31.0, 32.0, 33.0],
+              [inf, 6.0, 4.0, inf], 4, None),
+             (1, [-180.0, -179.0, -160.0, -160.0], [1.0, 2.0, 2.0, 1.0],
+              [inf, 5.0, 8.0, inf], 4, None),
+             (2, [2.0, 3.0, 3.0, 2.0], [90.0, 89.9, 89.0, 88.0],
+              [inf, 1.0, 4.0, inf], 4, None),
+             (3, [3.0, 4.0, 3.0, 4.0], [-79.0, -84.0, -89.2, -90.0],
+              [inf, 5.0, 8.0, inf], 4, None)],
+            "arc_id long, xs array<double>, ys array<double>, "
+            "zs array<double>, n int, bbox struct<xmin:double,ymin:double,"
+            "xmax:double,ymax:double>")
+        out = {r.arc_id: list(r.zs)
+               for r in SI.protect_world_edges(arcs).collect()}
+        assert out[0] == [inf, 6.0, 4.0, inf]
+        assert out[1] == [inf, 5.0, 8.0, inf]
+        assert out[2] == [inf, 1.0, 4.0, inf]
+        assert out[3] == [inf, 5.0, 8.0, inf]
