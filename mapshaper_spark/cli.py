@@ -1218,6 +1218,10 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
             with_z = SI.protect_content_edges(with_z)
         if c.opt("interval"):
             return with_z, c.num("interval")
+        if c.opt("resolution"):
+            return with_z, SI.convert_simplify_resolution(
+                str(c.opt("resolution")), (b[0], b[1], b[2], b[3]),
+                spherical)
         p = 1.0 if pct is None else pct
         with_z = with_z.cache()
         return with_z, SI.threshold_for_pct(with_z, p)

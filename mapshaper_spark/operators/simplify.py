@@ -527,3 +527,62 @@ def protect_content_edges(arcs_with_zs: DataFrame) -> DataFrame:
     return limit_simplification_extent(
         arcs_with_zs, (b[0] + e, b[1] + e, b[2] - e, b[3] - e),
         hard_limit=True)
+
+
+# ---------------------------------------------------------------------------
+# -simplify resolution= (screen-resolution-derived interval)
+# ---------------------------------------------------------------------------
+
+def parse_simplify_resolution(raw) -> tuple[float, float]:
+    """parseSimplifyResolution (mapshaper-simplify.js:169-184): a number or
+    'WxH' / 'W H' / 'W,H' string -> (w, h); at least one positive."""
+    if isinstance(raw, (int, float)):
+        w = h = float(raw)
+    else:
+        import re as _re
+        parts = _re.split(r"[x ,]", str(raw))
+        try:
+            w = float(parts[0])
+        except ValueError:
+            w = 0.0
+        if len(parts) == 2:
+            try:
+                h = float(parts[1])
+            except ValueError:
+                h = 0.0
+        else:
+            h = w
+    if not (w >= 0 and h >= 0 and w + h > 0):
+        raise ValueError(f"Invalid simplify resolution: {raw}")
+    return w, h
+
+
+def calc_planar_interval(xres: float, yres: float, width: float,
+                         height: float) -> float:
+    """calcPlanarInterval (mapshaper-simplify.js:186-189)."""
+    fit_width = (xres != 0 and width / height > xres / yres) or yres == 0
+    return width / xres if fit_width else height / yres
+
+
+def calc_spherical_interval(xres: float, yres: float, bounds) -> float:
+    """calcSphericalInterval (mapshaper-simplify.js:193-200): content width
+    = parallel-arc length through the bbox center."""
+    xmin, ymin, xmax, ymax = bounds
+    d2r = math.pi / 180.0
+    r = 6378137.0
+    width = (xmax - xmin) * d2r * r * math.cos((ymin + ymax) / 2.0 * d2r)
+    height = (ymax - ymin) * d2r * r
+    return calc_planar_interval(xres, yres, width, height)
+
+
+def convert_simplify_resolution(param, bounds, spherical: bool) -> float:
+    """convertSimplifyResolution (mapshaper-simplify.js:214-228): interval
+    from an output resolution, scaled to DOUBLE the resolution (the *0.5:
+    single-pixel resolution creates visible artifacts)."""
+    w, h = parse_simplify_resolution(param)
+    if spherical:
+        interval = calc_spherical_interval(w, h, bounds)
+    else:
+        xmin, ymin, xmax, ymax = bounds
+        interval = calc_planar_interval(w, h, xmax - xmin, ymax - ymin)
+    return interval * 0.5

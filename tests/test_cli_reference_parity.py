@@ -1820,3 +1820,42 @@ class TestSimplifyEdgeProtection:
         assert out[1] == [inf, 5.0, 8.0, inf]
         assert out[2] == [inf, 1.0, 4.0, inf]
         assert out[3] == [inf, 5.0, 8.0, inf]
+
+
+class TestSimplifyResolutionAndZero:
+    # simplify-test.js:41-54 resolution=100x100 keeps a small line intact
+    def test_resolution_keeps_small_line(self, spark):
+        line = {"type": "LineString",
+                "coordinates": [[0, 0], [0, 1], [1, 1], [1, 2]]}
+        out = apply_commands(
+            spark, "-i line.json -simplify resolution=100x100 -o",
+            {"line.json": json.dumps(line)})
+        got = json.loads(out["line.json"])
+        geom = got["geometries"][0] if "geometries" in got else \
+            got["features"][0]["geometry"]
+        assert geom == line
+
+    # simplify-test.js:56-69 -simplify planar 0% removes every removable
+    # vertex
+    def test_planar_zero_pct_removes_all(self, spark):
+        line = {"type": "LineString",
+                "coordinates": [[0, 0], [0, 1], [0.1, 1.1], [0, 1.2],
+                                [0, 2]]}
+        out = apply_commands(
+            spark, "-i in.json -simplify planar 0% -o out.json",
+            {"in.json": json.dumps(line)})
+        got = json.loads(out["out.json"])
+        geom = got["geometries"][0] if "geometries" in got else \
+            got["features"][0]["geometry"]
+        assert geom["coordinates"] == [[0, 0], [0, 2]]
+
+    # simplify-test.js:209-212 parseSimplifyResolution rejects 'x-200'
+    def test_invalid_resolution_raises(self, spark):
+        import pytest as _pytest
+
+        from mapshaper_spark.operators.simplify import \
+            parse_simplify_resolution
+        with _pytest.raises(ValueError):
+            parse_simplify_resolution("x-200")
+        assert parse_simplify_resolution("100x80") == (100.0, 80.0)
+        assert parse_simplify_resolution(50) == (50.0, 50.0)
