@@ -1217,7 +1217,24 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
         if c.flag("lock-box"):
             with_z = SI.protect_content_edges(with_z)
         if c.opt("interval"):
-            return with_z, c.num("interval")
+            # convertSimplifyInterval: '0.5km' -> meters on spherical
+            # data; units are an error on unitless latlong-planar
+            # (simplify-test.js convertSimplifyInterval cases)
+            from mapshaper_spark.geom import units as U
+            raw = c.opt("interval")
+            if spherical:
+                return with_z, U.convert_distance_param(raw, "wgs84")
+            o = U.parse_measure_full(raw)
+            if o.get("units"):
+                latlongish = (b[0] is not None and -181 <= b[0] and
+                              -91 <= b[1] and b[2] <= 181 and b[3] <= 91)
+                if latlongish:
+                    raise ValueError("Parameter does not support distance "
+                                     "units with latlong datasets")
+                # projected coordinates: assume meters (the reference's
+                # to_meter default for projected CRSs)
+                return with_z, o["value"] * U.TO_METERS[o["units"]]
+            return with_z, float(o["value"])
         if c.opt("resolution"):
             return with_z, SI.convert_simplify_resolution(
                 str(c.opt("resolution")), (b[0], b[1], b[2], b[3]),

@@ -1859,3 +1859,42 @@ class TestSimplifyResolutionAndZero:
             parse_simplify_resolution("x-200")
         assert parse_simplify_resolution("100x80") == (100.0, 80.0)
         assert parse_simplify_resolution(50) == (50.0, 50.0)
+
+
+class TestSimplifyIntervalUnits:
+    # simplify-test.js:8-16 wgs84 + '0.5km' -> 500 m interval (spherical)
+    def test_interval_km_on_wgs84(self, spark):
+        line = {"type": "LineString",
+                "coordinates": [[-100, 40], [-101, 42], [-105, 47]]}
+        out = apply_commands(
+            spark, "-i line.json -simplify interval=0.5km -o",
+            {"line.json": json.dumps(line)})
+        got = json.loads(out["line.json"])
+        geom = got["geometries"][0] if "geometries" in got else \
+            got["features"][0]["geometry"]
+        # 500 m tolerance removes nothing from a ~500 km line
+        assert geom == line
+
+    # simplify-test.js:18-27 units + planar latlong is an error
+    def test_interval_units_planar_latlong_errors(self, spark):
+        import pytest as _pytest
+        line = {"type": "LineString",
+                "coordinates": [[-100, 40], [-101, 42], [-105, 47]]}
+        with _pytest.raises(Exception):
+            apply_commands(
+                spark, "-i line.json -simplify planar interval=0.5km -o",
+                {"line.json": json.dumps(line)})
+
+    # simplify-test.js:29-37 bare number + planar passes through
+    def test_interval_bare_number_planar(self, spark):
+        line = {"type": "LineString",
+                "coordinates": [[-100, 40], [-101, 42], [-105, 47]]}
+        out = apply_commands(
+            spark, "-i line.json -simplify planar interval=3 -o",
+            {"line.json": json.dumps(line)})
+        got = json.loads(out["line.json"])
+        geom = got["geometries"][0] if "geometries" in got else \
+            got["features"][0]["geometry"]
+        # interval 3 in coordinate units removes the middle vertex
+        assert geom["coordinates"][0] == [-100, 40]
+        assert geom["coordinates"][-1] == [-105, 47]
