@@ -50,7 +50,7 @@ _FLAG_WORDS = {
     "no-gap-fill", "planar", "force", "each", "closed", "geometry",
     "postprocess", "debug", "final", "bbox", "snap", "auto-snap",
     "no-quantization", "singles", "no-point-quantization", "cut-table",
-    "naive", "no-topology",
+    "naive", "no-topology", "no-repair", "stats",
 }
 
 # named options the grammar recognizes; any other k=v token is a positional
@@ -1260,6 +1260,10 @@ def _cmd_simplify(cat: Catalog, c: Command) -> None:
     arcs = arcs.withColumn(
         "zs", F.expr("array_repeat(CAST(0.0 AS DOUBLE), size(xs))"))
     with_z, zlimit = _threshold(arcs)
+    if not c.flag("no-repair") and zlimit > 0:
+        # the reference repairs simplification-introduced intersections by
+        # DEFAULT (mapshaper-simplify.js:34-36); no-repair opts out
+        with_z = SI.post_simplify_repair(with_z, zlimit)
     if c.flag("keep-shapes"):
         feats = _features_with_parts(refs, paths, fid)
         with_z = SI.keep_shapes(feats, with_z, fid)

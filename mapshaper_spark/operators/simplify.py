@@ -304,6 +304,15 @@ def post_simplify_repair(arcs_with_zs: DataFrame, zlimit: float,
     """
     from mapshaper_spark.operators.topology import find_segment_intersections
 
+    def _unwind_marks(df) -> int:
+        # progress measure: vertices whose z equals zlimit (unwinding sets
+        # exactly that). The reference loops until unwindIntersections
+        # reports ZERO CHANGES (repairIntersections :31-36) — unrepairable
+        # intersections must not spin the loop.
+        return df.select(F.sum(F.size(F.filter(
+            "zs", lambda z: z == F.lit(float(zlimit)))))).collect()[0][0] or 0
+
+    prev_marks = _unwind_marks(arcs_with_zs)
     for _ in range(max_rounds):
         simp = apply_zlimit_with_index(arcs_with_zs, zlimit).cache()
         hits = find_segment_intersections(
@@ -344,6 +353,10 @@ def post_simplify_repair(arcs_with_zs: DataFrame, zlimit: float,
         arcs_with_zs = arcs_with_zs.cache()
         arcs_with_zs.count()
         simp.unpersist()
+        marks = _unwind_marks(arcs_with_zs)
+        if marks == prev_marks:
+            break  # remaining intersections are unrepairable (no changes)
+        prev_marks = marks
     return arcs_with_zs
 
 
