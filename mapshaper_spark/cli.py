@@ -2349,11 +2349,13 @@ def _cmd_include(cat: Catalog, c: Command) -> None:
     scope). A JS object literal runs through the bundled JS interpreter —
     values and FUNCTIONS land in cat.calc_env, where the -each/-filter JS
     fallback resolves them (include-test.js 'imports data and functions').
-    A Python file keeps the engine-native include_defs path. DEVIATION:
+    A Python file keeps the engine-native include_defs path. BOUNDARY:
     the cross-record mutable-accumulator idiom (include-test.js
-    'can be used as an accumulator') is not supported — a distributed
-    -each gives each partition its own copy of the include object; use
-    -calc / -join calc= for aggregation."""
+    'can be used as an accumulator') cannot work distributed — a
+    distributed -each gives each partition its own copy of the include
+    object — so -each/-filter RAISE when an expression mutates an
+    include-scope object (jseach._reject_include_accumulator), naming
+    -calc / -join calc= as the supported spellings."""
     from mapshaper_spark.operators.styling import include_defs
     src = c.values[0] if c.values else str(c.opt("file"))
     content = None

@@ -62,7 +62,8 @@ import re as _re
 
 __all__ = [
     "JSError", "JSSyntaxError", "JSReferenceError", "parse", "evaluate",
-    "run_program", "assigned_vars", "assignment_objects", "UNDEFINED",
+    "run_program", "assigned_vars", "assignment_objects",
+    "mutated_scope_objects", "UNDEFINED",
 ]
 
 
@@ -1938,6 +1939,30 @@ def assignment_objects(src: str) -> list:
             continue
         tgt = node[2]
         # walk down nested members to the base identifier
+        base = tgt
+        while base[0] in ("member", "index"):
+            base = base[1]
+        if tgt[0] in ("member", "index") and base[0] == "id" \
+                and base[1] != "this":
+            if base[1] not in out:
+                out.append(base[1])
+    return out
+
+
+def mutated_scope_objects(src: str) -> list:
+    """Base identifiers of EVERY mutation through a member/index target —
+    plain '=', compound '+='/'-='/…, and '++'/'--' updates — excluding
+    ``this``. Broader than ``assignment_objects`` (which mirrors the
+    reference's plain-'=' regex): used to detect the include-accumulator
+    idiom (include-test.js 'can be used as an accumulator'), where
+    ``counts[type] = …`` / ``totals.n += 1`` mutate a shared include
+    object across records."""
+    out: list = []
+    for node in _walk(parse(src)):
+        if node[0] in ("assign", "update"):
+            tgt = node[2]
+        else:
+            continue
         base = tgt
         while base[0] in ("member", "index"):
             base = base[1]

@@ -219,6 +219,7 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
     rows keep their old values (null for new columns) — each.js:12-19."""
     import re as _re
 
+    _reject_include_accumulator(expression, env)
     ast = J.parse(expression)
     where_ast = J.parse(where) if where else None
     targets = J.assigned_vars(expression)
@@ -310,10 +311,36 @@ def each_js(df: DataFrame, expression: str, where: str | None = None,
     return out_df.drop("fid") if drop_fid else out_df
 
 
+def _reject_include_accumulator(expression: str, env: dict | None) -> None:
+    """The reference's ``-include`` object is a live singleton mutated
+    across records (include-test.js 'can be used as an accumulator':
+    ``counts[type] = type in counts ? counts[type] + 1 : 1``). A
+    distributed -each gives each Arrow batch its own copy of the include
+    scope, so cross-record accumulation would be silently LOST — a later
+    read would see the initial values. Raise loudly instead of diverging
+    silently; -calc / -join calc= are the supported distributed
+    spellings."""
+    if not env:
+        return
+    bare = set(J.assigned_vars(expression))  # locally re-bound names are
+    mutated = [n for n in J.mutated_scope_objects(expression)  # columns
+               if n not in ("$",) and n not in bare
+               and isinstance(env.get(n), (dict, list))]
+    if mutated:
+        raise ValueError(
+            "-each/-filter: expression mutates include-scope object(s) "
+            f"{mutated}. Include objects are not shared across a "
+            "distributed run, so cross-record accumulation (the "
+            "include-test.js accumulator idiom) cannot work here — the "
+            "mutation would be silently lost. Use -calc or "
+            "-join calc= to aggregate across features instead.")
+
+
 def filter_js(df: DataFrame, expression: str,
               env: dict | None = None) -> DataFrame:
     """-filter running the original JS per row; keeps truthy rows.
     Schema is unchanged (pure predicate)."""
+    _reject_include_accumulator(expression, env)
     ast = J.parse(expression)
     getters = _proxy_getters(expression)
     refs = _referenced_names(expression)

@@ -107,41 +107,93 @@ def _try_numeric_columns(df: DataFrame, skip: set) -> DataFrame:
     return df
 
 
+# practically-unmatchable null sentinel: setting the csv reader's
+# nullValue to this keeps empty cells from collapsing to null
+_NULL_SENTINEL = "__MS_NULL_7f3a9c__"
+
+
+def _read_delim_exact(spark: SparkSession, path: str, delimiter: str,
+                      header: str) -> DataFrame:
+    """All-JVM line parse with exact reference empty-vs-missing semantics:
+    ``spark.read.text`` (splittable) + ``from_csv`` + a quote-aware field
+    count per line. A parsed null at position i is a PRESENT empty cell
+    (-> \'\') when i < the line's field count, else a MISSING field
+    (-> null) -- delim-import-test.js 'handle empty fields' vs 'missing
+    fields are filled out with nulls'. The field count strips quoted
+    sections first, so delimiters inside quotes (including RFC4180 doubled
+    quote escapes) don't inflate it. Corners narrowed vs the reference: a
+    data line byte-identical to the header is dropped (line-oriented
+    header skip), and multiline quoted fields are unsupported (as with
+    Spark's default multiLine=false csv reader)."""
+    # column naming via Spark's csv header normalization (dedup/_cN),
+    # consistent with the non-UTF8 path; header-only driver read
+    names = (spark.read.option("header", True)
+             .option("delimiter", delimiter).csv(path).schema.names)
+    # from_csv takes a DDL string; backticks in names are doubled
+    ddl = ", ".join("`%s` STRING" % n.replace("`", "``") for n in names)
+    line = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "^\ufeff", ""), "\r$", "")
+    lines = (spark.read.text(path)
+             .select(line.alias("__ms_line"))
+             .filter((F.col("__ms_line") != header) &
+                     (F.col("__ms_line") != "")))
+    nf = F.size(F.split(
+        F.regexp_replace("__ms_line", '"[^"]*"', ""),
+        _re.escape(delimiter), -1))
+    parsed = lines.select(
+        F.from_csv("__ms_line", F.lit(ddl),
+                   {"sep": delimiter, "nullValue": _NULL_SENTINEL,
+                    "escape": '"'}).alias("__ms_rec"),
+        nf.alias("__ms_nf"))
+    cols = []
+    for i, n in enumerate(names):
+        v = F.col("__ms_rec").getField(n)
+        cols.append(
+            F.when(v.isNull() & (F.lit(i) < F.col("__ms_nf")), F.lit(""))
+            .otherwise(v).alias(n))
+    return parsed.select(*cols)
+
+
 def import_delim(spark: SparkSession, path: str, delimiter: str | None = None,
                  string_fields: Sequence[str] = (),
                  field_types: Mapping[str, str] | None = None,
                  encoding: str = "UTF-8") -> DataFrame:
+    """Reference empty-cell semantics (delim-import-test.js 'handle empty
+    fields' / 'missing fields are filled out with nulls'): a PRESENT but
+    empty cell imports as '' (promoted numeric columns then map '' to
+    null), while a MISSING trailing field (row shorter than the header)
+    imports as null. Spark's csv reader folds both through ``nullValue``,
+    so the UTF-8 path parses lines JVM-side with ``from_csv`` plus a
+    quote-aware per-line field count that tells the two cases apart."""
     if delimiter is None:
         delimiter = detect_delimiter(path, encoding)
-    df = (spark.read
-          .option("header", True)
-          .option("delimiter", delimiter)
-          .option("inferSchema", True)
-          .option("encoding", encoding)
-          .option("nanValue", "NaN")
-          .option("nullValue", "")
-          # the reference never promotes date-like strings (parseNumber
-          # rejects '1980-01-03'; delim-import-test.js 'rejects dates')
-          .option("preferDate", False)
-          .csv(path))
     # unnamed / whitespace-named columns are ignored on import
     # (delim-import-test.js 'ignore unnamed columns')
     with open(path, "r", encoding=encoding, errors="replace") as fh:
         header = _re.split(r"[\n\r]", fh.read(65536), 1)[0]
+    header = header.lstrip("\ufeff")
     blanks = [i for i, name in enumerate(header.split(delimiter))
               if not name.strip()]
+    if encoding.lower().replace("-", "").replace("_", "") in ("utf8", "utf"):
+        df = _read_delim_exact(spark, path, delimiter, header)
+    else:
+        # spark.read.text is UTF-8-only, so non-UTF8 files keep the plain
+        # csv reader: quoted-empty survives as '' via the sentinel
+        # nullValue; unquoted-empty still imports as null (documented
+        # narrow deviation — DEVIATIONS.md CSV row)
+        df = (spark.read
+              .option("header", True)
+              .option("delimiter", delimiter)
+              .option("encoding", encoding)
+              .option("nullValue", _NULL_SENTINEL)
+              .option("escape", '"')  # RFC4180 "" escapes, like d3-dsv
+              .csv(path))
     if blanks:
         keep = [c for i, c in enumerate(df.columns) if i not in blanks]
         df = df.select(*keep)
-    # parseNumber never yields NaN — a 'NaN' cell in an inferSchema-
-    # promoted numeric column becomes null like the reference
-    from pyspark.sql.types import DoubleType, FloatType
-    for fld in df.schema.fields:
-        if isinstance(fld.dataType, (DoubleType, FloatType)):
-            df = df.withColumn(fld.name, F.when(
-                F.isnan(fld.name), F.lit(None)).otherwise(F.col(fld.name)))
-    # reference promotion rules are looser than inferSchema: commas
-    # stripped, NA/NaN tolerated, whitespace trimmed, hex accepted
+    # reference promotion rules (tryNumericField) over the all-string
+    # import: commas stripped, ''/NA/NaN tolerated as null, whitespace
+    # trimmed, hex accepted — never dates, never booleans
     df = _try_numeric_columns(
         df, skip=set(string_fields) |
         {f for f, t in (field_types or {}).items()

@@ -1750,6 +1750,40 @@ class TestIncludeParity:
             {"in.js": "{a: 'b'}", "data.json": json.dumps([{}])})
         assert _rows(out["data.json"]) == [{"a": "b"}]
 
+    # include-test.js:40-50 'can be used as an accumulator': the
+    # reference include object is a live singleton mutated across
+    # records. A distributed -each cannot share that state, so instead
+    # of silently producing unmutated totals we raise, pointing at
+    # -calc / -join calc=.
+    def test_accumulator_idiom_raises_loudly(self, spark):
+        import pytest
+        with pytest.raises(Exception, match="include-scope|accumulat"):
+            apply_commands(
+                spark,
+                '-i in.json -include in.js -each '
+                '"counts[type] = type in counts ? counts[type] + 1 : 1" '
+                '-each "count = counts[type]" -o out.json',
+                {"in.json": json.dumps(
+                    [{"type": "foo"}, {"type": "foo"}, {"type": "bar"}]),
+                 "in.js": "{counts: {}}"})
+
+    # compound / update mutations (totals.n += 1, totals.n++) are the
+    # same idiom and must also raise; a read-only use must NOT
+    def test_accumulator_compound_and_readonly(self, spark):
+        import pytest
+        with pytest.raises(Exception, match="include-scope"):
+            apply_commands(
+                spark,
+                '-i in.json -include in.js -each "totals.n += 1" -o',
+                {"in.json": json.dumps([{"a": 1}]),
+                 "in.js": "{totals: {n: 0}}"})
+        out = apply_commands(
+            spark,
+            '-i in.json -include in.js -each "b = totals.n + a" -o',
+            {"in.json": json.dumps([{"a": 1}]),
+             "in.js": "{totals: {n: 5}}"})
+        assert _rows(out["in.json"]) == [{"a": 1, "b": 6}]
+
 
 class TestTxtFormat:
     # file-types-test.js guessInputType/inferOutputFormat: .txt input is

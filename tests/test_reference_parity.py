@@ -508,9 +508,37 @@ class TestDelimImportParity:
         return df, df.collect()
 
     def test_empty_fields(self, spark, tmp_path):
+        # delim-import-test.js 'handle empty fields': present-but-empty
+        # imports as '' in a string column, null in a promoted numeric one
         df, rows = self._imp(spark, tmp_path, "number,name\n3,foo\n,\n")
         assert [(r.number, r.name) for r in rows] == \
-            [(3, "foo"), (None, None)]  # deviation: '' -> null, not ''
+            [(3, "foo"), (None, "")]
+
+    def test_missing_fields_filled_with_nulls(self, spark, tmp_path):
+        # delim-import-test.js 'missing fields are filled out with nulls':
+        # a short row's absent trailing fields are null (NOT ''), while a
+        # present-but-empty cell on a full row is ''
+        df, rows = self._imp(spark, tmp_path,
+                             "ID,STATE,VALUE\n1\n2,WA,300\n3,,\n")
+        # ID and VALUE promote numeric ('' and missing both -> null there);
+        # STATE stays string: missing -> null, present-empty -> ''
+        assert [(r.ID, r.STATE, r.VALUE) for r in rows] == \
+            [(1.0, None, None), (2.0, "WA", 300.0), (3.0, "", None)]
+
+    def test_extra_fields_dropped(self, spark, tmp_path):
+        # delim-import-test.js 'extra fields are dropped'
+        df, rows = self._imp(spark, tmp_path, "ID,STATE\nx,OR,3000\ny,WA\n")
+        assert [(r.ID, r.STATE) for r in rows] == [("x", "OR"), ("y", "WA")]
+
+    def test_rfc4180_doubled_quotes_and_embedded_delims(self, spark,
+                                                        tmp_path):
+        # d3-dsv quoting: "" escapes a quote; delimiters inside quotes
+        # are data and must not confuse the empty-vs-missing field count
+        df, rows = self._imp(
+            spark, tmp_path,
+            'a,b,c\np,"he said ""hi""",2\nq,"x,y",\nr,,"z"\n')
+        assert [(r.a, r.b, r.c) for r in rows] == \
+            [("p", 'he said "hi"', "2"), ("q", "x,y", ""), ("r", "", "z")]
 
     def test_numeric_with_empty_first_record(self, spark, tmp_path):
         df, rows = self._imp(spark, tmp_path, 'a,b,c\n,"",0\n3,4,5')
