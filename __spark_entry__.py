@@ -1600,29 +1600,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_wintri": q_proj_wintri,  # new r4: rotated in (dissolve_states
         # out — driver-green since r1, still covered by check_oracle)
         "innerlines": q_innerlines,
-        "lines": q_lines,
         "each_regex": q_each_regex,  # new r4: rotated in (neighbors out —
         # driver-green since r1, still covered by check_oracle)
         "each_js": q_each_js,  # new r4: JS-interpreter fallback engine
         # path / ring ops (+ CLI end-to-end, late r3)
         "cli_pipeline": q_cli_pipeline,
-        "filter_islands": q_filter_islands,
-        "filter_slivers": q_filter_slivers,
-        "ring_repair": q_ring_repair,
-        # round-3: distributed close_gaps + exact sorted-sweep snapping get
-        # driver hash rows (points_vertices/points_interpolated rotate out)
-        "close_gaps": q_close_gaps,
-        "snap_sweep": q_snap_sweep,
+        # r5 rotation (VERDICT r04 #10): long-stable rows green 3+ rounds
+        # (filter_islands, filter_slivers, ring_repair, close_gaps,
+        # snap_sweep, data_fill, lines, proj_albersusa) rotate below the
+        # boundary; never-driver-hashed exact oracles rotate in
+        # (ann_lsh_topk, ann_ivf_topk, emb_lsh_dups, word_jaccard,
+        # dedup_exact, simplify_dp, simplify_spherical, and
+        # image_decode_stats — newly exact via the r5 golden parquet).
+        # Everything stays covered by tools/check_oracle.py.
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "emb_lsh_dups": q_emb_lsh_dups,
+        "word_jaccard": q_word_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "simplify_dp": q_simplify_dp,
+        "simplify_spherical": q_simplify_spherical,
+        "image_decode_stats": q_image_decode_stats,
         "clean": q_clean,
-        # joins / calc / fill (join variants rotated out r4 after three
-        # green rounds; join_first_match stays as the family representative)
-        "data_fill": q_data_fill,
         # round-3 operators with NEW exact oracles sit inside the window
         "cluster": q_cluster,
         "fast_simplify": q_fast_simplify,
         # geometry expressions / proj / simplify
         "proj_lcc": q_proj_lcc,
-        "proj_albersusa": q_proj_albersusa,
         # late-r4 projection tail: the two newest exact proj oracles sit
         # inside the window (text_metrics/dedup_exact rotate out after
         # multiple green rounds; check_oracle.py still covers them)
@@ -1661,17 +1665,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_nearest rotates out for svg_export after three green rounds;
         # all still oracle-checked by tools/check_oracle.py)
         "split_on_grid": q_split_on_grid,
+        "filter_islands": q_filter_islands,
+        "filter_slivers": q_filter_slivers,
+        "ring_repair": q_ring_repair,
+        "close_gaps": q_close_gaps,
+        "snap_sweep": q_snap_sweep,
+        "data_fill": q_data_fill,
+        "lines": q_lines,
+        "proj_albersusa": q_proj_albersusa,
         "polyline_dissolve": q_polyline_dissolve,
-        "simplify_dp": q_simplify_dp,
         "join_first_match": q_join_first_match,
         "knn_unbounded": q_knn_unbounded,
         "erase_diamond": q_erase_diamond,
         "text_metrics": q_text_metrics,
-        "dedup_exact": q_dedup_exact,
         "repair_self": q_repair_self,
         "proj_sinu": q_proj_sinu,
         "knn_nearest": q_knn_nearest,
-        "word_jaccard": q_word_jaccard,
         "ngram_jaccard": q_ngram_jaccard,
         "join_calc": q_join_calc,
         "join_is_max": q_join_is_max,
@@ -1696,15 +1705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_bbox_lines": q_clip_bbox_lines,
         "dedup_coords": q_dedup_coords,
         "filter_geom_bbox": q_filter_geom_bbox,
-        "image_decode_stats": q_image_decode_stats,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "emb_lsh_dups": q_emb_lsh_dups,
         "simplify_vis": q_simplify_vis,
-        "simplify_spherical": q_simplify_spherical,
-        "subdivide": q_subdivide,
         "filter_where": q_filter_where,
         "project_fields": q_project_fields,
         "rename_fields": q_rename_fields,
@@ -1890,6 +1893,21 @@ def oracle_sql() -> dict[str, str]:
 
     sqls: dict[str, str] = {}
 
+    # exact golden oracle for image_decode_stats (r5): the corpus is
+    # sf-independent (deterministic synth_images(500) + seed-free
+    # encoders), decoded ONCE at fixture-build time
+    # (tools/make_image_decode_golden.py) and pinned as parquet; codec
+    # correctness is separately established by libpng/libwebp byte-interop
+    # + PSNR tests. DuckDB replays the golden, catching any regression in
+    # the decode/stat pipeline.
+    import os as _os
+    _golden = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "tests", "fixtures",
+                            "image_decode_stats_golden.parquet")
+    if _os.path.exists(_golden):
+        sqls["image_decode_stats"] = (
+            "SELECT image_id, dec_w, dec_h, mean_r, mean_g, mean_b, ahash "
+            f"FROM read_parquet('{_golden}')")
 
     # exact dedup-signature oracles (r4): the minhash/simhash pipelines are
     # replayed value-for-value in DuckDB — codepoint polynomial token hash
