@@ -46,6 +46,14 @@ def _tsfn(phi, sphi, e):
             np.power((1.0 - con) / (1.0 + con), 0.5 * e))
 
 
+def _ssfn(phi, sphi, e):
+    """Conformal-latitude kernel: chi = 2*atan(_ssfn(phi,sin phi,e)) - pi/2
+    (Snyder eq. 3-1, the tan(pi/4 + chi/2) form)."""
+    con = e * sphi
+    return (np.tan(0.5 * (HALFPI + phi)) *
+            np.power((1.0 - con) / (1.0 + con), 0.5 * e))
+
+
 def _phi2(ts, e, iters=15):
     """Inverse of _tsfn by fixed-point iteration (Snyder eq. 7-9)."""
     phi = HALFPI - 2.0 * np.arctan(ts)
@@ -289,6 +297,156 @@ class TransverseMercator(Projection):
         return lam / D2R + self.lon0, phi / D2R
 
 
+def _clenshaw_real(coefs, arg):
+    """sum_j c_j * sin(2j*arg) via real Clenshaw summation (vectorized)."""
+    x2 = 2.0 * np.cos(arg)
+    h1 = np.zeros_like(np.asarray(arg, dtype=np.float64)) + coefs[-1]
+    h2 = np.zeros_like(h1)
+    for c in coefs[-2::-1]:
+        h1, h2 = -h2 + x2 * h1 + c, h1
+    return np.sin(arg) * h1
+
+
+def _clenshaw_cplx(coefs, arg_r, arg_i):
+    """sum_j c_j * sin(j*(arg_r + i*arg_i)) via complex Clenshaw;
+    returns (real, imag) parts (vectorized)."""
+    sr, cr = np.sin(arg_r), np.cos(arg_r)
+    shi, chi = np.sinh(arg_i), np.cosh(arg_i)
+    r = 2.0 * cr * chi
+    im = -2.0 * sr * shi
+    hr = np.zeros_like(r) + coefs[-1]
+    hi = np.zeros_like(r)
+    hr1 = np.zeros_like(r)
+    hi1 = np.zeros_like(r)
+    for c in coefs[-2::-1]:
+        hr2, hi2 = hr1, hi1
+        hr1, hi1 = hr, hi
+        hr = -hr2 + r * hr1 - im * hi1 + c
+        hi = -hi2 + im * hr1 + r * hi1
+    sc = sr * chi
+    cs = cr * shi
+    return sc * hr - cs * hi, sc * hi + cs * hr
+
+
+class ExtendedTransverseMercator(Projection):
+    """etmerc/utm — the EXACT transverse Mercator via the Poder/Engsager
+    6th-order Gauss-Krueger series (Engsager & Poder, ICC 2007; the
+    Koenig & Weise coefficient tables; same algorithm as PROJ's etmerc,
+    accurate to sub-mm out to ~60 deg from the central meridian, valid
+    to +-150 deg). Pipeline: geodetic -> Gaussian (conformal) latitude
+    -> complementary spherical TM -> complex trig series -> ellipsoidal
+    normalized N/E. Verified against PROJ's published quickstart value
+    (utm zone 32, 12E 55N) and near-CM agreement with the Snyder
+    series (tests)."""
+
+    _LON_LIMIT = 2.623395162778  # 150.3 deg in gudermannized easting
+
+    def __init__(self, a, es, lat0=0.0, lon0=0.0, k0=1.0,
+                 x0=0.0, y0=0.0):
+        self.a, self.es = a, es
+        self.lat0, self.lon0, self.k0 = lat0, lon0, k0
+        self.x0, self.y0 = x0, y0
+        f = es / (1.0 + math.sqrt(1.0 - es))   # flattening
+        n = f / (2.0 - f)                       # third flattening
+        # Gaussian <-> geodetic latitude series (KW (51)-(52), (61)-(62))
+        self.cgb = [
+            n * (2 + n * (-2 / 3 + n * (-2 + n * (116 / 45 + n * (
+                26 / 45 + n * (-2854 / 675)))))),
+            n**2 * (7 / 3 + n * (-8 / 5 + n * (-227 / 45 + n * (
+                2704 / 315 + n * (2323 / 945))))),
+            n**3 * (56 / 15 + n * (-136 / 35 + n * (-1262 / 105 + n *
+                (73814 / 2835)))),
+            n**4 * (4279 / 630 + n * (-332 / 35 + n * (-399572 / 14175))),
+            n**5 * (4174 / 315 + n * (-144838 / 6237)),
+            n**6 * (601676 / 22275),
+        ]
+        self.cbg = [
+            n * (-2 + n * (2 / 3 + n * (4 / 3 + n * (-82 / 45 + n * (
+                32 / 45 + n * (4642 / 4725)))))),
+            n**2 * (5 / 3 + n * (-16 / 15 + n * (-13 / 9 + n * (
+                904 / 315 + n * (-1522 / 945))))),
+            n**3 * (-26 / 15 + n * (34 / 21 + n * (8 / 5 + n *
+                (-12686 / 2835)))),
+            n**4 * (1237 / 630 + n * (-12 / 5 + n * (-24832 / 14175))),
+            n**5 * (-734 / 315 + n * (109598 / 31185)),
+            n**6 * (444337 / 155925),
+        ]
+        # normalized meridian quadrant (KW p.50 (96))
+        n2 = n * n
+        self.Qn = k0 / (1 + n) * (1 + n2 * (1 / 4 + n2 * (
+            1 / 64 + n2 / 256)))
+        # spherical <-> ellipsoidal normalized N/E series (KW (65), (69))
+        self.utg = [
+            n * (-0.5 + n * (2 / 3 + n * (-37 / 96 + n * (1 / 360 + n * (
+                81 / 512 + n * (-96199 / 604800)))))),
+            n**2 * (-1 / 48 + n * (-1 / 15 + n * (437 / 1440 + n * (
+                -46 / 105 + n * (1118711 / 3870720))))),
+            n**3 * (-17 / 480 + n * (37 / 840 + n * (209 / 4480 + n *
+                (-5569 / 90720)))),
+            n**4 * (-4397 / 161280 + n * (11 / 504 + n *
+                (830251 / 7257600))),
+            n**5 * (-4583 / 161280 + n * (108847 / 3991680)),
+            n**6 * (-20648693 / 638668800),
+        ]
+        self.gtu = [
+            n * (0.5 + n * (-2 / 3 + n * (5 / 16 + n * (41 / 180 + n * (
+                -127 / 288 + n * (7891 / 37800)))))),
+            n**2 * (13 / 48 + n * (-3 / 5 + n * (557 / 1440 + n * (
+                281 / 630 + n * (-1983433 / 1935360))))),
+            n**3 * (61 / 240 + n * (-103 / 140 + n * (15061 / 26880 + n *
+                (167603 / 181440)))),
+            n**4 * (49561 / 161280 + n * (-179 / 168 + n *
+                (6601661 / 7257600))),
+            n**5 * (34729 / 80640 + n * (-3418889 / 1995840)),
+            n**6 * (212378941 / 319334400),
+        ]
+        # origin-northing offset: true northing = N - Zb
+        Z = float(self._gatg(self.cbg, np.float64(lat0 * D2R)))
+        self.Zb = -self.Qn * (Z + float(_clenshaw_real(
+            self.gtu, np.float64(2.0 * Z))))
+
+    @staticmethod
+    def _gatg(coefs, B):
+        return B + _clenshaw_real(coefs, 2.0 * B)
+
+    def fwd(self, lng, lat):
+        phi = np.asarray(lat, dtype=np.float64) * D2R
+        lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
+        Cn = self._gatg(self.cbg, phi)        # Gaussian latitude
+        sCn, cCn = np.sin(Cn), np.cos(Cn)
+        sCe, cCe = np.sin(lam), np.cos(lam)
+        Cn = np.arctan2(sCn, cCe * cCn)       # compl. spherical lat
+        Ce = np.arcsinh(np.tan(np.arctan2(
+            sCe * cCn, np.hypot(sCn, cCn * cCe))))
+        dn, de = _clenshaw_cplx(self.gtu, 2.0 * Cn, 2.0 * Ce)
+        Cn = Cn + dn
+        Ce = Ce + de
+        bad = np.abs(Ce) > self._LON_LIMIT
+        x = self.a * self.Qn * Ce
+        y = self.a * (self.Qn * Cn + self.Zb)
+        x = np.where(bad, np.inf, x)
+        y = np.where(bad, np.inf, y)
+        return x + self.x0, y + self.y0
+
+    def inv(self, x, y):
+        Ce = (np.asarray(x, dtype=np.float64) - self.x0) / \
+            (self.a * self.Qn)
+        Cn = ((np.asarray(y, dtype=np.float64) - self.y0) / self.a -
+              self.Zb) / self.Qn
+        bad = np.abs(Ce) > self._LON_LIMIT
+        dn, de = _clenshaw_cplx(self.utg, 2.0 * Cn, 2.0 * Ce)
+        Cn = Cn + dn
+        Ce = np.arctan(np.sinh(Ce + de))
+        sCn, cCn = np.sin(Cn), np.cos(Cn)
+        sCe, cCe = np.sin(Ce), np.cos(Ce)
+        lam = np.arctan2(sCe, cCe * cCn)
+        Cn = np.arctan2(sCn * cCe, np.hypot(sCe, cCe * cCn))
+        phi = self._gatg(self.cgb, Cn)
+        phi = np.where(bad, np.nan, phi)
+        lam = np.where(bad, np.nan, lam)
+        return lam / D2R + self.lon0, phi / D2R
+
+
 # Robinson interpolation table (X multiplier, Y multiplier per 5 deg of
 # latitude) — the classic published coefficients
 _ROBINSON_LAT = np.arange(0, 95, 5, dtype=np.float64)
@@ -444,11 +602,14 @@ class LambertAzimuthalEqualArea(Projection):
 
 
 class Stereographic(Projection):
-    """stere. POLAR aspects use the ellipsoidal form (Snyder eq. 21-33..
-    21-34, 15-9); non-polar centers use the SPHERICAL oblique form
-    (eq. 21-2..21-4) — the proj-style double-stereographic oblique
-    ellipsoid is out of scope (documented). Verified by conformality
-    (local scale isotropy) + round-trip (tests)."""
+    """stere — all four aspects, fully ellipsoidal (r5). POLAR: Snyder
+    eq. 21-33..21-34 with 15-9. OBLIQUE/EQUATORIAL ellipsoidal: the
+    conformal-latitude form, Snyder eq. 3-1, 14-15, 21-27..21-39
+    (PP 1395 pp. 160-163) — the same construction as PROJ/mproj
+    pj_stere (equatorial is the chi1=0 specialization, one code path).
+    Spherical non-polar centers keep eq. 21-2..21-4. Verified by
+    ellipsoid-metric conformality (h == k numerically), center scale
+    == k0, and polar-limit agreement (tests)."""
 
     def __init__(self, a, es, lat0=90.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
         self.a, self.es, self.e = a, es, math.sqrt(es)
@@ -460,6 +621,14 @@ class Stereographic(Projection):
         if self.polar and es > 0:
             e = self.e
             self.tfac = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        elif not self.polar and es > 0:
+            p0 = lat0 * D2R
+            s0 = math.sin(p0)
+            # conformal latitude of the center (chi1) and 2*k0*m1
+            chi1 = 2.0 * math.atan(float(_ssfn(p0, s0, self.e))) - HALFPI
+            self.sinX1, self.cosX1 = math.sin(chi1), math.cos(chi1)
+            self.akm1 = 2.0 * k0 * math.cos(p0) / \
+                math.sqrt(1.0 - es * s0 * s0)
 
     def fwd(self, lng, lat):
         lam = (np.asarray(lng, dtype=np.float64) - self.lon0) * D2R
@@ -476,6 +645,20 @@ class Stereographic(Projection):
             y = -rho * np.cos(lam)
             if self.south:
                 x, y = -x, -y
+            return x + self.x0, y + self.y0
+        if self.es > 0:
+            # ellipsoidal oblique/equatorial: project the conformal
+            # sphere (Snyder 21-27..21-29 with chi from 3-1)
+            sp = np.sin(phi)
+            chi = 2.0 * np.arctan(_ssfn(phi, sp, self.e)) - HALFPI
+            sX, cX = np.sin(chi), np.cos(chi)
+            clam = np.cos(lam)
+            denom = self.cosX1 * (1.0 + self.sinX1 * sX +
+                                  self.cosX1 * cX * clam)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                A = self.a * self.akm1 / denom
+            x = A * cX * np.sin(lam)
+            y = A * (self.cosX1 * sX - self.sinX1 * cX * clam)
             return x + self.x0, y + self.y0
         p0 = self.lat0 * D2R
         s0, c0 = math.sin(p0), math.cos(p0)
@@ -502,6 +685,27 @@ class Stereographic(Projection):
             lam = np.where(rho == 0, 0.0, lam)
             if self.south:
                 phi, lam = -phi, -lam
+            return lam / D2R + self.lon0, phi / D2R
+        if self.es > 0:
+            # ellipsoidal oblique/equatorial inverse: Snyder 21-36..21-39
+            # then iterate chi -> phi (eq. 3-4)
+            rho = np.hypot(xp, yp)
+            tp = 2.0 * np.arctan2(rho * self.cosX1, self.a * self.akm1)
+            ct, st = np.cos(tp), np.sin(tp)
+            safe = np.where(rho == 0.0, 1.0, rho)
+            chi = np.arcsin(np.clip(
+                ct * self.sinX1 + yp * st * self.cosX1 / safe, -1.0, 1.0))
+            tchi = np.tan(0.5 * (HALFPI + chi))
+            xn = xp * st
+            yn = rho * self.cosX1 * ct - yp * self.sinX1 * st
+            lam = np.where((xp == 0.0) & (yp == 0.0), 0.0,
+                           np.arctan2(xn, yn))
+            halfe = 0.5 * self.e
+            phi = chi
+            for _ in range(10):
+                con = self.e * np.sin(phi)
+                phi = 2.0 * np.arctan(
+                    tchi * ((1.0 + con) / (1.0 - con)) ** halfe) - HALFPI
             return lam / D2R + self.lon0, phi / D2R
         p0 = self.lat0 * D2R
         s0, c0 = math.sin(p0), math.cos(p0)
@@ -4533,10 +4737,12 @@ def get_projection(defn: str) -> Projection:
                                   k0 if ("k_0" in p or "k" in p) else 1.0,
                                   x0, y0)
     if name == "utm":
+        # mproj's pj_utm delegates to pj_etmerc — exact series (r5)
         zone = int(p["zone"])
         lon0 = zone * 6 - 183
-        return TransverseMercator(a, es, 0.0, lon0, 0.9996, 500000.0,
-                                  10000000.0 if "south" in p else 0.0)
+        return ExtendedTransverseMercator(
+            a, es, 0.0, lon0, 0.9996, 500000.0,
+            10000000.0 if "south" in p else 0.0)
     if name == "robin":
         return Robinson(a, lon0=lon0, x0=x0, y0=y0)
     if name in ("eqc", "platecarree"):
@@ -4742,12 +4948,11 @@ def get_projection(defn: str) -> Projection:
         return RectangularPolyconic(a, lat_ts=float(p.get("lat_ts", 0.0)),
                                     lat0=lat0, lon0=lon0, x0=x0, y0=y0)
     if name == "etmerc":
-        # served by the Snyder-series tmerc kernel (documented
-        # approximation: mproj's etmerc uses the Poder/Engsager
-        # exact series; they agree to mm inside the usual +-4 deg band)
-        return TransverseMercator(a, es, lat0, lon0,
-                                  k0 if ("k_0" in p or "k" in p) else 1.0,
-                                  x0, y0)
+        # exact Poder/Engsager series (r5 — closes the former
+        # Snyder-series approximation deviation)
+        return ExtendedTransverseMercator(
+            a, es, lat0, lon0,
+            k0 if ("k_0" in p or "k" in p) else 1.0, x0, y0)
     if name in ("apian", "ortel", "bacon", "nicol"):
         return Globular(name, a, lon0=lon0, x0=x0, y0=y0)
     if name == "august":

@@ -1492,7 +1492,10 @@ class TestPerspectiveSatelliteTail:
             n2 = np.hypot(float((x2 - x0)[0]), float((y2 - y0)[0]))
             assert abs(dot / (n1 * n2)) < 1e-4, (lg, lt)
 
-    def test_etmerc_serves_tmerc_kernel(self):
+    def test_etmerc_exact_series(self):
+        """etmerc is the exact Poder/Engsager series (r5): near the
+        central meridian it agrees with the Snyder tmerc series to mm,
+        and it round-trips far outside tmerc's validity band."""
         import numpy as np
         from mapshaper_spark.geom.projections import get_projection
         e = get_projection("+proj=etmerc +lon_0=9 +k_0=0.9996 +x_0=500000")
@@ -1501,8 +1504,83 @@ class TestPerspectiveSatelliteTail:
         lt = np.linspace(-80.0, 80.0, 7)
         xa, ya = e.fwd(lg, lt)
         xb, yb = t.fwd(lg, lt)
-        assert np.abs(xa - xb).max() < 1e-9
-        assert np.abs(ya - yb).max() < 1e-9
+        assert np.abs(xa - xb).max() < 2e-3  # Snyder series truncation
+        assert np.abs(ya - yb).max() < 2e-3
+        # round-trip at +-60 deg from the CM (tmerc's series diverges
+        # there; the exact series is sub-mm)
+        lg = np.array([-40.0, -20.0, 40.0, 69.0])
+        lt = np.array([10.0, 70.0, 0.0, 45.0])
+        x, y = e.fwd(lg, lt)
+        lg2, lt2 = e.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-9
+        assert np.abs(lt2 - lt).max() < 1e-9
+
+    def test_utm_matches_proj_published_value(self):
+        """PROJ quickstart: echo 12 55 | proj +proj=utm +zone=32 ->
+        691875.63 6098907.83 (the documentation's worked example)."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        p = get_projection("+proj=utm +zone=32 +datum=WGS84")
+        x, y = p.fwd(np.array([12.0]), np.array([55.0]))
+        assert abs(float(x[0]) - 691875.63) < 0.01
+        assert abs(float(y[0]) - 6098907.83) < 0.01
+
+    def test_stere_oblique_ellipsoidal_conformal(self):
+        """r5: oblique/equatorial stere uses the ellipsoidal
+        conformal-latitude form (Snyder 21-27..21-39). Evidence: local
+        scale is ISOTROPIC w.r.t. the ellipsoid metric (h == k) — the
+        old spherical fallback fails this by ~f — and the center scale
+        equals k0."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import get_projection
+        s = get_projection(
+            "+proj=stere +lat_0=40 +lon_0=-100 +k_0=0.9999 +datum=WGS84")
+        a, es = 6378137.0, 0.0066943799901413165
+        d = 1e-7
+        for lam, phi in [(-100.0, 40.0), (-90.0, 30.0),
+                         (-120.0, 55.0), (-100.0, -10.0)]:
+            x0, y0 = s.fwd(np.array([lam]), np.array([phi]))
+            x1, y1 = s.fwd(np.array([lam]), np.array([phi + d]))
+            x2, y2 = s.fwd(np.array([lam + d]), np.array([phi]))
+            sphi = np.sin(np.radians(phi))
+            M = a * (1 - es) / (1 - es * sphi ** 2) ** 1.5
+            N = a / np.sqrt(1 - es * sphi ** 2)
+            h = float(np.hypot(x1 - x0, y1 - y0)[0]) / (M * np.radians(d))
+            k = float(np.hypot(x2 - x0, y2 - y0)[0]) / \
+                (N * np.cos(np.radians(phi)) * np.radians(d))
+            assert abs(h / k - 1) < 1e-5, (lam, phi, h, k)
+        # center scale == k0
+        x0, y0 = s.fwd(np.array([-100.0]), np.array([40.0]))
+        x1, y1 = s.fwd(np.array([-100.0]), np.array([40.0 + d]))
+        sphi = np.sin(np.radians(40.0))
+        M = a * (1 - es) / (1 - es * sphi ** 2) ** 1.5
+        assert abs(float(np.hypot(x1 - x0, y1 - y0)[0]) /
+                   (M * np.radians(d)) - 0.9999) < 1e-6
+        # round-trip
+        lg = np.array([-100.0, -80.0, -130.0, -100.0])
+        lt = np.array([40.0, 10.0, 60.0, -20.0])
+        x, y = s.fwd(lg, lt)
+        lg2, lt2 = s.inv(x, y)
+        assert np.abs(lg2 - lg).max() < 1e-9
+        assert np.abs(lt2 - lt).max() < 1e-9
+
+    def test_stere_oblique_polar_limit_agreement(self):
+        """The oblique ellipsoidal form at lat_0 -> 90 must converge to
+        the independently-verified polar ellipsoidal form."""
+        import numpy as np
+        from mapshaper_spark.geom.projections import (
+            Stereographic)
+        a, es = 6378137.0, 0.0066943799901413165
+        polar = Stereographic(a, es, lat0=90.0, k0=0.994)
+        nearly = Stereographic(a, es, lat0=89.9989, k0=0.994)
+        lg = np.array([0.0, 45.0, -120.0])
+        lt = np.array([70.0, 80.0, 60.0])
+        xa, ya = polar.fwd(lg, lt)
+        xb, yb = nearly.fwd(lg, lt)
+        # lat_0 offset of ~0.001 deg shifts the origin by ~120 m; the
+        # projected positions must agree to that order, not worse
+        assert np.abs(xa - xb).max() < 300
+        assert np.abs(ya - yb).max() < 300
 
 
 class TestTpeqdIgh:
