@@ -215,6 +215,47 @@ def main():
                  or best_run["loadavg_1m"] >= QUIET_LOAD)
     timings["flagship_image_tiles"] = flagship_s
 
+    # --- skew stress (VERDICT r04 #7): perf evidence for the salted
+    # shuffle fallback under a pathologically hot cell. Two shots over the
+    # same N points on the FORCED shuffle path (broadcast_polys=False):
+    # uniform, and 50% of points collapsed onto ONE location (one Morton
+    # cell). Without salting, the hot shot would pin one reducer with
+    # N/2 rows (~cells/2 x slower); with salting it must stay within ~2x
+    # of uniform. Also asserts the salt actually reached the plan.
+    from pyspark.sql import functions as F
+
+    from mapshaper_spark import layers as LYR
+    from mapshaper_spark.operators import spatial as SP
+    n_skew = int(os.environ.get("MS_BENCH_SKEW_POINTS", 5_000_000))
+    bbox = E.BBOX
+    base = LYR.footprint_cols(LYR.synth_images(spark, n_skew)) \
+        .select("id", "lon", "lat")
+    hot_x = (bbox[0] + bbox[2]) / 2 + 0.001
+    hot_y = (bbox[1] + bbox[3]) / 2 + 0.001
+    skewed = (base
+              .withColumn("lon", F.when(F.col("id") % 2 == 0,
+                                        F.lit(hot_x)).otherwise(F.col("lon")))
+              .withColumn("lat", F.when(F.col("id") % 2 == 0,
+                                        F.lit(hot_y)).otherwise(F.col("lat"))))
+    _, _, skew_polys = E._mosaic_polys(spark)
+    skew_shots = {}
+    salted_in_plan = False
+    for tag, pts in (("uniform", base), ("hot50", skewed)):
+        q = SP.pip_join(pts, "lon", "lat", skew_polys, "rid", bbox=bbox,
+                        res=9, broadcast_polys=False)
+        agg = q.groupBy("rid").agg(F.count(F.lit(1)).alias("n"))
+        materialize(agg)  # warm-up, never recorded
+        best = 1e18
+        for _ in range(2):
+            quiet_budget -= wait_for_quiet(quiet_budget)
+            t0 = time.time()
+            materialize(agg)
+            best = min(best, time.time() - t0)
+        skew_shots[tag] = round(best, 3)
+        if tag == "hot50":
+            salted_in_plan = "pmod" in \
+                q._jdf.queryExecution().executedPlan().toString()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "spatial-join + tile-assignment throughput",
@@ -226,6 +267,14 @@ def main():
         "flagship_sec": flagship_s,
         "flagship_runs": runs,
         "contended": contended,
+        "skew_stress": {
+            "points": n_skew,
+            "uniform_sec": skew_shots["uniform"],
+            "hot50_sec": skew_shots["hot50"],
+            "hot_over_uniform": round(
+                skew_shots["hot50"] / max(skew_shots["uniform"], 1e-9), 3),
+            "salted_in_plan": salted_in_plan,
+        },
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "quiet_gate": QUIET_LOAD,

@@ -1803,7 +1803,7 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
     if fmt in ("csv", "tsv", "txt") and path is None:
         _delim_out(cat, c, df, fmt, None)
         return
-    if fmt in ("json", "geojson"):
+    if fmt in ("json", "geojson", "ndjson", "geojson-seq"):
         geom_cols = {"rings_x", "rings_y", "bbox", "xs", "ys", "n",
                      # import/assembly artifacts are not data fields (the
                      # reference exports only the layer's data table; #174)
@@ -1833,6 +1833,19 @@ def _cmd_o(cat: Catalog, c: Command) -> None:
             kwargs["precision"] = c.num("precision")
         if c.opt("bbox") is True:  # -o bbox flag (geojson-export.js:161)
             kwargs["bbox"] = True
+        if fmt in ("ndjson", "geojson-seq"):
+            # scale-safe sink: distributed directory write, one Feature
+            # (or record, for attribute tables) per line — the only -o
+            # text format with no driver-side document assembly
+            if path is None:
+                raise ValueError(
+                    "-o format=ndjson requires an output path (directory)")
+            if kind == "table":
+                (df.select(*props).write.mode("overwrite").json(path))
+            else:
+                GJ.export_ndjson(df, path, **kwargs)
+            cat.outputs[path] = path
+            return
         out = GJ.export_geojson(df, **kwargs)
         payload = out if isinstance(out, str) else json.dumps(out)
     elif fmt == "topojson":

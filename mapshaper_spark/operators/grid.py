@@ -206,8 +206,13 @@ def subdivide(df: DataFrame, x: str, y: str, max_count: int | None = None,
     Parity (subdivide-test.js): halves of size 1, or that fail to shrink,
     are emitted without re-evaluating the expression; final pieces are
     named '<layer-name-or-split>-<i>' sequentially in left-to-right leaf
-    order (getSplitLayerName). Driver-side recursion (depth ~ log2 n);
-    the median split uses ranked_ids — no single-task global sort."""
+    order (getSplitLayerName). LEVEL-BATCHED (r5): every piece of a
+    recursion level is evaluated in ONE groupBy job (divide expression +
+    bbox + count fused) and every splitting piece is halved in one
+    ranked_ids pass keyed by (piece, axis-value, order), so driver
+    round-trips are O(depth ~ log2 n) instead of O(pieces); the piece
+    path is a bit-string whose lexicographic order IS the serial DFS
+    leaf order (prefix-free binary-tree leaves)."""
     from mapshaper_spark.plans.scale import ranked_ids
 
     if expression is None:
@@ -222,34 +227,69 @@ def subdivide(df: DataFrame, x: str, y: str, max_count: int | None = None,
         df = df.withColumn("__ord", F.monotonically_increasing_id())
     else:
         df = df.withColumn("__ord", F.col(order_col))
-    pieces: list[DataFrame] = []
-
-    def recurse(part: DataFrame, n_rows: int):
-        divide = part.agg(F.expr(sql).alias("__d")).collect()[0]["__d"]
-        if not isinstance(divide, bool):
-            raise ValueError("Expression must evaluate to true or false")
-        if not divide:
-            pieces.append(part)
-            return
-        b = part.agg(F.min(x), F.max(x), F.min(y), F.max(y)).collect()[0]
-        wide = (b[1] - b[0]) > (b[3] - b[2])
-        axis = x if wide else y
-        ranked = ranked_ids(part, [axis, "__ord"], "__rk")
-        n_left = (n_rows + 1) // 2  # i < n/2 keeps ceil(n/2) in the first half
-        halves = [(ranked.filter(F.col("__rk") < n_left).drop("__rk"), n_left),
-                  (ranked.filter(F.col("__rk") >= n_left).drop("__rk"),
-                   n_rows - n_left)]
-        for half, hn in halves:
-            if 1 < hn < n_rows:
-                recurse(half, hn)
-            else:
-                pieces.append(half)
-
-    recurse(df, df.count())
-    out = None
-    for i, part in enumerate(pieces):
-        tagged = part.withColumn(name_field, F.lit(f"{base}-{i + 1}"))
-        out = tagged if out is None else out.unionByName(tagged)
+    spark = df.sparkSession
+    cur = df.withColumn("__piece", F.lit(""))
+    finals: list[DataFrame] = []
+    while True:
+        # persist each level so the next level's jobs start from the
+        # cached frame instead of re-executing the whole split lineage
+        # (same lingering-CacheManager tradeoff as ranked_ids — level
+        # sizes shrink geometrically, so the total cache is ~2n rows)
+        cur = cur.persist()
+        # one job per level: divide expression + count + bbox per piece
+        stats = (cur.groupBy("__piece")
+                 .agg(F.expr(sql).alias("__d"),
+                      F.count(F.lit(1)).alias("__n"),
+                      F.min(x).alias("__x0"), F.max(x).alias("__x1"),
+                      F.min(y).alias("__y0"), F.max(y).alias("__y1"))
+                 .collect())
+        info = []  # (piece, wide, n_left, rank_offset) for splitters
+        off = 0
+        for r in sorted(stats, key=lambda r: r["__piece"]):
+            if not isinstance(r["__d"], bool):
+                raise ValueError("Expression must evaluate to true or false")
+            # size-1 pieces finalize WITHOUT re-splitting (the serial
+            # rule: emitted without re-evaluation — same leaves)
+            if r["__d"] and r["__n"] > 1:
+                info.append((r["__piece"],
+                             (r["__x1"] - r["__x0"]) > (r["__y1"] - r["__y0"]),
+                             (r["__n"] + 1) // 2, off))
+                off += r["__n"]
+        splitting = [p for p, _, _, _ in info]
+        if len(splitting) < len(stats):
+            finals.append(
+                cur.filter(~F.col("__piece").isin(splitting))
+                if splitting else cur)
+        if not splitting:
+            break
+        act = cur.filter(F.col("__piece").isin(splitting))
+        info_df = spark.createDataFrame(
+            info, "__p string, __wide boolean, __nleft long, __off long")
+        act = act.join(F.broadcast(info_df),
+                       act["__piece"] == info_df["__p"]).drop("__p")
+        # rank within piece = global rank over (piece, axis value, order)
+        # minus the piece's broadcast offset — no per-piece jobs, no
+        # single-partition window (ranked_ids range-repartitions)
+        act = act.withColumn(
+            "__key", F.when(F.col("__wide"), F.col(x)).otherwise(F.col(y)))
+        ranked = ranked_ids(act, ["__piece", "__key", "__ord"], "__grk")
+        cur = (ranked.withColumn(
+            "__piece",
+            F.concat("__piece",
+                     F.when(F.col("__grk") - F.col("__off") <
+                            F.col("__nleft"), F.lit("0"))
+                     .otherwise(F.lit("1"))))
+            .drop("__grk", "__key", "__wide", "__nleft", "__off"))
+    out = finals[0]
+    for part in finals[1:]:
+        out = out.unionByName(part)
+    # leaf naming: lexicographic piece order == serial DFS order
+    leaves = sorted(r[0] for r in out.select("__piece").distinct().collect())
+    name_df = spark.createDataFrame(
+        [(p, f"{base}-{i + 1}") for i, p in enumerate(leaves)],
+        f"__p string, {name_field} string")
+    out = (out.join(F.broadcast(name_df), out["__piece"] == name_df["__p"])
+           .drop("__p", "__piece"))
     return out.drop("__ord")
 
 

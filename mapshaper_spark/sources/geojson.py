@@ -197,6 +197,23 @@ def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",
     return df.select(feature.alias("feature_json"))
 
 
+def export_ndjson(df: DataFrame, path: str, **kwargs) -> None:
+    """Newline-delimited GeoJSON sink (engine extension for scale): one
+    Feature per line through a distributed ``df.write.text`` directory
+    write — no driver-side document assembly. The single-file formats
+    (export_geojson / topojson / svg / dsv) are inherently driver-bound
+    by their one-document framing; this is the path for large layers
+    (CLI spelling: ``-o format=ndjson <dir>`` or ``-o out.ndjson``)."""
+    kwargs.pop("bbox", None)  # collection-level member; no wrapper here
+    if not kwargs.get("property_cols"):
+        kwargs = {k: v for k, v in kwargs.items() if k != "property_cols"}
+        feats = to_geojson_features(df, bare_geometry=True, **kwargs)
+    else:
+        feats = to_geojson_features(df, **kwargs)
+    (feats.select(F.col("feature_json").alias("value"))
+     .write.mode("overwrite").text(path))
+
+
 def export_geojson(df: DataFrame, bbox: bool = False, **kwargs) -> str:
     """Driver-side collection assembly (fixture-scale; at scale use
     to_geojson_features + write.text as GeoJSONSeq). A layer with NO
