@@ -231,11 +231,12 @@ def subdivide(df: DataFrame, x: str, y: str, max_count: int | None = None,
     cur = df.withColumn("__piece", F.lit(""))
     finals: list[DataFrame] = []
     while True:
-        # persist each level so the next level's jobs start from the
-        # cached frame instead of re-executing the whole split lineage
-        # (same lingering-CacheManager tradeoff as ranked_ids — level
-        # sizes shrink geometrically, so the total cache is ~2n rows)
-        cur = cur.persist()
+        # eager localCheckpoint each level: materializes the frame AND
+        # truncates the logical plan, so Catalyst analysis stays O(1) per
+        # level instead of growing with depth (the recompute-on-executor-
+        # loss tradeoff is bounded by the O(log n) loop; cf. the same
+        # choice in simplify.post_simplify_repair)
+        cur = cur.localCheckpoint(eager=True)
         # one job per level: divide expression + count + bbox per piece
         stats = (cur.groupBy("__piece")
                  .agg(F.expr(sql).alias("__d"),

@@ -350,8 +350,15 @@ def post_simplify_repair(arcs_with_zs: DataFrame, zlimit: float,
                 yield pdf.drop(columns=["segs", "orig_idx"])
 
         arcs_with_zs = joined.mapInPandas(unwind, schema=arcs_with_zs.schema)
-        arcs_with_zs = arcs_with_zs.cache()
-        arcs_with_zs.count()
+        # localCheckpoint (not cache): each round's frame references the
+        # previous one THREE ways (directly, through spans, and through
+        # simp), so an un-truncated logical plan grows ~4x per round and
+        # Catalyst analysis goes exponential — a 43-arc layer burned 30+
+        # CPU-minutes in the optimizer before this. Eager checkpoint
+        # materializes AND cuts the lineage; the recompute-on-executor-
+        # loss tradeoff (plans/scale.py discussion) is acceptable for a
+        # loop bounded at max_rounds.
+        arcs_with_zs = arcs_with_zs.localCheckpoint(eager=True)
         simp.unpersist()
         marks = _unwind_marks(arcs_with_zs)
         if marks == prev_marks:

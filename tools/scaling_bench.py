@@ -180,11 +180,19 @@ def _live_tree_cpu_seconds(roots: list[int]) -> float:
 class _ShotChild:
     """A persistent lo- or hi-parallelism Spark child driven over stdin."""
 
-    def __init__(self, cores: int, images: int):
+    def __init__(self, cores: int, images: int,
+                 pin_cpus: str | None = None):
         self.cores = cores
         script = CHILD_SERVER.format(repo=REPO, cores=cores, images=images)
+        argv = [sys.executable, "-u", "-c", script]
+        if pin_cpus:
+            # --pin experiment (VERDICT r04 #9): confine the child to an
+            # explicit CPU set so the lo side can't opportunistically
+            # spread its JVM/GC threads across idle cores — separates
+            # scheduler spreading from the memory-bandwidth ceiling
+            argv = ["taskset", "-c", pin_cpus] + argv
         self.proc = subprocess.Popen(
-            [sys.executable, "-u", "-c", script], cwd=REPO,
+            argv, cwd=REPO,
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1)
 
@@ -447,10 +455,13 @@ def _side_summary(cores: int, images: int, shots: list[dict]) -> dict:
 
 
 def measure_pair(n: int, images: int, repeat: int,
-                 quiet_load: float, quiet_wait: float) -> dict:
+                 quiet_load: float, quiet_wait: float,
+                 pin: bool = False) -> dict:
     load, quiet = wait_for_quiet(quiet_load, quiet_wait)
-    lo_child = _ShotChild(n, images)
-    hi_child = _ShotChild(4 * n, images)
+    lo_child = _ShotChild(n, images,
+                          pin_cpus=f"0-{n - 1}" if pin else None)
+    hi_child = _ShotChild(4 * n, images,
+                          pin_cpus=f"0-{4 * n - 1}" if pin else None)
     try:
         lo_child.wait_ready()
         hi_child.wait_ready()
@@ -485,6 +496,7 @@ def measure_pair(n: int, images: int, repeat: int,
         "paired": True,
         "gated": bool(quiet and lo["ran_quiet"] and hi["ran_quiet"]),
         "interleaved": True,
+        "pinned": pin,
         "gate": GATE_VERSION,
         "quiet_load": quiet_load,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -582,6 +594,9 @@ def render_section(rows: list[dict], images: int, since: str,
         # filter: it excludes old passing AND old failing rows alike).
         # Gate v2 = pre+post loadavg AND direct external-cores accounting
         # <= EXT_CORES_LIMIT on both sides of the pair.
+        rs = [r for r in rs if not r.get("pinned")]  # --pin rows are a
+        # separate scheduler-vs-bandwidth experiment, reported below,
+        # never the headline
         gated = [r for r in rs if r.get("gated")
                  and r.get("gate", 1) >= GATE_VERSION]
         ungated = [r for r in rs if r not in gated]
@@ -605,6 +620,21 @@ def render_section(rows: list[dict], images: int, since: str,
                 f"| {axis} | {len(gated)} (<{min_gated}) | UNPROVEN | — | — "
                 f"| {len(ungated)} | n/a | n/a |")
     lines.append("")
+    pinned = [r for r in rows
+              if r.get("pinned") and r.get("images") == images]
+    if pinned:
+        lines.append("CPU-pinned experiment rows (taskset lo->cores 0..N-1,")
+        lines.append("hi->0..4N-1; separates scheduler spreading from the")
+        lines.append("bandwidth ceiling — NOT part of any headline):")
+        lines.append("")
+        for r in sorted(pinned, key=lambda r: r["ts"]):
+            lo, hi = r["low"], r["high"]
+            lines.append(
+                f"- {r['ts']}  PINNED local[{lo['cores']}] {lo['sec']} s / "
+                f"local[{hi['cores']}] {hi['sec']} s -> eff "
+                f"{r['efficiency']:.3f} (gated={r.get('gated')}, "
+                f"clean {lo.get('clean_shots')}/{hi.get('clean_shots')})")
+        lines.append("")
     for axis, gated, med in details:
         lines.append(f"Gated pairs, {axis} (loadavg_1m lo/hi before each shot):")
         lines.append("")
@@ -680,6 +710,9 @@ def main():
                          "(last flagship-path change, commit 8e9336b)")
     ap.add_argument("--out", default=None,
                     help="markdown file whose Scaling section to refresh (omit = JSON only)")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin lo to cores 0..N-1 and hi to "
+                         "0..4N-1 (scheduler-vs-bandwidth experiment)")
     ap.add_argument("--summary-only", action="store_true",
                     help="skip measuring; just rebuild the --out section from the log")
     args = ap.parse_args()
@@ -687,7 +720,8 @@ def main():
     if not args.summary_only:
         for _ in range(args.pairs):
             result = measure_pair(args.n_cores, args.images, args.repeat,
-                                  args.quiet_load, args.quiet_wait)
+                                  args.quiet_load, args.quiet_wait,
+                                  pin=args.pin)
             print(json.dumps(result))
             with open(os.path.join(REPO, "BENCH_SCALING.jsonl"), "a") as f:
                 f.write(json.dumps(result) + "\n")
