@@ -1281,10 +1281,11 @@ def q_image_decode_stats(spark, sf_dir):
     """Every 5th image is encoded as REAL baseline JPEG, every 7th as REAL
     progressive JPEG (SOF2 spectral selection + successive approximation,
     operators/jpeg.py), every 11th as REAL lossless WebP (pure-numpy VP8L,
-    operators/webp.py), every 13th as REAL GIF (LZW, operators/gif.py), and
+    operators/webp.py), every 13th as REAL GIF (LZW, operators/gif.py),
     every 17th as REAL lossy WebP (VP8 intra frame, RFC 6386,
-    operators/vp8.py) so all five non-trivial decode paths run alongside
-    the PNG/PPM rows."""
+    operators/vp8.py), and every 19th as REAL lossless JPEG (SOF3
+    predictive, T.81 Annex H — r5, predictor rotating 1-7 by row id) so
+    all six non-trivial decode paths run alongside the PNG/PPM rows."""
     from mapshaper_spark.operators.images import encode_synthetic_bytes
     imgs = L.synth_images(spark, 500)
     imgs = imgs.withColumn(
@@ -1293,6 +1294,7 @@ def q_image_decode_stats(spark, sf_dir):
                .when(F.col("id") % 11 == 4, F.lit("webp"))
                .when(F.col("id") % 13 == 5, F.lit("gif"))
                .when(F.col("id") % 17 == 6, F.lit("webp_lossy"))
+               .when(F.col("id") % 19 == 7, F.lit("jpeg_lossless"))
                .otherwise(F.col("fmt")))
     return IM.decode_stats(encode_synthetic_bytes(imgs))
 

@@ -215,7 +215,7 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpeg", "jpg", "jpeg_progressive"):
+    if fmt in ("jpeg", "jpg", "jpeg_progressive", "jpeg_lossless"):
         # real JPEG decode (pure numpy + stdlib, operators/jpeg.py) — both
         # baseline (SOF0/1) and progressive (SOF2: spectral selection +
         # successive approximation) streams, dispatched on the SOF marker;
@@ -295,6 +295,12 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
                     blobs.append(encode_gif(px))
                 elif fmt == "jpeg_progressive":
                     blobs.append(encode_jpeg_progressive(px, quality=95))
+                elif fmt == "jpeg_lossless":
+                    from mapshaper_spark.operators.jpeg import \
+                        encode_jpeg_lossless
+                    # predictor varies with the row id for coverage
+                    blobs.append(encode_jpeg_lossless(
+                        px, predictor=1 + int(i) % 7))
                 elif fmt in ("jpeg", "jpg"):
                     blobs.append(encode_jpeg(px, quality=95))
                 else:

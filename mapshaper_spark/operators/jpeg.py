@@ -1,5 +1,7 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) encoder/decoder in pure
-numpy + stdlib — no PIL/libjpeg in this container.
+"""JPEG (ITU-T T.81) encoder/decoder family in pure numpy + stdlib —
+baseline sequential (SOF0/1), progressive (SOF2), and lossless (SOF3).
+No PIL / Python imaging libs in this container; the system libjpeg is
+used ONLY as a test-time reference codec (tests/jpeg_ref.py).
 
 Purpose: the input_hint's per-row invariant for lossy formats is
 "decoded-pixel allclose (PSNR>=40dB)"; with only lossless codecs that gate
@@ -378,7 +380,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC2:
             return _decode_progressive(data)
         elif marker == 0xC3:
-            raise NotImplementedError("lossless (SOF3) JPEG unsupported")
+            return _decode_lossless(data)
         elif marker == 0xC4:
             off = 0
             while off < len(seg):
@@ -702,6 +704,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     coef = None
     hmax = vmax = 1
     mcux = mcuy = 0
+    restart_interval = 0
 
     def comp_geometry(c):
         # non-interleaved scans iterate the component's OWN block grid
@@ -758,7 +761,7 @@ def _decode_progressive(data: bytes) -> np.ndarray:
                 huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder(bits, values)
                 off += 17 + nvals
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ns = seg[0]
             scomps = []
@@ -769,10 +772,23 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             ss, se, ahal = struct.unpack("BBB", seg[1 + 2 * ns:4 + 2 * ns])
             ah, al = ahal >> 4, ahal & 0x0F
             pos += seglen
-            br = _BitReader(data[pos:])
-            _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al,
-                              huff, pred_dc, mcux, mcuy, comp_geometry)
-            pos += br.consumed
+            # progressive + DRI (closed r5): the scan's entropy data
+            # splits at RSTn markers into byte-aligned segments of
+            # restart_interval MCUs (interleaved) / blocks
+            # (non-interleaved, T.81 E.1.4); predictors and EOB runs
+            # reset at each boundary
+            if restart_interval:
+                segments = _split_restart_segments(data[pos:])
+                readers = [_BitReader(s) for s in segments]
+                for s in segments[:-1]:
+                    pos += len(s) + 2      # entropy bytes + RSTn marker
+                pos += readers[-1].consumed
+            else:
+                readers = [_BitReader(data[pos:])]
+                pos += readers[0].consumed
+            _decode_prog_scan(readers, restart_interval, coef, comps,
+                              scomps, ss, se, ah, al, huff, pred_dc,
+                              mcux, mcuy, comp_geometry)
             continue
         pos += seglen
 
@@ -807,8 +823,27 @@ def _decode_progressive(data: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
-                      pred_dc, mcux, mcuy, comp_geometry):
+def _decode_prog_scan(readers, restart_interval, coef, comps, scomps,
+                      ss, se, ah, al, huff, pred_dc, mcux, mcuy,
+                      comp_geometry):
+    br = readers[0]
+    seg_i = 0
+    unit = 0          # restart unit counter: MCUs (interleaved) / blocks
+    eobrun_box = [0]  # shared so a restart can reset the AC EOB run
+
+    def maybe_restart():
+        # T.81 E.1.4: every restart_interval units, entropy decoding
+        # restarts byte-aligned in the next RST segment; DC predictors
+        # and the EOB run reset
+        nonlocal br, seg_i, unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_i += 1
+            br = readers[seg_i]
+            for i in range(len(pred_dc)):
+                pred_dc[i] = 0
+            eobrun_box[0] = 0
+        unit += 1
+
     def read_code(table):
         bits = br.bits
         p = br.pos
@@ -830,6 +865,7 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
         if len(scomps) > 1:  # interleaved MCU order
             for my in range(mcuy):
                 for mx in range(mcux):
+                    maybe_restart()
                     for ci, td, _ta in scomps:
                         c = comps[ci]
                         for by in range(c["v"]):
@@ -848,6 +884,7 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
             nbx, nby = comp_geometry(comps[ci])
             for gy in range(nby):
                 for gx in range(nbx):
+                    maybe_restart()
                     if ah == 0:
                         cat = read_code(huff[(0, td)])
                         diff = _extend(br.read_bits(cat), cat) if cat else 0
@@ -862,15 +899,15 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
     ci, _td, ta = scomps[0]
     act = huff[(1, ta)]
     nbx, nby = comp_geometry(comps[ci])
-    eobrun = 0
     p1 = 1 << al
     m1 = -(1 << al)
     for gy in range(nby):
         for gx in range(nbx):
+            maybe_restart()
             blk = coef[ci][gy, gx]
             if ah == 0:  # first scan for these bits
-                if eobrun > 0:
-                    eobrun -= 1
+                if eobrun_box[0] > 0:
+                    eobrun_box[0] -= 1
                     continue
                 k = ss
                 while k <= se:
@@ -880,9 +917,9 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
                         if r == 15:
                             k += 16
                             continue
-                        eobrun = (1 << r) - 1
+                        eobrun_box[0] = (1 << r) - 1
                         if r:
-                            eobrun += br.read_bits(r)
+                            eobrun_box[0] += br.read_bits(r)
                         break
                     k += r
                     if k > se:
@@ -891,16 +928,16 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
                     k += 1
             else:  # refinement (G.2 / libjpeg decode_mcu_AC_refine)
                 k = ss
-                if eobrun == 0:
+                if eobrun_box[0] == 0:
                     while k <= se:
                         rs = read_code(act)
                         r, s = rs >> 4, rs & 0x0F
                         newval = 0
                         if s == 0:
                             if r < 15:
-                                eobrun = (1 << r)
+                                eobrun_box[0] = (1 << r)
                                 if r:
-                                    eobrun += br.read_bits(r)
+                                    eobrun_box[0] += br.read_bits(r)
                                 break
                             # r == 15: skip 16 zero-history coefficients
                         else:
@@ -919,11 +956,230 @@ def _decode_prog_scan(br, coef, comps, scomps, ss, se, ah, al, huff,
                         if s and k <= se:
                             blk[k] = newval
                         k += 1
-                if eobrun > 0:
+                if eobrun_box[0] > 0:
                     while k <= se:
                         v = int(blk[k])
                         if v != 0 and br.read_bit():
                             if (v & p1) == 0:
                                 blk[k] = v + (p1 if v >= 0 else m1)
                         k += 1
-                    eobrun -= 1
+                    eobrun_box[0] -= 1
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H) — predictive, Huffman-coded
+# ---------------------------------------------------------------------------
+# Closes the r4 codec boundary: medical/raw pipelines (DICOM, DNG) still
+# emit process-14 lossless JPEG. Decoder handles predictors 1-7, point
+# transform, 2-16 bit precision, interleaved 1x1 components, and restart
+# intervals (prediction resets per segment, H.2.1); the encoder emits
+# 8-bit RGB (no color transform — lossless JPEG defines none) with the
+# Annex K DC tables (8-bit diffs need categories 0-8 only).
+
+
+def _lossless_predict(grid, ci, y, x, predictor, P, Pt):
+    if y == 0 and x == 0:
+        return 1 << (P - Pt - 1)
+    if y == 0:
+        return int(grid[ci][y, x - 1])
+    if x == 0:
+        return int(grid[ci][y - 1, x])
+    a = int(grid[ci][y, x - 1])
+    b = int(grid[ci][y - 1, x])
+    c = int(grid[ci][y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"bad lossless predictor {predictor}")
+
+
+def _decode_lossless(data: bytes) -> np.ndarray:
+    pos = 2
+    huff = {}
+    comps = None
+    h = w = None
+    P = 8
+    restart_interval = 0
+    scomps = None
+    predictor = 1
+    Pt = 0
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xC3:
+            P, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, _tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components "
+                        "unsupported (virtually unused: lossless has no "
+                        "frequency domain to subsample in)")
+                comps.append({"id": cid})
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1:off + 17])
+                nvals = sum(bits)
+                values = list(seg[off + 17:off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder(bits, values)
+                off += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack("BB", seg[1 + 2 * i:3 + 2 * i])
+                ci = next(j for j, c in enumerate(comps) if c["id"] == cs)
+                scomps.append((ci, tdta >> 4))
+            predictor, _se, ahal = struct.unpack("BBB",
+                                                 seg[1 + 2 * ns:4 + 2 * ns])
+            Pt = ahal & 0x0F
+            pos += seglen
+            break
+        pos += seglen
+    if comps is None or scomps is None:
+        raise ValueError("missing SOF3/SOS")
+
+    segments = _split_restart_segments(data[pos:]) if restart_interval \
+        else [data[pos:]]
+    readers = [_BitReader(s) for s in segments]
+    seg_i = 0
+    br = readers[0]
+
+    def read_code(table):
+        bits = br.bits
+        p = br.pos
+        code = 0
+        get = table.get
+        for length in range(1, 17):
+            code = (code << 1) | int(bits[p])
+            p += 1
+            v = get((length, code))
+            if v is not None:
+                br.pos = p
+                return v
+        raise ValueError("bad huffman code")
+
+    grid = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    mask = (1 << 16) - 1
+    mcu_i = 0
+    seg_start = (0, 0)  # restart resets prediction as at scan start
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                seg_i += 1
+                br = readers[seg_i]
+                seg_start = (y, x)
+            mcu_i += 1
+            for ci, td in scomps:
+                cat = read_code(huff[(0, td)])
+                if cat == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(cat), cat) if cat else 0
+                # H.2.1: only the FIRST sample after a restart (or of the
+                # scan) takes the default prediction; every other sample
+                # predicts from reconstructed neighbours, which are
+                # available regardless of segment boundaries
+                if (y, x) == seg_start:
+                    px = 1 << (P - Pt - 1)
+                else:
+                    px = _lossless_predict(grid, ci, y, x, predictor, P, Pt)
+                grid[ci][y, x] = (px + diff) & mask
+    out = [(g << Pt) for g in grid]
+    if P <= 8:
+        planes = [np.clip(g, 0, 255).astype(np.uint8) for g in out]
+    else:
+        planes = [np.clip(g >> (P - 8), 0, 255).astype(np.uint8) for g in out]
+    if len(planes) == 3:
+        # lossless JPEG defines no color transform; 3 components = RGB
+        return np.stack(planes, axis=2)
+    return np.stack([planes[0]] * 3, axis=2)
+
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 1,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """RGB8 (h, w, 3) -> lossless JPEG (SOF3, process 14): predictive
+    coding per T.81 Annex H with the chosen predictor (1-7), interleaved
+    RGB at 1x1 sampling, Annex K DC Huffman tables (8-bit differences
+    use categories 0-9). decode_jpeg(encode_jpeg_lossless(px)) == px
+    bit-exactly (point_transform=0)."""
+    h, w, _ = pixels.shape
+    P, Pt = 8, point_transform
+    samples = [pixels[:, :, c].astype(np.int64) >> Pt for c in range(3)]
+    codes = _build_codes(*_HT_DC_L)
+    bw = _BitWriter()
+    grid = [np.zeros((h, w), dtype=np.int64) for _ in range(3)]
+    mask = (1 << 16) - 1
+    mcu_i = 0
+    n_rst = 0
+    seg_start = (0, 0)
+    out_chunks = []
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                out_chunks.append(bytes(bw.buf))
+                out_chunks.append(bytes([0xFF, 0xD0 + (n_rst % 8)]))
+                n_rst += 1
+                bw = _BitWriter()
+                seg_start = (y, x)
+            mcu_i += 1
+            for ci in range(3):
+                v = int(samples[ci][y, x])
+                if (y, x) == seg_start:
+                    px = 1 << (P - Pt - 1)
+                else:
+                    px = _lossless_predict(grid, ci, y, x, predictor, P, Pt)
+                diff = (v - px) & mask
+                if diff >= 32768:
+                    diff -= 65536  # smallest-magnitude representative
+                cat, bits_ = _magnitude(diff)
+                code, ln = codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(bits_, cat)
+                grid[ci][y, x] = v
+    bw.flush()
+    out_chunks.append(bytes(bw.buf))
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xC3" + struct.pack(">HBHHB", 17, P, h, w, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    bits, values = _HT_DC_L
+    out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(values), 0x00) + \
+        bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack("BB", cid, 0x00)
+    out += struct.pack("BBB", predictor, 0, Pt)
+    for chunk in out_chunks:
+        out += chunk
+    out += b"\xFF\xD9"
+    return bytes(out)

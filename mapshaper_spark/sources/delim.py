@@ -7,8 +7,11 @@ column as string, then promotes columns that parse fully numeric
 tolerated), with explicit overrides via field-types=/string-fields=
 (/root/reference/src/cli/mapshaper-options.js:131-132).
 
-Spark's csv reader with inferSchema performs the same all-or-nothing
-numeric promotion; overrides are applied as casts after the fact.
+Import is all-string (UTF-8: spark.read.text + from_csv with the exact
+empty-vs-missing reconstruction in ``_read_delim_exact``; other
+encodings: the csv reader with a sentinel nullValue), then
+``_try_numeric_columns`` applies the reference promotion rules in one
+aggregation job; overrides are applied as casts after the fact.
 """
 
 from __future__ import annotations

@@ -1,0 +1,120 @@
+"""Two-way interop against the SYSTEM libjpeg62-turbo (tests/jpeg_ref.py
+compiles a reference helper with the installed headers) — the same
+evidence pattern as the libpng / libwebp interop suites.
+
+Closes the r4 'progressive + DRI' codec boundary: real libjpeg streams
+with restart intervals, progressive scan scripts (jpeg_simple_progression
+— a DIFFERENT script than our encoder's, so the decoder is tested on
+foreign scan layouts), and both sampling modes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jpeg_ref as R
+from mapshaper_spark.operators import jpeg as J
+
+pytestmark = pytest.mark.skipif(
+    not R.available(), reason="system gcc/libjpeg headers absent")
+
+
+def _fixture(h=70, w=100, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (5, 7, 3)).astype(np.float64)
+    return np.kron(base, np.ones((16, 16, 1)))[:h, :w].astype(np.uint8)
+
+
+class TestDecodeRealLibjpegStreams:
+    @pytest.mark.parametrize("progressive", [False, True])
+    @pytest.mark.parametrize("restart", [0, 1, 3, 7])
+    def test_444_exact_within_idct_rounding(self, progressive, restart):
+        """4:4:4 (no upsampling ambiguity): our decode of a REAL libjpeg
+        stream matches libjpeg's own decode to <=1 gray level (float vs
+        fixed-point IDCT rounding)."""
+        px = _fixture()
+        data = R.encode(px, 90, progressive=progressive,
+                        restart_interval=restart, samp444=True)
+        mine = J.decode_jpeg(data).astype(int)
+        ref = R.decode(data).astype(int)
+        assert np.abs(mine - ref).max() <= 1
+
+    @pytest.mark.parametrize("progressive", [False, True])
+    def test_420_default_sampling(self, progressive):
+        """libjpeg's default 4:2:0: our box upsampling differs from
+        libjpeg's fancy (interpolating) upsampler only in the 1-2 px
+        chroma seam band; away from chroma edges the decodes agree to
+        <=1, and the luma channel-mean is preserved."""
+        px = _fixture()
+        data = R.encode(px, 90, progressive=progressive,
+                        restart_interval=2, samp444=False)
+        mine = J.decode_jpeg(data).astype(float)
+        ref = R.decode(data).astype(float)
+        # interior of each 16x16 tile (2 px margin) has constant chroma:
+        # both upsamplers agree there
+        mask = np.zeros(px.shape[:2], dtype=bool)
+        mask[2:-2, 2:-2] = True
+        for r0 in range(0, px.shape[0], 16):
+            mask[max(r0 - 2, 0):r0 + 2, :] = False
+        for c0 in range(0, px.shape[1], 16):
+            mask[:, max(c0 - 2, 0):c0 + 2] = False
+        assert np.abs(mine - ref)[mask].max() <= 1
+        assert abs(mine.mean() - ref.mean()) < 1.0
+
+    def test_progressive_dri_matches_no_dri(self):
+        """Restart markers are pure framing: the same image encoded with
+        and without DRI must decode identically (libjpeg encodes the same
+        coefficients either way)."""
+        px = _fixture(seed=11)
+        a = R.encode(px, 85, progressive=True, restart_interval=0,
+                     samp444=True)
+        b = R.encode(px, 85, progressive=True, restart_interval=1,
+                     samp444=True)
+        assert np.array_equal(J.decode_jpeg(a), J.decode_jpeg(b))
+
+
+class TestLibjpegDecodesOurStreams:
+    def test_baseline_and_progressive_encoders(self):
+        """Real libjpeg accepts our encoders' output (baseline with and
+        without DRI, progressive) and decodes to the same pixels we do
+        (4:4:4 both sides -> <=1 rounding)."""
+        px = _fixture(seed=3)
+        for blob in (J.encode_jpeg(px, 90),
+                     J.encode_jpeg(px, 90, restart_interval=4),
+                     J.encode_jpeg_progressive(px, 90)):
+            ref = R.decode(blob).astype(int)
+            mine = J.decode_jpeg(blob).astype(int)
+            assert np.abs(mine - ref).max() <= 1
+
+
+class TestLosslessSOF3:
+    """r5: lossless JPEG (SOF3, T.81 Annex H process 14) closes the last
+    JPEG-family boundary. libjpeg62 has no lossless support, so evidence
+    is exact round-trips on worst-case noise across every predictor,
+    restart handling, and point-transform semantics."""
+
+    def test_all_predictors_bit_exact(self):
+        rng = np.random.RandomState(3)
+        px = rng.randint(0, 256, (23, 31, 3)).astype(np.uint8)
+        for pred in range(1, 8):
+            for rst in (0, 5):
+                blob = J.encode_jpeg_lossless(px, predictor=pred,
+                                              restart_interval=rst)
+                assert blob[2:4] == b"\xff\xc3"
+                assert np.array_equal(J.decode_jpeg(blob), px), (pred, rst)
+
+    def test_point_transform(self):
+        rng = np.random.RandomState(5)
+        px = rng.randint(0, 256, (9, 14, 3)).astype(np.uint8)
+        blob = J.encode_jpeg_lossless(px, predictor=4, point_transform=2)
+        back = J.decode_jpeg(blob)
+        # Pt=2 drops exactly the two low bits, deterministically
+        assert np.array_equal(back, px & ~np.uint8(3))
+
+    def test_in_corpus_dispatch(self):
+        from mapshaper_spark.operators.images import decode_image
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        blob = J.encode_jpeg_lossless(px)
+        assert np.array_equal(decode_image(blob, "jpeg"), px)
