@@ -209,9 +209,6 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
         if ipacked & 0x40:
             idx = _deinterlace(idx, h)
 
-        if disposal == 3:
-            raise NotImplementedError(
-                "GIF disposal method 3 (restore previous) not supported")
         prev_region = canvas[top:top + h, left:left + w].copy()
         rgb = table[np.minimum(idx, len(table) - 1)]
         if transparent is not None:
@@ -223,6 +220,8 @@ def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore region to background color
             canvas[top:top + h, left:left + w] = bg_rgb
+        elif disposal == 3:  # restore to previous contents (GIF89a
+            canvas[top:top + h, left:left + w] = prev_region  # 23.c.iv)
         del prev_region
         delay_ms = 0
         transparent = None

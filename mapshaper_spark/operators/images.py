@@ -140,10 +140,12 @@ def _unfilter_image(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarra
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> RGB8 (h, w, 3).
 
-    Bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-    6 (RGBA); all five scanline filters; interlace 0 and 1 (Adam7). Gray
-    replicates to RGB; alpha is dropped (the engine's image tables carry
-    opaque RGB footprints). 16-bit and sub-byte palette depths raise."""
+    Bit depths 8 and 16 (r5 — 16-bit big-endian samples reduce to their
+    high byte), color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA); all five scanline filters (byte-level with
+    bpp = channels*bytes-per-sample, per the spec); interlace 0 and 1
+    (Adam7). Gray replicates to RGB; alpha is dropped (the engine's
+    image tables carry opaque RGB footprints). Sub-byte depths raise."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -158,8 +160,9 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13])
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG channels supported")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    "sub-byte PNG bit depths (1/2/4) unsupported")
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -168,23 +171,27 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + length
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bps = depth // 8   # bytes per sample; PNG filters act on byte units
+    bpp = channels * bps
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     if interlace == 0:
-        img = _unfilter_image(raw, h, w, channels).reshape(h, w, channels)
+        img = _unfilter_image(raw, h, w, bpp).reshape(h, w, channels, bps)
     elif interlace == 1:
-        img = np.zeros((h, w, channels), np.uint8)
+        img = np.zeros((h, w, channels, bps), np.uint8)
         off = 0
         for x0, xs, y0, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            size = ph * (pw * channels + 1)
-            sub = _unfilter_image(raw[off:off + size], ph, pw, channels)
-            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            size = ph * (pw * bpp + 1)
+            sub = _unfilter_image(raw[off:off + size], ph, pw, bpp)
+            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels, bps)
             off += size
     else:
         raise NotImplementedError(f"PNG interlace method {interlace}")
+    # 16-bit samples are big-endian; 8-bit view = high byte (r5)
+    img = img[:, :, :, 0]
     if ctype == 2:
         return img.copy()
     if ctype == 6:

@@ -256,8 +256,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             fmt_tag, channels, rate, _br, block_align, _bits = struct.unpack(
                 "<HHIIHH", chunk[:16])
-            if channels != 1:
-                raise NotImplementedError("only mono WAV supported")
+            if channels != 1 and fmt_tag == _WAV_IMA:
+                # IMA-ADPCM interleaves 4-byte words per channel inside
+                # each block — a different block walk; mono-only here
+                raise NotImplementedError(
+                    "multi-channel IMA-ADPCM WAV unsupported")
             if fmt_tag == _WAV_IMA and length >= 20:
                 (_cb, samples_per_block) = struct.unpack("<HH", chunk[16:20])
         elif tag == b"fact":
@@ -267,12 +270,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + length + (length % 2)
     if fmt_tag is None or payload is None:
         raise ValueError("WAV missing fmt/data chunk")
+    def _downmix(samples):
+        # stereo/multichannel (r5): frame-interleaved samples downmix to
+        # mono by channel mean (the usual feature-extraction convention)
+        if channels <= 1:
+            return samples
+        n = (len(samples) // channels) * channels
+        return np.round(samples[:n].astype(np.float64)
+                        .reshape(-1, channels).mean(axis=1)) \
+            .astype(np.int16)
+
     if fmt_tag == _WAV_PCM16:
-        return np.frombuffer(payload, dtype="<i2").copy(), rate
+        return _downmix(np.frombuffer(payload, dtype="<i2")).copy(), rate
     if fmt_tag == _WAV_ULAW:
-        return ulaw_decode(np.frombuffer(payload, np.uint8)), rate
+        return _downmix(ulaw_decode(np.frombuffer(payload, np.uint8))), rate
     if fmt_tag == _WAV_ALAW:
-        return alaw_decode(np.frombuffer(payload, np.uint8)), rate
+        return _downmix(alaw_decode(np.frombuffer(payload, np.uint8))), rate
     if fmt_tag == _WAV_IMA:
         spb = samples_per_block or (block_align - 4) * 2 + 1
         return ima_adpcm_decode_blocks(payload, spb, fact_samples), rate

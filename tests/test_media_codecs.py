@@ -294,3 +294,86 @@ class TestGifProperties:
                 assert np.array_equal(f_got, f_exp)
 
         check()
+
+
+class TestRound5Boundaries:
+    """r5 closures: stereo WAV downmix, GIF disposal 3, 16-bit PNG."""
+
+    def test_stereo_pcm16_downmix(self):
+        import struct
+
+        import numpy as np
+        from mapshaper_spark.operators.media import decode_wav
+        rng = np.random.RandomState(4)
+        left = rng.randint(-3000, 3000, 64).astype(np.int16)
+        right = rng.randint(-3000, 3000, 64).astype(np.int16)
+        inter = np.empty(128, np.int16)
+        inter[0::2], inter[1::2] = left, right
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+        payload = inter.astype("<i2").tobytes()
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt +
+                b"data" + struct.pack("<I", len(payload)) + payload)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        samples, rate = decode_wav(blob)
+        assert rate == 8000 and len(samples) == 64
+        want = np.round((left.astype(float) + right.astype(float)) / 2)
+        assert np.array_equal(samples.astype(float), want)
+
+    def test_gif_disposal_3_restores_previous(self):
+        import struct
+
+        import numpy as np
+        from mapshaper_spark.operators.gif import (_lzw_encode,
+                                                   decode_gif_frames)
+        # hand-built 8x8 animation: frame 1 full red; frame 2 a 3x3 green
+        # sub-rectangle at (2,2) with disposal 3; frame 3 a 1x1 patch at
+        # (0,0). After frame 2 is disposed, frame 3's canvas must show
+        # red again at (3,3) (GIF89a spec 23.c.iv restore-to-previous).
+        pal = bytes([200, 0, 0,  0, 200, 0,  0, 0, 200,  0, 0, 0])
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", 8, 8, 0x91, 0, 0)  # GCT, 4 colors
+        out += pal
+
+        def gce(disposal):
+            return b"\x21\xf9\x04" + bytes([disposal << 2]) + \
+                struct.pack("<H", 5) + b"\x00\x00"
+
+        def img(left, top, w, h, indices):
+            # _lzw_encode returns sub-block-framed data incl. terminator
+            blob = _lzw_encode(np.asarray(indices, np.uint8).ravel(), 2)
+            return (b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0) +
+                    bytes([2]) + blob)
+
+        out += gce(1) + img(0, 0, 8, 8, np.zeros((8, 8), np.uint8))
+        out += gce(3) + img(2, 2, 3, 3, np.full((3, 3), 1, np.uint8))
+        out += gce(1) + img(0, 0, 1, 1, np.full((1, 1), 2, np.uint8))
+        out += b"\x3b"
+        frames = decode_gif_frames(bytes(out))
+        assert len(frames) == 3
+        assert tuple(frames[1][1][3, 3]) == (0, 200, 0)   # overlay shown
+        assert tuple(frames[2][1][3, 3]) == (200, 0, 0)   # restored
+        assert tuple(frames[2][1][0, 0]) == (0, 0, 200)   # frame 3 patch
+
+    def test_png_16bit_high_byte(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        from mapshaper_spark.operators.images import decode_png
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload +
+                    struct.pack(">I", zlib.crc32(tag + payload) & 0xffffffff))
+
+        rng = np.random.RandomState(2)
+        px16 = rng.randint(0, 65536, (11, 13, 3)).astype(np.uint16)
+        raw = b"".join(b"\x00" + px16[r].astype(">u2").tobytes()
+                       for r in range(11))
+        ihdr = struct.pack(">IIBBBBB", 13, 11, 16, 2, 0, 0, 0)
+        blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+                chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        mine = decode_png(blob)
+        # 16-bit big-endian samples reduce to their high byte (libpng's
+        # simplified API instead gamma-maps 16-bit-as-linear to sRGB — a
+        # different, documented convention)
+        assert np.array_equal(mine, (px16 >> 8).astype(np.uint8))
