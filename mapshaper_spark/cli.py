@@ -339,6 +339,37 @@ def _cmd_i(cat: Catalog, c: Command) -> None:
     for path in paths:
         ext = os.path.splitext(path)[1].lower()
         kind_hint = None
+        if ext in (".ndjson", ".geojsonl") or \
+                (not ext and os.path.isdir(path)):
+            # distributed newline-delimited GeoJSON import (engine
+            # extension, r5 — read counterpart of -o format=ndjson):
+            # splittable text scan + Arrow-batched feature parse;
+            # property columns typed from a driver-side sample, the
+            # whole-data extraction stays JVM-side (get_json_object)
+            df = GJ.import_ndjson(cat.spark, path)
+            df = _flatten_props_sampled(cat.spark, df)
+            auto_fid_paths.add(path)
+            gts = {r[0] for r in
+                   df.select("geometry_type").distinct().collect()}
+            gts.discard("null")
+            gts.discard(None)
+            if gts and gts <= {"Point"}:
+                kind_hint = "point"
+                df = df.drop("rings_x", "rings_y")
+            elif gts and gts <= {"Point", "MultiPoint"}:
+                kind_hint = "point"
+            elif gts and gts <= {"LineString", "MultiLineString"}:
+                kind_hint = "polyline"
+                df = df.drop("x", "y")
+            elif gts and gts <= {"Polygon", "MultiPolygon"}:
+                kind_hint = "polygon"
+                df = df.drop("x", "y")
+            elif not gts:
+                kind_hint = "table"
+                df = df.drop("x", "y", "rings_x", "rings_y",
+                             "geometry_type")
+            dfs.append((path, df, kind_hint, None))
+            continue
         if ext in (".json", ".geojson", ".topojson"):
             # utf-8-sig: the reference's readFile trims a BOM before
             # parsing (test/encodings-test.js 'trims BOM')
@@ -616,6 +647,37 @@ def _flatten_props(spark: SparkSession, df: DataFrame, obj: dict) -> DataFrame:
     from mapshaper_spark.sources.topojson import typed_df
     props = typed_df(spark, pdf)
     return df.drop("properties").join(props, "fid", "left")
+
+
+def _flatten_props_sampled(spark: SparkSession, df: DataFrame,
+                           sample_rows: int = 500) -> DataFrame:
+    """Distributed property flattening for the ndjson importer: key set +
+    column types come from a driver-side SAMPLE (typed with the same
+    pandas inference as _flatten_props), then the full-data extraction is
+    pure Catalyst get_json_object + cast — no Python over the whole
+    table. Keys appearing only past the sample stay inside the
+    `properties` JSON (documented sampling bound)."""
+    import json as _json
+
+    import pandas as _pd
+    sample = [r[0] for r in
+              df.select("properties").limit(sample_rows).collect()]
+    records = [_json.loads(s) if s else {} for s in sample]
+    keys = list(dict.fromkeys(k for r in records for k in r))
+    if not keys:
+        return df
+    from mapshaper_spark.sources.topojson import typed_df
+    pdf = _pd.DataFrame(records)
+    types = {f.name: f.dataType for f in typed_df(spark, pdf).schema.fields}
+    # a property named like an engine column (e.g. an exported 'fid')
+    # replaces it — same winner as the reference's record fields
+    cols = [df[c] for c in df.columns
+            if c != "properties" and c not in keys]
+    for k in keys:
+        path = "$['" + k.replace("'", "\\'") + "']"
+        cols.append(F.get_json_object("properties", path)
+                    .cast(types.get(k, "string")).alias(k))
+    return df.select(*cols)
 
 
 def _cmd_filter(cat: Catalog, c: Command) -> None:

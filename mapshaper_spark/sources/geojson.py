@@ -53,6 +53,44 @@ def _rewind_ring(xs, ys, is_hole):
     return xs, ys
 
 
+def _parse_geometry(g: dict):
+    """One GeoJSON geometry -> (type, rings_x, rings_y, px, py) in the
+    catalog's layout (shared by the driver-side and ndjson importers)."""
+    t = g.get("type")
+    c = g.get("coordinates")
+    rx: list = []
+    ry: list = []
+    px = py = None
+    if t == "Point":
+        px, py = float(c[0]), float(c[1])
+    elif t == "MultiPoint":
+        rx, ry = [[float(p[0]) for p in c]], [[float(p[1]) for p in c]]
+    elif t == "LineString":
+        xs, ys = _ring_to_xy(c)
+        rx, ry = [xs], [ys]
+    elif t == "MultiLineString":
+        for path in c:
+            xs, ys = _ring_to_xy(path)
+            rx.append(xs)
+            ry.append(ys)
+    elif t == "Polygon":
+        for k, ring in enumerate(c):
+            xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
+            rx.append(xs)
+            ry.append(ys)
+    elif t == "MultiPolygon":
+        for poly in c:
+            for k, ring in enumerate(poly):
+                xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
+                rx.append(xs)
+                ry.append(ys)
+    elif t is None:
+        pass  # null geometry feature
+    else:
+        raise ValueError(f"unsupported GeoJSON type {t}")
+    return t, rx, ry, px, py
+
+
 def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
     """FeatureCollection / GeometryCollection / single feature -> features
     DataFrame: (fid, geometry_type, rings_x, rings_y, x, y, properties(json
@@ -74,39 +112,7 @@ def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
 
     fids, gtypes, rxs, rys, pxs, pys, props, bboxes = [], [], [], [], [], [], [], []
     for i, f in enumerate(feats):
-        g = f.get("geometry") or {}
-        t = g.get("type")
-        c = g.get("coordinates")
-        rx: list = []
-        ry: list = []
-        px = py = None
-        if t == "Point":
-            px, py = float(c[0]), float(c[1])
-        elif t == "MultiPoint":
-            rx, ry = [[float(p[0]) for p in c]], [[float(p[1]) for p in c]]
-        elif t == "LineString":
-            xs, ys = _ring_to_xy(c)
-            rx, ry = [xs], [ys]
-        elif t == "MultiLineString":
-            for path in c:
-                xs, ys = _ring_to_xy(path)
-                rx.append(xs)
-                ry.append(ys)
-        elif t == "Polygon":
-            for k, ring in enumerate(c):
-                xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
-                rx.append(xs)
-                ry.append(ys)
-        elif t == "MultiPolygon":
-            for poly in c:
-                for k, ring in enumerate(poly):
-                    xs, ys = _rewind_ring(*_ring_to_xy(ring), is_hole=k > 0)
-                    rx.append(xs)
-                    ry.append(ys)
-        elif t is None:
-            pass  # null geometry feature
-        else:
-            raise ValueError(f"unsupported GeoJSON type {t}")
+        t, rx, ry, px, py = _parse_geometry(f.get("geometry") or {})
         allx = [v for r in rx for v in r] + ([px] if px is not None else [])
         ally = [v for r in ry for v in r] + ([py] if py is not None else [])
         fids.append(i)
@@ -133,6 +139,67 @@ def import_geojson(spark: SparkSession, obj: dict | str) -> DataFrame:
                                             ("xmax", pa.float64()), ("ymax", pa.float64())])),
     })
     return spark.createDataFrame(table)
+
+
+def import_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed newline-delimited GeoJSON importer — the read-side
+    counterpart of ``export_ndjson`` (engine extension): one Feature (or
+    bare geometry) JSON per line via ``spark.read.text`` (splittable) +
+    an Arrow-batched parse into the catalog schema. Property columns
+    stay inside the ``properties`` JSON string exactly like
+    ``import_geojson``, so the CLI's property flattening applies
+    identically; fid = line order (ranked, no global window)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from mapshaper_spark.plans.scale import ranked_ids
+
+    lines = (spark.read.text(path)
+             .filter(F.trim(F.col("value")) != "")
+             .withColumn("__ms_pos", F.monotonically_increasing_id()))
+    schema = T.StructType([
+        T.StructField("__ms_pos", T.LongType()),
+        T.StructField("geometry_type", T.StringType()),
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("properties", T.StringType()),
+        T.StructField("bbox", T.StructType([
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType())])),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for pos, line in zip(pdf["__ms_pos"], pdf["value"]):
+                f = json.loads(line)
+                if f.get("type") != "Feature":
+                    f = {"type": "Feature", "properties": {},
+                         "geometry": f}
+                t, rx, ry, px, py = _parse_geometry(
+                    f.get("geometry") or {})
+                allx = [v for r in rx for v in r] + \
+                    ([px] if px is not None else [])
+                ally = [v for r in ry for v in r] + \
+                    ([py] if py is not None else [])
+                rows.append((
+                    int(pos), t or "null", rx, ry, px, py,
+                    json.dumps(f.get("properties") or {}, sort_keys=True),
+                    {"xmin": min(allx) if allx else None,
+                     "ymin": min(ally) if ally else None,
+                     "xmax": max(allx) if allx else None,
+                     "ymax": max(ally) if ally else None}))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    parsed = lines.mapInPandas(gen, schema=schema)
+    return (ranked_ids(parsed, ["__ms_pos"], "fid")
+            .drop("__ms_pos")
+            .select("fid", "geometry_type", "rings_x", "rings_y",
+                    "x", "y", "properties", "bbox"))
 
 
 def to_geojson_features(df: DataFrame, geometry_type: str = "Polygon",

@@ -699,3 +699,34 @@ class TestNdjsonSink:
         recs = sorted((json.loads(ln) for ln in lines),
                       key=lambda r: r["fid"])
         assert len(recs) == 4 and recs[0]["state"] == "A"
+
+    def test_ndjson_round_trip_import(self, spark, states, tmp_path):
+        """-o format=ndjson then -i of the directory reproduces the layer:
+        same features, same flattened property columns, polygon kind."""
+        out = tmp_path / "rt_nd"
+        run_commands(spark, f"-o format=ndjson {out}",
+                     layers={"states": states})
+        cat = run_commands(spark, f"-i {out}")
+        df = cat.df()
+        assert {"state", "pop", "rings_x", "rings_y"} <= set(df.columns)
+        rows = sorted((r["state"], r["pop"]) for r in df.collect())
+        assert rows == [("A", 10), ("A", 20), ("B", 30), ("B", 40)]
+        assert cat.kinds[cat.target] == "polygon"
+        # geometry round-trips: total ring vertex count preserved
+        n = df.select(F.sum(F.aggregate(
+            F.transform("rings_x", F.size), F.lit(0),
+            lambda a, v: a + v))).collect()[0][0]
+        assert n == 4 * 5
+
+    def test_ndjson_point_import_kind(self, spark, tmp_path):
+        p = tmp_path / "pts.ndjson"
+        lines = [
+            '{"type":"Feature","geometry":{"type":"Point",'
+            f'"coordinates":[{i}.5,{i}.25]}},"properties":{{"n":{i}}}}}'
+            for i in range(5)]
+        p.write_text("\n".join(lines) + "\n")
+        cat = run_commands(spark, f"-i {p}")
+        df = cat.df()
+        assert cat.kinds[cat.target] == "point"
+        assert sorted((r["n"], r.x, r.y) for r in df.collect()) == \
+            [(i, i + 0.5, i + 0.25) for i in range(5)]
