@@ -381,6 +381,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             return _decode_progressive(data)
         elif marker == 0xC3:
             return _decode_lossless(data)
+        elif marker == 0xC9:
+            from mapshaper_spark.operators.jpeg_arith import \
+                decode_jpeg_arith
+            return decode_jpeg_arith(data)
+        elif marker in (0xCA, 0xCB):
+            raise NotImplementedError(
+                "progressive/lossless ARITHMETIC JPEG (SOF10/11) "
+                "unsupported (sequential arithmetic SOF9 is)")
         elif marker == 0xC4:
             off = 0
             while off < len(seg):

@@ -1,0 +1,389 @@
+"""Arithmetic-coded JPEG decode (SOF9, ITU-T T.81 Annex F) in pure
+numpy + stdlib — the QM-coder sequential-DCT process.
+
+Everything here is from the PUBLIC T.81 spec: the 113-state probability
+estimation machine is Table D.3 (values cross-checked byte-for-byte
+against the system libjpeg's exported `jpeg_aritab`), the interval
+arithmetic is the QM coder with the MPS sub-interval at the BOTTOM
+(decode compares chigh against the reduced A, conditional exchange
+when A-Qe < Qe), the entropy stream uses 0x00 BYTE stuffing after 0xFF
+with zero bytes supplied once a marker is reached, DC conditioning
+follows F.2.4.1 (DAC L/U bounds, 5-category context per component),
+and AC follows F.2.4.2 (per-k EOB / zero / magnitude bins, Kx split of
+the high-magnitude bins, fixed ~0.5 state for signs). The INITDEC
+register scaling (first two bytes fill chigh, A starts at the full
+0x10000 interval) was pinned empirically against real streams.
+
+Verified to <=1 gray level of libjpeg's own decode on REAL libjpeg
+SOF9 streams across quality/sampling/restart-interval variations
+(tests/test_jpeg_interop.py). Progressive/lossless arithmetic
+(SOF10/11) remains out of scope and raises at the dispatch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from mapshaper_spark.operators.jpeg import _C, _ZZ
+
+# T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) for states 0..112; state 113
+# is the non-adapting ~0.5 state used for AC signs (F.1.4.4.1.2)
+_QE_TAB = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+]
+_QE = np.array([r[0] for r in _QE_TAB], dtype=np.int64)
+_NMPS = np.array([r[1] for r in _QE_TAB], dtype=np.int64)
+_NLPS = np.array([r[2] for r in _QE_TAB], dtype=np.int64)
+_SWITCH = np.array([r[3] for r in _QE_TAB], dtype=np.int64)
+
+_FIXED_BIN = 113
+
+
+class _ArithDecoder:
+    """QM decoder registers + byte feeding. The entropy stream uses
+    0x00 BYTE stuffing after 0xFF (FF 00 delivers an FF data byte, FF
+    fill bytes are swallowed); once a marker follows an FF the stream
+    ends and zero bytes are supplied for the rest of the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.bp = pos
+        self.marker_hit = False
+        # INITDEC in the libjpeg-family register convention (empirically
+        # pinned against real streams): the first two entropy bytes fill
+        # the TOP 16 bits of the value (chigh = B0<<8 | B1), CT=0 so the
+        # next renormalization fetches a fresh byte, and A carries the
+        # encoder's full initial interval 0x10000 literally (T.81 writes
+        # it as A=0 mod 2^16; Python ints are unbounded so no trick is
+        # needed — renorm keeps A < 0x10000 after the first narrowing).
+        self.c = self._next_data_byte() << 16
+        self._bytein()
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _byte_at(self, i):
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _next_data_byte(self) -> int:
+        """One entropy byte with the T.81 stuffing/marker convention as
+        the libjpeg family applies it: 0xFF 0x00 delivers a 0xFF data
+        byte; 0xFF <marker> stops the stream and ZERO bytes are supplied
+        until the scan completes."""
+        if self.marker_hit:
+            return 0
+        b = self._byte_at(self.bp)
+        if b != 0xFF:
+            self.bp += 1
+            return b
+        j = self.bp + 1
+        while self._byte_at(j) == 0xFF:   # FF fill bytes
+            j += 1
+        if self._byte_at(j) == 0x00:
+            self.bp = j + 1               # stuffed zero consumed
+            return 0xFF
+        self.marker_hit = True            # leave bp AT the marker's FF
+        return 0
+
+    def _bytein(self):
+        self.c += self._next_data_byte() << 8
+        self.ct = 8
+
+    def decode(self, stats: np.ndarray, i: int) -> int:
+        """One binary decision against state stats[i] (packed
+        (index << 1) | mps). T.81 Figures F.18-F.23."""
+        sv = int(stats[i])
+        idx = sv >> 1
+        mps = sv & 1
+        qe = int(_QE[idx])
+        # MPS subinterval = [0, A-Qe) (bottom), LPS = [A-Qe, A) (top):
+        # compare Chigh against the REDUCED A (Figure F.18)
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return mps
+            # MPS_EXCHANGE (Figure F.21)
+            if self.a < qe:
+                d = 1 - mps
+                if _SWITCH[idx]:
+                    mps = 1 - mps
+                stats[i] = (int(_NLPS[idx]) << 1) | mps
+            else:
+                d = mps
+                stats[i] = (int(_NMPS[idx]) << 1) | mps
+        else:
+            self.c -= self.a << 16
+            # LPS_EXCHANGE (Figure F.20) — A still holds the reduced
+            # value during the comparison, then becomes Qe
+            if self.a < qe:
+                d = mps
+                stats[i] = (int(_NMPS[idx]) << 1) | mps
+            else:
+                d = 1 - mps
+                if _SWITCH[idx]:
+                    mps = 1 - mps
+                stats[i] = (int(_NLPS[idx]) << 1) | mps
+            self.a = qe
+        # renormalize (Figure F.23)
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+def decode_jpeg_arith(data: bytes) -> np.ndarray:
+    """Sequential arithmetic-coded JFIF (SOF9) -> RGB8 (h, w, 3)."""
+    pos = 2
+    qt = {}
+    comps = None
+    h = w = None
+    scan = None
+    restart_interval = 0
+    # DAC conditioning defaults (F.1.4.4.1.2 / F.1.4.4.2.1)
+    dc_L = [0] * 4
+    dc_U = [1] * 4
+    ac_K = [5] * 4
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                tid = pq_tq & 0x0F
+                if pq_tq >> 4:
+                    vals = np.frombuffer(seg[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    vals = np.frombuffer(seg[off + 1:off + 65],
+                                         dtype=np.uint8)
+                    off += 65
+                tab = np.zeros(64)
+                tab[_ZZ] = vals
+                qt[tid] = tab.reshape(8, 8)
+        elif marker == 0xC9:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker in (0xCA, 0xCB):
+            raise NotImplementedError(
+                "progressive/lossless arithmetic JPEG (SOF10/11) "
+                "unsupported")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            off = 0
+            while off + 1 < len(seg):
+                tc_tb = seg[off]
+                val = seg[off + 1]
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:
+                    dc_L[tb] = val & 0x0F
+                    dc_U[tb] = val >> 4
+                else:
+                    ac_K[tb] = val
+                off += 2
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = struct.unpack("BB", seg[1 + 2 * i:3 + 2 * i])
+                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+            pos += seglen
+            break
+        pos += seglen
+    if comps is None or scan is None:
+        raise ValueError("missing SOF9/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def fresh_stats():
+        return ([np.zeros(64 + 16, dtype=np.int64) for _ in range(4)],
+                [np.zeros(256, dtype=np.int64) for _ in range(4)],
+                np.zeros(1, dtype=np.int64))  # never adapts: fixed sign
+
+    dc_stats, ac_stats, fixed = fresh_stats()
+    fixed[0] = _FIXED_BIN << 1
+    dec = _ArithDecoder(data, pos)
+    last_dc = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                               dtype=np.float64))
+    mcu_i = 0
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                # F.2.4: restart re-inits the decoder past the RSTn
+                # marker and resets statistics + DC predictions
+                bp = dec.bp
+                while bp + 1 < len(data) and not (
+                        data[bp] == 0xFF and
+                        0xD0 <= data[bp + 1] <= 0xD7):
+                    bp += 1
+                dc_stats, ac_stats, fixed = fresh_stats()
+                fixed[0] = _FIXED_BIN << 1
+                dec = _ArithDecoder(data, bp + 2)
+                last_dc = [0] * len(comps)
+                dc_ctx = [0] * len(comps)
+                n_rst += 1
+            mcu_i += 1
+            for ci, c in enumerate(comps):
+                sc = next(s for s in scan if s["cs"] == c["id"])
+                td, ta = sc["td"], sc["ta"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = planes[ci][my * c["v"] + by,
+                                         mx * c["h"] + bx]
+                        # ---- DC (F.2.4.1) ----
+                        st = dc_stats[td]
+                        i0 = dc_ctx[ci]
+                        if dec.decode(st, i0) == 0:
+                            dc_ctx[ci] = 0
+                        else:
+                            sign = dec.decode(st, i0 + 1)
+                            i = i0 + 2 + sign
+                            m = dec.decode(st, i)
+                            if m:
+                                i = 20  # X1 magnitude bin (Table F.4)
+                                while dec.decode(st, i):
+                                    m <<= 1
+                                    if m == 0x8000:
+                                        raise ValueError("bad arith DC")
+                                    i += 1
+                            if m < (1 << dc_L[td]) >> 1:
+                                dc_ctx[ci] = 0
+                            elif m > (1 << dc_U[td]) >> 1:
+                                dc_ctx[ci] = 12 + sign * 4
+                            else:
+                                dc_ctx[ci] = 4 + sign * 4
+                            v = m
+                            i += 14  # value bits follow the magnitude bin
+                            mm = m >> 1
+                            while mm:
+                                if dec.decode(st, i):
+                                    v |= mm
+                                mm >>= 1
+                            v += 1
+                            last_dc[ci] += -v if sign else v
+                        blk[0] = float(last_dc[ci])
+                        # ---- AC (F.2.4.2) ----
+                        st = ac_stats[ta]
+                        k = 1
+                        while k <= 63:
+                            i = 3 * (k - 1)
+                            if dec.decode(st, i):
+                                break  # EOB
+                            while dec.decode(st, i + 1) == 0:
+                                k += 1
+                                i += 3
+                                if k > 63:
+                                    raise ValueError("bad arith AC run")
+                            sign = dec.decode(fixed, 0)
+                            i += 2
+                            m = dec.decode(st, i)
+                            if m:
+                                if dec.decode(st, i):
+                                    m <<= 1
+                                    i = 189 if k <= ac_K[ta] else 217
+                                    while dec.decode(st, i):
+                                        m <<= 1
+                                        if m == 0x8000:
+                                            raise ValueError("bad arith AC")
+                                        i += 1
+                            v = m
+                            i += 14
+                            mm = m >> 1
+                            while mm:
+                                if dec.decode(st, i):
+                                    v |= mm
+                                mm >>= 1
+                            v += 1
+                            blk[_ZZ[k]] = float(-v if sign else v)
+                            k += 1
+
+    # dequantize + IDCT + upsample (same tail as the baseline decoder)
+    out_planes = []
+    for ci, c in enumerate(comps):
+        nby, nbx = planes[ci].shape[0], planes[ci].shape[1]
+        coefs = planes[ci].reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        px = np.einsum("ij,njk,kl->nil", _C.T, coefs, _C) + 128.0
+        px = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby * 8, nbx * 8)
+        out_planes.append(px)
+    full = []
+    for c, plane in zip(comps, out_planes):
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        rgb = np.stack([full[0]] * 3, axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

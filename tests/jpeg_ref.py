@@ -59,6 +59,7 @@ int main(int argc, char **argv) {
         jpeg_set_quality(&c, atoi(argv[4]), TRUE);
         if (argc > 5 && atoi(argv[5])) jpeg_simple_progression(&c);
         if (argc > 6) c.restart_interval = (unsigned)atoi(argv[6]);
+        if (argc > 8 && atoi(argv[8])) c.arith_code = TRUE;
         if (argc > 7 && atoi(argv[7])) {   /* force 4:4:4 */
             int i;
             for (i = 0; i < 3; i++) {
@@ -147,7 +148,7 @@ def _read_ppm(path: str) -> np.ndarray:
 
 def encode(pixels: np.ndarray, quality: int = 90,
            progressive: bool = False, restart_interval: int = 0,
-           samp444: bool = False) -> bytes:
+           samp444: bool = False, arith: bool = False) -> bytes:
     """RGB8 array -> real libjpeg-encoded bytes. ``samp444`` disables
     chroma subsampling so decoder comparisons carry no
     upsampling-filter ambiguity (libjpeg default is 4:2:0 h2v2)."""
@@ -156,7 +157,7 @@ def encode(pixels: np.ndarray, quality: int = 90,
     _write_ppm(ppm, pixels)
     subprocess.run([_helper(), "enc", ppm, jpg, str(quality),
                     "1" if progressive else "0", str(restart_interval),
-                    "1" if samp444 else "0"],
+                    "1" if samp444 else "0", "1" if arith else "0"],
                    check=True, capture_output=True)
     with open(jpg, "rb") as f:
         return f.read()

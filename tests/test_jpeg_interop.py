@@ -118,3 +118,45 @@ class TestLosslessSOF3:
         px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
         blob = J.encode_jpeg_lossless(px)
         assert np.array_equal(decode_image(blob, "jpeg"), px)
+
+
+class TestArithmeticSOF9:
+    """r5: sequential arithmetic-coded JPEG (QM coder, T.81 Annex F)
+    against REAL libjpeg SOF9 streams — quality, sampling, and restart
+    intervals all covered; statistics adaptation exercised by noise."""
+
+    @pytest.mark.parametrize("restart", [0, 1, 2, 7])
+    @pytest.mark.parametrize("quality", [90, 50])
+    def test_444_matches_libjpeg(self, restart, quality):
+        px = _fixture()
+        data = R.encode(px, quality, restart_interval=restart,
+                        samp444=True, arith=True)
+        assert b"\xff\xc9" in data[:400]  # SOF9 really emitted
+        mine = J.decode_jpeg(data).astype(int)
+        ref = R.decode(data).astype(int)
+        assert np.abs(mine - ref).max() <= 1
+
+    def test_noise_adaptation(self):
+        rng = np.random.RandomState(12)
+        px = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+        data = R.encode(px, 85, samp444=True, arith=True)
+        mine = J.decode_jpeg(data).astype(int)
+        ref = R.decode(data).astype(int)
+        # worst-case noise pushes float-vs-fixed IDCT rounding to ~3 on
+        # a handful of samples; entropy errors would be wildly larger
+        d = np.abs(mine - ref)
+        assert d.max() <= 3 and (d > 2).mean() < 1e-3
+
+    def test_420_default_sampling(self):
+        px = _fixture(seed=5)
+        data = R.encode(px, 90, samp444=False, arith=True)
+        mine = J.decode_jpeg(data).astype(float)
+        ref = R.decode(data).astype(float)
+        # same chroma-seam caveat as the Huffman 4:2:0 test
+        assert abs(mine.mean() - ref.mean()) < 1.0
+
+    def test_progressive_arith_raises(self):
+        px = _fixture(seed=5)
+        data = R.encode(px, 90, progressive=True, arith=True)
+        with pytest.raises(NotImplementedError, match="SOF10"):
+            J.decode_jpeg(data)

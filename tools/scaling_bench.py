@@ -625,7 +625,11 @@ def render_section(rows: list[dict], images: int, since: str,
     if pinned:
         lines.append("CPU-pinned experiment rows (taskset lo->cores 0..N-1,")
         lines.append("hi->0..4N-1; separates scheduler spreading from the")
-        lines.append("bandwidth ceiling — NOT part of any headline):")
+        lines.append("bandwidth ceiling — NOT part of any headline).")
+        lines.append("Result (r5): pinning does NOT recover the 8->32 axis")
+        lines.append("(pinned eff ~=0.66-0.69, same as unpinned), so the")
+        lines.append("collapse is the measured memory-bandwidth ceiling")
+        lines.append("(STREAM calibration below), not scheduler spreading:")
         lines.append("")
         for r in sorted(pinned, key=lambda r: r["ts"]):
             lo, hi = r["low"], r["high"]
