@@ -385,10 +385,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             from mapshaper_spark.operators.jpeg_arith import \
                 decode_jpeg_arith
             return decode_jpeg_arith(data)
-        elif marker in (0xCA, 0xCB):
+        elif marker == 0xCA:
+            from mapshaper_spark.operators.jpeg_arith import \
+                decode_jpeg_arith_progressive
+            return decode_jpeg_arith_progressive(data)
+        elif marker == 0xCB:
             raise NotImplementedError(
-                "progressive/lossless ARITHMETIC JPEG (SOF10/11) "
-                "unsupported (sequential arithmetic SOF9 is)")
+                "lossless ARITHMETIC JPEG (SOF11) unsupported "
+                "(sequential SOF9 + progressive SOF10 arithmetic are)")
         elif marker == 0xC4:
             off = 0
             while off < len(seg):

@@ -15,9 +15,11 @@ register scaling (first two bytes fill chigh, A starts at the full
 0x10000 interval) was pinned empirically against real streams.
 
 Verified to <=1 gray level of libjpeg's own decode on REAL libjpeg
-SOF9 streams across quality/sampling/restart-interval variations
-(tests/test_jpeg_interop.py). Progressive/lossless arithmetic
-(SOF10/11) remains out of scope and raises at the dispatch.
+SOF9 AND SOF10 streams across quality/sampling/restart-interval
+variations (tests/test_jpeg_interop.py). Progressive arithmetic
+(SOF10, Annex G procedures: DC/AC first + refinement with the
+correction-bit context) is implemented below; lossless arithmetic
+(SOF11) remains out of scope and raises at the dispatch.
 """
 
 from __future__ import annotations
@@ -387,3 +389,309 @@ def decode_jpeg_arith(data: bytes) -> np.ndarray:
     else:
         rgb = np.stack([full[0]] * 3, axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_arith_progressive(data: bytes) -> np.ndarray:
+    """Progressive arithmetic-coded JFIF (SOF10) -> RGB8 (h, w, 3).
+    T.81 Annex G with the QM coder: per-scan INITDEC + fresh statistics,
+    DC first/refine and AC first/refine procedures (the refine pass uses
+    the correction-bit context st+2 and the fixed ~0.5 state for new
+    signs); spectral selection, successive approximation, and restart
+    intervals all as in the Huffman progressive path."""
+    pos = 2
+    qt = {}
+    comps = None
+    h = w = None
+    restart_interval = 0
+    dc_L = [0] * 4
+    dc_U = [1] * 4
+    ac_K = [5] * 4
+    coef = None
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    last_dc = None
+    dc_ctx = None
+
+    def comp_geometry(c):
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8,):
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                tid = pq_tq & 0x0F
+                if pq_tq >> 4:
+                    vals = np.frombuffer(seg[off + 1:off + 129], dtype=">u2")
+                    off += 129
+                else:
+                    vals = np.frombuffer(seg[off + 1:off + 65],
+                                         dtype=np.uint8)
+                    off += 65
+                tab = np.zeros(64)
+                tab[_ZZ] = vals
+                qt[tid] = tab.reshape(8, 8)
+        elif marker == 0xCA:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack("BBB", seg[6 + 3 * i:9 + 3 * i])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coef = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int64) for c in comps]
+            last_dc = [0] * nc
+            dc_ctx = [0] * nc
+        elif marker == 0xCC:
+            off = 0
+            while off + 1 < len(seg):
+                tc_tb = seg[off]
+                val = seg[off + 1]
+                tc, tb = tc_tb >> 4, tc_tb & 0x0F
+                if tc == 0:
+                    dc_L[tb] = val & 0x0F
+                    dc_U[tb] = val >> 4
+                else:
+                    ac_K[tb] = val
+                off += 2
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack("BB", seg[1 + 2 * i:3 + 2 * i])
+                ci = next(j for j, c in enumerate(comps)
+                          if c["id"] == cs)
+                scomps.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = struct.unpack("BBB", seg[1 + 2 * ns:4 + 2 * ns])
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos += seglen
+            pos = _arith_prog_scan(
+                data, pos, coef, comps, scomps, ss, se, ah, al,
+                dc_L, dc_U, ac_K, last_dc, dc_ctx, restart_interval,
+                mcux, mcuy, comp_geometry)
+            continue
+        pos += seglen
+
+    if coef is None:
+        raise ValueError("missing SOF10/SOS")
+    out_planes = []
+    for ci, c in enumerate(comps):
+        nby, nbx = coef[ci].shape[0], coef[ci].shape[1]
+        coefs = coef[ci].reshape(-1, 64).astype(np.float64) \
+            .reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        px = np.einsum("ij,njk,kl->nil", _C.T, coefs, _C) + 128.0
+        px = px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby * 8, nbx * 8)
+        out_planes.append(px)
+    full = []
+    for c, plane in zip(comps, out_planes):
+        ry = vmax // c["v"]
+        rx = hmax // c["h"]
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(up[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        rgb = np.stack([full[0]] * 3, axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _arith_prog_scan(data, pos, coef, comps, scomps, ss, se, ah, al,
+                     dc_L, dc_U, ac_K, last_dc, dc_ctx,
+                     restart_interval, mcux, mcuy, comp_geometry):
+    """One progressive-arithmetic scan; returns the stream position after
+    its entropy data. Statistics are FRESH per scan (and per restart
+    interval); the decoder re-inits likewise."""
+    def fresh():
+        return ([np.zeros(80, dtype=np.int64) for _ in range(4)],
+                [np.zeros(256, dtype=np.int64) for _ in range(4)],
+                np.array([_FIXED_BIN << 1], dtype=np.int64))
+
+    dc_stats, ac_stats, fixed = fresh()
+    dec = _ArithDecoder(data, pos)
+    if ss == 0 and ah == 0:
+        for ci, _td, _ta in scomps:
+            last_dc[ci] = 0
+            dc_ctx[ci] = 0
+
+    def maybe_restart(unit):
+        nonlocal dc_stats, ac_stats, fixed, dec
+        if restart_interval and unit and unit % restart_interval == 0:
+            bp = dec.bp
+            while bp + 1 < len(data) and not (
+                    data[bp] == 0xFF and 0xD0 <= data[bp + 1] <= 0xD7):
+                bp += 1
+            dc_stats, ac_stats, fixed = fresh()
+            dec = _ArithDecoder(data, bp + 2)
+            for ci, _td, _ta in scomps:
+                last_dc[ci] = 0
+                dc_ctx[ci] = 0
+
+    def decode_dc_first(ci, td, blk):
+        st = dc_stats[td]
+        i0 = dc_ctx[ci]
+        if dec.decode(st, i0) == 0:
+            dc_ctx[ci] = 0
+        else:
+            sign = dec.decode(st, i0 + 1)
+            i = i0 + 2 + sign
+            m = dec.decode(st, i)
+            if m:
+                i = 20
+                while dec.decode(st, i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("bad arith DC")
+                    i += 1
+            if m < (1 << dc_L[td]) >> 1:
+                dc_ctx[ci] = 0
+            elif m > (1 << dc_U[td]) >> 1:
+                dc_ctx[ci] = 12 + sign * 4
+            else:
+                dc_ctx[ci] = 4 + sign * 4
+            v = m
+            i += 14
+            mm = m >> 1
+            while mm:
+                if dec.decode(st, i):
+                    v |= mm
+                mm >>= 1
+            v += 1
+            last_dc[ci] += -v if sign else v
+        blk[0] = last_dc[ci] << al
+
+    def decode_ac_first(ta, blk):
+        st = ac_stats[ta]
+        k = ss
+        while k <= se:
+            i = 3 * (k - 1)
+            if dec.decode(st, i):
+                return  # EOB
+            while dec.decode(st, i + 1) == 0:
+                k += 1
+                i += 3
+                if k > se:
+                    raise ValueError("bad arith AC run")
+            sign = dec.decode(fixed, 0)
+            i += 2
+            m = dec.decode(st, i)
+            if m:
+                if dec.decode(st, i):
+                    m <<= 1
+                    i = 189 if k <= ac_K[ta] else 217
+                    while dec.decode(st, i):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("bad arith AC")
+                        i += 1
+            v = m
+            i += 14
+            mm = m >> 1
+            while mm:
+                if dec.decode(st, i):
+                    v |= mm
+                mm >>= 1
+            v += 1
+            blk[_ZZ[k]] = (-v if sign else v) << al
+            k += 1
+
+    def decode_ac_refine(ta, blk):
+        st = ac_stats[ta]
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = se
+        while kex >= ss and blk[_ZZ[kex]] == 0:
+            kex -= 1
+        k = ss
+        while k <= se:
+            i = 3 * (k - 1)
+            if k > kex:
+                if dec.decode(st, i):
+                    return  # EOB
+            while True:
+                v = int(blk[_ZZ[k]])
+                if v != 0:
+                    if dec.decode(st, i + 2):
+                        blk[_ZZ[k]] = v + (m1 if v < 0 else p1)
+                    break
+                if dec.decode(st, i + 1):
+                    blk[_ZZ[k]] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                i += 3
+                k += 1
+                if k > se:
+                    raise ValueError("bad arith AC refine")
+            k += 1
+
+    unit = 0
+    if ss == 0:  # DC scan
+        if len(scomps) > 1:  # interleaved MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(unit)
+                    unit += 1
+                    for ci, td, _ta in scomps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coef[ci][my * c["v"] + by,
+                                               mx * c["h"] + bx]
+                                if ah == 0:
+                                    decode_dc_first(ci, td, blk)
+                                elif dec.decode(fixed, 0):
+                                    blk[0] = int(blk[0]) | (1 << al)
+        else:  # non-interleaved: the component's own block grid
+            ci, td, _ta = scomps[0]
+            nbx, nby = comp_geometry(comps[ci])
+            for gy in range(nby):
+                for gx in range(nbx):
+                    maybe_restart(unit)
+                    unit += 1
+                    blk = coef[ci][gy, gx]
+                    if ah == 0:
+                        decode_dc_first(ci, td, blk)
+                    elif dec.decode(fixed, 0):
+                        blk[0] = int(blk[0]) | (1 << al)
+    else:  # AC scan: single component, non-interleaved
+        ci, _td, ta = scomps[0]
+        nbx, nby = comp_geometry(comps[ci])
+        for gy in range(nby):
+            for gx in range(nbx):
+                maybe_restart(unit)
+                unit += 1
+                blk = coef[ci][gy, gx]
+                if ah == 0:
+                    decode_ac_first(ta, blk)
+                else:
+                    decode_ac_refine(ta, blk)
+    # advance past this scan's entropy bytes: the decoder stops AT the
+    # terminating marker's 0xFF
+    bp = dec.bp
+    while bp + 1 < len(data) and not (
+            data[bp] == 0xFF and data[bp + 1] != 0x00 and
+            not (0xD0 <= data[bp + 1] <= 0xD7)):
+        bp += 1
+    return bp

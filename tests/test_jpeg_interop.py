@@ -155,8 +155,29 @@ class TestArithmeticSOF9:
         # same chroma-seam caveat as the Huffman 4:2:0 test
         assert abs(mine.mean() - ref.mean()) < 1.0
 
-    def test_progressive_arith_raises(self):
-        px = _fixture(seed=5)
-        data = R.encode(px, 90, progressive=True, arith=True)
-        with pytest.raises(NotImplementedError, match="SOF10"):
-            J.decode_jpeg(data)
+
+
+class TestProgressiveArithmeticSOF10:
+    """r5: progressive arithmetic JPEG (T.81 Annex G + QM coder) against
+    real libjpeg SOF10 streams (jpeg_simple_progression scan script with
+    DC/AC first + refinement passes)."""
+
+    @pytest.mark.parametrize("restart", [0, 2])
+    @pytest.mark.parametrize("quality", [90, 50])
+    def test_444_matches_libjpeg(self, restart, quality):
+        px = _fixture()
+        data = R.encode(px, quality, progressive=True,
+                        restart_interval=restart, samp444=True, arith=True)
+        assert b"\xff\xca" in data[:400]  # SOF10 really emitted
+        mine = J.decode_jpeg(data).astype(int)
+        ref = R.decode(data).astype(int)
+        assert np.abs(mine - ref).max() <= 1
+
+    def test_noise(self):
+        rng = np.random.RandomState(21)
+        px = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+        data = R.encode(px, 85, progressive=True, samp444=True, arith=True)
+        mine = J.decode_jpeg(data).astype(int)
+        ref = R.decode(data).astype(int)
+        d = np.abs(mine - ref)
+        assert d.max() <= 3 and (d > 2).mean() < 1e-3
