@@ -125,9 +125,10 @@ _ADAM7 = [(0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
           (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1)]
 
 
-def _unfilter_image(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
-    """Defilter h scanlines of w*channels bytes each (+1 filter byte)."""
-    stride = w * channels
+def _unfilter_image(raw: np.ndarray, h: int, stride: int,
+                    channels: int) -> np.ndarray:
+    """Defilter h scanlines of ``stride`` bytes each (+1 filter byte);
+    ``channels`` here is the filter's byte offset bpp."""
     raw = raw.reshape(h, stride + 1)
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
@@ -140,12 +141,13 @@ def _unfilter_image(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarra
 def decode_png(data: bytes) -> np.ndarray:
     """PNG -> RGB8 (h, w, 3).
 
-    Bit depths 8 and 16 (r5 — 16-bit big-endian samples reduce to their
-    high byte), color types 0 (gray), 2 (RGB), 3 (palette), 4
+    ALL legal bit depths (r5): 1/2/4 (MSB-first packed gray/palette;
+    gray scales to full range), 8, and 16 (big-endian samples reduce to
+    their high byte); color types 0 (gray), 2 (RGB), 3 (palette), 4
     (gray+alpha), 6 (RGBA); all five scanline filters (byte-level with
-    bpp = channels*bytes-per-sample, per the spec); interlace 0 and 1
+    bpp = ceil(channels*depth/8) per the spec); interlace 0 and 1
     (Adam7). Gray replicates to RGB; alpha is dropped (the engine's
-    image tables carry opaque RGB footprints). Sub-byte depths raise."""
+    image tables carry opaque RGB footprints)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -160,9 +162,11 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13])
-            if depth not in (8, 16):
-                raise NotImplementedError(
-                    "sub-byte PNG bit depths (1/2/4) unsupported")
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"bad PNG bit depth {depth}")
+            if depth < 8 and ctype not in (0, 3):
+                raise ValueError(
+                    "sub-byte depths are only legal for gray/palette")
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -171,27 +175,48 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + length
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    bps = depth // 8   # bytes per sample; PNG filters act on byte units
-    bpp = channels * bps
+    # PNG filters act on bytes with bpp = ceil(channels*depth/8)
+    bpp = max(1, channels * depth // 8)
+
+    def row_bytes(width):
+        return (width * channels * depth + 7) // 8
+
+    def expand(flat2d, width):
+        """(rows, row_bytes) filtered-out bytes -> (rows, width,
+        channels) uint8 samples: split 16-bit big-endian pairs to their
+        high byte, unpack sub-byte depths MSB-first (r5)."""
+        rows = flat2d.shape[0]
+        if depth == 8:
+            return flat2d.reshape(rows, width, channels)
+        if depth == 16:
+            return flat2d.reshape(rows, width, channels, 2)[:, :, :, 0]
+        bits = np.unpackbits(flat2d, axis=1)[:, :width * depth]
+        vals = bits.reshape(rows, width, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        out = (vals * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+        if ctype == 0:  # gray: scale 0..2^d-1 to full 0..255
+            out = (out.astype(np.uint16) * 255 //
+                   ((1 << depth) - 1)).astype(np.uint8)
+        return out[:, :, None]
+
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
     if interlace == 0:
-        img = _unfilter_image(raw, h, w, bpp).reshape(h, w, channels, bps)
+        img = expand(_unfilter_image(raw, h, row_bytes(w), bpp), w)
     elif interlace == 1:
-        img = np.zeros((h, w, channels, bps), np.uint8)
+        img = np.zeros((h, w, channels), np.uint8)
         off = 0
         for x0, xs, y0, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw == 0 or ph == 0:
                 continue
-            size = ph * (pw * bpp + 1)
-            sub = _unfilter_image(raw[off:off + size], ph, pw, bpp)
-            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels, bps)
+            size = ph * (row_bytes(pw) + 1)
+            sub = _unfilter_image(raw[off:off + size], ph,
+                                  row_bytes(pw), bpp)
+            img[y0::ys, x0::xs] = expand(sub, pw)
             off += size
     else:
         raise NotImplementedError(f"PNG interlace method {interlace}")
-    # 16-bit samples are big-endian; 8-bit view = high byte (r5)
-    img = img[:, :, :, 0]
     if ctype == 2:
         return img.copy()
     if ctype == 6:

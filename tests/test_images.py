@@ -302,3 +302,49 @@ class TestRestartIntervals:
         assert b"\xFF\xDD" in data
         n_rst = sum(data.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
         assert n_rst == 48 // 3 - 1  # 48 MCUs, a restart between intervals
+
+
+class TestPngSubByteDepths:
+    """r5: PNG bit depths 1/2/4 (MSB-first packed gray + palette),
+    byte-exact against the system libpng."""
+
+    def _make(self, w, h, depth, ctype, rowvals, plte=None):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload +
+                    struct.pack(">I",
+                                zlib.crc32(tag + payload) & 0xffffffff))
+        raw = b""
+        for r in range(h):
+            bits = []
+            for v in rowvals[r]:
+                bits += [int(b) for b in format(int(v), f"0{depth}b")]
+            bits += [0] * (-len(bits) % 8)
+            raw += b"\x00" + np.packbits(
+                np.array(bits, np.uint8)).tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + chunk(b"IDAT", zlib.compress(raw)) + \
+            chunk(b"IEND", b"")
+
+    @pytest.mark.parametrize("depth", [1, 2, 4])
+    def test_gray_and_palette_match_libpng(self, depth):
+        import numpy as np
+
+        import png_ref as PR
+        from mapshaper_spark.operators.images import decode_png
+        if not PR.available():
+            pytest.skip("libpng unavailable")
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 1 << depth, (9, 13))
+        blob = self._make(13, 9, depth, 0, vals)
+        assert np.array_equal(decode_png(blob), PR.decode(blob))
+        plte = rng.randint(0, 256, (1 << depth, 3))
+        blob = self._make(13, 9, depth, 3, vals, plte)
+        assert np.array_equal(decode_png(blob), PR.decode(blob))
