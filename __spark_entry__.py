@@ -658,16 +658,25 @@ def q_proj_lcc(spark, sf_dir):
         "aea": "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=clrk66",
         "tm": "+proj=tmerc +lon_0=-75 +k_0=0.9996 +x_0=0 +ellps=clrk66",
     }
-    outs = []
-    for w, defn in crs.items():
-        o = PR.project_points(pts.filter(F.col("which") == w), "lon", "lat",
-                              crs=defn)
-        outs.append(o.select("which", F.round("lon", 1).alias("x"),
-                             F.round("lat", 1).alias("y")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    # ONE Arrow stage dispatching per row on `which` (r5: the previous
+    # three filter->project->union branches each paid a Python-worker
+    # round-trip; this was the slowest bench query at 1.2 s of pure
+    # fixed overhead)
+    import pandas as pd
+
+    from mapshaper_spark.geom.projections import get_projection
+    projs = {w: get_projection(d) for w, d in crs.items()}
+
+    def gen(it):
+        for pdf in it:
+            xs, ys = [], []
+            for w, lon, lat in zip(pdf["which"], pdf["lon"], pdf["lat"]):
+                x, y = projs[w].fwd(np.array([lon]), np.array([lat]))
+                xs.append(round(float(x[0]), 1))
+                ys.append(round(float(y[0]), 1))
+            yield pd.DataFrame({"which": pdf["which"], "x": xs, "y": ys})
+
+    return pts.mapInPandas(gen, schema="which string, x double, y double")
 
 
 def q_knn_k3(spark, sf_dir):

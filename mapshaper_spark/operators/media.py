@@ -176,6 +176,88 @@ def ima_adpcm_encode_blocks(samples: np.ndarray, samples_per_block: int = 505) -
     return bytes(out)
 
 
+def ima_adpcm_encode_blocks_multi(chans: list, samples_per_block: int = 505
+                                  ) -> bytes:
+    """Multi-channel WAV-format-0x11 block stream (the Microsoft WAVE
+    stereo layout): per block, one 4-byte header PER CHANNEL, then
+    4-byte data words (8 nibbles = 8 samples each) alternating channels.
+    Per-channel predictor/index run independently."""
+    ch = len(chans)
+    if ch == 1:
+        return ima_adpcm_encode_blocks(chans[0], samples_per_block)
+    n = max(len(c) for c in chans)
+    chans = [np.asarray(c, dtype=np.int16) for c in chans]
+    out = bytearray()
+    idxs = [0] * ch
+    pos = 0
+    words_per_chan = -(-(samples_per_block - 1) // 8)
+    while pos < n:
+        packed_ch = []
+        for c in range(ch):
+            s = chans[c][pos:pos + samples_per_block]
+            if len(s) == 0:
+                s = np.zeros(1, np.int16)
+            first = int(s[0])
+            block = s[1:]
+            pad = (samples_per_block - 1) - len(block)
+            if pad:
+                block = np.concatenate(
+                    [block, np.full(pad, block[-1] if len(block) else first,
+                                    dtype=np.int16)])
+            out += struct.pack("<hBB", first, idxs[c], 0)
+            nibbles, _pred, idxs[c] = _ima_encode_samples(
+                block, first, idxs[c])
+            if len(nibbles) % 8:
+                nibbles = np.append(
+                    nibbles, np.zeros(8 - len(nibbles) % 8, np.uint8))
+            packed_ch.append(
+                (nibbles[0::2] | (nibbles[1::2] << 4)).astype(np.uint8)
+                .reshape(-1, 4))
+        for g in range(words_per_chan):
+            for c in range(ch):
+                out += packed_ch[c][g].tobytes()
+        pos += samples_per_block
+    return bytes(out)
+
+
+def ima_adpcm_decode_blocks_multi(data: bytes, samples_per_block: int,
+                                  channels: int,
+                                  n_samples: int | None = None
+                                  ) -> np.ndarray:
+    """Multi-channel format-0x11 stream -> (frames, channels) int16
+    (n_samples = per-channel sample count from `fact`)."""
+    if channels == 1:
+        mono = ima_adpcm_decode_blocks(data, samples_per_block, n_samples)
+        return mono[:, None]
+    words_per_chan = -(-(samples_per_block - 1) // 8)
+    block_bytes = 4 * channels + words_per_chan * 4 * channels
+    chunks = []
+    for off in range(0, len(data), block_bytes):
+        block = data[off:off + block_bytes]
+        if len(block) < 4 * channels:
+            break
+        firsts, idxs = [], []
+        for c in range(channels):
+            first, idx, _r = struct.unpack("<hBB", block[4 * c:4 * c + 4])
+            firsts.append(first)
+            idxs.append(idx)
+        packed = np.frombuffer(block[4 * channels:], dtype=np.uint8)
+        words = packed.reshape(-1, channels, 4)
+        out_ch = []
+        for c in range(channels):
+            cb = words[:, c, :].ravel()
+            nibbles = np.empty(len(cb) * 2, dtype=np.uint8)
+            nibbles[0::2] = cb & 0x0F
+            nibbles[1::2] = cb >> 4
+            rest = _ima_decode_nibbles(
+                nibbles[:samples_per_block - 1], firsts[c], idxs[c])
+            out_ch.append(np.concatenate([[np.int16(firsts[c])], rest]))
+        chunks.append(np.stack(out_ch, axis=1))
+    out = np.concatenate(chunks) if chunks else np.empty((0, channels),
+                                                         np.int16)
+    return out[:n_samples] if n_samples is not None else out
+
+
 def ima_adpcm_decode_blocks(data: bytes, samples_per_block: int = 505,
                             n_samples: int | None = None) -> np.ndarray:
     """WAV-format-0x11 block stream -> mono int16."""
@@ -205,14 +287,19 @@ _WAV_PCM16, _WAV_ALAW, _WAV_ULAW, _WAV_IMA = 1, 6, 7, 0x11
 
 def encode_wav(samples: np.ndarray, rate: int = 16000, codec: str = "pcm16",
                samples_per_block: int = 505) -> bytes:
-    """Mono int16 samples -> WAV bytes in one of pcm16 / alaw / ulaw /
-    ima_adpcm. Writes a `fact` chunk for the compressed formats (sample
-    count), matching what mainstream writers emit."""
+    """int16 samples -> WAV bytes in one of pcm16 / alaw / ulaw /
+    ima_adpcm. A 2-D (frames, channels) array writes a multichannel file
+    (pcm16 frame-interleaved; ima_adpcm in the MS stereo block layout,
+    r5). Writes a `fact` chunk for the compressed formats (per-channel
+    sample count), matching what mainstream writers emit."""
     samples = np.asarray(samples, dtype=np.int16)
-    n = len(samples)
+    channels = samples.shape[1] if samples.ndim == 2 else 1
+    n = samples.shape[0]
+    if channels > 1 and codec not in ("pcm16", "ima_adpcm"):
+        raise ValueError("multichannel writing supports pcm16/ima_adpcm")
     if codec == "pcm16":
-        fmt_tag, bits, block_align = _WAV_PCM16, 16, 2
-        payload = samples.astype("<i2").tobytes()
+        fmt_tag, bits, block_align = _WAV_PCM16, 16, 2 * channels
+        payload = samples.astype("<i2").tobytes()  # C-order = interleaved
         extra = b""
     elif codec == "ulaw":
         fmt_tag, bits, block_align = _WAV_ULAW, 8, 1
@@ -224,13 +311,21 @@ def encode_wav(samples: np.ndarray, rate: int = 16000, codec: str = "pcm16",
         extra = struct.pack("<H", 0)
     elif codec == "ima_adpcm":
         fmt_tag, bits = _WAV_IMA, 4
-        block_align = 4 + (samples_per_block - 1 + 1) // 2
-        payload = ima_adpcm_encode_blocks(samples, samples_per_block)
+        if channels == 1:
+            block_align = 4 + (samples_per_block - 1 + 1) // 2
+            payload = ima_adpcm_encode_blocks(samples, samples_per_block)
+        else:
+            words = -(-(samples_per_block - 1) // 8)
+            block_align = 4 * channels + words * 4 * channels
+            payload = ima_adpcm_encode_blocks_multi(
+                [samples[:, c] for c in range(channels)],
+                samples_per_block)
         extra = struct.pack("<HH", 2, samples_per_block)
     else:
         raise ValueError(f"unknown wav codec {codec}")
     byte_rate = rate * block_align if fmt_tag == _WAV_IMA else rate * block_align
-    fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, byte_rate, block_align, bits) + extra
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, byte_rate,
+                      block_align, bits) + extra
     chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
     if fmt_tag != _WAV_PCM16:
         chunks.append(b"fact" + struct.pack("<II", 4, n))
@@ -256,11 +351,6 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if tag == b"fmt ":
             fmt_tag, channels, rate, _br, block_align, _bits = struct.unpack(
                 "<HHIIHH", chunk[:16])
-            if channels != 1 and fmt_tag == _WAV_IMA:
-                # IMA-ADPCM interleaves 4-byte words per channel inside
-                # each block — a different block walk; mono-only here
-                raise NotImplementedError(
-                    "multi-channel IMA-ADPCM WAV unsupported")
             if fmt_tag == _WAV_IMA and length >= 20:
                 (_cb, samples_per_block) = struct.unpack("<HH", chunk[16:20])
         elif tag == b"fact":
@@ -287,8 +377,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt_tag == _WAV_ALAW:
         return _downmix(alaw_decode(np.frombuffer(payload, np.uint8))), rate
     if fmt_tag == _WAV_IMA:
-        spb = samples_per_block or (block_align - 4) * 2 + 1
-        return ima_adpcm_decode_blocks(payload, spb, fact_samples), rate
+        # MS WAVE formula generalized to N channels (r5 adds stereo):
+        # spb = (block_align - 4*ch) * 2 / ch + 1
+        spb = samples_per_block or \
+            (block_align - 4 * channels) * 2 // channels + 1
+        frames = ima_adpcm_decode_blocks_multi(payload, spb, channels,
+                                               fact_samples)
+        if channels == 1:
+            return frames[:, 0], rate
+        return np.round(frames.astype(np.float64).mean(axis=1)) \
+            .astype(np.int16), rate
     raise NotImplementedError(f"WAV format tag 0x{fmt_tag:x} requires an audio library")
 
 

@@ -377,3 +377,33 @@ class TestRound5Boundaries:
         # simplified API instead gamma-maps 16-bit-as-linear to sRGB — a
         # different, documented convention)
         assert np.array_equal(mine, (px16 >> 8).astype(np.uint8))
+
+    def test_stereo_ima_adpcm_round_trip(self):
+        """r5: multichannel IMA-ADPCM (MS WAVE stereo block layout —
+        per-channel 4-byte headers + alternating 4-byte data words,
+        independent per-channel predictors). Block-layer round trip
+        reconstructs both channels at ADPCM fidelity; the container path
+        derives spb from block_align via the generalized MS formula and
+        downmixes by channel mean."""
+        import numpy as np
+        from mapshaper_spark.operators.media import (
+            decode_wav, encode_wav, ima_adpcm_decode_blocks_multi,
+            ima_adpcm_encode_blocks_multi)
+        rng = np.random.RandomState(5)
+        t = np.arange(3000)
+        left = (3000 * np.sin(t * 0.05) +
+                rng.randint(-200, 200, 3000)).astype(np.int16)
+        right = (2000 * np.cos(t * 0.031) +
+                 rng.randint(-200, 200, 3000)).astype(np.int16)
+        stereo = np.stack([left, right], axis=1)
+        blob = ima_adpcm_encode_blocks_multi([left, right], 505)
+        back = ima_adpcm_decode_blocks_multi(blob, 505, 2, 3000)
+        err = (back.astype(float) - stereo.astype(float))
+        snr = 10 * np.log10((stereo.astype(float) ** 2).mean() /
+                            (err ** 2).mean())
+        assert back.shape == (3000, 2) and snr > 30
+        wav = encode_wav(stereo, 16000, "ima_adpcm")
+        mono, rate = decode_wav(wav)
+        assert rate == 16000 and len(mono) == 3000
+        assert np.abs(mono.astype(float) -
+                      np.round(back.astype(float).mean(axis=1))).max() == 0
