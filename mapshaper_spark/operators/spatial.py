@@ -541,7 +541,7 @@ def nearest_point_join(left: DataFrame, lx: str, ly: str, left_key: str,
 
 
 def salted_cell_join(points: DataFrame, cover: DataFrame,
-                     cell: str = "cell", n_salts: int = 8,
+                     cell: str = "cell", n_salts: int | None = None,
                      hot_threshold: int | None = None) -> DataFrame:
     """Skew-safe equi-join on ``cell`` for the SHUFFLE path (north_rule:
     "salted repartitioning for hot-cell skew").
@@ -558,6 +558,14 @@ def salted_cell_join(points: DataFrame, cover: DataFrame,
     this handles the pathological single-key case AQE cannot split further
     because all rows share one key.)
     """
+    if n_salts is None:
+        # one salt per reducer: a 50%-hot key spread over only a few
+        # salts under-parallelizes the verify stage (r5 skew-stress
+        # evidence); hot-cover replication stays bounded at
+        # |hot cover| * n_salts rows
+        n_salts = int(points.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        n_salts = max(8, min(n_salts, 128))
     counts = points.groupBy(cell).count()
     if hot_threshold is None:
         stats = counts.agg(F.expr("percentile(count, 0.999)").alias("p"),
