@@ -1293,8 +1293,10 @@ def q_image_decode_stats(spark, sf_dir):
     operators/webp.py), every 13th as REAL GIF (LZW, operators/gif.py),
     every 17th as REAL lossy WebP (VP8 intra frame, RFC 6386,
     operators/vp8.py), and every 19th as REAL lossless JPEG (SOF3
-    predictive, T.81 Annex H — r5, predictor rotating 1-7 by row id) so
-    all six non-trivial decode paths run alongside the PNG/PPM rows."""
+    predictive, T.81 Annex H — r5, predictor rotating 1-7 by row id),
+    and every 23rd as REAL sequential-ARITHMETIC JPEG (SOF9, the r5
+    from-scratch QM coder — libjpeg-verified two-way) so all seven
+    non-trivial decode paths run alongside the PNG/PPM rows."""
     from mapshaper_spark.operators.images import encode_synthetic_bytes
     imgs = L.synth_images(spark, 500)
     imgs = imgs.withColumn(
@@ -1304,6 +1306,7 @@ def q_image_decode_stats(spark, sf_dir):
                .when(F.col("id") % 13 == 5, F.lit("gif"))
                .when(F.col("id") % 17 == 6, F.lit("webp_lossy"))
                .when(F.col("id") % 19 == 7, F.lit("jpeg_lossless"))
+               .when(F.col("id") % 23 == 8, F.lit("jpeg_arith"))
                .otherwise(F.col("fmt")))
     return IM.decode_stats(encode_synthetic_bytes(imgs))
 

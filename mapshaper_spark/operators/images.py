@@ -247,7 +247,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "ppm":
         return decode_ppm(data)
-    if fmt in ("jpeg", "jpg", "jpeg_progressive", "jpeg_lossless"):
+    if fmt in ("jpeg", "jpg", "jpeg_progressive", "jpeg_lossless",
+               "jpeg_arith"):
         # real JPEG decode (pure numpy + stdlib, operators/jpeg.py) — both
         # baseline (SOF0/1) and progressive (SOF2: spectral selection +
         # successive approximation) streams, dispatched on the SOF marker;
@@ -333,6 +334,10 @@ def encode_synthetic_bytes(df: DataFrame) -> DataFrame:
                     # predictor varies with the row id for coverage
                     blobs.append(encode_jpeg_lossless(
                         px, predictor=1 + int(i) % 7))
+                elif fmt == "jpeg_arith":
+                    from mapshaper_spark.operators.jpeg_arith import \
+                        encode_jpeg_arith
+                    blobs.append(encode_jpeg_arith(px, quality=95))
                 elif fmt in ("jpeg", "jpg"):
                     blobs.append(encode_jpeg(px, quality=95))
                 else:

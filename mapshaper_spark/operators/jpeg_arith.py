@@ -695,3 +695,266 @@ def _arith_prog_scan(data, pos, coef, comps, scomps, ss, se, ah, al,
             not (0xD0 <= data[bp + 1] <= 0xD7)):
         bp += 1
     return bp
+
+
+class _ArithEncoder:
+    """QM encoder — the exact mirror of _ArithDecoder: MPS bottom / LPS
+    top with conditional exchange, renormalization emitting bytes from
+    bit 19 of the C register with carry propagation over stacked 0xFF
+    bytes (pending-FF/pending-zero bookkeeping instead of bit stuffing;
+    0x00 is emitted after every 0xFF data byte) and the
+    trailing-zero-dropping flush (T.81 D.1.8)."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1   # last un-emitted byte (carry may bump it)
+        self.sc = 0        # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0        # pending 0x00 bytes (dropped if trailing)
+        self.out = bytearray()
+
+    def _emit(self, b):
+        self.out.append(b & 0xFF)
+
+    def _byte_out(self):
+        temp = self.c >> 19
+        if temp > 0xFF:            # carry
+            if self.buffer >= 0:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc     # carried-over FFs become zeros
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1           # stack: a later carry may bump it
+        else:
+            if self.buffer == 0:
+                self.zc += 1       # delay zero bytes (maybe trailing)
+            elif self.buffer >= 0:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                self._emit(self.buffer)
+            if self.sc:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+            self.buffer = temp
+        self.c &= 0x7FFFF
+        self.ct += 8
+
+    def encode(self, stats, i, bit):
+        sv = int(stats[i])
+        idx = sv >> 1
+        mps = sv & 1
+        qe = int(_QE[idx])
+        a1 = self.a - qe
+        if bit == mps:
+            if a1 & 0x8000 and a1 >= qe:
+                self.a = a1
+                return             # fast path: no renorm, no adaptation
+            if a1 < qe:            # exchange: MPS takes the top
+                self.c += a1
+                self.a = qe
+            else:
+                self.a = a1
+            stats[i] = (int(_NMPS[idx]) << 1) | mps
+        else:
+            if a1 >= qe:           # LPS takes the top
+                self.c += a1
+                self.a = qe
+            else:                  # exchange: LPS takes the bottom
+                self.a = a1
+            if _SWITCH[idx]:
+                mps = 1 - mps
+            stats[i] = (int(_NLPS[idx]) << 1) | mps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+
+    def flush(self) -> bytes:
+        # T.81 D.1.8: pick the in-interval value with most trailing zeros
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        if temp < self.c:
+            self.c = temp + 0x8000
+        else:
+            self.c = temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:    # final carry
+            if self.buffer >= 0:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                self._emit(self.buffer)
+            if self.sc:
+                if self.zc:
+                    self.out += b"\x00" * self.zc
+                    self.zc = 0
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+        if self.c & 0x7FFF800:     # drop trailing zero bytes
+            if self.zc:
+                self.out += b"\x00" * self.zc
+                self.zc = 0
+            b = (self.c >> 19) & 0xFF
+            self._emit(b)
+            if b == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self._emit(b)
+                if b == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg_arith(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """RGB8 (h, w, 3) -> sequential ARITHMETIC-coded JFIF (SOF9, 4:4:4):
+    the exact mirror of decode_jpeg_arith's conditioning — libjpeg
+    decodes the output identically to our own decoder (two-way interop,
+    tests/test_jpeg_interop.py)."""
+    from mapshaper_spark.operators.jpeg import _quantized_blocks
+    comps_zz, ql, qc, h, w, bh, bw = _quantized_blocks(pixels, quality)
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + \
+            bytes(int(v) for v in q.ravel()[_ZZ])
+    out += b"\xFF\xC9" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for cid, tda in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, tda)
+    out += struct.pack("BBB", 0, 63, 0)
+
+    enc = _ArithEncoder()
+    dc_stats = [np.zeros(80, dtype=np.int64) for _ in range(2)]
+    ac_stats = [np.zeros(256, dtype=np.int64) for _ in range(2)]
+    fixed = np.array([_FIXED_BIN << 1], dtype=np.int64)
+    last_dc = [0, 0, 0]
+    dc_ctx = [0, 0, 0]
+    dc_L, dc_U, ac_K = 0, 1, 5
+
+    def put_dc(ci, td, v):
+        st = dc_stats[td]
+        i0 = dc_ctx[ci]
+        diff = v - last_dc[ci]
+        last_dc[ci] = v
+        if diff == 0:
+            enc.encode(st, i0, 0)
+            dc_ctx[ci] = 0
+            return
+        enc.encode(st, i0, 1)
+        sign = 1 if diff < 0 else 0
+        enc.encode(st, i0 + 1, sign)
+        i = i0 + 2 + sign
+        M1 = abs(diff) - 1
+        if M1 == 0:
+            enc.encode(st, i, 0)
+            m = 0
+        else:
+            enc.encode(st, i, 1)
+            i = 20
+            m = 1
+            while (m << 1) <= M1:
+                enc.encode(st, i, 1)
+                m <<= 1
+                i += 1
+            enc.encode(st, i, 0)
+        if m < (1 << dc_L) >> 1:
+            dc_ctx[ci] = 0
+        elif m > (1 << dc_U) >> 1:
+            dc_ctx[ci] = 12 + sign * 4
+        else:
+            dc_ctx[ci] = 4 + sign * 4
+        i += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, i, 1 if (M1 & mm) else 0)
+            mm >>= 1
+
+    def put_ac(ta, zz):
+        st = ac_stats[ta]
+        ke = 63
+        while ke >= 1 and zz[ke] == 0:
+            ke -= 1
+        k = 1
+        while k <= 63:
+            i = 3 * (k - 1)
+            if k > ke:
+                enc.encode(st, i, 1)   # EOB
+                return
+            enc.encode(st, i, 0)
+            while zz[k] == 0:
+                enc.encode(st, i + 1, 0)
+                k += 1
+                i += 3
+            enc.encode(st, i + 1, 1)
+            v = int(zz[k])
+            enc.encode(fixed, 0, 1 if v < 0 else 0)
+            i += 2
+            M1 = abs(v) - 1
+            if M1 == 0:
+                enc.encode(st, i, 0)
+                m = 0
+            elif M1 == 1:
+                enc.encode(st, i, 1)
+                enc.encode(st, i, 0)
+                m = 1
+            else:
+                enc.encode(st, i, 1)
+                enc.encode(st, i, 1)
+                m = 2
+                i = 189 if k <= ac_K else 217
+                while (m << 1) <= M1:
+                    enc.encode(st, i, 1)
+                    m <<= 1
+                    i += 1
+                enc.encode(st, i, 0)
+            i += 14
+            mm = m >> 1
+            while mm:
+                enc.encode(st, i, 1 if (M1 & mm) else 0)
+                mm >>= 1
+            k += 1
+
+    zz_of = [comps_zz[ci] for ci in range(3)]
+    tds = [0, 1, 1]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                zz = zz_of[ci][by, bx]
+                put_dc(ci, tds[ci], int(zz[0]))
+                put_ac(tds[ci], zz)
+    out += enc.flush()
+    out += b"\xFF\xD9"
+    return bytes(out)
