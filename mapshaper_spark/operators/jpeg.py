@@ -1,5 +1,7 @@
 """JPEG (ITU-T T.81) encoder/decoder family in pure numpy + stdlib —
-baseline sequential (SOF0/1), progressive (SOF2), and lossless (SOF3).
+baseline sequential (SOF0/1), progressive (SOF2), lossless (SOF3), and
+the ARITHMETIC processes (SOF9 sequential both ways + SOF10
+progressive decode, dispatched to operators/jpeg_arith.py).
 No PIL / Python imaging libs in this container; the system libjpeg is
 used ONLY as a test-time reference codec (tests/jpeg_ref.py).
 
