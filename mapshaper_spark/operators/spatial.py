@@ -566,11 +566,22 @@ def salted_cell_join(points: DataFrame, cover: DataFrame,
         n_salts = int(points.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "32"))
         n_salts = max(8, min(n_salts, 128))
-    counts = points.groupBy(cell).count()
+    # hot-cell detection on a DETERMINISTIC 2% SAMPLE (r5): the full
+    # points-side count was an extra whole-table scan — at 10^12 rows
+    # that pass costs more than the skew it guards against. A key hot
+    # enough to pin a reducer (>=10^5s of rows at any real scale) is
+    # statistically certain to clear a sampled threshold; keys the
+    # sample misses are by construction small enough for AQE's skew
+    # handling. Fixed seed keeps the salting layout (never the join
+    # RESULT) deterministic across retries.
+    frac = 0.02
+    counts = points.sample(False, frac, seed=42).groupBy(cell).count()
     if hot_threshold is None:
         stats = counts.agg(F.expr("percentile(count, 0.999)").alias("p"),
                            F.avg("count").alias("m")).collect()[0]
-        hot_threshold = max(int((stats.p or 0) * 2), int((stats.m or 0) * 16), 1000)
+        hot_threshold = max(int((stats.p or 0) * 2),
+                            int((stats.m or 0) * 16),
+                            max(int(1000 * frac), 10))
     hot = counts.filter(F.col("count") >= hot_threshold).select(
         cell, F.lit(True).alias("__hot"))
 
