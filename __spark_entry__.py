@@ -594,6 +594,41 @@ def q_proj_wintri(spark, sf_dir):
                                   F.round("lat", 4).alias("y"))))
 
 
+def q_proj_utm(spark, sf_dir):
+    """utm via the EXACT Poder/Engsager series (r5): the oracle row is
+    PROJ's published quickstart value (echo 12 55 | proj +proj=utm
+    +zone=32 -> 691875.63 6098907.83) — an independent source pinning
+    the series, like the Snyder worked-example rows in proj_lcc."""
+    pts = spark.createDataFrame([("pub", 12.0, 55.0)],
+                                "tag string, lon double, lat double")
+    out = PR.project_points(pts, "lon", "lat",
+                            crs="+proj=utm +zone=32 +datum=WGS84")
+    return out.select("tag", F.round("lon", 2).alias("x"),
+                      F.round("lat", 2).alias("y"))
+
+
+def q_csv_empty_cells(spark, sf_dir):
+    """r5 exact CSV empty-vs-missing semantics as a gated query: a
+    present-but-empty cell imports as \'\' in a string column / null in a
+    promoted numeric one, a missing trailing field as null, RFC4180
+    doubled quotes unescape, delimiters inside quotes don\'t split
+    (delim-import-test.js). The csv is synthesized deterministically at
+    query time; the oracle is a VALUES literal of the reference
+    semantics."""
+    import os as _os
+    import tempfile as _tf
+    d = _tf.mkdtemp(prefix="ms_csvq")
+    p = _os.path.join(d, "t.csv")
+    with open(p, "w") as fh:
+        fh.write('ID,STATE,VALUE\n1\n2,WA,300\n3,,\n'
+                 '4,"he said ""hi""",5\n5,"x,y",\n')
+    from mapshaper_spark.sources.delim import import_delim
+    df = import_delim(spark, p)
+    return df.select(F.col("ID").cast("double").alias("id"),
+                     F.col("STATE").alias("state"),
+                     F.col("VALUE").cast("double").alias("value"))
+
+
 def q_proj_tpeqd(spark, sf_dir):
     """Late round-4 projection tail: two-point equidistant forward over
     deterministic nation-derived points (foci (35N, 10W) and (45N, 60E)).
@@ -1706,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_centroid": q_points_centroid,
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
+        "proj_utm": q_proj_utm,
+        "csv_empty_cells": q_csv_empty_cells,
         "dissolve_states": q_dissolve_states,
         "neighbors": q_neighbors,
         "explode_parts": q_explode_parts,
@@ -3138,6 +3175,22 @@ FROM zvals GROUP BY arc_id ORDER BY arc_id
             ('lcc', 1894410.9, 1564649.5),
             ('aea', 1885472.7, 1535925.0),
             ('tm',   127106.5, 4484124.4)) t(which, x, y)
+    """
+    sqls["proj_utm"] = """
+        -- PROJ documentation quickstart: echo 12 55 | proj +proj=utm
+        -- +zone=32  ->  691875.63  6098907.83
+        SELECT * FROM (VALUES ('pub', 691875.63, 6098907.83)) t(tag, x, y)
+    """
+    sqls["csv_empty_cells"] = """
+        -- reference import semantics (delim-import-test.js): ID/VALUE
+        -- promote numeric ('' and missing -> null); STATE stays string
+        -- (missing -> null, present-empty -> '', quotes unescaped)
+        SELECT * FROM (VALUES
+            (1.0, NULL,            NULL),
+            (2.0, 'WA',            300.0),
+            (3.0, '',              NULL),
+            (4.0, 'he said "hi"',  5.0),
+            (5.0, 'x,y',           NULL)) t(id, state, value)
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
