@@ -594,6 +594,36 @@ def q_proj_wintri(spark, sf_dir):
                                   F.round("lat", 4).alias("y"))))
 
 
+def q_ndjson_roundtrip(spark, sf_dir):
+    """r5 distributed ndjson sink+importer as a gated query: export a
+    deterministic polygon layer through the scale path
+    (export_ndjson -> spark.read.text + Arrow parse -> sampled property
+    flattening), then report per-feature properties and ring vertex
+    counts. Oracle = VALUES literal of what a lossless round trip must
+    produce."""
+    import os as _os
+    import tempfile as _tf
+    rows = []
+    for i, (gx, gy) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        x0, y0 = float(gx), float(gy)
+        rows.append((i, "A" if gx == 0 else "B", 10 * (i + 1),
+                     [[x0, x0 + 1, x0 + 1, x0, x0]],
+                     [[y0, y0, y0 + 1, y0 + 1, y0]]))
+    df = spark.createDataFrame(
+        rows, "fid int, state string, pop int, "
+              "rings_x array<array<double>>, rings_y array<array<double>>")
+    out = _os.path.join(_tf.mkdtemp(prefix="ms_ndjq"), "layer_nd")
+    from mapshaper_spark.cli import run_commands
+    run_commands(spark, f"-o format=ndjson {out}", layers={"states": df})
+    cat = run_commands(spark, f"-i {out}")
+    back = cat.df()
+    return back.select(
+        F.col("fid").cast("int").alias("fid"), "state",
+        F.col("pop").cast("int").alias("pop"),
+        F.aggregate(F.transform("rings_x", F.size), F.lit(0),
+                    lambda a, v: a + v).alias("n_vertices"))
+
+
 def q_proj_utm(spark, sf_dir):
     """utm via the EXACT Poder/Engsager series (r5): the oracle row is
     PROJ's published quickstart value (echo 12 55 | proj +proj=utm
@@ -1743,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_webmercator": q_proj_webmercator,
         "proj_utm": q_proj_utm,
         "csv_empty_cells": q_csv_empty_cells,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
         "dissolve_states": q_dissolve_states,
         "neighbors": q_neighbors,
         "explode_parts": q_explode_parts,
@@ -3191,6 +3222,11 @@ FROM zvals GROUP BY arc_id ORDER BY arc_id
             (3.0, '',              NULL),
             (4.0, 'he said "hi"',  5.0),
             (5.0, 'x,y',           NULL)) t(id, state, value)
+    """
+    sqls["ndjson_roundtrip"] = """
+        SELECT * FROM (VALUES
+            (0, 'A', 10, 5), (1, 'A', 20, 5),
+            (2, 'B', 30, 5), (3, 'B', 40, 5)) t(fid, state, pop, n_vertices)
     """
     sqls["ring_repair"] = """
         SELECT CAST(i AS INT) AS fid, 4.0 AS outer_area,
