@@ -1672,13 +1672,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # topology family
         "topology_build": q_topology_build,
         "polygons_from_lines": q_polygons_from_lines,
-        "segment_intersections": q_segment_intersections,
+        # r5 late rotation: segment_intersections + innerlines (driver-
+        # green 4 rounds) move below the boundary; the two brand-new
+        # r5 queries take the slots (never driver-hashed)
+        "csv_empty_cells": q_csv_empty_cells,
         # r4 late: simhash_sigs rotates IN (exact oracle, new);
         # polyline_dissolve rotates out after three green rounds
         "simhash_sigs": q_simhash_sigs,
         "proj_wintri": q_proj_wintri,  # new r4: rotated in (dissolve_states
         # out — driver-green since r1, still covered by check_oracle)
-        "innerlines": q_innerlines,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
         "each_regex": q_each_regex,  # new r4: rotated in (neighbors out —
         # driver-green since r1, still covered by check_oracle)
         "each_js": q_each_js,  # new r4: JS-interpreter fallback engine
@@ -1772,8 +1775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "points_inner": q_points_inner,
         "proj_webmercator": q_proj_webmercator,
         "proj_utm": q_proj_utm,
-        "csv_empty_cells": q_csv_empty_cells,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "segment_intersections": q_segment_intersections,
+        "innerlines": q_innerlines,
         "dissolve_states": q_dissolve_states,
         "neighbors": q_neighbors,
         "explode_parts": q_explode_parts,
